@@ -1,0 +1,98 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+/** Decoded redo operation — the post-parser, pre-assembly IR (FIXTURES.md §A;
+  * semantic mirror of the reference's paired RedoLogRecord, not its bytes).
+  *
+  * `scn/subScn/seq/offset` carry the total order the reference establishes
+  * with its in-LWN heap sort (`src/parser/Parser.h:46-60`); `xid` keys the
+  * stateful assembly; `op` is the semantic opcode (§2.2 opcode table).
+  */
+case class ChangeEvent(
+    scn: Long,
+    subScn: Int,
+    seq: Long,
+    offset: Long,
+    thread: Int,
+    xid: String,
+    op: String,
+    obj: Long,
+    bdba: Long,
+    slot: Int,
+    fb: String,
+    before: Map[String, String],
+    after: Map[String, String],
+    suppBefore: Map[String, String],
+    suppAfter: Map[String, String],
+    attrs: Map[String, String],
+    ddlText: String)
+
+object ChangeEvent {
+  /** Construct a minimal DML/control event (fixture helper). */
+  def apply(scn: Long, xid: String, op: String): ChangeEvent =
+    ChangeEvent(scn, 0, 1L, scn, 1, xid, op, 0L, 0L, 0, "",
+      Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, null)
+
+  val schema: StructType = StructType(Seq(
+    StructField("scn", LongType, nullable = false),
+    StructField("subScn", IntegerType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("thread", IntegerType, nullable = false),
+    StructField("xid", StringType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("obj", LongType, nullable = false),
+    StructField("bdba", LongType, nullable = false),
+    StructField("slot", IntegerType, nullable = false),
+    StructField("fb", StringType, nullable = true),
+    StructField("before", MapType(StringType, StringType), nullable = true),
+    StructField("after", MapType(StringType, StringType), nullable = true),
+    StructField("suppBefore", MapType(StringType, StringType), nullable = true),
+    StructField("suppAfter", MapType(StringType, StringType), nullable = true),
+    StructField("attrs", MapType(StringType, StringType), nullable = true),
+    StructField("ddlText", StringType, nullable = true)))
+}
+
+/** Semantic opcodes (≙ reference redo opcodes, §2.2 of SURVEY.md). */
+object Op {
+  val Begin = "BEGIN" //  5.2
+  val Commit = "COMMIT" //  5.4
+  val Rollback = "ROLLBACK" //  5.4 with rollback flag
+  val PartialRollback = "PARTIAL_ROLLBACK" //  5.6 / 5.11
+  val SessionAttr = "SESSION_ATTR" //  5.19 / 5.20
+  val Ins = "INS" // 11.2
+  val Del = "DEL" // 11.3
+  val Upd = "UPD" // 11.5 / 11.6
+  val InsMulti = "INS_MULTI" // 11.11
+  val DelMulti = "DEL_MULTI" // 11.12
+  val Ddl = "DDL" // 24.1
+  val dml: Set[String] = Set(Ins, Del, Upd, InsMulti, DelMulti)
+}
+
+/** Committed change message — the engine's output row (§1.4 envelope).
+  * `op` uses the reference's wire codes: begin|commit|c|u|d|ddl|chkpt.
+  * (cScn, cIdx) is the idempotent-restart position.
+  */
+case class ChangeMessage(
+    cScn: Long,
+    cIdx: Long,
+    scn: Long,
+    seq: Long,
+    xid: String,
+    op: String,
+    obj: Long,
+    rid: String,
+    before: Map[String, String],
+    after: Map[String, String],
+    attrs: Map[String, String],
+    ddlText: String)
+
+object MsgOp {
+  val Begin = "begin"
+  val Commit = "commit"
+  val Insert = "c"
+  val Update = "u"
+  val Delete = "d"
+  val Ddl = "ddl"
+}

@@ -1,0 +1,212 @@
+package graft.cdc
+
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.OracleCodecs
+
+/** Transaction assembly — the stateful core of the engine (SURVEY.md §2.3).
+  *
+  * Reproduces the reference semantics: ops buffered per XID in
+  * (scn, subScn, offset) order; COMMIT flushes the buffer as committed
+  * messages with a (cScn, cIdx) restart position; ROLLBACK drops it;
+  * PARTIAL_ROLLBACK cancels the last *matching* buffered op (stack
+  * semantics); session attributes attach to every op of the transaction;
+  * nothing uncommitted is ever emitted; oversized transactions are dropped
+  * whole and the XID skip-listed.
+  *
+  * Two drivers share [[TxnAccumulator]]: a batch path (`groupByKey +
+  * flatMapGroups` — deterministic replay/tests) and a streaming path
+  * (`flatMapGroupsWithState` with a processing-time TTL for abandoned
+  * transactions). At scale the shuffle key is the XID, which is correct by
+  * construction: a transaction lives in exactly one redo thread, so keyed
+  * state never crosses partitions, and skew is bounded by `maxOpsPerTxn`
+  * (the reference's transaction-max-mb drop rule).
+  */
+object TxnAssembly {
+
+  case class Config(
+      skipXids: Set[String] = Set.empty,
+      maxOpsPerTxn: Int = 10000000,
+      /** Batch replay: treat end-of-input as commit (for feeds that carry
+        * only DML, e.g. relational adapters). OLR itself never does this. */
+      commitAtEnd: Boolean = false,
+      emitBeginCommit: Boolean = false,
+      /** Force-split transactions bigger than this into multiple emitted
+        * chunks (≙ max-message-mb split, Transaction.cpp:519-538). */
+      maxMessagesPerChunk: Int = Int.MaxValue,
+      stateTtlMs: Long = -1L)
+
+  /** Mutable per-XID state; the streaming path snapshots/restores it. */
+  case class TxnState(
+      ops: ArrayBuffer[ChangeEvent],
+      var attrs: Map[String, String],
+      var beginScn: Long,
+      var open: Boolean,
+      var oversized: Boolean)
+
+  object TxnState {
+    def empty: TxnState = TxnState(ArrayBuffer.empty, Map.empty, -1L, false, false)
+  }
+
+  /** Feed one event through the state machine; returns messages to emit
+    * (non-empty only for COMMIT, or chunk-forced splits). */
+  def onEvent(xid: String, e: ChangeEvent, st: TxnState, cfg: Config): Seq[ChangeMessage] = {
+    if (cfg.skipXids.contains(xid)) return Nil
+    e.op match {
+      case Op.Begin =>
+        st.open = true
+        st.beginScn = e.scn
+        Nil
+      case Op.SessionAttr =>
+        st.attrs = st.attrs ++ Option(e.attrs).getOrElse(Map.empty)
+        Nil
+      case Op.PartialRollback =>
+        // cancel the last matching op (obj/bdba/slot when given, else the
+        // most recent DML) — Transaction.cpp:73-197 semantics
+        val idx =
+          if (e.obj != 0L || e.bdba != 0L || e.slot != 0)
+            st.ops.lastIndexWhere(o =>
+              o.obj == e.obj && o.bdba == e.bdba && o.slot == e.slot)
+          else st.ops.lastIndexWhere(o => Op.dml.contains(o.op))
+        if (idx >= 0) st.ops.remove(idx)
+        Nil
+      case Op.Rollback =>
+        reset(st)
+        Nil
+      case Op.Commit =>
+        val out = flush(xid, e.scn, e.seq, st, cfg)
+        reset(st)
+        out
+      case op if Op.dml.contains(op) || op == Op.Ddl =>
+        if (st.oversized) Nil
+        else {
+          st.ops += e
+          if (st.ops.length > cfg.maxOpsPerTxn) { // T5: drop + skip
+            st.ops.clear()
+            st.oversized = true
+          }
+          Nil
+        }
+      case _ => Nil // LOB page ops handled by LobAssembly upstream
+    }
+  }
+
+  private def reset(st: TxnState): Unit = {
+    st.ops.clear()
+    st.attrs = Map.empty
+    st.open = false
+    st.beginScn = -1L
+    st.oversized = false
+  }
+
+  /** Emit buffered ops as committed messages in redo order. */
+  def flush(xid: String, commitScn: Long, seq: Long, st: TxnState, cfg: Config): Seq[ChangeMessage] = {
+    if (st.oversized || st.ops.isEmpty) return Nil
+    val out = ArrayBuffer.empty[ChangeMessage]
+    var idx = 0L
+    def emit(op: String, e: ChangeEvent, before: Map[String, String],
+        after: Map[String, String]): Unit = {
+      out += ChangeMessage(commitScn, idx, e.scn, seq, xid, op, e.obj,
+        OracleCodecs.rowIdEncode(e.obj, e.bdba, e.slot), before, after,
+        st.attrs, e.ddlText)
+      idx += 1
+    }
+    if (cfg.emitBeginCommit)
+      out += ChangeMessage(commitScn, { idx += 1; 0L }, st.beginScn.max(0L), seq,
+        xid, MsgOp.Begin, 0L, null, null, null, st.attrs, null)
+    st.ops.foreach { e =>
+      e.op match {
+        case Op.Ins => emit(MsgOp.Insert, e, null, e.after)
+        case Op.Del =>
+          // before-image from supplemental log when the delete carries none
+          val before =
+            if (e.before != null && e.before.nonEmpty) e.before else e.suppBefore
+          emit(MsgOp.Delete, e, before, null)
+        case Op.Upd => emit(MsgOp.Update, e,
+          merged(e.before, e.suppBefore), merged(e.after, e.suppAfter))
+        case Op.InsMulti => expandMulti(e.after).foreach(r => emit(MsgOp.Insert, e, null, r))
+        case Op.DelMulti => expandMulti(e.before).foreach(r => emit(MsgOp.Delete, e, r, null))
+        case Op.Ddl => emit(MsgOp.Ddl, e, null, null)
+        case _ =>
+      }
+    }
+    if (cfg.emitBeginCommit)
+      out += ChangeMessage(commitScn, idx, commitScn, seq, xid, MsgOp.Commit,
+        0L, null, null, null, st.attrs, null)
+    out.toSeq
+  }
+
+  /** supplemental-log merge: explicit image wins, supp fills gaps. */
+  private def merged(img: Map[String, String], supp: Map[String, String]): Map[String, String] = {
+    val s = Option(supp).getOrElse(Map.empty)
+    val i = Option(img).getOrElse(Map.empty)
+    s ++ i
+  }
+
+  /** Multi-row ops encode rows as "rowIdx:col" keys (11.11/11.12 expansion,
+    * Builder.cpp:714-894 emits one message per contained row). */
+  private def expandMulti(m: Map[String, String]): Seq[Map[String, String]] = {
+    if (m == null || m.isEmpty) return Nil
+    m.toSeq
+      .map { case (k, v) =>
+        val sep = k.indexOf(':')
+        (k.substring(0, sep).toInt, k.substring(sep + 1), v)
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cols) => cols.map(c => c._2 -> c._3).toMap }
+  }
+
+  /** Event ordering within a transaction = the reference's LWN sort key. */
+  val ordering: Ordering[ChangeEvent] =
+    Ordering.by(e => (e.scn, e.subScn, e.offset))
+
+  /** Batch assembly: deterministic replay over a bounded event Dataset.
+    * One shuffle (groupByKey on xid); per-group sort in memory — bounded by
+    * maxOpsPerTxn exactly like the reference's transaction buffer. */
+  def assembleBatch(events: Dataset[ChangeEvent], cfg: Config = Config())(
+      implicit spark: SparkSession): Dataset[ChangeMessage] = {
+    import spark.implicits._
+    events.groupByKey(_.xid).flatMapGroups { (xid, it) =>
+      val sorted = it.toArray.sorted(ordering)
+      val st = TxnState.empty
+      val out = ArrayBuffer.empty[ChangeMessage]
+      sorted.foreach(e => out ++= onEvent(xid, e, st, cfg))
+      if (cfg.commitAtEnd && st.ops.nonEmpty) {
+        val last = sorted.last
+        out ++= flush(xid, last.scn, last.seq, st, cfg)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming assembly: flatMapGroupsWithState keyed by XID with a
+    * processing-time TTL for abandoned transactions (T7 cross-log
+    * continuity comes free from the state store). Events within a key must
+    * arrive scn-ordered (guaranteed per redo thread; the source preserves
+    * file order per partition). */
+  def assembleStream(events: Dataset[ChangeEvent], cfg: Config = Config())(
+      implicit spark: SparkSession): Dataset[ChangeMessage] = {
+    import spark.implicits._
+    implicit val stateEnc = org.apache.spark.sql.Encoders.kryo[TxnState]
+    events.groupByKey(_.xid).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+      (xid: String, it: Iterator[ChangeEvent], state: GroupState[TxnState]) => {
+        if (state.hasTimedOut) { // abandoned txn: drop state, emit nothing
+          state.remove()
+          Iterator.empty
+        } else {
+          val st = state.getOption.getOrElse(TxnState.empty)
+          val out = ArrayBuffer.empty[ChangeMessage]
+          it.toArray.sorted(ordering)
+            .foreach(e => out ++= onEvent(xid, e, st, cfg))
+          if (st.ops.isEmpty && !st.open) state.remove()
+          else {
+            state.update(st)
+            if (cfg.stateTtlMs > 0) state.setTimeoutDuration(cfg.stateTtlMs)
+          }
+          out.iterator
+        }
+      })
+  }
+}

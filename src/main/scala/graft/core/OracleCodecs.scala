@@ -1,0 +1,208 @@
+package graft.core
+
+/** Pure codec functions for the engine-internal scalar types of the
+  * reference (SURVEY.md §1.3): RowId, Xid, Oracle NUMBER, Oracle DATE.
+  *
+  * All are side-effect-free and total over their documented domains so they
+  * can be registered as deterministic Spark UDFs (and promoted to codegen'd
+  * Catalyst expressions if they show up hot in profiles).
+  *
+  * Reference semantics (not code): RowId text form
+  * `src/common/types/RowId.h:25-110`; Xid formats `src/common/types/Xid.h`;
+  * NUMBER decode `src/builder/Builder.h:422-540`; DATE decode
+  * `src/common/types/Data.cpp` (excess-100 7/11-byte encoding).
+  */
+object OracleCodecs {
+
+  /** Oracle's rowid base-64 alphabet (A-Za-z0-9+/ — NOT RFC 4648 order-compatible
+    * with padding; 18 chars: 6 dataObj, 3 afn, 6 block, 3 slot). */
+  private val B64 =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+  private val B64Rev: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    B64.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  private def encB64(value: Long, chars: Int): String = {
+    val sb = new StringBuilder
+    var i = chars - 1
+    while (i >= 0) {
+      sb.append(B64(((value >> (i * 6)) & 0x3f).toInt))
+      i -= 1
+    }
+    sb.toString
+  }
+
+  private def decB64(s: String): Long = {
+    var v = 0L
+    var i = 0
+    while (i < s.length) {
+      val d = if (s(i) < 128) B64Rev(s(i).toInt) else -1
+      require(d >= 0, s"invalid rowid char '${s(i)}'")
+      v = (v << 6) | d
+      i += 1
+    }
+    v
+  }
+
+  /** Encode (dataObj, dba, slot) → 18-char rowid text. The absolute file
+    * number is the top 10 bits of the dba; block is the low 22. */
+  def rowIdEncode(dataObj: Long, dba: Long, slot: Int): String = {
+    val afn = (dba >> 22) & 0x3ff
+    val block = dba & 0x3fffff
+    encB64(dataObj & 0xffffffffL, 6) + encB64(afn, 3) +
+      encB64(block, 6) + encB64(slot.toLong & 0xffff, 3)
+  }
+
+  /** Decode 18-char rowid text → (dataObj, dba, slot). */
+  def rowIdDecode(rid: String): (Long, Long, Int) = {
+    require(rid.length == 18, s"rowid must be 18 chars, got ${rid.length}")
+    val dataObj = decB64(rid.substring(0, 6))
+    val afn = decB64(rid.substring(6, 9))
+    val block = decB64(rid.substring(9, 15))
+    val slot = decB64(rid.substring(15, 18)).toInt
+    (dataObj, (afn << 22) | block, slot)
+  }
+
+  /** Xid = (usn, slt, sqn) packed into 64 bits: usn(16) slt(16) sqn(32). */
+  def xidPack(usn: Int, slt: Int, sqn: Long): Long =
+    ((usn.toLong & 0xffff) << 48) | ((slt.toLong & 0xffff) << 32) |
+      (sqn & 0xffffffffL)
+
+  def xidUsn(xid: Long): Int = ((xid >> 48) & 0xffff).toInt
+  def xidSlt(xid: Long): Int = ((xid >> 32) & 0xffff).toInt
+  def xidSqn(xid: Long): Long = xid & 0xffffffffL
+
+  /** Default text form `0xusn.slt.sqn` (hex, widths 4/3/8). */
+  def xidFormat(xid: Long): String =
+    f"0x${xidUsn(xid)}%04x.${xidSlt(xid)}%03x.${xidSqn(xid)}%08x"
+
+  def xidParse(s: String): Long = {
+    val body = if (s.startsWith("0x")) s.substring(2) else s
+    val parts = body.split('.')
+    require(parts.length == 3, s"xid must be usn.slt.sqn, got '$s'")
+    xidPack(Integer.parseInt(parts(0), 16), Integer.parseInt(parts(1), 16),
+      java.lang.Long.parseLong(parts(2), 16))
+  }
+
+  /** Decode Oracle NUMBER bytes → canonical decimal string (exact; may
+    * exceed Decimal(38), which is why the wire form stays a string).
+    *
+    * Format: byte0 = sign/exponent; positive numbers store exponent+193 and
+    * digits as base-100 values +1; negatives store the complement and digits
+    * as 101-value, with a 0x66 terminator when fewer than 21 bytes.
+    */
+  def numberToString(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) return null
+    val b0 = bytes(0) & 0xff
+    if (bytes.length == 1 && b0 == 0x80) return "0"
+    // -1e126 sentinel: 0x00 followed by nothing meaningful
+    val positive = (b0 & 0x80) != 0
+    if (positive) {
+      val exp = (b0 & 0x7f) - 65 // power of 100 of the first mantissa digit
+      val digits = bytes.drop(1).map(b => (b & 0xff) - 1)
+      formatBase100(digits, exp, negative = false)
+    } else {
+      val exp = ((~b0) & 0x7f) - 65
+      val raw = bytes.drop(1)
+      val mantissa =
+        if (raw.nonEmpty && (raw.last & 0xff) == 0x66) raw.dropRight(1) else raw
+      val digits = mantissa.map(b => 101 - (b & 0xff))
+      formatBase100(digits, exp, negative = true)
+    }
+  }
+
+  /** Render base-100 mantissa digits with a base-100 exponent. */
+  private def formatBase100(digits: Array[Int], exp: Int, negative: Boolean): String = {
+    if (digits.isEmpty) return "0"
+    val sb = new StringBuilder
+    if (negative) sb.append('-')
+    if (exp >= 0) {
+      val intDigits = (0 to exp).map(i => if (i < digits.length) digits(i) else 0)
+      val fracDigits = digits.drop(exp + 1)
+      sb.append(intDigits.head.toString)
+      intDigits.tail.foreach(d => sb.append(f"$d%02d"))
+      if (fracDigits.nonEmpty) {
+        sb.append('.')
+        fracDigits.foreach(d => sb.append(f"$d%02d"))
+      }
+      trimFraction(sb)
+    } else {
+      sb.append("0.")
+      var i = 0
+      while (i < -exp - 1) { sb.append("00"); i += 1 }
+      digits.foreach(d => sb.append(f"$d%02d"))
+      trimFraction(sb)
+    }
+    sb.toString
+  }
+
+  private def trimFraction(sb: StringBuilder): Unit = {
+    if (sb.indexOf(".") >= 0) {
+      while (sb.nonEmpty && sb.last == '0') sb.setLength(sb.length - 1)
+      if (sb.nonEmpty && sb.last == '.') sb.setLength(sb.length - 1)
+    }
+  }
+
+  /** Encode a decimal string to Oracle NUMBER bytes (inverse of
+    * [[numberToString]]; used by fixtures/property tests). */
+  def stringToNumber(s: String): Array[Byte] = {
+    if (s == null) return null
+    val neg = s.startsWith("-")
+    val body = if (neg) s.substring(1) else s
+    val (intPartRaw, fracPartRaw) = body.span(_ != '.')
+    val intPart = intPartRaw.dropWhile(_ == '0')
+    val fracPart = fracPartRaw.drop(1).reverse.dropWhile(_ == '0').reverse
+    if (intPart.isEmpty && fracPart.isEmpty) return Array(0x80.toByte)
+    // align to base-100 digit pairs around the decimal point
+    val intPadded = if (intPart.length % 2 == 1) "0" + intPart else intPart
+    val fracPadded = if (fracPart.length % 2 == 1) fracPart + "0" else fracPart
+    val allPairs = (intPadded + fracPadded).grouped(2).map(_.toInt).toArray
+    var exp = intPadded.length / 2 - 1
+    // strip leading zero pairs (adjusting exponent)
+    var start = 0
+    while (start < allPairs.length && allPairs(start) == 0) { start += 1; exp -= 1 }
+    var end = allPairs.length
+    while (end > start && allPairs(end - 1) == 0) end -= 1
+    val digits = allPairs.slice(start, end)
+    if (digits.isEmpty) return Array(0x80.toByte)
+    if (!neg) {
+      val header = (exp + 65) | 0x80
+      (header.toByte +: digits.map(d => (d + 1).toByte)).toArray
+    } else {
+      val header = (~((exp + 65) | 0x80)) & 0xff
+      val mantissa = digits.map(d => (101 - d).toByte)
+      val withTerm =
+        if (mantissa.length < 20) mantissa :+ 0x66.toByte else mantissa
+      (header.toByte +: withTerm).toArray
+    }
+  }
+
+  /** Decode Oracle 7-byte DATE (excess-100 century/year, 1-based h/m/s)
+    * → epoch seconds UTC. 11-byte TIMESTAMP adds big-endian nanos. */
+  def oracleDateToEpoch(bytes: Array[Byte]): Long = {
+    require(bytes != null && bytes.length >= 7, "DATE needs >= 7 bytes")
+    val century = (bytes(0) & 0xff) - 100
+    val year2 = (bytes(1) & 0xff) - 100
+    val year = century * 100 + year2
+    val month = bytes(2) & 0xff
+    val day = bytes(3) & 0xff
+    val hour = (bytes(4) & 0xff) - 1
+    val minute = (bytes(5) & 0xff) - 1
+    val second = (bytes(6) & 0xff) - 1
+    java.time.LocalDateTime.of(year, month, day, hour, minute, second)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+  }
+
+  /** 11-byte TIMESTAMP → epoch micros (nanos truncated to micros). */
+  def oracleTimestampToEpochMicros(bytes: Array[Byte]): Long = {
+    val sec = oracleDateToEpoch(bytes)
+    val nanos =
+      if (bytes.length >= 11)
+        ((bytes(7) & 0xffL) << 24) | ((bytes(8) & 0xffL) << 16) |
+          ((bytes(9) & 0xffL) << 8) | (bytes(10) & 0xffL)
+      else 0L
+    sec * 1000000L + nanos / 1000L
+  }
+}

@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis + deduplication pack over the `documents` table.
+  *
+  * Design notes for 100 TB scale:
+  *   - all shingling/hashing happens in codegen'd built-ins (split/transform/
+  *     md5) — no UDFs, no driver-side loops;
+  *   - MinHash-LSH dedup is the standard band-bucket join: O(candidates)
+  *     not O(n²); the only shuffle is on band hash;
+  *   - hashes are md5-based so the DuckDB oracle reproduces them exactly
+  *     (lexicographic min over hex strings = the minhash order).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Non-empty whitespace tokens, as a Column over `text`. */
+  private def tokensCol: Column =
+    filter(split(col("text"), " "), x => x =!= "")
+
+  /** Distinct 3-gram (token-trigram) shingles; 1-based element_at matches
+    * DuckDB's 1-based list indexing so the oracle is a transliteration. */
+  private def shinglesCol(tokens: Column): Column =
+    array_distinct(
+      when(size(tokens) >= 3,
+        transform(sequence(lit(1), size(tokens) - 2), i =>
+          concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
+            element_at(tokens, i + 2))))
+        .otherwise(array().cast("array<string>")))
+
+  /** MinHash value for seed `i`: lexicographic min of md5(i|shingle). */
+  private def minhash(shingles: Column, i: Int): Column =
+    array_min(transform(shingles, sh => md5(concat(lit(s"$i|"), sh))))
+
+  private val nSig = 8 // 8 minhashes → 2 bands of 4 (collision prob = s⁴)
+
+  /** documents → (doc_id, shingles, band0, band1) — shared LSH front end. */
+  private def withBands(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), shinglesCol(tokensCol).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sigs = (0 until nSig).map(i => minhash(col("shingles"), i).as(s"mh$i"))
+    base.select((col("doc_id") +: col("shingles") +: sigs): _*)
+      .withColumn("band0", md5(concat_ws("", col("mh0"), col("mh1"), col("mh2"), col("mh3"))))
+      .withColumn("band1", md5(concat_ws("", col("mh4"), col("mh5"), col("mh6"), col("mh7"))))
+  }
+
+  private val stopwords = Seq("the", "a")
+
+  val defs: Map[String, Q] = Map(
+    // Token counting + document fingerprint (rolling-hash analog via md5).
+    "q22_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        col("n_chars"),
+        size(tokensCol).as("n_tokens"),
+        md5(col("text")).as("fingerprint"))
+    }),
+
+    // Quality scoring: length/stopword/avg-token-length signals.
+    // Ratios are a single double division of exact ints — bit-deterministic.
+    "q23_quality_score" -> ((s, dir) => {
+      val toks = tokensCol
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_stop", size(filter(toks, x => x.isin(stopwords: _*))))
+        .filter(col("n_tokens") > 0)
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          (col("n_stop").cast("double") / col("n_tokens").cast("double"))
+            .as("stopword_ratio"),
+          ((col("n_chars") - col("n_tokens") + 1).cast("double") /
+            col("n_tokens").cast("double")).as("avg_token_len"))
+    }),
+
+    // Language-ID heuristic: deterministic stopword-hit rule (the real
+    // n-gram tables would slot into the same shape).
+    "q24_lang_guess" -> ((s, dir) => {
+      val toks = tokensCol
+      t(s, dir, "documents")
+        .withColumn("hits_en", size(filter(toks, x => x.isin("the", "a"))))
+        .select(col("doc_id"), col("lang"),
+          when(col("hits_en") >= 3, lit("en"))
+            .when(col("hits_en") >= 1, lit("und"))
+            .otherwise(lit("xx")).as("lang_guess"))
+    }),
+
+    // Exact dedup: canonical row per normalized-text hash.
+    "q25_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(lower(col("text"))).as("text_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+    }),
+
+    // n-gram Jaccard similarity over adjacent doc pairs (pairwise primitive
+    // used by the LSH verify stage below).
+    "q26_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), shinglesCol(tokensCol).as("sh"))
+      val a = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+      a.join(b, col("doc_id_b") === col("doc_id_a") + 1)
+        .withColumn("n_inter",
+          size(filter(col("sh_a"), x => array_contains(col("sh_b"), x))))
+        .withColumn("n_union",
+          size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+        .filter(col("n_union") > 0)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          (col("n_inter").cast("double") / col("n_union").cast("double"))
+            .as("jaccard"))
+    }),
+
+    // SimHash (16-bit, md5-nibble majority vote per bit position).
+    "q27_simhash" -> ((s, dir) => {
+      val toks = array_distinct(tokensCol)
+      val bits = (1 to 16).map { p =>
+        (size(filter(col("toks"), x => substring(md5(x), p, 1) >= "8")) * 2 >
+          size(col("toks"))).cast("int").cast("string")
+      }
+      t(s, dir, "documents")
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), concat(bits: _*).as("simhash"))
+    }),
+
+    // MinHash signatures + LSH band hashes.
+    "q28_minhash_sig" -> ((s, dir) => {
+      withBands(t(s, dir, "documents"))
+        .select("doc_id", "mh0", "mh7", "band0", "band1")
+    }),
+
+    // MinHash-LSH near-dup pairs: band-bucket join → candidate pairs →
+    // exact-Jaccard verification ≥ 0.5. The canonical scale-out dedup plan:
+    // shuffle on band hash only, candidates ≪ n².
+    "q29_minhash_pairs" -> ((s, dir) => {
+      val docs = withBands(t(s, dir, "documents")).cache()
+      val banded = docs.select(col("doc_id"),
+          explode(array(col("band0"), col("band1"))).as("band"))
+      val cand = banded.as("x").join(banded.as("y"), Seq("band"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+        .distinct()
+      val sh = docs.select(col("doc_id"), col("shingles"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_id_a"), col("shingles").as("sh_a")), "doc_id_a")
+        .join(sh.select(col("doc_id").as("doc_id_b"), col("shingles").as("sh_b")), "doc_id_b")
+        .withColumn("n_inter",
+          size(filter(col("sh_a"), x => array_contains(col("sh_b"), x))))
+        .withColumn("n_union",
+          size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / col("n_union").cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata extraction
+    // (here the "blob" is the text bytes; decode stays source-side).
+    "q33_multimodal_meta" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).as("first_byte"),
+        md5(col("text")).as("content_hash"))
+    })
+  )
+
+  // DuckDB-side building blocks (kept in one place so Spark/SQL stay in sync)
+  private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private def sqlShingles(toks: String) =
+    s"""list_distinct(CASE WHEN len($toks) >= 3
+       | THEN list_transform(range(1, len($toks) - 1),
+       |   i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
+       | ELSE [] END)""".stripMargin
+  private def sqlMinhash(sh: String, i: Int) =
+    s"list_min(list_transform($sh, s -> md5('$i|' || s)))"
+
+  private val sqlBands: String = {
+    val mhs = (0 until nSig).map(i => s"${sqlMinhash("shingles", i)} AS mh$i").mkString(",\n  ")
+    s"""SELECT doc_id, shingles, $mhs
+       |  FROM (SELECT doc_id, ${sqlShingles(sqlTokens)} AS shingles FROM documents)
+       |  WHERE len(shingles) > 0""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q22_text_stats" ->
+      s"""SELECT doc_id, n_chars, len($sqlTokens) AS n_tokens,
+         |  md5(text) AS fingerprint FROM documents""".stripMargin,
+
+    "q23_quality_score" ->
+      s"""SELECT doc_id, n_tokens,
+         |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+         |  CAST(n_chars - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len
+         |FROM (
+         |  SELECT doc_id, n_chars, len($sqlTokens) AS n_tokens,
+         |    len(list_filter($sqlTokens, x -> x IN ('the', 'a'))) AS n_stop
+         |  FROM documents)
+         |WHERE n_tokens > 0""".stripMargin,
+
+    "q24_lang_guess" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN hits_en >= 3 THEN 'en'
+         |       WHEN hits_en >= 1 THEN 'und'
+         |       ELSE 'xx' END AS lang_guess
+         |FROM (SELECT doc_id, lang,
+         |  len(list_filter($sqlTokens, x -> x IN ('the', 'a'))) AS hits_en
+         |  FROM documents)""".stripMargin,
+
+    "q25_dedup_exact" ->
+      """SELECT md5(lower(text)) AS text_hash, min(doc_id) AS canonical_id,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY md5(lower(text))""".stripMargin,
+
+    "q26_ngram_jaccard" ->
+      s"""WITH sh_tbl AS (
+         |  SELECT doc_id, ${sqlShingles(sqlTokens)} AS sh FROM documents)
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+         |  CAST(len(a.sh) + len(b.sh)
+         |       - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |  AS jaccard
+         |FROM sh_tbl a JOIN sh_tbl b ON b.doc_id = a.doc_id + 1
+         |WHERE len(a.sh) + len(b.sh)
+         |      - len(list_filter(a.sh, x -> list_contains(b.sh, x))) > 0""".stripMargin,
+
+    "q27_simhash" -> {
+      val bits = (1 to 16).map { p =>
+        s"CAST(CAST(2 * len(list_filter(toks, x -> substr(md5(x), $p, 1) >= '8')) > len(toks) AS INT) AS VARCHAR)"
+      }.mkString(" || ")
+      s"""SELECT doc_id, $bits AS simhash
+         |FROM (SELECT doc_id, list_distinct($sqlTokens) AS toks FROM documents)
+         |WHERE len(toks) > 0""".stripMargin
+    },
+
+    "q28_minhash_sig" ->
+      s"""SELECT doc_id, mh0, mh7,
+         |  md5(mh0 || mh1 || mh2 || mh3) AS band0,
+         |  md5(mh4 || mh5 || mh6 || mh7) AS band1
+         |FROM ($sqlBands)""".stripMargin,
+
+    "q29_minhash_pairs" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, shingles,
+         |    md5(mh0 || mh1 || mh2 || mh3) AS band0,
+         |    md5(mh4 || mh5 || mh6 || mh7) AS band1
+         |  FROM ($sqlBands)),
+         |banded AS (
+         |  SELECT doc_id, unnest([band0, band1]) AS band FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+         |  FROM banded x JOIN banded y USING (band)
+         |  WHERE x.doc_id < y.doc_id),
+         |scored AS (
+         |  SELECT doc_id_a, doc_id_b,
+         |    CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE) /
+         |    CAST(len(sa.shingles) + len(sb.shingles)
+         |         - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+         |    AS jaccard
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.doc_id_a
+         |  JOIN sig sb ON sb.doc_id = cand.doc_id_b)
+         |SELECT doc_id_a, doc_id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    "q33_multimodal_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  md5(text) AS content_hash FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Embedding similarity pack over the `embeddings` table (64-dim float vecs).
+  *
+  * Float parity with the DuckDB oracle: every dot/norm is a sequential
+  * left-fold over doubles (`aggregate` in Spark ≙ `list_reduce` in DuckDB),
+  * so results are bit-identical — no group-ordering nondeterminism.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (broadcast the
+  * query set, never the corpus); the bucketed variant (q32) is the 100 TB
+  * path — candidates are co-partitioned by bucket so the big side shuffles
+  * once on a short key instead of cross-joining.
+  */
+object VectorOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Left-fold sum of an array<double> column (parity with list_reduce). */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bucket LSH: signs of the first 4 coordinates (deterministic,
+    * portable; random hyperplanes would need engine-specific RNG). */
+  private def bucket(a: Column): Column =
+    concat((1 to 4).map(i => (element_at(a, i) > 0.0f).cast("int").cast("string")): _*)
+
+  val defs: Map[String, Q] = Map(
+    // Pairwise cosine over adjacent vec ids — the scalar primitive.
+    "q30_cosine_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
+      a.join(b, col("vec_id_b") === col("vec_id_a") + 1)
+        .select(col("vec_id_a"), col("vec_id_b"),
+          round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+    }),
+
+    // Brute-force ANN: top-5 cosine neighbors for a fixed query set.
+    // Query side broadcast; corpus streamed once; output ids+rank only
+    // (floats stay internal so ranking ties are the only hash risk).
+    "q31_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("c_id"))
+      cand.crossJoin(broadcast(queries))
+        .filter(col("c_id") =!= col("q_id"))
+        .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id", "rank")
+    }),
+
+    // Bucketed (LSH) ANN: search only within the query's sign-bucket.
+    "q32_ann_bucketed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("bucket", bucket(col("embedding")))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket"))
+      val cand = e.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("bucket"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("c_id"))
+      cand.join(broadcast(queries), Seq("bucket"))
+        .filter(col("c_id") =!= col("q_id"))
+        .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "c_id", "rank")
+    }),
+
+    // Embedding-cosine near-duplicate detection (adjacent-id candidate set).
+    "q34_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
+      a.join(b, col("vec_id_b") === col("vec_id_a") + 1)
+        .withColumn("cos_sim", cosine(col("emb_a"), col("emb_b")))
+        .filter(col("cos_sim") > 0.2)
+        .select(col("vec_id_a"), col("vec_id_b"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+    })
+  )
+
+  // DuckDB mirror of dot/cosine: sequential left-fold in double.
+  private def sqlDot(a: String, b: String) =
+    s"""list_reduce(
+       |  list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+       |  (x, y) -> x + y)""".stripMargin
+  private def sqlCos(a: String, b: String) =
+    s"(${sqlDot(a, b)}) / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  private val sqlBucket =
+    (1 to 4).map(i =>
+      "CAST(CAST(embedding[" + i + "] > 0.0 AS INT) AS VARCHAR)")
+      .mkString(" || ")
+
+  val oracles: Map[String, String] = Map(
+    "q30_cosine_pairs" ->
+      s"""SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |  round(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin,
+
+    "q31_ann_topk" ->
+      s"""SELECT q_id, c_id, rank FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+         |  FROM embeddings q CROSS JOIN embeddings c
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |WHERE rank <= 5""".stripMargin,
+
+    "q32_ann_bucketed" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, $sqlBucket AS bucket FROM embeddings)
+         |SELECT q_id, c_id, rank FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+         |  FROM bucketed q JOIN bucketed c USING (bucket)
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q34_embed_neardup" ->
+      s"""SELECT vec_id_a, vec_id_b, round(cos_sim, 6) AS cos_sim FROM (
+         |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |    ${sqlCos("a.embedding", "b.embedding")} AS cos_sim
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+         |WHERE cos_sim > 0.2""".stripMargin
+  )
+}
