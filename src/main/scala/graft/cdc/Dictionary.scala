@@ -1,0 +1,170 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Schema registry — the engine's replicated dictionary (SURVEY.md §1.2).
+  *
+  * Mirrors the reference's in-memory SYS.OBJ$/TAB$/COL$ model at the level
+  * our feed needs: obj# → (owner, table, columns, keys, tags, condition),
+  * with scn validity ranges for mid-stream schema evolution. Semantics
+  * pinned against `src/metadata/Schema.cpp:502-760` (selection/keys/tags)
+  * and `src/metadata/SerializerJson.cpp` (checkpoint (de)serialization).
+  */
+case class DbColumn(
+    name: String,
+    typeCode: Int, // SysCol.h:69-91 Oracle type codes
+    length: Int = 0,
+    precision: Int = -1,
+    scale: Int = -1,
+    numPk: Int = 0,
+    nullable: Boolean = true,
+    hidden: Boolean = false,
+    guard: Boolean = false,
+    nested: Boolean = false,
+    unused: Boolean = false)
+
+case class DbTable(
+    obj: Long,
+    dataObj: Long,
+    owner: String,
+    name: String,
+    columns: Seq[DbColumn],
+    /** explicit key override (F6: user `key` list beats PK constraints) */
+    keyList: Seq[String] = Nil,
+    /** tag spec: "pk" | "all" | explicit column list (F7) */
+    tagType: String = "",
+    tagCols: Seq[String] = Nil,
+    conditionExpr: String = "",
+    options: Set[String] = Set.empty,
+    validFromScn: Long = 0L,
+    validToScn: Long = Long.MaxValue) {
+
+  def fullName: String = s"$owner.$name"
+
+  /** Key columns: explicit list wins, else numPk-designated columns. */
+  def keyColumns: Seq[DbColumn] =
+    if (keyList.nonEmpty) columns.filter(c => keyList.contains(c.name))
+    else columns.filter(_.numPk > 0)
+
+  /** Columns visible in output (F4 visibility flags). */
+  def visibleColumns(showHidden: Boolean = false, showNested: Boolean = false,
+      showUnused: Boolean = false): Seq[DbColumn] =
+    columns.filter(c =>
+      (!c.hidden || showHidden || c.numPk > 0) &&
+        (!c.nested || showNested) && (!c.unused || showUnused))
+
+  /** Tag columns for the message key (F7). */
+  def resolvedTagCols: Seq[String] = tagType match {
+    case "pk" => keyColumns.map(_.name)
+    case "all" => columns.map(_.name)
+    case _ => tagCols
+  }
+
+  /** Oracle type code → Spark type (SURVEY.md §1.3 mapping). */
+  def toStructType: StructType = StructType(visibleColumns().map { c =>
+    val dt: DataType = c.typeCode match {
+      case 1 | 96 => StringType // VARCHAR2 / CHAR
+      case 2 =>
+        if (c.scale >= 0 && c.precision > 0 && c.precision <= 38)
+          DecimalType(c.precision, c.scale)
+        else StringType // NUMBER beyond Decimal(38) stays canonical string
+      case 12 | 180 | 231 => TimestampType
+      case 181 => StringType // TS WITH TZ rendered with offset
+      case 23 | 113 => BinaryType // RAW / BLOB
+      case 112 | 119 | 58 => StringType // CLOB / JSON / XMLTYPE
+      case 100 => FloatType
+      case 101 => DoubleType
+      case 252 => BooleanType
+      case _ => StringType
+    }
+    StructField(c.name, dt, c.nullable)
+  })
+}
+
+/** Table-selection rule: anchored regex on owner and name (F1,
+  * Schema.cpp:502-530 builds std::regex from the config patterns). */
+case class TableSelector(ownerPattern: String, namePattern: String) {
+  private val ownerRe = ("^" + ownerPattern + "$").r
+  private val nameRe = ("^" + namePattern + "$").r
+  def matches(owner: String, name: String): Boolean =
+    ownerRe.findFirstIn(owner).isDefined && nameRe.findFirstIn(name).isDefined
+}
+
+/** Immutable dictionary snapshot + scn-versioned lookup. */
+class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector]) {
+
+  /** Tables passing the selection rules (union of rules). */
+  lazy val selected: Seq[DbTable] =
+    if (selectors.isEmpty) tables
+    else tables.filter(t => selectors.exists(_.matches(t.owner, t.name)))
+
+  private lazy val byObj: Map[Long, Seq[DbTable]] =
+    selected.groupBy(_.obj)
+
+  /** obj# → table version valid at `scn` (J2 as-of semantics). */
+  def lookup(obj: Long, scn: Long): Option[DbTable] =
+    byObj.getOrElse(obj, Nil)
+      .find(t => scn >= t.validFromScn && scn < t.validToScn)
+
+  def lookupLatest(obj: Long): Option[DbTable] =
+    byObj.getOrElse(obj, Nil).sortBy(_.validFromScn).lastOption
+
+  /** Dictionary as a DataFrame for broadcast joins against the event
+    * stream (owner, name, keys/tags resolved — the join is on obj + scn
+    * range; broadcast because the dictionary is always ≪ the feed). */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    selected.map(t => (t.obj, t.dataObj, t.owner, t.name,
+        t.keyColumns.map(_.name), t.resolvedTagCols,
+        t.validFromScn, t.validToScn))
+      .toDF("obj", "dataObj", "owner", "table_name", "key_cols", "tag_cols",
+        "valid_from_scn", "valid_to_scn")
+  }
+
+  /** Apply one dictionary-DML change (SystemTransaction semantics §1.2:
+    * DDL observed as system-table DML): returns a new snapshot where the
+    * replaced version is closed at `scn` and the new one opens there. */
+  def evolve(newVersion: DbTable, scn: Long): Dictionary = {
+    val updated = tables.map { t =>
+      if (t.obj == newVersion.obj && scn >= t.validFromScn && scn < t.validToScn)
+        t.copy(validToScn = scn)
+      else t
+    }
+    new Dictionary(updated :+ newVersion.copy(validFromScn = scn), selectors)
+  }
+}
+
+object Dictionary {
+  def apply(tables: Seq[DbTable], selectors: Seq[TableSelector] = Nil): Dictionary =
+    new Dictionary(tables, selectors)
+
+  /** Checkpoint-schema JSON (de)serialization, shape-compatible with what
+    * our pipeline persists between runs (FIXTURES.md §B). */
+  def toJson(dict: Dictionary): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val ts = dict.tables.map { t =>
+      val cols = t.columns.map { c =>
+        s"""{"name":"${esc(c.name)}","type":${c.typeCode},"length":${c.length},""" +
+          s""""precision":${c.precision},"scale":${c.scale},"numPk":${c.numPk},""" +
+          s""""nullable":${c.nullable},"hidden":${c.hidden},"guard":${c.guard},""" +
+          s""""nested":${c.nested},"unused":${c.unused}}"""
+      }.mkString("[", ",", "]")
+      s"""{"obj":${t.obj},"dataObj":${t.dataObj},"owner":"${esc(t.owner)}",""" +
+        s""""name":"${esc(t.name)}","columns":$cols,""" +
+        s""""keyList":${t.keyList.map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]")},""" +
+        s""""tagType":"${esc(t.tagType)}","tagCols":${t.tagCols.map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]")},""" +
+        s""""condition":"${esc(t.conditionExpr)}","options":${t.options.map(o => "\"" + esc(o) + "\"").mkString("[", ",", "]")},""" +
+        s""""validFromScn":${t.validFromScn},"validToScn":${t.validToScn}}"""
+    }.mkString("[", ",", "]")
+    val sels = dict.selectors.map(s =>
+        s"""{"owner":"${esc(s.ownerPattern)}","table":"${esc(s.namePattern)}"}""")
+      .mkString("[", ",", "]")
+    s"""{"tables":$ts,"selectors":$sels}"""
+  }
+}

@@ -1,0 +1,51 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Output envelope (SURVEY.md §1.4): one JSON message per change, field
+  * order fixed like the reference's builder (BuilderJson.h:232-360 appends
+  * header fields in a deterministic sequence, which is what makes golden-
+  * file comparison possible). `to_json` keeps struct field order and drops
+  * null fields — matching the reference's omit-absent-sections behavior.
+  */
+object Envelope {
+
+  /** Envelope format knobs (a pragmatic subset of Format.h). */
+  case class Format(
+      emitTimestamp: Boolean = false, // "tm" header field
+      dbName: String = "") // "db" header field
+
+  /** enriched rows → (key, value) output frame.
+    * value = ordered-JSON envelope; key = tag (nullable). */
+  def toMessages(enriched: DataFrame, fmt: Format = Format()): DataFrame = {
+    val payloadCols = Seq[(String, Column)](
+      "op" -> col("op"),
+      "schema" -> when(col("owner").isNotNull,
+        struct(col("owner"), col("table_name").as("table"), col("obj"))),
+      "rid" -> col("rid"),
+      "before" -> col("before"),
+      "after" -> col("after"),
+      "ddl" -> col("ddlText"))
+
+    val headerCols = Seq[(String, Column)](
+      "c_scn" -> col("cScn"),
+      "c_idx" -> col("cIdx"),
+      "scn" -> col("scn"),
+      "seq" -> col("seq"),
+      "xid" -> col("xid")) ++
+      (if (fmt.dbName.nonEmpty) Seq("db" -> lit(fmt.dbName)) else Nil) ++
+      Seq("attributes" ->
+        when(col("attrs").isNotNull && size(col("attrs")) > 0, col("attrs")))
+
+    val all = headerCols ++ payloadCols
+    enriched.withColumn("value",
+        to_json(struct(all.map { case (n, c) => c.as(n) }: _*)))
+      .withColumn("key", col("tag"))
+  }
+
+  /** Output table schema for sinks: (key, value) + restart position. */
+  def forSink(messages: DataFrame): DataFrame =
+    messages.select(col("key"), col("value"), col("cScn").as("c_scn"),
+      col("cIdx").as("c_idx"))
+}

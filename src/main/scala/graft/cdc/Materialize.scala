@@ -1,0 +1,103 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialization: committed messages ⋈ dictionary → filtered, projected,
+  * envelope-ready rows (SURVEY.md §2.4/§2.5 — J2 + F1-F7).
+  *
+  * Plan shape (scale rationale): the dictionary side is always tiny →
+  * broadcast hash join on obj with an scn-validity range predicate (as-of
+  * versioned lookup); table selection falls out of the inner join (events
+  * for unselected tables are dropped before any value work — the same
+  * "filter before decode" ordering the reference uses); the per-table
+  * condition (F2) and column-format projection (F3/F4) are pure Catalyst
+  * expressions, fully codegen'd.
+  */
+object Materialize {
+
+  /** COLUMN_FORMAT policy (Format.h:48-52). */
+  sealed trait ColumnFormat
+  case object Changed extends ColumnFormat // drop unchanged non-key cols on update
+  case object FullInsDec extends ColumnFormat // full image on ins/del too
+  case object FullUpd extends ColumnFormat // everything, always
+
+  case class Options(
+      columnFormat: ColumnFormat = Changed,
+      showSystemTransactions: Boolean = false, // F5
+      schemaless: Boolean = false) // §1.2 SCHEMALESS/ADAPTIVE mode
+
+  /** messages ⋈ dictionary with scn-validity (J2 temporal broadcast join).
+    * Unmatched obj# → dropped (dict filter) unless schemaless, where they
+    * pass through with a null table name (COL_n raw output downstream). */
+  def enrich(messages: Dataset[ChangeMessage], dict: Dictionary,
+      opts: Options = Options())(implicit spark: SparkSession): DataFrame = {
+    val dictDF = dict.toDF(spark)
+      .withColumnRenamed("obj", "d_obj")
+    val joinType = if (opts.schemaless) "left_outer" else "inner"
+    val joined = messages.toDF().join(
+      broadcast(dictDF),
+      col("obj") === col("d_obj") &&
+        col("scn") >= col("valid_from_scn") && col("scn") < col("valid_to_scn"),
+      joinType)
+      .drop("d_obj", "valid_from_scn", "valid_to_scn")
+    // F5: system transactions (dict-owner SYS) suppressed unless shown
+    if (opts.showSystemTransactions) joined
+    else joined.filter(col("owner").isNull || col("owner") =!= "SYS")
+  }
+
+  /** F2: apply each table's row condition; rows of tables without a
+    * condition pass. Conditions evaluate over (op, attrs). */
+  def applyConditions(enriched: DataFrame, dict: Dictionary): DataFrame = {
+    val conditioned = dict.selected.filter(_.conditionExpr.nonEmpty)
+    if (conditioned.isEmpty) enriched
+    else {
+      // one disjunction-free Column per table: (obj != t.obj) OR cond(t)
+      val pred = conditioned.map { t =>
+        (col("obj") =!= lit(t.obj)) ||
+          Condition.compile(t.conditionExpr, col("op"), col("attrs"))
+      }.reduce(_ && _)
+      enriched.filter(pred)
+    }
+  }
+
+  /** F3/F6: column-format projection on the before/after maps.
+    * keyCols come from the joined dictionary row (array column). */
+  def applyColumnFormat(df: DataFrame, opts: Options = Options()): DataFrame = {
+    val isKey: (Column, Column) => Column =
+      (k, keys) => array_contains(coalesce(keys, array().cast("array<string>")), k)
+    opts.columnFormat match {
+      case FullUpd | FullInsDec => df // images already full in the feed
+      case Changed =>
+        // updates: keep key cols + cols whose value actually changed.
+        // Both projections must read the ORIGINAL images — compute them in
+        // one select, not chained withColumns (the second would see the
+        // already-filtered first).
+        val changedAfter = map_filter(col("after"), (k, v) =>
+          isKey(k, col("key_cols")) || !(element_at(col("before"), k) <=> v))
+        val changedBefore = map_filter(col("before"), (k, v) =>
+          isKey(k, col("key_cols")) || !(element_at(col("after"), k) <=> v))
+        df.withColumn("before_chg",
+            when(col("op") === MsgOp.Update, changedBefore).otherwise(col("before")))
+          .withColumn("after_chg",
+            when(col("op") === MsgOp.Update, changedAfter).otherwise(col("after")))
+          .drop("before", "after")
+          .withColumnRenamed("before_chg", "before")
+          .withColumnRenamed("after_chg", "after")
+    }
+  }
+
+  /** F7: message key = tag columns from the after (else before) image. */
+  def withTag(df: DataFrame): DataFrame =
+    df.withColumn("tag",
+      when(col("tag_cols").isNull || size(col("tag_cols")) === 0, lit(null))
+        .otherwise(concat_ws("|",
+          transform(col("tag_cols"), c =>
+            coalesce(element_at(col("after"), c), element_at(col("before"), c),
+              lit(""))))))
+
+  /** Full path: enrich → conditions → column format → tag. */
+  def apply(messages: Dataset[ChangeMessage], dict: Dictionary,
+      opts: Options = Options())(implicit spark: SparkSession): DataFrame =
+    withTag(applyColumnFormat(applyConditions(enrich(messages, dict, opts), dict), opts))
+}

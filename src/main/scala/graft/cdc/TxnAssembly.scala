@@ -189,8 +189,13 @@ object TxnAssembly {
       implicit spark: SparkSession): Dataset[ChangeMessage] = {
     import spark.implicits._
     implicit val stateEnc = org.apache.spark.sql.Encoders.kryo[TxnState]
+    // ProcessingTimeTimeout makes Spark schedule timeout-check batches
+    // forever — only pay that when an abandoned-txn TTL is requested.
+    val timeout =
+      if (cfg.stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.xid).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+      OutputMode.Append, timeout)(
       (xid: String, it: Iterator[ChangeEvent], state: GroupState[TxnState]) => {
         if (state.hasTimedOut) { // abandoned txn: drop state, emit nothing
           state.remove()

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.cdc._
+import graft.sources.EventSource
+
+/** End-to-end pipeline assembly (SURVEY.md §3.1/§3.2): source → transaction
+  * assembly → dictionary materialization → envelope. One declarative DAG —
+  * the reference's four threads (reader/parser/builder/writer) become plan
+  * stages; its thread-boundary queues become the single shuffle on xid.
+  */
+object Pipeline {
+
+  case class SourceConfig(
+      path: String,
+      format: String = "json", // json | parquet
+      maxFilesPerTrigger: Int = 100)
+
+  case class Config(
+      source: SourceConfig,
+      dict: Dictionary,
+      assembly: TxnAssembly.Config = TxnAssembly.Config(),
+      materialize: Materialize.Options = Materialize.Options(),
+      envelope: Envelope.Format = Envelope.Format())
+
+  /** Batch replay (entry point B): deterministic input → deterministic
+    * output; the golden-test mode. */
+  def batch(spark: SparkSession, cfg: Config): DataFrame = {
+    implicit val s: SparkSession = spark
+    val events = cfg.source.format match {
+      case "parquet" => EventSource.batchParquet(spark, cfg.source.path)
+      case _ => EventSource.batchJson(spark, cfg.source.path)
+    }
+    run(events, cfg, streaming = false)
+  }
+
+  /** Continuous replication (entry point A). */
+  def stream(spark: SparkSession, cfg: Config): DataFrame = {
+    implicit val s: SparkSession = spark
+    val events = EventSource.streamJson(spark, cfg.source.path,
+      cfg.source.maxFilesPerTrigger)
+    run(events, cfg, streaming = true)
+  }
+
+  /** Shared tail: assembly → materialize → envelope → (key, value, c_scn,
+    * c_idx). Works for both batch and streaming inputs (same plan). */
+  def run(events: Dataset[ChangeEvent], cfg: Config, streaming: Boolean)(
+      implicit spark: SparkSession): DataFrame = {
+    val messages =
+      if (streaming) TxnAssembly.assembleStream(events, cfg.assembly)
+      else TxnAssembly.assembleBatch(events, cfg.assembly)
+    val enriched = Materialize(messages, cfg.dict, cfg.materialize)
+    Envelope.forSink(Envelope.toMessages(enriched, cfg.envelope))
+  }
+}

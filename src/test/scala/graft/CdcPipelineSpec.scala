@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.cdc._
+
+/** End-to-end CDC semantics over Spark: materialization, conditions,
+  * envelope golden output, schema evolution (FIXTURES.md §C f01/f02/f11/
+  * f12/f15/f19/f21 analogs). */
+class CdcPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def dict1 = Dictionary(Seq(
+    DbTable(100L, 100L, "OWNER1", "T1",
+      Seq(DbColumn("ID", 2, numPk = 1), DbColumn("VAL", 1)),
+      tagType = "pk"),
+    DbTable(200L, 200L, "OWNER1", "T2", Seq(DbColumn("ID", 2, numPk = 1))),
+    DbTable(300L, 300L, "SYS", "OBJ$", Seq(DbColumn("OBJ#", 2)))),
+    Seq(TableSelector("OWNER1", ".*")))
+
+  private def ev(scn: Long, op: String, obj: Long = 100L,
+      before: Map[String, String] = null, after: Map[String, String] = null,
+      attrs: Map[String, String] = null): ChangeEvent =
+    ChangeEvent(scn, "9.0.1", op).copy(obj = obj,
+      before = Option(before).getOrElse(Map.empty),
+      after = Option(after).getOrElse(Map.empty),
+      attrs = Option(attrs).getOrElse(Map.empty))
+
+  private def pipe(events: Seq[ChangeEvent],
+      dict: Dictionary = dict1,
+      assembly: TxnAssembly.Config = TxnAssembly.Config(),
+      opts: Materialize.Options = Materialize.Options()) = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val messages = TxnAssembly.assembleBatch(events.toDS(), assembly)
+    Materialize(messages, dict, opts)
+  }
+
+  test("f01/f19: insert materializes with schema info and pk tag") {
+    val rows = pipe(Seq(
+      ev(1, Op.Begin),
+      ev(2, Op.Ins, after = Map("ID" -> "7", "VAL" -> "x")),
+      ev(3, Op.Commit)))
+      .select("owner", "table_name", "op", "tag").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "OWNER1")
+    assert(rows.head.getString(1) == "T1")
+    assert(rows.head.getString(2) == "c")
+    assert(rows.head.getString(3) == "7") // tag = pk value
+  }
+
+  test("f11: events for unselected tables are dropped by the dict join") {
+    val rows = pipe(Seq(
+      ev(1, Op.Ins, obj = 100L, after = Map("ID" -> "1")),
+      ev(2, Op.Ins, obj = 999L, after = Map("ID" -> "2")), // not in dict
+      ev(3, Op.Commit)))
+    assert(rows.count() == 1)
+  }
+
+  test("F5: SYS-owner transactions suppressed unless enabled") {
+    val events = Seq(
+      ev(1, Op.Ins, obj = 300L, after = Map("OBJ#" -> "1")),
+      ev(2, Op.Commit))
+    val noSys = Dictionary(dict1.tables, Nil) // select all incl SYS
+    assert(pipe(events, noSys).count() == 0)
+    assert(pipe(events, noSys,
+      opts = Materialize.Options(showSystemTransactions = true)).count() == 1)
+  }
+
+  test("f02: CHANGED column format drops unchanged non-key columns on update") {
+    val rows = pipe(Seq(
+      ev(1, Op.Upd,
+        before = Map("ID" -> "7", "VAL" -> "same", "X" -> "old"),
+        after = Map("ID" -> "7", "VAL" -> "same", "X" -> "new")),
+      ev(2, Op.Commit)))
+      .select("before", "after").collect()
+    val before = rows.head.getMap[String, String](0)
+    val after = rows.head.getMap[String, String](1)
+    assert(after == Map("ID" -> "7", "X" -> "new")) // VAL unchanged → dropped
+    assert(before == Map("ID" -> "7", "X" -> "old"))
+  }
+
+  test("f03: FULL_UPD keeps all columns") {
+    val rows = pipe(Seq(
+      ev(1, Op.Upd,
+        before = Map("ID" -> "7", "VAL" -> "same"),
+        after = Map("ID" -> "7", "VAL" -> "same")),
+      ev(2, Op.Commit)),
+      opts = Materialize.Options(columnFormat = Materialize.FullUpd))
+      .select("after").collect()
+    assert(rows.head.getMap[String, String](0) == Map("ID" -> "7", "VAL" -> "same"))
+  }
+
+  test("f12: per-table condition filters by op and session attrs") {
+    val dictCond = Dictionary(Seq(
+      dict1.tables.head.copy(conditionExpr = "[op] != 'd' && [client info] == 'x'")),
+      Seq(TableSelector("OWNER1", "T1")))
+    val events = Seq(
+      ev(1, Op.SessionAttr, attrs = Map("client info" -> "x")),
+      ev(2, Op.Ins, after = Map("ID" -> "1")),
+      ev(3, Op.Del, before = Map("ID" -> "1")),
+      ev(4, Op.Commit))
+    val out = pipe(events, dictCond).select("op").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("c")) // delete filtered out, insert kept
+  }
+
+  test("f15: schema evolution — scn-versioned dictionary join") {
+    val evolved = dict1.evolve(
+      DbTable(100L, 100L, "OWNER1", "T1_RENAMED",
+        Seq(DbColumn("ID", 2, numPk = 1), DbColumn("VAL", 1), DbColumn("NEW", 1))),
+      scn = 10L)
+    val rows = pipe(Seq(
+      ev(2, Op.Ins, after = Map("ID" -> "1")),
+      ev(3, Op.Commit),
+      ev(12, Op.Ins, after = Map("ID" -> "2")),
+      ev(13, Op.Commit)), evolved)
+      .select("scn", "table_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((2L, "T1"), (12L, "T1_RENAMED")))
+  }
+
+  test("f21: schemaless mode passes unknown obj through") {
+    val events = Seq(
+      ev(1, Op.Ins, obj = 100L, after = Map("ID" -> "1")),
+      ev(2, Op.Ins, obj = 999L, after = Map("COL_0" -> "raw")), // unknown
+      ev(3, Op.Commit))
+    assert(pipe(events).count() == 1) // strict mode drops the unknown obj
+    val rows = pipe(events, opts = Materialize.Options(schemaless = true))
+    assert(rows.count() == 2)
+    assert(rows.filter(col("owner").isNull).count() == 1)
+  }
+
+  test("envelope: golden JSON with fixed field order, nulls omitted") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val messages = TxnAssembly.assembleBatch(Seq(
+      ev(1, Op.Begin),
+      ev(2, Op.Ins, after = Map("ID" -> "7")),
+      ev(3, Op.Commit)).toDS())
+    val enriched = Materialize(messages, dict1)
+    val json = Envelope.toMessages(enriched)
+      .select("value").collect().head.getString(0)
+    val expected =
+      """{"c_scn":3,"c_idx":0,"scn":2,"seq":1,"xid":"9.0.1",""" +
+        """"op":"c","schema":{"owner":"OWNER1","table":"T1","obj":100},""" +
+        """"rid":"AAAABkAAAAAAAAAAAA","after":{"ID":"7"}}"""
+    assert(json == expected)
+  }
+
+  test("idempotent restart position: (c_scn, c_idx) unique per message") {
+    val out = pipe(Seq(
+      ev(1, Op.Ins, after = Map("ID" -> "1")),
+      ev(2, Op.Ins, after = Map("ID" -> "2")),
+      ev(3, Op.Ins, obj = 200L, after = Map("ID" -> "3")),
+      ev(4, Op.Commit)))
+    val positions = out.select("cScn", "cIdx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(positions.distinct.length == positions.length)
+  }
+}

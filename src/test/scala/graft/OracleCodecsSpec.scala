@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.core.OracleCodecs._
+
+class OracleCodecsSpec extends AnyFunSuite {
+
+  /** Run a scalacheck property under ScalaTest (scalatestplus bridge is not
+    * in the offline cache, so drive scalacheck directly). */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rowid roundtrip, known shape") {
+    val rid = rowIdEncode(1000002L, (4L << 22) | 1234L, 7)
+    assert(rid.length == 18)
+    assert(rowIdDecode(rid) == ((1000002L, (4L << 22) | 1234L, 7)))
+  }
+
+  test("rowid roundtrip property") {
+    check(Prop.forAll(Gen.chooseNum(0L, 0xffffffffL), Gen.chooseNum(0L, 0x3ffL),
+      Gen.chooseNum(0L, 0x3fffffL), Gen.chooseNum(0, 0xffff)) {
+      (dataObj: Long, afn: Long, block: Long, slot: Int) =>
+        val dba = (afn << 22) | block
+        rowIdDecode(rowIdEncode(dataObj, dba, slot)) == ((dataObj, dba, slot))
+    })
+  }
+
+  test("xid pack/format/parse") {
+    val xid = xidPack(6, 0x1a, 0x218L)
+    assert(xidFormat(xid) == "0x0006.01a.00000218")
+    assert(xidParse("0x0006.01a.00000218") == xid)
+    assert(xidUsn(xid) == 6 && xidSlt(xid) == 0x1a && xidSqn(xid) == 0x218L)
+  }
+
+  test("xid roundtrip property") {
+    check(Prop.forAll(Gen.chooseNum(0, 0xffff), Gen.chooseNum(0, 0xffff),
+      Gen.chooseNum(0L, 0xffffffffL)) { (usn: Int, slt: Int, sqn: Long) =>
+      val xid = xidPack(usn, slt, sqn)
+      xidParse(xidFormat(xid)) == xid
+    })
+  }
+
+  test("NUMBER: known encodings") {
+    // 0 is the single byte 0x80
+    assert(numberToString(Array(0x80.toByte)) == "0")
+    assert(stringToNumber("0").toSeq == Seq(0x80.toByte))
+    // 1 = exponent byte 0xC1, digit 1+1
+    assert(numberToString(Array(0xc1.toByte, 2.toByte)) == "1")
+    // 100 = 1 * 100^1
+    assert(numberToString(Array(0xc2.toByte, 2.toByte)) == "100")
+    // 1.5 = digits (1)(50)
+    assert(numberToString(Array(0xc1.toByte, 2.toByte, 51.toByte)) == "1.5")
+    // -1 = complement exponent 0x3E, digit 101-1, 0x66 terminator
+    assert(numberToString(Array(0x3e.toByte, 100.toByte, 0x66.toByte)) == "-1")
+    // 0.01 = 1 * 100^-1
+    assert(numberToString(Array(0xc0.toByte, 2.toByte)) == "0.01")
+  }
+
+  test("NUMBER: decimal-string roundtrip property") {
+    val decGen = for {
+      neg <- Gen.oneOf("", "-")
+      intPart <- Gen.chooseNum(0L, 999999999999L)
+      scale <- Gen.chooseNum(0, 8)
+      frac <- Gen.chooseNum(0L, 99999999L)
+    } yield {
+      val f = if (scale == 0) "" else {
+        val fs = f"$frac%08d".take(scale).reverse.dropWhile(_ == '0').reverse
+        if (fs.isEmpty) "" else "." + fs
+      }
+      val s = s"$neg$intPart$f"
+      if (s == "-0" || s == "-") "0" else s
+    }
+    check(Prop.forAll(decGen) { s: String =>
+      val canonical = new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+      val got = numberToString(stringToNumber(s))
+      new java.math.BigDecimal(got).compareTo(new java.math.BigDecimal(s)) == 0 &&
+        got == (if (canonical == "-0") "0" else canonical)
+    })
+  }
+
+  test("NUMBER: beyond Decimal(38) stays exact as string") {
+    val s = "9" * 44 // 44 nines — exceeds any Spark DecimalType
+    assert(numberToString(stringToNumber(s)) == s)
+  }
+
+  test("DATE/TIMESTAMP decode") {
+    // 2024-01-02 03:04:05 → bytes (excess-100 century/year, 1-based hms)
+    val b = Array[Byte](120, 124, 1, 2, 4, 5, 6)
+    assert(oracleDateToEpoch(b) ==
+      java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)
+        .toEpochSecond(java.time.ZoneOffset.UTC))
+    val withNanos = b ++ Array[Byte](0x07, 0x5b, 0xcd.toByte, 0x15) // 123456789 ns
+    assert(oracleTimestampToEpochMicros(withNanos) ==
+      oracleDateToEpoch(b) * 1000000L + 123456L)
+  }
+}
