@@ -106,8 +106,9 @@ object TextOps {
       val a = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
       a.join(b, col("doc_id_b") === col("doc_id_a") + 1)
-        .withColumn("n_inter",
-          size(filter(col("sh_a"), x => array_contains(col("sh_b"), x))))
+        // array_intersect = hash-set intersection, O(|a|+|b|) — the
+        // element-wise contains scan is quadratic per pair
+        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("n_union",
           size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
         .filter(col("n_union") > 0)
@@ -150,8 +151,7 @@ object TextOps {
       cand
         .join(sh.select(col("doc_id").as("doc_id_a"), col("shingles").as("sh_a")), "doc_id_a")
         .join(sh.select(col("doc_id").as("doc_id_b"), col("shingles").as("sh_b")), "doc_id_b")
-        .withColumn("n_inter",
-          size(filter(col("sh_a"), x => array_contains(col("sh_b"), x))))
+        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("n_union",
           size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
         .withColumn("jaccard",
