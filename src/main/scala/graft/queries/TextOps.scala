@@ -23,15 +23,23 @@ object TextOps {
   private def tokensCol: Column =
     filter(split(col("text"), " "), x => x =!= "")
 
-  /** Distinct 3-gram (token-trigram) shingles; 1-based element_at matches
-    * DuckDB's 1-based list indexing so the oracle is a transliteration. */
-  private def shinglesCol(tokens: Column): Column =
+  /** Distinct 3-gram (token-trigram) shingles.
+    *
+    * Built from three shifted `slice`s zipped elementwise rather than
+    * `transform(sequence(...), i => element_at(tokens, i)...)`: a non-lambda
+    * subexpression inside a higher-order-function lambda is re-evaluated per
+    * ELEMENT, so the element_at form re-tokenized the document O(n_tokens²)
+    * times per row. Slices evaluate the token array once per row. */
+  private def shinglesCol(tokens: Column): Column = {
+    val n = size(tokens)
+    val sh3 = zip_with(
+      zip_with(slice(tokens, lit(1), n - 2), slice(tokens, lit(2), n - 2),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(tokens, lit(3), n - 2),
+      (ab, c) => concat(ab, lit(" "), c))
     array_distinct(
-      when(size(tokens) >= 3,
-        transform(sequence(lit(1), size(tokens) - 2), i =>
-          concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
-            element_at(tokens, i + 2))))
-        .otherwise(array().cast("array<string>")))
+      when(n >= 3, sh3).otherwise(array().cast("array<string>")))
+  }
 
   /** MinHash value for seed `i`: lexicographic min of md5(i|shingle). */
   private def minhash(shingles: Column, i: Int): Column =
@@ -39,9 +47,15 @@ object TextOps {
 
   private val nSig = 8 // 8 minhashes → 2 bands of 4 (collision prob = s⁴)
 
+  /** Spread a small-file scan across all cores before CPU-heavy per-row
+    * transforms (shingling = hundreds of md5 calls per row). A single
+    * parquet file otherwise pins the whole stage to one task; at cluster
+    * scale the same repartition spreads hot docs across executors. */
+  private def spread(df: DataFrame): DataFrame = df.repartition(col("doc_id"))
+
   /** documents → (doc_id, shingles, band0, band1) — shared LSH front end. */
   private def withBands(docs: DataFrame): DataFrame = {
-    val base = docs
+    val base = spread(docs)
       .select(col("doc_id"), shinglesCol(tokensCol).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val sigs = (0 until nSig).map(i => minhash(col("shingles"), i).as(s"mh$i"))
@@ -101,7 +115,7 @@ object TextOps {
     // n-gram Jaccard similarity over adjacent doc pairs (pairwise primitive
     // used by the LSH verify stage below).
     "q26_ngram_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
         .select(col("doc_id"), shinglesCol(tokensCol).as("sh"))
       val a = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
@@ -124,7 +138,7 @@ object TextOps {
         (size(filter(col("toks"), x => substring(md5(x), p, 1) >= "8")) * 2 >
           size(col("toks"))).cast("int").cast("string")
       }
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .withColumn("toks", toks)
         .filter(size(col("toks")) > 0)
         .select(col("doc_id"), concat(bits: _*).as("simhash"))

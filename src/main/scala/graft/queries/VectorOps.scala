@@ -56,7 +56,10 @@ object VectorOps {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      // repartition: the corpus arrives as one parquet split; spread the
+      // per-row cosine work across cores (at cluster scale: across executors)
+      val cand = e.repartition(col("vec_id"))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos_sim").desc, col("c_id"))
       cand.crossJoin(broadcast(queries))
