@@ -67,6 +67,7 @@ object Op {
   val InsMulti = "INS_MULTI" // 11.11
   val DelMulti = "DEL_MULTI" // 11.12
   val Ddl = "DDL" // 24.1
+  val LobData = "LOB_DATA" // 19.1 / 26.2 / 26.6 LOB page write
   val dml: Set[String] = Set(Ins, Del, Upd, InsMulti, DelMulti)
 }
 

@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cdc.{ChangeEvent, Op, TxnAssembly}
-import graft.core.Tables
+import graft.cdc.{ChangeEvent, Condition, LobAssembly, Op, TxnAssembly}
+import graft.core.{OracleCodecs, Tables}
 
 /** CDC-core operators exercised through the REAL transaction-assembly engine
   * (graft.cdc.TxnAssembly), with the `events` table adapted into a change
@@ -64,6 +64,66 @@ object CdcOps {
           col("xid").cast("long").as("user_id"))
     }),
 
+    // F2 row-level condition filter through the REAL grammar compiler
+    // (Condition.parse/compile — Expression.cpp:27-287 semantics): op char
+    // + session attributes, compiled to one codegen'd Catalyst predicate.
+    "q04_condition_filter" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events").selectExpr(
+        "event_id", "user_id",
+        "CASE WHEN event_type IN ('signup','purchase') THEN 'i' " +
+          "WHEN event_type IN ('click','view') THEN 'u' ELSE 'd' END AS op",
+        "map('region', CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'EU' " +
+          "WHEN 1 THEN 'US' ELSE 'APAC' END, " +
+          "'segment', CASE WHEN user_id % 7 = 0 THEN 'bot' ELSE 'human' END" +
+          ") AS attrs")
+      base.filter(Condition.compile(
+          "([op] == 'i' || [region] == 'EU') && !([segment] == 'bot')"))
+        .select("event_id", "user_id")
+    }),
+
+    // §2.7 scalar codecs as registered functions: rowid (dataObj,dba,slot)
+    // → 18-char base-64 text and xid usn.slt.sqn → hex form. The DuckDB
+    // oracle re-derives both encodings arithmetically, so the gate checks
+    // the codec math itself, not just plumbing.
+    "q13_codecs" -> ((s, dir) => {
+      val ridUdf = udf((o: Long, d: Long, sl: Int) =>
+        OracleCodecs.rowIdEncode(o, d, sl))
+      val xidUdf = udf((x: Long) => OracleCodecs.xidFormat(x))
+      val ridObjUdf = udf((r: String) => OracleCodecs.rowIdDecode(r)._1)
+      Tables.load(s, dir, "events")
+        .selectExpr("event_id", "user_id",
+          "(user_id % 64) * 4194304 + (event_id % 4194304) AS dba",
+          "CAST(event_id % 1000 AS INT) AS slot",
+          "(user_id % 100) * 281474976710656 + (event_id % 10) * 4294967296 " +
+            "+ event_id AS xid")
+        .select(col("event_id"),
+          ridUdf(col("user_id"), col("dba"), col("slot")).as("rid"),
+          xidUdf(col("xid")).as("xid_str"),
+          ridObjUdf(ridUdf(col("user_id"), col("dba"), col("slot")))
+            .as("rid_obj")) // decode(encode) roundtrip inside the plan
+    }),
+
+    // T6 LOB page assembly through the REAL LobAssembly module: events
+    // adapted as pages (lobId = user_id, page = event_id, data =
+    // event_type); chains rebuilt with one shuffle + ordered concat.
+    "q35_lob_assembly" -> ((s, dir) => {
+      val pages = Tables.load(s, dir, "events").selectExpr(
+        "event_id AS scn", "0 AS subScn", "1L AS seq", "event_id AS offset",
+        "1 AS thread", "'9.0.9' AS xid", s"'${Op.LobData}' AS op",
+        "0L AS obj", "0L AS bdba", "0 AS slot", "'' AS fb",
+        "CAST(NULL AS MAP<STRING,STRING>) AS before",
+        "map('lobId', CAST(user_id AS STRING), " +
+          "'page', CAST(event_id AS STRING), 'data', event_type) AS after",
+        "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
+        "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
+        "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+        "CAST(NULL AS STRING) AS ddlText")
+      LobAssembly.assemble(pages)
+        .select(col("lob_id"), col("n_pages"),
+          length(col("lob_data")).as("n_chars"),
+          md5(col("lob_data")).as("content_hash"))
+    }),
+
     // T8 + F5 combined through the assembler: skip-XID list drops whole
     // transactions before any buffering.
     "q36_skip_xid_state" -> ((s, dir) => {
@@ -77,7 +137,52 @@ object CdcOps {
     })
   )
 
+  /** DuckDB re-derivation of the rowid base-64 encoding (6+3+6+3 chars of
+    * 6-bit groups over dataObj/afn/block/slot) — checks the codec math. */
+  private def sqlB64(x: String, chars: Int): String = {
+    val alpha =
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+    (0 until chars).map { i =>
+      val shift = (chars - 1 - i) * 6
+      s"substr('$alpha', 1 + CAST((($x) >> $shift) & 63 AS INT), 1)"
+    }.mkString(" || ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q04_condition_filter" ->
+      """SELECT event_id, user_id FROM (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type IN ('signup','purchase') THEN 'i'
+        |         WHEN event_type IN ('click','view') THEN 'u'
+        |         ELSE 'd' END AS op,
+        |    CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'EU'
+        |         WHEN 1 THEN 'US' ELSE 'APAC' END AS region,
+        |    CASE WHEN user_id % 7 = 0 THEN 'bot' ELSE 'human' END AS segment
+        |  FROM events)
+        |WHERE (op = 'i' OR region = 'EU') AND NOT (segment = 'bot')""".stripMargin,
+
+    "q13_codecs" ->
+      s"""SELECT event_id,
+         |  ${sqlB64("user_id & 4294967295", 6)} ||
+         |  ${sqlB64("(dba >> 22) & 1023", 3)} ||
+         |  ${sqlB64("dba & 4194303", 6)} ||
+         |  ${sqlB64("slot & 65535", 3)} AS rid,
+         |  printf('0x%04x.%03x.%08x',
+         |    CAST(user_id % 100 AS INT), CAST(event_id % 10 AS INT),
+         |    event_id) AS xid_str,
+         |  user_id AS rid_obj
+         |FROM (
+         |  SELECT event_id, user_id,
+         |    (user_id % 64) * 4194304 + (event_id % 4194304) AS dba,
+         |    CAST(event_id % 1000 AS INT) AS slot
+         |  FROM events)""".stripMargin,
+
+    "q35_lob_assembly" ->
+      """SELECT CAST(user_id AS VARCHAR) AS lob_id, count(*) AS n_pages,
+        |  length(string_agg(event_type, '' ORDER BY event_id)) AS n_chars,
+        |  md5(string_agg(event_type, '' ORDER BY event_id)) AS content_hash
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q08_txn_assembly" ->
       """SELECT user_id,
         |  sum(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END) AS n_ins,

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.cdc._
+
+/** T6/J3 LOB page assembly + marker resolution (SURVEY.md §2.3/§2.5;
+  * semantics pinned against LobCtx page-chain stitching and orphan
+  * parking, src/common/LobCtx.cpp:28-187, Parser.cpp:1214-1220). */
+class LobAssemblySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").appName("lob-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def page(scn: Long, lobId: String, page: Int, data: String): ChangeEvent =
+    ChangeEvent(scn, "9.0.9", Op.LobData)
+      .copy(after = Map("lobId" -> lobId, "page" -> page.toString, "data" -> data))
+
+  private def msg(cIdx: Long, before: Map[String, String],
+      after: Map[String, String]): ChangeMessage =
+    ChangeMessage(100L, cIdx, 10L, 1L, "1.0.1", MsgOp.Insert, 7L, "rid",
+      before, after, Map.empty, null)
+
+  test("pages concatenate in page order regardless of arrival order") {
+    import spark.implicits._
+    val events = Seq(
+      page(3, "L1", 2, "world"),
+      page(1, "L1", 0, "hello "),
+      page(2, "L1", 1, "big "),
+      page(4, "L2", 0, "solo")).toDS()
+    val lobs = LobAssembly.assemble(events.toDF())
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(lobs("L1") == ((3L, "hello big world")))
+    assert(lobs("L2") == ((1L, "solo")))
+  }
+
+  test("non-LOB events are ignored by assemble") {
+    import spark.implicits._
+    val events = Seq(
+      ChangeEvent(1, "1.0.1", Op.Ins).copy(after = Map("lobId" -> "X")),
+      page(2, "L1", 0, "data")).toDS()
+    assert(LobAssembly.assemble(events.toDF()).count() == 1)
+  }
+
+  test("resolve replaces markers, leaves plain values, nulls missing chains") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val events = Seq(page(1, "L1", 0, "abc"), page(2, "L1", 1, "def")).toDS()
+    val lobs = LobAssembly.assemble(events.toDF())
+    val messages = Seq(
+      msg(0L, null, Map("doc" -> (LobAssembly.Marker + "L1"), "id" -> "7")),
+      msg(1L, Map("doc" -> (LobAssembly.Marker + "MISSING")), null),
+      msg(2L, null, Map("id" -> "8"))).toDS()
+    val out = LobAssembly.resolve(messages.toDF(), lobs)
+      .orderBy("cIdx").collect()
+
+    val m0 = out(0)
+    assert(m0.getAs[Map[String, String]]("after") ==
+      Map("doc" -> "abcdef", "id" -> "7"))
+    // missing chain (orphaned owner): marker resolves to null value
+    val m1before = out(1).getAs[Map[String, String]]("before")
+    assert(m1before.keySet == Set("doc") && m1before("doc") == null)
+    // no markers: image untouched
+    assert(out(2).getAs[Map[String, String]]("after") == Map("id" -> "8"))
+  }
+
+  test("orphaned chains (no owning DML) simply never join") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val events = Seq(page(1, "ORPHAN", 0, "zzz")).toDS()
+    val lobs = LobAssembly.assemble(events.toDF())
+    val messages = Seq(msg(0L, null, Map("id" -> "1"))).toDS()
+    val out = LobAssembly.resolve(messages.toDF(), lobs).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Map[String, String]]("after") == Map("id" -> "1"))
+  }
+}
