@@ -182,6 +182,26 @@ object TextOps {
         octet_length(col("text")).as("n_bytes"),
         ascii(substring(col("text"), 1, 1)).as("first_byte"),
         md5(col("text")).as("content_hash"))
+    }),
+
+    // Multimodal batch decode through the REAL mapPartitions plumbing
+    // (graft.functions.MultiModal.decodeFeatures) — the deterministic stub
+    // decoder is re-derived arithmetically by the oracle, so the gate
+    // checks the batch shape end-to-end, not just schema.
+    "q37_mm_decode" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      graft.functions.MultiModal.decodeFeatures(
+          spread(t(s, dir, "documents"))
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "doc_id", "payload")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Frame sampling: explode sampled frame indices (never payload bytes).
+    "q38_mm_frames" -> ((s, dir) => {
+      graft.functions.MultiModal.sampleFrames(
+        t(s, dir, "documents"),
+        "doc_id", octet_length(col("text")) % 7, stride = 2)
     })
   )
 
@@ -284,6 +304,21 @@ object TextOps {
     "q33_multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS first_byte,
-        |  md5(text) AS content_hash FROM documents""".stripMargin
+        |  md5(text) AS content_hash FROM documents""".stripMargin,
+
+    // documents.text is pure ASCII (verified), so byte arithmetic ≡ char
+    // codepoint arithmetic in the oracle.
+    "q37_mm_decode" ->
+      """SELECT doc_id,
+        |  ascii(substr(text, 1, 1)) + 1 AS width,
+        |  ascii(substr(text, 2, 1)) + 1 AS height,
+        |  list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+        |    AS byte_sum
+        |FROM documents""".stripMargin,
+
+    "q38_mm_frames" ->
+      """SELECT doc_id,
+        |  unnest(range(0, CAST(length(text) % 7 AS INT), 2)) AS frame_no
+        |FROM documents""".stripMargin
   )
 }
