@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Engine metrics — parity with the reference's self-instrumentation
+  * (SURVEY.md §6, src/common/metrics/Metrics.h:49-134):
+  *
+  *   - change-event rows/s per micro-batch   ≙ "Speed: X MB/s" per log
+  *   - messages emitted per sink batch       ≙ bytes sent/confirmed
+  *   - open-transaction state rows/bytes     ≙ transaction memory gauge
+  *   - batch duration                        ≙ checkpoint lag
+  *   - DML in/out per table                  ≙ emitDmlOps* counters
+  *
+  * The per-batch figures come from Structured Streaming's progress events
+  * (a [[StreamingQueryListener]] — no instrumentation inside operators, so
+  * the hot path stays codegen'd); the per-table counters are a side
+  * aggregation over the output DataFrame.
+  */
+object Metrics {
+
+  /** One micro-batch snapshot (numbers as reported by the engine). */
+  case class BatchMetrics(
+      batchId: Long,
+      inputRows: Long,
+      inputRowsPerSec: Double,
+      processedRowsPerSec: Double,
+      stateRows: Long,
+      stateBytes: Long,
+      batchDurationMs: Long)
+
+  /** Collects progress for queries on one SparkSession. Thread-safe;
+    * `snapshots` drains in arrival order. */
+  final class Collector extends StreamingQueryListener {
+    private val q = new ConcurrentLinkedQueue[BatchMetrics]()
+
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val (srows, sbytes) =
+        if (p.stateOperators == null || p.stateOperators.isEmpty) (0L, 0L)
+        else (p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum)
+      q.add(BatchMetrics(
+        p.batchId,
+        p.numInputRows,
+        p.inputRowsPerSecond,
+        p.processedRowsPerSecond,
+        srows, sbytes,
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)))
+    }
+
+    def snapshots: Seq[BatchMetrics] = q.iterator().asScala.toSeq
+  }
+
+  /** Register a collector on the session; caller keeps the handle. */
+  def attach(spark: SparkSession): Collector = {
+    val c = new Collector
+    spark.streams.addListener(c)
+    c
+  }
+
+  def detach(spark: SparkSession, c: Collector): Unit =
+    spark.streams.removeListener(c)
+
+  /** Per-table DML counters over materialized messages (≙ Metrics.h
+    * emitDmlOpsOut per-table counters): one aggregation, usable batch-side
+    * or inside foreachBatch for a streaming side-channel. */
+  def dmlCounters(messages: DataFrame): DataFrame =
+    messages
+      .groupBy(col("owner"), col("table_name"), col("op"))
+      .agg(count(lit(1)).as("n_ops"))
+}
