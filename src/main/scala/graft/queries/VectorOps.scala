@@ -33,6 +33,22 @@ object VectorOps {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Same cosine, as a tight-loop UDF for the hot ANN path: higher-order
+    * functions evaluate interpreted (no codegen), which dominates when the
+    * pair count is large. Identical left-to-right double accumulation →
+    * bit-identical to [[cosine]] and the DuckDB list_reduce oracle. */
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Sign-bucket LSH: signs of the first 4 coordinates (deterministic,
     * portable; random hyperplanes would need engine-specific RNG). */
   private def bucket(a: Column): Column =
@@ -64,7 +80,7 @@ object VectorOps {
         .orderBy(col("cos_sim").desc, col("c_id"))
       cand.crossJoin(broadcast(queries))
         .filter(col("c_id") =!= col("q_id"))
-        .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+        .withColumn("cos_sim", cosineUdf(col("q_emb"), col("c_emb")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("q_id", "c_id", "rank")
@@ -83,7 +99,7 @@ object VectorOps {
         .orderBy(col("cos_sim").desc, col("c_id"))
       cand.join(broadcast(queries), Seq("bucket"))
         .filter(col("c_id") =!= col("q_id"))
-        .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+        .withColumn("cos_sim", cosineUdf(col("q_emb"), col("c_emb")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("q_id", "c_id", "rank")
