@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cdc.{ChangeEvent, Condition, LobAssembly, Op, TxnAssembly}
+import graft.cdc._
 import graft.core.{OracleCodecs, Tables}
 
 /** CDC-core operators exercised through the REAL transaction-assembly engine
@@ -128,6 +128,51 @@ object CdcOps {
           md5(col("lob_data")).as("content_hash"))
     }),
 
+    // §1.2 schema evolution through the REAL versioned dictionary +
+    // Materialize.enrich as-of broadcast join: obj 100 changes its name at
+    // scn 5000 (SystemTransaction semantics — DDL observed mid-stream);
+    // each message resolves against the version valid at ITS scn.
+    "q39_schema_evolution" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val v1 = DbTable(100L, 100L, "APP", "ORDERS_V1",
+        Seq(DbColumn("value", 1, numPk = 1)), tagType = "pk")
+      val dict = Dictionary(Seq(v1)).evolve(v1.copy(name = "ORDERS_V2"), 5000L)
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op", "100L AS obj",
+          "'' AS rid", "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(value AS STRING)) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText")
+        .as[ChangeMessage]
+      Materialize.enrich(messages, dict)
+        .select(col("cScn").as("event_id"), col("table_name"))
+    }),
+
+    // §1.4 golden envelope JSON through the full materialize + envelope
+    // path; the oracle reconstructs the exact wire bytes independently, so
+    // field order, null-omission, and tag/rid formatting are all gated.
+    "q40_envelope_json" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(100L, 100L, "APP", "EVENTS",
+        Seq(DbColumn("value", 1, numPk = 1)), tagType = "pk")))
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op", "100L AS obj",
+          "CAST(NULL AS STRING) AS rid",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          // decimal cast: double→string rendering differs between engines
+          // at the margins; DECIMAL(10,2)→string is stable in both
+          "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING)) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText")
+        .as[ChangeMessage]
+      Envelope.forSink(Envelope.toMessages(Materialize(messages, dict)))
+        .select(col("c_scn"), col("key"), col("value"))
+    }),
+
     // T8 + F5 combined through the assembler: skip-XID list drops whole
     // transactions before any buffering.
     "q36_skip_xid_state" -> ((s, dir) => {
@@ -180,6 +225,22 @@ object CdcOps {
          |    (user_id % 64) * 4194304 + (event_id % 4194304) AS dba,
          |    CAST(event_id % 1000 AS INT) AS slot
          |  FROM events)""".stripMargin,
+
+    "q39_schema_evolution" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id < 5000 THEN 'ORDERS_V1'
+        |       ELSE 'ORDERS_V2' END AS table_name
+        |FROM events""".stripMargin,
+
+    "q40_envelope_json" ->
+      """SELECT event_id AS c_scn,
+        |  CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS key,
+        |  '{"c_scn":' || event_id || ',"c_idx":0,"scn":' || event_id ||
+        |  ',"seq":1,"xid":"' || user_id || '","op":"c",' ||
+        |  '"schema":{"owner":"APP","table":"EVENTS","obj":100},' ||
+        |  '"after":{"value":"' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) ||
+        |  '"}}' AS value
+        |FROM events""".stripMargin,
 
     "q35_lob_assembly" ->
       """SELECT CAST(user_id AS VARCHAR) AS lob_id, count(*) AS n_pages,
