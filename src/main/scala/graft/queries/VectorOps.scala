@@ -33,21 +33,14 @@ object VectorOps {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Same cosine, as a tight-loop UDF for the hot ANN path: higher-order
-    * functions evaluate interpreted (no codegen), which dominates when the
-    * pair count is large. Identical left-to-right double accumulation →
-    * bit-identical to [[cosine]] and the DuckDB list_reduce oracle. */
-  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  /** Same cosine, as a native codegen'd Catalyst expression for the hot
+    * ANN path: higher-order functions evaluate interpreted, and a Scala
+    * UDF pays boxing + a serialization boundary; the native expression
+    * reads floats straight out of Tungsten ArrayData inside whole-stage
+    * codegen. Identical left-to-right double accumulation → bit-identical
+    * to [[cosine]] and the DuckDB list_reduce oracle
+    * (graft.functions.CosineSimilarity, ExpressionsSpec). */
+  private val cosineNative = graft.functions.Expressions.cosineSim _
 
   /** Sign-bucket LSH: signs of the first 4 coordinates (deterministic,
     * portable; random hyperplanes would need engine-specific RNG). */
@@ -80,7 +73,7 @@ object VectorOps {
         .orderBy(col("cos_sim").desc, col("c_id"))
       cand.crossJoin(broadcast(queries))
         .filter(col("c_id") =!= col("q_id"))
-        .withColumn("cos_sim", cosineUdf(col("q_emb"), col("c_emb")))
+        .withColumn("cos_sim", cosineNative(col("q_emb"), col("c_emb")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("q_id", "c_id", "rank")
@@ -99,7 +92,7 @@ object VectorOps {
         .orderBy(col("cos_sim").desc, col("c_id"))
       cand.join(broadcast(queries), Seq("bucket"))
         .filter(col("c_id") =!= col("q_id"))
-        .withColumn("cos_sim", cosineUdf(col("q_emb"), col("c_emb")))
+        .withColumn("cos_sim", cosineNative(col("q_emb"), col("c_emb")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("q_id", "c_id", "rank")

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` Column↔Expression conversion (the
+  * supported classic-API helpers are package-private in Spark 4.x; an
+  * extension living outside org.apache.spark.sql needs this one-hop
+  * re-export — a standard pattern for OSS Spark extensions). */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
