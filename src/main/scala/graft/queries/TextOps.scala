@@ -202,6 +202,31 @@ object TextOps {
       graft.functions.MultiModal.sampleFrames(
         t(s, dir, "documents"),
         "doc_id", octet_length(col("text")) % 7, stride = 2)
+    }),
+
+    // BPE-ish regex tokenization: letter runs / digit runs / single
+    // punctuation, counted per class (the shape of a GPT-style pre-tokenizer;
+    // pattern kept engine-portable).
+    "q41_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+          .as("n_alpha"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .as("n_num"),
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
+          .as("n_punct"))
+    }),
+
+    // Rolling-hash document fingerprint: sequential polynomial hash
+    // h = (h*31 + byte) mod 1e9+7 — the per-char left fold both engines
+    // evaluate in the same order (exact integer arithmetic, no float risk).
+    "q42_rolling_hash" -> ((s, dir) => {
+      spread(t(s, dir, "documents")).select(
+        col("doc_id"),
+        aggregate(split(col("text"), ""), lit(0L),
+          (h, c) => (h * 31L + ascii(c).cast("long")) % 1000000007L)
+          .as("fingerprint"))
     })
   )
 
@@ -319,6 +344,22 @@ object TextOps {
     "q38_mm_frames" ->
       """SELECT doc_id,
         |  unnest(range(0, CAST(length(text) % 7 AS INT), 2)) AS frame_no
+        |FROM documents""".stripMargin,
+
+    "q41_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+        |FROM documents""".stripMargin,
+
+    "q42_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin
   )
 }
