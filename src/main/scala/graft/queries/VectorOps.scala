@@ -98,6 +98,39 @@ object VectorOps {
         .select("q_id", "c_id", "rank")
     }),
 
+    // IVF ANN: coarse-quantize the corpus to cells (centroids = first 8
+    // vectors, deterministic ≙ a trained codebook slot), then search only
+    // the query's cell. The 100 TB shape: assignment is one broadcast pass
+    // over the corpus (cells persist as a column / partition key), search
+    // shuffles on the short cell key — never the full corpus.
+    "q43_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("cos_c").desc, col("cent_id"))
+      val assigned = e.repartition(col("vec_id"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cos_c", cosineNative(col("embedding"), col("cent_emb")))
+        .withColumn("r", row_number().over(wAssign))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val queries = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("cell"))
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("c_id"))
+      assigned
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("cell"))
+        .join(broadcast(queries), Seq("cell"))
+        .filter(col("c_id") =!= col("q_id"))
+        .withColumn("cos_sim", cosineNative(col("q_emb"), col("c_emb")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .select("q_id", "c_id", "rank")
+    }),
+
     // Embedding-cosine near-duplicate detection (adjacent-id candidate set).
     "q34_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -149,6 +182,24 @@ object VectorOps {
          |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
          |  FROM bucketed q JOIN bucketed c USING (bucket)
          |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q43_ann_ivf" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT v.vec_id, v.embedding, c.vec_id AS cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${sqlCos("v.embedding", "c.embedding")} DESC,
+         |                 c.vec_id) AS r
+         |    FROM embeddings v CROSS JOIN embeddings c WHERE c.vec_id < 8)
+         |  WHERE r = 1)
+         |SELECT q_id, c_id, rank FROM (
+         |  SELECT q.vec_id AS q_id, x.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "x.embedding")} DESC,
+         |               x.vec_id) AS rank
+         |  FROM assigned q JOIN assigned x USING (cell)
+         |  WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id)
          |WHERE rank <= 3""".stripMargin,
 
     "q34_embed_neardup" ->
