@@ -46,4 +46,53 @@ object Sinks {
   def streamToNoop(messages: DataFrame, checkpoint: String): StreamingQuery =
     messages.writeStream.format("noop")
       .option("checkpointLocation", checkpoint).start()
+
+  /** W3/confirm protocol: contiguous-confirm watermark over out-of-order
+    * acks (≙ Writer::confirmMessage's min-heap, Writer.cpp:106-165). A
+    * network client acks (c_scn, c_idx) in arbitrary order; the confirmed
+    * position only advances over a contiguous prefix of the sent sequence,
+    * and restart resumes after it (idempotent replay).
+    *
+    * Driver-side object (the writer thread analogue); per-message work is
+    * O(log inflight). Use inside foreachBatch: send → ack → `confirmed`
+    * persists as the resume offset.
+    */
+  final class ConfirmTracker {
+    private val pending = scala.collection.mutable.SortedSet.empty[(Long, Long)]
+    private var sentMax: Option[(Long, Long)] = None
+    private var watermark: Option[(Long, Long)] = None
+
+    /** Record a message as sent (must be called in send order). */
+    def sent(cScn: Long, cIdx: Long): Unit = synchronized {
+      val id = (cScn, cIdx)
+      require(sentMax.forall(m => Ordering[(Long, Long)].lt(m, id)),
+        s"sends must be ordered: $id after $sentMax")
+      sentMax = Some(id)
+      pending += id
+    }
+
+    /** Ack one message; advances the watermark only when the lowest
+      * in-flight ids become contiguous-confirmed. */
+    def confirm(cScn: Long, cIdx: Long): Unit = synchronized {
+      pending -= ((cScn, cIdx))
+      watermark = Some(
+        pending.headOption match {
+          case Some(_) =>
+            // confirmed = everything below the lowest still-pending send
+            confirmedBelow((cScn, cIdx))
+          case None => sentMax.getOrElse((cScn, cIdx))
+        })
+    }
+
+    private def confirmedBelow(ack: (Long, Long)): (Long, Long) = {
+      val low = pending.head
+      // highest confirmed id strictly below the lowest pending one
+      if (Ordering[(Long, Long)].lt(ack, low)) ack
+      else (low._1, low._2 - 1)
+    }
+
+    /** The idempotent-restart position: all ids ≤ this are delivered. */
+    def confirmed: Option[(Long, Long)] = synchronized { watermark }
+    def inflight: Int = synchronized { pending.size }
+  }
 }

@@ -50,4 +50,13 @@ object EventSource {
   def withFileSeq(ds: DataFrame, seqPattern: String = raw".*_(\d+)\..*"): DataFrame =
     ds.withColumn("file_seq",
       regexp_extract(input_file_name(), seqPattern, 1).cast("long"))
+
+  /** S6 path mapping: rewrite DB-reported file paths to local mounts
+    * (config `path` pairs, OpenLogReplicator.cpp:1232-1246) — applied to a
+    * path column before file resolution. Pairs apply first-match-wins. */
+  def mapPath(pathCol: org.apache.spark.sql.Column,
+      pairs: Seq[(String, String)]): org.apache.spark.sql.Column =
+    pairs.foldLeft(pathCol) { case (c, (from, to)) =>
+      regexp_replace(c, "^" + java.util.regex.Pattern.quote(from), to)
+    }
 }
