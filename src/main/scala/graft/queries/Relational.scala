@@ -190,6 +190,22 @@ object Relational {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select("event_type", "event_id", "value", "rk")
+    }),
+
+    // Skew-safe aggregation: two-phase salted groupBy — the 100 TB pattern
+    // for heavy-hitter keys (5 event_types over 100k+ rows here; at scale a
+    // hot key would overwhelm one reducer). Phase 1 aggregates (key, salt),
+    // phase 2 merges salts; result is identical to the plain groupBy, which
+    // is exactly what the oracle states.
+    "q44_salted_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(8)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pc"),
+          sum(col("value").cast("decimal(18,2)")).as("ps"))
+        .groupBy("event_type")
+        .agg(sum(col("pc")).as("n_events"),
+          sum(col("ps")).as("sum_value"))
     })
   )
 
@@ -306,6 +322,12 @@ object Relational {
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY value DESC, event_id) AS rk
         |  FROM events)
-        |WHERE rk <= 3""".stripMargin
+        |WHERE rk <= 3""".stripMargin,
+
+    // salted two-phase agg ≡ plain group-by (the salt is internal)
+    "q44_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }
