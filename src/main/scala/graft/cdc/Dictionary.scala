@@ -167,4 +167,34 @@ object Dictionary {
       .mkString("[", ",", "]")
     s"""{"tables":$ts,"selectors":$sels}"""
   }
+
+  /** Inverse of [[toJson]] — restart path: checkpoint schema JSON → live
+    * dictionary (≙ SerializerJson deserialize, the reference's only way to
+    * run without a DB connection). */
+  def fromJson(json: String): Dictionary = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    import scala.jdk.CollectionConverters._
+    def strs(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+      n.elements().asScala.map(_.asText).toSeq
+    val tables = root.get("tables").elements().asScala.map { t =>
+      val cols = t.get("columns").elements().asScala.map { c =>
+        DbColumn(c.get("name").asText, c.get("type").asInt,
+          c.get("length").asInt, c.get("precision").asInt,
+          c.get("scale").asInt, c.get("numPk").asInt,
+          c.get("nullable").asBoolean, c.get("hidden").asBoolean,
+          c.get("guard").asBoolean, c.get("nested").asBoolean,
+          c.get("unused").asBoolean)
+      }.toSeq
+      DbTable(t.get("obj").asLong, t.get("dataObj").asLong,
+        t.get("owner").asText, t.get("name").asText, cols,
+        strs(t.get("keyList")), t.get("tagType").asText,
+        strs(t.get("tagCols")), t.get("condition").asText,
+        strs(t.get("options")).toSet,
+        t.get("validFromScn").asLong, t.get("validToScn").asLong)
+    }.toSeq
+    val sels = root.get("selectors").elements().asScala.map(s =>
+      TableSelector(s.get("owner").asText, s.get("table").asText)).toSeq
+    new Dictionary(tables, sels)
+  }
 }
