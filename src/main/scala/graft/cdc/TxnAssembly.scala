@@ -115,7 +115,39 @@ object TxnAssembly {
     if (cfg.emitBeginCommit)
       out += ChangeMessage(commitScn, { idx += 1; 0L }, st.beginScn.max(0L), seq,
         xid, MsgOp.Begin, 0L, null, null, null, st.attrs, null)
-    st.ops.foreach { e =>
+    // T4 row-piece merge: a chained/migrated row arrives as consecutive
+    // pieces flagged fb F(first) … L(last) (Transaction.cpp:450-490 groups
+    // pieces until the FB_L end-flag, then emits ONE logical DML). Pieces
+    // merge column-wise in arrival order; the merged op keeps the first
+    // piece's position/rowid.
+    val mergedOps = {
+      val acc = ArrayBuffer.empty[ChangeEvent]
+      var head: ChangeEvent = null
+      def mm(a: Map[String, String], b: Map[String, String]) =
+        (Option(a), Option(b)) match {
+          case (Some(x), Some(y)) => x ++ y
+          case (x, y) => y.orElse(x).orNull
+        }
+      st.ops.foreach { e =>
+        val fb = Option(e.fb).getOrElse("")
+        val isPiece = Op.dml.contains(e.op) && fb.nonEmpty
+        if (isPiece && fb.contains("F") && !fb.contains("L")) head = e
+        else if (isPiece && head != null && !fb.contains("F")) {
+          head = head.copy(
+            before = mm(head.before, e.before),
+            after = mm(head.after, e.after),
+            suppBefore = mm(head.suppBefore, e.suppBefore),
+            suppAfter = mm(head.suppAfter, e.suppAfter))
+          if (fb.contains("L")) { acc += head; head = null }
+        } else {
+          if (head != null) { acc += head; head = null } // unterminated chain
+          acc += e
+        }
+      }
+      if (head != null) acc += head
+      acc
+    }
+    mergedOps.foreach { e =>
       e.op match {
         case Op.Ins => emit(MsgOp.Insert, e, null, e.after)
         case Op.Del =>

@@ -136,6 +136,41 @@ class TxnAssemblySpec extends AnyFunSuite {
     assert(out.map(_.after("k")) == Seq("1", "2"))
   }
 
+  test("T4: multi-piece row (fb F..L) merges into one logical DML") {
+    val out = run(Seq(
+      ev(1, Op.Begin),
+      ev(2, Op.Ins).copy(obj = 1L, bdba = 10L, slot = 1, fb = "F",
+        after = Map("c1" -> "a", "c2" -> "b")),
+      ev(3, Op.Ins).copy(obj = 1L, bdba = 11L, slot = 0, fb = "N",
+        after = Map("c3" -> "c")),
+      ev(4, Op.Ins).copy(obj = 1L, bdba = 12L, slot = 0, fb = "L",
+        after = Map("c4" -> "d")),
+      ev(5, Op.Commit)))
+    assert(out.size == 1)
+    val m = out.head
+    assert(m.after == Map("c1" -> "a", "c2" -> "b", "c3" -> "c", "c4" -> "d"))
+    // merged op keeps the FIRST piece's position/rowid
+    assert(m.scn == 2L)
+    assert(m.rid == graft.core.OracleCodecs.rowIdEncode(1L, 10L, 1))
+  }
+
+  test("T4: single-piece rows with FL or empty fb pass through unmerged") {
+    val out = run(Seq(
+      ev(1, Op.Ins).copy(fb = "FL", after = Map("k" -> "1")),
+      ev(2, Op.Ins).copy(fb = "", after = Map("k" -> "2")),
+      ev(3, Op.Commit)))
+    assert(out.map(_.after("k")) == Seq("1", "2"))
+  }
+
+  test("T4: unterminated chain still flushes (no data loss)") {
+    val out = run(Seq(
+      ev(1, Op.Ins).copy(fb = "F", after = Map("c1" -> "a")),
+      ev(2, Op.Upd).copy(fb = "", before = Map("x" -> "1"),
+        after = Map("x" -> "2")), // different op: breaks the chain
+      ev(3, Op.Commit)))
+    assert(out.size == 2)
+  }
+
   test("two transactions on the same xid in sequence") {
     val out = run(Seq(
       ev(1, Op.Ins).copy(after = Map("k" -> "t1")),
