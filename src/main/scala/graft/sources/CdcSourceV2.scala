@@ -41,7 +41,7 @@ final class CdcTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft_cdc($path)"
   override def schema(): StructType = ChangeEvent.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CdcScanBuilder(path)
 }
@@ -91,18 +91,62 @@ final class CdcScan(path: String, required: StructType, filters: Array[Filter])
   override def description(): String =
     s"graft_cdc $path, PushedFilters: ${filters.mkString("[", ", ", "]")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    CdcScan.listFiles(path)
+      .map(f => CdcInputPartition(f): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(required, filters)
+
+  /** S5 online polling loop as a micro-batch stream: the offset is the
+    * count of (sorted) files seen; each trigger reads the newly-appeared
+    * files — the reference's archived-log polling (Replicator.cpp:690-816)
+    * with the log switch handled by the offset bump. Files must be
+    * immutable once written (the archived-redo contract). */
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new CdcMicroBatchStream(path, required, filters)
+}
+
+object CdcScan {
+  /** Sorted file list = archived-log sequence order (deterministic
+    * partition numbering, stable offsets). */
+  def listFiles(path: String): Array[String] = {
     val dir = new java.io.File(path)
     val files =
       if (dir.isFile) Array(dir)
-      else dir.listFiles((f: java.io.File) =>
-        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-    // one partition per file = per-log ordering preserved (sorted for
-    // deterministic partition numbering ≙ archived-log sequence order)
-    files.sortBy(_.getName).map(f => CdcInputPartition(f.getAbsolutePath): InputPartition)
+      else {
+        val ls = dir.listFiles((f: java.io.File) =>
+          f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        if (ls == null) Array.empty[java.io.File] else ls
+      }
+    files.sortBy(_.getName).map(_.getAbsolutePath)
+  }
+}
+
+/** Stream offset: number of files consumed from the sorted listing. */
+case class CdcOffset(fileCount: Int) extends streaming.Offset {
+  override def json(): String = s"""{"fileCount":$fileCount}"""
+}
+
+final class CdcMicroBatchStream(path: String, required: StructType,
+    filters: Array[Filter]) extends streaming.MicroBatchStream {
+
+  override def initialOffset(): streaming.Offset = CdcOffset(0)
+  override def latestOffset(): streaming.Offset =
+    CdcOffset(CdcScan.listFiles(path).length)
+  override def deserializeOffset(json: String): streaming.Offset =
+    CdcOffset(new ObjectMapper().readTree(json).get("fileCount").asInt)
+
+  override def planInputPartitions(start: streaming.Offset,
+      end: streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CdcOffset].fileCount
+    val e = end.asInstanceOf[CdcOffset].fileCount
+    CdcScan.listFiles(path).slice(s, e)
+      .map(f => CdcInputPartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(required, filters)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class CdcInputPartition(file: String) extends InputPartition

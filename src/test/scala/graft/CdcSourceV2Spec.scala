@@ -63,6 +63,31 @@ class CdcSourceV2Spec extends AnyFunSuite {
     assert(scan.contains("scn") && !scan.contains("suppBefore"))
   }
 
+  test("micro-batch stream picks up newly-appeared files exactly once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdcv2s").toFile
+    def writeLog(name: String, scns: Seq[Long]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      scns.foreach(n =>
+        w.println(s"""{"scn":$n,"xid":"1.0.1","op":"INS","obj":1}"""))
+      w.close()
+    }
+    writeLog("log_001.jsonl", Seq(1, 2))
+    val df = spark.readStream.format("graft.sources.CdcSourceV2")
+      .option("path", dir.getAbsolutePath).load()
+    val query = df.select("scn").writeStream
+      .format("memory").queryName("cdcv2_stream").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("cdcv2_stream").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L))
+      writeLog("log_002.jsonl", Seq(3, 4, 5)) // log switch: new archived file
+      query.processAllAvailable()
+      assert(spark.table("cdcv2_stream").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L)) // no duplicates, nothing missed
+    } finally query.stop()
+  }
+
   test("feeds the real pipeline: as[ChangeEvent] + assembly") {
     implicit val s: SparkSession = spark
     import s.implicits._
