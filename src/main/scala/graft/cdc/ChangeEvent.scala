@@ -96,4 +96,5 @@ object MsgOp {
   val Update = "u"
   val Delete = "d"
   val Ddl = "ddl"
+  val Checkpoint = "chkpt"
 }

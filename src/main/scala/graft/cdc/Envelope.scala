@@ -14,7 +14,8 @@ object Envelope {
   /** Envelope format knobs (a pragmatic subset of Format.h). */
   case class Format(
       emitTimestamp: Boolean = false, // "tm" header field
-      dbName: String = "") // "db" header field
+      dbName: String = "", // "db" header field
+      emitCheckpoint: Boolean = false) // trailing "chkpt" message per batch
 
   /** enriched rows → (key, value) output frame.
     * value = ordered-JSON envelope; key = tag (nullable). */
@@ -48,4 +49,20 @@ object Envelope {
   def forSink(messages: DataFrame): DataFrame =
     messages.select(col("key"), col("value"), col("cScn").as("c_scn"),
       col("cIdx").as("c_idx"))
+
+  /** Append the reference's `chkpt` message at the max position of the
+    * batch (≙ per-LWN checkpoint emission, Parser.cpp:1509-1536): clients
+    * advance their restart position even across DML-free stretches. Empty
+    * batch → no checkpoint (no position to report). cIdx = Long.MaxValue
+    * sorts it after every data message of the same scn. */
+  def withCheckpointMessage(sink: DataFrame): DataFrame = {
+    val chk = sink.agg(max(col("c_scn")).as("scn"))
+      .filter(col("scn").isNotNull)
+      .select(
+        lit(null).cast("string").as("key"),
+        to_json(struct(col("scn"), lit(MsgOp.Checkpoint).as("op"))).as("value"),
+        col("scn").as("c_scn"),
+        lit(Long.MaxValue).as("c_idx"))
+    sink.unionByName(chk)
+  }
 }

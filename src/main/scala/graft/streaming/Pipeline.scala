@@ -50,6 +50,11 @@ object Pipeline {
       if (streaming) TxnAssembly.assembleStream(events, cfg.assembly)
       else TxnAssembly.assembleBatch(events, cfg.assembly)
     val enriched = Materialize(messages, cfg.dict, cfg.materialize)
-    Envelope.forSink(Envelope.toMessages(enriched, cfg.envelope))
+    val sink = Envelope.forSink(Envelope.toMessages(enriched, cfg.envelope))
+    // chkpt emission is a batch-shape concept (per-LWN ≙ per-batch); in
+    // streaming, apply it inside foreachBatch on each micro-batch instead.
+    if (cfg.envelope.emitCheckpoint && !streaming)
+      Envelope.withCheckpointMessage(sink)
+    else sink
   }
 }

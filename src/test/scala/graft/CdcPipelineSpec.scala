@@ -154,6 +154,25 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(json == expected)
   }
 
+  test("chkpt message appended at max batch position; empty batch emits none") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    def sink(events: Seq[ChangeEvent]) =
+      Envelope.withCheckpointMessage(
+        Envelope.forSink(Envelope.toMessages(
+          Materialize(TxnAssembly.assembleBatch(events.toDS()), dict1))))
+    val rows = sink(Seq(
+      ev(1, Op.Begin),
+      ev(2, Op.Ins, after = Map("ID" -> "1")),
+      ev(3, Op.Commit))).orderBy("c_scn", "c_idx").collect()
+    assert(rows.length == 2)
+    val chk = rows.last
+    assert(chk.getAs[String]("value") == """{"scn":3,"op":"chkpt"}""")
+    assert(chk.getAs[Long]("c_scn") == 3L)
+    // DML-free batch: no position to report, no chkpt
+    assert(sink(Seq(ev(1, Op.Begin), ev(2, Op.Rollback))).count() == 0)
+  }
+
   test("idempotent restart position: (c_scn, c_idx) unique per message") {
     val out = pipe(Seq(
       ev(1, Op.Ins, after = Map("ID" -> "1")),
