@@ -205,4 +205,80 @@ object OracleCodecs {
       else 0L
     sec * 1000000L + nanos / 1000L
   }
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** INTERVAL YEAR TO MONTH (type 182), 5 bytes: big-endian years
+    * excess-2^31, months byte excess-60 → total months (signed). */
+  def intervalYmToMonths(bytes: Array[Byte]): Long = {
+    require(bytes != null && bytes.length >= 5, "INTERVAL YM needs 5 bytes")
+    val years = be32(bytes, 0) - 0x80000000L
+    val months = (bytes(4) & 0xff) - 60
+    years * 12 + months
+  }
+
+  /** INTERVAL DAY TO SECOND (type 183), 11 bytes: days excess-2^31 (4B),
+    * hour/min/sec bytes excess-60, nanos excess-2^31 (4B) → total nanos. */
+  def intervalDsToNanos(bytes: Array[Byte]): Long = {
+    require(bytes != null && bytes.length >= 11, "INTERVAL DS needs 11 bytes")
+    val days = be32(bytes, 0) - 0x80000000L
+    val hours = (bytes(4) & 0xff) - 60
+    val minutes = (bytes(5) & 0xff) - 60
+    val seconds = (bytes(6) & 0xff) - 60
+    val nanos = be32(bytes, 7) - 0x80000000L
+    (((days * 24 + hours) * 60 + minutes) * 60 + seconds) * 1000000000L + nanos
+  }
+
+  /** BINARY_FLOAT (type 100) on-disk form: positive values have the sign
+    * bit set; negative values are fully complemented (so the byte order
+    * sorts correctly). Inverse transform → IEEE 754 float. */
+  def decodeBinaryFloat(bytes: Array[Byte]): Float = {
+    require(bytes != null && bytes.length >= 4, "BINARY_FLOAT needs 4 bytes")
+    val raw = be32(bytes, 0).toInt
+    val bits = if ((raw & 0x80000000) != 0) raw & 0x7fffffff else ~raw
+    java.lang.Float.intBitsToFloat(bits)
+  }
+
+  /** BINARY_DOUBLE (type 101): same sign-flip scheme over 8 bytes. */
+  def decodeBinaryDouble(bytes: Array[Byte]): Double = {
+    require(bytes != null && bytes.length >= 8, "BINARY_DOUBLE needs 8 bytes")
+    val raw = (be32(bytes, 0) << 32) | be32(bytes, 4)
+    val bits =
+      if ((raw & 0x8000000000000000L) != 0L) raw & 0x7fffffffffffffffL
+      else ~raw
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
+  /** Encoders for the above (fixture/property-test support). */
+  def encodeBinaryFloat(f: Float): Array[Byte] = {
+    val bits = java.lang.Float.floatToRawIntBits(f)
+    val raw = if (bits >= 0) bits | 0x80000000 else ~bits
+    Array((raw >> 24).toByte, (raw >> 16).toByte, (raw >> 8).toByte, raw.toByte)
+  }
+  def encodeBinaryDouble(d: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToRawLongBits(d)
+    val raw = if (bits >= 0L) bits | 0x8000000000000000L else ~bits
+    (0 to 7).map(i => (raw >> ((7 - i) * 8)).toByte).toArray
+  }
+  def encodeIntervalYm(months: Long): Array[Byte] = {
+    val years = months / 12
+    val m = months % 12
+    val y = years + 0x80000000L
+    Array((y >> 24).toByte, (y >> 16).toByte, (y >> 8).toByte, y.toByte,
+      (m + 60).toByte)
+  }
+  def encodeIntervalDs(nanos: Long): Array[Byte] = {
+    val ns = nanos % 1000000000L
+    var rest = nanos / 1000000000L
+    val sec = rest % 60; rest /= 60
+    val min = rest % 60; rest /= 60
+    val hr = rest % 24; rest /= 24
+    val d = rest + 0x80000000L
+    val n = ns + 0x80000000L
+    Array((d >> 24).toByte, (d >> 16).toByte, (d >> 8).toByte, d.toByte,
+      (hr + 60).toByte, (min + 60).toByte, (sec + 60).toByte,
+      (n >> 24).toByte, (n >> 16).toByte, (n >> 8).toByte, n.toByte)
+  }
 }

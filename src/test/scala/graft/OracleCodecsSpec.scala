@@ -96,4 +96,32 @@ class OracleCodecsSpec extends AnyFunSuite {
     assert(oracleTimestampToEpochMicros(withNanos) ==
       oracleDateToEpoch(b) * 1000000L + 123456L)
   }
+
+  test("INTERVAL YM/DS roundtrip property") {
+    check(Prop.forAll(Gen.chooseNum(-120000L, 120000L)) { m: Long =>
+      intervalYmToMonths(encodeIntervalYm(m)) == m
+    })
+    // nanos within ±10^5 days (10^5 d × 86400e9 ns ≈ 8.6e18 < Long.Max)
+    check(Prop.forAll(Gen.chooseNum(-8640000000000000000L, 8640000000000000000L)) {
+      n: Long => intervalDsToNanos(encodeIntervalDs(n)) == n
+    })
+    assert(intervalYmToMonths(encodeIntervalYm(-13L)) == -13L)
+    assert(intervalDsToNanos(encodeIntervalDs(90061000000001L)) ==
+      90061000000001L) // 1d 1h 1m 1s + 1ns
+  }
+
+  test("BINARY_FLOAT / BINARY_DOUBLE sign-flip roundtrip property") {
+    check(Prop.forAll { f: Float =>
+      f.isNaN || decodeBinaryFloat(encodeBinaryFloat(f)) == f
+    })
+    check(Prop.forAll { d: Double =>
+      d.isNaN || decodeBinaryDouble(encodeBinaryDouble(d)) == d
+    })
+    // encoded byte order sorts like the numeric order (the point of the
+    // sign-flip scheme)
+    val enc = Seq(-2.5f, -1.0f, 0.0f, 1.0f, 2.5f).map(encodeBinaryFloat)
+    val sorted = enc.sortWith((a, b) =>
+      java.util.Arrays.compareUnsigned(a, b) < 0)
+    assert(sorted.map(decodeBinaryFloat) == Seq(-2.5f, -1.0f, 0.0f, 1.0f, 2.5f))
+  }
 }
