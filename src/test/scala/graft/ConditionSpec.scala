@@ -32,6 +32,81 @@ class ConditionSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](compile("'lit' && 'lit2'") != null)
   }
 
+  test("property: compiled Column ≡ direct AST interpretation") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import Condition._
+    // drive scalacheck directly (scalatestplus bridge not in offline cache)
+    def check(p: Prop): Unit = {
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+      assert(res.passed, res.status.toString)
+    }
+
+    val attrNames = Seq("a", "b", "client info")
+    val values = Seq("", "x", "y", "i")
+    val genLeaf: Gen[Ast] = Gen.oneOf(
+      Gen.oneOf(attrNames :+ "op").map(Attr),
+      Gen.oneOf(values).map(Lit))
+    val genCmp: Gen[Ast] = for {
+      l <- genLeaf; r <- genLeaf; eq <- Gen.oneOf(true, false)
+    } yield if (eq) Eq(l, r) else Ne(l, r)
+    // booleans only below !/&&/|| — bare string atoms are not booleans in
+    // the grammar (BoolValue has no string truthiness)
+    def genAst(depth: Int): Gen[Ast] =
+      if (depth <= 0) genCmp
+      else Gen.frequency(
+        3 -> genCmp,
+        1 -> genAst(depth - 1).map(Not),
+        2 -> (for { l <- genAst(depth - 1); r <- genAst(depth - 1) } yield And(l, r)),
+        2 -> (for { l <- genAst(depth - 1); r <- genAst(depth - 1) } yield Or(l, r)))
+
+    def render(a: Ast): String = a match {
+      case Attr(n) => s"[$n]"
+      case Lit(v) => s"'$v'"
+      case Eq(l, r) => s"(${render(l)} == ${render(r)})"
+      case Ne(l, r) => s"(${render(l)} != ${render(r)})"
+      case Not(e) => s"!${render(e)}"
+      case And(l, r) => s"(${render(l)} && ${render(r)})"
+      case Or(l, r) => s"(${render(l)} || ${render(r)})"
+    }
+    // the independent semantics: missing attr = "" (StringValue.cpp:35-58)
+    def interp(a: Ast, op: String, attrs: Map[String, String]): Boolean = {
+      def str(s: Ast): String = s match {
+        case Attr("op") => op
+        case Attr(n) => attrs.getOrElse(n, "")
+        case Lit(v) => v
+        case other => sys.error(s"non-string leaf $other")
+      }
+      a match {
+        case Eq(l, r) => str(l) == str(r)
+        case Ne(l, r) => str(l) != str(r)
+        case Not(e) => !interp(e, op, attrs)
+        case And(l, r) => interp(l, op, attrs) && interp(r, op, attrs)
+        case Or(l, r) => interp(l, op, attrs) || interp(r, op, attrs)
+        case other => sys.error(s"non-boolean root $other")
+      }
+    }
+
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+
+    val genCase = for {
+      ast <- genAst(2)
+      op <- Gen.oneOf("i", "u", "d")
+      attrs <- Gen.mapOf(Gen.zip(Gen.oneOf(attrNames), Gen.oneOf(values)))
+    } yield (ast, op, attrs)
+
+    check(Prop.forAll(genCase) { case (ast, op, attrs) =>
+      val expr = render(ast)
+      // parse(render(ast)) must reproduce the ast (grammar roundtrip)...
+      val reparsed = Condition.parse(expr)
+      // ...and the compiled Column must agree with direct interpretation
+      val df = Seq((op, attrs)).toDF("op", "attrs")
+      val got = df.filter(Condition.compile(expr)).count() == 1
+      got == interp(ast, op, attrs) && reparsed == ast
+    })
+  }
+
   test("compiled semantics over rows") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()

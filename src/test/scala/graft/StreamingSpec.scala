@@ -44,6 +44,38 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("Pipeline.stream: file source -> assembly -> envelope end-to-end") {
+    val dir = Files.createTempDirectory("pipe_stream").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "feed_001.jsonl"))
+    w.println("""{"scn":1,"xid":"1.0.1","op":"BEGIN"}""")
+    w.println("""{"scn":2,"xid":"1.0.1","op":"INS","obj":100,"after":{"ID":"1","VAL":"x"}}""")
+    w.println("""{"scn":3,"xid":"1.0.1","op":"COMMIT"}""")
+    w.close()
+    val dict = Dictionary(Seq(
+      DbTable(100L, 100L, "APP", "T", Seq(DbColumn("ID", 2, numPk = 1),
+        DbColumn("VAL", 1)), tagType = "pk")))
+    val out = graft.streaming.Pipeline.stream(spark,
+      graft.streaming.Pipeline.Config(
+        graft.streaming.Pipeline.SourceConfig(dir.getAbsolutePath), dict))
+    val query = out.writeStream.format("memory").queryName("pipe_stream_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("pipe_stream_out").collect()
+      assert(rows.length == 1)
+      val v = rows.head.getAs[String]("value")
+      assert(v.contains(""""op":"c"""") && v.contains(""""table":"T""""))
+      assert(rows.head.getAs[String]("key") == "1") // pk tag
+      // a second file appears (log switch) → next txn flows through
+      val w2 = new java.io.PrintWriter(new java.io.File(dir, "feed_002.jsonl"))
+      w2.println("""{"scn":4,"xid":"2.0.1","op":"INS","obj":100,"after":{"ID":"2","VAL":"y"}}""")
+      w2.println("""{"scn":5,"xid":"2.0.1","op":"COMMIT"}""")
+      w2.close()
+      query.processAllAvailable()
+      assert(spark.table("pipe_stream_out").count() == 2)
+    } finally query.stop()
+  }
+
   test("interleaved transactions assemble independently per xid") {
     implicit val s: SparkSession = spark
     implicit val sqlCtx = spark.sqlContext
