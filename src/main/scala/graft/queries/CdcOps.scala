@@ -150,6 +150,29 @@ object CdcOps {
         .select(col("cScn").as("event_id"), col("table_name"))
     }),
 
+    // §1.2 SCHEMALESS/ADAPTIVE mode through Materialize.enrich's left-outer
+    // path: half the objs resolve against the dictionary, half pass through
+    // with a null table name (raw COL_n-style output downstream).
+    "q45_schemaless" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(0L, 0L, "APP", "KNOWN",
+        Seq(DbColumn("value", 1)))))
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op",
+          "user_id % 2 AS obj", // obj 0 known, obj 1 unknown
+          "'' AS rid", "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(value AS STRING)) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText")
+        .as[ChangeMessage]
+      Materialize.enrich(messages, dict,
+          Materialize.Options(schemaless = true))
+        .select(col("cScn").as("event_id"),
+          coalesce(col("table_name"), lit("?")).as("table_name"))
+    }),
+
     // §1.4 golden envelope JSON through the full materialize + envelope
     // path; the oracle reconstructs the exact wire bytes independently, so
     // field order, null-omission, and tag/rid formatting are all gated.
@@ -230,6 +253,11 @@ object CdcOps {
       """SELECT event_id,
         |  CASE WHEN event_id < 5000 THEN 'ORDERS_V1'
         |       ELSE 'ORDERS_V2' END AS table_name
+        |FROM events""".stripMargin,
+
+    "q45_schemaless" ->
+      """SELECT event_id,
+        |  CASE WHEN user_id % 2 = 0 THEN 'KNOWN' ELSE '?' END AS table_name
         |FROM events""".stripMargin,
 
     "q40_envelope_json" ->
