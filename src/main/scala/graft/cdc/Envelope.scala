@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object Envelope {
 
-  /** Envelope format knobs (a pragmatic subset of Format.h). */
+  /** Envelope format knobs (a pragmatic subset of Format.h; wall-clock
+    * "tm" fields are out of scope — the feed carries scn as the only
+    * clock, see SURVEY.md §1.4). */
   case class Format(
-      emitTimestamp: Boolean = false, // "tm" header field
       dbName: String = "", // "db" header field
       emitCheckpoint: Boolean = false) // trailing "chkpt" message per batch
 
