@@ -278,9 +278,9 @@ object CdcOps {
 
     "q08_txn_assembly" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END) AS n_ins,
-        |  sum(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS n_upd,
-        |  sum(CASE WHEN event_type NOT IN ('signup','purchase','click','view') THEN 1 ELSE 0 END) AS n_del,
+        |  CAST(sum(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+        |  CAST(sum(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+        |  CAST(sum(CASE WHEN event_type NOT IN ('signup','purchase','click','view') THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
         |  min(event_id) AS first_scn, max(event_id) AS last_scn
         |FROM events GROUP BY user_id""".stripMargin,
 

@@ -35,7 +35,10 @@ object Relational {
       t(s, dir, "events").groupBy("event_type").agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        // exact decimal accumulation (order-independent), double on the wire:
+        // DECIMAL survives pandas/pyarrow readback differently in the two
+        // engines, a correctly-rounded final double is identical in both
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     }),
 
     // F1 table selection by anchored regex (Schema.cpp:502-530 semantics).
@@ -60,7 +63,8 @@ object Relational {
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
         .groupBy("p_brand").agg(
           count(lit(1)).as("n_items"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
     }),
 
     // Multi-dim broadcast chain (customer ⋈ nation ⋈ region): both dims
@@ -73,7 +77,8 @@ object Relational {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name").agg(
           count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_acctbal"))
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_acctbal"))
     }),
 
     // P1 in-LWN ordering: deterministic per-key sequence numbers
@@ -110,11 +115,13 @@ object Relational {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus").agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_base_price"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(28,4)")).as("sum_disc_price"),
+            .cast("decimal(28,4)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -129,7 +136,7 @@ object Relational {
         .groupBy("l_orderkey", "o_orderdate").agg(
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(28,4)")).as("revenue"))
+            .cast("decimal(28,4)")).cast("double").as("revenue"))
     }),
 
     // §2.6 running metrics: cumulative per-key window aggregation.
@@ -138,7 +145,7 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events")
         .withColumn("running_value",
-          sum(col("value").cast("decimal(18,2)")).over(w))
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
         .select("event_id", "user_id", "running_value")
     }),
 
@@ -205,7 +212,7 @@ object Relational {
           sum(col("value").cast("decimal(18,2)")).as("ps"))
         .groupBy("event_type")
         .agg(sum(col("pc")).as("n_events"),
-          sum(col("ps")).as("sum_value"))
+          sum(col("ps")).cast("double").as("sum_value"))
     })
   )
 
@@ -217,7 +224,7 @@ object Relational {
     "q02_agg_counters" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q03_filter_regex" ->
@@ -229,13 +236,13 @@ object Relational {
 
     "q06_dict_join" ->
       """SELECT p_brand, count(*) AS n_items,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
 
     "q07_multi_join" ->
       """SELECT r_name, count(*) AS n_customers,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -260,20 +267,20 @@ object Relational {
 
     "q14_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        |      AS DECIMAL(28,4))) AS sum_disc_price,
+        |      AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q15_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        |      AS DECIMAL(28,4))) AS revenue
+        |      AS DECIMAL(28,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -282,16 +289,16 @@ object Relational {
 
     "q16_running_sum" ->
       """SELECT event_id, user_id,
-        |  sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events""".stripMargin,
 
     "q17_sessionize" ->
       """SELECT event_id, user_id,
-        |  sum(new_session) OVER (
+        |  CAST(sum(new_session) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM (
         |  SELECT event_id, user_id, ts,
     |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -327,7 +334,7 @@ object Relational {
     // salted two-phase agg ≡ plain group-by (the salt is internal)
     "q44_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin
   )
 }

@@ -337,8 +337,8 @@ object TextOps {
       """SELECT doc_id,
         |  ascii(substr(text, 1, 1)) + 1 AS width,
         |  ascii(substr(text, 2, 1)) + 1 AS height,
-        |  list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
-        |    AS byte_sum
+        |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+        |    AS BIGINT) AS byte_sum
         |FROM documents""".stripMargin,
 
     "q38_mm_frames" ->

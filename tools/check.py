@@ -1,39 +1,61 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — STRICTER than round 1's.
 
-Runs DuckDB on the same parquet tables, executes each oracle_sql.json entry,
-and compares against the Spark parquet dumps produced by graft.Verify:
-columns sorted by name, rows sorted, values compared cell-by-cell.
+Round-1 lesson: reading both sides through duckdb fetchall masked type-class
+differences. A driver that goes through pandas renders DuckDB DECIMAL and
+HUGEINT as float64 ("101951.0") while Spark's parquet DECIMAL reads back as
+Decimal("101951.00") — hash mismatch despite equal values. So this replica
+compares through pandas (oracle: rel.df(); spark: pandas.read_parquet) AND
+flags any type-class difference (int vs float vs Decimal) as a failure.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
+import glob
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+import numpy as np
+
+
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(v)
-    if v is None:
+    # type-CLASS normalization: int32 == int64 ("5"), but Decimal('1.10')
+    # vs float 1.1 differ ("1.10" vs "1.1") — matching what a driver that
+    # hashes str(value) after pandas conversion sees
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return "nan" if math.isnan(v) else repr(float(v))
+    if v is None or v is pd.NaT:
         return "<null>"
     return str(v)
 
 
+def df_sorted(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    data = sorted(tuple(norm(v) for v in row) for row in df.itertuples(index=False))
+    return cols, data
+
+
 def fetch_sorted(con, sql):
-    rel = con.sql(sql)
-    cols = list(rel.columns)
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = rel.fetchall()
-    data = sorted(tuple(norm(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], data
+    return df_sorted(con.sql(sql).df())
+
+
+def spark_sorted(out_dir, name):
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"{out_dir}/{name}/*.parquet")
+    return df_sorted(pd.concat([pd.read_parquet(f) for f in files]))
 
 
 def main(sf_dir, out_dir):
@@ -52,8 +74,7 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         try:
-            scols, srows = fetch_sorted(
-                con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols, srows = spark_sorted(out_dir, name)
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
             n_bad += 1
