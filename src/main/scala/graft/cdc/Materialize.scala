@@ -47,15 +47,19 @@ object Materialize {
   }
 
   /** F2: apply each table's row condition; rows of tables without a
-    * condition pass. Conditions evaluate over (op, attrs). */
+    * condition pass. Conditions evaluate over (op, attrs), with [op] seen
+    * as the reference's DML char 'i'/'u'/'d' (Builder.cpp:773/1632 passes
+    * 'i' for inserts) — NOT the wire code 'c' the output column carries. */
   def applyConditions(enriched: DataFrame, dict: Dictionary): DataFrame = {
     val conditioned = dict.selected.filter(_.conditionExpr.nonEmpty)
     if (conditioned.isEmpty) enriched
     else {
+      val opChar =
+        when(col("op") === MsgOp.Insert, lit("i")).otherwise(col("op"))
       // one disjunction-free Column per table: (obj != t.obj) OR cond(t)
       val pred = conditioned.map { t =>
         (col("obj") =!= lit(t.obj)) ||
-          Condition.compile(t.conditionExpr, col("op"), col("attrs"))
+          Condition.compile(t.conditionExpr, opChar, col("attrs"))
       }.reduce(_ && _)
       enriched.filter(pred)
     }

@@ -32,9 +32,6 @@ object TxnAssembly {
         * only DML, e.g. relational adapters). OLR itself never does this. */
       commitAtEnd: Boolean = false,
       emitBeginCommit: Boolean = false,
-      /** Force-split transactions bigger than this into multiple emitted
-        * chunks (≙ max-message-mb split, Transaction.cpp:519-538). */
-      maxMessagesPerChunk: Int = Int.MaxValue,
       stateTtlMs: Long = -1L)
 
   /** Mutable per-XID state; the streaming path snapshots/restores it. */
@@ -131,8 +128,13 @@ object TxnAssembly {
       st.ops.foreach { e =>
         val fb = Option(e.fb).getOrElse("")
         val isPiece = Op.dml.contains(e.op) && fb.nonEmpty
-        if (isPiece && fb.contains("F") && !fb.contains("L")) head = e
-        else if (isPiece && head != null && !fb.contains("F")) {
+        if (isPiece && fb.contains("F") && !fb.contains("L")) {
+          // a second F piece while a chain is still open = redo-log
+          // inconsistency (Transaction.cpp:483-486 warns); keep the earlier
+          // piece's columns by flushing it rather than dropping it
+          if (head != null) acc += head
+          head = e
+        } else if (isPiece && head != null && !fb.contains("F")) {
           head = head.copy(
             before = mm(head.before, e.before),
             after = mm(head.after, e.after),

@@ -58,6 +58,9 @@ object Sinks {
     * persists as the resume offset.
     */
   final class ConfirmTracker {
+    // sentLog: every sent id ≥ the watermark (trimmed as it advances, so
+    // memory stays O(inflight)); pending: sent but not yet acked
+    private val sentLog = scala.collection.mutable.SortedSet.empty[(Long, Long)]
     private val pending = scala.collection.mutable.SortedSet.empty[(Long, Long)]
     private var sentMax: Option[(Long, Long)] = None
     private var watermark: Option[(Long, Long)] = None
@@ -68,27 +71,26 @@ object Sinks {
       require(sentMax.forall(m => Ordering[(Long, Long)].lt(m, id)),
         s"sends must be ordered: $id after $sentMax")
       sentMax = Some(id)
+      sentLog += id
       pending += id
     }
 
-    /** Ack one message; advances the watermark only when the lowest
-      * in-flight ids become contiguous-confirmed. */
+    /** Ack one message; the watermark advances to the highest SENT id
+      * strictly below the lowest still-pending send (never a synthesized
+      * position, and gap-filling acks advance it past already-confirmed
+      * higher ids — the reference's contiguous min-heap confirm,
+      * Writer.cpp:106-165). */
     def confirm(cScn: Long, cIdx: Long): Unit = synchronized {
       pending -= ((cScn, cIdx))
-      watermark = Some(
-        pending.headOption match {
-          case Some(_) =>
-            // confirmed = everything below the lowest still-pending send
-            confirmedBelow((cScn, cIdx))
-          case None => sentMax.getOrElse((cScn, cIdx))
-        })
-    }
-
-    private def confirmedBelow(ack: (Long, Long)): (Long, Long) = {
-      val low = pending.head
-      // highest confirmed id strictly below the lowest pending one
-      if (Ordering[(Long, Long)].lt(ack, low)) ack
-      else (low._1, low._2 - 1)
+      val wm = pending.headOption match {
+        case Some(low) => sentLog.maxBefore(low)
+        case None => sentMax
+      }
+      wm.foreach { w =>
+        watermark = Some(w)
+        // ids below the watermark can never be needed again
+        sentLog --= sentLog.rangeUntil(w)
+      }
     }
 
     /** The idempotent-restart position: all ids ≤ this are delivered. */

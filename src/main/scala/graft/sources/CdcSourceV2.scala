@@ -98,17 +98,26 @@ final class CdcScan(path: String, required: StructType, filters: Array[Filter])
     new CdcReaderFactory(required, filters)
 
   /** S5 online polling loop as a micro-batch stream: the offset is the
-    * count of (sorted) files seen; each trigger reads the newly-appeared
-    * files — the reference's archived-log polling (Replicator.cpp:690-816)
-    * with the log switch handled by the offset bump. Files must be
-    * immutable once written (the archived-redo contract). */
+    * NAME of the last consumed file (content-addressed); each trigger reads
+    * files whose log-sequence key sorts strictly after it — the reference's
+    * archived-log polling (Replicator.cpp:690-816) with the log switch
+    * handled by the offset bump. Files must be immutable once written
+    * (the archived-redo contract). */
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
     new CdcMicroBatchStream(path, required, filters)
 }
 
 object CdcScan {
-  /** Sorted file list = archived-log sequence order (deterministic
-    * partition numbering, stable offsets). */
+  /** Log-sequence sort key: the trailing digit run of the name, numerically
+    * (log_10 AFTER log_9, even though 'log_10' < 'log_9' lexicographically —
+    * archived-redo names are not zero-padded in general). Non-sequenced
+    * names order after sequenced ones, by name. */
+  private val seqRe = """(\d+)\D*$""".r
+  def sortKey(name: String): (Long, String) =
+    seqRe.findFirstMatchIn(name).map(m => (m.group(1).toLong, name))
+      .getOrElse((Long.MaxValue, name))
+
+  /** File list in log-sequence order (deterministic partition numbering). */
   def listFiles(path: String): Array[String] = {
     val dir = new java.io.File(path)
     val files =
@@ -118,30 +127,52 @@ object CdcScan {
           f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
         if (ls == null) Array.empty[java.io.File] else ls
       }
-    files.sortBy(_.getName).map(_.getAbsolutePath)
+    files.sortBy(f => sortKey(f.getName)).map(_.getAbsolutePath)
   }
 }
 
-/** Stream offset: number of files consumed from the sorted listing. */
-case class CdcOffset(fileCount: Int) extends streaming.Offset {
-  override def json(): String = s"""{"fileCount":$fileCount}"""
+/** Stream offset: the last consumed file name ("" = nothing yet). Content-
+  * addressed on purpose: an index into the re-sorted listing would shift
+  * when a late file sorts before already-consumed ones, re-emitting read
+  * files and permanently skipping the new one. */
+case class CdcOffset(lastFile: String) extends streaming.Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    m.writeValueAsString(m.createObjectNode().put("lastFile", lastFile))
+  }
 }
 
 final class CdcMicroBatchStream(path: String, required: StructType,
     filters: Array[Filter]) extends streaming.MicroBatchStream {
 
-  override def initialOffset(): streaming.Offset = CdcOffset(0)
-  override def latestOffset(): streaming.Offset =
-    CdcOffset(CdcScan.listFiles(path).length)
+  private def baseName(p: String): String = new java.io.File(p).getName
+  private def keyOf(off: streaming.Offset): Option[(Long, String)] = {
+    val f = off.asInstanceOf[CdcOffset].lastFile
+    if (f == null || f.isEmpty) None else Some(CdcScan.sortKey(f))
+  }
+
+  override def initialOffset(): streaming.Offset = CdcOffset("")
+  override def latestOffset(): streaming.Offset = {
+    val fs = CdcScan.listFiles(path)
+    CdcOffset(if (fs.isEmpty) "" else baseName(fs.last))
+  }
   override def deserializeOffset(json: String): streaming.Offset =
-    CdcOffset(new ObjectMapper().readTree(json).get("fileCount").asInt)
+    CdcOffset(new ObjectMapper().readTree(json).get("lastFile").asText)
 
   override def planInputPartitions(start: streaming.Offset,
       end: streaming.Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[CdcOffset].fileCount
-    val e = end.asInstanceOf[CdcOffset].fileCount
-    CdcScan.listFiles(path).slice(s, e)
-      .map(f => CdcInputPartition(f): InputPartition)
+    val ord = Ordering[(Long, String)]
+    val sKey = keyOf(start)
+    keyOf(end) match {
+      case None => Array.empty
+      case Some(eKey) =>
+        CdcScan.listFiles(path)
+          .filter { f =>
+            val k = CdcScan.sortKey(baseName(f))
+            sKey.forall(ord.lt(_, k)) && ord.lteq(k, eKey)
+          }
+          .map(f => CdcInputPartition(f): InputPartition)
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(required, filters)

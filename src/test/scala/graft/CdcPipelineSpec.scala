@@ -111,6 +111,21 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("c")) // delete filtered out, insert kept
   }
 
+  test("f12b: [op] == 'i' matches inserts (reference op chars, not wire codes)") {
+    // Builder.cpp:773/1632 evaluates conditions with 'i' for inserts even
+    // though the emitted message op is 'c'
+    val dictCond = Dictionary(Seq(
+      dict1.tables.head.copy(conditionExpr = "[op] == 'i'")),
+      Seq(TableSelector("OWNER1", "T1")))
+    val events = Seq(
+      ev(1, Op.Ins, after = Map("ID" -> "1")),
+      ev(2, Op.Upd, before = Map("ID" -> "1"), after = Map("ID" -> "2")),
+      ev(3, Op.Del, before = Map("ID" -> "2")),
+      ev(4, Op.Commit))
+    val out = pipe(events, dictCond).select("op").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("c")) // only the insert passes, as 'i'
+  }
+
   test("f15: schema evolution — scn-versioned dictionary join") {
     val evolved = dict1.evolve(
       DbTable(100L, 100L, "OWNER1", "T1_RENAMED",

@@ -88,6 +88,45 @@ class CdcSourceV2Spec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("micro-batch offsets survive non-zero-padded sequences (log_10 after log_9)") {
+    import spark.implicits._
+    // 'log_10' < 'log_9' lexicographically: a count-into-sorted-listing
+    // offset would re-emit log_9 and permanently skip log_10. The offset is
+    // the last consumed file name with numeric-sequence ordering instead.
+    val dir = Files.createTempDirectory("cdcv2n").toFile
+    def writeLog(name: String, scns: Seq[Long]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      scns.foreach(n =>
+        w.println(s"""{"scn":$n,"xid":"1.0.1","op":"INS","obj":1}"""))
+      w.close()
+    }
+    writeLog("log_9.jsonl", Seq(1, 2))
+    val df = spark.readStream.format("graft.sources.CdcSourceV2")
+      .option("path", dir.getAbsolutePath).load()
+    val query = df.select("scn").writeStream
+      .format("memory").queryName("cdcv2_npad").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("cdcv2_npad").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L))
+      writeLog("log_10.jsonl", Seq(3, 4))
+      query.processAllAvailable()
+      assert(spark.table("cdcv2_npad").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L)) // exactly once: no re-emit, nothing skipped
+    } finally query.stop()
+  }
+
+  test("batch listing orders by numeric log sequence") {
+    val fs = graft.sources.CdcScan.listFiles({
+      val dir = Files.createTempDirectory("cdcv2o").toFile
+      Seq("log_9.jsonl", "log_10.jsonl", "log_2.jsonl").foreach { n =>
+        val w = new java.io.PrintWriter(new java.io.File(dir, n)); w.close()
+      }
+      dir.getAbsolutePath
+    }).map(p => new java.io.File(p).getName).toSeq
+    assert(fs == Seq("log_2.jsonl", "log_9.jsonl", "log_10.jsonl"))
+  }
+
   test("feeds the real pipeline: as[ChangeEvent] + assembly") {
     implicit val s: SparkSession = spark
     import s.implicits._

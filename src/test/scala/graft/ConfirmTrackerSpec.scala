@@ -13,14 +13,12 @@ class ConfirmTrackerSpec extends AnyFunSuite {
     assert(t.confirmed.isEmpty)
 
     t.confirm(11, 0) // out of order: highest acked first
-    // nothing contiguous below (10,0) yet
-    assert(t.confirmed.exists(w => Ordering[(Long, Long)].lt(w, (10L, 0L))))
+    assert(t.confirmed.isEmpty) // nothing contiguous confirmed yet
 
     t.confirm(10, 0)
-    // (10,0) confirmed, (10,1) still pending → watermark < (10,1)
-    val w = t.confirmed.get
-    assert(Ordering[(Long, Long)].gteq(w, (10L, 0L)))
-    assert(Ordering[(Long, Long)].lt(w, (10L, 1L)))
+    // (10,0) confirmed, (10,1) still pending → watermark is exactly (10,0):
+    // the highest SENT id below the lowest pending, never a synthesized one
+    assert(t.confirmed.contains((10L, 0L)))
 
     t.confirm(10, 1) // all acked → watermark = last sent
     assert(t.confirmed.contains((11L, 0L)))
@@ -32,12 +30,25 @@ class ConfirmTrackerSpec extends AnyFunSuite {
     (0L to 4L).foreach(i => t.sent(100L, i))
     (0L to 3L).foreach { i =>
       t.confirm(100L, i)
-      val w = t.confirmed.get
-      assert(Ordering[(Long, Long)].gteq(w, (100L, i)))
-      assert(Ordering[(Long, Long)].lt(w, (100L, i + 1)))
+      assert(t.confirmed.contains((100L, i)))
     }
     t.confirm(100L, 4L)
     assert(t.confirmed.contains((100L, 4L)))
+  }
+
+  test("gap-filling ack advances past already-confirmed higher ids") {
+    // sent 1..4; ack 2 then 1: the contiguous prefix is {1,2}, so the
+    // watermark must be (2,0) — the Writer.cpp:106-165 min-heap behavior
+    val t = new ConfirmTracker
+    (1L to 4L).foreach(s => t.sent(s, 0))
+    t.confirm(2, 0)
+    assert(t.confirmed.isEmpty) // 1 still pending
+    t.confirm(1, 0)
+    assert(t.confirmed.contains((2L, 0L)))
+    t.confirm(4, 0)
+    assert(t.confirmed.contains((2L, 0L))) // 3 still pending
+    t.confirm(3, 0)
+    assert(t.confirmed.contains((4L, 0L)))
   }
 
   test("sends must be ordered") {

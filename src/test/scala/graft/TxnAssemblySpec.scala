@@ -171,6 +171,19 @@ class TxnAssemblySpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("T4: a second F piece while a chain is open flushes the earlier piece") {
+    // redo-log inconsistency (Transaction.cpp:483-486 warns): the buffered
+    // piece must surface, not silently vanish
+    val out = run(Seq(
+      ev(1, Op.Ins).copy(fb = "F", after = Map("c1" -> "a")),
+      ev(2, Op.Ins).copy(fb = "F", after = Map("c1" -> "b")),
+      ev(3, Op.Ins).copy(fb = "L", after = Map("c2" -> "c")),
+      ev(4, Op.Commit)))
+    assert(out.size == 2)
+    assert(out.head.after == Map("c1" -> "a")) // earlier piece kept
+    assert(out(1).after == Map("c1" -> "b", "c2" -> "c")) // new chain merges
+  }
+
   test("two transactions on the same xid in sequence") {
     val out = run(Seq(
       ev(1, Op.Ins).copy(after = Map("k" -> "t1")),
