@@ -204,6 +204,19 @@ object Relational {
     // hot key would overwhelm one reducer). Phase 1 aggregates (key, salt),
     // phase 2 merges salts; result is identical to the plain groupBy, which
     // is exactly what the oracle states.
+    // Deterministic stratified sampling: per-stratum rate via a portable
+    // md5 threshold — reproducible training-data curation with no RNG/seed
+    // drift across engines or re-runs, and embarrassingly parallel (pure
+    // per-row predicate, no shuffle, pushdown-friendly).
+    "q47_stratified_sample" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(substring(md5(col("event_id").cast("string")), 1, 2) <
+          when(col("event_type") === "click", "10")
+            .when(col("event_type") === "view", "20")
+            .otherwise("80"))
+        .select("event_id", "event_type")
+    }),
+
     "q44_salted_agg" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("salt", pmod(col("event_id"), lit(8)))
@@ -330,6 +343,12 @@ object Relational {
         |      ORDER BY value DESC, event_id) AS rk
         |  FROM events)
         |WHERE rk <= 3""".stripMargin,
+
+    "q47_stratified_sample" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+        |  CASE event_type WHEN 'click' THEN '10'
+        |                  WHEN 'view' THEN '20' ELSE '80' END""".stripMargin,
 
     // salted two-phase agg ≡ plain group-by (the salt is internal)
     "q44_salted_agg" ->

@@ -53,6 +53,29 @@ object TextOps {
     * scale the same repartition spreads hot docs across executors. */
   private def spread(df: DataFrame): DataFrame = df.repartition(col("doc_id"))
 
+  /** Verified near-dup pairs: LSH band-bucket join → candidates → exact
+    * Jaccard ≥ 0.5 (shared by q29 and the q46 clustering on top of it). */
+  private def lshVerifiedPairs(docs: DataFrame): DataFrame = {
+    val banded0 = withBands(docs).cache()
+    val banded = banded0.select(col("doc_id"),
+        explode(array(col("band0"), col("band1"))).as("band"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+      .distinct()
+    val sh = banded0.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("shingles").as("sh_a")), "doc_id_a")
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("shingles").as("sh_b")), "doc_id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union",
+        size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
   /** documents → (doc_id, shingles, band0, band1) — shared LSH front end. */
   private def withBands(docs: DataFrame): DataFrame = {
     val base = spread(docs)
@@ -153,25 +176,40 @@ object TextOps {
     // MinHash-LSH near-dup pairs: band-bucket join → candidate pairs →
     // exact-Jaccard verification ≥ 0.5. The canonical scale-out dedup plan:
     // shuffle on band hash only, candidates ≪ n².
-    "q29_minhash_pairs" -> ((s, dir) => {
-      val docs = withBands(t(s, dir, "documents")).cache()
-      val banded = docs.select(col("doc_id"),
-          explode(array(col("band0"), col("band1"))).as("band"))
-      val cand = banded.as("x").join(banded.as("y"), Seq("band"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
-        .distinct()
-      val sh = docs.select(col("doc_id"), col("shingles"))
-      cand
-        .join(sh.select(col("doc_id").as("doc_id_a"), col("shingles").as("sh_a")), "doc_id_a")
-        .join(sh.select(col("doc_id").as("doc_id_b"), col("shingles").as("sh_b")), "doc_id_b")
-        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("n_union",
-          size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
-        .withColumn("jaccard",
-          col("n_inter").cast("double") / col("n_union").cast("double"))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_id_a", "doc_id_b", "jaccard")
+    "q29_minhash_pairs" -> ((s, dir) =>
+      lshVerifiedPairs(t(s, dir, "documents"))),
+
+    // Near-dup CLUSTERS: connected components over the verified LSH pairs —
+    // the step a real corpus dedup needs after pairwise detection (keep one
+    // canonical doc per transitive group, not per pair). Min-label
+    // propagation to fixpoint: O(component diameter) joins, each shuffling
+    // only (node, label) longs; at 100 TB swap the propagation step for
+    // large-star/small-star (Kiveris et al.) to bound rounds at O(log n) —
+    // same join shape, so the plan below is the building block either way.
+    "q46_dedup_clusters" -> ((s, dir) => {
+      val pairs = lshVerifiedPairs(t(s, dir, "documents"))
+        .select("doc_id_a", "doc_id_b")
+      val edges = pairs
+        .union(pairs.select(col("doc_id_b"), col("doc_id_a")))
+        .toDF("node", "nbr").cache()
+      var labels = edges.select("node").distinct()
+        .withColumn("cluster_id", col("node")).localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+          .groupBy("node").agg(min("cluster_id").as("nbr_min"))
+        val next = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"))
+          .localCheckpoint(true) // truncate lineage: plan stays O(1) per round
+        changed = next
+          .join(labels.withColumnRenamed("cluster_id", "prev"), "node")
+          .filter(col("cluster_id") =!= col("prev")).count()
+        labels = next
+      }
+      labels.select(col("node").as("doc_id"), col("cluster_id"))
     }),
 
     // Multimodal plumbing: opaque binary payload + typed metadata extraction
@@ -325,6 +363,39 @@ object TextOps {
          |  JOIN sig sa ON sa.doc_id = cand.doc_id_a
          |  JOIN sig sb ON sb.doc_id = cand.doc_id_b)
          |SELECT doc_id_a, doc_id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    "q46_dedup_clusters" ->
+      s"""WITH RECURSIVE sig AS (
+         |  SELECT doc_id, shingles,
+         |    md5(mh0 || mh1 || mh2 || mh3) AS band0,
+         |    md5(mh4 || mh5 || mh6 || mh7) AS band1
+         |  FROM ($sqlBands)),
+         |banded AS (
+         |  SELECT doc_id, unnest([band0, band1]) AS band FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+         |  FROM banded x JOIN banded y USING (band)
+         |  WHERE x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT doc_id_a, doc_id_b FROM (
+         |    SELECT doc_id_a, doc_id_b,
+         |      CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE) /
+         |      CAST(len(sa.shingles) + len(sb.shingles)
+         |           - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+         |      AS jaccard
+         |    FROM cand
+         |    JOIN sig sa ON sa.doc_id = cand.doc_id_a
+         |    JOIN sig sb ON sb.doc_id = cand.doc_id_b)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_id_a AS node, doc_id_b AS nbr FROM pairs
+         |  UNION SELECT doc_id_b, doc_id_a FROM pairs),
+         |walk AS (
+         |  SELECT node, node AS lab FROM edges
+         |  UNION
+         |  SELECT e.node, w.lab FROM edges e JOIN walk w ON w.node = e.nbr)
+         |SELECT node AS doc_id, min(lab) AS cluster_id
+         |FROM walk GROUP BY node""".stripMargin,
 
     "q33_multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
