@@ -1,0 +1,145 @@
+package graft.cdc
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Protobuf output envelope (SURVEY.md §1.4 / §2.8 W3): the reference's
+  * second wire format (proto/OraProtoBuf.proto:27-158 — RedoResponse with
+  * one Payload per DML, Value columns, map<string,string> attributes),
+  * encoded from scratch against the public protobuf wire format (tag =
+  * field<<3|wire, base-128 varints, length-delimited submessages). No
+  * generated code, no runtime dependency.
+  *
+  * Canonical-encoding rules so bytes are deterministic and goldenable:
+  * fields in ascending field-number order, proto3 defaults omitted
+  * (zero ints, empty strings) except inside oneofs, map/column entries in
+  * sorted key order (the reference emits columns in dictionary order; maps
+  * here are unordered, so sorting is the deterministic analogue).
+  *
+  * At scale the encoder is a per-row pure function (no shuffle, no state);
+  * it runs inside the sink projection exactly like `to_json` does for W1.
+  */
+object ProtoEnvelope {
+
+  // proto/OraProtoBuf.proto:28-36 (enum Op)
+  private val opCode = Map(
+    MsgOp.Begin -> 0, MsgOp.Commit -> 1, MsgOp.Insert -> 2, MsgOp.Update -> 3,
+    MsgOp.Delete -> 4, MsgOp.Ddl -> 5, MsgOp.Checkpoint -> 6)
+
+  // ResponseCode.PAYLOAD (proto:70-79)
+  private val ResponsePayload = 5
+
+  /** Base-128 little-endian varint. */
+  def varint(v: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream(10)
+    var x = v
+    while ((x & ~0x7fL) != 0L) {
+      out.write(((x & 0x7f) | 0x80).toInt)
+      x >>>= 7
+    }
+    out.write((x & 0x7f).toInt)
+    out.toByteArray
+  }
+
+  private def key(field: Int, wire: Int): Array[Byte] =
+    varint((field.toLong << 3) | wire)
+
+  /** varint field; proto3 canonical: zero omitted. */
+  private def vint(field: Int, v: Long): Array[Byte] =
+    if (v == 0L) Array.emptyByteArray else key(field, 0) ++ varint(v)
+
+  /** varint field inside a oneof: present even when zero. */
+  private def vintOneof(field: Int, v: Long): Array[Byte] =
+    key(field, 0) ++ varint(v)
+
+  private def lenDelim(field: Int, b: Array[Byte]): Array[Byte] =
+    key(field, 2) ++ varint(b.length.toLong) ++ b
+
+  /** string field; empty/null omitted (proto3 default). */
+  private def str(field: Int, s: String): Array[Byte] =
+    if (s == null || s.isEmpty) Array.emptyByteArray
+    else lenDelim(field, s.getBytes(UTF_8))
+
+  /** Value{name=1, value_string=5} (proto:82-91; the string arm — typed
+    * arms slot into the same shape). value_string is in a oneof → kept
+    * even when empty. */
+  def encodeValue(name: String, value: String): Array[Byte] =
+    str(1, name) ++ lenDelim(5,
+      (if (value == null) "" else value).getBytes(UTF_8))
+
+  /** Schema{owner=1, name=2, obj=3} (proto:100-109). */
+  def encodeSchema(owner: String, table: String, obj: Long): Array[Byte] =
+    str(1, owner) ++ str(2, table) ++ vint(3, obj)
+
+  /** Payload{op=1, schema=2, rid=3, before=4, after=5, ddl=6}
+    * (proto:111-121). */
+  def encodePayload(op: String, owner: String, table: String, obj: Long,
+      rid: String, before: Map[String, String], after: Map[String, String],
+      ddl: String): Array[Byte] = {
+    def values(field: Int, m: Map[String, String]): Array[Byte] =
+      if (m == null) Array.emptyByteArray
+      else m.toSeq.sortBy(_._1)
+        .map { case (k, v) => lenDelim(field, encodeValue(k, v)) }
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+    vint(1, opCode.getOrElse(op, 0).toLong) ++
+      (if (owner != null)
+        lenDelim(2, encodeSchema(owner, table, obj))
+      else Array.emptyByteArray) ++
+      str(3, rid) ++
+      values(4, before) ++
+      values(5, after) ++
+      str(6, ddl)
+  }
+
+  /** RedoResponse{code=1, scn=2(oneof), xid=6(oneof), payload=9, c_scn=10,
+    * c_idx=11, attributes=12} (proto:143-158). One Payload per message —
+    * the streaming writer's per-DML shape. */
+  def encodeResponse(cScn: Long, cIdx: Long, scn: Long, xid: String,
+      op: String, owner: String, table: String, obj: Long, rid: String,
+      before: Map[String, String], after: Map[String, String], ddl: String,
+      attrs: Map[String, String]): Array[Byte] = {
+    def mapEntries(field: Int, m: Map[String, String]): Array[Byte] =
+      if (m == null) Array.emptyByteArray
+      else m.toSeq.sortBy(_._1)
+        .map { case (k, v) => lenDelim(field, str(1, k) ++ str(2, v)) }
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+    vint(1, ResponsePayload.toLong) ++
+      vintOneof(2, scn) ++
+      (if (xid == null || xid.isEmpty) Array.emptyByteArray
+      else lenDelim(6, xid.getBytes(UTF_8))) ++
+      lenDelim(9,
+        encodePayload(op, owner, table, obj, rid, before, after, ddl)) ++
+      vint(10, cScn) ++
+      vint(11, cIdx) ++
+      mapEntries(12, attrs)
+  }
+
+  /** W3 framing: 32-bit little-endian length prefix
+    * (StreamNetwork.cpp:122-146; the 64-bit escape for >4 GiB messages is
+    * out of scope — maxMessageMb caps far below it). */
+  def frame(msg: Array[Byte]): Array[Byte] = {
+    val n = msg.length
+    Array[Byte](
+      (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte) ++ msg
+  }
+
+  /** enriched rows (Materialize output) → (key, value_bin) frame; the
+    * binary twin of [[Envelope.toMessages]]. */
+  def toMessages(enriched: DataFrame): DataFrame = {
+    // scalars packed into arrays: Scala UDFs take ≤10 args
+    val enc = udf((nums: Seq[Long], strs: Seq[String],
+        before: Map[String, String], after: Map[String, String],
+        attrs: Map[String, String]) =>
+      encodeResponse(nums(0), nums(1), nums(2), strs(0), strs(1), strs(2),
+        strs(3), nums(3), strs(4), before, after, strs(5), attrs))
+    enriched.withColumn("value_bin",
+        enc(array(col("cScn"), col("cIdx"), col("scn"), col("obj")),
+          array(col("xid"), col("op"), col("owner"), col("table_name"),
+            col("rid"), col("ddlText")),
+          col("before"), col("after"), col("attrs")))
+      .withColumn("key", col("tag"))
+  }
+}

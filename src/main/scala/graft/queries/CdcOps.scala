@@ -196,6 +196,29 @@ object CdcOps {
         .select(col("c_scn"), col("key"), col("value"))
     }),
 
+    // §1.4 protobuf envelope through the full materialize + scratch
+    // wire-format encoder (proto/OraProtoBuf.proto:82-158); the oracle
+    // reconstructs the exact wire BYTES independently (varints, tags,
+    // nested message lengths), so the binary format is golden-gated the
+    // same way q40 gates the JSON one.
+    "q48_envelope_proto" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(100L, 100L, "APP", "EVENTS",
+        Seq(DbColumn("value", 1, numPk = 1)), tagType = "pk")))
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op", "100L AS obj",
+          "CAST(NULL AS STRING) AS rid",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING)) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText")
+        .as[ChangeMessage]
+      ProtoEnvelope.toMessages(Materialize(messages, dict))
+        .select(col("cScn").as("c_scn"), hex(col("value_bin")).as("proto_hex"))
+    }),
+
     // T8 + F5 combined through the assembler: skip-XID list drops whole
     // transactions before any buffering.
     "q36_skip_xid_state" -> ((s, dir) => {
@@ -220,7 +243,32 @@ object CdcOps {
     }.mkString(" || ")
   }
 
+  /** Varint hex for 0 ≤ x < 2^21 (3 bytes max — event_id stays far below). */
+  private def sqlVarintHex(x: String): String =
+    s"""(CASE WHEN ($x) < 128 THEN printf('%02X', ($x))
+       | WHEN ($x) < 16384 THEN
+       |   printf('%02X%02X', (($x) % 128) + 128, ($x) // 128)
+       | ELSE printf('%02X%02X%02X', (($x) % 128) + 128,
+       |   ((($x) // 128) % 128) + 128, ($x) // 16384) END)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // RedoResponse{code=5, scn, xid, payload{op=2, schema{APP,EVENTS,100},
+    // after=[Value{value,s}]}, c_scn}; c_idx=0/empty fields omitted.
+    // Payload length = 2(op) + 17(schema field) + 2+9+len(s) (after field).
+    "q48_envelope_proto" ->
+      s"""SELECT event_id AS c_scn,
+         |  '0805' || '10' || ${sqlVarintHex("event_id")} ||
+         |  '32' || printf('%02X', length(xid)) || hex(xid) ||
+         |  '4A' || printf('%02X', 30 + length(s)) ||
+         |  '0802' ||
+         |  '120F' || '0A03' || hex('APP') || '1206' || hex('EVENTS') || '1864' ||
+         |  '2A' || printf('%02X', 9 + length(s)) ||
+         |  '0A05' || hex('value') || '2A' || printf('%02X', length(s)) || hex(s) ||
+         |  CASE WHEN event_id = 0 THEN ''
+         |       ELSE '50' || ${sqlVarintHex("event_id")} END AS proto_hex
+         |FROM (SELECT event_id, CAST(user_id AS VARCHAR) AS xid,
+         |      CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS s
+         |      FROM events)""".stripMargin,
     "q04_condition_filter" ->
       """SELECT event_id, user_id FROM (
         |  SELECT event_id, user_id,
