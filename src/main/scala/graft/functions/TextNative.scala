@@ -1,0 +1,160 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass kernels for the dedup/text pack (SURVEY.md §2.10
+  * promotion rule: hot scalar paths become codegen'd Expressions).
+  *
+  * The Column-API formulation (`split` → `slice`×3 → `zip_with`×2 →
+  * `array_distinct`, then 8× `array_min(transform(md5(...)))`) evaluates
+  * every higher-order lambda interpreted, re-reads the shingle array once
+  * per minhash seed, and hexes every candidate hash. These kernels do one
+  * pass per row with a reused MessageDigest, unsigned byte-compare for the
+  * running min (hex only the winners), and zero boxing. Output is
+  * IDENTICAL to the Column formulation and the DuckDB oracles:
+  * shingles = distinct token 3-grams in first-occurrence order,
+  * minhash_i = lexicographic min over md5 hex of "i|shingle".
+  */
+object TextNative {
+
+  /** Distinct space-delimited token 3-grams ("t0 t1 t2"), first-occurrence
+    * order — byte-equal to the slices/zip_with/array_distinct pipeline. */
+  def shingles3(text: UTF8String): ArrayData = {
+    val toks = new java.util.ArrayList[String](64)
+    val s = text.toString
+    var start = 0
+    val len = s.length
+    while (start <= len) {
+      var end = s.indexOf(' ', start)
+      if (end < 0) end = len
+      if (end > start) toks.add(s.substring(start, end))
+      start = end + 1
+    }
+    val n = toks.size
+    val seen = new java.util.LinkedHashSet[String](math.max(16, n * 2))
+    var i = 0
+    while (i + 2 < n) {
+      seen.add(toks.get(i) + " " + toks.get(i + 1) + " " + toks.get(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(b: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(2 * i) = hexChars((b(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexChars(b(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** unsigned lexicographic byte compare == hex-string compare (the hex
+    * alphabet is monotone in the nibble value). */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    false
+  }
+
+  /** nSig minhash values: element i = min over shingles of
+    * md5hex("i|" + shingle). One digest instance, min tracked on raw
+    * bytes, hex only at the end. Empty input → null (no minimum). */
+  def minhashSig(shingles: ArrayData, nSig: Int): ArrayData = {
+    val m = shingles.numElements()
+    if (m == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](nSig)
+    val prefixes = new Array[Array[Byte]](nSig)
+    var i = 0
+    while (i < nSig) { prefixes(i) = (i.toString + "|").getBytes; i += 1 }
+    var j = 0
+    while (j < m) {
+      val sh = shingles.getUTF8String(j).getBytes
+      i = 0
+      while (i < nSig) {
+        md.reset()
+        md.update(prefixes(i))
+        md.update(sh)
+        val h = md.digest()
+        if (mins(i) == null || less(h, mins(i))) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    val out = new Array[Any](nSig)
+    i = 0
+    while (i < nSig) { out(i) = toHex(mins(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** text → distinct token-3-gram shingles, as a codegen-participating
+  * expression (single static call inside the generated loop). */
+case class Shingles3(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${dt.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+  override def nullSafeEval(t: Any): Any =
+    TextNative.shingles3(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextNative.shingles3($t)")
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
+/** shingles → nSig-element minhash signature (md5-hex minima). Null on
+  * empty shingle sets — callers filter those rows anyway. */
+case class MinHashSig(child: Expression, nSig: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${dt.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(sh: Any): Any =
+    TextNative.minhashSig(sh.asInstanceOf[ArrayData], nSig)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sh => {
+      s"""
+         |${ev.value} = graft.functions.TextNative.minhashSig($sh, $nSig);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  def shingles3(text: Column): Column =
+    Bridge.column(Shingles3(Bridge.expression(text)))
+  def minhashSig(shingles: Column, nSig: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingles), nSig))
+}

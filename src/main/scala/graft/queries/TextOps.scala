@@ -20,7 +20,7 @@ object TextOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
   /** Non-empty whitespace tokens, as a Column over `text`. */
-  private def tokensCol: Column =
+  private[graft] def tokensCol: Column =
     filter(split(col("text"), " "), x => x =!= "")
 
   /** Distinct 3-gram (token-trigram) shingles.
@@ -30,7 +30,7 @@ object TextOps {
     * subexpression inside a higher-order-function lambda is re-evaluated per
     * ELEMENT, so the element_at form re-tokenized the document O(n_tokens²)
     * times per row. Slices evaluate the token array once per row. */
-  private def shinglesCol(tokens: Column): Column = {
+  private[graft] def shinglesCol(tokens: Column): Column = {
     val n = size(tokens)
     val sh3 = zip_with(
       zip_with(slice(tokens, lit(1), n - 2), slice(tokens, lit(2), n - 2),
@@ -41,11 +41,13 @@ object TextOps {
       when(n >= 3, sh3).otherwise(array().cast("array<string>")))
   }
 
-  /** MinHash value for seed `i`: lexicographic min of md5(i|shingle). */
-  private def minhash(shingles: Column, i: Int): Column =
+  /** MinHash value for seed `i`: lexicographic min of md5(i|shingle).
+    * Kept as the REFERENCE formulation: TextOpsNativeSpec pins the native
+    * kernels ([[graft.functions.TextExpressions]]) to this + shinglesCol. */
+  private[graft] def minhash(shingles: Column, i: Int): Column =
     array_min(transform(shingles, sh => md5(concat(lit(s"$i|"), sh))))
 
-  private val nSig = 8 // 8 minhashes → 2 bands of 4 (collision prob = s⁴)
+  private[graft] val nSig = 8 // 8 minhashes → 2 bands of 4 (collision prob = s⁴)
 
   /** Spread a small-file scan across all cores before CPU-heavy per-row
     * transforms (shingling = hundreds of md5 calls per row). A single
@@ -76,13 +78,20 @@ object TextOps {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
-  /** documents → (doc_id, shingles, band0, band1) — shared LSH front end. */
+  /** documents → (doc_id, shingles, band0, band1) — shared LSH front end.
+    * Shingling + all 8 minhash minima run as ONE native one-pass kernel per
+    * row (graft.functions.TextNative): the Column formulation re-reads the
+    * shingle array per seed and evaluates every HOF lambda interpreted —
+    * same output, ~2× the time (TextOpsNativeSpec pins the equality). */
   private def withBands(docs: DataFrame): DataFrame = {
     val base = spread(docs)
-      .select(col("doc_id"), shinglesCol(tokensCol).as("shingles"))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.shingles3(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sigs = (0 until nSig).map(i => minhash(col("shingles"), i).as(s"mh$i"))
-    base.select((col("doc_id") +: col("shingles") +: sigs): _*)
+      .withColumn("sig",
+        graft.functions.TextExpressions.minhashSig(col("shingles"), nSig))
+    val mhs = (0 until nSig).map(i => element_at(col("sig"), i + 1).as(s"mh$i"))
+    base.select((col("doc_id") +: col("shingles") +: mhs): _*)
       .withColumn("band0", md5(concat_ws("", col("mh0"), col("mh1"), col("mh2"), col("mh3"))))
       .withColumn("band1", md5(concat_ws("", col("mh4"), col("mh5"), col("mh6"), col("mh7"))))
   }
@@ -139,7 +148,8 @@ object TextOps {
     // used by the LSH verify stage below).
     "q26_ngram_jaccard" -> ((s, dir) => {
       val docs = spread(t(s, dir, "documents"))
-        .select(col("doc_id"), shinglesCol(tokensCol).as("sh"))
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.shingles3(col("text")).as("sh"))
       val a = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
       a.join(b, col("doc_id_b") === col("doc_id_a") + 1)

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.TextExpressions
+import graft.queries.TextOps
+
+/** The native one-pass shingle/minhash kernels must produce EXACTLY the
+  * output of the Column-API reference formulation (which is what the DuckDB
+  * oracles restate) — set-equal shingles, equal minhash minima, on the real
+  * documents table plus hand-picked edge cases. */
+class TextOpsNativeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    import spark.implicits._
+    (Seq(
+      "a b c d e",
+      "one two three",
+      "x y", // < 3 tokens → no shingles
+      "", // empty text
+      "a  b   c d", // runs of spaces → empty tokens dropped
+      "t t t t t" // all-duplicate shingles → distinct collapses
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+      .union(graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id") + 1000, col("text")))
+  }
+
+  test("shingles3 == slices/zip_with/array_distinct formulation (as sets)") {
+    val both = docs.select(
+      TextExpressions.shingles3(col("text")).as("native"),
+      TextOps.shinglesCol(TextOps.tokensCol).as("reference"))
+      .select(array_sort(col("native")).as("n"),
+        array_sort(col("reference")).as("r"))
+    assert(both.filter(not(col("n") <=> col("r"))).count() == 0)
+    // non-trivial: the corpus actually produces shingles
+    assert(both.filter(size(col("n")) > 0).count() > 50)
+  }
+
+  test("minhashSig == 8x array_min(transform(md5)) formulation") {
+    val base = docs.select(col("doc_id"),
+      TextOps.shinglesCol(TextOps.tokensCol).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val refs = (0 until TextOps.nSig).map(i =>
+      TextOps.minhash(col("sh"), i).as(s"r$i"))
+    val both = base.select(
+      (TextExpressions.minhashSig(col("sh"), TextOps.nSig).as("sig") +: refs): _*)
+    val mismatches = (0 until TextOps.nSig).map(i =>
+      both.filter(not(element_at(col("sig"), i + 1) <=> col(s"r$i"))).count())
+    assert(mismatches.forall(_ == 0), s"per-seed mismatches: $mismatches")
+  }
+
+  test("minhashSig of empty shingle set is null") {
+    import spark.implicits._
+    val r = Seq(Tuple1(Seq.empty[String])).toDF("sh")
+      .select(TextExpressions.minhashSig(col("sh"), 8).as("sig"))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+}
