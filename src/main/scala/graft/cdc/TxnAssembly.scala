@@ -196,22 +196,47 @@ object TxnAssembly {
     Ordering.by(e => (e.scn, e.subScn, e.offset))
 
   /** Batch assembly: deterministic replay over a bounded event Dataset.
-    * One shuffle (groupByKey on xid); per-group sort in memory — bounded by
-    * maxOpsPerTxn exactly like the reference's transaction buffer. */
+    *
+    * Sort-based, not `groupByKey.flatMapGroups`: hash-partition by xid,
+    * Tungsten-sort each partition by (xid, scn, subScn, offset), then run
+    * the state machine over consecutive xid runs in one streaming pass.
+    * Same semantics, but the sort runs on UnsafeRows (spillable, no
+    * per-group `Array.sorted`), and resident state is O(open transaction)
+    * — the reference's own memory envelope — instead of O(largest group).
+    */
   def assembleBatch(events: Dataset[ChangeEvent], cfg: Config = Config())(
       implicit spark: SparkSession): Dataset[ChangeMessage] = {
+    import org.apache.spark.sql.functions.col
     import spark.implicits._
-    events.groupByKey(_.xid).flatMapGroups { (xid, it) =>
-      val sorted = it.toArray.sorted(ordering)
-      val st = TxnState.empty
-      val out = ArrayBuffer.empty[ChangeMessage]
-      sorted.foreach(e => out ++= onEvent(xid, e, st, cfg))
-      if (cfg.commitAtEnd && st.ops.nonEmpty) {
-        val last = sorted.last
-        out ++= flush(xid, last.scn, last.seq, st, cfg)
+    events
+      .repartition(col("xid"))
+      .sortWithinPartitions(col("xid"), col("scn"), col("subScn"), col("offset"))
+      .as[ChangeEvent]
+      .mapPartitions { it =>
+        new Iterator[ChangeMessage] {
+          private var curXid: String = null
+          private var st: TxnState = TxnState.empty
+          private var last: ChangeEvent = null
+          private val buf = scala.collection.mutable.Queue.empty[ChangeMessage]
+          private def endGroup(): Unit =
+            if (curXid != null && cfg.commitAtEnd && st.ops.nonEmpty && last != null)
+              buf ++= flush(curXid, last.scn, last.seq, st, cfg)
+          private def fill(): Unit = {
+            while (buf.isEmpty && it.hasNext) {
+              val e = it.next()
+              if (e.xid != curXid) {
+                endGroup()
+                curXid = e.xid; st = TxnState.empty; last = null
+              }
+              buf ++= onEvent(e.xid, e, st, cfg)
+              last = e
+            }
+            if (buf.isEmpty && !it.hasNext) { endGroup(); curXid = null }
+          }
+          override def hasNext: Boolean = { fill(); buf.nonEmpty }
+          override def next(): ChangeMessage = { fill(); buf.dequeue() }
+        }
       }
-      out.iterator
-    }
   }
 
   /** Streaming assembly: flatMapGroupsWithState keyed by XID with a

@@ -209,14 +209,16 @@ object TextOps {
         val nbrMin = edges
           .join(labels.withColumnRenamed("node", "nbr"), "nbr")
           .groupBy("node").agg(min("cluster_id").as("nbr_min"))
+        // change flag computed in the same job (localCheckpoint materializes
+        // eagerly), so convergence needs no extra join — one count per round
         val next = labels.join(nbrMin, Seq("node"), "left")
           .select(col("node"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id"))
+              .as("cluster_id"),
+            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+              .as("chg"))
           .localCheckpoint(true) // truncate lineage: plan stays O(1) per round
-        changed = next
-          .join(labels.withColumnRenamed("cluster_id", "prev"), "node")
-          .filter(col("cluster_id") =!= col("prev")).count()
+        changed = next.filter(col("chg")).count()
         labels = next
       }
       labels.select(col("node").as("doc_id"), col("cluster_id"))
