@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSimilarity, MinHashSig, Shingles3}
+
+/** SQL function surface (SURVEY.md §2.10): the engine's native expressions
+  * registered by name, so `spark.sql("SELECT minhash_sig(shingles3(text), 8)
+  * ...")` works the same as the Column API.
+  *
+  * Two entry points:
+  *   - `spark.sql.extensions=graft.GraftExtensions` at session build time
+  *     (the idiomatic plug-in path for clusters);
+  *   - [[GraftExtensions.register]] for an already-running session
+  *     (notebooks, tests).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.entries.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) triples — the injectFunction contract. */
+  val entries: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - cosine of two array<float> embeddings"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("shingles3"),
+      info("shingles3",
+        "shingles3(text) - distinct space-token 3-gram shingles"),
+      (args: Seq[Expression]) => Shingles3(args.head)),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(shingles, n) - n md5-minhash values (n literal)"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args(0), intLit(args(1), "minhash_sig n"))))
+
+  /** Register on a live session (idempotent; createOrReplace semantics). */
+  def register(spark: SparkSession): Unit = {
+    val registry = org.apache.spark.sql.graftbridge.Bridge.functionRegistry(spark)
+    entries.foreach { case (ident, inf, builder) =>
+      registry.registerFunction(ident, inf, builder)
+    }
+    // scalar codecs (§2.7) as plain UDFs — small, driver-registered
+    spark.udf.register("rowid_encode",
+      (obj: Long, dba: Long, slot: Int) =>
+        graft.core.OracleCodecs.rowIdEncode(obj, dba, slot))
+    spark.udf.register("xid_format",
+      (xid: Long) => graft.core.OracleCodecs.xidFormat(xid))
+  }
+}

@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Session function registry (private[sql] via sessionState) — needed by
+    * GraftExtensions.register for live-session function registration. */
+  def functionRegistry(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+
+/** SQL-name surface for the native expressions: registry entries resolve
+  * and the SQL forms equal the Column-API forms. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("register: SQL calls equal the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val sqlCos = spark.sql(
+      "SELECT cosine_similarity(a, b) FROM vecs").collect().head.getDouble(0)
+    assert(math.abs(sqlCos - 0.6) < 1e-6) // float32 inputs
+
+    Seq(Tuple1("w x y z")).toDF("text").createOrReplaceTempView("docs_ext")
+    val row = spark.sql(
+      """SELECT shingles3(text) AS sh,
+        |       minhash_sig(shingles3(text), 4) AS sig,
+        |       rowid_encode(5, CAST(4194304 AS BIGINT), 1) AS rid,
+        |       xid_format(CAST(281479271677953 AS BIGINT)) AS xid
+        |FROM docs_ext""".stripMargin).collect().head
+    assert(row.getSeq[String](0) == Seq("w x y", "x y z"))
+    assert(row.getSeq[String](1).length == 4)
+    assert(row.getString(2) ==
+      graft.core.OracleCodecs.rowIdEncode(5L, 4194304L, 1))
+    assert(row.getString(3) ==
+      graft.core.OracleCodecs.xidFormat(281479271677953L))
+  }
+
+  test("minhash_sig rejects a non-literal n") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(Tuple1(3)).toDF("n").createOrReplaceTempView("ns")
+    assertThrows[Exception] {
+      spark.sql("SELECT minhash_sig(array('a'), n) FROM ns").collect()
+    }
+  }
+
+  test("extensions class injects every entry") {
+    // unit-level: the plug-in path applies the same entries (an isolated
+    // end-to-end session would race the suite-shared one in this JVM)
+    var injected = 0
+    val ext = new SparkSessionExtensions {
+      override def injectFunction(
+          fn: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+            org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+            Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+              org.apache.spark.sql.catalyst.expressions.Expression)): Unit =
+        injected += 1
+    }
+    new GraftExtensions().apply(ext)
+    assert(injected == GraftExtensions.entries.length)
+  }
+}
