@@ -219,6 +219,19 @@ object CdcOps {
         .select(col("cScn").as("c_scn"), hex(col("value_bin")).as("proto_hex"))
     }),
 
+    // §2.9 tumbling-window throughput (batch-replay form of the streaming
+    // windowed op counter — same Metrics.windowedOpCounts operator the
+    // watermarked stream uses; StreamingSpec covers the late-data path).
+    // Window start surfaces as epoch SECONDS (integer on both sides:
+    // DuckDB epoch() returns double, so the oracle integer-divides ns).
+    "q49_windowed_rate" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .selectExpr("event_type AS op", "timestamp_micros(ts DIV 1000) AS et")
+      graft.streaming.Metrics.windowedOpCounts(ev, col("et"), "1 hour", "1 hour")
+        .select(col("w_start").cast("long").as("w_start_s"),
+          col("op"), col("n_ops"))
+    }),
+
     // T8 + F5 combined through the assembler: skip-XID list drops whole
     // transactions before any buffering.
     "q36_skip_xid_state" -> ((s, dir) => {
@@ -349,6 +362,12 @@ object CdcOps {
 
     "q36_skip_xid_state" ->
       """SELECT user_id, count(*) AS n_msgs FROM events
-        |WHERE user_id NOT IN (3, 7) GROUP BY user_id""".stripMargin
+        |WHERE user_id NOT IN (3, 7) GROUP BY user_id""".stripMargin,
+
+    "q49_windowed_rate" ->
+      """SELECT CAST(epoch_ns(date_trunc('hour', ts)) // 1000000000 AS BIGINT)
+        |    AS w_start_s,
+        |  event_type AS op, count(*) AS n_ops
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

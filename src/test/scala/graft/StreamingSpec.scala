@@ -44,6 +44,31 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("§2.9: windowed op counts — watermark closes windows, drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)] // (op, event-time seconds)
+    val windowed = graft.streaming.Metrics.windowedOpCounts(
+      input.toDS().toDF("op", "sec"),
+      org.apache.spark.sql.functions.timestamp_seconds(
+        org.apache.spark.sql.functions.col("sec")))
+    val query = windowed.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+
+    input.addData(("c", 5L), ("c", 8L), ("u", 25L))
+    query.processAllAvailable() // watermark after batch: 25-10 = 15s
+    input.addData(("c", 3L), ("c", 45L)) // 3s < watermark → DROPPED
+    query.processAllAvailable() // [0,10) closes: emitted without the late row
+    input.addData(("c", 60L))
+    query.processAllAvailable() // watermark 35 → [20,30) closes too
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toInstant.getEpochSecond,
+        r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains((0L, "c", 2L))) // late 3s NOT counted
+    assert(rows.contains((20L, "u", 1L)))
+    query.stop()
+  }
+
   test("Pipeline.stream: file source -> assembly -> envelope end-to-end") {
     val dir = Files.createTempDirectory("pipe_stream").toFile
     val w = new java.io.PrintWriter(new java.io.File(dir, "feed_001.jsonl"))
