@@ -232,6 +232,77 @@ object CdcOps {
           col("op"), col("n_ops"))
     }),
 
+    // T4 row-piece merge through the REAL chain-merge code on the full
+    // feed: each user's events become F/N/L piece chains of 3; the merged
+    // DML keeps the first piece's scn and the union of piece columns
+    // (Transaction.cpp:450-490). Leftover chains flush unterminated.
+    "q50_piece_merge" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val feed = Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w) - 1)
+        .selectExpr(
+          "event_id AS scn", "0 AS subScn", "1L AS seq", "event_id AS offset",
+          "1 AS thread", "CAST(user_id AS STRING) AS xid", "'INS' AS op",
+          "0L AS obj", "0L AS bdba", "0 AS slot",
+          "CASE CAST(rn % 3 AS INT) WHEN 0 THEN 'F' WHEN 1 THEN 'N' ELSE 'L' END AS fb",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map(concat('c', CAST(rn % 3 AS INT)), " +
+            "CAST(CAST(value AS DECIMAL(10,2)) AS STRING)) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
+          "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText")
+        .as[ChangeEvent]
+      TxnAssembly.assembleBatch(feed, TxnAssembly.Config(commitAtEnd = true))
+        .toDF()
+        .select(col("xid").cast("long").as("user_id"), col("scn"),
+          size(col("after")).cast("long").as("n_cols"),
+          element_at(col("after"), "c0").as("c0"))
+    }),
+
+    // T5 oversized-transaction drop through the assembler: group sizes grow
+    // with floor(sqrt(scn)) (≈2k+1 events in group k), so the 50-op cap
+    // bites mid-corpus — whole transactions above it vanish, nothing
+    // partial leaks (Parser.cpp:1229-1239 drop + skip-list semantics).
+    "q51_oversized_drop" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val feed = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS scn", "0 AS subScn", "1L AS seq", "event_id AS offset",
+          "1 AS thread",
+          "CAST(CAST(FLOOR(SQRT(event_id)) AS BIGINT) AS STRING) AS xid",
+          "'INS' AS op", "0L AS obj", "0L AS bdba", "0 AS slot", "'' AS fb",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(value AS STRING)) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
+          "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText")
+        .as[ChangeEvent]
+      TxnAssembly.assembleBatch(feed,
+          TxnAssembly.Config(commitAtEnd = true, maxOpsPerTxn = 50))
+        .toDF()
+        .groupBy(col("xid").cast("long").as("grp"))
+        .agg(count(lit(1)).as("n_msgs"))
+    }),
+
+    // §2.7/§1.3 NUMBER codec: every value goes through the base-100
+    // encode→decode roundtrip (Builder.h:422-540 semantics); the oracle
+    // states the codec's canonical rendering (minimal form, trailing
+    // fraction zeros trimmed) directly, so the mantissa/exponent math is
+    // what's being gated, not just Scala-side inverse symmetry.
+    "q52_number_codec" -> ((s, dir) => {
+      val rt = udf((v: String) => OracleCodecs.numberToString(
+        OracleCodecs.stringToNumber(v)))
+      Tables.load(s, dir, "events")
+        .selectExpr("event_id",
+          "CAST(CAST(value AS DECIMAL(10,2)) AS STRING) AS v")
+        .select(col("event_id"), rt(col("v")).as("num_rt"))
+    }),
+
     // T8 + F5 combined through the assembler: skip-XID list drops whole
     // transactions before any buffering.
     "q36_skip_xid_state" -> ((s, dir) => {
@@ -368,6 +439,34 @@ object CdcOps {
       """SELECT CAST(epoch_ns(date_trunc('hour', ts)) // 1000000000 AS BIGINT)
         |    AS w_start_s,
         |  event_type AS op, count(*) AS n_ops
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q50_piece_merge" ->
+      """SELECT user_id, min(event_id) AS scn,
+        |  count(*) AS n_cols,
+        |  max(CASE WHEN rn % 3 = 0 THEN v END) AS c0
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+        |  FROM events)
+        |GROUP BY user_id, rn // 3""".stripMargin,
+
+    "q51_oversized_drop" ->
+      """SELECT grp, count(*) AS n_msgs FROM (
+        |  SELECT CAST(FLOOR(SQRT(event_id)) AS BIGINT) AS grp FROM events)
+        |GROUP BY grp HAVING count(*) <= 50""".stripMargin,
+
+    // canonical NUMBER rendering: minimal decimal (trailing fraction zeros
+    // and bare '.' trimmed; -0 collapses to 0)
+    "q52_number_codec" ->
+      """SELECT event_id,
+        |  CASE WHEN t IN ('-0', '', '-') THEN '0' ELSE t END AS num_rt
+        |FROM (
+        |  SELECT event_id,
+        |    CASE WHEN v LIKE '%.%' THEN rtrim(rtrim(v, '0'), '.') ELSE v END AS t
+        |  FROM (SELECT event_id,
+        |      CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS v
+        |    FROM events))""".stripMargin
   )
 }
