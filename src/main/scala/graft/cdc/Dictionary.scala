@@ -113,13 +113,20 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector]) {
   /** Dictionary as a DataFrame for broadcast joins against the event
     * stream (owner, name, keys/tags resolved — the join is on obj + scn
     * range; broadcast because the dictionary is always ≪ the feed). */
-  def toDF(spark: SparkSession): DataFrame = {
+  def toDF(spark: SparkSession, showHidden: Boolean = false,
+      showNested: Boolean = false, showUnused: Boolean = false): DataFrame = {
     import spark.implicits._
-    selected.map(t => (t.obj, t.dataObj, t.owner, t.name,
+    selected.map { t =>
+      val visible = t.visibleColumns(showHidden, showNested, showUnused)
+        .map(_.name).toSet
+      (t.obj, t.dataObj, t.owner, t.name,
         t.keyColumns.map(_.name), t.resolvedTagCols,
-        t.validFromScn, t.validToScn))
-      .toDF("obj", "dataObj", "owner", "table_name", "key_cols", "tag_cols",
-        "valid_from_scn", "valid_to_scn")
+        // suppression list, not allow-list: feed columns unknown to the
+        // dictionary pass through (schemaless-adjacent leniency)
+        t.columns.map(_.name).filterNot(visible),
+        t.validFromScn, t.validToScn)
+    }.toDF("obj", "dataObj", "owner", "table_name", "key_cols", "tag_cols",
+      "invisible_cols", "valid_from_scn", "valid_to_scn")
   }
 
   /** Apply one dictionary-DML change (SystemTransaction semantics §1.2:

@@ -25,14 +25,20 @@ object Materialize {
   case class Options(
       columnFormat: ColumnFormat = Changed,
       showSystemTransactions: Boolean = false, // F5
-      schemaless: Boolean = false) // §1.2 SCHEMALESS/ADAPTIVE mode
+      schemaless: Boolean = false, // §1.2 SCHEMALESS/ADAPTIVE mode
+      // F4 visibility flags (≙ SHOW_HIDDEN/NESTED/UNUSED_COLUMNS,
+      // Builder.cpp:102-113; hidden PK columns always stay — key semantics)
+      showHiddenColumns: Boolean = false,
+      showNestedColumns: Boolean = false,
+      showUnusedColumns: Boolean = false)
 
   /** messages ⋈ dictionary with scn-validity (J2 temporal broadcast join).
     * Unmatched obj# → dropped (dict filter) unless schemaless, where they
     * pass through with a null table name (COL_n raw output downstream). */
   def enrich(messages: Dataset[ChangeMessage], dict: Dictionary,
       opts: Options = Options())(implicit spark: SparkSession): DataFrame = {
-    val dictDF = dict.toDF(spark)
+    val dictDF = dict.toDF(spark, opts.showHiddenColumns,
+        opts.showNestedColumns, opts.showUnusedColumns)
       .withColumnRenamed("obj", "d_obj")
     val joinType = if (opts.schemaless) "left_outer" else "inner"
     val joined = messages.toDF().join(
@@ -63,6 +69,21 @@ object Materialize {
       }.reduce(_ && _)
       enriched.filter(pred)
     }
+  }
+
+  /** F4: suppress hidden/nested/unused columns from the images — the
+    * dictionary row carries the table's visible set (per the Options
+    * flags); unknown tables (schemaless passthrough, visible_cols null)
+    * keep everything. Guard-column bitmap resurrection (Builder.cpp:
+    * 1323-1372) is out of scope — documented non-goal. */
+  def applyVisibility(df: DataFrame): DataFrame = {
+    def visible(img: Column): Column =
+      when(col("invisible_cols").isNull || size(col("invisible_cols")) === 0,
+        img)
+        .otherwise(map_filter(img, (k, _) =>
+          !array_contains(col("invisible_cols"), k)))
+    df.withColumn("before", visible(col("before")))
+      .withColumn("after", visible(col("after")))
   }
 
   /** F3/F6: column-format projection on the before/after maps.
@@ -100,8 +121,9 @@ object Materialize {
             coalesce(element_at(col("after"), c), element_at(col("before"), c),
               lit(""))))))
 
-  /** Full path: enrich → conditions → column format → tag. */
+  /** Full path: enrich → conditions → visibility → column format → tag. */
   def apply(messages: Dataset[ChangeMessage], dict: Dictionary,
       opts: Options = Options())(implicit spark: SparkSession): DataFrame =
-    withTag(applyColumnFormat(applyConditions(enrich(messages, dict, opts), dict), opts))
+    withTag(applyColumnFormat(
+      applyVisibility(applyConditions(enrich(messages, dict, opts), dict)), opts))
 }

@@ -289,6 +289,30 @@ object CdcOps {
         .agg(count(lit(1)).as("n_msgs"))
     }),
 
+    // F4 column visibility through the full pipeline: the feed carries a
+    // hidden diagnostic column on every row; the dictionary's suppression
+    // list drops it from the output image (Builder.cpp:102-113 semantics).
+    "q53_column_visibility" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(100L, 100L, "APP", "EVENTS",
+        Seq(DbColumn("value", 1, numPk = 1),
+          DbColumn("diag", 1, hidden = true)), tagType = "pk")))
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op", "100L AS obj",
+          "'' AS rid", "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING), " +
+            "'diag', event_type) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText")
+        .as[ChangeMessage]
+      Materialize(messages, dict)
+        .select(col("cScn").as("event_id"),
+          size(col("after")).cast("long").as("n_cols"),
+          element_at(col("after"), "value").as("v"))
+    }),
+
     // §2.7/§1.3 NUMBER codec: every value goes through the base-100
     // encode→decode roundtrip (Builder.h:422-540 semantics); the oracle
     // states the codec's canonical rendering (minimal form, trailing
@@ -456,6 +480,11 @@ object CdcOps {
       """SELECT grp, count(*) AS n_msgs FROM (
         |  SELECT CAST(FLOOR(SQRT(event_id)) AS BIGINT) AS grp FROM events)
         |GROUP BY grp HAVING count(*) <= 50""".stripMargin,
+
+    "q53_column_visibility" ->
+      """SELECT event_id, CAST(1 AS BIGINT) AS n_cols,
+        |  CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS v
+        |FROM events""".stripMargin,
 
     // canonical NUMBER rendering: minimal decimal (trailing fraction zeros
     // and bare '.' trimmed; -0 collapses to 0)

@@ -126,6 +126,27 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("c")) // only the insert passes, as 'i'
   }
 
+  test("F4: hidden/nested columns suppressed unless shown; hidden pk stays") {
+    val dictH = Dictionary(Seq(
+      DbTable(100L, 100L, "OWNER1", "T1", Seq(
+        DbColumn("ID", 2, numPk = 1, hidden = true), // hidden PK: kept
+        DbColumn("VAL", 1),
+        DbColumn("DIAG", 1, hidden = true),
+        DbColumn("NEST", 1, nested = true)), tagType = "pk")),
+      Seq(TableSelector("OWNER1", "T1")))
+    val events = Seq(
+      ev(1, Op.Ins, after =
+        Map("ID" -> "7", "VAL" -> "x", "DIAG" -> "d", "NEST" -> "n")),
+      ev(2, Op.Commit))
+    val out = pipe(events, dictH).select("after").collect()
+    assert(out.head.getMap[String, String](0) == Map("ID" -> "7", "VAL" -> "x"))
+    val shown = pipe(events, dictH, opts = Materialize.Options(
+      showHiddenColumns = true, showNestedColumns = true))
+      .select("after").collect()
+    assert(shown.head.getMap[String, String](0) ==
+      Map("ID" -> "7", "VAL" -> "x", "DIAG" -> "d", "NEST" -> "n"))
+  }
+
   test("f15: schema evolution — scn-versioned dictionary join") {
     val evolved = dict1.evolve(
       DbTable(100L, 100L, "OWNER1", "T1_RENAMED",
