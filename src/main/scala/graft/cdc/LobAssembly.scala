@@ -20,13 +20,13 @@ import org.apache.spark.sql.functions._
   *
   * Feed convention: a page event has `op = LOB_DATA` and carries
   * `after = {lobId, page, data}`. A DML column whose value is a LOB stores
-  * the reference marker `"lob:<lobId>"`; [[resolve]] replaces markers
+  * the reference marker `"lob:<lobId>"`; [[resolve]] replaces markers
   * with assembled chain data.
   */
 object LobAssembly {
 
   /** Marker prefix a DML column value uses to reference a LOB chain. */
-  val Marker = "lob:"
+  val Marker = "lob:"
 
   /** Assemble page events into full LOB values: one row per lobId with the
     * pages concatenated in page order.
@@ -50,7 +50,7 @@ object LobAssembly {
             p => p.getField("chunk")),
           "").as("lob_data"))
 
-  /** J3: replace `lob:<id>` markers in the before/after images of
+  /** J3: replace `lob:<id>` markers in the before/after images of
     * materialized messages with assembled chain data.
     *
     * Plan: extract the (few) lob references per message, join ONLY those

@@ -128,6 +128,38 @@ object CdcOps {
           md5(col("lob_data")).as("content_hash"))
     }),
 
+    // J3 LOB-reference resolution through LobAssembly.resolve: one DML per
+    // user references its assembled chain via the lob:<id> marker (plus one
+    // referencing a chain that never arrives → null, the orphaned-owner
+    // rule). Join volume ∝ number of references, not image width.
+    "q54_lob_resolve" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val pages = Tables.load(s, dir, "events").selectExpr(
+        "event_id AS scn", "0 AS subScn", "1L AS seq", "event_id AS offset",
+        "1 AS thread", "'9.0.9' AS xid", s"'${Op.LobData}' AS op",
+        "0L AS obj", "0L AS bdba", "0 AS slot", "'' AS fb",
+        "CAST(NULL AS MAP<STRING,STRING>) AS before",
+        "map('lobId', CAST(user_id AS STRING), " +
+          "'page', CAST(event_id AS STRING), 'data', event_type) AS after",
+        "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
+        "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
+        "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+        "CAST(NULL AS STRING) AS ddlText")
+      val owners = Tables.load(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .selectExpr("CAST(user_id AS STRING) AS xid", "user_id AS cScn",
+          "0L AS cIdx", "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('doc', concat('lob:', CAST(user_id AS STRING))) AS after")
+        .unionByName(s.sql(
+          """SELECT '-1' AS xid, CAST(-1 AS BIGINT) AS cScn, 0L AS cIdx,
+            |  CAST(NULL AS MAP<STRING,STRING>) AS before,
+            |  map('doc', 'lob:never-written') AS after""".stripMargin))
+      LobAssembly.resolve(owners, LobAssembly.assemble(pages))
+        .select(col("xid").cast("long").as("user_id"),
+          length(element_at(col("after"), "doc")).as("n_chars"),
+          md5(element_at(col("after"), "doc")).as("content_hash"))
+    }),
+
     // §1.2 schema evolution through the REAL versioned dictionary +
     // Materialize.enrich as-of broadcast join: obj 100 changes its name at
     // scn 5000 (SystemTransaction semantics — DDL observed mid-stream);
@@ -480,6 +512,14 @@ object CdcOps {
       """SELECT grp, count(*) AS n_msgs FROM (
         |  SELECT CAST(FLOOR(SQRT(event_id)) AS BIGINT) AS grp FROM events)
         |GROUP BY grp HAVING count(*) <= 50""".stripMargin,
+
+    "q54_lob_resolve" ->
+      """SELECT user_id,
+        |  length(string_agg(event_type, '' ORDER BY event_id)) AS n_chars,
+        |  md5(string_agg(event_type, '' ORDER BY event_id)) AS content_hash
+        |FROM events GROUP BY user_id
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), NULL, NULL""".stripMargin,
 
     "q53_column_visibility" ->
       """SELECT event_id, CAST(1 AS BIGINT) AS n_cols,

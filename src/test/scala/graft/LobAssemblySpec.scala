@@ -45,6 +45,11 @@ class LobAssemblySpec extends AnyFunSuite {
     assert(LobAssembly.assemble(events.toDF()).count() == 1)
   }
 
+  test("marker is the plain ASCII string lob: (external feeds write it literally)") {
+    assert(LobAssembly.Marker == "lob:")
+    assert(LobAssembly.Marker.forall(c => c >= ' ' && c < 127))
+  }
+
   test("resolve replaces markers, leaves plain values, nulls missing chains") {
     import spark.implicits._
     implicit val s: SparkSession = spark
