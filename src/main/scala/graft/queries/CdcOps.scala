@@ -27,7 +27,8 @@ object CdcOps {
         "1 AS thread", "CAST(user_id AS STRING) AS xid", opExpr + " AS op",
         "0L AS obj", "0L AS bdba", "0 AS slot", "'' AS fb",
         "CAST(NULL AS MAP<STRING,STRING>) AS before",
-        "map('value', CAST(value AS STRING)) AS after",
+        // decimal-cast: double→string rendering is engine-portable this way
+        "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING)) AS after",
         "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
         "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
         "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
@@ -126,6 +127,25 @@ object CdcOps {
         .select(col("lob_id"), col("n_pages"),
           length(col("lob_data")).as("n_chars"),
           md5(col("lob_data")).as("content_hash"))
+    }),
+
+    // APPLY/MERGE — the canonical CDC consumer: replay the committed
+    // message stream into latest-row-per-key state (upsert + delete
+    // tombstones). This is what a reference user's downstream sink does
+    // with the feed; per-key latest = one window, no full-table join.
+    "q56_apply_changes" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val feed = adapt(s, dir,
+        "CASE WHEN event_type = 'signup' THEN 'INS' " +
+          "WHEN event_type = 'error' THEN 'DEL' ELSE 'UPD' END")
+      val msgs = TxnAssembly
+        .assembleBatch(feed, TxnAssembly.Config(commitAtEnd = true)).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("xid").orderBy(col("scn").desc)
+      msgs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("op") =!= MsgOp.Delete)
+        .select(col("xid").cast("long").as("user_id"),
+          element_at(col("after"), "value").as("value"))
     }),
 
     // J3 LOB-reference resolution through LobAssembly.resolve: one DML per
@@ -512,6 +532,14 @@ object CdcOps {
       """SELECT grp, count(*) AS n_msgs FROM (
         |  SELECT CAST(FLOOR(SQRT(event_id)) AS BIGINT) AS grp FROM events)
         |GROUP BY grp HAVING count(*) <= 50""".stripMargin,
+
+    "q56_apply_changes" ->
+      """SELECT user_id, CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value
+        |FROM (
+        |  SELECT user_id, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk = 1 AND event_type <> 'error'""".stripMargin,
 
     "q54_lob_resolve" ->
       """SELECT user_id,

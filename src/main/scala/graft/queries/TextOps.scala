@@ -254,6 +254,30 @@ object TextOps {
         "doc_id", octet_length(col("text")) % 7, stride = 2)
     }),
 
+    // TF-IDF top term per document: tf and df are exact ints; the only
+    // float op is tf·ln(N/df) with a 6-decimal round (ln differs across
+    // engines only in the last ulp — far inside the rounding guard).
+    // Scale shape: one shuffle on (doc,token) for tf, one on token for df
+    // (broadcast back — vocab ≪ corpus), top-1 via per-doc window.
+    "q55_tfidf_top_term" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(tokensCol).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = toks.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") /
+            col("df").cast("double")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("token").as("top_term"),
+          col("tf"), col("df"), col("score"))
+    }),
+
     // BPE-ish regex tokenization: letter runs / digit runs / single
     // punctuation, counted per class (the shape of a GPT-style pre-tokenizer;
     // pattern kept engine-portable).
@@ -428,6 +452,27 @@ object TextOps {
       """SELECT doc_id,
         |  unnest(range(0, CAST(length(text) % 7 AS INT), 2)) AS frame_no
         |FROM documents""".stripMargin,
+
+    "q55_tfidf_top_term" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (
+         |  SELECT token, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+         |scored AS (
+         |  SELECT doc_id, token, tf.tf, df.df,
+         |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+         |      AS score
+         |  FROM tf JOIN df USING (token) CROSS JOIN n)
+         |SELECT doc_id, token AS top_term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, score
+         |FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+         |  FROM scored)
+         |WHERE rk = 1""".stripMargin,
 
     "q41_bpe_tokens" ->
       """SELECT doc_id,
