@@ -129,6 +129,39 @@ object CdcOps {
           md5(col("lob_data")).as("content_hash"))
     }),
 
+    // J4 session attributes through the assembler: each user's first event
+    // is a SESSION_ATTR (5.19/5.20) carrying a region; the state machine
+    // attaches it to every message of the transaction (OpCode0513
+    // semantics — attrs live on TxnState, not per-op).
+    "q57_session_attrs" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val feed = Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .selectExpr(
+          "event_id AS scn", "0 AS subScn", "1L AS seq", "event_id AS offset",
+          "1 AS thread", "CAST(user_id AS STRING) AS xid",
+          s"CASE WHEN rn = 1 THEN '${Op.SessionAttr}' ELSE '${Op.Ins}' END AS op",
+          "0L AS obj", "0L AS bdba", "0 AS slot", "'' AS fb",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING)) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
+          "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
+          "CASE WHEN rn = 1 THEN map('region', " +
+            "CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'EU' " +
+            "WHEN 1 THEN 'US' ELSE 'APAC' END) " +
+            "ELSE CAST(NULL AS MAP<STRING,STRING>) END AS attrs",
+          "CAST(NULL AS STRING) AS ddlText")
+        .as[ChangeEvent]
+      TxnAssembly.assembleBatch(feed, TxnAssembly.Config(commitAtEnd = true))
+        .toDF()
+        .groupBy(col("xid").cast("long").as("user_id"))
+        .agg(count(lit(1)).as("n_msgs"),
+          max(element_at(col("attrs"), "region")).as("region"))
+    }),
+
     // APPLY/MERGE — the canonical CDC consumer: replay the committed
     // message stream into latest-row-per-key state (upsert + delete
     // tombstones). This is what a reference user's downstream sink does
@@ -532,6 +565,13 @@ object CdcOps {
       """SELECT grp, count(*) AS n_msgs FROM (
         |  SELECT CAST(FLOOR(SQRT(event_id)) AS BIGINT) AS grp FROM events)
         |GROUP BY grp HAVING count(*) <= 50""".stripMargin,
+
+    // SESSION_ATTR event emits no message of its own → count(*)-1
+    "q57_session_attrs" ->
+      """SELECT user_id, CAST(count(*) - 1 AS BIGINT) AS n_msgs,
+        |  CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'EU'
+        |       WHEN 1 THEN 'US' ELSE 'APAC' END AS region
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q56_apply_changes" ->
       """SELECT user_id, CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value

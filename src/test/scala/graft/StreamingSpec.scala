@@ -44,6 +44,33 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("keyed state runs on the RocksDB store (the at-scale state backend)") {
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    import s.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ChangeEvent]
+      val query = TxnAssembly.assembleStream(input.toDS())
+        .writeStream.format("memory").queryName("txn_rocksdb")
+        .outputMode("append").start()
+      input.addData(ev(1, Op.Begin), ev(2, Op.Ins).copy(after = Map("k" -> "a")))
+      query.processAllAvailable() // state (open txn) persists in RocksDB
+      assert(spark.table("txn_rocksdb").count() == 0)
+      input.addData(ev(3, Op.Commit))
+      query.processAllAvailable()
+      assert(spark.table("txn_rocksdb").collect().map(_.getAs[Long]("cScn")).toSeq == Seq(3L))
+      query.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("§2.9: windowed op counts — watermark closes windows, drops late data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
