@@ -15,13 +15,12 @@ object CdcOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** events parquet → Dataset[ChangeEvent] under an op-mapping.
-    * The repartition spreads the per-row map construction + encoder work
-    * across cores (the single-file scan would otherwise build every
-    * ChangeEvent on one task before the groupByKey shuffle). */
+    * No repartition here: assembleBatch hash-partitions by xid itself, so
+    * a second exchange would only spread the (cheap) map construction —
+    * measured a wash locally, and strictly one shuffle fewer at scale. */
   private def adapt(s: SparkSession, dir: String, opExpr: String): Dataset[ChangeEvent] = {
     import s.implicits._
     Tables.load(s, dir, "events")
-      .repartition(col("user_id"))
       .selectExpr(
         "event_id AS scn", "0 AS subScn", "1L AS seq", "event_id AS offset",
         "1 AS thread", "CAST(user_id AS STRING) AS xid", opExpr + " AS op",
