@@ -191,37 +191,18 @@ object TextOps {
 
     // Near-dup CLUSTERS: connected components over the verified LSH pairs —
     // the step a real corpus dedup needs after pairwise detection (keep one
-    // canonical doc per transitive group, not per pair). Min-label
-    // propagation to fixpoint: O(component diameter) joins, each shuffling
-    // only (node, label) longs; at 100 TB swap the propagation step for
-    // large-star/small-star (Kiveris et al.) to bound rounds at O(log n) —
-    // same join shape, so the plan below is the building block either way.
+    // canonical doc per transitive group, not per pair). LSH dedup graphs
+    // are shallow (hub-and-spoke), so min-label propagation wins here; the
+    // O(log n)-round large-star/small-star variant lives beside it in
+    // graft.operators.ConnectedComponents for adversarial diameters — both
+    // fuzz-pinned against union-find, same contract. The oracle restates
+    // the closure as a recursive CTE.
     "q46_dedup_clusters" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
       val pairs = lshVerifiedPairs(t(s, dir, "documents"))
-        .select("doc_id_a", "doc_id_b")
-      val edges = pairs
-        .union(pairs.select(col("doc_id_b"), col("doc_id_a")))
-        .toDF("node", "nbr").cache()
-      var labels = edges.select("node").distinct()
-        .withColumn("cluster_id", col("node")).localCheckpoint(true)
-      var changed = 1L
-      while (changed > 0) {
-        val nbrMin = edges
-          .join(labels.withColumnRenamed("node", "nbr"), "nbr")
-          .groupBy("node").agg(min("cluster_id").as("nbr_min"))
-        // change flag computed in the same job (localCheckpoint materializes
-        // eagerly), so convergence needs no extra join — one count per round
-        val next = labels.join(nbrMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id"),
-            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
-              .as("chg"))
-          .localCheckpoint(true) // truncate lineage: plan stays O(1) per round
-        changed = next.filter(col("chg")).count()
-        labels = next
-      }
-      labels.select(col("node").as("doc_id"), col("cluster_id"))
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      graft.operators.ConnectedComponents.runPropagation(pairs)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
     }),
 
     // Multimodal plumbing: opaque binary payload + typed metadata extraction
