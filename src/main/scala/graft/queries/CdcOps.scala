@@ -128,6 +128,36 @@ object CdcOps {
           md5(col("lob_data")).as("content_hash"))
     }),
 
+    // §4.4/S1 the DataSource V2 reader end-to-end: the events table is
+    // dumped once as a JSONL archived-log feed (two "log files" so multi-
+    // partition reading + numeric sequence order are exercised), then read
+    // back through graft_cdc with an obj-equality + scn-range pushdown that
+    // the reader applies on raw tokens before row materialization.
+    "q58_dsv2_source" -> ((s, dir) => {
+      val feedDir = new java.io.File(
+        s"/tmp/graft_cdc_feed_v1_${math.abs(dir.hashCode).toHexString}")
+      if (!feedDir.exists()) {
+        feedDir.mkdirs()
+        val rows = Tables.load(s, dir, "events")
+          .selectExpr("event_id", "user_id").orderBy("event_id")
+          .collect() // feed GENERATION (test scaffolding), not the operator
+        val mid = rows.length / 2
+        Seq("log_9.jsonl" -> rows.take(mid), "log_10.jsonl" -> rows.drop(mid))
+          .foreach { case (name, part) =>
+            val w = new java.io.PrintWriter(new java.io.File(feedDir, name))
+            part.foreach { r =>
+              val (e, u) = (r.getLong(0), r.getLong(1))
+              w.println(s"""{"scn":$e,"xid":"$u","op":"INS","obj":${u % 2}}""")
+            }
+            w.close()
+          }
+      }
+      s.read.format("graft.sources.CdcSourceV2")
+        .option("path", feedDir.getAbsolutePath).load()
+        .filter(col("obj") === 0L && col("scn") >= 100L)
+        .select(col("scn"), col("xid"))
+    }),
+
     // J4 session attributes through the assembler: each user's first event
     // is a SESSION_ATTR (5.19/5.20) carrying a region; the state machine
     // attaches it to every message of the transaction (OpCode0513
@@ -564,6 +594,10 @@ object CdcOps {
       """SELECT grp, count(*) AS n_msgs FROM (
         |  SELECT CAST(FLOOR(SQRT(event_id)) AS BIGINT) AS grp FROM events)
         |GROUP BY grp HAVING count(*) <= 50""".stripMargin,
+
+    "q58_dsv2_source" ->
+      """SELECT event_id AS scn, CAST(user_id AS VARCHAR) AS xid
+        |FROM events WHERE user_id % 2 = 0 AND event_id >= 100""".stripMargin,
 
     // SESSION_ATTR event emits no message of its own → count(*)-1
     "q57_session_attrs" ->

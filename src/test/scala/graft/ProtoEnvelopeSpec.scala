@@ -45,6 +45,17 @@ class ProtoEnvelopeSpec extends AnyFunSuite {
     assert(ProtoEnvelope.varint(-1L).length == 10) // uint64 two's complement
   }
 
+  test("varint roundtrips across the full uint64 range (fuzz)") {
+    val rnd = new scala.util.Random(7)
+    val interesting = Seq(0L, 1L, 127L, 128L, 16383L, 16384L,
+      Int.MaxValue.toLong, Long.MaxValue, Long.MinValue, -1L)
+    (interesting ++ Seq.fill(500)(rnd.nextLong())).foreach { v =>
+      val b = ProtoEnvelope.varint(v)
+      val (back, used) = readVarint(b, 0)
+      assert(back == v && used == b.length, s"varint roundtrip failed for $v")
+    }
+  }
+
   test("golden bytes: minimal response") {
     // code=PAYLOAD, scn=2 (oneof: kept), payload{op=INSERT}, c_scn=3,
     // c_idx=0 omitted (proto3 default)
