@@ -137,20 +137,27 @@ object CdcOps {
       val feedDir = new java.io.File(
         s"/tmp/graft_cdc_feed_v1_${math.abs(dir.hashCode).toHexString}")
       if (!feedDir.exists()) {
-        feedDir.mkdirs()
+        // write to a staging dir, then atomic rename — a crashed partial
+        // dump must not satisfy the existence check on the next run
+        val stage = new java.io.File(feedDir.getPath + s".tmp${
+          ProcessHandle.current().pid()}")
+        stage.mkdirs()
         val rows = Tables.load(s, dir, "events")
           .selectExpr("event_id", "user_id").orderBy("event_id")
           .collect() // feed GENERATION (test scaffolding), not the operator
         val mid = rows.length / 2
         Seq("log_9.jsonl" -> rows.take(mid), "log_10.jsonl" -> rows.drop(mid))
           .foreach { case (name, part) =>
-            val w = new java.io.PrintWriter(new java.io.File(feedDir, name))
+            val w = new java.io.PrintWriter(new java.io.File(stage, name))
             part.foreach { r =>
               val (e, u) = (r.getLong(0), r.getLong(1))
               w.println(s"""{"scn":$e,"xid":"$u","op":"INS","obj":${u % 2}}""")
             }
             w.close()
           }
+        if (!stage.renameTo(feedDir)) { // lost the race: another run won
+          stage.listFiles().foreach(_.delete()); stage.delete()
+        }
       }
       s.read.format("graft.sources.CdcSourceV2")
         .option("path", feedDir.getAbsolutePath).load()
