@@ -14,15 +14,19 @@ import org.apache.spark.sql.functions._
   *   and    := cmp ('&&' cmp)*
   *   cmp    := unary (('==' | '!=') unary)?
   *   unary  := '!' unary | '(' expr ')' | atom
-  *   atom   := '[' attr name ']' | '\'' string '\''
-  * `[op]` is the DML op char i/u/d; any other `[x]` reads session
-  * attribute x (evaluated per message at `DbTable::matchesCondition`).
+  *   atom   := '[' attr name ']' | '\'' string '\'' | ident | number
+  * `[op]` (or the bare identifier `op`, Expression.cpp:239) is the DML op
+  * char i/u/d; any other `[x]`/identifier reads session attribute x
+  * (evaluated per message at `DbTable::matchesCondition`). `true`/`false`
+  * are boolean constants (Expression.cpp:241-243); numbers compare as
+  * their canonical decimal string (session attributes are strings here).
   */
 object Condition {
 
   sealed trait Ast
   case class Attr(name: String) extends Ast
   case class Lit(value: String) extends Ast
+  case class Bool(value: Boolean) extends Ast
   case class Eq(l: Ast, r: Ast) extends Ast
   case class Ne(l: Ast, r: Ast) extends Ast
   case class Not(e: Ast) extends Ast
@@ -33,6 +37,7 @@ object Condition {
   sealed trait Tok
   private case class TAttr(n: String) extends Tok
   private case class TLit(v: String) extends Tok
+  private case class TIdent(n: String) extends Tok
   private case object TEq extends Tok
   private case object TNe extends Tok
   private case object TNot extends Tok
@@ -69,6 +74,14 @@ object Condition {
           out += TOr; i += 2
         case '(' => out += TLp; i += 1
         case ')' => out += TRp; i += 1
+        case c if c.isLetter || c == '_' =>
+          var j = i
+          while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+          out += TIdent(s.substring(i, j)); i = j
+        case c if c.isDigit =>
+          var j = i
+          while (j < s.length && s(j).isDigit) j += 1
+          out += TLit(s.substring(i, j)); i = j
         case c => throw new IllegalArgumentException(s"unexpected '$c' at $i in: $s")
       }
     }
@@ -110,6 +123,9 @@ object Condition {
         e
       case TAttr(n) => Attr(n)
       case TLit(v) => Lit(v)
+      case TIdent("true") => Bool(true)
+      case TIdent("false") => Bool(false)
+      case TIdent(n) => Attr(n) // bare identifier ≙ [n] (Expression.cpp:239)
       case t => throw new IllegalArgumentException(s"unexpected token $t")
     }
 
@@ -131,11 +147,16 @@ object Condition {
         s"expected string operand, got $other")
     }
     def bool(a: Ast): Column = a match {
+      case Eq(Bool(b), r) => bool(r) === lit(b)
+      case Eq(l, Bool(b)) => bool(l) === lit(b)
+      case Ne(Bool(b), r) => bool(r) =!= lit(b)
+      case Ne(l, Bool(b)) => bool(l) =!= lit(b)
       case Eq(l, r) => str(l) === str(r)
       case Ne(l, r) => str(l) =!= str(r)
       case Not(e) => !bool(e)
       case And(l, r) => bool(l) && bool(r)
       case Or(l, r) => bool(l) || bool(r)
+      case Bool(b) => lit(b)
       case other => throw new IllegalArgumentException(
         s"expected boolean expression, got $other")
     }

@@ -124,4 +124,25 @@ class ConditionSpec extends AnyFunSuite {
     assert(eval("!([op] == 'd')") == Seq("i", "u"))
     assert(eval("") == Seq("i", "d", "u")) // empty condition = pass-all
   }
+
+  test("bare identifiers, boolean constants, numbers (Expression.cpp:239-257)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val df = Seq(
+      ("i", Map("retries" -> "3", "flag" -> "on")),
+      ("d", Map("retries" -> "0")),
+      ("u", Map.empty[String, String])).toDF("op", "attrs")
+    def eval(e: String): Seq[String] =
+      df.filter(Condition.compile(e)).select("op").collect().map(_.getString(0)).toSeq
+    assert(eval("op == 'i'") == Seq("i")) // bare `op` ≙ [op]
+    assert(eval("flag == 'on'") == Seq("i")) // bare ident ≙ [ident]
+    assert(eval("[retries] == 3") == Seq("i")) // number ≙ decimal string
+    assert(eval("true") == Seq("i", "d", "u"))
+    assert(eval("false") == Seq())
+    assert(eval("(op == 'd') == false") == Seq("i", "u"))
+    assert(eval("true && op != 'u'") == Seq("i", "d"))
+    // string operand against a boolean constant is a type error
+    assertThrows[IllegalArgumentException](Condition.compile("[flag] == true"))
+  }
 }
