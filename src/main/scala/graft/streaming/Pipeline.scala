@@ -21,7 +21,11 @@ object Pipeline {
       dict: Dictionary,
       assembly: TxnAssembly.Config = TxnAssembly.Config(),
       materialize: Materialize.Options = Materialize.Options(),
-      envelope: Envelope.Format = Envelope.Format())
+      envelope: Envelope.Format = Envelope.Format(),
+      /** "json" (W1/W2 text envelope) or "proto" (W3 binary wire format —
+        * value column becomes the RedoResponse bytes; chkpt messages are
+        * JSON-envelope-only). */
+      wireFormat: String = "json")
 
   /** Batch replay (entry point B): deterministic input → deterministic
     * output; the golden-test mode. */
@@ -50,11 +54,18 @@ object Pipeline {
       if (streaming) TxnAssembly.assembleStream(events, cfg.assembly)
       else TxnAssembly.assembleBatch(events, cfg.assembly)
     val enriched = Materialize(messages, cfg.dict, cfg.materialize)
-    val sink = Envelope.forSink(Envelope.toMessages(enriched, cfg.envelope))
-    // chkpt emission is a batch-shape concept (per-LWN ≙ per-batch); in
-    // streaming, apply it inside foreachBatch on each micro-batch instead.
-    if (cfg.envelope.emitCheckpoint && !streaming)
-      Envelope.withCheckpointMessage(sink)
-    else sink
+    if (cfg.wireFormat == "proto") {
+      import org.apache.spark.sql.functions.col
+      ProtoEnvelope.toMessages(enriched)
+        .select(col("key"), col("value_bin").as("value"),
+          col("cScn").as("c_scn"), col("cIdx").as("c_idx"))
+    } else {
+      val sink = Envelope.forSink(Envelope.toMessages(enriched, cfg.envelope))
+      // chkpt emission is a batch-shape concept (per-LWN ≙ per-batch); in
+      // streaming, apply it inside foreachBatch on each micro-batch instead.
+      if (cfg.envelope.emitCheckpoint && !streaming)
+        Envelope.withCheckpointMessage(sink)
+      else sink
+    }
   }
 }

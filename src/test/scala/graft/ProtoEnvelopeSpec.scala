@@ -76,6 +76,27 @@ class ProtoEnvelopeSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("Pipeline wireFormat=proto: batch replay emits decodable RedoResponse bytes") {
+    implicit val s: SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("proto_pipe").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "feed_001.jsonl"))
+    w.println("""{"scn":1,"xid":"1.0.1","op":"BEGIN"}""")
+    w.println("""{"scn":2,"xid":"1.0.1","op":"INS","obj":100,"after":{"ID":"7"}}""")
+    w.println("""{"scn":3,"xid":"1.0.1","op":"COMMIT"}""")
+    w.close()
+    val dict = Dictionary(Seq(DbTable(100L, 100L, "OWNER1", "T1",
+      Seq(DbColumn("ID", 2, numPk = 1)), tagType = "pk")))
+    val out = graft.streaming.Pipeline.batch(spark,
+      graft.streaming.Pipeline.Config(
+        graft.streaming.Pipeline.SourceConfig(dir.getAbsolutePath),
+        dict, wireFormat = "proto")).collect()
+    assert(out.length == 1)
+    val top = decode(out.head.getAs[Array[Byte]]("value")).toMap
+    assert(top(2) == 2L) // scn
+    assert(top(10) == 3L) // c_scn = commit scn
+    assert(out.head.getAs[Long]("c_scn") == 3L)
+  }
+
   test("roundtrip through Materialize: fields decode to the source values") {
     implicit val s: SparkSession = spark
     import s.implicits._
