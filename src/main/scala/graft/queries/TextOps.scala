@@ -177,6 +177,35 @@ object TextOps {
         .select(col("doc_id"), concat(bits: _*).as("simhash"))
     }),
 
+    // SimHash near-dup pairs: hamming distance ≤ 1 over the 16-bit
+    // signature. With two 8-bit bands the ball is EXACT (one differing bit
+    // can only invalidate one band, so the other must collide — no recall
+    // loss); candidates from the band join, exact popcount verification.
+    // Shuffles only (band, doc_id, sig) shorts.
+    "q59_simhash_pairs" -> ((s, dir) => {
+      val toks = array_distinct(tokensCol)
+      val bits = (1 to 16).map { p =>
+        (size(filter(col("toks"), x => substring(md5(x), p, 1) >= "8")) * 2 >
+          size(col("toks"))).cast("int").cast("string")
+      }
+      val sigs = spread(t(s, dir, "documents"))
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), conv(concat(bits: _*), 2, 10).cast("long").as("sig"))
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(array(
+          struct(lit(0).as("bno"), shiftright(col("sig"), 8).as("band")),
+          struct(lit(1).as("bno"), col("sig").bitwiseAND(lit(255L)).as("band")))).as("b"))
+        .select(col("doc_id"), col("sig"), col("b.bno"), col("b.band"))
+      banded.as("x").join(banded.as("y"), Seq("bno", "band"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"),
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 1)
+    }),
+
     // MinHash signatures + LSH band hashes.
     "q28_minhash_sig" -> ((s, dir) => {
       withBands(t(s, dir, "documents"))
@@ -350,6 +379,26 @@ object TextOps {
       s"""SELECT doc_id, $bits AS simhash
          |FROM (SELECT doc_id, list_distinct($sqlTokens) AS toks FROM documents)
          |WHERE len(toks) > 0""".stripMargin
+    },
+
+    "q59_simhash_pairs" -> {
+      // sig built arithmetically: bit p (MSB first) contributes 2^(16-p)
+      val sigSum = (1 to 16).map { p =>
+        s"CAST(2 * len(list_filter(toks, x -> substr(md5(x), $p, 1) >= '8')) > len(toks) AS INT) * ${1L << (16 - p)}"
+      }.mkString(" + ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, CAST($sigSum AS BIGINT) AS sig
+         |  FROM (SELECT doc_id, list_distinct($sqlTokens) AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |banded AS (
+         |  SELECT doc_id, sig, 0 AS bno, sig >> 8 AS band FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, sig, 1 AS bno, sig & 255 AS band FROM sigs)
+         |SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+         |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+         |FROM banded x JOIN banded y USING (bno, band)
+         |WHERE x.doc_id < y.doc_id
+         |  AND bit_count(xor(x.sig, y.sig)) <= 1""".stripMargin
     },
 
     "q28_minhash_sig" ->
