@@ -146,6 +146,59 @@ object Dictionary {
   def apply(tables: Seq[DbTable], selectors: Seq[TableSelector] = Nil): Dictionary =
     new Dictionary(tables, selectors)
 
+  /** S2 online bootstrap: build the dictionary from catalog-table
+    * DataFrames — the shape the reference's ~40 flashback `AS OF SCN`
+    * queries produce (ReplicatorOnline.h:34-560: SYS.OBJ$/USER$/COL$ +
+    * CCOL$ constraint columns). Sources can be JDBC reads or parquet
+    * snapshots; the dictionary is small by design (≪ driver memory), so
+    * it collects — the same asymmetry that makes its join side
+    * broadcastable.
+    *
+    * Expected schemas (column names, extra columns ignored):
+    *   objs:  obj, data_obj, owner_id, name
+    *   users: user_id, name
+    *   cols:  obj, col_no, name, type_code, length, precision, scale,
+    *          nullable (bool), hidden (bool)
+    *   pkCols (optional): obj, name   — constraint key columns (CCOL$)
+    */
+  def fromCatalog(objs: DataFrame, users: DataFrame, cols: DataFrame,
+      pkCols: Option[DataFrame] = None,
+      selectors: Seq[TableSelector] = Nil): Dictionary = {
+    import org.apache.spark.sql.functions.col
+    val userNames = users.select(col("user_id").cast("long"), col("name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pk: Map[Long, Set[String]] = pkCols match {
+      case Some(df) => df.select(col("obj").cast("long"), col("name"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (o, rs) => o -> rs.map(_.getString(1)).toSet }
+      case None => Map.empty
+    }
+    val colsByObj = cols.select(col("obj").cast("long"),
+        col("col_no").cast("int"), col("name"), col("type_code").cast("int"),
+        col("length").cast("int"), col("precision").cast("int"),
+        col("scale").cast("int"), col("nullable").cast("boolean"),
+        col("hidden").cast("boolean"))
+      .collect().groupBy(_.getLong(0))
+    val tables = objs.select(col("obj").cast("long"),
+        col("data_obj").cast("long"), col("owner_id").cast("long"), col("name"))
+      .collect().map { r =>
+        val obj = r.getLong(0)
+        val keys = pk.getOrElse(obj, Set.empty)
+        val columns = colsByObj.getOrElse(obj, Array.empty).sortBy(_.getInt(1))
+          .zipWithIndex.map { case (c, i) =>
+            DbColumn(c.getString(2), c.getInt(3), c.getInt(4), c.getInt(5),
+              c.getInt(6),
+              numPk = if (keys.contains(c.getString(2))) i + 1 else 0,
+              nullable = c.getBoolean(7), hidden = c.getBoolean(8))
+          }.toSeq
+        DbTable(obj, r.getLong(1),
+          userNames.getOrElse(r.getLong(2), s"USER_${r.getLong(2)}"),
+          r.getString(3), columns,
+          tagType = if (keys.nonEmpty) "pk" else "")
+      }.toSeq
+    new Dictionary(tables, selectors)
+  }
+
   /** Checkpoint-schema JSON (de)serialization, shape-compatible with what
     * our pipeline persists between runs (FIXTURES.md §B). */
   def toJson(dict: Dictionary): String = {
