@@ -77,6 +77,36 @@ object TextNative {
     false
   }
 
+  /** nBits-bit simhash: bit p (MSB first) is the majority vote of
+    * "nibble p of md5(feature) ≥ 8" — identical to the Column/SQL
+    * formulation `substr(md5(x), p+1, 1) >= '8'`, but ONE md5 per feature
+    * instead of one per (feature, position). */
+  def simhashSig(features: ArrayData, nBits: Int): Long = {
+    require(nBits <= 32, "md5 has 32 nibbles")
+    val m = features.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](nBits)
+    var j = 0
+    while (j < m) {
+      md.reset()
+      val h = md.digest(features.getUTF8String(j).getBytes)
+      var p = 0
+      while (p < nBits) {
+        val nibble = if (p % 2 == 0) (h(p / 2) >> 4) & 0xf else h(p / 2) & 0xf
+        if (nibble >= 8) votes(p) += 1
+        p += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      if (2 * votes(p) > m) sig |= 1L << (nBits - 1 - p)
+      p += 1
+    }
+    sig
+  }
+
   /** nSig minhash values: element i = min over shingles of
     * md5hex("i|" + shingle). One digest instance, min tracked on raw
     * bytes, hex only at the end. Empty input → null (no minimum). */
@@ -152,9 +182,29 @@ case class MinHashSig(child: Expression, nSig: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** features → nBits-bit simhash as a long (majority md5-nibble votes). */
+case class SimHashBits(child: Expression, nBits: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${dt.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+  override def nullSafeEval(sh: Any): Any =
+    TextNative.simhashSig(sh.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, sh =>
+      s"graft.functions.TextNative.simhashSig($sh, $nBits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def shingles3(text: Column): Column =
     Bridge.column(Shingles3(Bridge.expression(text)))
   def minhashSig(shingles: Column, nSig: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), nSig))
+  def simhashBits(features: Column, nBits: Int): Column =
+    Bridge.column(SimHashBits(Bridge.expression(features), nBits))
 }

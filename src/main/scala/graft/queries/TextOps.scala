@@ -177,33 +177,32 @@ object TextOps {
         .select(col("doc_id"), concat(bits: _*).as("simhash"))
     }),
 
-    // SimHash near-dup pairs: hamming distance ≤ 1 over the 16-bit
-    // signature. With two 8-bit bands the ball is EXACT (one differing bit
-    // can only invalidate one band, so the other must collide — no recall
-    // loss); candidates from the band join, exact popcount verification.
-    // Shuffles only (band, doc_id, sig) shorts.
+    // SimHash near-dup pairs over SHINGLE features: 32-bit signature,
+    // four 8-bit bands — an exact hamming-3 ball (3 flipped bits can
+    // invalidate at most 3 bands, so one must collide: no recall loss).
+    // Token-level bits degenerate on a homogeneous corpus (global token
+    // stats dominate → near-clique); shingles are doc-specific. The sig is
+    // ONE native pass (one md5 per shingle — SimHashBits), candidates come
+    // from the band join, popcount verifies; shuffles only (band, id, sig).
     "q59_simhash_pairs" -> ((s, dir) => {
-      val toks = array_distinct(tokensCol)
-      val bits = (1 to 16).map { p =>
-        (size(filter(col("toks"), x => substring(md5(x), p, 1) >= "8")) * 2 >
-          size(col("toks"))).cast("int").cast("string")
-      }
       val sigs = spread(t(s, dir, "documents"))
-        .withColumn("toks", toks)
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), conv(concat(bits: _*), 2, 10).cast("long").as("sig"))
+        .withColumn("sh", graft.functions.TextExpressions.shingles3(col("text")))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.simhashBits(col("sh"), 32).as("sig"))
       val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(array(
-          struct(lit(0).as("bno"), shiftright(col("sig"), 8).as("band")),
-          struct(lit(1).as("bno"), col("sig").bitwiseAND(lit(255L)).as("band")))).as("b"))
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("bno"),
+            shiftright(col("sig"), 8 * (3 - b)).bitwiseAND(lit(255L))
+              .as("band"))): _*)).as("b"))
         .select(col("doc_id"), col("sig"), col("b.bno"), col("b.band"))
       banded.as("x").join(banded.as("y"), Seq("bno", "band"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"),
           bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long")
             .as("hamming"))
+        .filter(col("hamming") <= 3) // before distinct: shrink the shuffle
         .distinct()
-        .filter(col("hamming") <= 1)
     }),
 
     // MinHash signatures + LSH band hashes.
@@ -382,23 +381,27 @@ object TextOps {
     },
 
     "q59_simhash_pairs" -> {
-      // sig built arithmetically: bit p (MSB first) contributes 2^(16-p)
-      val sigSum = (1 to 16).map { p =>
-        s"CAST(2 * len(list_filter(toks, x -> substr(md5(x), $p, 1) >= '8')) > len(toks) AS INT) * ${1L << (16 - p)}"
+      // 32-bit sig built arithmetically: bit p (MSB first) → 2^(32-p)
+      val sigSum = (1 to 32).map { p =>
+        s"CAST(2 * len(list_filter(sh, x -> substr(md5(x), $p, 1) >= '8')) > len(sh) AS INT) * ${1L << (32 - p)}"
       }.mkString(" + ")
       s"""WITH sigs AS (
          |  SELECT doc_id, CAST($sigSum AS BIGINT) AS sig
-         |  FROM (SELECT doc_id, list_distinct($sqlTokens) AS toks FROM documents)
-         |  WHERE len(toks) > 0),
+         |  FROM (SELECT doc_id, ${sqlShingles(sqlTokens)} AS sh FROM documents)
+         |  WHERE len(sh) > 0),
          |banded AS (
-         |  SELECT doc_id, sig, 0 AS bno, sig >> 8 AS band FROM sigs
+         |  SELECT doc_id, sig, 0 AS bno, (sig >> 24) & 255 AS band FROM sigs
          |  UNION ALL
-         |  SELECT doc_id, sig, 1 AS bno, sig & 255 AS band FROM sigs)
+         |  SELECT doc_id, sig, 1, (sig >> 16) & 255 FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, sig, 2, (sig >> 8) & 255 FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, sig, 3, sig & 255 FROM sigs)
          |SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
          |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
          |FROM banded x JOIN banded y USING (bno, band)
          |WHERE x.doc_id < y.doc_id
-         |  AND bit_count(xor(x.sig, y.sig)) <= 1""".stripMargin
+         |  AND bit_count(xor(x.sig, y.sig)) <= 3""".stripMargin
     },
 
     "q28_minhash_sig" ->

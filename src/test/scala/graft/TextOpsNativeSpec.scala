@@ -57,6 +57,20 @@ class TextOpsNativeSpec extends AnyFunSuite {
     assert(mismatches.forall(_ == 0), s"per-seed mismatches: $mismatches")
   }
 
+  test("simhashBits == md5-nibble majority Column formulation") {
+    val base = docs
+      .select(col("doc_id"), TextOps.shinglesCol(TextOps.tokensCol).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ref = (1 to 32).map { p =>
+      (size(filter(col("sh"), x => substring(md5(x), p, 1) >= "8")) * 2 >
+        size(col("sh"))).cast("long") * lit(1L << (32 - p))
+    }.reduce(_ + _)
+    val both = base.select(
+      TextExpressions.simhashBits(col("sh"), 32).as("n"), ref.as("r"))
+    assert(both.filter(col("n") =!= col("r")).count() == 0)
+    assert(both.filter(col("n") =!= 0L).count() > 50) // non-trivial sigs
+  }
+
   test("minhashSig of empty shingle set is null") {
     import spark.implicits._
     val r = Seq(Tuple1(Seq.empty[String])).toDF("sh")
