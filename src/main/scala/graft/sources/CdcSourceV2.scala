@@ -151,13 +151,29 @@ final class CdcMicroBatchStream(path: String, required: StructType,
     if (f == null || f.isEmpty) None else Some(CdcScan.sortKey(f))
   }
 
+  // retention guard: archived logs may be deleted while the stream runs;
+  // the reported latest offset must never regress below one already seen
+  @volatile private var maxSeen: String = ""
+
   override def initialOffset(): streaming.Offset = CdcOffset("")
   override def latestOffset(): streaming.Offset = {
     val fs = CdcScan.listFiles(path)
-    CdcOffset(if (fs.isEmpty) "" else baseName(fs.last))
+    val cur = if (fs.isEmpty) "" else baseName(fs.last)
+    val ord = Ordering[(Long, String)]
+    if (cur.nonEmpty &&
+      (maxSeen.isEmpty || ord.lt(CdcScan.sortKey(maxSeen), CdcScan.sortKey(cur))))
+      maxSeen = cur
+    CdcOffset(maxSeen)
   }
-  override def deserializeOffset(json: String): streaming.Offset =
-    CdcOffset(new ObjectMapper().readTree(json).get("lastFile").asText)
+  override def deserializeOffset(json: String): streaming.Offset = {
+    val f = new ObjectMapper().readTree(json).get("lastFile").asText
+    // checkpoint restore also seeds the retention guard
+    val ord = Ordering[(Long, String)]
+    if (f.nonEmpty &&
+      (maxSeen.isEmpty || ord.lt(CdcScan.sortKey(maxSeen), CdcScan.sortKey(f))))
+      maxSeen = f
+    CdcOffset(f)
+  }
 
   override def planInputPartitions(start: streaming.Offset,
       end: streaming.Offset): Array[InputPartition] = {
