@@ -204,6 +204,17 @@ object Relational {
     // hot key would overwhelm one reducer). Phase 1 aggregates (key, salt),
     // phase 2 merges salts; result is identical to the plain groupBy, which
     // is exactly what the oracle states.
+    // §2.6 set ops: INTERSECT/EXCEPT between two selective part slices
+    // (high-quantity vs high-discount lineitems). Both compile to
+    // hash-aggregate + shuffle on the key only — no payload movement.
+    "q60_set_ops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_quantity") > 49).select("l_partkey").distinct()
+      val b = li.filter(col("l_discount") > 0.09).select("l_partkey").distinct()
+      a.intersect(b).withColumn("tag", lit("both"))
+        .unionByName(a.except(b).withColumn("tag", lit("a_only")))
+    }),
+
     // Deterministic stratified sampling: per-stratum rate via a portable
     // md5 threshold — reproducible training-data curation with no RNG/seed
     // drift across engines or re-runs, and embarrassingly parallel (pure
@@ -343,6 +354,15 @@ object Relational {
         |      ORDER BY value DESC, event_id) AS rk
         |  FROM events)
         |WHERE rk <= 3""".stripMargin,
+
+    "q60_set_ops" ->
+      """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 49),
+        |     b AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_discount > 0.09)
+        |SELECT l_partkey, 'both' AS tag
+        |FROM (SELECT l_partkey FROM a INTERSECT SELECT l_partkey FROM b)
+        |UNION ALL
+        |SELECT l_partkey, 'a_only' AS tag
+        |FROM (SELECT l_partkey FROM a EXCEPT SELECT l_partkey FROM b)""".stripMargin,
 
     "q47_stratified_sample" ->
       """SELECT event_id, event_type FROM events
