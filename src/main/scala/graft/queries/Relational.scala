@@ -204,6 +204,18 @@ object Relational {
     // hot key would overwhelm one reducer). Phase 1 aggregates (key, salt),
     // phase 2 merges salts; result is identical to the plain groupBy, which
     // is exactly what the oracle states.
+    // §2.6 multi-level metrics rollup (the reference's counters report
+    // totals, per-table, and per-(table,op) — Metrics.h:76-87): one
+    // ROLLUP pass instead of three aggregations; partial aggregation
+    // keeps it a single shuffle.
+    "q61_counters_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("shard", pmod(col("user_id"), lit(10)))
+        .rollup("event_type", "shard")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
+
     // §2.6 set ops: INTERSECT/EXCEPT between two selective part slices
     // (high-quantity vs high-discount lineitems). Both compile to
     // hash-aggregate + shuffle on the key only — no payload movement.
@@ -354,6 +366,11 @@ object Relational {
         |      ORDER BY value DESC, event_id) AS rk
         |  FROM events)
         |WHERE rk <= 3""".stripMargin,
+
+    "q61_counters_rollup" ->
+      """SELECT event_type, user_id % 10 AS shard, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY ROLLUP(event_type, user_id % 10)""".stripMargin,
 
     "q60_set_ops" ->
       """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 49),
