@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   *   cmp    := unary (('==' | '!=') unary)?
   *   unary  := '!' unary | '(' expr ')' | atom
   *   atom   := '[' attr name ']' | '\'' string '\'' | ident | number
-  * `[op]` (or the bare identifier `op`, Expression.cpp:239) is the DML op
-  * char i/u/d; any other `[x]`/identifier reads session attribute x
-  * (evaluated per message at `DbTable::matchesCondition`). `true`/`false`
-  * are boolean constants (Expression.cpp:241-243); numbers compare as
-  * their canonical decimal string (session attributes are strings here).
+  * In the reference, identifier tokens come ONLY from bracketed `[x]`
+  * (Expression.cpp buildTokens: IDENTIFIER starts at '['): `[op]` is the
+  * DML op char i/u/d and `[true]`/`[false]` are the boolean constants
+  * (Expression.cpp:239-247); any other `[x]` reads session attribute x
+  * (evaluated per message at `DbTable::matchesCondition`). We match that
+  * exactly, and additionally accept — as a DELIBERATE SUPERSET beyond the
+  * reference (whose tokenizer errors on bare letters and whose evaluator
+  * throws 50067 on NUMBER tokens) — bare identifiers (`op`, `true`,
+  * `false`, attribute names) and numeric literals, which compare as their
+  * canonical decimal string (session attributes are strings here).
   */
 object Condition {
 
@@ -121,11 +126,13 @@ object Condition {
         val e = pOr()
         require(next() == TRp, "expected )")
         e
+      case TAttr("true") => Bool(true)  // Expression.cpp:241-243
+      case TAttr("false") => Bool(false)
       case TAttr(n) => Attr(n)
       case TLit(v) => Lit(v)
       case TIdent("true") => Bool(true)
       case TIdent("false") => Bool(false)
-      case TIdent(n) => Attr(n) // bare identifier ≙ [n] (Expression.cpp:239)
+      case TIdent(n) => Attr(n) // bare identifier ≙ [n] (superset, see header)
       case t => throw new IllegalArgumentException(s"unexpected token $t")
     }
 

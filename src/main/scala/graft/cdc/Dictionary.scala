@@ -173,6 +173,15 @@ object Dictionary {
         .map { case (o, rs) => o -> rs.map(_.getString(1)).toSet }
       case None => Map.empty
     }
+    // In the real SYS.COL$/OBJ$ shape, precision/scale are NULL for
+    // non-NUMBER columns and data_obj is NULL for views / partitioned
+    // objects — substitute the DbColumn defaults instead of NPE-ing.
+    def longOr(r: org.apache.spark.sql.Row, i: Int, d: Long): Long =
+      if (r.isNullAt(i)) d else r.getLong(i)
+    def intOr(r: org.apache.spark.sql.Row, i: Int, d: Int): Int =
+      if (r.isNullAt(i)) d else r.getInt(i)
+    def boolOr(r: org.apache.spark.sql.Row, i: Int, d: Boolean): Boolean =
+      if (r.isNullAt(i)) d else r.getBoolean(i)
     val colsByObj = cols.select(col("obj").cast("long"),
         col("col_no").cast("int"), col("name"), col("type_code").cast("int"),
         col("length").cast("int"), col("precision").cast("int"),
@@ -186,12 +195,12 @@ object Dictionary {
         val keys = pk.getOrElse(obj, Set.empty)
         val columns = colsByObj.getOrElse(obj, Array.empty).sortBy(_.getInt(1))
           .zipWithIndex.map { case (c, i) =>
-            DbColumn(c.getString(2), c.getInt(3), c.getInt(4), c.getInt(5),
-              c.getInt(6),
+            DbColumn(c.getString(2), intOr(c, 3, 0), intOr(c, 4, 0),
+              intOr(c, 5, -1), intOr(c, 6, -1),
               numPk = if (keys.contains(c.getString(2))) i + 1 else 0,
-              nullable = c.getBoolean(7), hidden = c.getBoolean(8))
+              nullable = boolOr(c, 7, true), hidden = boolOr(c, 8, false))
           }.toSeq
-        DbTable(obj, r.getLong(1),
+        DbTable(obj, longOr(r, 1, 0L),
           userNames.getOrElse(r.getLong(2), s"USER_${r.getLong(2)}"),
           r.getString(3), columns,
           tagType = if (keys.nonEmpty) "pk" else "")

@@ -606,12 +606,15 @@ object CdcOps {
       """SELECT event_id AS scn, CAST(user_id AS VARCHAR) AS xid
         |FROM events WHERE user_id % 2 = 0 AND event_id >= 100""".stripMargin,
 
-    // SESSION_ATTR event emits no message of its own → count(*)-1
+    // SESSION_ATTR event emits no message of its own → count(*)-1; a user
+    // with a single event emits zero messages and no Spark group-row, so
+    // the oracle must drop those users too (HAVING) — robust to corpora
+    // where some user has exactly one event.
     "q57_session_attrs" ->
       """SELECT user_id, CAST(count(*) - 1 AS BIGINT) AS n_msgs,
         |  CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'EU'
         |       WHEN 1 THEN 'US' ELSE 'APAC' END AS region
-        |FROM events GROUP BY user_id""".stripMargin,
+        |FROM events GROUP BY user_id HAVING count(*) > 1""".stripMargin,
 
     "q56_apply_changes" ->
       """SELECT user_id, CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value

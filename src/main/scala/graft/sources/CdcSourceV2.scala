@@ -111,10 +111,13 @@ object CdcScan {
   /** Log-sequence sort key: the trailing digit run of the name, numerically
     * (log_10 AFTER log_9, even though 'log_10' < 'log_9' lexicographically —
     * archived-redo names are not zero-padded in general). Non-sequenced
-    * names order after sequenced ones, by name. */
+    * names order after sequenced ones, by name. A digit run too long for
+    * Long (timestamp-ish / hash-ish suffix) is not a log sequence — treat
+    * the name as non-sequenced rather than crash the stream on one file. */
   private val seqRe = """(\d+)\D*$""".r
   def sortKey(name: String): (Long, String) =
-    seqRe.findFirstMatchIn(name).map(m => (m.group(1).toLong, name))
+    seqRe.findFirstMatchIn(name)
+      .flatMap(m => scala.util.Try((m.group(1).toLong, name)).toOption)
       .getOrElse((Long.MaxValue, name))
 
   /** File list in log-sequence order (deterministic partition numbering). */

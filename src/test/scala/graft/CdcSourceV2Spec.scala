@@ -127,6 +127,16 @@ class CdcSourceV2Spec extends AnyFunSuite {
     assert(fs == Seq("log_2.jsonl", "log_9.jsonl", "log_10.jsonl"))
   }
 
+  test("sortKey survives digit runs longer than Long (hash-ish suffixes)") {
+    import graft.sources.CdcScan.sortKey
+    // 25-digit run would overflow Long.parseLong — must degrade to the
+    // non-sequenced key, not crash listFiles/latestOffset
+    val k = sortKey("dump_9999999999999999999999999.jsonl")
+    assert(k == (Long.MaxValue, "dump_9999999999999999999999999.jsonl"))
+    // and still sorts after genuinely-sequenced names
+    assert(Ordering[(Long, String)].lt(sortKey("log_10.jsonl"), k))
+  }
+
   test("feeds the real pipeline: as[ChangeEvent] + assembly") {
     implicit val s: SparkSession = spark
     import s.implicits._

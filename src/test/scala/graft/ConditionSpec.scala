@@ -135,6 +135,13 @@ class ConditionSpec extends AnyFunSuite {
       ("u", Map.empty[String, String])).toDF("op", "attrs")
     def eval(e: String): Seq[String] =
       df.filter(Condition.compile(e)).select("op").collect().map(_.getString(0)).toSeq
+    // [true]/[false] are the reference's boolean constants
+    // (Expression.cpp:239-247) — NOT session-attribute lookups
+    assert(eval("[true]") == Seq("i", "d", "u"))
+    assert(eval("[false]") == Seq())
+    assert(eval("([op] == 'd') == [false]") == Seq("i", "u"))
+    assert(eval("[true] && [op] != 'u'") == Seq("i", "d"))
+    // the rest are the deliberate superset (bare idents / numbers)
     assert(eval("op == 'i'") == Seq("i")) // bare `op` ≙ [op]
     assert(eval("flag == 'on'") == Seq("i")) // bare ident ≙ [ident]
     assert(eval("[retries] == 3") == Seq("i")) // number ≙ decimal string

@@ -51,4 +51,23 @@ class DictionaryCatalogSpec extends AnyFunSuite {
       Map("ID" -> "5", "VAL" -> "x")) // hidden col suppressed
     assert(out.head.getAs[String]("tag") == "5")
   }
+
+  test("fromCatalog tolerates NULL precision/scale/data_obj (real SYS.* shape)") {
+    import spark.implicits._
+    // views/partitioned objects have NULL data_obj; non-NUMBER columns have
+    // NULL precision/scale — substitute DbColumn defaults, don't NPE
+    val objs = Seq((300L, None: Option[Long], 7L, "V_ORDERS"))
+      .toDF("obj", "data_obj", "owner_id", "name")
+    val users = Seq((7L, "APP")).toDF("user_id", "name")
+    val cols = Seq(
+      (300L, 1, "NAME", 1, 4000, None: Option[Int], None: Option[Int],
+        None: Option[Boolean], None: Option[Boolean]))
+      .toDF("obj", "col_no", "name", "type_code", "length", "precision",
+        "scale", "nullable", "hidden")
+    val dict = Dictionary.fromCatalog(objs, users, cols)
+    val t = dict.tables.find(_.obj == 300L).get
+    assert(t.dataObj == 0L)
+    val c = t.columns.head
+    assert(c.precision == -1 && c.scale == -1 && c.nullable && !c.hidden)
+  }
 }
