@@ -86,6 +86,49 @@ object OracleCodecs {
       java.lang.Long.parseLong(parts(2), 16))
   }
 
+  /** XID_FORMAT::TEXT_DEC (BuilderJson.h:308-316): `usn.slt.sqn` decimal,
+    * unpadded. (XID_FORMAT::NUMERIC is just the packed u64 itself.) */
+  def xidFormatDec(xid: Long): String =
+    s"${xidUsn(xid)}.${xidSlt(xid)}.${xidSqn(xid)}"
+
+  /** XID_FORMAT::TEXT_REVERSED (BuilderJson.h:630-650): 16 hex chars — the
+    * little-endian memory dump of each packed field, i.e. bytes of the
+    * big-endian value in order b6 b7 b4 b5 b0 b1 b2 b3 (usn and slt as
+    * 16-bit LE, sqn as 32-bit LE). */
+  def xidFormatReversed(xid: Long): String = {
+    val order = Array(6, 7, 4, 5, 0, 1, 2, 3)
+    val sb = new StringBuilder(16)
+    order.foreach(i => sb.append(f"${(xid >>> (8 * i)) & 0xffL}%02x"))
+    sb.toString
+  }
+
+  /** INTERVAL_DTS_FORMAT::ISO8601_{SPACE,COMMA,DASH} (Builder.cpp:486-530):
+    * `[-]D<sep>HH:MM:SS.fffffffff` — unpadded days, 2-digit h/m/s, exactly
+    * 9 fraction digits. */
+  def intervalDsString(nanos: Long, sep: Char = ' '): String = {
+    val sign = if (nanos < 0) "-" else ""
+    val a = math.abs(nanos)
+    val frac = a % 1000000000L
+    val s = a / 1000000000L
+    f"$sign${s / 86400}%d$sep${s / 3600 % 24}%02d:${s / 60 % 60}%02d:${s % 60}%02d.$frac%09d"
+  }
+
+  /** INTERVAL_DTS_FORMAT::UNIX_{MICRO,MILLI,UNIX} round half-up on the
+    * magnitude (Builder.cpp:538-546 adds 500/500000/500000000 before the
+    * divide; the sign is carried separately). */
+  def intervalDsUnix(nanos: Long, unitNanos: Long): Long = {
+    val sign = if (nanos < 0) -1L else 1L
+    sign * ((math.abs(nanos) + unitNanos / 2) / unitNanos)
+  }
+
+  /** INTERVAL_YTM_FORMAT::STRING_YM_{SPACE,COMMA,DASH} (Builder.cpp:
+    * 400-428): `[-]Y<sep>M`, both unpadded (month is 0-11). */
+  def intervalYmString(months: Long, sep: Char = ' '): String = {
+    val sign = if (months < 0) "-" else ""
+    val a = math.abs(months)
+    s"$sign${a / 12}$sep${a % 12}"
+  }
+
   /** Decode Oracle NUMBER bytes → canonical decimal string (exact; may
     * exceed Decimal(38), which is why the wire form stays a string).
     *

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc._
+import graft.core.{OracleCodecs, Tables}
+
+/** Output-format surface of the reference (SURVEY.md §1.4 + §2.7): the
+  * Format.h rendering variants — XID text forms, TIMESTAMP_FORMAT unix/ISO
+  * families, INTERVAL_DTS/YTM string forms — plus the DDL (opcode 24.1)
+  * and per-batch checkpoint (`chkpt`) message paths, each gated against a
+  * DuckDB oracle that re-derives the rendering arithmetically.
+  *
+  * All renderings are either codegen'd built-ins (`div`/`%`/`date_format`)
+  * or the pure codec functions of [[graft.core.OracleCodecs]] exposed as
+  * UDFs — per-row scalar work with no shuffle, so the plans are a single
+  * scan→project at any scale.
+  */
+object FormatOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events → ChangeEvent feed with a per-event op + optional ddlText. */
+  private def feed(s: SparkSession, dir: String, opExpr: String,
+      ddlExpr: String = "CAST(NULL AS STRING)") = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .selectExpr(
+        "event_id AS scn", "0 AS subScn", "1L AS seq", "event_id AS offset",
+        "1 AS thread", "CAST(user_id AS STRING) AS xid", opExpr + " AS op",
+        "0L AS obj", "0L AS bdba", "0 AS slot", "'' AS fb",
+        "CAST(NULL AS MAP<STRING,STRING>) AS before",
+        "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING)) AS after",
+        "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
+        "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
+        "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+        ddlExpr + " AS ddlText")
+      .as[ChangeEvent]
+  }
+
+  val defs: Map[String, Q] = Map(
+    // Opcode 24.1 DDL through the REAL assembler: DDL ops buffer in the
+    // transaction like DML and flush at commit as op="ddl" messages with
+    // the statement text attached (Parser.cpp:578-623 appendToTransaction-
+    // Ddl → Transaction::flush → BuilderJson ddl payload).
+    "q62_ddl_messages" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val f = feed(s, dir,
+        "CASE WHEN event_type = 'error' THEN 'DDL' ELSE 'INS' END",
+        "CASE WHEN event_type = 'error' THEN concat('ALTER TABLE T', " +
+          "CAST(user_id AS STRING), ' /* ', props, ' */') " +
+          "ELSE CAST(NULL AS STRING) END")
+      TxnAssembly.assembleBatch(f, TxnAssembly.Config(commitAtEnd = true))
+        .toDF()
+        .filter(col("op") === MsgOp.Ddl)
+        .select(col("scn"), col("xid").cast("long").as("user_id"),
+          col("op"), col("ddlText").as("ddl_text"))
+    }),
+
+    // Per-batch `chkpt` message (Parser.cpp:1509-1536 per-LWN checkpoint →
+    // Envelope.withCheckpointMessage): clients advance their restart
+    // position even across DML-free stretches. The gate checks the
+    // envelope text and position of the checkpoint row plus the data-row
+    // count it rides with.
+    "q63_checkpoint_msg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val msgs = TxnAssembly.assembleBatch(
+        feed(s, dir, "'INS'"), TxnAssembly.Config(commitAtEnd = true)).toDF()
+      val sink = msgs.select(col("xid").as("key"),
+        to_json(struct(col("scn"), col("op"))).as("value"),
+        col("cScn").as("c_scn"), col("cIdx").as("c_idx"))
+      Envelope.withCheckpointMessage(sink)
+        .agg(
+          count(lit(1)).as("n_total"),
+          max(when(col("c_idx") === Long.MaxValue, col("value")))
+            .as("chkpt_value"),
+          max(when(col("c_idx") === Long.MaxValue, col("c_scn")))
+            .as("chkpt_scn"))
+    }),
+
+    // TIMESTAMP_FORMAT variants (Format.h:136-153): the unix family is
+    // integer arithmetic on the event-time nanos (round-half-up on the
+    // sub-unit, BuilderJson.h timestamp paths), the ISO-8601 family is
+    // date rendering of the whole seconds + exactly-9-digit fraction.
+    // events.ts is TIMESTAMP(NANOS) parquet — read as a nanos long.
+    "q64_ts_formats" -> ((s, dir) => {
+      Tables.load(s, dir, "events").selectExpr(
+        "event_id",
+        "ts AS unix_nano",
+        "(ts + 500) div 1000 AS unix_micro",
+        "(ts + 500000) div 1000000 AS unix_milli",
+        "(ts + 500000000) div 1000000000 AS unix_sec",
+        "concat(date_format(timestamp_seconds(ts div 1000000000), " +
+          "\"yyyy-MM-dd'T'HH:mm:ss\"), '.', " +
+          "lpad(CAST(ts % 1000000000 AS STRING), 9, '0'), 'Z') AS iso_nano_tz",
+        "date_format(timestamp_seconds(ts div 1000000000), " +
+          "'yyyy-MM-dd HH:mm:ss') AS iso_sec")
+    }),
+
+    // XID_FORMAT variants (Format.h:195-200, BuilderJson.h:297-326): hex
+    // 0xUSN.SLT.SQN (widths 4/3/8), decimal, packed-numeric, and the
+    // little-endian reversed hex dump.
+    "q65_xid_formats" -> ((s, dir) => {
+      val hexU = udf((x: Long) => OracleCodecs.xidFormat(x))
+      val decU = udf((x: Long) => OracleCodecs.xidFormatDec(x))
+      val revU = udf((x: Long) => OracleCodecs.xidFormatReversed(x))
+      Tables.load(s, dir, "events")
+        .selectExpr("event_id",
+          "(user_id % 100) * 281474976710656 + (event_id % 10) * 4294967296 " +
+            "+ event_id AS xid")
+        .select(col("event_id"),
+          hexU(col("xid")).as("xid_hex"),
+          decU(col("xid")).as("xid_dec"),
+          col("xid").as("xidn"),
+          revU(col("xid")).as("xid_rev"))
+    }),
+
+    // INTERVAL_DTS_FORMAT / INTERVAL_YTM_FORMAT variants (Format.h:54-74):
+    // ISO-ish day-to-second string, round-half-up unix micros, months int,
+    // Y-M string. Interval values synthesized deterministically from
+    // event_id (±5 days, ±41 years) so both engines compute from the same
+    // exact integers.
+    "q66_interval_render" -> ((s, dir) => {
+      val dsU = udf((n: Long) => OracleCodecs.intervalDsString(n, ' '))
+      val ymU = udf((m: Long) => OracleCodecs.intervalYmString(m, '-'))
+      val usU = udf((n: Long) => OracleCodecs.intervalDsUnix(n, 1000L))
+      Tables.load(s, dir, "events")
+        .selectExpr("event_id",
+          "(event_id * 1234567891) % 864000000000000 - 432000000000000 AS ns",
+          "event_id % 1000 - 500 AS months")
+        .select(col("event_id"),
+          dsU(col("ns")).as("ds_iso"),
+          usU(col("ns")).as("ds_micro"),
+          col("months"),
+          ymU(col("months")).as("ym_str"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q62_ddl_messages" ->
+      """SELECT event_id AS scn, user_id, 'ddl' AS op,
+        |  'ALTER TABLE T' || user_id || ' /* ' || props || ' */' AS ddl_text
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q63_checkpoint_msg" ->
+      """SELECT CAST(count(*) + 1 AS BIGINT) AS n_total,
+        |  '{"scn":' || max(event_id) || ',"op":"chkpt"}' AS chkpt_value,
+        |  max(event_id) AS chkpt_scn
+        |FROM events""".stripMargin,
+
+    "q64_ts_formats" ->
+      """SELECT event_id,
+        |  epoch_ns(ts) AS unix_nano,
+        |  (epoch_ns(ts) + 500) // 1000 AS unix_micro,
+        |  (epoch_ns(ts) + 500000) // 1000000 AS unix_milli,
+        |  (epoch_ns(ts) + 500000000) // 1000000000 AS unix_sec,
+        |  strftime(make_timestamp((epoch_ns(ts) // 1000000000) * 1000000),
+        |      '%Y-%m-%dT%H:%M:%S')
+        |    || '.' || lpad(CAST(epoch_ns(ts) % 1000000000 AS VARCHAR), 9, '0')
+        |    || 'Z' AS iso_nano_tz,
+        |  strftime(make_timestamp((epoch_ns(ts) // 1000000000) * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS iso_sec
+        |FROM events""".stripMargin,
+
+    "q65_xid_formats" ->
+      """WITH x AS (
+        |  SELECT event_id,
+        |    (user_id % 100) * 281474976710656 + (event_id % 10) * 4294967296
+        |      + event_id AS xid
+        |  FROM events)
+        |SELECT event_id,
+        |  '0x' || printf('%04x', (xid >> 48) & 65535) || '.' ||
+        |    printf('%03x', (xid >> 32) & 65535) || '.' ||
+        |    printf('%08x', xid & 4294967295) AS xid_hex,
+        |  ((xid >> 48) & 65535) || '.' || ((xid >> 32) & 65535) || '.' ||
+        |    (xid & 4294967295) AS xid_dec,
+        |  xid AS xidn,
+        |  printf('%02x', (xid >> 48) & 255) || printf('%02x', (xid >> 56) & 255)
+        |    || printf('%02x', (xid >> 32) & 255) || printf('%02x', (xid >> 40) & 255)
+        |    || printf('%02x', xid & 255) || printf('%02x', (xid >> 8) & 255)
+        |    || printf('%02x', (xid >> 16) & 255) || printf('%02x', (xid >> 24) & 255)
+        |    AS xid_rev
+        |FROM x""".stripMargin,
+
+    "q66_interval_render" ->
+      """WITH i AS (
+        |  SELECT event_id,
+        |    (event_id * 1234567891) % 864000000000000 - 432000000000000 AS ns,
+        |    event_id % 1000 - 500 AS months
+        |  FROM events),
+        |a AS (SELECT event_id, ns, months, abs(ns) AS an, abs(months) AS am
+        |  FROM i)
+        |SELECT event_id,
+        |  CASE WHEN ns < 0 THEN '-' ELSE '' END
+        |    || (an // 86400000000000)
+        |    || ' ' || lpad(CAST((an // 3600000000000) % 24 AS VARCHAR), 2, '0')
+        |    || ':' || lpad(CAST((an // 60000000000) % 60 AS VARCHAR), 2, '0')
+        |    || ':' || lpad(CAST((an // 1000000000) % 60 AS VARCHAR), 2, '0')
+        |    || '.' || lpad(CAST(an % 1000000000 AS VARCHAR), 9, '0') AS ds_iso,
+        |  (CASE WHEN ns < 0 THEN -1 ELSE 1 END) * ((an + 500) // 1000)
+        |    AS ds_micro,
+        |  months,
+        |  CASE WHEN months < 0 THEN '-' ELSE '' END
+        |    || (am // 12) || '-' || (am % 12) AS ym_str
+        |FROM a""".stripMargin)
+}
