@@ -19,6 +19,33 @@ import graft.core.{OracleCodecs, Tables}
 object FormatOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** selectExpr fragments rendering a nanos-long column `n` into the
+    * TIMESTAMP_FORMAT families (Format.h:136-153). Unix family:
+    * round-half-up on the magnitude, sign carried separately
+    * (BuilderJson.h renders `-` apart from the digit run). ISO family:
+    * pure integer arithmetic + a DATE days-since-epoch cast — independent
+    * of spark.sql.session.timeZone; assumes n >= 0 (redo wall clocks).
+    * Shared by q64 (micro-truncated for the oracle engine) and
+    * FormatOpsSpec (full-nano synthetic pinning). */
+  private[graft] val tsRenderExprs: Seq[String] = {
+    val isoDate = "CAST(date_add(DATE'1970-01-01', " +
+      "CAST(n div 86400000000000 AS INT)) AS STRING)"
+    val hh = "lpad(CAST((n div 3600000000000) % 24 AS STRING), 2, '0')"
+    val mm = "lpad(CAST((n div 60000000000) % 60 AS STRING), 2, '0')"
+    val ss = "lpad(CAST((n div 1000000000) % 60 AS STRING), 2, '0')"
+    Seq(
+      "n AS unix_nano",
+      "CASE WHEN n < 0 THEN -1 ELSE 1 END * ((abs(n) + 500) div 1000)" +
+        " AS unix_micro",
+      "CASE WHEN n < 0 THEN -1 ELSE 1 END * ((abs(n) + 500000) div 1000000)" +
+        " AS unix_milli",
+      "CASE WHEN n < 0 THEN -1 ELSE 1 END * ((abs(n) + 500000000) div 1000000000)" +
+        " AS unix_sec",
+      s"concat($isoDate, 'T', $hh, ':', $mm, ':', $ss, '.', " +
+        "lpad(CAST(n % 1000000000 AS STRING), 9, '0'), 'Z') AS iso_nano_tz",
+      s"concat($isoDate, ' ', $hh, ':', $mm, ':', $ss) AS iso_sec")
+  }
+
   /** events → ChangeEvent feed with a per-event op + optional ddlText. */
   private def feed(s: SparkSession, dir: String, opExpr: String,
       ddlExpr: String = "CAST(NULL AS STRING)") = {
@@ -78,23 +105,24 @@ object FormatOps {
     }),
 
     // TIMESTAMP_FORMAT variants (Format.h:136-153): the unix family is
-    // integer arithmetic on the event-time nanos (round-half-up on the
-    // sub-unit, BuilderJson.h timestamp paths), the ISO-8601 family is
-    // date rendering of the whole seconds + exactly-9-digit fraction.
-    // events.ts is TIMESTAMP(NANOS) parquet — read as a nanos long.
-    "q64_ts_formats" -> ((s, dir) => {
-      Tables.load(s, dir, "events").selectExpr(
-        "event_id",
-        "ts AS unix_nano",
-        "(ts + 500) div 1000 AS unix_micro",
-        "(ts + 500000) div 1000000 AS unix_milli",
-        "(ts + 500000000) div 1000000000 AS unix_sec",
-        "concat(date_format(timestamp_seconds(ts div 1000000000), " +
-          "\"yyyy-MM-dd'T'HH:mm:ss\"), '.', " +
-          "lpad(CAST(ts % 1000000000 AS STRING), 9, '0'), 'Z') AS iso_nano_tz",
-        "date_format(timestamp_seconds(ts div 1000000000), " +
-          "'yyyy-MM-dd HH:mm:ss') AS iso_sec")
-    }),
+    // integer arithmetic on the event-time nanos — round-half-up on the
+    // MAGNITUDE with the sign carried separately, exactly as the reference
+    // renders (BuilderJson.h timestamp paths carry `-` apart from digits).
+    // The ISO-8601 family is derived from pure integer arithmetic + a
+    // DATE (days-since-epoch) cast, so the rendering is independent of
+    // spark.sql.session.timeZone — a driver-provided non-UTC session
+    // produces identical strings. The ISO family's `div`/`%` split
+    // assumes ts >= 0 (true of the corpus event times; pre-1970 wall
+    // clocks are out of scope for the redo stream).
+    // events.ts is TIMESTAMP(NANOS) parquet — Spark reads the raw nanos
+    // long; the DuckDB oracle engine truncates parquet NANOS to micros at
+    // scan, so the GATE pins the micro-truncated rendering (`n` below) on
+    // both sides; FormatOpsSpec pins the full-nano fraction on synthetic
+    // values the oracle engine can't represent.
+    "q64_ts_formats" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .selectExpr("event_id", "(ts div 1000) * 1000 AS n")
+        .selectExpr("event_id" +: tsRenderExprs: _*)),
 
     // XID_FORMAT variants (Format.h:195-200, BuilderJson.h:297-326): hex
     // 0xUSN.SLT.SQN (widths 4/3/8), decimal, packed-numeric, and the
@@ -141,24 +169,33 @@ object FormatOps {
         |FROM events WHERE event_type = 'error'""".stripMargin,
 
     "q63_checkpoint_msg" ->
-      """SELECT CAST(count(*) + 1 AS BIGINT) AS n_total,
+      """SELECT CAST(count(*)
+        |    + CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_total,
         |  '{"scn":' || max(event_id) || ',"op":"chkpt"}' AS chkpt_value,
         |  max(event_id) AS chkpt_scn
         |FROM events""".stripMargin,
 
     "q64_ts_formats" ->
-      """SELECT event_id,
-        |  epoch_ns(ts) AS unix_nano,
-        |  (epoch_ns(ts) + 500) // 1000 AS unix_micro,
-        |  (epoch_ns(ts) + 500000) // 1000000 AS unix_milli,
-        |  (epoch_ns(ts) + 500000000) // 1000000000 AS unix_sec,
-        |  strftime(make_timestamp((epoch_ns(ts) // 1000000000) * 1000000),
-        |      '%Y-%m-%dT%H:%M:%S')
-        |    || '.' || lpad(CAST(epoch_ns(ts) % 1000000000 AS VARCHAR), 9, '0')
+      """WITH t AS (SELECT event_id, epoch_ns(ts) AS n FROM events),
+        |s AS (SELECT event_id, n,
+        |  CASE WHEN n < 0 THEN -1 ELSE 1 END AS sg, abs(n) AS a FROM t)
+        |SELECT event_id,
+        |  n AS unix_nano,
+        |  sg * ((a + 500) // 1000) AS unix_micro,
+        |  sg * ((a + 500000) // 1000000) AS unix_milli,
+        |  sg * ((a + 500000000) // 1000000000) AS unix_sec,
+        |  CAST(DATE '1970-01-01' + CAST(n // 86400000000000 AS INT) AS VARCHAR)
+        |    || 'T' || lpad(CAST((n // 3600000000000) % 24 AS VARCHAR), 2, '0')
+        |    || ':' || lpad(CAST((n // 60000000000) % 60 AS VARCHAR), 2, '0')
+        |    || ':' || lpad(CAST((n // 1000000000) % 60 AS VARCHAR), 2, '0')
+        |    || '.' || lpad(CAST(n % 1000000000 AS VARCHAR), 9, '0')
         |    || 'Z' AS iso_nano_tz,
-        |  strftime(make_timestamp((epoch_ns(ts) // 1000000000) * 1000000),
-        |    '%Y-%m-%d %H:%M:%S') AS iso_sec
-        |FROM events""".stripMargin,
+        |  CAST(DATE '1970-01-01' + CAST(n // 86400000000000 AS INT) AS VARCHAR)
+        |    || ' ' || lpad(CAST((n // 3600000000000) % 24 AS VARCHAR), 2, '0')
+        |    || ':' || lpad(CAST((n // 60000000000) % 60 AS VARCHAR), 2, '0')
+        |    || ':' || lpad(CAST((n // 1000000000) % 60 AS VARCHAR), 2, '0')
+        |    AS iso_sec
+        |FROM s""".stripMargin,
 
     "q65_xid_formats" ->
       """WITH x AS (

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.queries.FormatOps
+
+/** Pins the Format.h rendering pack (q62–q66) beyond what the DuckDB gate
+  * can see: full-nano ISO fractions (the oracle engine truncates parquet
+  * NANOS to micros), negative-interval signs, and the DDL/chkpt message
+  * shapes on sf0.001.
+  */
+class FormatOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("ts rendering: full-nano fraction, round-half-up unix, negative sign") {
+    import spark.implicits._
+    // 2024-01-01T00:00:07.179575175Z; a round-half-up boundary (x.5 µs up);
+    // a negative (pre-1970) value exercising sign-carried-separately
+    val rows = Seq(1704067207179575175L, 1500L, -1500L)
+      .toDF("n").selectExpr(FormatOps.tsRenderExprs: _*)
+      .collect()
+    val full = rows(0)
+    assert(full.getAs[String]("iso_nano_tz") ==
+      "2024-01-01T00:00:07.179575175Z")
+    assert(full.getAs[String]("iso_sec") == "2024-01-01 00:00:07")
+    assert(full.getAs[Long]("unix_micro") == 1704067207179575L)
+    assert(full.getAs[Long]("unix_milli") == 1704067207180L)
+    assert(full.getAs[Long]("unix_sec") == 1704067207L)
+    // 1500 ns → 2 µs (half rounds up on magnitude)
+    assert(rows(1).getAs[Long]("unix_micro") == 2L)
+    // reference carries '-' separately: -1500 ns → -2 µs, not -1
+    assert(rows(2).getAs[Long]("unix_micro") == -2L)
+  }
+
+  test("session-timezone independence of the ISO family") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      import spark.implicits._
+      val expr = FormatOps.tsRenderExprs
+      def render() = Seq(1704067207179575175L).toDF("n")
+        .selectExpr(expr: _*).collect().head.getAs[String]("iso_nano_tz")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val utc = render()
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(render() == utc)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("q62 ddl messages ride the real assembler flush") {
+    val out = FormatOps.defs("q62_ddl_messages")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("op") == "ddl"))
+    assert(out.forall(_.getAs[String]("ddl_text").startsWith("ALTER TABLE T")))
+  }
+
+  test("q63 checkpoint message rides the data batch") {
+    val row = FormatOps.defs("q63_checkpoint_msg")(spark, sf).collect().head
+    val nEvents = spark.read
+      .parquet(s"$sf/events.parquet").count()
+    assert(row.getAs[Long]("n_total") == nEvents + 1)
+    assert(row.getAs[String]("chkpt_value").contains("\"op\":\"chkpt\""))
+  }
+
+  test("q65/q66 codec round-trip on known values") {
+    val xid = (6L << 48) | (0x1aL << 32) | 0x218L
+    val q65 = FormatOps.defs("q65_xid_formats")(spark, sf)
+    assert(q65.columns.toSeq ==
+      Seq("event_id", "xid_hex", "xid_dec", "xidn", "xid_rev"))
+    assert(graft.core.OracleCodecs.xidFormat(xid) == "0x0006.01a.00000218")
+    assert(graft.core.OracleCodecs.xidFormatDec(xid) == "6.26.536")
+    // -90061000000001 ns = -(1d 01:01:01.000000001)
+    assert(graft.core.OracleCodecs.intervalDsString(-90061000000001L, ' ') ==
+      "-1 01:01:01.000000001")
+    assert(graft.core.OracleCodecs.intervalYmString(-13L, '-') == "-1-1")
+  }
+}
