@@ -141,20 +141,26 @@ object CdcOps {
         // dump must not satisfy the existence check on the next run
         val stage = new java.io.File(feedDir.getPath + s".tmp${
           ProcessHandle.current().pid()}")
-        stage.mkdirs()
-        val rows = Tables.load(s, dir, "events")
-          .selectExpr("event_id", "user_id").orderBy("event_id")
-          .collect() // feed GENERATION (test scaffolding), not the operator
-        val mid = rows.length / 2
-        Seq("log_9.jsonl" -> rows.take(mid), "log_10.jsonl" -> rows.drop(mid))
-          .foreach { case (name, part) =>
-            val w = new java.io.PrintWriter(new java.io.File(stage, name))
-            part.foreach { r =>
-              val (e, u) = (r.getLong(0), r.getLong(1))
-              w.println(s"""{"scn":$e,"xid":"$u","op":"INS","obj":${u % 2}}""")
-            }
-            w.close()
-          }
+        // feed GENERATION (test scaffolding) runs executor-side: range-
+        // partition on scn + sortWithinPartitions gives two scn-ordered
+        // "archived logs" with no driver materialization — the same dump
+        // would work at any scale factor.
+        Tables.load(s, dir, "events")
+          .selectExpr("event_id", "user_id")
+          .repartitionByRange(2, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .selectExpr("concat('{\"scn\":', event_id, ',\"xid\":\"', user_id, " +
+            "'\",\"op\":\"INS\",\"obj\":', user_id % 2, '}') AS value")
+          .write.mode("overwrite").text(stage.getPath)
+        val parts = stage.listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+          .sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          f.renameTo(new java.io.File(stage, s"log_${9 + i}.jsonl"))
+        }
+        stage.listFiles() // drop _SUCCESS / .crc companions
+          .filter(f => !f.getName.matches("log_\\d+\\.jsonl"))
+          .foreach(_.delete())
         if (!stage.renameTo(feedDir)) { // lost the race: another run won
           stage.listFiles().foreach(_.delete()); stage.delete()
         }

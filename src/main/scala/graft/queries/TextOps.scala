@@ -58,7 +58,13 @@ object TextOps {
   /** Verified near-dup pairs: LSH band-bucket join → candidates → exact
     * Jaccard ≥ 0.5 (shared by q29 and the q46 clustering on top of it). */
   private def lshVerifiedPairs(docs: DataFrame): DataFrame = {
-    val banded0 = withBands(docs).cache()
+    // lazy localCheckpoint, not cache(): a cache() here is keyed in the
+    // session CacheManager and outlives the query (q29+q46 in one session
+    // pinned two copies of the shingle arrays); checkpoint blocks are
+    // dropped by the ContextCleaner once the plan is unreferenced. Trade:
+    // lost blocks fail the job instead of recomputing — fine for a
+    // within-query scratch dataset.
+    val banded0 = withBands(docs).localCheckpoint(false)
     val banded = banded0.select(col("doc_id"),
         explode(array(col("band0"), col("band1"))).as("band"))
     val cand = banded.as("x").join(banded.as("y"), Seq("band"))
@@ -145,14 +151,14 @@ object TextOps {
     }),
 
     // n-gram Jaccard similarity over adjacent doc pairs (pairwise primitive
-    // used by the LSH verify stage below).
+    // used by the LSH verify stage below). AdjacentPairs = one bucketed
+    // window pass: shingles computed ONCE per doc (the self-join evaluated
+    // them on both sides) and no SortMergeJoin in the plan.
     "q26_ngram_jaccard" -> ((s, dir) => {
       val docs = spread(t(s, dir, "documents"))
         .select(col("doc_id"),
           graft.functions.TextExpressions.shingles3(col("text")).as("sh"))
-      val a = docs.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-      a.join(b, col("doc_id_b") === col("doc_id_a") + 1)
+      graft.operators.AdjacentPairs.pairs(docs, "doc_id")
         // array_intersect = hash-set intersection, O(|a|+|b|) — the
         // element-wise contains scan is quadratic per pair
         .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))

@@ -49,13 +49,13 @@ object VectorOps {
 
   val defs: Map[String, Q] = Map(
     // Pairwise cosine over adjacent vec ids — the scalar primitive.
+    // One bucketed-window pass (graft.operators.AdjacentPairs), no
+    // self-join: the corpus shuffles once on a dense bucket key.
     "q30_cosine_pairs" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
-      a.join(b, col("vec_id_b") === col("vec_id_a") + 1)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.operators.AdjacentPairs.pairs(e, "vec_id")
         .select(col("vec_id_a"), col("vec_id_b"),
-          round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+          round(cosine(col("embedding_a"), col("embedding_b")), 6).as("cos_sim"))
     }),
 
     // Brute-force ANN: top-5 cosine neighbors for a fixed query set.
@@ -131,13 +131,12 @@ object VectorOps {
         .select("q_id", "c_id", "rank")
     }),
 
-    // Embedding-cosine near-duplicate detection (adjacent-id candidate set).
+    // Embedding-cosine near-duplicate detection (adjacent-id candidate
+    // set) — same one-pass AdjacentPairs shape as q30.
     "q34_embed_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
-      a.join(b, col("vec_id_b") === col("vec_id_a") + 1)
-        .withColumn("cos_sim", cosine(col("emb_a"), col("emb_b")))
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.operators.AdjacentPairs.pairs(e, "vec_id")
+        .withColumn("cos_sim", cosine(col("embedding_a"), col("embedding_b")))
         .filter(col("cos_sim") > 0.2)
         .select(col("vec_id_a"), col("vec_id_b"),
           round(col("cos_sim"), 6).as("cos_sim"))
