@@ -30,7 +30,10 @@ object Materialize {
       // Builder.cpp:102-113; hidden PK columns always stay — key semantics)
       showHiddenColumns: Boolean = false,
       showNestedColumns: Boolean = false,
-      showUnusedColumns: Boolean = false)
+      showUnusedColumns: Boolean = false,
+      // CHAR_FORMAT::HEX (Format.h:42-46, Builder.h:1129-1184): string
+      // values render as uppercase hex of their UTF-8 bytes
+      charFormatHex: Boolean = false)
 
   /** messages ⋈ dictionary with scn-validity (J2 temporal broadcast join).
     * Unmatched obj# → dropped (dict filter) unless schemaless, where they
@@ -112,6 +115,36 @@ object Materialize {
     }
   }
 
+  /** CHAR_FORMAT::HEX: every image value as uppercase hex of its UTF-8
+    * bytes (Builder.h:1129-1184 valueBufferAppendHex path — byte-level,
+    * after charset mapping; the pre-decoded feed is already UTF-8). */
+  def applyCharFormatHex(df: DataFrame): DataFrame = {
+    def hx(img: Column): Column =
+      when(img.isNull, img)
+        .otherwise(transform_values(img, (_, v) => hex(encode(v, "UTF-8"))))
+    df.withColumn("before", hx(col("before")))
+      .withColumn("after", hx(col("after")))
+  }
+
+  /** Schemaless COL_<n> naming (Builder.cpp:96-99): a row whose obj# has
+    * no dictionary match renders its raw columns as COL_0..COL_n-1. The
+    * reference numbers by the redo record's physical column index; the
+    * pre-decoded feed carries no indices, so the deterministic stand-in
+    * is the image's sorted key order (documented contract — both sides
+    * of the gate derive the same numbering). Matched rows pass through
+    * untouched. */
+  def applySchemalessNaming(df: DataFrame): DataFrame = {
+    def colN(img: Column): Column = {
+      val ks = array_sort(map_keys(img))
+      when(col("table_name").isNotNull || img.isNull, img)
+        .otherwise(map_from_arrays(
+          transform(ks, (_, i) => concat(lit("COL_"), i.cast("string"))),
+          transform(ks, k => element_at(img, k))))
+    }
+    df.withColumn("before", colN(col("before")))
+      .withColumn("after", colN(col("after")))
+  }
+
   /** F7: message key = tag columns from the after (else before) image. */
   def withTag(df: DataFrame): DataFrame =
     df.withColumn("tag",
@@ -121,9 +154,18 @@ object Materialize {
             coalesce(element_at(col("after"), c), element_at(col("before"), c),
               lit(""))))))
 
-  /** Full path: enrich → conditions → visibility → column format → tag. */
+  /** Full path: enrich → conditions → visibility → column format →
+    * schemaless COL_n naming → tag. */
   def apply(messages: Dataset[ChangeMessage], dict: Dictionary,
-      opts: Options = Options())(implicit spark: SparkSession): DataFrame =
-    withTag(applyColumnFormat(
-      applyVisibility(applyConditions(enrich(messages, dict, opts), dict)), opts))
+      opts: Options = Options())(implicit spark: SparkSession): DataFrame = {
+    val formatted = applyColumnFormat(
+      applyVisibility(applyConditions(enrich(messages, dict, opts), dict)), opts)
+    val named =
+      if (opts.schemaless) applySchemalessNaming(formatted) else formatted
+    // tag BEFORE hex rendering: the message key derives from the logical
+    // values (Builder computes tags on decoded columns, rendering is a
+    // sink-side concern)
+    val tagged = withTag(named)
+    if (opts.charFormatHex) applyCharFormatHex(tagged) else tagged
+  }
 }

@@ -324,4 +324,118 @@ object OracleCodecs {
       (hr + 60).toByte, (min + 60).toByte, (sec + 60).toByte,
       (n >> 24).toByte, (n >> 16).toByte, (n >> 8).toByte, n.toByte)
   }
+
+  // ----- TIMESTAMP WITH TIME ZONE (type 181), 13 bytes -----------------
+  // Builder.cpp:272-353: bytes 0-6 = excess-100 year pair + 1-offset
+  // month/day/hour/min/sec, bytes 7-10 = big-endian nano fraction, bytes
+  // 11-12 = either a numeric offset (data[11] in 5..36: hours excess-20,
+  // minutes excess-60) or a region key (data[11]<<8|data[12]) resolved
+  // through Locales::timeZoneMap. The full map lives in the reference's
+  // locales tables (an explicit non-goal); this carries the fixture
+  // zones with their REAL reference keys so the lookup semantics —
+  // including the "TZ?" miss path — are faithful.
+  private val timeZoneMap: Map[Int, String] = Map(
+    0x8070 -> "Etc/UTC",
+    0x8190 -> "America/New_York",
+    0x819c -> "America/Los_Angeles",
+    0x83e8 -> "Asia/Shanghai",
+    0x842c -> "Asia/Tokyo",
+    0x85c4 -> "Europe/London",
+    0x85fc -> "Europe/Berlin",
+    0x8638 -> "Europe/Warsaw",
+    0xd004 -> "UTC")
+
+  /** Scaffolding encoder (inverse of the decode path, as a redo record
+    * would carry it): UTC epoch seconds + nano fraction + raw tz bytes. */
+  def tzTimestampEncode(epochSec: Long, fraction: Long,
+      b11: Int, b12: Int): Array[Byte] = {
+    val dt = java.time.LocalDateTime.ofEpochSecond(
+      epochSec, 0, java.time.ZoneOffset.UTC)
+    require(dt.getYear >= 0, "BC encoding out of scaffolding scope")
+    Array[Byte](
+      (dt.getYear / 100 + 100).toByte, (dt.getYear % 100 + 100).toByte,
+      dt.getMonthValue.toByte, dt.getDayOfMonth.toByte,
+      (dt.getHour + 1).toByte, (dt.getMinute + 1).toByte,
+      (dt.getSecond + 1).toByte,
+      (fraction >> 24).toByte, (fraction >> 16).toByte,
+      (fraction >> 8).toByte, fraction.toByte,
+      b11.toByte, b12.toByte)
+  }
+
+  /** (epoch seconds, nano fraction, tz display string) from the 13-byte
+    * value; null on out-of-range fields (the caller falls back to the
+    * UNKNOWN hex dump, as columnUnknown does). */
+  def tzTimestampDecode(bytes: Array[Byte]): (Long, Long, String) = {
+    if (bytes == null || (bytes.length != 9 && bytes.length != 13)) return null
+    val v1 = bytes(0) & 0xff
+    val v2 = bytes(1) & 0xff
+    val year =
+      if (v1 >= 100 && v2 >= 100) (v1 - 100) * 100 + (v2 - 100)
+      else -(((100 - v1) * 100) + (100 - v2))
+    val month = (bytes(2) & 0xff) - 1 // 0..11
+    val day = (bytes(3) & 0xff) - 1
+    val hour = (bytes(4) & 0xff) - 1
+    val minute = (bytes(5) & 0xff) - 1
+    val second = (bytes(6) & 0xff) - 1
+    var fraction = if (bytes.length == 13) be32(bytes, 7) else 0L
+    val b11 = bytes(11) & 0xff
+    val b12 = bytes(12) & 0xff
+    val tz =
+      if (b11 >= 5 && b11 <= 36) {
+        val sign = if (b11 < 20 || (b11 == 20 && b12 < 60)) "-" else "+"
+        val hours = if (b11 < 20) 20 - b11 else b11 - 20
+        val mins = if (b12 < 60) 60 - b12 else b12 - 60
+        f"$sign$hours%02d:$mins%02d"
+      } else timeZoneMap.getOrElse((b11 << 8) | b12, "TZ?")
+    if (second < 0 || second > 59 || minute < 0 || minute > 59 ||
+      hour < 0 || hour > 23 || day < 0 || day > 30 ||
+      month < 0 || month > 11) return null
+    var epoch = java.time.LocalDateTime
+      .of(year, month + 1, day + 1, hour, minute, second)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    if (year < 0 && fraction > 0) { fraction = 1000000000L - fraction; epoch -= 1 }
+    (epoch, fraction, tz)
+  }
+
+  /** UNKNOWN_FORMAT::DUMP diagnostic line (Builder.h:395-405): the
+    * payload value renders as "?" (columnString of a 1-char buffer); when
+    * dump is on, a warning carries the byte count and a space-prefixed
+    * lowercase hex pair per byte — "unknown value (column: c): 2 -  61 62"
+    * (note the double space: " - " + " 61"). */
+  def unknownDump(columnName: String, bytes: Array[Byte]): String = {
+    val ss = bytes.map(b => f" ${b & 0xff}%02x").mkString
+    s"unknown value (column: $columnName): ${bytes.length} - $ss"
+  }
+
+  /** TIMESTAMP_TZ_FORMAT::ISO8601_NANO_TZ (BuilderJson.cpp:338-348):
+    * "2024-04-05T19:34:38.123456789Z Europe/Warsaw". */
+  def tzTimestampIso(bytes: Array[Byte]): String = {
+    val dec = tzTimestampDecode(bytes)
+    if (dec == null) return null
+    val (epoch, fraction, tz) = dec
+    val dt = java.time.LocalDateTime.ofEpochSecond(
+      epoch, 0, java.time.ZoneOffset.UTC)
+    f"${dt.getYear}%04d-${dt.getMonthValue}%02d-${dt.getDayOfMonth}%02d" +
+      f"T${dt.getHour}%02d:${dt.getMinute}%02d:${dt.getSecond}%02d" +
+      f".$fraction%09dZ $tz"
+  }
+
+  /** TIMESTAMP_TZ_FORMAT::UNIX_NANO_STRING (BuilderJson.cpp:290-308):
+    * the nanos integer (sign carried once, 18-digit-padded remainder for
+    * |epoch| >= 1e9 — same digits as epoch*1e9+fraction), ",", tz. */
+  def tzTimestampUnix(bytes: Array[Byte]): String = {
+    val dec = tzTimestampDecode(bytes)
+    if (dec == null) return null
+    val (epoch, fraction, tz) = dec
+    val digits =
+      if (epoch < 1000000000L && epoch > -1000000000L)
+        (epoch * 1000000000L + fraction).toString
+      else {
+        val firstDigits = epoch / 1000000000L
+        val (absEpoch, frac) =
+          if (epoch < 0) (-epoch, -fraction) else (epoch, fraction)
+        f"$firstDigits%d${absEpoch % 1000000000L * 1000000000L + frac}%018d"
+      }
+    s"$digits,$tz"
+  }
 }

@@ -290,14 +290,21 @@ object CdcOps {
           "CAST(user_id AS STRING) AS xid", "'c' AS op",
           "user_id % 2 AS obj", // obj 0 known, obj 1 unknown
           "'' AS rid", "CAST(NULL AS MAP<STRING,STRING>) AS before",
-          "map('value', CAST(value AS STRING)) AS after",
+          "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING), " +
+            "'etype', event_type) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText")
         .as[ChangeMessage]
-      Materialize.enrich(messages, dict,
-          Materialize.Options(schemaless = true))
+      // unknown tables render raw columns as COL_0..n (Builder.cpp:96-99);
+      // known rows keep dictionary names — both shapes gated via the
+      // keys csv + the exact JSON rendering of the renamed image
+      Materialize.applySchemalessNaming(
+          Materialize.enrich(messages, dict,
+            Materialize.Options(schemaless = true)))
         .select(col("cScn").as("event_id"),
-          coalesce(col("table_name"), lit("?")).as("table_name"))
+          coalesce(col("table_name"), lit("?")).as("table_name"),
+          concat_ws(",", map_keys(col("after"))).as("after_cols"),
+          to_json(col("after")).as("after_json"))
     }),
 
     // §1.4 golden envelope JSON through the full materialize + envelope
@@ -540,7 +547,16 @@ object CdcOps {
 
     "q45_schemaless" ->
       """SELECT event_id,
-        |  CASE WHEN user_id % 2 = 0 THEN 'KNOWN' ELSE '?' END AS table_name
+        |  CASE WHEN user_id % 2 = 0 THEN 'KNOWN' ELSE '?' END AS table_name,
+        |  CASE WHEN user_id % 2 = 0 THEN 'value,etype'
+        |       ELSE 'COL_0,COL_1' END AS after_cols,
+        |  CASE WHEN user_id % 2 = 0
+        |    THEN '{"value":"' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)
+        |      || '","etype":"' || event_type || '"}'
+        |    ELSE '{"COL_0":"' || event_type
+        |      || '","COL_1":"' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)
+        |      || '"}'
+        |  END AS after_json
         |FROM events""".stripMargin,
 
     "q40_envelope_json" ->

@@ -147,6 +147,68 @@ object FormatOps {
     // Y-M string. Interval values synthesized deterministically from
     // event_id (±5 days, ±41 years) so both engines compute from the same
     // exact integers.
+    // CHAR_FORMAT::HEX + UNKNOWN_FORMAT::DUMP (Format.h:42-46,177-185):
+    // string images through the REAL Materialize path with hex rendering
+    // on (uppercase UTF-8-byte hex, Builder.h:1129-1184), plus the
+    // unknown-value surface — payload renders "?" and the diagnostic
+    // line dumps size + space-prefixed lowercase hex (Builder.h:395-405).
+    "q69_hex_formats" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(0L, 0L, "APP", "T",
+        Seq(DbColumn("value", 1), DbColumn("etype", 2)))))
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op", "0L AS obj",
+          "'' AS rid", "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING), " +
+            "'etype', event_type) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText")
+        .as[ChangeMessage]
+      val dumpU = udf((n: String, b: Array[Byte]) =>
+        OracleCodecs.unknownDump(n, b))
+      Materialize(messages, dict, Materialize.Options(charFormatHex = true))
+        .select(col("cScn").as("event_id"),
+          element_at(col("after"), "value").as("value_hex"),
+          element_at(col("after"), "etype").as("etype_hex"),
+          lit("?").as("unk_value"),
+          dumpU(lit("etype"), unhex(element_at(col("after"), "etype")))
+            .as("unk_dump"))
+    }),
+
+    // TIMESTAMP WITH TIME ZONE rendering (Builder.cpp:272-353 +
+    // BuilderJson.cpp:282-348): 13-byte redo values — encoded by the
+    // scaffolding inverse, decoded by the REAL codec inside the plan
+    // (encode∘decode roundtrip, like q13's rowid) — rendered in the
+    // ISO8601_NANO_TZ and UNIX_NANO_STRING families. The tz bytes cycle
+    // through named region keys (real Locales::timeZoneMap entries), both
+    // numeric-offset sign paths, and an unmapped key ("TZ?" fallback).
+    "q68_ts_tz_render" -> ((s, dir) => {
+      val encU = udf((sec: Long, frac: Long, b11: Int, b12: Int) =>
+        OracleCodecs.tzTimestampEncode(sec, frac, b11, b12))
+      val isoU = udf((b: Array[Byte]) => OracleCodecs.tzTimestampIso(b))
+      val unixU = udf((b: Array[Byte]) => OracleCodecs.tzTimestampUnix(b))
+      val enc = encU(col("sec"), col("frac"), col("b11"), col("b12"))
+      Tables.load(s, dir, "events")
+        .selectExpr(
+          "event_id",
+          "1704067200 + (event_id * 7919) % 31536000 AS sec",
+          "(event_id * 1234567) % 1000000000 AS frac",
+          "CAST(event_id % 12 AS INT) AS tzi")
+        .withColumn("b11", expr("CAST(CASE tzi WHEN 0 THEN 128 " +
+          "WHEN 1 THEN 129 WHEN 2 THEN 129 WHEN 3 THEN 131 WHEN 4 THEN 132 " +
+          "WHEN 5 THEN 133 WHEN 6 THEN 133 WHEN 7 THEN 134 WHEN 8 THEN 208 " +
+          "WHEN 9 THEN 22 WHEN 10 THEN 15 ELSE 37 END AS INT)"))
+        .withColumn("b12", expr("CAST(CASE tzi WHEN 0 THEN 112 " +
+          "WHEN 1 THEN 144 WHEN 2 THEN 156 WHEN 3 THEN 232 WHEN 4 THEN 44 " +
+          "WHEN 5 THEN 196 WHEN 6 THEN 252 WHEN 7 THEN 56 WHEN 8 THEN 4 " +
+          "WHEN 9 THEN 60 WHEN 10 THEN 30 ELSE 0 END AS INT)"))
+        .select(col("event_id"),
+          isoU(enc).as("iso_tz"),
+          unixU(enc).as("unix_tz"))
+    }),
+
     "q66_interval_render" -> ((s, dir) => {
       val dsU = udf((n: Long) => OracleCodecs.intervalDsString(n, ' '))
       val ymU = udf((m: Long) => OracleCodecs.intervalYmString(m, '-'))
@@ -216,6 +278,43 @@ object FormatOps {
         |    || printf('%02x', (xid >> 16) & 255) || printf('%02x', (xid >> 24) & 255)
         |    AS xid_rev
         |FROM x""".stripMargin,
+
+    "q69_hex_formats" ->
+      """SELECT event_id,
+        |  hex(CAST(CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS BLOB))
+        |    AS value_hex,
+        |  hex(CAST(event_type AS BLOB)) AS etype_hex,
+        |  '?' AS unk_value,
+        |  'unknown value (column: etype): '
+        |    || octet_length(CAST(event_type AS BLOB)) || ' - '
+        |    || array_to_string(
+        |      list_transform(range(1, octet_length(CAST(event_type AS BLOB)) + 1),
+        |        i -> ' ' || lower(substr(hex(CAST(event_type AS BLOB)),
+        |          CAST((i-1)*2+1 AS INT), 2))), '') AS unk_dump
+        |FROM events""".stripMargin,
+
+    "q68_ts_tz_render" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    1704067200 + (event_id * 7919) % 31536000 AS sec,
+        |    (event_id * 1234567) % 1000000000 AS frac,
+        |    CASE event_id % 12
+        |      WHEN 0 THEN 'Etc/UTC' WHEN 1 THEN 'America/New_York'
+        |      WHEN 2 THEN 'America/Los_Angeles' WHEN 3 THEN 'Asia/Shanghai'
+        |      WHEN 4 THEN 'Asia/Tokyo' WHEN 5 THEN 'Europe/London'
+        |      WHEN 6 THEN 'Europe/Berlin' WHEN 7 THEN 'Europe/Warsaw'
+        |      WHEN 8 THEN 'UTC' WHEN 9 THEN '+02:00' WHEN 10 THEN '-05:30'
+        |      ELSE 'TZ?' END AS tz
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(DATE '1970-01-01' + CAST(sec // 86400 AS INT) AS VARCHAR)
+        |    || 'T' || lpad(CAST((sec // 3600) % 24 AS VARCHAR), 2, '0')
+        |    || ':' || lpad(CAST((sec // 60) % 60 AS VARCHAR), 2, '0')
+        |    || ':' || lpad(CAST(sec % 60 AS VARCHAR), 2, '0')
+        |    || '.' || lpad(CAST(frac AS VARCHAR), 9, '0') || 'Z ' || tz
+        |    AS iso_tz,
+        |  CAST(sec * 1000000000 + frac AS VARCHAR) || ',' || tz AS unix_tz
+        |FROM t""".stripMargin,
 
     "q66_interval_render" ->
       """WITH i AS (

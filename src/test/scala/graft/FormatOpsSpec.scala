@@ -69,6 +69,49 @@ class FormatOpsSpec extends AnyFunSuite {
     assert(row.getAs[String]("chkpt_value").contains("\"op\":\"chkpt\""))
   }
 
+  test("tz timestamp codec: offsets, named zones, fallback, invalid") {
+    import graft.core.OracleCodecs._
+    val sec = 1704067200L // 2024-01-01T00:00:00Z
+    // named zone (Europe/Warsaw key 0x8638)
+    assert(tzTimestampIso(tzTimestampEncode(sec, 123456789L, 0x86, 0x38)) ==
+      "2024-01-01T00:00:00.123456789Z Europe/Warsaw")
+    // numeric offsets: both sign paths of Builder.cpp:303-330
+    assert(tzTimestampIso(tzTimestampEncode(sec, 0L, 22, 60))
+      .endsWith("Z +02:00"))
+    assert(tzTimestampIso(tzTimestampEncode(sec, 0L, 15, 30))
+      .endsWith("Z -05:30"))
+    // unmapped region key → "TZ?"
+    assert(tzTimestampIso(tzTimestampEncode(sec, 0L, 0x7f, 0x01))
+      .endsWith("Z TZ?"))
+    // unix nano string: big-number path digits == epoch*1e9 + fraction
+    assert(tzTimestampUnix(tzTimestampEncode(sec, 42L, 0xd0, 0x04)) ==
+      "1704067200000000042,UTC")
+    // small-|epoch| path
+    assert(tzTimestampUnix(tzTimestampEncode(86400L, 7L, 0xd0, 0x04)) ==
+      "86400000000007,UTC")
+    // out-of-range field → null (caller falls back to unknown dump)
+    val bad = tzTimestampEncode(sec, 0L, 0xd0, 0x04)
+    bad(4) = 30 // hour byte → 29 > 23
+    assert(tzTimestampIso(bad) == null)
+    assert(tzTimestampIso(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("q68 renders through encode∘decode inside the plan") {
+    val rows = FormatOps.defs("q68_ts_tz_render")(spark, sf).limit(24).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[String]("iso_tz").contains("Z ")))
+  }
+
+  test("hex formats: uppercase value hex, '?' + dump line for unknowns") {
+    import graft.core.OracleCodecs
+    assert(OracleCodecs.unknownDump("c", Array[Byte](0x61, 0x62)) ==
+      "unknown value (column: c): 2 -  61 62") // double space: " - " + " 61"
+    val row = FormatOps.defs("q69_hex_formats")(spark, sf).limit(1).collect().head
+    assert(row.getAs[String]("etype_hex").matches("[0-9A-F]+"))
+    assert(row.getAs[String]("unk_value") == "?")
+    assert(row.getAs[String]("unk_dump").startsWith("unknown value (column: etype): "))
+  }
+
   test("q65/q66 codec round-trip on known values") {
     val xid = (6L << 48) | (0x1aL << 32) | 0x218L
     val q65 = FormatOps.defs("q65_xid_formats")(spark, sf)
