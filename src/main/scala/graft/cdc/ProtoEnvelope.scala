@@ -116,6 +116,97 @@ object ProtoEnvelope {
       mapEntries(12, attrs)
   }
 
+  // ----- W3 pull-protocol request/control messages ----------------------
+
+  /** RequestCode (proto:62-67). */
+  object Req { val Info = 0; val Start = 1; val Continue = 2; val Confirm = 3 }
+
+  /** ResponseCode (proto:69-78). */
+  object Resp {
+    val Ready = 0; val FailedStart = 1; val Starting = 2
+    val AlreadyStarted = 3; val Replicate = 4; val Payload = 5
+    val InvalidDatabase = 6; val InvalidCommand = 7
+  }
+
+  /** RedoRequest (proto:129-141) — the client→server control message.
+    * Option = proto3 field presence (c_scn 0 with presence is legal and
+    * means "continue from last", WriterStream.cpp:186-196). */
+  case class RedoRequest(code: Int, db: String, scn: Option[Long] = None,
+      seq: Option[Long] = None, cScn: Option[Long] = None,
+      cIdx: Option[Long] = None)
+
+  def encodeRequest(r: RedoRequest): Array[Byte] =
+    vint(1, r.code.toLong) ++ str(2, r.db) ++
+      r.scn.map(vintOneof(3, _)).getOrElse(Array.emptyByteArray) ++
+      r.seq.map(vintOneof(6, _)).getOrElse(Array.emptyByteArray) ++
+      r.cScn.map(vintOneof(8, _)).getOrElse(Array.emptyByteArray) ++
+      r.cIdx.map(vintOneof(9, _)).getOrElse(Array.emptyByteArray)
+
+  /** Generic top-level field walk of the scratch wire format (varint and
+    * length-delimited wires only — all the pull protocol uses). */
+  private def walkFields(b: Array[Byte]): Seq[(Int, Either[Long, Array[Byte]])] = {
+    var i = 0
+    def rdVarint(): Long = {
+      var x = 0L; var shift = 0
+      while ({ val c = b(i) & 0xff; i += 1
+        x |= (c & 0x7fL) << shift; shift += 7; (c & 0x80) != 0 }) ()
+      x
+    }
+    val out = Seq.newBuilder[(Int, Either[Long, Array[Byte]])]
+    while (i < b.length) {
+      val k = rdVarint()
+      val field = (k >> 3).toInt
+      (k & 7) match {
+        case 0 => out += field -> Left(rdVarint())
+        case 2 =>
+          val n = rdVarint().toInt
+          out += field -> Right(java.util.Arrays.copyOfRange(b, i, i + n))
+          i += n
+        case w => throw new IllegalArgumentException(s"wire type $w")
+      }
+    }
+    out.result()
+  }
+
+  def decodeRequest(b: Array[Byte]): RedoRequest = {
+    var r = RedoRequest(Req.Info, "")
+    walkFields(b).foreach {
+      case (1, Left(v)) => r = r.copy(code = v.toInt)
+      case (2, Right(s)) => r = r.copy(db = new String(s, UTF_8))
+      case (3, Left(v)) => r = r.copy(scn = Some(v))
+      case (6, Left(v)) => r = r.copy(seq = Some(v))
+      case (8, Left(v)) => r = r.copy(cScn = Some(v))
+      case (9, Left(v)) => r = r.copy(cIdx = Some(v))
+      case _ => // schema requests (7) and unknown fields: skipped
+    }
+    r
+  }
+
+  /** Non-payload RedoResponse (code + optional positions) — the control
+    * arm of WriterStream::processInfo/Start/Continue. */
+  def encodeControlResponse(code: Int, scn: Option[Long] = None,
+      cScn: Option[Long] = None, cIdx: Option[Long] = None): Array[Byte] =
+    vint(1, code.toLong) ++
+      scn.map(vintOneof(2, _)).getOrElse(Array.emptyByteArray) ++
+      cScn.map(v => key(10, 0) ++ varint(v)).getOrElse(Array.emptyByteArray) ++
+      cIdx.map(v => key(11, 0) ++ varint(v)).getOrElse(Array.emptyByteArray)
+
+  /** Decoded control view of a RedoResponse (ignores payload bytes). */
+  case class ControlResponse(code: Int, scn: Option[Long],
+      cScn: Option[Long], cIdx: Option[Long])
+
+  def decodeControlResponse(b: Array[Byte]): ControlResponse = {
+    var r = ControlResponse(Resp.Ready, None, None, None)
+    walkFields(b).foreach {
+      case (1, Left(v)) => r = r.copy(code = v.toInt)
+      case (2, Left(v)) => r = r.copy(scn = Some(v))
+      case (10, Left(v)) => r = r.copy(cScn = Some(v))
+      case (11, Left(v)) => r = r.copy(cIdx = Some(v))
+      case _ =>
+    }
+    r
+  }
+
   /** W3 framing: 32-bit little-endian length prefix
     * (StreamNetwork.cpp:122-146; the 64-bit escape for >4 GiB messages is
     * out of scope — maxMessageMb caps far below it). */

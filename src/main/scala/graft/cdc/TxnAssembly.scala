@@ -46,6 +46,28 @@ object TxnAssembly {
     def empty: TxnState = TxnState(ArrayBuffer.empty, Map.empty, -1L, false, false)
   }
 
+  /** Checkpointed form of [[TxnState]] (state-store schema v2): an
+    * explicit product — columnar in the state store, schema-evolvable
+    * (add a field with a default and old checkpoints still read) —
+    * replacing the opaque kryo blobs of v1. v1 checkpoints don't carry a
+    * readable schema, so this is a documented state-version bump: restart
+    * a v1 stream from a fresh checkpoint (positions replay from the
+    * archived feed; the source is replayable by contract). */
+  case class TxnStateData(
+      ops: Seq[ChangeEvent],
+      attrs: Map[String, String],
+      beginScn: Long,
+      open: Boolean,
+      oversized: Boolean) {
+    def thaw: TxnState =
+      TxnState(ArrayBuffer.from(ops), attrs, beginScn, open, oversized)
+  }
+
+  object TxnStateData {
+    def freeze(st: TxnState): TxnStateData =
+      TxnStateData(st.ops.toVector, st.attrs, st.beginScn, st.open, st.oversized)
+  }
+
   /** Feed one event through the state machine; returns messages to emit
     * (non-empty only for COMMIT, or chunk-forced splits). */
   def onEvent(xid: String, e: ChangeEvent, st: TxnState, cfg: Config): Seq[ChangeMessage] = {
@@ -247,7 +269,9 @@ object TxnAssembly {
   def assembleStream(events: Dataset[ChangeEvent], cfg: Config = Config())(
       implicit spark: SparkSession): Dataset[ChangeMessage] = {
     import spark.implicits._
-    implicit val stateEnc = org.apache.spark.sql.Encoders.kryo[TxnState]
+    // implicit product encoder for TxnStateData via spark.implicits —
+    // explicit state schema in the store (see TxnStateData for the v1
+    // kryo → v2 product bump)
     // ProcessingTimeTimeout makes Spark schedule timeout-check batches
     // forever — only pay that when an abandoned-txn TTL is requested.
     val timeout =
@@ -255,18 +279,19 @@ object TxnAssembly {
       else GroupStateTimeout.NoTimeout
     events.groupByKey(_.xid).flatMapGroupsWithState(
       OutputMode.Append, timeout)(
-      (xid: String, it: Iterator[ChangeEvent], state: GroupState[TxnState]) => {
+      (xid: String, it: Iterator[ChangeEvent],
+          state: GroupState[TxnStateData]) => {
         if (state.hasTimedOut) { // abandoned txn: drop state, emit nothing
           state.remove()
           Iterator.empty
         } else {
-          val st = state.getOption.getOrElse(TxnState.empty)
+          val st = state.getOption.map(_.thaw).getOrElse(TxnState.empty)
           val out = ArrayBuffer.empty[ChangeMessage]
           it.toArray.sorted(ordering)
             .foreach(e => out ++= onEvent(xid, e, st, cfg))
           if (st.ops.isEmpty && !st.open) state.remove()
           else {
-            state.update(st)
+            state.update(TxnStateData.freeze(st))
             if (cfg.stateTtlMs > 0) state.setTimeoutDuration(cfg.stateTtlMs)
           }
           out.iterator
