@@ -55,9 +55,18 @@ object TextOps {
     * scale the same repartition spreads hot docs across executors. */
   private def spread(df: DataFrame): DataFrame = df.repartition(col("doc_id"))
 
+  /** Skew guard (SCALE.md §dedup): a band bucket with more than this many
+    * members is degenerate — near-identical boilerplate whose members are
+    * exact-dup clusters (q25's path) — and would otherwise explode the
+    * band self-join quadratically (10⁶ members → 10¹² candidate pairs on
+    * one executor). Capping bounds any band's join work at cap², and the
+    * windowed count rides the band exchange the join needs anyway. */
+  private[graft] val DefaultBandCap = 64
+
   /** Verified near-dup pairs: LSH band-bucket join → candidates → exact
     * Jaccard ≥ 0.5 (shared by q29 and the q46 clustering on top of it). */
-  private def lshVerifiedPairs(docs: DataFrame): DataFrame = {
+  private[graft] def lshVerifiedPairs(docs: DataFrame,
+      bandCap: Int = DefaultBandCap): DataFrame = {
     // lazy localCheckpoint, not cache(): a cache() here is keyed in the
     // session CacheManager and outlives the query (q29+q46 in one session
     // pinned two copies of the shingle arrays); checkpoint blocks are
@@ -65,8 +74,13 @@ object TextOps {
     // lost blocks fail the job instead of recomputing — fine for a
     // within-query scratch dataset.
     val banded0 = withBands(docs).localCheckpoint(false)
-    val banded = banded0.select(col("doc_id"),
+    val bandedAll = banded0.select(col("doc_id"),
         explode(array(col("band0"), col("band1"))).as("band"))
+    val banded = bandedAll
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band")))
+      .filter(col("__n") <= bandCap)
+      .drop("__n")
     val cand = banded.as("x").join(banded.as("y"), Seq("band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
