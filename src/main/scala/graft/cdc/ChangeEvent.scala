@@ -26,13 +26,16 @@ case class ChangeEvent(
     suppBefore: Map[String, String],
     suppAfter: Map[String, String],
     attrs: Map[String, String],
-    ddlText: String)
+    ddlText: String,
+    // wall-clock nanos of the redo record (the reference's per-record
+    // Time, RedoLogRecord timestamp); 0 = feed carries no clock
+    tm: Long = 0L)
 
 object ChangeEvent {
   /** Construct a minimal DML/control event (fixture helper). */
   def apply(scn: Long, xid: String, op: String): ChangeEvent =
     ChangeEvent(scn, 0, 1L, scn, 1, xid, op, 0L, 0L, 0, "",
-      Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, null)
+      Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, null, 0L)
 
   val schema: StructType = StructType(Seq(
     StructField("scn", LongType, nullable = false),
@@ -51,7 +54,8 @@ object ChangeEvent {
     StructField("suppBefore", MapType(StringType, StringType), nullable = true),
     StructField("suppAfter", MapType(StringType, StringType), nullable = true),
     StructField("attrs", MapType(StringType, StringType), nullable = true),
-    StructField("ddlText", StringType, nullable = true)))
+    StructField("ddlText", StringType, nullable = true),
+    StructField("tm", LongType, nullable = false)))
 }
 
 /** Semantic opcodes (≙ reference redo opcodes, §2.2 of SURVEY.md). */
@@ -87,7 +91,12 @@ case class ChangeMessage(
     before: Map[String, String],
     after: Map[String, String],
     attrs: Map[String, String],
-    ddlText: String)
+    ddlText: String,
+    // begin scn of the owning transaction (SCN_TYPE::BEGIN "b_scn";
+    // -1 = unknown) and commit wall-clock nanos (TIMESTAMP_TYPE commit
+    // "tm"; 0 = feed carries no clock) — BuilderJson.h:256-289
+    bScn: Long = -1L,
+    tm: Long = 0L)
 
 object MsgOp {
   val Begin = "begin"

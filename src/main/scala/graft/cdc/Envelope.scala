@@ -11,12 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object Envelope {
 
-  /** Envelope format knobs (a pragmatic subset of Format.h; wall-clock
-    * "tm" fields are out of scope — the feed carries scn as the only
-    * clock, see SURVEY.md §1.4). */
+  /** Envelope format knobs (a pragmatic subset of Format.h). The scn/tm
+    * variant fields follow BuilderJson.h:232-289: b_scn/e_scn are the
+    * transaction's begin/commit scn (SCN_TYPE::BEGIN/COMMIT — together
+    * with tm the Debezium-style header), "scns" is the 0x-prefixed
+    * 16-digit lowercase hex form (SCN_FORMAT::TEXT_HEX), and "tm" is the
+    * commit wall clock in unix nanos (TIMESTAMP_TYPE commit value; the
+    * feed supplies it via ChangeMessage.tm — 0 = no clock, omitted). */
   case class Format(
       dbName: String = "", // "db" header field
-      emitCheckpoint: Boolean = false) // trailing "chkpt" message per batch
+      emitCheckpoint: Boolean = false, // trailing "chkpt" message per batch
+      scnTypeBegin: Boolean = false, // "b_scn" per message
+      scnTypeCommit: Boolean = false, // "e_scn" per message
+      scnFormatHex: Boolean = false, // "scns":"0x…" replaces "scn"
+      timestampCommit: Boolean = false) // "tm" commit nanos per message
 
   /** enriched rows → (key, value) output frame.
     * value = ordered-JSON envelope; key = tag (nullable). */
@@ -30,10 +38,20 @@ object Envelope {
       "after" -> col("after"),
       "ddl" -> col("ddlText"))
 
+    val scnCol: (String, Column) =
+      if (fmt.scnFormatHex)
+        "scns" -> concat(lit("0x"), lpad(lower(hex(col("scn"))), 16, "0"))
+      else "scn" -> col("scn")
     val headerCols = Seq[(String, Column)](
       "c_scn" -> col("cScn"),
       "c_idx" -> col("cIdx"),
-      "scn" -> col("scn"),
+      scnCol) ++
+      (if (fmt.scnTypeBegin) // unknown begin (-1, non-assembled feed) omitted
+        Seq("b_scn" -> when(col("bScn") >= 0L, col("bScn"))) else Nil) ++
+      (if (fmt.scnTypeCommit) Seq("e_scn" -> col("cScn")) else Nil) ++
+      (if (fmt.timestampCommit) // 0 = feed has no clock → omitted
+        Seq("tm" -> when(col("tm") > 0L, col("tm"))) else Nil) ++
+      Seq[(String, Column)](
       "seq" -> col("seq"),
       "xid" -> col("xid")) ++
       (if (fmt.dbName.nonEmpty) Seq("db" -> lit(fmt.dbName)) else Nil) ++

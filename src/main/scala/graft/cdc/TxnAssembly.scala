@@ -94,7 +94,7 @@ object TxnAssembly {
         reset(st)
         Nil
       case Op.Commit =>
-        val out = flush(xid, e.scn, e.seq, st, cfg)
+        val out = flush(xid, e.scn, e.seq, st, cfg, commitTm = e.tm)
         reset(st)
         out
       case op if Op.dml.contains(op) || op == Op.Ddl =>
@@ -119,21 +119,25 @@ object TxnAssembly {
     st.oversized = false
   }
 
-  /** Emit buffered ops as committed messages in redo order. */
-  def flush(xid: String, commitScn: Long, seq: Long, st: TxnState, cfg: Config): Seq[ChangeMessage] = {
+  /** Emit buffered ops as committed messages in redo order. `commitTm` =
+    * the commit record's wall clock (→ "tm"/"e_tm" header variants; 0
+    * when the feed has no clock). */
+  def flush(xid: String, commitScn: Long, seq: Long, st: TxnState,
+      cfg: Config, commitTm: Long = 0L): Seq[ChangeMessage] = {
     if (st.oversized || st.ops.isEmpty) return Nil
+    val bScn = st.beginScn.max(0L)
     val out = ArrayBuffer.empty[ChangeMessage]
     var idx = 0L
     def emit(op: String, e: ChangeEvent, before: Map[String, String],
         after: Map[String, String]): Unit = {
       out += ChangeMessage(commitScn, idx, e.scn, seq, xid, op, e.obj,
         OracleCodecs.rowIdEncode(e.obj, e.bdba, e.slot), before, after,
-        st.attrs, e.ddlText)
+        st.attrs, e.ddlText, bScn, commitTm)
       idx += 1
     }
     if (cfg.emitBeginCommit)
       out += ChangeMessage(commitScn, { idx += 1; 0L }, st.beginScn.max(0L), seq,
-        xid, MsgOp.Begin, 0L, null, null, null, st.attrs, null)
+        xid, MsgOp.Begin, 0L, null, null, null, st.attrs, null, bScn, commitTm)
     // T4 row-piece merge: a chained/migrated row arrives as consecutive
     // pieces flagged fb F(first) … L(last) (Transaction.cpp:450-490 groups
     // pieces until the FB_L end-flag, then emits ONE logical DML). Pieces
@@ -189,7 +193,7 @@ object TxnAssembly {
     }
     if (cfg.emitBeginCommit)
       out += ChangeMessage(commitScn, idx, commitScn, seq, xid, MsgOp.Commit,
-        0L, null, null, null, st.attrs, null)
+        0L, null, null, null, st.attrs, null, bScn, commitTm)
     out.toSeq
   }
 
@@ -242,7 +246,8 @@ object TxnAssembly {
           private val buf = scala.collection.mutable.Queue.empty[ChangeMessage]
           private def endGroup(): Unit =
             if (curXid != null && cfg.commitAtEnd && st.ops.nonEmpty && last != null)
-              buf ++= flush(curXid, last.scn, last.seq, st, cfg)
+              buf ++= flush(curXid, last.scn, last.seq, st, cfg,
+                commitTm = last.tm)
           private def fill(): Unit = {
             while (buf.isEmpty && it.hasNext) {
               val e = it.next()

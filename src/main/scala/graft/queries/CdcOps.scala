@@ -31,7 +31,8 @@ object CdcOps {
         "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
         "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
         "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
-        "CAST(NULL AS STRING) AS ddlText")
+        "CAST(NULL AS STRING) AS ddlText",
+        "0L AS tm")
       .as[ChangeEvent]
   }
 
@@ -121,7 +122,8 @@ object CdcOps {
         "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
         "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
         "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
-        "CAST(NULL AS STRING) AS ddlText")
+        "CAST(NULL AS STRING) AS ddlText",
+        "0L AS tm")
       LobAssembly.assemble(pages)
         .select(col("lob_id"), col("n_pages"),
           length(col("lob_data")).as("n_chars"),
@@ -195,7 +197,8 @@ object CdcOps {
             "CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'EU' " +
             "WHEN 1 THEN 'US' ELSE 'APAC' END) " +
             "ELSE CAST(NULL AS MAP<STRING,STRING>) END AS attrs",
-          "CAST(NULL AS STRING) AS ddlText")
+          "CAST(NULL AS STRING) AS ddlText",
+          "0L AS tm")
         .as[ChangeEvent]
       TxnAssembly.assembleBatch(feed, TxnAssembly.Config(commitAtEnd = true))
         .toDF()
@@ -239,7 +242,8 @@ object CdcOps {
         "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
         "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
         "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
-        "CAST(NULL AS STRING) AS ddlText")
+        "CAST(NULL AS STRING) AS ddlText",
+        "0L AS tm")
       val owners = Tables.load(s, dir, "events")
         .select(col("user_id")).distinct()
         .selectExpr("CAST(user_id AS STRING) AS xid", "user_id AS cScn",
@@ -271,7 +275,8 @@ object CdcOps {
           "'' AS rid", "CAST(NULL AS MAP<STRING,STRING>) AS before",
           "map('value', CAST(value AS STRING)) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
-          "CAST(NULL AS STRING) AS ddlText")
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm")
         .as[ChangeMessage]
       Materialize.enrich(messages, dict)
         .select(col("cScn").as("event_id"), col("table_name"))
@@ -293,7 +298,8 @@ object CdcOps {
           "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING), " +
             "'etype', event_type) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
-          "CAST(NULL AS STRING) AS ddlText")
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm")
         .as[ChangeMessage]
       // unknown tables render raw columns as COL_0..n (Builder.cpp:96-99);
       // known rows keep dictionary names — both shapes gated via the
@@ -324,7 +330,8 @@ object CdcOps {
           // at the margins; DECIMAL(10,2)→string is stable in both
           "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING)) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
-          "CAST(NULL AS STRING) AS ddlText")
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm")
         .as[ChangeMessage]
       Envelope.forSink(Envelope.toMessages(Materialize(messages, dict)))
         .select(col("c_scn"), col("key"), col("value"))
@@ -347,7 +354,8 @@ object CdcOps {
           "CAST(NULL AS MAP<STRING,STRING>) AS before",
           "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING)) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
-          "CAST(NULL AS STRING) AS ddlText")
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm")
         .as[ChangeMessage]
       ProtoEnvelope.toMessages(Materialize(messages, dict))
         .select(col("cScn").as("c_scn"), hex(col("value_bin")).as("proto_hex"))
@@ -388,7 +396,8 @@ object CdcOps {
           "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
           "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
-          "CAST(NULL AS STRING) AS ddlText")
+          "CAST(NULL AS STRING) AS ddlText",
+          "0L AS tm")
         .as[ChangeEvent]
       TxnAssembly.assembleBatch(feed, TxnAssembly.Config(commitAtEnd = true))
         .toDF()
@@ -414,7 +423,8 @@ object CdcOps {
           "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
           "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
-          "CAST(NULL AS STRING) AS ddlText")
+          "CAST(NULL AS STRING) AS ddlText",
+          "0L AS tm")
         .as[ChangeEvent]
       TxnAssembly.assembleBatch(feed,
           TxnAssembly.Config(commitAtEnd = true, maxOpsPerTxn = 50))
@@ -439,7 +449,8 @@ object CdcOps {
           "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING), " +
             "'diag', event_type) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
-          "CAST(NULL AS STRING) AS ddlText")
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm")
         .as[ChangeMessage]
       Materialize(messages, dict)
         .select(col("cScn").as("event_id"),

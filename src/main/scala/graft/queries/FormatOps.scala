@@ -60,7 +60,8 @@ object FormatOps {
         "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
         "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
         "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
-        ddlExpr + " AS ddlText")
+        ddlExpr + " AS ddlText",
+        "0L AS tm")
       .as[ChangeEvent]
   }
 
@@ -164,7 +165,8 @@ object FormatOps {
           "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING), " +
             "'etype', event_type) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
-          "CAST(NULL AS STRING) AS ddlText")
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm")
         .as[ChangeMessage]
       val dumpU = udf((n: String, b: Array[Byte]) =>
         OracleCodecs.unknownDump(n, b))
@@ -207,6 +209,37 @@ object FormatOps {
         .select(col("event_id"),
           isoU(enc).as("iso_tz"),
           unixU(enc).as("unix_tz"))
+    }),
+
+    // SCN_TYPE / TIMESTAMP_TYPE / SCN_FORMAT header variants
+    // (BuilderJson.h:232-289): the Debezium-style b_scn/e_scn/tm trio on
+    // every message, and the TEXT_HEX "scns" form, through the REAL
+    // Materialize → Envelope path. tm is micro-truncated like q64 (the
+    // oracle engine's parquet NANOS ceiling).
+    "q70_header_variants" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(100L, 100L, "APP", "EVENTS",
+        Seq(DbColumn("value", 1)))))
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op", "100L AS obj",
+          "CAST(NULL AS STRING) AS rid",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING)) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "greatest(event_id - 5, 0) AS bScn",
+          "(ts div 1000) * 1000 AS tm")
+        .as[ChangeMessage]
+      val enriched = Materialize(messages, dict)
+      val full = Envelope.toMessages(enriched, Envelope.Format(
+          scnTypeBegin = true, scnTypeCommit = true, timestampCommit = true))
+        .withColumnRenamed("value", "value_full")
+      Envelope.toMessages(full, Envelope.Format(scnFormatHex = true))
+        .select(col("cScn").as("c_scn"),
+          col("value_full").as("value"),
+          col("value").as("value_hex"))
     }),
 
     "q66_interval_render" -> ((s, dir) => {
@@ -278,6 +311,24 @@ object FormatOps {
         |    || printf('%02x', (xid >> 16) & 255) || printf('%02x', (xid >> 24) & 255)
         |    AS xid_rev
         |FROM x""".stripMargin,
+
+    "q70_header_variants" ->
+      """SELECT event_id AS c_scn,
+        |  '{"c_scn":' || event_id || ',"c_idx":0,"scn":' || event_id ||
+        |  ',"b_scn":' || greatest(event_id - 5, 0) ||
+        |  ',"e_scn":' || event_id ||
+        |  ',"tm":' || epoch_ns(ts) ||
+        |  ',"seq":1,"xid":"' || user_id || '","op":"c",' ||
+        |  '"schema":{"owner":"APP","table":"EVENTS","obj":100},' ||
+        |  '"after":{"value":"' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)
+        |    || '"}}' AS value,
+        |  '{"c_scn":' || event_id || ',"c_idx":0,"scns":"0x'
+        |    || printf('%016x', event_id) ||
+        |  '","seq":1,"xid":"' || user_id || '","op":"c",' ||
+        |  '"schema":{"owner":"APP","table":"EVENTS","obj":100},' ||
+        |  '"after":{"value":"' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)
+        |    || '"}}' AS value_hex
+        |FROM events""".stripMargin,
 
     "q69_hex_formats" ->
       """SELECT event_id,

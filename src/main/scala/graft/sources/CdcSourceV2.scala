@@ -257,7 +257,7 @@ final class CdcPartitionReader(file: String, required: StructType,
   private def materialize(n: JsonNode): InternalRow = {
     val vals = required.fields.map { f =>
       f.name match {
-        case "scn" | "seq" | "offset" | "obj" | "bdba" => long(n, f.name)
+        case "scn" | "seq" | "offset" | "obj" | "bdba" | "tm" => long(n, f.name)
         case "subScn" | "thread" | "slot" => long(n, f.name).toInt
         case "xid" | "op" | "fb" | "ddlText" =>
           Option(str(n, f.name)).map(UTF8String.fromString).orNull

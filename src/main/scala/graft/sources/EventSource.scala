@@ -20,7 +20,9 @@ object EventSource {
     * records that fail the block checksum, Reader.cpp:109-155). */
   private def wellFormed(df: DataFrame): DataFrame =
     df.filter(col("scn").isNotNull && col("xid").isNotNull && col("op").isNotNull)
-      .na.fill(0L, Seq("scn", "subScn", "seq", "offset", "thread", "obj", "bdba", "slot"))
+      .na.fill(0L,
+        Seq("scn", "subScn", "seq", "offset", "thread", "obj", "bdba", "slot",
+          "tm")) // tm absent in pre-clock fixture feeds → 0 (no wall clock)
 
   /** S4 batch replay from JSON-lines (the fixture/golden format). */
   def batchJson(spark: SparkSession, path: String): Dataset[ChangeEvent] = {

@@ -112,6 +112,23 @@ class FormatOpsSpec extends AnyFunSuite {
     assert(row.getAs[String]("unk_dump").startsWith("unknown value (column: etype): "))
   }
 
+  test("assembler propagates begin scn and commit wall clock to messages") {
+    import graft.cdc._
+    val st = TxnAssembly.TxnState.empty
+    val cfg = TxnAssembly.Config(emitBeginCommit = true)
+    val begin = ChangeEvent(10L, "7.0.7", Op.Begin)
+    val ins = ChangeEvent(11L, "7.0.7", Op.Ins).copy(
+      after = Map("v" -> "1"), tm = 111L)
+    val commit = ChangeEvent(12L, "7.0.7", Op.Commit).copy(tm = 999L)
+    val out = Seq(begin, ins, commit)
+      .flatMap(e => TxnAssembly.onEvent("7.0.7", e, st, cfg))
+    assert(out.map(_.op) == Seq("begin", "c", "commit"))
+    // b_scn = the BEGIN record's scn; tm = the COMMIT record's clock —
+    // on every message of the transaction (BuilderJson.h:256-289)
+    assert(out.forall(_.bScn == 10L))
+    assert(out.forall(_.tm == 999L))
+  }
+
   test("q65/q66 codec round-trip on known values") {
     val xid = (6L << 48) | (0x1aL << 32) | 0x218L
     val q65 = FormatOps.defs("q65_xid_formats")(spark, sf)
