@@ -61,6 +61,38 @@ case class DbTable(
     case _ => tagCols
   }
 
+  /** SCHEMA_FORMAT::FULL column descriptors (BuilderJson.h:411-530):
+    * Oracle type name + the per-type size fields (length for the char/
+    * raw/timestamp families, precision+scale for number, neither for the
+    * sizeless types), always nullable. None fields are omitted from the
+    * rendered JSON (to_json drops nulls), reproducing the reference's
+    * per-type field shapes. */
+  def schemaColumns(showHidden: Boolean = false, showNested: Boolean = false,
+      showUnused: Boolean = false): Seq[(String, String, Option[Int], Option[Int], Option[Int], Boolean)] =
+    visibleColumns(showHidden, showNested, showUnused).map { c =>
+      val (tn, len, prec, scale) = c.typeCode match {
+        case 1 => ("varchar2", Some(c.length), None, None)
+        case 2 => ("number", None, Some(c.precision), Some(c.scale))
+        case 8 => ("long", None, None, None)
+        case 12 => ("date", None, None, None)
+        case 23 => ("raw", Some(c.length), None, None)
+        case 24 => ("long raw", None, None, None)
+        case 96 => ("char", Some(c.length), None, None)
+        case 100 => ("binary_float", None, None, None)
+        case 101 => ("binary_double", None, None, None)
+        case 112 => ("clob", None, None, None)
+        case 113 => ("blob", None, None, None)
+        case 180 => ("timestamp", Some(c.length), None, None)
+        case 181 => ("timestamp with time zone", Some(c.length), None, None)
+        case 182 => ("interval year to month", Some(c.length), None, None)
+        case 183 => ("interval day to second", Some(c.length), None, None)
+        case 208 => ("urowid", Some(c.length), None, None)
+        case 231 => ("timestamp with local time zone", Some(c.length), None, None)
+        case _ => ("unknown", None, None, None)
+      }
+      (c.name, tn, len, prec, scale, c.nullable)
+    }
+
   /** Oracle type code → Spark type (SURVEY.md §1.3 mapping). */
   def toStructType: StructType = StructType(visibleColumns().map { c =>
     val dt: DataType = c.typeCode match {
@@ -124,9 +156,15 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector]) {
         // suppression list, not allow-list: feed columns unknown to the
         // dictionary pass through (schemaless-adjacent leniency)
         t.columns.map(_.name).filterNot(visible),
-        t.validFromScn, t.validToScn)
+        t.validFromScn, t.validToScn,
+        t.schemaColumns(showHidden, showNested, showUnused))
     }.toDF("obj", "dataObj", "owner", "table_name", "key_cols", "tag_cols",
-      "invisible_cols", "valid_from_scn", "valid_to_scn")
+      "invisible_cols", "valid_from_scn", "valid_to_scn", "schema_cols")
+      // SCHEMA_FORMAT::FULL descriptor field names (rendered via to_json)
+      .withColumn("schema_cols",
+        org.apache.spark.sql.functions.expr("transform(schema_cols, c -> " +
+        "named_struct('name', c._1, 'type', c._2, 'length', c._3, " +
+        "'precision', c._4, 'scale', c._5, 'nullable', c._6))"))
   }
 
   /** Apply one dictionary-DML change (SystemTransaction semantics §1.2:

@@ -24,15 +24,29 @@ object Envelope {
       scnTypeBegin: Boolean = false, // "b_scn" per message
       scnTypeCommit: Boolean = false, // "e_scn" per message
       scnFormatHex: Boolean = false, // "scns":"0x…" replaces "scn"
-      timestampCommit: Boolean = false) // "tm" commit nanos per message
+      timestampCommit: Boolean = false, // "tm" commit nanos per message
+      // MESSAGE_FORMAT::SKIP_BEGIN/SKIP_COMMIT (Format.h:76-84): drop the
+      // bracket messages from an emitBeginCommit-ed stream
+      skipBegin: Boolean = false,
+      skipCommit: Boolean = false,
+      // SCHEMA_FORMAT::FULL (BuilderJson.h:411-530): typed column
+      // descriptors in the schema section, on every message. (The
+      // reference's non-REPEATED dedup — emit columns once per table —
+      // is inherently a sequential sink-side pass; a parallel engine
+      // renders per-message and lets the sink dedup.)
+      schemaFormatFull: Boolean = false)
 
   /** enriched rows → (key, value) output frame.
     * value = ordered-JSON envelope; key = tag (nullable). */
   def toMessages(enriched: DataFrame, fmt: Format = Format()): DataFrame = {
+    val schemaStruct =
+      if (fmt.schemaFormatFull)
+        struct(col("owner"), col("table_name").as("table"), col("obj"),
+          col("schema_cols").as("columns"))
+      else struct(col("owner"), col("table_name").as("table"), col("obj"))
     val payloadCols = Seq[(String, Column)](
       "op" -> col("op"),
-      "schema" -> when(col("owner").isNotNull,
-        struct(col("owner"), col("table_name").as("table"), col("obj"))),
+      "schema" -> when(col("owner").isNotNull, schemaStruct),
       "rid" -> col("rid"),
       "before" -> col("before"),
       "after" -> col("after"),
@@ -59,9 +73,60 @@ object Envelope {
         when(col("attrs").isNotNull && size(col("attrs")) > 0, col("attrs")))
 
     val all = headerCols ++ payloadCols
-    enriched.withColumn("value",
+    val src =
+      if (fmt.skipBegin || fmt.skipCommit)
+        enriched.filter(
+          (if (fmt.skipBegin) col("op") =!= MsgOp.Begin else lit(true)) &&
+            (if (fmt.skipCommit) col("op") =!= MsgOp.Commit else lit(true)))
+      else enriched
+    src.withColumn("value",
         to_json(struct(all.map { case (n, c) => c.as(n) }: _*)))
       .withColumn("key", col("tag"))
+  }
+
+  /** MESSAGE_FORMAT::FULL (BuilderJson.cpp:460-548): ONE message per
+    * transaction — the header carries the begin record's scn and the
+    * commit position, "payload" is the array of the transaction's DML
+    * payload objects in commit order. One exchange on (cScn, xid); the
+    * collected payload list is bounded by transaction size — the same
+    * memory envelope the reference accepts by buffering the whole txn in
+    * FULL mode. */
+  def toTxnMessages(enriched: DataFrame): DataFrame = {
+    val payload = struct(
+      col("op"),
+      when(col("owner").isNotNull,
+        struct(col("owner"), col("table_name").as("table"), col("obj")))
+        .as("schema"),
+      col("rid"),
+      col("before"),
+      col("after"),
+      col("ddlText").as("ddl"))
+    enriched
+      .filter(col("op") =!= MsgOp.Begin && col("op") =!= MsgOp.Commit)
+      .groupBy(col("cScn"), col("xid"))
+      .agg(
+        min(col("seq")).as("seq"),
+        min(when(col("bScn") >= 0L, col("bScn"))).as("bScnAgg"),
+        min(col("scn")).as("minScn"),
+        // array_sort + comparator: sort_array can't order structs that
+        // contain maps; commit order is cIdx alone
+        array_sort(
+          collect_list(struct(col("cIdx"), payload.as("p"))),
+          (l, r) => when(l("cIdx") < r("cIdx"), -1)
+            .when(l("cIdx") > r("cIdx"), 1).otherwise(0))
+          .as("ps"))
+      .select(
+        col("cScn"),
+        lit(0L).as("cIdx"),
+        to_json(struct(
+          col("cScn").as("c_scn"),
+          lit(0L).as("c_idx"),
+          // begin scn when the assembler recorded one, else first DML scn
+          coalesce(col("bScnAgg"), col("minScn")).as("scn"),
+          col("seq"),
+          col("xid"),
+          col("ps")("p").as("payload"))).as("value"),
+        lit(null).cast("string").as("key"))
   }
 
   /** Output table schema for sinks: (key, value) + restart position. */

@@ -242,6 +242,60 @@ object FormatOps {
           col("value").as("value_hex"))
     }),
 
+    // MESSAGE_FORMAT::FULL (BuilderJson.cpp:460-548): one message per
+    // transaction, payload = the txn's DMLs in commit order. Txns are the
+    // per-user event groups (xid = user), so payload arrays are real
+    // multi-element lists.
+    "q71_txn_message_full" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(100L, 100L, "APP", "EVENTS",
+        Seq(DbColumn("value", 1)))))
+      val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val messages = Tables.load(s, dir, "events")
+        .selectExpr("event_id", "user_id",
+          "CAST(CAST(value AS DECIMAL(10,2)) AS STRING) AS v")
+        .withColumn("cScn", max(col("event_id")).over(byUser))
+        .withColumn("cIdx",
+          row_number().over(byUser.orderBy("event_id")).cast("long") - 1L)
+        .selectExpr("cScn", "cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op", "100L AS obj",
+          "CAST(NULL AS STRING) AS rid",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', v) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm")
+        .as[ChangeMessage]
+      Envelope.toTxnMessages(Materialize(messages, dict))
+        .select(col("cScn").as("c_scn"), col("value"))
+    }),
+
+    // SCHEMA_FORMAT::FULL (BuilderJson.h:411-530): typed column
+    // descriptors — per-type field shapes (number → precision/scale,
+    // varchar2 → length) — in the schema section, byte-golden.
+    "q72_schema_full" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(100L, 100L, "APP", "EVENTS",
+        Seq(DbColumn("value", 2, precision = 10, scale = 2),
+          DbColumn("etype", 1, length = 40)))))
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op", "100L AS obj",
+          "CAST(NULL AS STRING) AS rid",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING), " +
+            "'etype', event_type) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm")
+        .as[ChangeMessage]
+      Envelope.toMessages(Materialize(messages, dict),
+          Envelope.Format(schemaFormatFull = true))
+        .select(col("cScn").as("c_scn"), col("value"))
+    }),
+
     "q66_interval_render" -> ((s, dir) => {
       val dsU = udf((n: Long) => OracleCodecs.intervalDsString(n, ' '))
       val ymU = udf((m: Long) => OracleCodecs.intervalYmString(m, '-'))
@@ -311,6 +365,33 @@ object FormatOps {
         |    || printf('%02x', (xid >> 16) & 255) || printf('%02x', (xid >> 24) & 255)
         |    AS xid_rev
         |FROM x""".stripMargin,
+
+    "q72_schema_full" ->
+      """SELECT event_id AS c_scn,
+        |  '{"c_scn":' || event_id || ',"c_idx":0,"scn":' || event_id ||
+        |  ',"seq":1,"xid":"' || user_id || '","op":"c",' ||
+        |  '"schema":{"owner":"APP","table":"EVENTS","obj":100,"columns":[' ||
+        |  '{"name":"value","type":"number","precision":10,"scale":2,"nullable":true},' ||
+        |  '{"name":"etype","type":"varchar2","length":40,"nullable":true}]},' ||
+        |  '"after":{"value":"' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)
+        |    || '","etype":"' || event_type || '"}}' AS value
+        |FROM events""".stripMargin,
+
+    "q71_txn_message_full" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id,
+        |    CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS v,
+        |    max(event_id) OVER (PARTITION BY user_id) AS c_scn,
+        |    min(event_id) OVER (PARTITION BY user_id) AS scn0
+        |  FROM events)
+        |SELECT c_scn,
+        |  '{"c_scn":' || c_scn || ',"c_idx":0,"scn":' || scn0 ||
+        |  ',"seq":1,"xid":"' || user_id || '","payload":[' ||
+        |  string_agg('{"op":"c","schema":{"owner":"APP","table":"EVENTS",'
+        |      || '"obj":100},"after":{"value":"' || v || '"}}',
+        |    ',' ORDER BY event_id) ||
+        |  ']}' AS value
+        |FROM m GROUP BY c_scn, user_id, scn0""".stripMargin,
 
     "q70_header_variants" ->
       """SELECT event_id AS c_scn,

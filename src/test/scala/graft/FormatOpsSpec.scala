@@ -129,6 +129,41 @@ class FormatOpsSpec extends AnyFunSuite {
     assert(out.forall(_.tm == 999L))
   }
 
+  test("skip-begin/skip-commit drop brackets; FULL groups a txn") {
+    import graft.cdc.Envelope
+    val enriched = spark.sql(
+      """SELECT * FROM VALUES
+        |  (20L, 0L, 10L, 1L, '7', 'begin', 0L, CAST(NULL AS STRING),
+        |   CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS MAP<STRING,STRING>),
+        |   CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS STRING), 10L, 0L,
+        |   CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS STRING)),
+        |  (20L, 1L, 11L, 1L, '7', 'c', 5L, 'RID1',
+        |   CAST(NULL AS MAP<STRING,STRING>), map('v', '1'),
+        |   CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS STRING), 10L, 0L,
+        |   'APP', 'T', CAST(NULL AS STRING)),
+        |  (20L, 2L, 12L, 1L, '7', 'u', 5L, 'RID2',
+        |   map('v', '1'), map('v', '2'),
+        |   CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS STRING), 10L, 0L,
+        |   'APP', 'T', CAST(NULL AS STRING)),
+        |  (20L, 3L, 20L, 1L, '7', 'commit', 0L, CAST(NULL AS STRING),
+        |   CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS MAP<STRING,STRING>),
+        |   CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS STRING), 10L, 0L,
+        |   CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS STRING))
+        |AS t(cScn, cIdx, scn, seq, xid, op, obj, rid, before, after,
+        |     attrs, ddlText, bScn, tm, owner, table_name, tag)""".stripMargin)
+    val skipped = Envelope.toMessages(enriched,
+      Envelope.Format(skipBegin = true, skipCommit = true))
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(skipped == Seq("c", "u"))
+    val full = Envelope.toTxnMessages(enriched).collect()
+    assert(full.length == 1)
+    val v = full.head.getAs[String]("value")
+    // header scn = the begin scn; payload = DMLs only, in cIdx order
+    assert(v.startsWith("""{"c_scn":20,"c_idx":0,"scn":10,"seq":1,"xid":"7","payload":["""))
+    assert(v.indexOf("\"op\":\"c\"") < v.indexOf("\"op\":\"u\""))
+    assert(!v.contains("begin") && !v.contains("commit"))
+  }
+
   test("q65/q66 codec round-trip on known values") {
     val xid = (6L << 48) | (0x1aL << 32) | 0x218L
     val q65 = FormatOps.defs("q65_xid_formats")(spark, sf)
