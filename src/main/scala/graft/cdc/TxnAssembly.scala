@@ -1,7 +1,7 @@
 package graft.cdc
 
 import scala.collection.mutable.ArrayBuffer
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.core.OracleCodecs
 
@@ -27,6 +27,11 @@ object TxnAssembly {
 
   case class Config(
       skipXids: Set[String] = Set.empty,
+      /** T8 dump list (OpenLogReplicator.cpp:1042-1049): XIDs whose every
+        * op gets a diagnostic trace line in the executor log, the
+        * reference's ctx->info sink (Transaction.h:84-109). The same
+        * rendering is queryable at scale via [[dumpTrace]]. */
+      dumpXids: Set[String] = Set.empty,
       maxOpsPerTxn: Int = 10000000,
       /** Batch replay: treat end-of-input as commit (for feeds that carry
         * only DML, e.g. relational adapters). OLR itself never does this. */
@@ -72,6 +77,7 @@ object TxnAssembly {
     * (non-empty only for COMMIT, or chunk-forced splits). */
   def onEvent(xid: String, e: ChangeEvent, st: TxnState, cfg: Config): Seq[ChangeMessage] = {
     if (cfg.skipXids.contains(xid)) return Nil
+    if (cfg.dumpXids.contains(xid)) log.info(traceLine(e))
     e.op match {
       case Op.Begin =>
         st.open = true
@@ -220,6 +226,50 @@ object TxnAssembly {
   /** Event ordering within a transaction = the reference's LWN sort key. */
   val ordering: Ordering[ChangeEvent] =
     Ordering.by(e => (e.scn, e.subScn, e.offset))
+
+  // per-executor-JVM logger — the ctx->info sink of the reference's dump path
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Trace-line tag per op, Parser.cpp call sites: "B   "/"C   " brackets
+    * (:784, :816), "rlb " partial rollback (:76-77 via Transaction.cpp),
+    * "add " buffered op (:61-68). Commit and rollback share "C   " (both
+    * arrive as 5.4; the flg distinguishes them after the log line). */
+  def traceMsg(op: String): String = op match {
+    case Op.Begin => "B   "
+    case Op.Commit | Op.Rollback => "C   "
+    case Op.PartialRollback => "rlb "
+    case _ => "add "
+  }
+
+  /** One diagnostic line per op of a dump-listed transaction — the
+    * reference's Transaction::log rendering (Transaction.h:84-109)
+    * restricted to the fields the pre-decoded feed carries. Single source
+    * of truth for both the executor-log side effect ([[onEvent]]) and the
+    * queryable [[dumpTrace]] surface. */
+  def traceLine(e: ChangeEvent): String =
+    traceMsg(e.op) + " xid: " + e.xid + " OP: " + e.op +
+      " scn: " + e.scn + " obj: " + e.obj + " bdba: " + e.bdba +
+      " slot: " + e.slot + " fb: " + Option(e.fb).getOrElse("") +
+      " offset: " + e.offset
+
+  /** T8 dump-XID as a queryable diagnostic: every op of a dump-listed XID
+    * rendered as its trace line. Stateless — the reference logs at add
+    * time, before any rollback can cancel the op, so a filter + per-row
+    * projection is the exact semantics. The relational `isInCollection`
+    * filter sits ahead of the typed map so it can push into the scan;
+    * per-row object mapping after the filter touches only dumped rows
+    * (diagnostic volumes, not the data path). */
+  def dumpTrace(events: Dataset[ChangeEvent], dumpXids: Set[String])(
+      implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    events
+      .filter(col("xid").isInCollection(dumpXids))
+      .as[ChangeEvent]
+      .map(e => (e.scn, e.xid, traceLine(e)))
+      .toDF("scn", "xid", "line")
+  }
 
   /** Batch assembly: deterministic replay over a bounded event Dataset.
     *

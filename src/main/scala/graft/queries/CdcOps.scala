@@ -37,6 +37,21 @@ object CdcOps {
   }
 
   val defs: Map[String, Q] = Map(
+    // T8 dump-XID diagnostic (OpenLogReplicator.cpp:1042-1049 →
+    // TransactionBuffer.cpp:78): dump-listed transactions render one
+    // trace line per op in the Transaction::log format (Transaction.h:
+    // 84-109). The queryable dumpTrace surface is gated here; the
+    // executor-log side effect of Config(dumpXids) is spec-covered.
+    "q73_dump_xid" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val feed = adapt(s, dir,
+        "CASE WHEN event_type = 'error' THEN 'PARTIAL_ROLLBACK' ELSE 'INS' END")
+      val dumpList = (0L to 1000L).filter(_ % 9 == 0).map(_.toString).toSet
+      TxnAssembly.dumpTrace(feed, dumpList)
+        .select(col("scn").as("event_id"),
+          col("xid").cast("long").as("user_id"), col("line"))
+    }),
+
     // T1/T2 transaction assembly: buffer per XID in scn order, flush at
     // commit (end-of-feed in batch replay), summarize DML mix per txn.
     "q08_txn_assembly" -> ((s, dir) => {
@@ -505,6 +520,16 @@ object CdcOps {
        |   ((($x) // 128) % 128) + 128, ($x) // 16384) END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q73_dump_xid" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_type = 'error' THEN 'rlb ' ELSE 'add ' END
+        |  || ' xid: ' || user_id
+        |  || ' OP: ' || CASE WHEN event_type = 'error'
+        |       THEN 'PARTIAL_ROLLBACK' ELSE 'INS' END
+        |  || ' scn: ' || event_id
+        |  || ' obj: 0 bdba: 0 slot: 0 fb:  offset: ' || event_id AS line
+        |FROM events WHERE user_id % 9 = 0""".stripMargin,
+
     // RedoResponse{code=5, scn, xid, payload{op=2, schema{APP,EVENTS,100},
     // after=[Value{value,s}]}, c_scn}; c_idx=0/empty fields omitted.
     // Payload length = 2(op) + 17(schema field) + 2+9+len(s) (after field).

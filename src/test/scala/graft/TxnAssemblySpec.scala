@@ -192,4 +192,31 @@ class TxnAssemblySpec extends AnyFunSuite {
       ev(4, Op.Commit)))
     assert(out.map(m => (m.cScn, m.after("k"))) == Seq((2L, "t1"), (4L, "t2")))
   }
+
+  test("T8 dump-XID: trace lines render the Transaction::log fields") {
+    // Transaction.h:84-109 line shape on the pre-decoded feed's fields;
+    // tag per Parser.cpp call sites (B/C brackets, rlb, add)
+    val e = ev(7, Op.Ins).copy(obj = 100L, bdba = 5L, slot = 3, fb = "FL")
+    assert(TxnAssembly.traceLine(e) ==
+      "add  xid: 1.0.1 OP: INS scn: 7 obj: 100 bdba: 5 slot: 3 fb: FL" +
+        " offset: 7")
+    assert(TxnAssembly.traceMsg(Op.Begin) == "B   ")
+    assert(TxnAssembly.traceMsg(Op.Commit) == "C   ")
+    assert(TxnAssembly.traceMsg(Op.Rollback) == "C   ")
+    assert(TxnAssembly.traceMsg(Op.PartialRollback) == "rlb ")
+    assert(TxnAssembly.traceMsg(Op.Ddl) == "add ")
+  }
+
+  test("T8 dump-XID: dump list never changes emitted messages") {
+    val events = Seq(
+      ev(1, Op.Begin),
+      ev(2, Op.Ins).copy(after = Map("k" -> "v")),
+      ev(3, Op.PartialRollback),
+      ev(4, Op.Ins).copy(after = Map("k" -> "w")),
+      ev(5, Op.Commit))
+    val plain = run(events)
+    val dumped = run(events, Config(dumpXids = Set("1.0.1")))
+    assert(plain == dumped) // diagnostic side effect only
+    assert(plain.size == 1 && plain.head.after == Map("k" -> "w"))
+  }
 }
