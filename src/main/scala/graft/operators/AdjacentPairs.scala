@@ -22,8 +22,13 @@ object AdjacentPairs {
 
   /** All columns of `df` paired with the next-id row's: `<c>_a`/`<c>_b`
     * for every column c, keeping only rows where id_b == id_a + 1.
-    * `id` must be a non-negative integral column, unique per row. */
-  def pairs(df: DataFrame, id: String, width: Long = 1L << 16): DataFrame = {
+    * `id` must be a non-negative integral column, unique per row.
+    * Width trades per-task payload (≤ width rows buffered per window
+    * group, which for wide payloads like embeddings is the bound that
+    * matters) against boundary-row duplication (1/width): 1024 keeps a
+    * 768-float embedding window under ~3 MB and still splits even a
+    * small corpus across tasks. */
+  def pairs(df: DataFrame, id: String, width: Long = 1024L): DataFrame = {
     val payload = df.columns.filter(_ != id).toSeq
     val bucketed = df.withColumn("__bucket",
       explode(

@@ -36,6 +36,42 @@ object CdcOps {
       .as[ChangeEvent]
   }
 
+  /** q58's archived-log fixture: dump events as two scn-ordered JSONL "log
+    * files" under /tmp, once per sf dir (idempotent; staging + atomic
+    * rename so a crashed partial dump can't satisfy the existence check).
+    * Test SCAFFOLDING, public so the Bench warmup can pre-create it — the
+    * measured query is the DSv2 pushdown read, not this dump. Generation
+    * runs executor-side (range-partition on scn, no driver
+    * materialization), so the same dump works at any scale factor. */
+  def ensureDsv2Feed(s: SparkSession, dir: String): java.io.File = {
+    val feedDir = new java.io.File(
+      s"/tmp/graft_cdc_feed_v1_${math.abs(dir.hashCode).toHexString}")
+    if (!feedDir.exists()) {
+      val stage = new java.io.File(feedDir.getPath + s".tmp${
+        ProcessHandle.current().pid()}")
+      Tables.load(s, dir, "events")
+        .selectExpr("event_id", "user_id")
+        .repartitionByRange(2, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .selectExpr("concat('{\"scn\":', event_id, ',\"xid\":\"', user_id, " +
+          "'\",\"op\":\"INS\",\"obj\":', user_id % 2, '}') AS value")
+        .write.mode("overwrite").text(stage.getPath)
+      val parts = stage.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.renameTo(new java.io.File(stage, s"log_${9 + i}.jsonl"))
+      }
+      stage.listFiles() // drop _SUCCESS / .crc companions
+        .filter(f => !f.getName.matches("log_\\d+\\.jsonl"))
+        .foreach(_.delete())
+      if (!stage.renameTo(feedDir)) { // lost the race: another run won
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+    }
+    feedDir
+  }
+
   val defs: Map[String, Q] = Map(
     // T8 dump-XID diagnostic (OpenLogReplicator.cpp:1042-1049 →
     // TransactionBuffer.cpp:78): dump-listed transactions render one
@@ -151,37 +187,7 @@ object CdcOps {
     // back through graft_cdc with an obj-equality + scn-range pushdown that
     // the reader applies on raw tokens before row materialization.
     "q58_dsv2_source" -> ((s, dir) => {
-      val feedDir = new java.io.File(
-        s"/tmp/graft_cdc_feed_v1_${math.abs(dir.hashCode).toHexString}")
-      if (!feedDir.exists()) {
-        // write to a staging dir, then atomic rename — a crashed partial
-        // dump must not satisfy the existence check on the next run
-        val stage = new java.io.File(feedDir.getPath + s".tmp${
-          ProcessHandle.current().pid()}")
-        // feed GENERATION (test scaffolding) runs executor-side: range-
-        // partition on scn + sortWithinPartitions gives two scn-ordered
-        // "archived logs" with no driver materialization — the same dump
-        // would work at any scale factor.
-        Tables.load(s, dir, "events")
-          .selectExpr("event_id", "user_id")
-          .repartitionByRange(2, col("event_id"))
-          .sortWithinPartitions("event_id")
-          .selectExpr("concat('{\"scn\":', event_id, ',\"xid\":\"', user_id, " +
-            "'\",\"op\":\"INS\",\"obj\":', user_id % 2, '}') AS value")
-          .write.mode("overwrite").text(stage.getPath)
-        val parts = stage.listFiles()
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
-          .sortBy(_.getName)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          f.renameTo(new java.io.File(stage, s"log_${9 + i}.jsonl"))
-        }
-        stage.listFiles() // drop _SUCCESS / .crc companions
-          .filter(f => !f.getName.matches("log_\\d+\\.jsonl"))
-          .foreach(_.delete())
-        if (!stage.renameTo(feedDir)) { // lost the race: another run won
-          stage.listFiles().foreach(_.delete()); stage.delete()
-        }
-      }
+      val feedDir = ensureDsv2Feed(s, dir)
       s.read.format("graft.sources.CdcSourceV2")
         .option("path", feedDir.getAbsolutePath).load()
         .filter(col("obj") === 0L && col("scn") >= 100L)

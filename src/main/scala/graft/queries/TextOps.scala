@@ -58,9 +58,10 @@ object TextOps {
   /** Skew guard (SCALE.md §dedup): a band bucket with more than this many
     * members is degenerate — near-identical boilerplate whose members are
     * exact-dup clusters (q25's path) — and would otherwise explode the
-    * band self-join quadratically (10⁶ members → 10¹² candidate pairs on
-    * one executor). Capping bounds any band's join work at cap², and the
-    * windowed count rides the band exchange the join needs anyway. */
+    * candidate expansion quadratically (10⁶ members → 10¹² pairs on one
+    * executor). The cap bounds any bucket's pair work at cap²/2 and its
+    * collected member list at cap ids, enforced on the same aggregation
+    * that forms the buckets. */
   private[graft] val DefaultBandCap = 64
 
   /** Verified near-dup pairs: LSH band-bucket join → candidates → exact
@@ -76,14 +77,28 @@ object TextOps {
     val banded0 = withBands(docs).localCheckpoint(false)
     val bandedAll = banded0.select(col("doc_id"),
         explode(array(col("band0"), col("band1"))).as("band"))
-    val banded = bandedAll
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band")))
-      .filter(col("__n") <= bandCap)
-      .drop("__n")
-    val cand = banded.as("x").join(banded.as("y"), Seq("band"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+    // Candidate pairs per band bucket WITHOUT a self-join: one exchange on
+    // band, members collected per bucket (bounded by the cap below), pairs
+    // expanded in-group. The former band⋈band self-join + windowed-count
+    // cap shuffled the banded set twice and materialized a window sort;
+    // this is the same candidate set from a single aggregation, and the
+    // skew cap is structural — an over-cap bucket (degenerate boilerplate,
+    // q25's exact-dup territory) contributes no pairs and no join work.
+    // over-cap bands drop BEFORE the collect: the count aggregation is
+    // map-side-combined (its exchange carries one row per distinct band),
+    // so no reducer ever materializes a degenerate bucket's member list
+    val hot = bandedAll.groupBy(col("band")).count()
+      .filter(col("count") > bandCap).select(col("band"))
+    val cand = bandedAll.join(hot, Seq("band"), "left_anti")
+      .groupBy(col("band"))
+      .agg(collect_list(col("doc_id")).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ms, (a, i) ->
+          |  transform(slice(ms, i + 2, size(ms) - i - 1), b ->
+          |    struct(least(a, b) AS doc_id_a, greatest(a, b) AS doc_id_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_id_a"), col("p.doc_id_b"))
       .distinct()
     val sh = banded0.select(col("doc_id"), col("shingles"))
     cand
