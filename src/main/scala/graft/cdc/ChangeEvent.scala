@@ -96,7 +96,12 @@ case class ChangeMessage(
     // -1 = unknown) and commit wall-clock nanos (TIMESTAMP_TYPE commit
     // "tm"; 0 = feed carries no clock) — BuilderJson.h:256-289
     bScn: Long = -1L,
-    tm: Long = 0L)
+    tm: Long = 0L,
+    // redo thread# ("rth", REDO_THREAD_FORMAT::TEXT, BuilderJson.h:346-350)
+    // and the op's redo file offset ("offset", MESSAGE_FORMAT::ADD_OFFSET,
+    // BuilderJson.cpp:526-531; -1 = none, e.g. bracket messages)
+    thread: Int = 1,
+    offset: Long = -1L)
 
 object MsgOp {
   val Begin = "begin"

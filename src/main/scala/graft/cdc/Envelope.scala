@@ -34,20 +34,45 @@ object Envelope {
       // reference's non-REPEATED dedup — emit columns once per table —
       // is inherently a sequential sink-side pass; a parallel engine
       // renders per-message and lets the sink dedup.)
-      schemaFormatFull: Boolean = false)
+      schemaFormatFull: Boolean = false,
+      // ATTRIBUTES_FORMAT bits (Format.h:28-33): which message kinds
+      // render the session-attribute map. Default all-on (the engine's
+      // established envelope); the reference's all-bits-off default is
+      // Format(attributesBegin=false, attributesDml=false,
+      // attributesCommit=false).
+      attributesBegin: Boolean = true,
+      attributesDml: Boolean = true,
+      attributesCommit: Boolean = true,
+      // RID_FORMAT::SKIP (Format.h:86-89): drop the rowid from payloads
+      ridSkip: Boolean = false,
+      // SCHEMA_FORMAT::OBJ bit: obj# in the schema section (on by
+      // default here — the established goldens carry it)
+      schemaObj: Boolean = true,
+      // USER_TYPE (Format.h:127-134): "usr" header = the transaction's
+      // login username session attribute (BuilderJson.h:336-345)
+      userType: Boolean = false,
+      // REDO_THREAD_FORMAT::TEXT: "rth" header (BuilderJson.h:346-350)
+      redoThread: Boolean = false,
+      // MESSAGE_FORMAT::ADD_OFFSET: redo file offset on DML payloads
+      // (BuilderJson.cpp:526-531; bracket messages carry none)
+      addOffset: Boolean = false)
 
   /** enriched rows → (key, value) output frame.
     * value = ordered-JSON envelope; key = tag (nullable). */
   def toMessages(enriched: DataFrame, fmt: Format = Format()): DataFrame = {
-    val schemaStruct =
-      if (fmt.schemaFormatFull)
-        struct(col("owner"), col("table_name").as("table"), col("obj"),
-          col("schema_cols").as("columns"))
-      else struct(col("owner"), col("table_name").as("table"), col("obj"))
-    val payloadCols = Seq[(String, Column)](
-      "op" -> col("op"),
-      "schema" -> when(col("owner").isNotNull, schemaStruct),
-      "rid" -> col("rid"),
+    val schemaFields =
+      Seq(col("owner"), col("table_name").as("table")) ++
+        (if (fmt.schemaObj) Seq(col("obj")) else Nil) ++
+        (if (fmt.schemaFormatFull) Seq(col("schema_cols").as("columns"))
+         else Nil)
+    val schemaStruct = struct(schemaFields: _*)
+    val payloadCols = Seq[(String, Column)]("op" -> col("op")) ++
+      (if (fmt.addOffset) // offset leads the payload (BuilderJson.cpp:526)
+        Seq("offset" -> when(col("offset") >= 0L, col("offset"))) else Nil) ++
+      Seq[(String, Column)](
+      "schema" -> when(col("owner").isNotNull, schemaStruct)) ++
+      (if (fmt.ridSkip) Nil else Seq[(String, Column)]("rid" -> col("rid"))) ++
+      Seq[(String, Column)](
       "before" -> col("before"),
       "after" -> col("after"),
       "ddl" -> col("ddlText"))
@@ -69,8 +94,22 @@ object Envelope {
       "seq" -> col("seq"),
       "xid" -> col("xid")) ++
       (if (fmt.dbName.nonEmpty) Seq("db" -> lit(fmt.dbName)) else Nil) ++
-      Seq("attributes" ->
-        when(col("attrs").isNotNull && size(col("attrs")) > 0, col("attrs")))
+      (if (fmt.userType) // header order: db, usr, rth (BuilderJson.h:329-350)
+        Seq("usr" -> element_at(col("attrs"), "login username")) else Nil) ++
+      (if (fmt.redoThread) Seq[(String, Column)]("rth" -> col("thread"))
+       else Nil) ++
+      Seq("attributes" -> {
+        val kindOk =
+          (if (fmt.attributesBegin) col("op") === MsgOp.Begin
+           else lit(false)) ||
+          (if (fmt.attributesCommit) col("op") === MsgOp.Commit
+           else lit(false)) ||
+          (if (fmt.attributesDml)
+            col("op") =!= MsgOp.Begin && col("op") =!= MsgOp.Commit
+           else lit(false))
+        when(kindOk && col("attrs").isNotNull && size(col("attrs")) > 0,
+          col("attrs"))
+      })
 
     val all = headerCols ++ payloadCols
     val src =

@@ -138,12 +138,16 @@ object TxnAssembly {
         after: Map[String, String]): Unit = {
       out += ChangeMessage(commitScn, idx, e.scn, seq, xid, op, e.obj,
         OracleCodecs.rowIdEncode(e.obj, e.bdba, e.slot), before, after,
-        st.attrs, e.ddlText, bScn, commitTm)
+        st.attrs, e.ddlText, bScn, commitTm, e.thread, e.offset)
       idx += 1
     }
+    // brackets carry the transaction's thread (single-threaded by
+    // construction — any op's value) and no file offset
+    val txnThread = st.ops.head.thread
     if (cfg.emitBeginCommit)
       out += ChangeMessage(commitScn, { idx += 1; 0L }, st.beginScn.max(0L), seq,
-        xid, MsgOp.Begin, 0L, null, null, null, st.attrs, null, bScn, commitTm)
+        xid, MsgOp.Begin, 0L, null, null, null, st.attrs, null, bScn, commitTm,
+        txnThread)
     // T4 row-piece merge: a chained/migrated row arrives as consecutive
     // pieces flagged fb F(first) … L(last) (Transaction.cpp:450-490 groups
     // pieces until the FB_L end-flag, then emits ONE logical DML). Pieces
@@ -199,7 +203,7 @@ object TxnAssembly {
     }
     if (cfg.emitBeginCommit)
       out += ChangeMessage(commitScn, idx, commitScn, seq, xid, MsgOp.Commit,
-        0L, null, null, null, st.attrs, null, bScn, commitTm)
+        0L, null, null, null, st.attrs, null, bScn, commitTm, txnThread)
     out.toSeq
   }
 

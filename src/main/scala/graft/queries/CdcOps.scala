@@ -297,7 +297,8 @@ object CdcOps {
           "map('value', CAST(value AS STRING)) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
-          "-1L AS bScn", "0L AS tm")
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset")
         .as[ChangeMessage]
       Materialize.enrich(messages, dict)
         .select(col("cScn").as("event_id"), col("table_name"))
@@ -320,7 +321,8 @@ object CdcOps {
             "'etype', event_type) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
-          "-1L AS bScn", "0L AS tm")
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset")
         .as[ChangeMessage]
       // unknown tables render raw columns as COL_0..n (Builder.cpp:96-99);
       // known rows keep dictionary names — both shapes gated via the
@@ -352,7 +354,8 @@ object CdcOps {
           "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING)) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
-          "-1L AS bScn", "0L AS tm")
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset")
         .as[ChangeMessage]
       Envelope.forSink(Envelope.toMessages(Materialize(messages, dict)))
         .select(col("c_scn"), col("key"), col("value"))
@@ -376,7 +379,8 @@ object CdcOps {
           "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING)) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
-          "-1L AS bScn", "0L AS tm")
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset")
         .as[ChangeMessage]
       ProtoEnvelope.toMessages(Materialize(messages, dict))
         .select(col("cScn").as("c_scn"), hex(col("value_bin")).as("proto_hex"))
@@ -471,7 +475,8 @@ object CdcOps {
             "'diag', event_type) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
-          "-1L AS bScn", "0L AS tm")
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset")
         .as[ChangeMessage]
       Materialize(messages, dict)
         .select(col("cScn").as("event_id"),

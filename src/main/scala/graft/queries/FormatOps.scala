@@ -166,7 +166,8 @@ object FormatOps {
             "'etype', event_type) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
-          "-1L AS bScn", "0L AS tm")
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset")
         .as[ChangeMessage]
       val dumpU = udf((n: String, b: Array[Byte]) =>
         OracleCodecs.unknownDump(n, b))
@@ -230,7 +231,8 @@ object FormatOps {
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
           "greatest(event_id - 5, 0) AS bScn",
-          "(ts div 1000) * 1000 AS tm")
+          "(ts div 1000) * 1000 AS tm",
+          "1 AS thread", "-1L AS offset")
         .as[ChangeMessage]
       val enriched = Materialize(messages, dict)
       val full = Envelope.toMessages(enriched, Envelope.Format(
@@ -265,7 +267,8 @@ object FormatOps {
           "map('value', v) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
-          "-1L AS bScn", "0L AS tm")
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset")
         .as[ChangeMessage]
       Envelope.toTxnMessages(Materialize(messages, dict))
         .select(col("cScn").as("c_scn"), col("value"))
@@ -289,10 +292,53 @@ object FormatOps {
             "'etype', event_type) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
-          "-1L AS bScn", "0L AS tm")
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset")
         .as[ChangeMessage]
       Envelope.toMessages(Materialize(messages, dict),
           Envelope.Format(schemaFormatFull = true))
+        .select(col("cScn").as("c_scn"), col("value"))
+    }),
+
+    // The remaining envelope knobs in one gate (Format.h:28-33,86-89,
+    // 110-116,127-134,91-94 + MESSAGE_FORMAT::ADD_OFFSET): "usr" header
+    // from the login-username session attribute, "rth" redo thread,
+    // per-DML file offset, rowid skipped, schema without obj#, and the
+    // ATTRIBUTES_FORMAT bitmask set to BEGIN-only — attributes render on
+    // the begin bracket but not on DML or commit messages.
+    "q74_envelope_options" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(100L, 100L, "APP", "EVENTS",
+        Seq(DbColumn("value", 1)))))
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid",
+          "CASE WHEN event_type = 'error' THEN 'begin' " +
+            "WHEN event_type = 'signup' THEN 'commit' ELSE 'c' END AS op",
+          "CASE WHEN event_type IN ('error','signup') THEN 0L ELSE 100L END" +
+            " AS obj",
+          "CAST(NULL AS STRING) AS rid",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "CASE WHEN event_type IN ('error','signup') " +
+            "THEN CAST(NULL AS MAP<STRING,STRING>) " +
+            "ELSE map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING))" +
+            " END AS after",
+          "map('login username', concat('u', CAST(user_id AS STRING)), " +
+            "'client info', 'ci') AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm",
+          "CAST(1 + event_id % 4 AS INT) AS thread",
+          "CASE WHEN event_type IN ('error','signup') THEN -1L " +
+            "ELSE event_id * 16 END AS offset")
+        .as[ChangeMessage]
+      // schemaless (left-outer) so the obj-less bracket messages survive
+      // the dictionary join the way the builder keeps them
+      Envelope.toMessages(
+          Materialize(messages, dict, Materialize.Options(schemaless = true)),
+          Envelope.Format(userType = true, redoThread = true,
+            addOffset = true, ridSkip = true, schemaObj = false,
+            attributesDml = false, attributesCommit = false))
         .select(col("cScn").as("c_scn"), col("value"))
     }),
 
@@ -312,6 +358,22 @@ object FormatOps {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q74_envelope_options" ->
+      """SELECT event_id AS c_scn,
+        |  '{"c_scn":' || event_id || ',"c_idx":0,"scn":' || event_id ||
+        |  ',"seq":1,"xid":"' || user_id || '","usr":"u' || user_id ||
+        |  '","rth":' || (1 + event_id % 4) ||
+        |  CASE WHEN event_type = 'error' THEN
+        |    ',"attributes":{"login username":"u' || user_id ||
+        |    '","client info":"ci"},"op":"begin"}'
+        |  WHEN event_type = 'signup' THEN ',"op":"commit"}'
+        |  ELSE
+        |    ',"op":"c","offset":' || (event_id * 16) ||
+        |    ',"schema":{"owner":"APP","table":"EVENTS"},"after":{"value":"'
+        |    || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) || '"}}'
+        |  END AS value
+        |FROM events""".stripMargin,
+
     "q62_ddl_messages" ->
       """SELECT event_id AS scn, user_id, 'ddl' AS op,
         |  'ALTER TABLE T' || user_id || ' /* ' || props || ' */' AS ddl_text
