@@ -101,7 +101,11 @@ case class ChangeMessage(
     // and the op's redo file offset ("offset", MESSAGE_FORMAT::ADD_OFFSET,
     // BuilderJson.cpp:526-531; -1 = none, e.g. bracket messages)
     thread: Int = 1,
-    offset: Long = -1L)
+    offset: Long = -1L,
+    // per-txn payload ordinal ("num", MESSAGE_FORMAT::ADD_SEQUENCES,
+    // BuilderJson.h:89-92): reset at begin, incremented per DML/DDL,
+    // rendered on DML payloads only (brackets never call appendRowid)
+    num: Long = 0L)
 
 object MsgOp {
   val Begin = "begin"

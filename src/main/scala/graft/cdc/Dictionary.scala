@@ -24,6 +24,13 @@ case class DbColumn(
     nested: Boolean = false,
     unused: Boolean = false)
 
+object DbTable {
+  /** The typeCodes Builder.cpp:254-612's value switch decodes; anything
+    * else falls to the UNKNOWN_TYPE default branch. */
+  val supportedTypeCodes: Set[Int] = Set(1, 2, 8, 12, 23, 24, 58, 96, 100,
+    101, 112, 113, 119, 180, 181, 182, 183, 208, 231, 252)
+}
+
 case class DbTable(
     obj: Long,
     dataObj: Long,
@@ -53,6 +60,12 @@ case class DbTable(
     columns.filter(c =>
       (!c.hidden || showHidden || c.numPk > 0) &&
         (!c.nested || showNested) && (!c.unused || showUnused))
+
+  /** UNKNOWN_TYPE columns (Format.h:182-185): typeCodes outside the
+    * builder's value dispatch (Builder.cpp:254-612 switch) — HIDE drops
+    * them from the images, SHOW renders the columnUnknown form. */
+  def unknownTypeCols: Seq[String] =
+    columns.filterNot(c => DbTable.supportedTypeCodes(c.typeCode)).map(_.name)
 
   /** Tag columns for the message key (F7). */
   def resolvedTagCols: Seq[String] = tagType match {
@@ -156,10 +169,12 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector]) {
         // suppression list, not allow-list: feed columns unknown to the
         // dictionary pass through (schemaless-adjacent leniency)
         t.columns.map(_.name).filterNot(visible),
+        t.unknownTypeCols,
         t.validFromScn, t.validToScn,
         t.schemaColumns(showHidden, showNested, showUnused))
     }.toDF("obj", "dataObj", "owner", "table_name", "key_cols", "tag_cols",
-      "invisible_cols", "valid_from_scn", "valid_to_scn", "schema_cols")
+      "invisible_cols", "unknown_cols", "valid_from_scn", "valid_to_scn",
+      "schema_cols")
       // SCHEMA_FORMAT::FULL descriptor field names (rendered via to_json)
       .withColumn("schema_cols",
         org.apache.spark.sql.functions.expr("transform(schema_cols, c -> " +

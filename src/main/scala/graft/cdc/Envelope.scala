@@ -48,14 +48,31 @@ object Envelope {
       // SCHEMA_FORMAT::OBJ bit: obj# in the schema section (on by
       // default here — the established goldens carry it)
       schemaObj: Boolean = true,
-      // USER_TYPE (Format.h:127-134): "usr" header = the transaction's
-      // login username session attribute (BuilderJson.h:336-345)
-      userType: Boolean = false,
+      // USER_TYPE bits (Format.h:127-134): which message kinds render the
+      // "usr" header = the transaction's login-username session attribute
+      // (BuilderJson.h:336-345; BuilderJson.cpp passes isUserTypeBegin/
+      // Dml/Commit/Ddl per call site)
+      userBegin: Boolean = false,
+      userDml: Boolean = false,
+      userCommit: Boolean = false,
+      userDdl: Boolean = false,
       // REDO_THREAD_FORMAT::TEXT: "rth" header (BuilderJson.h:346-350)
       redoThread: Boolean = false,
       // MESSAGE_FORMAT::ADD_OFFSET: redo file offset on DML payloads
       // (BuilderJson.cpp:526-531; bracket messages carry none)
-      addOffset: Boolean = false)
+      addOffset: Boolean = false,
+      // MESSAGE_FORMAT::ADD_SEQUENCES: "num" per-txn payload ordinal on
+      // DML payloads, just before the rowid (BuilderJson.h:89-92 — only
+      // appendRowid renders it, so brackets and DDL carry none)
+      addSequences: Boolean = false,
+      // DB_FORMAT bits (Format.h:35-40): "db" on begin/commit/DML headers
+      // (ADD_DML) and on DDL headers (ADD_DDL). Default both-on = the
+      // engine's established always-render envelope; the reference's
+      // default is both-off.
+      dbAddDml: Boolean = true,
+      dbAddDdl: Boolean = true) {
+    def userAny: Boolean = userBegin || userDml || userCommit || userDdl
+  }
 
   /** enriched rows → (key, value) output frame.
     * value = ordered-JSON envelope; key = tag (nullable). */
@@ -66,36 +83,70 @@ object Envelope {
         (if (fmt.schemaFormatFull) Seq(col("schema_cols").as("columns"))
          else Nil)
     val schemaStruct = struct(schemaFields: _*)
+    // DML ops = everything that renders a rowid section (appendRowid —
+    // brackets, checkpoints and DDL never reach it)
+    val isDml = col("op") =!= MsgOp.Begin && col("op") =!= MsgOp.Commit &&
+      col("op") =!= MsgOp.Ddl && col("op") =!= MsgOp.Checkpoint
     val payloadCols = Seq[(String, Column)]("op" -> col("op")) ++
       (if (fmt.addOffset) // offset leads the payload (BuilderJson.cpp:526)
         Seq("offset" -> when(col("offset") >= 0L, col("offset"))) else Nil) ++
       Seq[(String, Column)](
       "schema" -> when(col("owner").isNotNull, schemaStruct)) ++
+      (if (fmt.addSequences) // "num" sits just before the rid
+        Seq("num" -> when(isDml, col("num"))) else Nil) ++
       (if (fmt.ridSkip) Nil else Seq[(String, Column)]("rid" -> col("rid"))) ++
       Seq[(String, Column)](
       "before" -> col("before"),
       "after" -> col("after"),
       "ddl" -> col("ddlText"))
 
+    // SCN_FORMAT::TEXT_HEX renders every scn header as "<key>s":"0x…"
+    // 16-digit lowercase hex (BuilderJson.h:239-276 — scn→scns,
+    // b_scn→b_scns, e_scn→e_scns)
+    def scnHex(c: Column): Column =
+      concat(lit("0x"), lpad(lower(hex(c)), 16, "0"))
     val scnCol: (String, Column) =
-      if (fmt.scnFormatHex)
-        "scns" -> concat(lit("0x"), lpad(lower(hex(col("scn"))), 16, "0"))
+      if (fmt.scnFormatHex) "scns" -> scnHex(col("scn"))
       else "scn" -> col("scn")
+    val bScnCol: (String, Column) = // unknown begin (-1) omitted
+      if (fmt.scnFormatHex)
+        "b_scns" -> when(col("bScn") >= 0L, scnHex(col("bScn")))
+      else "b_scn" -> when(col("bScn") >= 0L, col("bScn"))
+    val eScnCol: (String, Column) =
+      if (fmt.scnFormatHex) "e_scns" -> scnHex(col("cScn"))
+      else "e_scn" -> col("cScn")
+    // db renders per message kind (DB_FORMAT bits: DDL gated by ADD_DDL,
+    // everything else — begin/commit/DML — by ADD_DML, BuilderJson.cpp:
+    // 462-634 appendHeader showDb call sites)
+    val dbCol: Seq[(String, Column)] =
+      if (fmt.dbName.isEmpty || (!fmt.dbAddDml && !fmt.dbAddDdl)) Nil
+      else if (fmt.dbAddDml && fmt.dbAddDdl) Seq("db" -> lit(fmt.dbName))
+      else Seq("db" -> when(
+        if (fmt.dbAddDdl) col("op") === MsgOp.Ddl else col("op") =!= MsgOp.Ddl,
+        lit(fmt.dbName)))
     val headerCols = Seq[(String, Column)](
       "c_scn" -> col("cScn"),
       "c_idx" -> col("cIdx"),
       scnCol) ++
-      (if (fmt.scnTypeBegin) // unknown begin (-1, non-assembled feed) omitted
-        Seq("b_scn" -> when(col("bScn") >= 0L, col("bScn"))) else Nil) ++
-      (if (fmt.scnTypeCommit) Seq("e_scn" -> col("cScn")) else Nil) ++
+      (if (fmt.scnTypeBegin) Seq(bScnCol) else Nil) ++
+      (if (fmt.scnTypeCommit) Seq(eScnCol) else Nil) ++
       (if (fmt.timestampCommit) // 0 = feed has no clock → omitted
         Seq("tm" -> when(col("tm") > 0L, col("tm"))) else Nil) ++
       Seq[(String, Column)](
       "seq" -> col("seq"),
       "xid" -> col("xid")) ++
-      (if (fmt.dbName.nonEmpty) Seq("db" -> lit(fmt.dbName)) else Nil) ++
-      (if (fmt.userType) // header order: db, usr, rth (BuilderJson.h:329-350)
-        Seq("usr" -> element_at(col("attrs"), "login username")) else Nil) ++
+      dbCol ++
+      (if (fmt.userAny) { // header order: db, usr, rth (BuilderJson.h:329-350)
+        val kindOk =
+          (if (fmt.userBegin) col("op") === MsgOp.Begin else lit(false)) ||
+          (if (fmt.userCommit) col("op") === MsgOp.Commit else lit(false)) ||
+          (if (fmt.userDdl) col("op") === MsgOp.Ddl else lit(false)) ||
+          (if (fmt.userDml)
+            col("op") =!= MsgOp.Begin && col("op") =!= MsgOp.Commit &&
+              col("op") =!= MsgOp.Ddl
+           else lit(false))
+        Seq("usr" -> when(kindOk, element_at(col("attrs"), "login username")))
+      } else Nil) ++
       (if (fmt.redoThread) Seq[(String, Column)]("rth" -> col("thread"))
        else Nil) ++
       Seq("attributes" -> {

@@ -33,7 +33,13 @@ object Materialize {
       showUnusedColumns: Boolean = false,
       // CHAR_FORMAT::HEX (Format.h:42-46, Builder.h:1129-1184): string
       // values render as uppercase hex of their UTF-8 bytes
-      charFormatHex: Boolean = false)
+      charFormatHex: Boolean = false,
+      // UNKNOWN_TYPE (Format.h:182-185): columns whose dictionary type is
+      // outside the builder's value dispatch. false = HIDE (the
+      // reference's default — dropped from the images), true = SHOW
+      // (rendered as columnUnknown's "?" QUESTION_MARK form; the DUMP
+      // form is OracleCodecs.unknownDump, composable sink-side)
+      unknownTypeShow: Boolean = false)
 
   /** messages ⋈ dictionary with scn-validity (J2 temporal broadcast join).
     * Unmatched obj# → dropped (dict filter) unless schemaless, where they
@@ -115,6 +121,25 @@ object Materialize {
     }
   }
 
+  /** UNKNOWN_TYPE (Builder.cpp:605-612 default branch): HIDE drops the
+    * unknown-typed columns from both images; SHOW keeps them with the
+    * reference's QUESTION_MARK rendering. Tables without unknown columns
+    * (and schemaless passthrough rows, unknown_cols null) short-circuit. */
+  def applyUnknownType(df: DataFrame, show: Boolean): DataFrame = {
+    def fix(img: Column): Column =
+      when(col("unknown_cols").isNull || size(col("unknown_cols")) === 0, img)
+        .otherwise(
+          if (show)
+            transform_values(img, (k, v) =>
+              when(array_contains(col("unknown_cols"), k), lit("?"))
+                .otherwise(v))
+          else
+            map_filter(img, (k, _) =>
+              !array_contains(col("unknown_cols"), k)))
+    df.withColumn("before", fix(col("before")))
+      .withColumn("after", fix(col("after")))
+  }
+
   /** CHAR_FORMAT::HEX: every image value as uppercase hex of its UTF-8
     * bytes (Builder.h:1129-1184 valueBufferAppendHex path — byte-level,
     * after charset mapping; the pre-decoded feed is already UTF-8). */
@@ -155,11 +180,19 @@ object Materialize {
               lit(""))))))
 
   /** Full path: enrich → conditions → visibility → column format →
-    * schemaless COL_n naming → tag. */
+    * unknown-type → schemaless COL_n naming → tag. */
   def apply(messages: Dataset[ChangeMessage], dict: Dictionary,
       opts: Options = Options())(implicit spark: SparkSession): DataFrame = {
-    val formatted = applyColumnFormat(
-      applyVisibility(applyConditions(enrich(messages, dict, opts), dict)), opts)
+    // unknown-type AFTER column format: the reference diffs raw redo
+    // values, so a changed unknown column stays in a CHANGED update and
+    // only then renders as "?" (SHOW) or disappears (HIDE — same final
+    // images as filtering before the diff, since the column is dropped
+    // either way)
+    val formatted = applyUnknownType(
+      applyColumnFormat(
+        applyVisibility(applyConditions(enrich(messages, dict, opts), dict)),
+        opts),
+      opts.unknownTypeShow)
     val named =
       if (opts.schemaless) applySchemalessNaming(formatted) else formatted
     // tag BEFORE hex rendering: the message key derives from the logical

@@ -134,12 +134,18 @@ object TxnAssembly {
     val bScn = st.beginScn.max(0L)
     val out = ArrayBuffer.empty[ChangeMessage]
     var idx = 0L
+    // "num" = per-txn payload ordinal (ADD_SEQUENCES, BuilderJson.h:89-92):
+    // the reference resets it at begin and bumps it per DML/DDL — exactly
+    // one bump per emit() call here; brackets keep the default 0 (never
+    // rendered)
+    var num = 0L
     def emit(op: String, e: ChangeEvent, before: Map[String, String],
         after: Map[String, String]): Unit = {
       out += ChangeMessage(commitScn, idx, e.scn, seq, xid, op, e.obj,
         OracleCodecs.rowIdEncode(e.obj, e.bdba, e.slot), before, after,
-        st.attrs, e.ddlText, bScn, commitTm, e.thread, e.offset)
+        st.attrs, e.ddlText, bScn, commitTm, e.thread, e.offset, num)
       idx += 1
+      num += 1
     }
     // brackets carry the transaction's thread (single-threaded by
     // construction — any op's value) and no file offset

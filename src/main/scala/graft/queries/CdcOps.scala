@@ -298,7 +298,7 @@ object CdcOps {
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
           "-1L AS bScn", "0L AS tm",
-          "1 AS thread", "-1L AS offset")
+          "1 AS thread", "-1L AS offset", "0L AS num")
         .as[ChangeMessage]
       Materialize.enrich(messages, dict)
         .select(col("cScn").as("event_id"), col("table_name"))
@@ -322,7 +322,7 @@ object CdcOps {
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
           "-1L AS bScn", "0L AS tm",
-          "1 AS thread", "-1L AS offset")
+          "1 AS thread", "-1L AS offset", "0L AS num")
         .as[ChangeMessage]
       // unknown tables render raw columns as COL_0..n (Builder.cpp:96-99);
       // known rows keep dictionary names — both shapes gated via the
@@ -355,7 +355,7 @@ object CdcOps {
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
           "-1L AS bScn", "0L AS tm",
-          "1 AS thread", "-1L AS offset")
+          "1 AS thread", "-1L AS offset", "0L AS num")
         .as[ChangeMessage]
       Envelope.forSink(Envelope.toMessages(Materialize(messages, dict)))
         .select(col("c_scn"), col("key"), col("value"))
@@ -380,7 +380,7 @@ object CdcOps {
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
           "-1L AS bScn", "0L AS tm",
-          "1 AS thread", "-1L AS offset")
+          "1 AS thread", "-1L AS offset", "0L AS num")
         .as[ChangeMessage]
       ProtoEnvelope.toMessages(Materialize(messages, dict))
         .select(col("cScn").as("c_scn"), hex(col("value_bin")).as("proto_hex"))
@@ -476,7 +476,7 @@ object CdcOps {
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
           "-1L AS bScn", "0L AS tm",
-          "1 AS thread", "-1L AS offset")
+          "1 AS thread", "-1L AS offset", "0L AS num")
         .as[ChangeMessage]
       Materialize(messages, dict)
         .select(col("cScn").as("event_id"),

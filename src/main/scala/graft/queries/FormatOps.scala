@@ -167,7 +167,7 @@ object FormatOps {
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
           "-1L AS bScn", "0L AS tm",
-          "1 AS thread", "-1L AS offset")
+          "1 AS thread", "-1L AS offset", "0L AS num")
         .as[ChangeMessage]
       val dumpU = udf((n: String, b: Array[Byte]) =>
         OracleCodecs.unknownDump(n, b))
@@ -232,7 +232,7 @@ object FormatOps {
           "CAST(NULL AS STRING) AS ddlText",
           "greatest(event_id - 5, 0) AS bScn",
           "(ts div 1000) * 1000 AS tm",
-          "1 AS thread", "-1L AS offset")
+          "1 AS thread", "-1L AS offset", "0L AS num")
         .as[ChangeMessage]
       val enriched = Materialize(messages, dict)
       val full = Envelope.toMessages(enriched, Envelope.Format(
@@ -268,7 +268,7 @@ object FormatOps {
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
           "-1L AS bScn", "0L AS tm",
-          "1 AS thread", "-1L AS offset")
+          "1 AS thread", "-1L AS offset", "0L AS num")
         .as[ChangeMessage]
       Envelope.toTxnMessages(Materialize(messages, dict))
         .select(col("cScn").as("c_scn"), col("value"))
@@ -293,7 +293,7 @@ object FormatOps {
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
           "CAST(NULL AS STRING) AS ddlText",
           "-1L AS bScn", "0L AS tm",
-          "1 AS thread", "-1L AS offset")
+          "1 AS thread", "-1L AS offset", "0L AS num")
         .as[ChangeMessage]
       Envelope.toMessages(Materialize(messages, dict),
           Envelope.Format(schemaFormatFull = true))
@@ -330,16 +330,93 @@ object FormatOps {
           "-1L AS bScn", "0L AS tm",
           "CAST(1 + event_id % 4 AS INT) AS thread",
           "CASE WHEN event_type IN ('error','signup') THEN -1L " +
-            "ELSE event_id * 16 END AS offset")
+            "ELSE event_id * 16 END AS offset",
+          "0L AS num")
         .as[ChangeMessage]
       // schemaless (left-outer) so the obj-less bracket messages survive
       // the dictionary join the way the builder keeps them
       Envelope.toMessages(
           Materialize(messages, dict, Materialize.Options(schemaless = true)),
-          Envelope.Format(userType = true, redoThread = true,
+          Envelope.Format(userBegin = true, userDml = true,
+            userCommit = true, userDdl = true, redoThread = true,
             addOffset = true, ridSkip = true, schemaObj = false,
             attributesDml = false, attributesCommit = false))
         .select(col("cScn").as("c_scn"), col("value"))
+    }),
+
+    // The last Format.h surfaces in one gate: SCN_FORMAT::TEXT_HEX on all
+    // three scn headers (scns/b_scns as 0x-prefixed 16-digit hex,
+    // BuilderJson.h:239-276), DB_FORMAT bits (db on begin/commit/DML via
+    // ADD_DML but NOT on DDL — ADD_DDL off, Format.h:35-40),
+    // USER_TYPE::DML only (usr on DML headers, Format.h:127-134),
+    // MESSAGE_FORMAT::ADD_SEQUENCES ("num" per-txn payload ordinal on DML
+    // payloads, BuilderJson.h:89-92), and ATTRIBUTES_FORMAT all-off (the
+    // reference's default — no attributes section anywhere).
+    "q75_db_scn_sequences" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(100L, 100L, "APP", "EVENTS",
+        Seq(DbColumn("value", 1)))))
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid",
+          "CASE WHEN event_type = 'error' THEN 'begin' " +
+            "WHEN event_type = 'signup' THEN 'commit' " +
+            "WHEN event_type = 'purchase' THEN 'ddl' ELSE 'c' END AS op",
+          "CASE WHEN event_type IN ('error','signup') THEN 0L ELSE 100L END" +
+            " AS obj",
+          "CAST(NULL AS STRING) AS rid",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "CASE WHEN event_type IN ('click','view') " +
+            "THEN map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING))" +
+            " ELSE CAST(NULL AS MAP<STRING,STRING>) END AS after",
+          "map('login username', concat('u', CAST(user_id AS STRING)))" +
+            " AS attrs",
+          "CASE WHEN event_type = 'purchase' " +
+            "THEN concat('TRUNCATE TABLE T', CAST(user_id AS STRING)) " +
+            "ELSE CAST(NULL AS STRING) END AS ddlText",
+          "greatest(event_id - 3, 0L) AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset",
+          "event_id % 7 AS num")
+        .as[ChangeMessage]
+      Envelope.toMessages(
+          Materialize(messages, dict, Materialize.Options(schemaless = true)),
+          Envelope.Format(dbName = "DBX", dbAddDdl = false,
+            userDml = true, addSequences = true,
+            scnFormatHex = true, scnTypeBegin = true,
+            attributesBegin = false, attributesDml = false,
+            attributesCommit = false))
+        .select(col("cScn").as("c_scn"), col("value"))
+    }),
+
+    // UNKNOWN_TYPE::HIDE vs SHOW (Format.h:182-185, Builder.cpp:605-612):
+    // a column whose dictionary typeCode is outside the builder's value
+    // dispatch (here 121, an ADT) is dropped from the images by default
+    // (HIDE) or kept with columnUnknown's QUESTION_MARK rendering (SHOW).
+    // Both variants of the same feed in one gate.
+    "q76_unknown_type" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(100L, 100L, "APP", "EVENTS",
+        Seq(DbColumn("value", 2), DbColumn("payload", 121)))))
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op", "100L AS obj",
+          "CAST(NULL AS STRING) AS rid",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING), " +
+            "'payload', concat('x', CAST(event_id AS STRING))) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset", "0L AS num")
+        .as[ChangeMessage]
+      def render(opts: Materialize.Options, variant: String) =
+        Envelope.toMessages(Materialize(messages, dict, opts))
+          .select(col("cScn").as("c_scn"), lit(variant).as("variant"),
+            col("value"))
+      render(Materialize.Options(), "hide").unionByName(
+        render(Materialize.Options(unknownTypeShow = true), "show"))
     }),
 
     "q66_interval_render" -> ((s, dir) => {
@@ -358,6 +435,38 @@ object FormatOps {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q76_unknown_type" ->
+      """SELECT event_id AS c_scn, v.variant,
+        |  '{"c_scn":' || event_id || ',"c_idx":0,"scn":' || event_id ||
+        |  ',"seq":1,"xid":"' || user_id ||
+        |  '","op":"c","schema":{"owner":"APP","table":"EVENTS","obj":100}' ||
+        |  ',"after":{"value":"' ||
+        |  CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) ||
+        |  CASE WHEN v.variant = 'show' THEN '","payload":"?"}}'
+        |       ELSE '"}}' END AS value
+        |FROM events
+        |CROSS JOIN (SELECT unnest(['hide','show']) AS variant) v""".stripMargin,
+
+    "q75_db_scn_sequences" ->
+      """SELECT event_id AS c_scn,
+        |  '{"c_scn":' || event_id || ',"c_idx":0,"scns":"0x' ||
+        |  printf('%016x', event_id) || '","b_scns":"0x' ||
+        |  printf('%016x', greatest(event_id - 3, 0)) ||
+        |  '","seq":1,"xid":"' || user_id || '"' ||
+        |  CASE WHEN event_type = 'error' THEN ',"db":"DBX","op":"begin"}'
+        |  WHEN event_type = 'signup' THEN ',"db":"DBX","op":"commit"}'
+        |  WHEN event_type = 'purchase' THEN
+        |    ',"op":"ddl","schema":{"owner":"APP","table":"EVENTS",' ||
+        |    '"obj":100},"ddl":"TRUNCATE TABLE T' || user_id || '"}'
+        |  ELSE
+        |    ',"db":"DBX","usr":"u' || user_id ||
+        |    '","op":"c","schema":{"owner":"APP","table":"EVENTS",' ||
+        |    '"obj":100},"num":' || (event_id % 7) ||
+        |    ',"after":{"value":"' ||
+        |    CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) || '"}}'
+        |  END AS value
+        |FROM events""".stripMargin,
+
     "q74_envelope_options" ->
       """SELECT event_id AS c_scn,
         |  '{"c_scn":' || event_id || ',"c_idx":0,"scn":' || event_id ||

@@ -147,6 +147,37 @@ class CdcPipelineSpec extends AnyFunSuite {
       Map("ID" -> "7", "VAL" -> "x", "DIAG" -> "d", "NEST" -> "n"))
   }
 
+  test("UNKNOWN_TYPE: unsupported-type columns hidden, or shown as '?'") {
+    // Builder.cpp:605-612: typeCode outside the value dispatch (121 = ADT)
+    // → HIDE drops it before the CHANGED diff; SHOW renders '?'
+    val dictU = Dictionary(Seq(
+      DbTable(100L, 100L, "OWNER1", "T1", Seq(
+        DbColumn("ID", 2, numPk = 1),
+        DbColumn("VAL", 1),
+        DbColumn("ADT", 121)), tagType = "pk")),
+      Seq(TableSelector("OWNER1", "T1")))
+    val events = Seq(
+      ev(1, Op.Ins, after =
+        Map("ID" -> "7", "VAL" -> "x", "ADT" -> "blob")),
+      // update where ONLY the unknown column changed: with HIDE the diff
+      // must not see it → after keeps just the key
+      ev(2, Op.Upd, before = Map("ID" -> "7", "VAL" -> "x", "ADT" -> "blob"),
+        after = Map("ID" -> "7", "VAL" -> "x", "ADT" -> "blob2")),
+      ev(3, Op.Commit))
+    val out = pipe(events, dictU).orderBy("scn").select("after").collect()
+    assert(out(0).getMap[String, String](0) == Map("ID" -> "7", "VAL" -> "x"))
+    assert(out(1).getMap[String, String](0) == Map("ID" -> "7"))
+    val shown = pipe(events, dictU,
+      opts = Materialize.Options(unknownTypeShow = true))
+      .orderBy("scn").select("after").collect()
+    assert(shown(0).getMap[String, String](0) ==
+      Map("ID" -> "7", "VAL" -> "x", "ADT" -> "?"))
+    // the raw values differ → the column survives the CHANGED diff and
+    // only then renders as '?' (reference diffs before rendering)
+    assert(shown(1).getMap[String, String](0) ==
+      Map("ID" -> "7", "ADT" -> "?"))
+  }
+
   test("f15: schema evolution — scn-versioned dictionary join") {
     val evolved = dict1.evolve(
       DbTable(100L, 100L, "OWNER1", "T1_RENAMED",

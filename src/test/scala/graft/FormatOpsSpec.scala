@@ -164,6 +164,70 @@ class FormatOpsSpec extends AnyFunSuite {
     assert(!v.contains("begin") && !v.contains("commit"))
   }
 
+  test("envelope knobs: usr/db per kind, scn hex, num, rid skip, offset") {
+    import graft.cdc.Envelope
+    // one txn: begin, insert (rid, offset, num 0), ddl, commit
+    val enriched = spark.sql(
+      """SELECT * FROM VALUES
+        |  (20L, 0L, 10L, 1L, '7', 'begin', 0L, CAST(NULL AS STRING),
+        |   CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS MAP<STRING,STRING>),
+        |   map('login username', 'SCOTT'), CAST(NULL AS STRING), 10L, 0L,
+        |   2, -1L, 0L,
+        |   CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS STRING)),
+        |  (20L, 1L, 11L, 1L, '7', 'c', 5L, 'RID1',
+        |   CAST(NULL AS MAP<STRING,STRING>), map('v', '1'),
+        |   map('login username', 'SCOTT'), CAST(NULL AS STRING), 10L, 0L,
+        |   2, 4096L, 0L,
+        |   'APP', 'T', CAST(NULL AS STRING)),
+        |  (20L, 2L, 12L, 1L, '7', 'ddl', 5L, CAST(NULL AS STRING),
+        |   CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS MAP<STRING,STRING>),
+        |   map('login username', 'SCOTT'), 'TRUNCATE TABLE T', 10L, 0L,
+        |   2, 8192L, 1L,
+        |   'APP', 'T', CAST(NULL AS STRING)),
+        |  (20L, 3L, 20L, 1L, '7', 'commit', 0L, CAST(NULL AS STRING),
+        |   CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS MAP<STRING,STRING>),
+        |   map('login username', 'SCOTT'), CAST(NULL AS STRING), 10L, 0L,
+        |   2, -1L, 0L,
+        |   CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS STRING))
+        |AS t(cScn, cIdx, scn, seq, xid, op, obj, rid, before, after,
+        |     attrs, ddlText, bScn, tm, thread, offset, num,
+        |     owner, table_name, tag)""".stripMargin)
+    def render(fmt: Envelope.Format): Seq[String] =
+      Envelope.toMessages(enriched, fmt)
+        .orderBy("cIdx").select("value").collect().map(_.getString(0)).toSeq
+
+    // USER_TYPE::DML + DB ADD_DML (no ADD_DDL): usr/db on the DML header
+    // only / on everything but DDL; num renders on the DML payload only;
+    // rid skipped; offset on payloads that have one
+    val vs = render(Envelope.Format(dbName = "D", dbAddDdl = false,
+      userDml = true, addSequences = true, ridSkip = true, addOffset = true,
+      attributesBegin = false, attributesDml = false,
+      attributesCommit = false))
+    assert(vs(0).contains("\"db\":\"D\"") && !vs(0).contains("usr"))
+    assert(vs(1).contains("\"usr\":\"SCOTT\"") && vs(1).contains("\"num\":0"))
+    assert(vs(1).contains("\"offset\":4096") && !vs(1).contains("RID1"))
+    assert(!vs(2).contains("\"db\"") && !vs(2).contains("\"usr\""))
+    assert(!vs(2).contains("\"num\"")) // DDL never reaches appendRowid
+    assert(vs(3).contains("\"db\":\"D\"") && !vs(3).contains("\"usr\""))
+
+    // USER_TYPE begin|commit|ddl, DB ADD_DDL only, rth
+    val v2 = render(Envelope.Format(dbName = "D", dbAddDml = false,
+      userBegin = true, userCommit = true, userDdl = true, redoThread = true))
+    assert(v2(0).contains("\"usr\":\"SCOTT\"") && !v2(0).contains("\"db\""))
+    assert(!v2(1).contains("\"usr\"") && !v2(1).contains("\"db\""))
+    assert(v2(2).contains("\"usr\"") && v2(2).contains("\"db\":\"D\""))
+    assert(v2.forall(_.contains("\"rth\":2")))
+
+    // SCN_FORMAT::TEXT_HEX covers scn AND b_scn/e_scn (BuilderJson.h:
+    // 239-276): keys gain the "s" suffix, values are 0x + 16-digit hex
+    val v3 = render(Envelope.Format(scnFormatHex = true,
+      scnTypeBegin = true, scnTypeCommit = true))
+    assert(v3(1).contains("\"scns\":\"0x000000000000000b\""))
+    assert(v3(1).contains("\"b_scns\":\"0x000000000000000a\""))
+    assert(v3(1).contains("\"e_scns\":\"0x0000000000000014\""))
+    assert(!v3(1).contains("\"scn\":") && !v3(1).contains("\"b_scn\":"))
+  }
+
   test("q65/q66 codec round-trip on known values") {
     val xid = (6L << 48) | (0x1aL << 32) | 0x218L
     val q65 = FormatOps.defs("q65_xid_formats")(spark, sf)

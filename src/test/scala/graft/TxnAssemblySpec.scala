@@ -207,6 +207,29 @@ class TxnAssemblySpec extends AnyFunSuite {
     assert(TxnAssembly.traceMsg(Op.Ddl) == "add ")
   }
 
+  test("ADD_SEQUENCES num: payload ordinal 0..n-1 per txn, reset at begin") {
+    // BuilderJson.h:89-92 + the ++num sites: num restarts per transaction
+    // and counts emitted payloads (DML and DDL); brackets keep 0
+    val t1 = run(Seq(
+      ev(1, Op.Begin),
+      ev(2, Op.Ins).copy(after = Map("k" -> "a")),
+      ev(3, Op.Ddl).copy(ddlText = "TRUNCATE T"),
+      ev(4, Op.Ins).copy(after = Map("k" -> "b")),
+      ev(5, Op.Commit)), Config(emitBeginCommit = true))
+    assert(t1.map(m => (m.op, m.num)) == Seq(
+      (MsgOp.Begin, 0L), (MsgOp.Insert, 0L), (MsgOp.Ddl, 1L),
+      (MsgOp.Insert, 2L), (MsgOp.Commit, 0L)))
+    // second transaction through the same state: counter restarts
+    val st = TxnState.empty
+    val out = ArrayBuffer.empty[ChangeMessage]
+    Seq(ev(1, Op.Begin), ev(2, Op.Ins).copy(after = Map("k" -> "a")),
+        ev(3, Op.Commit),
+        ev(4, Op.Begin), ev(5, Op.Ins).copy(after = Map("k" -> "b")),
+        ev(6, Op.Commit))
+      .foreach(e => out ++= TxnAssembly.onEvent(e.xid, e, st, Config()))
+    assert(out.map(_.num) == Seq(0L, 0L))
+  }
+
   test("T8 dump-XID: dump list never changes emitted messages") {
     val events = Seq(
       ev(1, Op.Begin),
