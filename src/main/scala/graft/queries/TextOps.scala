@@ -336,6 +336,56 @@ object TextOps {
           .as("n_punct"))
     }),
 
+    // PII redaction — the scrub pass every training-data pipeline runs
+    // before publishing a corpus: emails → <EMAIL>, dashed NANP phones →
+    // <PHONE>, IPv4 literals → <IP>. Patterns are RE2-safe (no lookaround,
+    // no backrefs) so the exact same regex text runs on Spark (Java regex)
+    // and the DuckDB oracle (RE2). The corpus itself is PII-free, so each
+    // row gets deterministic synthetic PII appended (same concat both
+    // sides) — the gate compares the REDACTION, not the synthesis.
+    // Per-row codegen'd regexp_replace: embarrassingly parallel, no
+    // exchange, scales linearly with corpus bytes.
+    "q77_pii_redact" -> ((s, dir) => {
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com"),
+        when(col("doc_id") % 2 === 0, lit(" cc admin@example.org"))
+          .otherwise(lit("")),
+        lit(" or +1-415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+      val redacted =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(pii, PiiEmail, "<EMAIL>"),
+            PiiPhone, "<PHONE>"),
+          PiiIp, "<IP>")
+      spread(t(s, dir, "documents")).select(
+        col("doc_id"),
+        size(regexp_extract_all(pii, lit(PiiEmail), lit(0))).as("n_email"),
+        size(regexp_extract_all(pii, lit(PiiPhone), lit(0))).as("n_phone"),
+        size(regexp_extract_all(pii, lit(PiiIp), lit(0))).as("n_ip"),
+        redacted.as("clean_text"))
+    }),
+
+    // Canonical text normalization for dedup keys: lowercase, collapse
+    // whitespace runs, trim — then the canonical md5. The corpus is
+    // already clean, so deterministic mess (case flip + tabs + padding)
+    // is injected identically on both sides; the normalized hash is what
+    // the gate compares. Pure per-row expressions, no exchange.
+    "q78_normalize" -> ((s, dir) => {
+      val messy = concat(lit("  \t"),
+        upper(expr("substring(text, 1, 40)")), lit("\t "),
+        expr("substring(text, 41)"), lit("  "))
+      val norm = trim(regexp_replace(lower(messy), "\\s+", " "))
+      spread(t(s, dir, "documents")).select(
+        col("doc_id"),
+        norm.as("norm_text"),
+        md5(norm).as("norm_hash"),
+        length(norm).as("n_chars_norm"))
+    }),
+
     // Rolling-hash document fingerprint: sequential polynomial hash
     // h = (h*31 + byte) mod 1e9+7 — the per-char left fold both engines
     // evaluate in the same order (exact integer arithmetic, no float risk).
@@ -347,6 +397,14 @@ object TextOps {
           .as("fingerprint"))
     })
   )
+
+  // RE2-safe PII patterns, shared verbatim by the Spark plan and the
+  // DuckDB oracle (email before phone before ip: the email consumes its
+  // digits first, phones are dashed so the dotted-IP pattern never
+  // overlaps them)
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhone = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val PiiIp = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   // DuckDB-side building blocks (kept in one place so Spark/SQL stay in sync)
   private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -366,6 +424,35 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q77_pii_redact" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(pii, '$PiiEmail')) AS n_email,
+         |  len(regexp_extract_all(pii, '$PiiPhone')) AS n_phone,
+         |  len(regexp_extract_all(pii, '$PiiIp')) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(pii,
+         |    '$PiiEmail', '<EMAIL>', 'g'),
+         |    '$PiiPhone', '<PHONE>', 'g'),
+         |    '$PiiIp', '<IP>', 'g') AS clean_text
+         |FROM (
+         |  SELECT doc_id, text || ' contact user' || doc_id ||
+         |    '@mail.example.com' ||
+         |    CASE WHEN doc_id % 2 = 0 THEN ' cc admin@example.org'
+         |         ELSE '' END ||
+         |    ' or +1-415-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+         |    AS pii
+         |  FROM documents)""".stripMargin,
+
+    "q78_normalize" ->
+      """SELECT doc_id, norm_text, md5(norm_text) AS norm_hash,
+        |  length(norm_text) AS n_chars_norm
+        |FROM (
+        |  SELECT doc_id, trim(regexp_replace(lower(
+        |    '  ' || chr(9) || upper(substr(text, 1, 40)) || chr(9) || ' ' ||
+        |    substr(text, 41) || '  '), '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents)""".stripMargin,
+
     "q22_text_stats" ->
       s"""SELECT doc_id, n_chars, len($sqlTokens) AS n_tokens,
          |  md5(text) AS fingerprint FROM documents""".stripMargin,
