@@ -239,5 +239,19 @@ class FormatOpsSpec extends AnyFunSuite {
     assert(graft.core.OracleCodecs.intervalDsString(-90061000000001L, ' ') ==
       "-1 01:01:01.000000001")
     assert(graft.core.OracleCodecs.intervalYmString(-13L, '-') == "-1-1")
+    // full separator/unit matrix (Format.h:54-74): the oracle gate runs one
+    // parameterization per family; the rest differ only by these args
+    import graft.core.OracleCodecs._
+    assert(intervalDsString(90061000000001L, ',') == "1,01:01:01.000000001")
+    assert(intervalDsString(90061000000001L, '-') == "1-01:01:01.000000001")
+    assert(intervalYmString(25L, ' ') == "2 1")
+    assert(intervalYmString(25L, ',') == "2,1")
+    // UNIX_NANO is the identity; micro/milli/sec round half-up on the
+    // magnitude with the sign carried separately (Builder.cpp:538-546)
+    assert(intervalDsUnix(1500L, 1L) == 1500L)
+    assert(intervalDsUnix(1500L, 1000L) == 2L)
+    assert(intervalDsUnix(-1500L, 1000L) == -2L)
+    assert(intervalDsUnix(1499999L, 1000000L) == 1L)
+    assert(intervalDsUnix(-500000000L, 1000000000L) == -1L)
   }
 }
