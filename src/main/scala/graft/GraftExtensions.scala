@@ -55,10 +55,27 @@ object GraftExtensions {
       registry.registerFunction(ident, inf, builder)
     }
     // scalar codecs (§2.7) as plain UDFs — small, driver-registered
+    import graft.core.OracleCodecs
     spark.udf.register("rowid_encode",
       (obj: Long, dba: Long, slot: Int) =>
-        graft.core.OracleCodecs.rowIdEncode(obj, dba, slot))
+        OracleCodecs.rowIdEncode(obj, dba, slot))
     spark.udf.register("xid_format",
-      (xid: Long) => graft.core.OracleCodecs.xidFormat(xid))
+      (xid: Long) => OracleCodecs.xidFormat(xid))
+    spark.udf.register("xid_format_dec",
+      (xid: Long) => OracleCodecs.xidFormatDec(xid))
+    spark.udf.register("xid_format_reversed",
+      (xid: Long) => OracleCodecs.xidFormatReversed(xid))
+    spark.udf.register("oracle_number",
+      (b: Array[Byte]) => OracleCodecs.numberToString(b))
+    spark.udf.register("interval_ds_string",
+      (nanos: Long, sep: String) =>
+        OracleCodecs.intervalDsString(nanos, sep.headOption.getOrElse(' ')))
+    spark.udf.register("interval_ym_string",
+      (months: Long, sep: String) =>
+        OracleCodecs.intervalYmString(months, sep.headOption.getOrElse(' ')))
+    spark.udf.register("tz_timestamp_iso",
+      (b: Array[Byte]) => OracleCodecs.tzTimestampIso(b))
+    spark.udf.register("unknown_dump",
+      (name: String, b: Array[Byte]) => OracleCodecs.unknownDump(name, b))
   }
 }

@@ -74,6 +74,28 @@ object Envelope {
     def userAny: Boolean = userBegin || userDml || userCommit || userDdl
   }
 
+  /** The `"format":{"type":"debezium"}` preset (OpenLogReplicator.cpp:
+    * 694-708): b_scn/e_scn + scn on every message (SCN_TYPE::DEBEZIUM),
+    * tm on every message, db on every kind (DB_FORMAT::ALL), full schema
+    * descriptors, "num" sequences (MESSAGE_FORMAT::ADD_SEQUENCES), "rth",
+    * text rid, usr on all kinds (USER_TYPE::DEBEZIUM); attributes stay at
+    * the reference default (off). The preset's codec-side choices —
+    * XID_FORMAT::TEXT_REVERSED, INTERVAL ISO-comma / YM-dash,
+    * COLUMN_FORMAT::FULL_UPD — live where those decisions are made:
+    * `OracleCodecs.xidFormatReversed`/`interval*String` at feed
+    * adaptation and `Materialize.Options(columnFormat = FullUpd)`.
+    * SCHEMA_FORMAT::REPEATED dedup stays the documented sink-side
+    * non-goal. */
+  def debezium(db: String): Format = Format(
+    dbName = db,
+    scnTypeBegin = true, scnTypeCommit = true,
+    timestampCommit = true,
+    schemaFormatFull = true,
+    attributesBegin = false, attributesDml = false, attributesCommit = false,
+    userBegin = true, userDml = true, userCommit = true, userDdl = true,
+    redoThread = true,
+    addSequences = true)
+
   /** enriched rows → (key, value) output frame.
     * value = ordered-JSON envelope; key = tag (nullable). */
   def toMessages(enriched: DataFrame, fmt: Format = Format()): DataFrame = {

@@ -419,6 +419,44 @@ object FormatOps {
         render(Materialize.Options(unknownTypeShow = true), "show"))
     }),
 
+    // The whole debezium preset end-to-end (OpenLogReplicator.cpp:694-708
+    // — the reference's Debezium-consumer interop mode): FULL_UPD
+    // materialization, every header variant on, full schema, "num",
+    // reversed-hex xid. One gate proving the knobs compose.
+    "q79_debezium" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(100L, 100L, "APP", "EVENTS",
+        Seq(DbColumn("value", 2, precision = 10, scale = 2),
+          DbColumn("etype", 1, length = 40)))))
+      val revU = udf((x: Long) => OracleCodecs.xidFormatReversed(x))
+      val messages = Tables.load(s, dir, "events")
+        .withColumn("xid_str", revU(expr(
+          "(user_id % 100) * 281474976710656 + (event_id % 10) * 4294967296" +
+            " + event_id")))
+        .selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "xid_str AS xid", "'c' AS op", "100L AS obj",
+          "CAST(NULL AS STRING) AS rid",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING), " +
+            "'etype', event_type) AS after",
+          "map('login username', concat('u', CAST(user_id AS STRING)))" +
+            " AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "greatest(event_id - 2, 0L) AS bScn",
+          "(ts div 1000) * 1000 AS tm",
+          "CAST(1 + event_id % 4 AS INT) AS thread",
+          "event_id * 16 AS offset",
+          "event_id % 3 AS num")
+        .as[ChangeMessage]
+      Envelope.toMessages(
+          Materialize(messages, dict,
+            Materialize.Options(columnFormat = Materialize.FullUpd)),
+          Envelope.debezium("DB1"))
+        .select(col("cScn").as("c_scn"), col("value"))
+    }),
+
     "q66_interval_render" -> ((s, dir) => {
       val dsU = udf((n: Long) => OracleCodecs.intervalDsString(n, ' '))
       val ymU = udf((m: Long) => OracleCodecs.intervalYmString(m, '-'))
@@ -435,6 +473,32 @@ object FormatOps {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q79_debezium" ->
+      """WITH x AS (
+        |  SELECT *, (user_id % 100) * 281474976710656
+        |    + (event_id % 10) * 4294967296 + event_id AS xid
+        |  FROM events)
+        |SELECT event_id AS c_scn,
+        |  '{"c_scn":' || event_id || ',"c_idx":0,"scn":' || event_id ||
+        |  ',"b_scn":' || greatest(event_id - 2, 0) ||
+        |  ',"e_scn":' || event_id ||
+        |  ',"tm":' || epoch_ns(ts) ||
+        |  ',"seq":1,"xid":"' ||
+        |  printf('%02x', (xid >> 48) & 255) || printf('%02x', (xid >> 56) & 255)
+        |    || printf('%02x', (xid >> 32) & 255) || printf('%02x', (xid >> 40) & 255)
+        |    || printf('%02x', xid & 255) || printf('%02x', (xid >> 8) & 255)
+        |    || printf('%02x', (xid >> 16) & 255) || printf('%02x', (xid >> 24) & 255)
+        |  || '","db":"DB1","usr":"u' || user_id ||
+        |  '","rth":' || (1 + event_id % 4) ||
+        |  ',"op":"c",' ||
+        |  '"schema":{"owner":"APP","table":"EVENTS","obj":100,"columns":[' ||
+        |  '{"name":"value","type":"number","precision":10,"scale":2,"nullable":true},' ||
+        |  '{"name":"etype","type":"varchar2","length":40,"nullable":true}]},' ||
+        |  '"num":' || (event_id % 3) ||
+        |  ',"after":{"value":"' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)
+        |    || '","etype":"' || event_type || '"}}' AS value
+        |FROM x""".stripMargin,
+
     "q76_unknown_type" ->
       """SELECT event_id AS c_scn, v.variant,
         |  '{"c_scn":' || event_id || ',"c_idx":0,"scn":' || event_id ||

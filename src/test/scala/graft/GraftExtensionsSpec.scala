@@ -36,6 +36,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       graft.core.OracleCodecs.rowIdEncode(5L, 4194304L, 1))
     assert(row.getString(3) ==
       graft.core.OracleCodecs.xidFormat(281479271677953L))
+
+    // full codec surface by SQL name (§2.7 → §2.10 promotion rule)
+    val codecs = spark.sql(
+      """SELECT xid_format_dec(CAST(281479271677953 AS BIGINT)) AS xd,
+        |  xid_format_reversed(CAST(281479271677953 AS BIGINT)) AS xr,
+        |  interval_ds_string(CAST(90061000000001 AS BIGINT), ',') AS ds,
+        |  interval_ym_string(CAST(25 AS BIGINT), '-') AS ym,
+        |  unknown_dump('C1', CAST('AB' AS BINARY)) AS dmp
+        |""".stripMargin).collect().head
+    assert(codecs.getString(0) == "1.1.1")
+    assert(codecs.getString(1) ==
+      graft.core.OracleCodecs.xidFormatReversed(281479271677953L))
+    assert(codecs.getString(2) == "1,01:01:01.000000001")
+    assert(codecs.getString(3) == "2-1")
+    assert(codecs.getString(4) ==
+      graft.core.OracleCodecs.unknownDump("C1", "AB".getBytes))
   }
 
   test("minhash_sig rejects a non-literal n") {
