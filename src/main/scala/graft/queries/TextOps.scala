@@ -386,6 +386,24 @@ object TextOps {
         length(norm).as("n_chars_norm"))
     }),
 
+    // The APPLY step of near-dup dedup — the cleaned corpus itself:
+    // keep the canonical member of every near-dup cluster (the min
+    // doc_id = the propagation label) plus every unclustered doc. The
+    // drop list is one anti-join; its size is bounded by the number of
+    // near-duplicate docs, so at 100 TB it stays a (possibly broadcast)
+    // fraction of the corpus and the corpus itself never reshuffles.
+    "q80_dedup_apply" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val pairs = lshVerifiedPairs(docs)
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      val drops = graft.operators.ConnectedComponents.runPropagation(pairs)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Rolling-hash document fingerprint: sequential polynomial hash
     // h = (h*31 + byte) mod 1e9+7 — the per-char left fold both engines
     // evaluate in the same order (exact integer arithmetic, no float risk).
@@ -424,6 +442,44 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q80_dedup_apply" ->
+      s"""WITH RECURSIVE sig AS (
+         |  SELECT doc_id, shingles,
+         |    md5(mh0 || mh1 || mh2 || mh3) AS band0,
+         |    md5(mh4 || mh5 || mh6 || mh7) AS band1
+         |  FROM ($sqlBands)),
+         |banded AS (
+         |  SELECT doc_id, unnest([band0, band1]) AS band FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+         |  FROM banded x JOIN banded y USING (band)
+         |  WHERE x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT doc_id_a, doc_id_b FROM (
+         |    SELECT doc_id_a, doc_id_b,
+         |      CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE) /
+         |      CAST(len(sa.shingles) + len(sb.shingles)
+         |           - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+         |      AS jaccard
+         |    FROM cand
+         |    JOIN sig sa ON sa.doc_id = cand.doc_id_a
+         |    JOIN sig sb ON sb.doc_id = cand.doc_id_b)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_id_a AS node, doc_id_b AS nbr FROM pairs
+         |  UNION SELECT doc_id_b, doc_id_a FROM pairs),
+         |walk AS (
+         |  SELECT node, node AS lab FROM edges
+         |  UNION
+         |  SELECT e.node, w.lab FROM edges e JOIN walk w ON w.node = e.nbr),
+         |clus AS (
+         |  SELECT node AS doc_id, min(lab) AS cluster_id FROM walk
+         |  GROUP BY node)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d
+         |LEFT JOIN clus c ON c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id
+         |WHERE c.doc_id IS NULL""".stripMargin,
+
     "q77_pii_redact" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(pii, '$PiiEmail')) AS n_email,

@@ -44,6 +44,47 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("abandoned-transaction TTL: timed-out state drops, emits nothing") {
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    import s.implicits._
+    val input = MemoryStream[ChangeEvent]
+    val out = TxnAssembly.assembleStream(input.toDS(),
+      TxnAssembly.Config(stateTtlMs = 1L))
+    // ProcessingTimeTimeout keeps scheduling empty sweep batches, so
+    // processAllAvailable() never quiesces — use a timed trigger and poll
+    // the sink instead
+    val query = out.writeStream.format("memory").queryName("ttl_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(20L))
+      .start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table("ttl_out").count() < n &&
+          System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(spark.table("ttl_out").count() >= n)
+    }
+
+    // open a txn that will never commit, plus a committed control txn
+    input.addData(ev(1, Op.Begin, "9.9.9"),
+      ev(2, Op.Ins, "9.9.9").copy(after = Map("k" -> "zombie")))
+    input.addData(ev(10, Op.Begin), ev(11, Op.Ins).copy(after = Map("k" -> "b")),
+      ev(12, Op.Commit))
+    awaitRows(1)
+    Thread.sleep(500) // ≫ TTL: sweep batches reap the abandoned txn
+    // a late commit for the reaped txn finds no buffered state → emits
+    // nothing; a second control txn proves the pipeline still flows
+    input.addData(ev(30, Op.Commit, "9.9.9"))
+    input.addData(ev(40, Op.Begin), ev(41, Op.Ins).copy(after = Map("k" -> "c")),
+      ev(42, Op.Commit))
+    awaitRows(2)
+    val rows = spark.table("ttl_out").collect()
+    assert(rows.map(_.getAs[String]("xid")).toSet == Set("1.0.1"))
+    assert(!rows.exists(_.getAs[Map[String, String]]("after")
+      .exists(_._2 == "zombie")))
+    query.stop()
+  }
+
   test("keyed state runs on the RocksDB store (the at-scale state backend)") {
     implicit val s: SparkSession = spark
     implicit val sqlCtx = spark.sqlContext
