@@ -178,6 +178,32 @@ class CdcPipelineSpec extends AnyFunSuite {
       Map("ID" -> "7", "ADT" -> "?"))
   }
 
+  test("Materialize options compose: visibility, diff, unknown, tag, hex") {
+    // every option at once on one update: the hidden column suppressed,
+    // the CHANGED diff keeps key + changed, the unknown-typed column
+    // dropped (HIDE), the tag computed from LOGICAL values, and hex
+    // rendering applied last (so the tag is not hexed)
+    val dictC = Dictionary(Seq(
+      DbTable(100L, 100L, "OWNER1", "T1", Seq(
+        DbColumn("ID", 2, numPk = 1),
+        DbColumn("VAL", 1),
+        DbColumn("H", 1, hidden = true),
+        DbColumn("ADT", 121)), tagType = "pk")),
+      Seq(TableSelector("OWNER1", ".*")))
+    val events = Seq(
+      ev(1, Op.Upd,
+        before = Map("ID" -> "7", "VAL" -> "x", "H" -> "h0", "ADT" -> "b1"),
+        after = Map("ID" -> "7", "VAL" -> "y", "H" -> "h1", "ADT" -> "b2")),
+      ev(2, Op.Commit))
+    val out = pipe(events, dictC, opts = Materialize.Options(
+      schemaless = true, charFormatHex = true))
+      .select("after", "tag").collect()
+    // UTF-8 uppercase hex: "7" → 37, "y" → 79
+    assert(out.head.getMap[String, String](0) ==
+      Map("ID" -> "37", "VAL" -> "79"))
+    assert(out.head.getString(1) == "7") // tag from pre-hex logical value
+  }
+
   test("f15: schema evolution — scn-versioned dictionary join") {
     val evolved = dict1.evolve(
       DbTable(100L, 100L, "OWNER1", "T1_RENAMED",
