@@ -110,8 +110,11 @@ object Envelope {
     val isDml = col("op") =!= MsgOp.Begin && col("op") =!= MsgOp.Commit &&
       col("op") =!= MsgOp.Ddl && col("op") =!= MsgOp.Checkpoint
     val payloadCols = Seq[(String, Column)]("op" -> col("op")) ++
-      (if (fmt.addOffset) // offset leads the payload (BuilderJson.cpp:526)
-        Seq("offset" -> when(col("offset") >= 0L, col("offset"))) else Nil) ++
+      (if (fmt.addOffset) // offset leads the payload, on DML ops only —
+        // BuilderJson.cpp:527/567/608 render it in insert/update/delete;
+        // processDdl and the brackets never do
+        Seq("offset" -> when(isDml && col("offset") >= 0L, col("offset")))
+       else Nil) ++
       Seq[(String, Column)](
       "schema" -> when(col("owner").isNotNull, schemaStruct)) ++
       (if (fmt.addSequences) // "num" sits just before the rid

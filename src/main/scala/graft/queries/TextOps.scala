@@ -386,6 +386,23 @@ object TextOps {
         length(norm).as("n_chars_norm"))
     }),
 
+    // Sequence packing — assigning documents to fixed token-budget packs,
+    // the step right before a training run tokenizes shards. Greedy
+    // running-sum binning per source shard: pack_id = exclusive-prefix-sum
+    // of token counts div the budget. One narrow exchange on source; the
+    // per-shard window is the parallel unit (a global orderBy would be the
+    // scale mistake — never order the whole corpus for packing).
+    "q81_token_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .withColumn("n_tok", size(tokensCol))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          ((col("cum") - col("n_tok")) / 2048).cast("long").as("pack_id"))
+    }),
+
     // The APPLY step of near-dup dedup — the cleaned corpus itself:
     // keep the canonical member of every near-dup cluster (the min
     // doc_id = the propagation label) plus every unclustered doc. The
@@ -442,6 +459,16 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q81_token_pack" ->
+      s"""SELECT doc_id, source, n_tok,
+         |  CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT doc_id, source, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (SELECT doc_id, source, len($sqlTokens) AS n_tok
+         |        FROM documents))""".stripMargin,
+
     "q80_dedup_apply" ->
       s"""WITH RECURSIVE sig AS (
          |  SELECT doc_id, shingles,
