@@ -251,15 +251,24 @@ object Envelope {
 
   /** Append the reference's `chkpt` message at the max position of the
     * batch (≙ per-LWN checkpoint emission, Parser.cpp:1509-1536): clients
-    * advance their restart position even across DML-free stretches. Empty
-    * batch → no checkpoint (no position to report). cIdx = Long.MaxValue
-    * sorts it after every data message of the same scn. */
-  def withCheckpointMessage(sink: DataFrame): DataFrame = {
+    * advance their restart position even across DML-free stretches. The
+    * message optionally carries the log position the reference reports —
+    * `seq`/`offset` of the processed log and the `redo` flag
+    * (BuilderJson.cpp:675-686; these are stream-position metadata the
+    * pipeline knows, not per-row data). Empty batch → no checkpoint (no
+    * position to report). cIdx = Long.MaxValue sorts it after every data
+    * message of the same scn. */
+  def withCheckpointMessage(sink: DataFrame, seq: Option[Long] = None,
+      offset: Option[Long] = None, redo: Boolean = false): DataFrame = {
+    val fields = Seq(col("scn"), lit(MsgOp.Checkpoint).as("op")) ++
+      seq.map(v => lit(v).as("seq")).toSeq ++
+      offset.map(v => lit(v).as("offset")).toSeq ++
+      (if (redo) Seq(lit(true).as("redo")) else Nil)
     val chk = sink.agg(max(col("c_scn")).as("scn"))
       .filter(col("scn").isNotNull)
       .select(
         lit(null).cast("string").as("key"),
-        to_json(struct(col("scn"), lit(MsgOp.Checkpoint).as("op"))).as("value"),
+        to_json(struct(fields: _*)).as("value"),
         col("scn").as("c_scn"),
         lit(Long.MaxValue).as("c_idx"))
     sink.unionByName(chk)

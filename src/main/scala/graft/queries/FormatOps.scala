@@ -96,7 +96,8 @@ object FormatOps {
       val sink = msgs.select(col("xid").as("key"),
         to_json(struct(col("scn"), col("op"))).as("value"),
         col("cScn").as("c_scn"), col("cIdx").as("c_idx"))
-      Envelope.withCheckpointMessage(sink)
+      Envelope.withCheckpointMessage(sink, seq = Some(1L),
+          offset = Some(8192L), redo = true)
         .agg(
           count(lit(1)).as("n_total"),
           max(when(col("c_idx") === Long.MaxValue, col("value")))
@@ -555,7 +556,9 @@ object FormatOps {
     "q63_checkpoint_msg" ->
       """SELECT CAST(count(*)
         |    + CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_total,
-        |  '{"scn":' || max(event_id) || ',"op":"chkpt"}' AS chkpt_value,
+        |  '{"scn":' || max(event_id) ||
+        |    ',"op":"chkpt","seq":1,"offset":8192,"redo":true}'
+        |    AS chkpt_value,
         |  max(event_id) AS chkpt_scn
         |FROM events""".stripMargin,
 
