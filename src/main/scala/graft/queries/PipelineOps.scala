@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Training-data pipeline pack #2: corpus statistics, contamination
+  * screening, weighted mixing, vector quantization — plus the two remaining
+  * reference surfaces (RAC per-thread redo ordering, checkpoint-state
+  * summary).
+  *
+  * Scale notes (the design rule for every query here):
+  *   - per-document signals are narrow one-pass expressions — no exchange,
+  *     no explode of the full token stream where a sorted-run aggregate
+  *     does the same work inside the row;
+  *   - cross-corpus joins put the SMALL side (benchmark n-grams, per-source
+  *     rates) behind `broadcast()` so the corpus itself never shuffles;
+  *   - exact percentiles run on the value HISTOGRAM (one short-key shuffle,
+  *     cardinality = |lang| × |distinct n_chars|), never on a per-row sort
+  *     or a collected list.
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Longest run in a SORTED string array — i.e. the count of the most
+    * frequent element — as one fold over the row (no explode, no shuffle).
+    * The per-row cost is O(L log L) for the sort; the alternative
+    * (explode → groupBy(doc, token) → max) shuffles the whole token stream,
+    * which at 100 TB is the single most expensive exchange a corpus-stats
+    * job can make. */
+  private def maxRunSorted(arr: String): Column = expr(
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+       |               'best', CAST(0 AS BIGINT)),
+       |  (st, x) -> named_struct(
+       |    'prev', x,
+       |    'run',  IF(x = st.prev, st.run + 1, CAST(1 AS BIGINT)),
+       |    'best', GREATEST(st.best,
+       |              IF(x = st.prev, st.run + 1, CAST(1 AS BIGINT)))),
+       |  st -> st.best)""".stripMargin)
+
+  /** Word n-grams as space-joined strings (distinct), [] below n tokens. */
+  private def gramsCol(toksName: String, n: Int): Column = array_distinct(
+    when(size(col(toksName)) >= n,
+      expr(s"transform(sequence(1, size($toksName) - ${n - 1}), " +
+        s"i -> array_join(slice($toksName, i, $n), ' '))"))
+      .otherwise(array().cast("array<string>")))
+
+  val defs: Map[String, Q] = Map(
+
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1 shape): the
+    // most-frequent-token and most-frequent-bigram counts plus the
+    // duplicate-token fraction, each computed INSIDE the row via a sorted
+    // fold — the whole query is a narrow map over the corpus scan.
+    "q82_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", TextOps.tokensCol)
+        .filter(size(col("toks")) > 0)
+        .withColumn("bigrams",
+          when(size(col("toks")) >= 2,
+            zip_with(
+              slice(col("toks"), lit(1), size(col("toks")) - 1),
+              slice(col("toks"), lit(2), size(col("toks")) - 1),
+              (a, b) => concat(a, lit(" "), b)))
+            .otherwise(array().cast("array<string>")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_types"),
+          maxRunSorted("toks").as("top_token_count"),
+          maxRunSorted("bigrams").as("top_bigram_count"),
+          ((size(col("toks")) - size(array_distinct(col("toks"))))
+            .cast("double") / size(col("toks")).cast("double"))
+            .as("dup_token_frac"))
+    }),
+
+    // Per-source (domain) corpus statistics — the mix report every corpus
+    // build starts from. One short-key shuffle (|sources| rows out).
+    "q83_domain_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_toks", size(TextOps.tokensCol).cast("long"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum("n_toks").as("total_tokens"),
+          (sum("n_toks").cast("double") / count(lit(1)).cast("double"))
+            .as("avg_tokens"),
+          countDistinct("lang").as("n_langs"))
+    }),
+
+    // Benchmark-contamination screen: documents sharing a word 4-gram with
+    // the held-out set (source = src0 stands in for an eval benchmark).
+    // The benchmark's distinct grams are the SMALL side — broadcast — so
+    // the corpus-side plan is scan → explode → broadcast-semi-hash-join →
+    // one agg on doc_id; the corpus never repartitions on gram. At real
+    // scale the benchmark gram set stays ≪ executor memory (eval sets are
+    // MBs, corpora are TBs), which is exactly what makes this shape hold.
+    "q84_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("toks", TextOps.tokensCol)
+        .withColumn("grams", gramsCol("toks", 4))
+      val bench = d.filter(col("source") === "src0")
+        .select(explode(col("grams")).as("gr")).distinct()
+      d.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode(col("grams")).as("gr"))
+        .join(broadcast(bench), "gr")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+    }),
+
+    // Exact per-language length percentiles from the VALUE HISTOGRAM:
+    // groupBy(lang, n_chars) first (map-side combined, output cardinality
+    // = |lang|×|lengths|, tiny), then a cumulative window over the
+    // histogram picks p50/p90 with pure integer predicates (2·cum ≥ total).
+    // This is the scalable exact-percentile shape — the naive alternatives
+    // (global sort, or collect_list per group) both break at corpus scale.
+    "q85_length_percentiles" -> ((s, dir) => {
+      val h = t(s, dir, "documents")
+        .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wtot = Window.partitionBy("lang")
+      h.withColumn("cum", sum("c").over(wcum))
+        .withColumn("total", sum("c").over(wtot))
+        .groupBy("lang")
+        .agg(
+          max("total").cast("long").as("n_docs"),
+          min(when(col("cum") * 2 >= col("total"), col("n_chars")))
+            .as("p50_chars"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("n_chars")))
+            .as("p90_chars"))
+    }),
+
+    // Temperature-weighted corpus mixing: per-source acceptance rate
+    // ∝ sqrt(source mass) (α = 0.5 down-weighting of huge sources, the
+    // standard multilingual/multi-domain rebalancing), applied as a
+    // DETERMINISTIC md5 predicate per doc — rerunnable, no RNG state, no
+    // shuffle of the corpus; the 20-row rate table broadcasts. sqrt (IEEE
+    // correctly-rounded) + one division keep the rate bit-identical to the
+    // DuckDB oracle; the comparison happens in integer hex space.
+    "q86_mix_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = docs.groupBy("source")
+        .agg(sqrt(sum("n_chars").cast("double")).as("wt"))
+      val maxw = w.agg(max("wt").as("maxwt"))
+      val rates = w.crossJoin(broadcast(maxw))
+        .withColumn("rate", col("wt") / col("maxwt"))
+        .withColumn("thresh",
+          upper(lpad(hex(least(floor(col("rate") * 65536), lit(65535L))
+            .cast("long")), 4, "0")))
+        .select("source", "thresh")
+      docs.join(broadcast(rates), "source")
+        .filter(upper(substring(md5(col("doc_id").cast("string")), 1, 4))
+          < col("thresh"))
+        .select("doc_id", "source")
+    }),
+
+    // Int8 scalar quantization of the embedding column (the storage/ANN
+    // compression step): per-vector max-abs scale, codes = round(127·x/m).
+    // Pure per-row arithmetic over the float array — no exchange; the
+    // gate compares scalar summaries + an md5 over the full code string so
+    // every code byte is checked without hashing an array type.
+    "q87_vec_quantize" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("max_abs",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .filter(col("max_abs") > 0)
+        .withColumn("codes", expr(
+          "transform(embedding, x -> " +
+            "CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS INT))"))
+        .select(
+          col("vec_id"),
+          col("max_abs"),
+          size(col("codes")).cast("long").as("n_dims"),
+          expr("aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("code_sum"),
+          array_min(col("codes")).cast("long").as("code_min"),
+          array_max(col("codes")).cast("long").as("code_max"),
+          md5(array_join(transform(col("codes"), c => c.cast("string")), ","))
+            .as("code_hash"))
+    }),
+
+    // RAC multi-thread redo ordering (reference: the per-vector `thread`
+    // field, src/parser/Parser.cpp:307; redo order is guaranteed only
+    // WITHIN a thread#, and the replicator serializes per-thread streams).
+    // thread = hash of the session (user_id mod 4 here); the per-thread
+    // sequence is a window over (ts, event_id) — partition-parallel, no
+    // global sort anywhere.
+    "q88_rac_threads" -> ((s, dir) => {
+      val w = Window.partitionBy("thread").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("thread", pmod(col("user_id"), lit(4)).cast("long"))
+        .select(col("event_id"), col("thread"),
+          row_number().over(w).cast("long").as("thread_seq"))
+    }),
+
+    // Checkpoint-state summary (reference: Metadata::checkpoint writes
+    // scn/seq/offset + min-pending-XID, src/metadata/Metadata.cpp:390-407;
+    // TransactionBuffer::checkpoint picks the resume sequence as the min
+    // start of any UNCOMMITTED txn, TransactionBuffer.cpp:268-280; the
+    // writer's confirmed watermark is the max confirmed commit position,
+    // src/writer/Writer.cpp:106-165). A txn here = one user's event run;
+    // committed ⇔ its LAST event is the commit op ('purchase'). Two
+    // aggregations, the second over |txns| rows → one driver-sized row.
+    "q89_checkpoint_state" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min("event_id").as("first_scn"),
+          max(struct(col("event_id"), col("event_type"))).as("last"),
+          max(when(col("event_type") === "purchase", col("event_id")))
+            .as("last_commit"))
+        .withColumn("committed",
+          (col("last.event_type") === "purchase").cast("long"))
+      per.agg(
+        count(lit(1)).cast("long").as("n_txns"),
+        sum("committed").cast("long").as("n_committed"),
+        (count(lit(1)) - sum("committed")).cast("long").as("n_open"),
+        coalesce(min(when(col("committed") === 0, col("first_scn"))),
+          lit(-1L)).cast("long").as("resume_scn"),
+        coalesce(max(when(col("committed") === 1, col("last_commit"))),
+          lit(-1L)).cast("long").as("confirmed_scn"))
+    })
+  )
+
+  private val sqlToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "q82_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |tc AS (
+         |  SELECT doc_id, t, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(toks) AS t FROM base) GROUP BY doc_id, t),
+         |t1 AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) AS BIGINT) AS n_types,
+         |         CAST(max(c) AS BIGINT) AS top_token_count
+         |  FROM tc GROUP BY doc_id),
+         |bg AS (
+         |  SELECT doc_id, g, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i+1])
+         |      ELSE [] END) AS g FROM base) GROUP BY doc_id, g),
+         |t2 AS (
+         |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count
+         |  FROM bg GROUP BY doc_id)
+         |SELECT t1.doc_id, n_tokens, n_types, top_token_count,
+         |       coalesce(t2.top_bigram_count, 0) AS top_bigram_count,
+         |       CAST(n_tokens - n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |         AS dup_token_frac
+         |FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id""".stripMargin,
+
+    "q83_domain_stats" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(len($sqlToks)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(len($sqlToks)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS avg_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM documents GROUP BY source""".stripMargin,
+
+    "q84_contamination" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, $sqlToks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 4
+         |    THEN list_transform(range(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+3], ' '))
+         |    ELSE [] END)) AS gr FROM base),
+         |b AS (SELECT DISTINCT gr FROM g WHERE source = 'src0')
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM g JOIN b USING (gr) WHERE g.source <> 'src0'
+         |GROUP BY g.doc_id""".stripMargin,
+
+    "q85_length_percentiles" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars, count(*) AS c FROM documents
+        |  GROUP BY lang, n_chars),
+        |cum AS (
+        |  SELECT lang, n_chars, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS total FROM h)
+        |SELECT lang, CAST(max(total) AS BIGINT) AS n_docs,
+        |  min(CASE WHEN 2 * cum >= total THEN n_chars END) AS p50_chars,
+        |  min(CASE WHEN 10 * cum >= 9 * total THEN n_chars END) AS p90_chars
+        |FROM cum GROUP BY lang""".stripMargin,
+
+    "q86_mix_weighted" ->
+      """WITH w AS (
+        |  SELECT source, sqrt(CAST(sum(n_chars) AS DOUBLE)) AS wt
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, wt / (SELECT max(wt) FROM w) AS rate FROM w),
+        |t AS (SELECT source,
+        |  upper(lpad(to_hex(CAST(least(floor(rate * 65536), 65535) AS BIGINT)),
+        |    4, '0')) AS thresh FROM r)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN t ON d.source = t.source
+        |WHERE upper(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) < t.thresh"""
+        .stripMargin,
+
+    "q87_vec_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS max_abs,
+        |    embedding FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, max_abs,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS INTEGER))
+        |      AS codes
+        |  FROM q WHERE max_abs > 0)
+        |SELECT vec_id, max_abs,
+        |  CAST(len(codes) AS BIGINT) AS n_dims,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  CAST(list_min(codes) AS BIGINT) AS code_min,
+        |  CAST(list_max(codes) AS BIGINT) AS code_max,
+        |  md5(array_to_string(codes, ',')) AS code_hash
+        |FROM c""".stripMargin,
+
+    "q88_rac_threads" ->
+      """SELECT event_id, CAST(user_id % 4 AS BIGINT) AS thread,
+        |  CAST(row_number() OVER (PARTITION BY user_id % 4
+        |    ORDER BY ts, event_id) AS BIGINT) AS thread_seq
+        |FROM events""".stripMargin,
+
+    "q89_checkpoint_state" ->
+      """WITH t AS (
+        |  SELECT user_id, min(event_id) AS first_scn,
+        |    arg_max(event_type, event_id) AS last_type,
+        |    max(CASE WHEN event_type = 'purchase' THEN event_id END)
+        |      AS last_commit
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_txns,
+        |  CAST(sum(CASE WHEN last_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_committed,
+        |  CAST(sum(CASE WHEN last_type = 'purchase' THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_open,
+        |  CAST(coalesce(min(CASE WHEN last_type <> 'purchase'
+        |    THEN first_scn END), -1) AS BIGINT) AS resume_scn,
+        |  CAST(coalesce(max(CASE WHEN last_type = 'purchase'
+        |    THEN last_commit END), -1) AS BIGINT) AS confirmed_scn
+        |FROM t""".stripMargin
+  )
+}
