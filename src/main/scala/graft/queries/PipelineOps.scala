@@ -42,12 +42,24 @@ object PipelineOps {
        |              IF(x = st.prev, st.run + 1, CAST(1 AS BIGINT)))),
        |  st -> st.best)""".stripMargin)
 
-  /** Word n-grams as space-joined strings (distinct), [] below n tokens. */
-  private def gramsCol(toksName: String, n: Int): Column = array_distinct(
-    when(size(col(toksName)) >= n,
-      expr(s"transform(sequence(1, size($toksName) - ${n - 1}), " +
-        s"i -> array_join(slice($toksName, i, $n), ' '))"))
-      .otherwise(array().cast("array<string>")))
+  /** Word n-grams as space-joined strings (distinct), [] below n tokens.
+    *
+    * Built from n shifted `slice`s zipped elementwise (the shinglesCol
+    * shape, TextOps.scala) rather than `transform(sequence(...),
+    * i -> slice(toks, i, n))`: projection collapse can inline the
+    * tokenization expression into the lambda, where a non-lambda
+    * subexpression is re-evaluated PER ELEMENT — the transform form
+    * re-split the document once per gram, O(n_tokens²) per row. The
+    * zipped slices evaluate the token array a constant number of times. */
+  private def gramsCol(toksName: String, n: Int): Column = {
+    val toks = col(toksName)
+    val len = size(toks) - (n - 1)
+    val joined = (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), len), (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(
+      when(size(toks) >= n, joined).otherwise(array().cast("array<string>")))
+  }
 
   val defs: Map[String, Q] = Map(
 
