@@ -236,6 +236,35 @@ object PipelineOps {
           lit(-1L)).cast("long").as("resume_scn"),
         coalesce(max(when(col("committed") === 1, col("last_commit"))),
           lit(-1L)).cast("long").as("confirmed_scn"))
+    }),
+
+    // Duplicated-substring-span profile (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better" §3 ExactSubstr shape):
+    // every 8-token span is hashed; a span present in ≥2 documents is a
+    // duplicated span, and each doc reports how much of it is duplicated
+    // elsewhere. Spans are DISTINCT per doc, so the per-span count is a
+    // document frequency. Two short-key exchanges: the window on the span
+    // hash (count docs per span — no join back to the corpus) and the
+    // final per-doc agg. At 100 TB the md5 key narrows to xxhash64 and
+    // the suffix side is the only thing that ever shuffles — text stays
+    // at the scan.
+    "q90_dup_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .withColumn("toks", TextOps.tokensCol)
+        .withColumn("spans", gramsCol("toks", 8))
+        .filter(size(col("spans")) > 0)
+      val exploded = docs
+        .select(col("doc_id"), explode(col("spans")).as("sp"))
+        .select(col("doc_id"), md5(col("sp")).as("h"))
+      exploded
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_frac",
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
     })
   )
 
@@ -360,6 +389,24 @@ object PipelineOps {
         |    THEN first_scn END), -1) AS BIGINT) AS resume_scn,
         |  CAST(coalesce(max(CASE WHEN last_type = 'purchase'
         |    THEN last_commit END), -1) AS BIGINT) AS confirmed_scn
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "q90_dup_spans" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |sp AS (
+         |  SELECT doc_id, md5(unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 8
+         |    THEN list_transform(range(1, len(toks) - 6),
+         |           i -> array_to_string(toks[i:i+7], ' '))
+         |    ELSE [] END))) AS h FROM base),
+         |c AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS n_docs
+         |      FROM sp)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_spans,
+         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM c GROUP BY doc_id""".stripMargin
   )
 }

@@ -143,4 +143,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     if (no > 0) assert(resume >= 0) else assert(resume == -1L)
     if (nc > 0) assert(confirmed >= 0)
   }
+
+  test("q90: duplicated 8-token spans found across docs, brute-force pin") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ") // one shared span
+    val docs = Seq(
+      (0L, shared + " tail0 a b c"),          // shares span with doc 1
+      (1L, "head1 x " + shared),              // shares span with doc 0
+      (2L, "only seven tokens live in here now"), // 7 toks → no spans
+      (3L, (1 to 20).map(i => s"u$i").mkString(" ")) // unique spans only
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("q90spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineOps.defs("q90_dup_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // brute force: every 8-token window, distinct per doc, df >= 2
+    val texts = Map(0L -> (shared + " tail0 a b c"),
+      1L -> ("head1 x " + shared), 2L -> "only seven tokens live in here now",
+      3L -> (1 to 20).map(i => s"u$i").mkString(" "))
+    val spans = texts.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    }
+    val brute = spans.collect { case (id, sp) if sp.nonEmpty =>
+      val dup = sp.count(s => spans.count(_._2.contains(s)) >= 2)
+      id -> ((sp.size.toLong, dup.toLong, dup.toDouble / sp.size))
+    }
+    assert(out == brute)
+    assert(!out.contains(2L)) // short doc has no spans
+    assert(out(0L)._2 >= 1 && out(1L)._2 >= 1) // the shared span is seen
+  }
 }
