@@ -140,8 +140,70 @@ object VectorOps {
         .filter(col("cos_sim") > 0.2)
         .select(col("vec_id_a"), col("vec_id_b"),
           round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
+    // Deterministic Lloyd k-means (2 assignment passes, 1 centroid update;
+    // k = 8 seeded from vec_id 0..7) — the clustering step of
+    // cluster-balanced curation / SemDeDup-style semantic dedup. All
+    // arithmetic is INTEGER-exact for cross-engine parity: vectors are
+    // quantized to round(x·2^20) BIGINTs, squared-L2 distances are BIGINT
+    // folds (max 64·(2^22)² < 2^53, no float anywhere), and centroid
+    // update is floor(sum/n) on exact sums — ties break to the lowest
+    // cluster id. Scale shape: centroids pack into ONE broadcast row and
+    // argmin runs INSIDE each row (the corpus never shuffles to assign);
+    // the update shuffles (cluster, dim) partial sums — k·d cells,
+    // independent of corpus size.
+    "q91_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), quant(col("embedding")).as("q"))
+      val cents0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"), col("q").as("cent"))
+      val a1 = e.crossJoin(broadcast(pack(cents0)))
+        .select(col("vec_id"), col("q"),
+          nearest(col("q"), col("cents")).getField("c").as("cluster"))
+      val cents1 = a1
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(floor(sum("v").cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("cd"))
+        .groupBy("cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cd")))),
+          x => x.getField("cd")).as("cent"))
+      e.crossJoin(broadcast(pack(cents1)))
+        .withColumn("best", nearest(col("q"), col("cents")))
+        .select(col("vec_id"), col("best").getField("c").as("cluster"),
+          col("best").getField("d").as("dist2"))
     })
   )
+
+  /** round(x·2^20) as BIGINT — integer-exact embedding quantization. */
+  private def quant(e: Column): Column =
+    transform(e, x => round(x.cast("double") * 1048576.0).cast("long"))
+
+  /** Integer squared-L2 between two quantized vectors (BIGINT fold). */
+  private def qdist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (s, d) => s + d)
+
+  /** (cluster, cent) rows → ONE row holding the cluster-sorted centroid
+    * array, so assignment is a 1-row broadcast and argmin stays inside
+    * the scanned row. */
+  private def pack(cents: DataFrame): DataFrame =
+    cents.groupBy().agg(
+      array_sort(collect_list(struct(col("cluster"), col("cent"))))
+        .as("cents"))
+
+  /** Argmin fold over the packed centroid array: strict `<` on a
+    * cluster-ascending array breaks ties to the LOWEST cluster id. */
+  private def nearest(q: Column, cents: Column): Column =
+    aggregate(cents,
+      struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
+      (acc, cs) => {
+        val d = qdist2(q, cs.getField("cent"))
+        when(d < acc.getField("d"),
+          struct(d.as("d"), cs.getField("cluster").as("c"))).otherwise(acc)
+      })
 
   // DuckDB mirror of dot/cosine: sequential left-fold in double.
   private def sqlDot(a: String, b: String) =
@@ -206,6 +268,41 @@ object VectorOps {
          |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
          |    ${sqlCos("a.embedding", "b.embedding")} AS cos_sim
          |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
-         |WHERE cos_sim > 0.2""".stripMargin
+         |WHERE cos_sim > 0.2""".stripMargin,
+
+    // Integer-exact mirror of q91: same quantization, BIGINT distances,
+    // floor(sum/n) centroid update, ties to the lowest cluster id.
+    "q91_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, q AS cent
+        |       FROM q WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT v.vec_id, v.q, c.cluster,
+        |    list_reduce(list_transform(list_zip(v.q, c.cent),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS dist2
+        |  FROM q v CROSS JOIN c0 c),
+        |a1 AS (
+        |  SELECT vec_id, q, cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2, cluster) AS rn FROM d1) WHERE rn = 1),
+        |u AS (
+        |  SELECT cluster, pos,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+        |  FROM (SELECT cluster, unnest(q) AS v,
+        |          generate_subscripts(q, 1) AS pos FROM a1)
+        |  GROUP BY cluster, pos),
+        |c1 AS (SELECT cluster, list(cd ORDER BY pos) AS cent
+        |       FROM u GROUP BY cluster),
+        |d2 AS (
+        |  SELECT v.vec_id, c.cluster,
+        |    list_reduce(list_transform(list_zip(v.q, c.cent),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS dist2
+        |  FROM q v CROSS JOIN c1 c)
+        |SELECT vec_id, cluster, dist2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist2, cluster) AS rn FROM d2) WHERE rn = 1""".stripMargin
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.queries.VectorOps
+
+/** Semantic pins for the embedding pack beyond the DuckDB gate. */
+class VectorOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q91: matches a plain-Scala Lloyd iteration exactly (integer space)") {
+    // Brute-force re-implementation: quantize → assign → floored-mean
+    // update → assign, all in BIGINT arithmetic, ties to lowest cluster.
+    val raw = graft.core.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    // Spark/DuckDB round() is half-AWAY-FROM-ZERO; Math.round is
+    // floor(x+0.5) — they differ on negative .5 ties, so mirror Spark.
+    val q = raw.map { case (id, v) =>
+      id -> v.map(x => BigDecimal(x.toDouble * 1048576.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Map[Int, Array[Long]]) = q.map { case (id, v) =>
+      id -> cents.toSeq.sortBy(_._1)
+        .minBy { case (c, cent) => (d2(v, cent), c) }._1
+    }.toMap
+    val c0 = q.filter(_._1 < 8).map { case (id, v) => id.toInt -> v }.toMap
+    val a1 = assign(c0)
+    val c1 = a1.groupBy(_._2).map { case (c, members) =>
+      val vs = members.keys.map(id => q(id.toInt)._2).toSeq
+      c -> Array.tabulate(64) { d =>
+        math.floor(vs.map(_(d)).sum.toDouble / vs.size).toLong
+      }
+    }
+    val expected = assign(c1)
+    val expectedDist = q.map { case (id, v) =>
+      id -> c1.toSeq.sortBy(_._1)
+        .map { case (_, cent) => d2(v, cent) }.min
+    }.toMap
+
+    val got = VectorOps.defs("q91_kmeans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got.size == q.length)
+    q.foreach { case (id, _) =>
+      assert(got(id)._1 == expected(id), s"cluster mismatch for vec $id")
+      assert(got(id)._2 == expectedDist(id), s"dist2 mismatch for vec $id")
+    }
+    // every seed cluster survives on this corpus (no empty-cluster drop)
+    assert(got.values.map(_._1).toSet == (0 until 8).toSet)
+  }
+}
