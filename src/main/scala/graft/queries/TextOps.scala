@@ -322,6 +322,29 @@ object TextOps {
           col("tf"), col("df"), col("score"))
     }),
 
+    // Token-rarity quality signal: per-document mean document-frequency of
+    // its distinct tokens plus the hapax (df = 1) count — the integer-exact
+    // stand-in for a unigram-LM perplexity filter (rare-vocabulary docs
+    // score low mean_df / high hapax share). All sums are BIGINT; the one
+    // division is a single double op, so cross-engine parity is exact.
+    // Scale shape: distinct-per-doc happens INSIDE the row
+    // (array_distinct, no exchange); df is one shuffle on token with
+    // map-side combine and broadcasts back (vocab ≪ corpus); the final
+    // agg shuffles (doc_id, df) pairs only.
+    "q93_token_rarity" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(array_distinct(tokensCol)).as("token"))
+      val df = toks.groupBy("token").agg(count(lit(1)).as("df"))
+      toks.join(broadcast(df), "token")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_types"),
+          sum("df").as("sum_df"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("mean_df",
+          col("sum_df").cast("double") / col("n_types").cast("double"))
+    }),
+
     // BPE-ish regex tokenization: letter runs / digit runs / single
     // punctuation, counted per class (the shape of a GPT-style pre-tokenizer;
     // pattern kept engine-portable).
@@ -718,6 +741,19 @@ object TextOps {
         |  len(regexp_extract_all(text, '[0-9]+')) AS n_num,
         |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
         |FROM documents""".stripMargin,
+
+    "q93_token_rarity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct($sqlTokens)) AS token
+         |  FROM documents),
+         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |       FROM toks GROUP BY token)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(df) AS BIGINT) AS sum_df,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hapax,
+         |  CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
+         |FROM toks JOIN df USING (token) GROUP BY doc_id""".stripMargin,
 
     "q42_rolling_hash" ->
       """SELECT doc_id,

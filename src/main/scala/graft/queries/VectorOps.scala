@@ -153,29 +153,55 @@ object VectorOps {
     // argmin runs INSIDE each row (the corpus never shuffles to assign);
     // the update shuffles (cluster, dim) partial sums — k·d cells,
     // independent of corpus size.
-    "q91_kmeans" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), quant(col("embedding")).as("q"))
-      val cents0 = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cluster"), col("q").as("cent"))
-      val a1 = e.crossJoin(broadcast(pack(cents0)))
-        .select(col("vec_id"), col("q"),
-          nearest(col("q"), col("cents")).getField("c").as("cluster"))
-      val cents1 = a1
-        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos")
-        .agg(floor(sum("v").cast("double") / count(lit(1)).cast("double"))
-          .cast("long").as("cd"))
-        .groupBy("cluster")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("cd")))),
-          x => x.getField("cd")).as("cent"))
-      e.crossJoin(broadcast(pack(cents1)))
-        .withColumn("best", nearest(col("q"), col("cents")))
-        .select(col("vec_id"), col("best").getField("c").as("cluster"),
-          col("best").getField("d").as("dist2"))
+    "q91_kmeans" -> ((s, dir) =>
+      kmeansAssign(s, dir).select("vec_id", "cluster", "dist2")),
+
+    // SemDeDup-shaped semantic dedup (Abbas et al. 2023): k-means first,
+    // then near-duplicate detection WITHIN each cluster only — the cluster
+    // is the candidate-pruning structure, so the corpus is never compared
+    // all-pairs. Within a cluster, members chain in vec_id order and each
+    // compares to its predecessor (the AdjacentPairs discipline of
+    // q26/q30: one window pass, no self-join); cosine above τ marks the
+    // later member as a semantic duplicate. Output stays integer-exact —
+    // the float cosine is only compared against τ, bit-identically
+    // reproducible per the q30/q34 sequential-fold contract.
+    "q92_semantic_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy("cluster").orderBy("vec_id")
+      kmeansAssign(s, dir)
+        .join(t(s, dir, "embeddings").select("vec_id", "embedding"), "vec_id")
+        .withColumn("prev_id", lag(col("vec_id"), 1).over(w))
+        .withColumn("prev_emb", lag(col("embedding"), 1).over(w))
+        .withColumn("is_dup",
+          when(col("prev_id").isNotNull &&
+            cosine(col("embedding"), col("prev_emb")) > 0.2, 1L)
+            .otherwise(0L))
+        .select(col("vec_id"), col("cluster"), col("prev_id"), col("is_dup"))
     })
   )
+
+  /** Shared 2-pass Lloyd assignment (see q91): (vec_id, cluster, dist2). */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), quant(col("embedding")).as("q"))
+    val cents0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"), col("q").as("cent"))
+    val a1 = e.crossJoin(broadcast(pack(cents0)))
+      .select(col("vec_id"), col("q"),
+        nearest(col("q"), col("cents")).getField("c").as("cluster"))
+    val cents1 = a1
+      .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(floor(sum("v").cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("cd"))
+      .groupBy("cluster")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cd")))),
+        x => x.getField("cd")).as("cent"))
+    e.crossJoin(broadcast(pack(cents1)))
+      .withColumn("best", nearest(col("q"), col("cents")))
+      .select(col("vec_id"), col("best").getField("c").as("cluster"),
+        col("best").getField("d").as("dist2"))
+  }
 
   /** round(x·2^20) as BIGINT — integer-exact embedding quantization. */
   private def quant(e: Column): Column =
@@ -272,37 +298,55 @@ object VectorOps {
 
     // Integer-exact mirror of q91: same quantization, BIGINT distances,
     // floor(sum/n) centroid update, ties to the lowest cluster id.
-    "q91_kmeans" ->
-      """WITH q AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, q AS cent
-        |       FROM q WHERE vec_id < 8),
-        |d1 AS (
-        |  SELECT v.vec_id, v.q, c.cluster,
-        |    list_reduce(list_transform(list_zip(v.q, c.cent),
-        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS dist2
-        |  FROM q v CROSS JOIN c0 c),
-        |a1 AS (
-        |  SELECT vec_id, q, cluster FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist2, cluster) AS rn FROM d1) WHERE rn = 1),
-        |u AS (
-        |  SELECT cluster, pos,
-        |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cd
-        |  FROM (SELECT cluster, unnest(q) AS v,
-        |          generate_subscripts(q, 1) AS pos FROM a1)
-        |  GROUP BY cluster, pos),
-        |c1 AS (SELECT cluster, list(cd ORDER BY pos) AS cent
-        |       FROM u GROUP BY cluster),
-        |d2 AS (
-        |  SELECT v.vec_id, c.cluster,
-        |    list_reduce(list_transform(list_zip(v.q, c.cent),
-        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS dist2
-        |  FROM q v CROSS JOIN c1 c)
-        |SELECT vec_id, cluster, dist2 FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY dist2, cluster) AS rn FROM d2) WHERE rn = 1""".stripMargin
+    "q91_kmeans" -> sqlKmeans,
+
+    "q92_semantic_dedup" ->
+      s"""WITH assign AS ($sqlKmeans),
+         |m AS (SELECT a.vec_id, a.cluster,
+         |        lag(a.vec_id) OVER (PARTITION BY a.cluster
+         |          ORDER BY a.vec_id) AS prev_id
+         |      FROM assign a),
+         |p AS (SELECT m.vec_id,
+         |        CASE WHEN ${sqlCos("e.embedding", "pe.embedding")} > 0.2
+         |          THEN 1 ELSE 0 END AS dup
+         |      FROM m JOIN embeddings e ON e.vec_id = m.vec_id
+         |             JOIN embeddings pe ON pe.vec_id = m.prev_id)
+         |SELECT m.vec_id, m.cluster, m.prev_id,
+         |  CAST(coalesce(p.dup, 0) AS BIGINT) AS is_dup
+         |FROM m LEFT JOIN p ON p.vec_id = m.vec_id""".stripMargin
   )
+
+  /** DuckDB mirror of [[kmeansAssign]] (q91/q92 share it). */
+  private lazy val sqlKmeans: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, q AS cent
+      |       FROM q WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT v.vec_id, v.q, c.cluster,
+      |    list_reduce(list_transform(list_zip(v.q, c.cent),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS dist2
+      |  FROM q v CROSS JOIN c0 c),
+      |a1 AS (
+      |  SELECT vec_id, q, cluster FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist2, cluster) AS rn FROM d1) WHERE rn = 1),
+      |u AS (
+      |  SELECT cluster, pos,
+      |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+      |  FROM (SELECT cluster, unnest(q) AS v,
+      |          generate_subscripts(q, 1) AS pos FROM a1)
+      |  GROUP BY cluster, pos),
+      |c1 AS (SELECT cluster, list(cd ORDER BY pos) AS cent
+      |       FROM u GROUP BY cluster),
+      |d2 AS (
+      |  SELECT v.vec_id, c.cluster,
+      |    list_reduce(list_transform(list_zip(v.q, c.cent),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS dist2
+      |  FROM q v CROSS JOIN c1 c)
+      |SELECT vec_id, cluster, dist2 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY dist2, cluster) AS rn FROM d2) WHERE rn = 1""".stripMargin
 }

@@ -176,4 +176,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out.contains(2L)) // short doc has no spans
     assert(out(0L)._2 >= 1 && out(1L)._2 >= 1) // the shared span is seen
   }
+
+  test("q93: token rarity matches brute-force document frequencies") {
+    import spark.implicits._
+    val texts = Map(
+      0L -> "alpha beta gamma alpha",  // distinct: alpha beta gamma
+      1L -> "alpha beta",              // shares alpha, beta
+      2L -> "zeta",                    // hapax only
+      3L -> "")                        // no tokens → absent from output
+    val docs = texts.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("q93spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextOps.defs("q93_token_rarity")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val types = texts.view.mapValues(
+      _.split(" ").filter(_.nonEmpty).toSet).toMap
+    val dfreq = types.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val brute = types.collect { case (id, ts) if ts.nonEmpty =>
+      val sumDf = ts.toSeq.map(dfreq).sum
+      val hapax = ts.count(t => dfreq(t) == 1L).toLong
+      id -> ((ts.size.toLong, sumDf, hapax, sumDf.toDouble / ts.size))
+    }
+    assert(out == brute)
+    assert(!out.contains(3L))
+    assert(out(2L)._3 == 1L) // zeta is a hapax
+  }
 }

@@ -58,4 +58,25 @@ class VectorOpsSpec extends AnyFunSuite {
     // every seed cluster survives on this corpus (no empty-cluster drop)
     assert(got.values.map(_._1).toSet == (0 until 8).toSet)
   }
+
+  test("q92: chain structure — first of each cluster keeps, dups have prev") {
+    val rows = VectorOps.defs("q92_semantic_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    assert(rows.length == 500)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (_, ms) =>
+      val sorted = ms.sortBy(_._1)
+      // first member of the chain has no predecessor and is never a dup
+      assert(sorted.head._3.isEmpty && sorted.head._4 == 0L)
+      // every later member's prev_id is exactly the previous vec_id
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3.contains(a._1))
+        case _ =>
+      }
+    }
+    // the threshold is non-trivial on this corpus: some dups, not all
+    val nDup = rows.count(_._4 == 1L)
+    assert(nDup > 0 && nDup < rows.length)
+  }
 }
