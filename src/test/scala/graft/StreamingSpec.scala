@@ -230,4 +230,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.length == 2, s"expected 2 messages, got ${result.toSeq}")
     assert(result.distinct.length == 2)
   }
+
+  test("streaming ingest dedup: canonical-text key, state bounded by watermark") {
+    // The streaming face of q25/q78: documents arriving on a stream dedup
+    // on the canonical-text md5 via dropDuplicatesWithinWatermark — state
+    // for a key is dropped once the watermark passes it, so the dedup
+    // store is bounded by the lateness budget instead of growing with the
+    // corpus (the only dedup state shape that survives an unbounded
+    // ingest at 100 TB).
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String)]
+    val out = input.toDS().toDF("doc_id", "ts_sec", "text")
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+      .withColumn("key",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withWatermark("event_time", "10 seconds")
+      .dropDuplicatesWithinWatermark("key")
+    val q = out.writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10L, "Hello  World"), (2L, 11L, "hello world"),
+        (3L, 12L, "fresh doc"))
+      q.processAllAvailable()
+      // the duplicate arrives in a LATER batch, still inside the watermark
+      input.addData((4L, 13L, "HELLO   world"), (5L, 14L, "another one"))
+      q.processAllAvailable()
+      val rows = spark.table("ingest_dedup")
+        .select("doc_id", "key").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // exactly one survivor per canonical key, three keys total
+      assert(rows.length == 3, s"got ${rows.toSeq}")
+      assert(rows.map(_._2).distinct.length == 3)
+      assert(rows.exists(_._1 == 3L) && rows.exists(_._1 == 5L))
+      assert(rows.exists(r => r._1 == 1L || r._1 == 2L)) // one of the dups
+      assert(!rows.exists(_._1 == 4L)) // cross-batch duplicate dropped
+    } finally q.stop()
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
 import graft.queries.VectorOps
 
 /** Semantic pins for the embedding pack beyond the DuckDB gate. */
@@ -57,6 +58,44 @@ class VectorOpsSpec extends AnyFunSuite {
     }
     // every seed cluster survives on this corpus (no empty-cluster drop)
     assert(got.values.map(_._1).toSet == (0 until 8).toSet)
+  }
+
+  test("q91: duplicate seed empties a cluster; later pass uses survivors") {
+    import spark.implicits._
+    // seeds 6 and 7 are identical → every point ties to the LOWER id (6),
+    // cluster 7 gets no members, its centroid drops from the update, and
+    // the second assignment runs over the surviving 7 centroids.
+    val vecs: Seq[(Long, Array[Float])] =
+      (0 until 6).map(i => i.toLong -> Array.tabulate(4)(d =>
+        (10f * i + d))) ++
+        Seq(6L -> Array(99f, 99f, 99f, 99f), 7L -> Array(99f, 99f, 99f, 99f)) ++
+        (8 until 20).map(i => i.toLong -> Array.tabulate(4)(d =>
+          (10f * (i % 6) + d + 0.25f)))
+    val dir = java.nio.file.Files.createTempDirectory("q91edge").toString
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.defs("q91_kmeans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == vecs.size)
+    assert(!got.values.exists(_ == 7), "cluster 7 must be empty")
+    assert(got(6L) == 6 && got(7L) == 6) // the duplicate pair lands in 6
+    // brute-force mirror with dynamic k
+    val q = vecs.map { case (id, v) => id -> v.map(x =>
+      BigDecimal(x.toDouble * 1048576.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong) }.toMap
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Map[Int, Array[Long]]) = q.map { case (id, v) =>
+      id -> cents.toSeq.sortBy(_._1)
+        .minBy { case (c, cent) => (d2(v, cent), c) }._1
+    }
+    val a1 = assign((0 until 8).map(i => i -> q(i.toLong)).toMap)
+    val c1 = a1.groupBy(_._2).map { case (c, ms) =>
+      val vs = ms.keys.map(q).toSeq
+      c -> Array.tabulate(4)(d =>
+        math.floor(vs.map(_(d)).sum.toDouble / vs.size).toLong)
+    }
+    assert(got == assign(c1).map { case (k, v) => k -> v })
   }
 
   test("q92: chain structure — first of each cluster keeps, dups have prev") {
