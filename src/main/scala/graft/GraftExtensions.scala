@@ -77,5 +77,11 @@ object GraftExtensions {
       (b: Array[Byte]) => OracleCodecs.tzTimestampIso(b))
     spark.udf.register("unknown_dump",
       (name: String, b: Array[Byte]) => OracleCodecs.unknownDump(name, b))
+    spark.udf.register("oracle_date_encode",
+      (epochSec: Long, tz: String) => OracleCodecs.oracleDateEncode(
+        epochSec, OracleCodecs.parseTzOffset(tz).getOrElse(0)))
+    spark.udf.register("oracle_date_epoch",
+      (b: Array[Byte], tz: String) => OracleCodecs.oracleDateToEpoch(
+        b, OracleCodecs.parseTzOffset(tz).getOrElse(0)))
   }
 }

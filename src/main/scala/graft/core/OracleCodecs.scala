@@ -224,7 +224,14 @@ object OracleCodecs {
 
   /** Decode Oracle 7-byte DATE (excess-100 century/year, 1-based h/m/s)
     * → epoch seconds UTC. 11-byte TIMESTAMP adds big-endian nanos. */
-  def oracleDateToEpoch(bytes: Array[Byte]): Long = {
+  def oracleDateToEpoch(bytes: Array[Byte]): Long = oracleDateToEpoch(bytes, 0)
+
+  /** DATE decode under a `db-timezone` offset (reference
+    * src/builder/Builder.cpp:200 valuesToEpoch(..., metadata->dbTimezone),
+    * knob parsed at src/metadata/SerializerJson.cpp:651-659): the stored
+    * fields are wall-clock in the DB's zone, so epoch = fields − offset.
+    * `tzSec` is the SIGNED east-of-UTC offset from [[parseTzOffset]]. */
+  def oracleDateToEpoch(bytes: Array[Byte], tzSec: Int): Long = {
     require(bytes != null && bytes.length >= 7, "DATE needs >= 7 bytes")
     val century = (bytes(0) & 0xff) - 100
     val year2 = (bytes(1) & 0xff) - 100
@@ -235,7 +242,48 @@ object OracleCodecs {
     val minute = (bytes(5) & 0xff) - 1
     val second = (bytes(6) & 0xff) - 1
     java.time.LocalDateTime.of(year, month, day, hour, minute, second)
-      .toEpochSecond(java.time.ZoneOffset.UTC)
+      .toEpochSecond(java.time.ZoneOffset.UTC) - tzSec
+  }
+
+  /** Inverse of [[oracleDateToEpoch]]: epoch seconds → the 7-byte DATE a
+    * redo record in a `db-timezone = tzSec` database would carry (the
+    * wall-clock fields of that zone). */
+  def oracleDateEncode(epochSec: Long, tzSec: Int = 0): Array[Byte] = {
+    val dt = java.time.LocalDateTime.ofEpochSecond(
+      epochSec + tzSec, 0, java.time.ZoneOffset.UTC)
+    require(dt.getYear >= 0, "BC encoding out of scaffolding scope")
+    Array[Byte](
+      (dt.getYear / 100 + 100).toByte, (dt.getYear % 100 + 100).toByte,
+      dt.getMonthValue.toByte, dt.getDayOfMonth.toByte,
+      (dt.getHour + 1).toByte, (dt.getMinute + 1).toByte,
+      (dt.getSecond + 1).toByte)
+  }
+
+  /** `db-timezone` / `host-timezone` / `log-timezone` value → signed
+    * east-of-UTC seconds. Accepts "±HH:MM" / "±H:MM" and the POSIX-style
+    * abbreviations the reference whitelists (Data.cpp:53-112). The
+    * reference's own digit arithmetic drops the leading sign character
+    * (Data.cpp:113-130 reads str[1..] only and negates hours
+    * unconditionally); we implement the documented intent — the sign is
+    * honored, east positive. */
+  def parseTzOffset(s: String): Option[Int] = {
+    val named = Map(
+      "HST" -> -10 * 3600, "PST" -> -8 * 3600, "PST8PDT" -> -8 * 3600,
+      "MST" -> -7 * 3600, "MST7MDT" -> -7 * 3600, "CST" -> -6 * 3600,
+      "CST6CDT" -> -6 * 3600, "EST" -> -5 * 3600, "EST5EDT" -> -5 * 3600,
+      "GMT" -> 0, "UTC" -> 0, "WET" -> 0, "CET" -> 3600, "EET" -> 2 * 3600,
+      "PRC" -> 8 * 3600, "ROC" -> 8 * 3600)
+    if (named.contains(s)) return Some(named(s))
+    // POSIX Etc/GMT±N has the INVERTED sign: Etc/GMT-5 is UTC+5
+    val etc = "Etc/GMT([+-])(\\d{1,2})".r
+    val hm = "([+-])(\\d{1,2}):(\\d{2})".r
+    s match {
+      case etc(sign, h) if h.toInt <= 14 =>
+        Some((if (sign == "+") -1 else 1) * h.toInt * 3600)
+      case hm(sign, h, m) if h.toInt <= 14 && m.toInt <= 59 =>
+        Some((if (sign == "-") -1 else 1) * (h.toInt * 3600 + m.toInt * 60))
+      case _ => None
+    }
   }
 
   /** 11-byte TIMESTAMP → epoch micros (nanos truncated to micros). */

@@ -159,6 +159,32 @@ object CdcOps {
             .as("rid_obj")) // decode(encode) roundtrip inside the plan
     }),
 
+    // db-timezone knob (reference src/metadata/SerializerJson.cpp:651-659
+    // → Builder.cpp:200 valuesToEpoch(..., dbTimezone)): DATE/TIMESTAMP
+    // bytes carry wall-clock fields of the DB's zone; decode subtracts the
+    // configured offset. Bytes encoded as a "+05:30" (and a "-08:00")
+    // database would write them, decoded under the same knob, must
+    // recover the UTC epoch; decoded under "+00:00" they expose the raw
+    // shift. The oracle recomputes every column from integer arithmetic,
+    // so the gate pins the whole encode→decode path byte-for-byte.
+    "q94_db_timezone" -> ((s, dir) => {
+      val enc = udf((e: Long, tz: String) => OracleCodecs.oracleDateEncode(
+        e, OracleCodecs.parseTzOffset(tz).get))
+      val dec = udf((b: Array[Byte], tz: String) =>
+        OracleCodecs.oracleDateToEpoch(b, OracleCodecs.parseTzOffset(tz).get))
+      Tables.load(s, dir, "events")
+        .selectExpr("event_id", "ts div 1000000000 AS epoch_sec")
+        .select(col("event_id"), col("epoch_sec"),
+          dec(enc(col("epoch_sec"), lit("+05:30")), lit("+05:30"))
+            .as("rt_east"),
+          (dec(enc(col("epoch_sec"), lit("+05:30")), lit("+00:00")) -
+            col("epoch_sec")).as("shift_east"),
+          dec(enc(col("epoch_sec"), lit("-08:00")), lit("-08:00"))
+            .as("rt_west"),
+          (dec(enc(col("epoch_sec"), lit("-08:00")), lit("+00:00")) -
+            col("epoch_sec")).as("shift_west"))
+    }),
+
     // T6 LOB page assembly through the REAL LobAssembly module: events
     // adapted as pages (lobId = user_id, page = event_id, data =
     // event_type); chains rebuilt with one shuffle + ordered concat.
@@ -585,6 +611,15 @@ object CdcOps {
          |    (user_id % 64) * 4194304 + (event_id % 4194304) AS dba,
          |    CAST(event_id % 1000 AS INT) AS slot
          |  FROM events)""".stripMargin,
+
+    "q94_db_timezone" ->
+      """SELECT event_id, epoch_sec,
+        |  epoch_sec AS rt_east,
+        |  CAST(19800 AS BIGINT) AS shift_east,
+        |  epoch_sec AS rt_west,
+        |  CAST(-28800 AS BIGINT) AS shift_west
+        |FROM (SELECT event_id,
+        |        epoch_ns(ts) // 1000000000 AS epoch_sec FROM events)""".stripMargin,
 
     "q39_schema_evolution" ->
       """SELECT event_id,

@@ -124,4 +124,40 @@ class OracleCodecsSpec extends AnyFunSuite {
       java.util.Arrays.compareUnsigned(a, b) < 0)
     assert(sorted.map(decodeBinaryFloat) == Seq(-2.5f, -1.0f, 0.0f, 1.0f, 2.5f))
   }
+
+  test("db-timezone: parseTzOffset signs, named zones, POSIX inversion") {
+    assert(parseTzOffset("+05:30").contains(5 * 3600 + 30 * 60))
+    assert(parseTzOffset("-08:00").contains(-8 * 3600))
+    assert(parseTzOffset("-0:30").contains(-1800))
+    assert(parseTzOffset("+00:00").contains(0))
+    assert(parseTzOffset("UTC").contains(0))
+    assert(parseTzOffset("PST").contains(-8 * 3600))
+    assert(parseTzOffset("CET").contains(3600))
+    // POSIX Etc/GMT has the inverted sign: Etc/GMT-5 means UTC+5
+    assert(parseTzOffset("Etc/GMT-5").contains(5 * 3600))
+    assert(parseTzOffset("Etc/GMT+12").contains(-12 * 3600))
+    assert(parseTzOffset("+15:00").isEmpty) // out of range
+    assert(parseTzOffset("bogus").isEmpty)
+  }
+
+  test("db-timezone: DATE encode/decode roundtrip with offsets") {
+    // 2021-01-02 03:04:05 UTC
+    val epoch = java.time.LocalDateTime.of(2021, 1, 2, 3, 4, 5)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    // a +05:30 database stores wall clock 08:34:05
+    val east = oracleDateEncode(epoch, 5 * 3600 + 30 * 60)
+    assert(east.toSeq == Seq[Byte](120, 121, 1, 2, 9, 35, 6))
+    assert(oracleDateToEpoch(east, 5 * 3600 + 30 * 60) == epoch)
+    // decoding the same bytes as UTC shifts by exactly the offset
+    assert(oracleDateToEpoch(east, 0) == epoch + 19800)
+    // a -08:00 database stores the PREVIOUS day's 19:04:05
+    val west = oracleDateEncode(epoch, -8 * 3600)
+    assert(west.toSeq == Seq[Byte](120, 121, 1, 1, 20, 5, 6))
+    assert(oracleDateToEpoch(west, -8 * 3600) == epoch)
+    // property: roundtrip holds for any offset at any epoch in range
+    check(Prop.forAll(Gen.chooseNum(0L, 4102444800L),
+      Gen.chooseNum(-14 * 3600, 14 * 3600)) { (e: Long, tz: Int) =>
+      oracleDateToEpoch(oracleDateEncode(e, tz), tz) == e
+    })
+  }
 }
