@@ -19,31 +19,58 @@ import graft.core.{OracleCodecs, Tables}
 object FormatOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** selectExpr fragments rendering a nanos-long column `n` into the
-    * TIMESTAMP_FORMAT families (Format.h:136-153). Unix family:
-    * round-half-up on the magnitude, sign carried separately
-    * (BuilderJson.h renders `-` apart from the digit run). ISO family:
-    * pure integer arithmetic + a DATE days-since-epoch cast — independent
-    * of spark.sql.session.timeZone; assumes n >= 0 (redo wall clocks).
+  /** selectExpr fragments rendering a nanos-long column `n` into ALL 16
+    * TIMESTAMP_FORMAT variants (Format.h:136-153, rendering
+    * BuilderJson.cpp:105-280). Unix family: round-half-up on the
+    * magnitude, sign carried separately (BuilderJson renders `-` apart
+    * from the digit run); the _STRING variants are the same digits
+    * quoted. ISO family: fraction rounds half-up at the target precision
+    * and CARRIES into the seconds (BuilderJson.cpp:194-216), `T...Z` for
+    * the _TZ variants, space-separated plain otherwise; built from pure
+    * integer arithmetic + a DATE days-since-epoch cast — independent of
+    * spark.sql.session.timeZone; assumes n >= 0 (redo wall clocks).
     * Shared by q64 (micro-truncated for the oracle engine) and
     * FormatOpsSpec (full-nano synthetic pinning). */
   private[graft] val tsRenderExprs: Seq[String] = {
-    val isoDate = "CAST(date_add(DATE'1970-01-01', " +
-      "CAST(n div 86400000000000 AS INT)) AS STRING)"
-    val hh = "lpad(CAST((n div 3600000000000) % 24 AS STRING), 2, '0')"
-    val mm = "lpad(CAST((n div 60000000000) % 60 AS STRING), 2, '0')"
-    val ss = "lpad(CAST((n div 1000000000) % 60 AS STRING), 2, '0')"
+    // ISO rendering of an epoch-SECONDS expression (already carried)
+    def iso(s: String, sep: Char) =
+      s"concat(CAST(date_add(DATE'1970-01-01', CAST(($s) div 86400 AS INT))" +
+        s" AS STRING), '$sep', " +
+        s"lpad(CAST((($s) div 3600) % 24 AS STRING), 2, '0'), ':', " +
+        s"lpad(CAST((($s) div 60) % 60 AS STRING), 2, '0'), ':', " +
+        s"lpad(CAST(($s) % 60 AS STRING), 2, '0'))"
+    def frac(total: String, mod: Long, digits: Int) =
+      s"lpad(CAST(($total) % $mod AS STRING), $digits, '0')"
+    val sgn = "CASE WHEN n < 0 THEN -1 ELSE 1 END"
+    val uMicro = s"$sgn * ((abs(n) + 500) div 1000)"
+    val uMilli = s"$sgn * ((abs(n) + 500000) div 1000000)"
+    val uSec = s"$sgn * ((abs(n) + 500000000) div 1000000000)"
+    val tMicro = "((n + 500) div 1000)"          // total micros, carried
+    val tMilli = "((n + 500000) div 1000000)"    // total millis, carried
+    val tSec = "((n + 500000000) div 1000000000)" // rounded seconds
     Seq(
-      "n AS unix_nano",
-      "CASE WHEN n < 0 THEN -1 ELSE 1 END * ((abs(n) + 500) div 1000)" +
-        " AS unix_micro",
-      "CASE WHEN n < 0 THEN -1 ELSE 1 END * ((abs(n) + 500000) div 1000000)" +
-        " AS unix_milli",
-      "CASE WHEN n < 0 THEN -1 ELSE 1 END * ((abs(n) + 500000000) div 1000000000)" +
-        " AS unix_sec",
-      s"concat($isoDate, 'T', $hh, ':', $mm, ':', $ss, '.', " +
-        "lpad(CAST(n % 1000000000 AS STRING), 9, '0'), 'Z') AS iso_nano_tz",
-      s"concat($isoDate, ' ', $hh, ':', $mm, ':', $ss) AS iso_sec")
+      s"n AS unix_nano",
+      s"$uMicro AS unix_micro",
+      s"$uMilli AS unix_milli",
+      s"$uSec AS unix_sec",
+      s"CAST(n AS STRING) AS unix_nano_str",
+      s"CAST($uMicro AS STRING) AS unix_micro_str",
+      s"CAST($uMilli AS STRING) AS unix_milli_str",
+      s"CAST($uSec AS STRING) AS unix_sec_str",
+      s"concat(${iso("n div 1000000000", 'T')}, '.', " +
+        s"${frac("n", 1000000000L, 9)}, 'Z') AS iso_nano_tz",
+      s"concat(${iso(s"$tMicro div 1000000", 'T')}, '.', " +
+        s"${frac(tMicro, 1000000L, 6)}, 'Z') AS iso_micro_tz",
+      s"concat(${iso(s"$tMilli div 1000", 'T')}, '.', " +
+        s"${frac(tMilli, 1000L, 3)}, 'Z') AS iso_milli_tz",
+      s"concat(${iso(tSec, 'T')}, 'Z') AS iso_tz",
+      s"concat(${iso("n div 1000000000", ' ')}, '.', " +
+        s"${frac("n", 1000000000L, 9)}) AS iso_nano",
+      s"concat(${iso(s"$tMicro div 1000000", ' ')}, '.', " +
+        s"${frac(tMicro, 1000000L, 6)}) AS iso_micro",
+      s"concat(${iso(s"$tMilli div 1000", ' ')}, '.', " +
+        s"${frac(tMilli, 1000L, 3)}) AS iso_milli",
+      s"${iso(tSec, ' ')} AS iso_sec")
   }
 
   /** events → ChangeEvent feed with a per-event op + optional ddlText. */
@@ -562,27 +589,46 @@ object FormatOps {
         |  max(event_id) AS chkpt_scn
         |FROM events""".stripMargin,
 
-    "q64_ts_formats" ->
-      """WITH t AS (SELECT event_id, epoch_ns(ts) AS n FROM events),
-        |s AS (SELECT event_id, n,
-        |  CASE WHEN n < 0 THEN -1 ELSE 1 END AS sg, abs(n) AS a FROM t)
-        |SELECT event_id,
-        |  n AS unix_nano,
-        |  sg * ((a + 500) // 1000) AS unix_micro,
-        |  sg * ((a + 500000) // 1000000) AS unix_milli,
-        |  sg * ((a + 500000000) // 1000000000) AS unix_sec,
-        |  CAST(DATE '1970-01-01' + CAST(n // 86400000000000 AS INT) AS VARCHAR)
-        |    || 'T' || lpad(CAST((n // 3600000000000) % 24 AS VARCHAR), 2, '0')
-        |    || ':' || lpad(CAST((n // 60000000000) % 60 AS VARCHAR), 2, '0')
-        |    || ':' || lpad(CAST((n // 1000000000) % 60 AS VARCHAR), 2, '0')
-        |    || '.' || lpad(CAST(n % 1000000000 AS VARCHAR), 9, '0')
-        |    || 'Z' AS iso_nano_tz,
-        |  CAST(DATE '1970-01-01' + CAST(n // 86400000000000 AS INT) AS VARCHAR)
-        |    || ' ' || lpad(CAST((n // 3600000000000) % 24 AS VARCHAR), 2, '0')
-        |    || ':' || lpad(CAST((n // 60000000000) % 60 AS VARCHAR), 2, '0')
-        |    || ':' || lpad(CAST((n // 1000000000) % 60 AS VARCHAR), 2, '0')
-        |    AS iso_sec
-        |FROM s""".stripMargin,
+    "q64_ts_formats" -> {
+      def iso(s: String, sep: Char) =
+        s"CAST(DATE '1970-01-01' + CAST(($s) // 86400 AS INT) AS VARCHAR)" +
+          s" || '$sep' || lpad(CAST((($s) // 3600) % 24 AS VARCHAR), 2, '0')" +
+          s" || ':' || lpad(CAST((($s) // 60) % 60 AS VARCHAR), 2, '0')" +
+          s" || ':' || lpad(CAST(($s) % 60 AS VARCHAR), 2, '0')"
+      def frac(total: String, mod: Long, digits: Int) =
+        s"lpad(CAST(($total) % $mod AS VARCHAR), $digits, '0')"
+      val tMicro = "((n + 500) // 1000)"
+      val tMilli = "((n + 500000) // 1000000)"
+      val tSec = "((n + 500000000) // 1000000000)"
+      s"""WITH t AS (SELECT event_id, epoch_ns(ts) AS n FROM events),
+         |s AS (SELECT event_id, n,
+         |  CASE WHEN n < 0 THEN -1 ELSE 1 END AS sg, abs(n) AS a FROM t)
+         |SELECT event_id,
+         |  n AS unix_nano,
+         |  sg * ((a + 500) // 1000) AS unix_micro,
+         |  sg * ((a + 500000) // 1000000) AS unix_milli,
+         |  sg * ((a + 500000000) // 1000000000) AS unix_sec,
+         |  CAST(n AS VARCHAR) AS unix_nano_str,
+         |  CAST(sg * ((a + 500) // 1000) AS VARCHAR) AS unix_micro_str,
+         |  CAST(sg * ((a + 500000) // 1000000) AS VARCHAR) AS unix_milli_str,
+         |  CAST(sg * ((a + 500000000) // 1000000000) AS VARCHAR)
+         |    AS unix_sec_str,
+         |  ${iso("n // 1000000000", 'T')} || '.' ||
+         |    ${frac("n", 1000000000L, 9)} || 'Z' AS iso_nano_tz,
+         |  ${iso(s"$tMicro // 1000000", 'T')} || '.' ||
+         |    ${frac(tMicro, 1000000L, 6)} || 'Z' AS iso_micro_tz,
+         |  ${iso(s"$tMilli // 1000", 'T')} || '.' ||
+         |    ${frac(tMilli, 1000L, 3)} || 'Z' AS iso_milli_tz,
+         |  ${iso(tSec, 'T')} || 'Z' AS iso_tz,
+         |  ${iso("n // 1000000000", ' ')} || '.' ||
+         |    ${frac("n", 1000000000L, 9)} AS iso_nano,
+         |  ${iso(s"$tMicro // 1000000", ' ')} || '.' ||
+         |    ${frac(tMicro, 1000000L, 6)} AS iso_micro,
+         |  ${iso(s"$tMilli // 1000", ' ')} || '.' ||
+         |    ${frac(tMilli, 1000L, 3)} AS iso_milli,
+         |  ${iso(tSec, ' ')} AS iso_sec
+         |FROM s""".stripMargin
+    },
 
     "q65_xid_formats" ->
       """WITH x AS (
