@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Table access layer over the driver-provided TESTDATA parquet dirs.
   *
@@ -22,6 +22,22 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Local-parallelism escape hatch, OFF for cluster plans.
+    *
+    * The TESTDATA tables arrive as a single parquet row group, so a
+    * CPU-heavy per-row stage (shingling, cosine, quantization) would
+    * otherwise pin to ONE task on local[32]. `spread` hash-repartitions on
+    * the row key to use every core — but on a real multi-file/multi-HDFS-
+    * block table that exchange would shuffle the full document/embedding
+    * PAYLOAD for nothing (scan splits already give the parallelism), so it
+    * is gated behind `graft.spreadLocal` (default true for the local bench;
+    * set false in cluster submit conf → the call is a no-op and plans show
+    * no payload Exchange). Correctness never depends on it. */
+  def spread(df: DataFrame, on: Column): DataFrame =
+    if (df.sparkSession.conf.get("graft.spreadLocal", "true").toBoolean)
+      df.repartition(on)
+    else df
 
   /** Configuration applied to every session we control (Bench/tests).
     * The driver's Verify builds its own session; queries must not depend on

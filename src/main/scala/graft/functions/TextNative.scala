@@ -107,6 +107,64 @@ object TextNative {
     sig
   }
 
+  /** Distinct md5-hex hashes of the space-joined n-token spans of `text`,
+    * in ONE pass over the raw UTF-8 bytes. This is the ExactSubstr /
+    * contamination-screen kernel (Lee et al. 2021 §3 shape): downstream only
+    * ever joins/counts on the span HASH, so the joined span string is never
+    * materialized — each span is digested incrementally from the token byte
+    * ranges plus single-space separators, and dedup happens on the 16-byte
+    * digest. Token scan splits on 0x20, which never occurs inside a
+    * multi-byte UTF-8 sequence, so byte-level splitting == the
+    * `filter(split(text,' '), x -> x <> '')` Column tokenizer. Output set ==
+    * `transform(array_distinct(grams), g -> md5(g))` (the chained-zip_with
+    * Column formulation and the DuckDB oracle restatement); fewer than n
+    * tokens → empty array. */
+  def spanHashes(text: UTF8String, n: Int): ArrayData = {
+    val b = text.getBytes
+    val len = b.length
+    var cap = 64
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var nt = 0
+    var i = 0
+    while (i < len) {
+      if (b(i) == ' ') i += 1
+      else {
+        var j = i + 1
+        while (j < len && b(j) != ' ') j += 1
+        if (nt == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(nt) = i; ends(nt) = j; nt += 1
+        i = j + 1
+      }
+    }
+    if (nt < n) return new GenericArrayData(new Array[Any](0))
+    val md = MessageDigest.getInstance("MD5")
+    val nSpans = nt - n + 1
+    val seen = new java.util.LinkedHashSet[java.nio.ByteBuffer](
+      math.max(16, nSpans * 2))
+    var k = 0
+    while (k < nSpans) {
+      md.reset()
+      var t = 0
+      while (t < n) {
+        if (t > 0) md.update(' '.toByte)
+        md.update(b, starts(k + t), ends(k + t) - starts(k + t))
+        t += 1
+      }
+      seen.add(java.nio.ByteBuffer.wrap(md.digest()))
+      k += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = toHex(it.next().array()); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** nSig minhash values: element i = min over shingles of
     * md5hex("i|" + shingle). One digest instance, min tracked on raw
     * bytes, hex only at the end. Empty input → null (no minimum). */
@@ -158,6 +216,25 @@ case class Shingles3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text → distinct md5-hex hashes of its n-token spans (one-pass kernel,
+  * codegen-participating — the hot path of q90_dup_spans/q84_contamination). */
+case class SpanHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${dt.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "span_hashes"
+  override def nullSafeEval(t: Any): Any =
+    TextNative.spanHashes(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextNative.spanHashes($t, $n)")
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes =
+    copy(child = newChild)
+}
+
 /** shingles → nSig-element minhash signature (md5-hex minima). Null on
   * empty shingle sets — callers filter those rows anyway. */
 case class MinHashSig(child: Expression, nSig: Int) extends UnaryExpression {
@@ -203,6 +280,8 @@ case class SimHashBits(child: Expression, nBits: Int) extends UnaryExpression {
 object TextExpressions {
   def shingles3(text: Column): Column =
     Bridge.column(Shingles3(Bridge.expression(text)))
+  def spanHashes(text: Column, n: Int): Column =
+    Bridge.column(SpanHashes(Bridge.expression(text), n))
   def minhashSig(shingles: Column, nSig: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), nSig))
   def simhashBits(features: Column, nBits: Int): Column =

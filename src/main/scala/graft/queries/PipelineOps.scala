@@ -42,25 +42,6 @@ object PipelineOps {
        |              IF(x = st.prev, st.run + 1, CAST(1 AS BIGINT)))),
        |  st -> st.best)""".stripMargin)
 
-  /** Word n-grams as space-joined strings (distinct), [] below n tokens.
-    *
-    * Built from n shifted `slice`s zipped elementwise (the shinglesCol
-    * shape, TextOps.scala) rather than `transform(sequence(...),
-    * i -> slice(toks, i, n))`: projection collapse can inline the
-    * tokenization expression into the lambda, where a non-lambda
-    * subexpression is re-evaluated PER ELEMENT — the transform form
-    * re-split the document once per gram, O(n_tokens²) per row. The
-    * zipped slices evaluate the token array a constant number of times. */
-  private def gramsCol(toksName: String, n: Int): Column = {
-    val toks = col(toksName)
-    val len = size(toks) - (n - 1)
-    val joined = (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k), len), (a, b) => concat(a, lit(" "), b))
-    }
-    array_distinct(
-      when(size(toks) >= n, joined).otherwise(array().cast("array<string>")))
-  }
-
   val defs: Map[String, Q] = Map(
 
     // Gopher-style repetition signals (Rae et al. 2021 §A1.1 shape): the
@@ -111,10 +92,12 @@ object PipelineOps {
     // one agg on doc_id; the corpus never repartitions on gram. At real
     // scale the benchmark gram set stays ≪ executor memory (eval sets are
     // MBs, corpora are TBs), which is exactly what makes this shape hold.
+    // Both sides join on the SpanHashes md5 of the gram (one-pass native
+    // kernel, 16-byte key) — matches, and therefore n_hits, are identical
+    // to joining on the gram string, which is what the oracle states.
     "q84_contamination" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .withColumn("toks", TextOps.tokensCol)
-        .withColumn("grams", gramsCol("toks", 4))
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        graft.functions.TextExpressions.spanHashes(col("text"), 4).as("grams"))
       val bench = d.filter(col("source") === "src0")
         .select(explode(col("grams")).as("gr")).distinct()
       d.filter(col("source") =!= "src0")
@@ -247,16 +230,15 @@ object PipelineOps {
     // hash (count docs per span — no join back to the corpus) and the
     // final per-doc agg. At 100 TB the md5 key narrows to xxhash64 and
     // the suffix side is the only thing that ever shuffles — text stays
-    // at the scan.
+    // at the scan: span hashing is the one-pass native SpanHashes kernel
+    // (distinct md5s emitted straight off the token byte ranges; the span
+    // string is never materialized), and the only repartition is the gated
+    // local Tables.spread (a no-op under cluster conf).
     "q90_dup_spans" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .repartition(col("doc_id"))
-        .withColumn("toks", TextOps.tokensCol)
-        .withColumn("spans", gramsCol("toks", 8))
-        .filter(size(col("spans")) > 0)
-      val exploded = docs
-        .select(col("doc_id"), explode(col("spans")).as("sp"))
-        .select(col("doc_id"), md5(col("sp")).as("h"))
+      val exploded = Tables.spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.spanHashes(col("text"), 8))
+            .as("h"))
       exploded
         .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("h")))
         .groupBy("doc_id")

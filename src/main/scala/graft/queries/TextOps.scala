@@ -50,10 +50,12 @@ object TextOps {
   private[graft] val nSig = 8 // 8 minhashes → 2 bands of 4 (collision prob = s⁴)
 
   /** Spread a small-file scan across all cores before CPU-heavy per-row
-    * transforms (shingling = hundreds of md5 calls per row). A single
-    * parquet file otherwise pins the whole stage to one task; at cluster
-    * scale the same repartition spreads hot docs across executors. */
-  private def spread(df: DataFrame): DataFrame = df.repartition(col("doc_id"))
+    * transforms (shingling = hundreds of md5 calls per row). Gated local
+    * knob — see [[graft.core.Tables.spread]]; a no-op under cluster conf,
+    * where scan splits provide the parallelism and this exchange would
+    * shuffle the document payload for nothing. */
+  private def spread(df: DataFrame): DataFrame =
+    Tables.spread(df, col("doc_id"))
 
   /** Skew guard (SCALE.md §dedup): a band bucket with more than this many
     * members is degenerate — near-identical boilerplate whose members are

@@ -65,9 +65,10 @@ object VectorOps {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      // repartition: the corpus arrives as one parquet split; spread the
-      // per-row cosine work across cores (at cluster scale: across executors)
-      val cand = e.repartition(col("vec_id"))
+      // gated local spread: the corpus arrives as one parquet split; spread
+      // the per-row cosine work across cores (no-op under cluster conf —
+      // scan splits give the parallelism there, see Tables.spread)
+      val cand = Tables.spread(e, col("vec_id"))
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos_sim").desc, col("c_id"))
@@ -109,7 +110,7 @@ object VectorOps {
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("cos_c").desc, col("cent_id"))
-      val assigned = e.repartition(col("vec_id"))
+      val assigned = Tables.spread(e, col("vec_id"))
         .crossJoin(broadcast(cents))
         .withColumn("cos_c", cosineNative(col("embedding"), col("cent_emb")))
         .withColumn("r", row_number().over(wAssign))

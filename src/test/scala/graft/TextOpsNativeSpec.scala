@@ -71,6 +71,27 @@ class TextOpsNativeSpec extends AnyFunSuite {
     assert(both.filter(col("n") =!= 0L).count() > 50) // non-trivial sigs
   }
 
+  test("spanHashes(n) == md5 over array_distinct(chained zip_with grams)") {
+    for (n <- Seq(2, 4, 8)) {
+      // the retired Column formulation (q90/q84's pre-kernel shape), kept
+      // here as the reference the kernel must match set-for-set
+      val toks = TextOps.tokensCol
+      val len = size(toks) - (n - 1)
+      val joined = (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
+        zip_with(acc, slice(toks, lit(k), len),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      val grams = array_distinct(
+        when(size(toks) >= n, joined).otherwise(array().cast("array<string>")))
+      val both = docs.select(
+        array_sort(TextExpressions.spanHashes(col("text"), n)).as("nat"),
+        array_sort(transform(grams, g => md5(g))).as("ref"))
+      assert(both.filter(not(col("nat") <=> col("ref"))).count() == 0,
+        s"n=$n mismatch")
+      assert(both.filter(size(col("nat")) > 0).count() > 50)
+    }
+  }
+
   test("minhashSig of empty shingle set is null") {
     import spark.implicits._
     val r = Seq(Tuple1(Seq.empty[String])).toDF("sh")
