@@ -16,6 +16,14 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.core.Tables.tune(spark)
+    // plan-audit knob injection, e.g. GRAFT_CONF=graft.spreadLocal=false
+    // to audit the cluster-shaped plan (no local spread exchanges)
+    sys.env.get("GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ =>
+      }
+    })
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===== $n =====")

@@ -101,21 +101,30 @@ object VectorOps {
 
     // IVF ANN: coarse-quantize the corpus to cells (centroids = first 8
     // vectors, deterministic ≙ a trained codebook slot), then search only
-    // the query's cell. The 100 TB shape: assignment is one broadcast pass
-    // over the corpus (cells persist as a column / partition key), search
-    // shuffles on the short cell key — never the full corpus.
+    // the query's cell. The 100 TB shape: assignment packs all centroids
+    // into ONE broadcast row (q91's discipline) and the argmax-cosine fold
+    // runs INSIDE each scanned row — the corpus never shuffles to assign
+    // (the former window-on-vec_id formulation re-shuffled the full
+    // embedding payload twice); search shuffles on the short cell key only.
     "q43_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("cos_c").desc, col("cent_id"))
+      val centsPacked = e.filter(col("vec_id") < 8)
+        .groupBy().agg(array_sort(collect_list(struct(
+          col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))))
+          .as("cents"))
+      // strict `>` over the cent_id-ascending array == the old
+      // (cos desc, cent_id asc) window order: ties keep the lowest id
+      val best = aggregate(col("cents"),
+        struct(lit(Double.NegativeInfinity).as("cs"), lit(-1L).as("c")),
+        (acc, ce) => {
+          val csim = cosineNative(col("embedding"), ce.getField("cent_emb"))
+          when(csim > acc.getField("cs"),
+            struct(csim.as("cs"), ce.getField("cent_id").as("c")))
+            .otherwise(acc)
+        })
       val assigned = Tables.spread(e, col("vec_id"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cos_c", cosineNative(col("embedding"), col("cent_emb")))
-        .withColumn("r", row_number().over(wAssign))
-        .filter(col("r") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        .crossJoin(broadcast(centsPacked))
+        .select(col("vec_id"), col("embedding"), best.getField("c").as("cell"))
       val queries = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("cell"))
