@@ -46,10 +46,19 @@ object Bench {
     // sf0.1 dominates: e.g. q06 first-run 2.4s vs 0.5s steady).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       sfDir.replaceAll("sf[0-9.]+$", "sf0.01"))
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      picked.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      // a warmup failure silently reverts that query to cold-start timing —
+      // make any degradation visible instead of skewing the steady-state
+      // numbers without a trace
+      val failed = picked.flatMap { case (name, fn) =>
+        try { fn(spark, warmDir).count(); None }
+        catch { case _: Throwable => Some(name) }
       }
+      if (failed.nonEmpty)
+        System.err.println(
+          s"[bench] WARMUP FAILED (cold-start timings) for: " +
+            failed.mkString(", "))
+    }
     val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -77,11 +77,17 @@ object GraftExtensions {
       (b: Array[Byte]) => OracleCodecs.tzTimestampIso(b))
     spark.udf.register("unknown_dump",
       (name: String, b: Array[Byte]) => OracleCodecs.unknownDump(name, b))
+    // an unparseable db-timezone is a CONFIG ERROR (the reference refuses
+    // to start, OpenLogReplicator.cpp:913-925) — failing the query beats
+    // silently decoding under UTC
+    def tzOrThrow(tz: String): Int =
+      OracleCodecs.parseTzOffset(tz).getOrElse(
+        throw new IllegalArgumentException(s"unparseable db-timezone: $tz"))
     spark.udf.register("oracle_date_encode",
-      (epochSec: Long, tz: String) => OracleCodecs.oracleDateEncode(
-        epochSec, OracleCodecs.parseTzOffset(tz).getOrElse(0)))
+      (epochSec: Long, tz: String) =>
+        OracleCodecs.oracleDateEncode(epochSec, tzOrThrow(tz)))
     spark.udf.register("oracle_date_epoch",
-      (b: Array[Byte], tz: String) => OracleCodecs.oracleDateToEpoch(
-        b, OracleCodecs.parseTzOffset(tz).getOrElse(0)))
+      (b: Array[Byte], tz: String) =>
+        OracleCodecs.oracleDateToEpoch(b, tzOrThrow(tz)))
   }
 }

@@ -260,27 +260,37 @@ object OracleCodecs {
   }
 
   /** `db-timezone` / `host-timezone` / `log-timezone` value → signed
-    * east-of-UTC seconds. Accepts "±HH:MM" / "±H:MM" and the POSIX-style
-    * abbreviations the reference whitelists (Data.cpp:53-112). The
-    * reference's own digit arithmetic drops the leading sign character
-    * (Data.cpp:113-130 reads str[1..] only and negates hours
-    * unconditionally); we implement the documented intent — the sign is
-    * honored, east positive. */
+    * east-of-UTC seconds. The alias whitelist mirrors the reference's
+    * (Data.cpp:53-112 parseTimezone) EXACTLY, including its non-POSIX
+    * reading of Etc/GMT±N: the reference maps Etc/GMT-5 to the literal
+    * "-05:00" (UTC-5), NOT the IANA/POSIX inversion (where Etc/GMT-5
+    * means UTC+5) — its observable output is the contract, so we match it.
+    * The negative branch reaches Etc/GMT-14 and the positive stops at
+    * Etc/GMT+12, the exact bounds of the reference list. Numeric offsets
+    * accept "±H:MM"/"±HH:MM" capped at Oracle's DBTIMEZONE range ±14:00
+    * (minutes must be 00 at 14 — the reference's own digit loop is looser,
+    * but those values are unreachable from a real database). The
+    * reference's digit arithmetic also negates the tens-of-hours digit
+    * (Data.cpp:124, `-(str[1]-'0')*36000`); we implement the documented
+    * intent — sign honored, east positive. */
   def parseTzOffset(s: String): Option[Int] = {
     val named = Map(
       "HST" -> -10 * 3600, "PST" -> -8 * 3600, "PST8PDT" -> -8 * 3600,
       "MST" -> -7 * 3600, "MST7MDT" -> -7 * 3600, "CST" -> -6 * 3600,
       "CST6CDT" -> -6 * 3600, "EST" -> -5 * 3600, "EST5EDT" -> -5 * 3600,
-      "GMT" -> 0, "UTC" -> 0, "WET" -> 0, "CET" -> 3600, "EET" -> 2 * 3600,
-      "PRC" -> 8 * 3600, "ROC" -> 8 * 3600)
+      "GMT" -> 0, "Etc/GMT" -> 0, "Greenwich" -> 0, "Etc/Greenwich" -> 0,
+      "GMT0" -> 0, "Etc/GMT0" -> 0, "GMT+0" -> 0, "UTC" -> 0,
+      "Etc/UTC" -> 0, "UCT" -> 0, "Etc/UCT" -> 0, "Universal" -> 0,
+      "Etc/Universal" -> 0, "WET" -> 0, "MET" -> 3600, "CET" -> 3600,
+      "EET" -> 2 * 3600, "PRC" -> 8 * 3600, "ROC" -> 8 * 3600)
     if (named.contains(s)) return Some(named(s))
-    // POSIX Etc/GMT±N has the INVERTED sign: Etc/GMT-5 is UTC+5
     val etc = "Etc/GMT([+-])(\\d{1,2})".r
     val hm = "([+-])(\\d{1,2}):(\\d{2})".r
     s match {
-      case etc(sign, h) if h.toInt <= 14 =>
-        Some((if (sign == "+") -1 else 1) * h.toInt * 3600)
-      case hm(sign, h, m) if h.toInt <= 14 && m.toInt <= 59 =>
+      case etc("-", h) if h.toInt <= 14 => Some(-h.toInt * 3600)
+      case etc("+", h) if h.toInt <= 12 => Some(h.toInt * 3600)
+      case hm(sign, h, m) if m.toInt <= 59 &&
+          (h.toInt < 14 || (h.toInt == 14 && m.toInt == 0)) =>
         Some((if (sign == "-") -1 else 1) * (h.toInt * 3600 + m.toInt * 60))
       case _ => None
     }

@@ -201,7 +201,11 @@ object VectorOps {
     val cents1 = a1
       .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy("cluster", "pos")
-      .agg(floor(sum("v").cast("double") / count(lit(1)).cast("double"))
+      // floor(sum/n) via INTEGER arithmetic: (s - pmod(s,n)) is exactly
+      // divisible, so `div` is exact — no double quotient anywhere, which
+      // keeps the integer-exactness claim valid past |sum| = 2^53 (a
+      // double floor can land off-by-one there)
+      .agg(expr("(sum(v) - pmod(sum(v), count(*))) div count(*)")
         .cast("long").as("cd"))
       .groupBy("cluster")
       .agg(transform(
@@ -345,7 +349,8 @@ object VectorOps {
       |      ORDER BY dist2, cluster) AS rn FROM d1) WHERE rn = 1),
       |u AS (
       |  SELECT cluster, pos,
-      |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+      |    CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
+      |      // count(*) AS BIGINT) AS cd
       |  FROM (SELECT cluster, unnest(q) AS v,
       |          generate_subscripts(q, 1) AS pos FROM a1)
       |  GROUP BY cluster, pos),

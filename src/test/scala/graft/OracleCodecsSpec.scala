@@ -133,10 +133,26 @@ class OracleCodecsSpec extends AnyFunSuite {
     assert(parseTzOffset("UTC").contains(0))
     assert(parseTzOffset("PST").contains(-8 * 3600))
     assert(parseTzOffset("CET").contains(3600))
-    // POSIX Etc/GMT has the inverted sign: Etc/GMT-5 means UTC+5
-    assert(parseTzOffset("Etc/GMT-5").contains(5 * 3600))
-    assert(parseTzOffset("Etc/GMT+12").contains(-12 * 3600))
+    // Reference behavior (Data.cpp:53-112): Etc/GMT-5 maps to the LITERAL
+    // "-05:00" — the reference does NOT apply the IANA/POSIX inversion
+    // (where Etc/GMT-5 would mean UTC+5), and we match its output.
+    assert(parseTzOffset("Etc/GMT-5").contains(-5 * 3600))
+    assert(parseTzOffset("Etc/GMT-14").contains(-14 * 3600))
+    assert(parseTzOffset("Etc/GMT+12").contains(12 * 3600))
+    assert(parseTzOffset("Etc/GMT+13").isEmpty) // whitelist stops at +12
+    assert(parseTzOffset("Etc/GMT").contains(0))
+    assert(parseTzOffset("Etc/GMT+0").contains(0))
+    // reference-whitelisted aliases beyond the common set
+    assert(parseTzOffset("MET").contains(3600))
+    assert(parseTzOffset("Greenwich").contains(0))
+    assert(parseTzOffset("UCT").contains(0))
+    assert(parseTzOffset("Universal").contains(0))
+    assert(parseTzOffset("GMT0").contains(0))
+    assert(parseTzOffset("Etc/UTC").contains(0))
     assert(parseTzOffset("+15:00").isEmpty) // out of range
+    assert(parseTzOffset("+14:00").contains(14 * 3600)) // DBTIMEZONE cap
+    assert(parseTzOffset("+14:59").isEmpty) // beyond Oracle's ±14:00
+    assert(parseTzOffset("-14:00").contains(-14 * 3600))
     assert(parseTzOffset("bogus").isEmpty)
   }
 
