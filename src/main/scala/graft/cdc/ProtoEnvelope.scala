@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * one Payload per DML, Value columns, map<string,string> attributes),
   * encoded from scratch against the public protobuf wire format (tag =
   * field<<3|wire, base-128 varints, length-delimited submessages). No
-  * generated code, no runtime dependency.
+  * generated code, no runtime dependency — but full wire COMPATIBILITY
+  * with the reference .proto: ProtoWireParitySpec parses these bytes with
+  * a stock protobuf-java runtime against descriptors transcribed from
+  * OraProtoBuf.proto (zero unknown fields, byte-identical re-encode), so
+  * a generated reference client decodes our stream as-is.
   *
   * Canonical-encoding rules so bytes are deterministic and goldenable:
   * fields in ascending field-number order, proto3 defaults omitted
@@ -73,11 +77,13 @@ object ProtoEnvelope {
   def encodeSchema(owner: String, table: String, obj: Long): Array[Byte] =
     str(1, owner) ++ str(2, table) ++ vint(3, obj)
 
-  /** Payload{op=1, schema=2, rid=3, before=4, after=5, ddl=6}
-    * (proto:111-121). */
+  /** Payload{op=1, schema=2, rid=3, before=4, after=5, ddl=6, num=10}
+    * (proto:111-122). `num` is the per-message sequence the reference
+    * emits under its message-numbering flag (BuilderProtobuf.h:83) —
+    * 0 omits it (proto3 default), so flagless output is unchanged. */
   def encodePayload(op: String, owner: String, table: String, obj: Long,
       rid: String, before: Map[String, String], after: Map[String, String],
-      ddl: String): Array[Byte] = {
+      ddl: String, num: Long = 0L): Array[Byte] = {
     def values(field: Int, m: Map[String, String]): Array[Byte] =
       if (m == null) Array.emptyByteArray
       else m.toSeq.sortBy(_._1)
@@ -90,16 +96,21 @@ object ProtoEnvelope {
       str(3, rid) ++
       values(4, before) ++
       values(5, after) ++
-      str(6, ddl)
+      str(6, ddl) ++
+      vint(10, num)
   }
 
-  /** RedoResponse{code=1, scn=2(oneof), xid=6(oneof), payload=9, c_scn=10,
-    * c_idx=11, attributes=12} (proto:143-158). One Payload per message —
-    * the streaming writer's per-DML shape. */
+  /** RedoResponse{code=1, scn=2(oneof), tm=4(oneof), xid=6(oneof), db=8,
+    * payload=9, c_scn=10, c_idx=11, attributes=12} (proto:143-158). One
+    * Payload per message — the streaming writer's per-DML shape. `tm`
+    * (commit timestamp, BuilderProtobuf.h:113-125) and `db`
+    * (BuilderProtobuf.h:190) are flag-gated in the reference; 0/null
+    * omits them here the same way. */
   def encodeResponse(cScn: Long, cIdx: Long, scn: Long, xid: String,
       op: String, owner: String, table: String, obj: Long, rid: String,
       before: Map[String, String], after: Map[String, String], ddl: String,
-      attrs: Map[String, String]): Array[Byte] = {
+      attrs: Map[String, String], tm: Long = 0L, db: String = null,
+      num: Long = 0L): Array[Byte] = {
     def mapEntries(field: Int, m: Map[String, String]): Array[Byte] =
       if (m == null) Array.emptyByteArray
       else m.toSeq.sortBy(_._1)
@@ -107,10 +118,12 @@ object ProtoEnvelope {
         .foldLeft(Array.emptyByteArray)(_ ++ _)
     vint(1, ResponsePayload.toLong) ++
       vintOneof(2, scn) ++
+      (if (tm != 0L) vintOneof(4, tm) else Array.emptyByteArray) ++
       (if (xid == null || xid.isEmpty) Array.emptyByteArray
       else lenDelim(6, xid.getBytes(UTF_8))) ++
+      str(8, db) ++
       lenDelim(9,
-        encodePayload(op, owner, table, obj, rid, before, after, ddl)) ++
+        encodePayload(op, owner, table, obj, rid, before, after, ddl, num)) ++
       vint(10, cScn) ++
       vint(11, cIdx) ++
       mapEntries(12, attrs)
