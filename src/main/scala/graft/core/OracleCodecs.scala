@@ -388,20 +388,25 @@ object OracleCodecs {
   // month/day/hour/min/sec, bytes 7-10 = big-endian nano fraction, bytes
   // 11-12 = either a numeric offset (data[11] in 5..36: hours excess-20,
   // minutes excess-60) or a region key (data[11]<<8|data[12]) resolved
-  // through Locales::timeZoneMap. The full map lives in the reference's
-  // locales tables (an explicit non-goal); this carries the fixture
-  // zones with their REAL reference keys so the lookup semantics —
-  // including the "TZ?" miss path — are faithful.
-  private val timeZoneMap: Map[Int, String] = Map(
-    0x8070 -> "Etc/UTC",
-    0x8190 -> "America/New_York",
-    0x819c -> "America/Los_Angeles",
-    0x83e8 -> "Asia/Shanghai",
-    0x842c -> "Asia/Tokyo",
-    0x85c4 -> "Europe/London",
-    0x85fc -> "Europe/Berlin",
-    0x8638 -> "Europe/Warsaw",
-    0xd004 -> "UTC")
+  // through Locales::timeZoneMap. The FULL reference map (595 unique
+  // region keys, Locales.cpp:40-642) ships as a TSV resource — behavioral
+  // data, extracted with first-occurrence-wins to match C++ map-insert
+  // semantics — so any region index a real redo stream carries renders to
+  // the same zone name the reference emits; an absent key still renders
+  // the "TZ?" miss marker.
+  private[graft] lazy val timeZoneMap: Map[Int, String] = {
+    val in = getClass.getResourceAsStream("/graft/timezone_map.tsv")
+    require(in != null, "timezone_map.tsv resource missing")
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(k, name) = line.split('\t')
+          Integer.decode(k).intValue() -> name
+        }
+        .toMap
+    } finally in.close()
+  }
 
   /** Scaffolding encoder (inverse of the decode path, as a redo record
     * would carry it): UTC epoch seconds + nano fraction + raw tz bytes. */

@@ -19,6 +19,14 @@ import graft.core.{OracleCodecs, Tables}
 object FormatOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** q68 breadth subset: every 10th entry of the key-sorted full reference
+    * timeZoneMap (60 of its 595 zones) — deterministic and resource-derived,
+    * so the Spark-side region-key bytes and the DuckDB-oracle zone names
+    * stay in lockstep by construction. */
+  private[graft] lazy val tzBreadth: Seq[(Int, String)] =
+    OracleCodecs.timeZoneMap.toSeq.sortBy(_._1).grouped(10).map(_.head).toSeq
+  private[graft] lazy val tzBreadthKeys: Seq[Int] = tzBreadth.map(_._1)
+
   /** selectExpr fragments rendering a nanos-long column `n` into ALL 16
     * TIMESTAMP_FORMAT variants (Format.h:136-153, rendering
     * BuilderJson.cpp:105-280). Unix family: round-half-up on the
@@ -213,28 +221,31 @@ object FormatOps {
     // scaffolding inverse, decoded by the REAL codec inside the plan
     // (encode∘decode roundtrip, like q13's rowid) — rendered in the
     // ISO8601_NANO_TZ and UNIX_NANO_STRING families. The tz bytes cycle
-    // through named region keys (real Locales::timeZoneMap entries), both
-    // numeric-offset sign paths, and an unmapped key ("TZ?" fallback).
+    // through 60 named region keys sampled across the FULL 595-entry
+    // Locales::timeZoneMap (shipped as a resource — see
+    // OracleCodecs.timeZoneMap), both numeric-offset sign paths, and an
+    // unmapped key ("TZ?" fallback); the oracle derives the expected names
+    // from the same deterministic subset.
     "q68_ts_tz_render" -> ((s, dir) => {
       val encU = udf((sec: Long, frac: Long, b11: Int, b12: Int) =>
         OracleCodecs.tzTimestampEncode(sec, frac, b11, b12))
       val isoU = udf((b: Array[Byte]) => OracleCodecs.tzTimestampIso(b))
       val unixU = udf((b: Array[Byte]) => OracleCodecs.tzTimestampUnix(b))
       val enc = encU(col("sec"), col("frac"), col("b11"), col("b12"))
+      // named region keys + "+02:00" (22,60), "-05:30" (15,30), miss (37,0)
+      val b11s = tzBreadthKeys.map(_ >> 8) ++ Seq(22, 15, 37)
+      val b12s = tzBreadthKeys.map(_ & 0xff) ++ Seq(60, 30, 0)
+      val n = b11s.size
       Tables.load(s, dir, "events")
         .selectExpr(
           "event_id",
           "1704067200 + (event_id * 7919) % 31536000 AS sec",
           "(event_id * 1234567) % 1000000000 AS frac",
-          "CAST(event_id % 12 AS INT) AS tzi")
-        .withColumn("b11", expr("CAST(CASE tzi WHEN 0 THEN 128 " +
-          "WHEN 1 THEN 129 WHEN 2 THEN 129 WHEN 3 THEN 131 WHEN 4 THEN 132 " +
-          "WHEN 5 THEN 133 WHEN 6 THEN 133 WHEN 7 THEN 134 WHEN 8 THEN 208 " +
-          "WHEN 9 THEN 22 WHEN 10 THEN 15 ELSE 37 END AS INT)"))
-        .withColumn("b12", expr("CAST(CASE tzi WHEN 0 THEN 112 " +
-          "WHEN 1 THEN 144 WHEN 2 THEN 156 WHEN 3 THEN 232 WHEN 4 THEN 44 " +
-          "WHEN 5 THEN 196 WHEN 6 THEN 252 WHEN 7 THEN 56 WHEN 8 THEN 4 " +
-          "WHEN 9 THEN 60 WHEN 10 THEN 30 ELSE 0 END AS INT)"))
+          s"CAST(event_id % $n AS INT) AS tzi")
+        .withColumn("b11", element_at(
+          array(b11s.map(lit): _*), col("tzi") + 1))
+        .withColumn("b12", element_at(
+          array(b12s.map(lit): _*), col("tzi") + 1))
         .select(col("event_id"),
           isoU(enc).as("iso_tz"),
           unixU(enc).as("unix_tz"))
@@ -709,18 +720,14 @@ object FormatOps {
         |          CAST((i-1)*2+1 AS INT), 2))), '') AS unk_dump
         |FROM events""".stripMargin,
 
-    "q68_ts_tz_render" ->
-      """WITH t AS (
+    "q68_ts_tz_render" -> {
+      val names = tzBreadth.map(_._2) ++ Seq("+02:00", "-05:30", "TZ?")
+      val lst = names.map(nm => s"'$nm'").mkString("[", ", ", "]")
+      s"""WITH t AS (
         |  SELECT event_id,
         |    1704067200 + (event_id * 7919) % 31536000 AS sec,
         |    (event_id * 1234567) % 1000000000 AS frac,
-        |    CASE event_id % 12
-        |      WHEN 0 THEN 'Etc/UTC' WHEN 1 THEN 'America/New_York'
-        |      WHEN 2 THEN 'America/Los_Angeles' WHEN 3 THEN 'Asia/Shanghai'
-        |      WHEN 4 THEN 'Asia/Tokyo' WHEN 5 THEN 'Europe/London'
-        |      WHEN 6 THEN 'Europe/Berlin' WHEN 7 THEN 'Europe/Warsaw'
-        |      WHEN 8 THEN 'UTC' WHEN 9 THEN '+02:00' WHEN 10 THEN '-05:30'
-        |      ELSE 'TZ?' END AS tz
+        |    ($lst)[CAST(event_id % ${names.size} AS INT) + 1] AS tz
         |  FROM events)
         |SELECT event_id,
         |  CAST(DATE '1970-01-01' + CAST(sec // 86400 AS INT) AS VARCHAR)
@@ -730,7 +737,8 @@ object FormatOps {
         |    || '.' || lpad(CAST(frac AS VARCHAR), 9, '0') || 'Z ' || tz
         |    AS iso_tz,
         |  CAST(sec * 1000000000 + frac AS VARCHAR) || ',' || tz AS unix_tz
-        |FROM t""".stripMargin,
+        |FROM t""".stripMargin
+    },
 
     "q66_interval_render" ->
       """WITH i AS (

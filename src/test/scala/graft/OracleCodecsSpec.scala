@@ -156,6 +156,29 @@ class OracleCodecsSpec extends AnyFunSuite {
     assert(parseTzOffset("bogus").isEmpty)
   }
 
+  test("full reference timeZoneMap resource: size + spot pins") {
+    val m = graft.core.OracleCodecs.timeZoneMap
+    // 597 reference entries, 595 unique keys (Locales.cpp:40-642;
+    // first-occurrence-wins matches C++ map-insert semantics)
+    assert(m.size == 595)
+    // spot pins across the table, values straight from Locales.cpp
+    assert(m(0x8004) == "Etc/GMT")
+    assert(m(0x8008) == "Etc/GMT-14")
+    assert(m(0x8070) == "Etc/UTC")
+    assert(m(0x8190) == "America/New_York")
+    assert(m(0x819c) == "America/Los_Angeles")
+    assert(m(0x83e8) == "Asia/Shanghai")
+    assert(m(0x842c) == "Asia/Tokyo")
+    assert(m(0x85c4) == "Europe/London")
+    assert(m(0x85fc) == "Europe/Berlin")
+    assert(m(0x8638) == "Europe/Warsaw")
+    assert(m(0xd004) == "UTC")
+    assert(!m.contains(0x2500)) // q68's deliberate "TZ?" miss key
+    // q68's breadth subset covers >= 50 distinct named zones
+    assert(graft.queries.FormatOps.tzBreadth.size == 60)
+    assert(graft.queries.FormatOps.tzBreadth.map(_._2).distinct.size == 60)
+  }
+
   test("db-timezone: DATE encode/decode roundtrip with offsets") {
     // 2021-01-02 03:04:05 UTC
     val epoch = java.time.LocalDateTime.of(2021, 1, 2, 3, 4, 5)
