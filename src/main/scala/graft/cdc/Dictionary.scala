@@ -22,7 +22,10 @@ case class DbColumn(
     hidden: Boolean = false,
     guard: Boolean = false,
     nested: Boolean = false,
-    unused: Boolean = false)
+    unused: Boolean = false,
+    /** bit index into the table's guard column bitmap (SysCol guard_seg);
+      * -1 = not guarded (Builder.cpp:1325 `guardSeg != -1` test) */
+    guardSeg: Int = -1)
 
 object DbTable {
   /** The typeCodes Builder.cpp:254-612's value switch decodes; anything
@@ -66,6 +69,14 @@ case class DbTable(
     * them from the images, SHOW renders the columnUnknown form. */
   def unknownTypeCols: Seq[String] =
     columns.filterNot(c => DbTable.supportedTypeCodes(c.typeCode)).map(_.name)
+
+  /** The table's guard column (the hidden SYS_NC...$ bitmap column whose
+    * redo value marks explicitly-NULL guarded columns), if declared. */
+  def guardColName: Option[String] = columns.find(_.guard).map(_.name)
+
+  /** (name, guardSeg) of the columns a guard bitmap can resurrect. */
+  def guardedCols: Seq[(String, Int)] =
+    columns.filter(_.guardSeg >= 0).map(c => (c.name, c.guardSeg))
 
   /** Tag columns for the message key (F7). */
   def resolvedTagCols: Seq[String] = tagType match {
@@ -171,15 +182,20 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector]) {
         t.columns.map(_.name).filterNot(visible),
         t.unknownTypeCols,
         t.validFromScn, t.validToScn,
-        t.schemaColumns(showHidden, showNested, showUnused))
+        t.schemaColumns(showHidden, showNested, showUnused),
+        t.guardColName.orNull,
+        t.guardedCols)
     }.toDF("obj", "dataObj", "owner", "table_name", "key_cols", "tag_cols",
       "invisible_cols", "unknown_cols", "valid_from_scn", "valid_to_scn",
-      "schema_cols")
+      "schema_cols", "guard_col", "guarded_cols")
       // SCHEMA_FORMAT::FULL descriptor field names (rendered via to_json)
       .withColumn("schema_cols",
         org.apache.spark.sql.functions.expr("transform(schema_cols, c -> " +
         "named_struct('name', c._1, 'type', c._2, 'length', c._3, " +
         "'precision', c._4, 'scale', c._5, 'nullable', c._6))"))
+      .withColumn("guarded_cols",
+        org.apache.spark.sql.functions.expr("transform(guarded_cols, g -> " +
+        "named_struct('name', g._1, 'seg', g._2))"))
   }
 
   /** Apply one dictionary-DML change (SystemTransaction semantics §1.2:

@@ -80,11 +80,45 @@ object Materialize {
     }
   }
 
+  /** Guard-column bitmap resurrection (Builder.cpp:1323-1372): a table
+    * may carry a hidden guard column (SYS_NC...$, a RAW bitmap — hex in
+    * the pre-decoded feed) where bit `guardSeg(c)` set means column c was
+    * explicitly NULL in the row version. For every declared guarded
+    * column ABSENT from an image whose guard bitmap is present AND whose
+    * byte index is inside the bitmap (the reference's column2/8 < size
+    * bound), the column is resurrected as an explicit NULL map entry —
+    * the map analogue of the reference's present-with-size-0 sentinel.
+    * Unconditional like the reference: active exactly when the dictionary
+    * declares guard metadata; pure per-row map surgery, no exchange. */
+  def applyGuardResurrection(df: DataFrame): DataFrame = {
+    val masks = array((0 until 8).map(b => lit(1 << b)): _*)
+    def fix(imgName: String): Column = {
+      val img = col(imgName)
+      val gv = element_at(img, col("guard_col"))
+      val adds = filter(col("guarded_cols"), g => {
+        val seg = g.getField("seg")
+        val bytePos = floor(seg / 8).cast("int")
+        val byteVal = conv(gv.substr(bytePos * 2 + 1, lit(2)), 16, 10)
+          .cast("int")
+        !array_contains(map_keys(img), g.getField("name")) &&
+          length(gv) >= (bytePos + 1) * 2 &&
+          byteVal.bitwiseAND(
+            element_at(masks, pmod(seg, lit(8)).cast("int") + 1)) > 0
+      })
+      when(col("guard_col").isNull || img.isNull || gv.isNull ||
+          size(adds) === 0, img)
+        .otherwise(map_concat(img, map_from_arrays(
+          transform(adds, g => g.getField("name")),
+          transform(adds, _ => lit(null).cast("string")))))
+    }
+    df.withColumn("before", fix("before"))
+      .withColumn("after", fix("after"))
+  }
+
   /** F4: suppress hidden/nested/unused columns from the images — the
     * dictionary row carries the table's visible set (per the Options
     * flags); unknown tables (schemaless passthrough, visible_cols null)
-    * keep everything. Guard-column bitmap resurrection (Builder.cpp:
-    * 1323-1372) is out of scope — documented non-goal. */
+    * keep everything. */
   def applyVisibility(df: DataFrame): DataFrame = {
     def visible(img: Column): Column =
       when(col("invisible_cols").isNull || size(col("invisible_cols")) === 0,
@@ -188,9 +222,13 @@ object Materialize {
     // only then renders as "?" (SHOW) or disappears (HIDE — same final
     // images as filtering before the diff, since the column is dropped
     // either way)
+    // guard resurrection BEFORE visibility: the guard bitmap is read off
+    // the raw image (the guard column itself is hidden and is stripped by
+    // the visibility pass right after, like the reference's output)
     val formatted = applyUnknownType(
       applyColumnFormat(
-        applyVisibility(applyConditions(enrich(messages, dict, opts), dict)),
+        applyVisibility(applyGuardResurrection(
+          applyConditions(enrich(messages, dict, opts), dict))),
         opts),
       opts.unknownTypeShow)
     val named =

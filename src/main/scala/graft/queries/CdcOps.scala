@@ -487,6 +487,54 @@ object CdcOps {
     // F4 column visibility through the full pipeline: the feed carries a
     // hidden diagnostic column on every row; the dictionary's suppression
     // list drops it from the output image (Builder.cpp:102-113 semantics).
+    // Guard-column bitmap resurrection (Builder.cpp:1323-1372): the table
+    // carries a hidden SYS_NC...$ RAW guard column whose bitmap (hex in
+    // the pre-decoded feed) marks explicitly-NULL guarded columns. Guarded
+    // columns c1/c2/c3 sit at guardSeg 0/1/10; the feed cycles bitmaps
+    // "03" (bits 0,1 — one byte, so seg 10 is OUT of the bitmap's bound,
+    // exercising the reference's column2/8 < size check), "0304" (byte 1
+    // bit 2 → seg 10 set), "00" (no bits), and no-guard. A guarded column
+    // already present keeps its value; an absent one with its bit set is
+    // resurrected as an explicit NULL entry; the guard column itself is
+    // hidden and stripped by the visibility pass.
+    "q95_guard_columns" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(100L, 100L, "APP", "EVENTS",
+        Seq(DbColumn("value", 1, numPk = 1),
+          DbColumn("c1", 1, guardSeg = 0),
+          DbColumn("c2", 1, guardSeg = 1),
+          DbColumn("c3", 1, guardSeg = 10),
+          DbColumn("SYS_NC00005$", 23, hidden = true, guard = true)))))
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op", "100L AS obj",
+          "'' AS rid", "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map_concat(" +
+            "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING)), " +
+            "CASE WHEN user_id % 3 = 0 THEN map('c1', 'A') ELSE map() END, " +
+            "CASE WHEN user_id % 4 = 0 THEN map('SYS_NC00005$', '03') " +
+            "     WHEN user_id % 4 = 2 THEN map('SYS_NC00005$', '0304') " +
+            "     WHEN user_id % 4 = 3 THEN map('SYS_NC00005$', '00') " +
+            "     ELSE map() END) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset", "0L AS num")
+        .as[ChangeMessage]
+      def state(c: String) =
+        when(array_contains(map_keys(col("after")), c),
+          when(element_at(col("after"), c).isNull, "null")
+            .otherwise("present"))
+          .otherwise("absent")
+      Materialize(messages, dict)
+        .select(col("cScn").as("event_id"),
+          size(col("after")).cast("long").as("n_cols"),
+          state("c1").as("c1_state"),
+          state("c2").as("c2_state"),
+          state("c3").as("c3_state"))
+    }),
+
     "q53_column_visibility" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       import spark.implicits._
@@ -739,6 +787,25 @@ object CdcOps {
     "q53_column_visibility" ->
       """SELECT event_id, CAST(1 AS BIGINT) AS n_cols,
         |  CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS v
+        |FROM events""".stripMargin,
+
+    // guard arithmetic restated from the bitmap cycle: uid%4 0→"03",
+    // 2→"0304", 3→"00", 1→no guard; c1 present iff uid%3=0, segs 0/1/10
+    "q95_guard_columns" ->
+      """SELECT event_id,
+        |  CAST(1
+        |    + CASE WHEN user_id % 3 = 0 OR user_id % 4 IN (0, 2)
+        |           THEN 1 ELSE 0 END
+        |    + CASE WHEN user_id % 4 IN (0, 2) THEN 1 ELSE 0 END
+        |    + CASE WHEN user_id % 4 = 2 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_cols,
+        |  CASE WHEN user_id % 3 = 0 THEN 'present'
+        |       WHEN user_id % 4 IN (0, 2) THEN 'null'
+        |       ELSE 'absent' END AS c1_state,
+        |  CASE WHEN user_id % 4 IN (0, 2) THEN 'null' ELSE 'absent' END
+        |    AS c2_state,
+        |  CASE WHEN user_id % 4 = 2 THEN 'null' ELSE 'absent' END
+        |    AS c3_state
         |FROM events""".stripMargin,
 
     // canonical NUMBER rendering: minimal decimal (trailing fraction zeros

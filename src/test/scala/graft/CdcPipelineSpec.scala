@@ -147,6 +147,47 @@ class CdcPipelineSpec extends AnyFunSuite {
       Map("ID" -> "7", "VAL" -> "x", "DIAG" -> "d", "NEST" -> "n"))
   }
 
+  test("guard bitmap resurrects absent columns as explicit NULL entries") {
+    // Builder.cpp:1323-1372: c1@seg0, c2@seg1, c3@seg10 (byte 1, so a
+    // 1-byte bitmap leaves it untouched — the column2/8 < size bound)
+    val gDict = Dictionary(Seq(DbTable(100L, 100L, "OWNER1", "TG",
+      Seq(DbColumn("ID", 2, numPk = 1),
+        DbColumn("c1", 1, guardSeg = 0),
+        DbColumn("c2", 1, guardSeg = 1),
+        DbColumn("c3", 1, guardSeg = 10),
+        DbColumn("SYS_NC00005$", 23, hidden = true, guard = true)))))
+    def after(r: org.apache.spark.sql.Row): Map[String, String] =
+      r.getMap[String, String](r.fieldIndex("after")).toMap
+    // "03": bits 0+1 → absent c1 and c2 resurrect as null; seg10 out of
+    // the 1-byte bound → c3 stays absent; guard col itself stripped
+    val r1 = pipe(Seq(
+      ev(1, Op.Ins, after = Map("ID" -> "1", "SYS_NC00005$" -> "03")),
+      ev(2, Op.Commit)), gDict).collect().head
+    assert(after(r1) == Map("ID" -> "1", "c1" -> null, "c2" -> null))
+    // present guarded column keeps its value even with its bit set
+    val r2 = pipe(Seq(
+      ev(1, Op.Ins, after = Map("ID" -> "2", "c1" -> "A",
+        "SYS_NC00005$" -> "03")),
+      ev(2, Op.Commit)), gDict).collect().head
+    assert(after(r2) == Map("ID" -> "2", "c1" -> "A", "c2" -> null))
+    // two-byte bitmap "0004": only byte1 bit2 (seg 10) set → c3 only
+    val r3 = pipe(Seq(
+      ev(1, Op.Ins, after = Map("ID" -> "3", "SYS_NC00005$" -> "0004")),
+      ev(2, Op.Commit)), gDict).collect().head
+    assert(after(r3) == Map("ID" -> "3", "c3" -> null))
+    // no guard value in the image → nothing resurrected
+    val r4 = pipe(Seq(
+      ev(1, Op.Ins, after = Map("ID" -> "4")),
+      ev(2, Op.Commit)), gDict).collect().head
+    assert(after(r4) == Map("ID" -> "4"))
+    // before image path: delete carrying the guard bitmap
+    val r5 = pipe(Seq(
+      ev(1, Op.Del, before = Map("ID" -> "5", "SYS_NC00005$" -> "02")),
+      ev(2, Op.Commit)), gDict).collect().head
+    val b5 = r5.getMap[String, String](r5.fieldIndex("before")).toMap
+    assert(b5 == Map("ID" -> "5", "c2" -> null))
+  }
+
   test("UNKNOWN_TYPE: unsupported-type columns hidden, or shown as '?'") {
     // Builder.cpp:605-612: typeCode outside the value dispatch (121 = ADT)
     // → HIDE drops it before the CHANGED diff; SHOW renders '?'
