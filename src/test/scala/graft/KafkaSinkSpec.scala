@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sinks.Sinks
+
+/** W1 Kafka sink: this environment ships no Kafka broker OR client jars
+  * (zero-egress, /opt/spark/jars has no spark-sql-kafka/kafka-clients), so
+  * a true end-to-end produce is impossible here. What IS testable, and
+  * what this spec pins:
+  *   1. the writer builder wiring — format, topic, checkpoint, and the
+  *      `kafka.*` passthrough the reference applies to librdkafka
+  *      properties (WriterKafka.cpp reads its properties straight from
+  *      the config object the same way);
+  *   2. the delivery contract the sink's exactly-once story rests on —
+  *      Structured Streaming checkpointing + idempotent (c_scn, c_idx)
+  *      keys — proven across a restart through the same micro-batch
+  *      machinery with a producer stand-in (foreachBatch), asserting no
+  *      duplicate keys reach the producer when the stream resumes.
+  */
+class KafkaSinkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("kafkaWriter wires format, topic, checkpoint and kafka.* passthrough") {
+    // writeStream needs a streaming frame; rate source never starts here
+    val df = spark.readStream.format("rate").load()
+      .selectExpr("CAST(value AS STRING) AS key",
+        "CAST(value AS STRING) AS value")
+    val w = Sinks.kafkaWriter(df, bootstrap = "broker:9092", topic = "redo",
+      checkpoint = "/tmp/ck", extra = Map("acks" -> "all",
+        "enable.idempotence" -> "true"))
+    // DataStreamWriter keeps its config in private fields; reflection is
+    // the only read path and pins exactly what start() would hand the sink
+    def priv[T](name: String): T = {
+      val f = w.getClass.getDeclaredFields
+        .find(_.getName.endsWith(name)).get
+      f.setAccessible(true)
+      f.get(w).asInstanceOf[T]
+    }
+    assert(priv[String]("source") == "kafka")
+    val opts = priv[Map[String, String]]("extraOptions")
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("topic") == "redo")
+    assert(opts("checkpointLocation") == "/tmp/ck")
+    // librdkafka-style property passthrough gets the kafka. prefix
+    assert(opts("kafka.acks") == "all")
+    assert(opts("kafka.enable.idempotence") == "true")
+  }
+
+  test("delivery contract: restart resumes after checkpoint, no duplicate keys") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_kafka_twin").toString
+    val srcDir = s"$dir/in"
+    val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    // producer stand-in: collects (key, value) exactly as the Kafka sink
+    // would receive them per batch
+    val produced = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    def writeBatch(n: Int, rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("c_scn", "c_idx", "value").coalesce(1)
+        .write.json(s"$srcDir/batch$n")
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema("c_scn LONG, c_idx LONG, value STRING").json(s"$srcDir/*")
+        .selectExpr("concat(c_scn, ':', c_idx) AS key", "value")
+      val q = in.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            produced.add((r.getString(0), r.getString(1))))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeBatch(1, Seq((100L, 0L, "a"), (100L, 1L, "b")))
+    runOnce()
+    // restart sees old + new source files; the checkpoint must skip the
+    // already-produced batch — the reference's resume-after-confirm
+    writeBatch(2, Seq((101L, 0L, "c")))
+    runOnce()
+    val keys = produced.toArray.map(_.asInstanceOf[(String, String)]._1).toSeq
+    assert(keys.sorted == Seq("100:0", "100:1", "101:0"))
+    assert(keys.distinct.size == keys.size, s"duplicate produce: $keys")
+  }
+}

@@ -231,6 +231,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.distinct.length == 2)
   }
 
+  test("f18 restart path on the RocksDB provider with state TTL") {
+    // the at-scale configuration: RocksDB-backed keyed state + a TTL on
+    // open transactions, surviving a checkpoint restart with no duplicate
+    // emissions — the claim at TxnAssembly.scala:334 proven end-to-end
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_restart_rocks").toString
+      val srcDir = s"$dir/events"
+      val outDir = s"$dir/out"
+      val ckpt = s"$dir/ckpt"
+      Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      def writeBatch(n: Int, events: Seq[ChangeEvent]): Unit =
+        Seq(events).toDS().flatMap(identity).coalesce(1)
+          .write.json(s"$srcDir/batch$n")
+      def countOut(): Long =
+        try spark.read.schema("c_scn STRING, c_idx STRING, xid STRING")
+          .json(outDir).count()
+        catch { case _: Throwable => 0L }
+      // ProcessingTimeTimeout keeps scheduling empty sweep batches, so
+      // processAllAvailable() never quiesces — timed trigger + sink poll,
+      // like the TTL test above
+      def runOnce(expectRows: Long): Unit = {
+        val events = spark.readStream.schema(ChangeEvent.schema)
+          .json(s"$srcDir/*").as[ChangeEvent]
+        // long TTL: open txns persist across the restart, not dropped
+        val out = TxnAssembly.assembleStream(events,
+          TxnAssembly.Config(stateTtlMs = 3600000L))
+        val q = out.selectExpr("CAST(cScn AS STRING) AS c_scn",
+            "CAST(cIdx AS STRING) AS c_idx", "xid")
+          .writeStream.format("json").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(20L))
+          .start()
+        val deadline = System.currentTimeMillis + 120000
+        while (countOut() < expectRows &&
+            System.currentTimeMillis < deadline) Thread.sleep(100)
+        q.stop()
+        assert(countOut() >= expectRows)
+      }
+      // txn A commits in run 1; txn B stays OPEN in RocksDB state across
+      // the restart and commits in run 2
+      writeBatch(1, Seq(
+        ev(1, Op.Ins).copy(after = Map("k" -> "a")), ev(2, Op.Commit),
+        ev(3, Op.Ins).copy(xid = "9.0.2", after = Map("k" -> "b"))))
+      runOnce(1)
+      writeBatch(2, Seq(ev(4, Op.Commit).copy(xid = "9.0.2")))
+      runOnce(2)
+      val result = spark.read.json(outDir).select("c_scn", "xid").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(result == Seq(("2", "1.0.1"), ("4", "9.0.2")),
+        s"got $result")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming ingest dedup: canonical-text key, state bounded by watermark") {
     // The streaming face of q25/q78: documents arriving on a stream dedup
     // on the canonical-text md5 via dropDuplicatesWithinWatermark — state
