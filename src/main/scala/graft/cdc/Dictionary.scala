@@ -25,7 +25,9 @@ case class DbColumn(
     unused: Boolean = false,
     /** bit index into the table's guard column bitmap (SysCol guard_seg);
       * -1 = not guarded (Builder.cpp:1325 `guardSeg != -1` test) */
-    guardSeg: Int = -1)
+    guardSeg: Int = -1,
+    /** BLOB column backing an XMLTYPE (SysCol xmlType, Builder.cpp:143) */
+    xmlType: Boolean = false)
 
 object DbTable {
   /** The typeCodes Builder.cpp:254-612's value switch decodes; anything
@@ -77,6 +79,12 @@ case class DbTable(
   /** (name, guardSeg) of the columns a guard bitmap can resurrect. */
   def guardedCols: Seq[(String, Int)] =
     columns.filter(_.guardSeg >= 0).map(c => (c.name, c.guardSeg))
+
+  /** JSON (type 119) columns — experimental-flag handling (Builder.cpp:154). */
+  def jsonCols: Seq[String] = columns.filter(_.typeCode == 119).map(_.name)
+
+  /** XMLTYPE-backed BLOB columns (Builder.cpp:143). */
+  def xmlCols: Seq[String] = columns.filter(_.xmlType).map(_.name)
 
   /** Tag columns for the message key (F7). */
   def resolvedTagCols: Seq[String] = tagType match {
@@ -184,10 +192,12 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector]) {
         t.validFromScn, t.validToScn,
         t.schemaColumns(showHidden, showNested, showUnused),
         t.guardColName.orNull,
-        t.guardedCols)
+        t.guardedCols,
+        t.jsonCols,
+        t.xmlCols)
     }.toDF("obj", "dataObj", "owner", "table_name", "key_cols", "tag_cols",
       "invisible_cols", "unknown_cols", "valid_from_scn", "valid_to_scn",
-      "schema_cols", "guard_col", "guarded_cols")
+      "schema_cols", "guard_col", "guarded_cols", "json_cols", "xml_cols")
       // SCHEMA_FORMAT::FULL descriptor field names (rendered via to_json)
       .withColumn("schema_cols",
         org.apache.spark.sql.functions.expr("transform(schema_cols, c -> " +

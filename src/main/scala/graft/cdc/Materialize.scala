@@ -39,7 +39,16 @@ object Materialize {
       // reference's default — dropped from the images), true = SHOW
       // (rendered as columnUnknown's "?" QUESTION_MARK form; the DUMP
       // form is OracleCodecs.unknownDump, composable sink-side)
-      unknownTypeShow: Boolean = false)
+      unknownTypeShow: Boolean = false,
+      // EXPERIMENTAL_JSON (Builder.cpp:154-158): type-119 JSON columns are
+      // DROPPED by default; under the flag the assembled LOB emits as raw
+      // hex (columnRaw)
+      experimentalJson: Boolean = false,
+      // EXPERIMENTAL_XMLTYPE (Builder.cpp:143-150): XMLTYPE-backed BLOBs
+      // emit raw hex by default; under the flag the XML decodes to text
+      // (parseXml → columnString — the pre-decoded feed carries the text,
+      // per the same contract as every charset/LOB decode in SURVEY §7.5)
+      experimentalXmlType: Boolean = false)
 
   /** messages ⋈ dictionary with scn-validity (J2 temporal broadcast join).
     * Unmatched obj# → dropped (dict filter) unless schemaless, where they
@@ -174,6 +183,33 @@ object Materialize {
       .withColumn("after", fix(col("after")))
   }
 
+  /** Experimental type handling (Builder.cpp:143-158): JSON (type 119)
+    * columns drop from the images unless `experimentalJson`, where the
+    * assembled LOB renders as raw hex; XMLTYPE-backed BLOB columns render
+    * raw hex unless `experimentalXmlType`, where the decoded XML text
+    * passes through. Tables with neither (json_cols/xml_cols empty or the
+    * schemaless null passthrough) short-circuit. */
+  def applyExperimentalTypes(df: DataFrame, opts: Options): DataFrame = {
+    def fix(img: Column): Column = {
+      val j = when(col("json_cols").isNull || size(col("json_cols")) === 0,
+        img).otherwise(
+        if (opts.experimentalJson)
+          transform_values(img, (k, v) =>
+            when(array_contains(col("json_cols"), k),
+              hex(encode(v, "UTF-8"))).otherwise(v))
+        else
+          map_filter(img, (k, _) => !array_contains(col("json_cols"), k)))
+      when(col("xml_cols").isNull || size(col("xml_cols")) === 0, j)
+        .otherwise(
+          if (opts.experimentalXmlType) j
+          else transform_values(j, (k, v) =>
+            when(array_contains(col("xml_cols"), k),
+              hex(encode(v, "UTF-8"))).otherwise(v)))
+    }
+    df.withColumn("before", fix(col("before")))
+      .withColumn("after", fix(col("after")))
+  }
+
   /** CHAR_FORMAT::HEX: every image value as uppercase hex of its UTF-8
     * bytes (Builder.h:1129-1184 valueBufferAppendHex path — byte-level,
     * after charset mapping; the pre-decoded feed is already UTF-8). */
@@ -225,12 +261,14 @@ object Materialize {
     // guard resurrection BEFORE visibility: the guard bitmap is read off
     // the raw image (the guard column itself is hidden and is stripped by
     // the visibility pass right after, like the reference's output)
-    val formatted = applyUnknownType(
-      applyColumnFormat(
-        applyVisibility(applyGuardResurrection(
-          applyConditions(enrich(messages, dict, opts), dict))),
-        opts),
-      opts.unknownTypeShow)
+    val formatted = applyExperimentalTypes(
+      applyUnknownType(
+        applyColumnFormat(
+          applyVisibility(applyGuardResurrection(
+            applyConditions(enrich(messages, dict, opts), dict))),
+          opts),
+        opts.unknownTypeShow),
+      opts)
     val named =
       if (opts.schemaless) applySchemalessNaming(formatted) else formatted
     // tag BEFORE hex rendering: the message key derives from the logical

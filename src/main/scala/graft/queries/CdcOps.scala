@@ -535,6 +535,42 @@ object CdcOps {
           state("c3").as("c3_state"))
     }),
 
+    // Experimental XMLTYPE / JSON (type 119) handling (Builder.cpp:143-158):
+    // default output drops the JSON column and hex-dumps the XMLTYPE blob;
+    // under the experimental flags the JSON LOB emits as raw hex and the
+    // XML decodes to text. Both flag settings run over the same feed and
+    // join on event_id, so one gate pins all four paths.
+    "q96_experimental_types" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val dict = Dictionary(Seq(DbTable(100L, 100L, "APP", "EVENTS",
+        Seq(DbColumn("value", 1, numPk = 1),
+          DbColumn("doc", 119),
+          DbColumn("xdoc", 113, xmlType = true)))))
+      def messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op", "100L AS obj",
+          "'' AS rid", "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING), " +
+            "'doc', '{\"a\":' || CAST(CAST(value AS DECIMAL(10,2)) AS STRING) || '}', " +
+            "'xdoc', '<a>' || event_type || '</a>') AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset", "0L AS num")
+        .as[ChangeMessage]
+      val dflt = Materialize(messages, dict)
+        .select(col("cScn").as("event_id"),
+          size(col("after")).cast("long").as("n_cols_default"),
+          element_at(col("after"), "xdoc").as("xdoc_raw"))
+      val exp = Materialize(messages, dict, Materialize.Options(
+          experimentalJson = true, experimentalXmlType = true))
+        .select(col("cScn").as("event_id"),
+          element_at(col("after"), "doc").as("json_raw"),
+          element_at(col("after"), "xdoc").as("xml_text"))
+      dflt.join(exp, "event_id")
+    }),
+
     "q53_column_visibility" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       import spark.implicits._
@@ -787,6 +823,15 @@ object CdcOps {
     "q53_column_visibility" ->
       """SELECT event_id, CAST(1 AS BIGINT) AS n_cols,
         |  CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS v
+        |FROM events""".stripMargin,
+
+    "q96_experimental_types" ->
+      """SELECT event_id,
+        |  CAST(2 AS BIGINT) AS n_cols_default,
+        |  hex(CAST('<a>' || event_type || '</a>' AS BLOB)) AS xdoc_raw,
+        |  hex(CAST('{"a":' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)
+        |    || '}' AS BLOB)) AS json_raw,
+        |  '<a>' || event_type || '</a>' AS xml_text
         |FROM events""".stripMargin,
 
     // guard arithmetic restated from the bitmap cycle: uid%4 0→"03",
