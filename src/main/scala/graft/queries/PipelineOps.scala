@@ -221,6 +221,80 @@ object PipelineOps {
           lit(-1L)).cast("long").as("confirmed_scn"))
     }),
 
+    // Consecutive-repeat collapse (the run-length normalization stage of
+    // repetition cleaning — "the the the" → "the"): collapsed tokens are
+    // rebuilt INSIDE the row from the shifted-slice zip (the q30/q82
+    // discipline), so the whole query is a narrow map over the scan —
+    // zero exchange at any corpus size. The md5 of the collapsed text
+    // pins the actual content, not just the counts.
+    "q97_collapse_repeats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", TextOps.tokensCol)
+        .filter(size(col("toks")) > 0)
+        .withColumn("collapsed", concat(
+          slice(col("toks"), 1, 1),
+          transform(
+            filter(
+              zip_with(
+                slice(col("toks"), lit(1), size(col("toks")) - 1),
+                slice(col("toks"), lit(2), size(col("toks")) - 1),
+                (a, b) => struct(a.as("p"), b.as("c"))),
+              z => z.getField("c") =!= z.getField("p")),
+            z => z.getField("c"))))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(col("collapsed")).cast("long").as("n_collapsed"),
+          md5(array_join(col("collapsed"), " ")).as("collapsed_hash"))
+    }),
+
+    // Per-language vocabulary: document frequency per (lang, token), top 5
+    // tokens per language. Shape: distinct-per-doc INSIDE the row, one
+    // map-side-combined (lang, token) shuffle whose output is the VOCAB
+    // (≪ corpus), then the top-k window runs over vocab rows only — the
+    // corpus never enters a window.
+    "q98_vocab_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("df").desc, col("token"))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(array_distinct(TextOps.tokensCol)).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("lang", "token", "df", "rank")
+    }),
+
+    // Composite quality filter (C4/Gopher rule stack): length bounds, mean
+    // word length, duplicate-token fraction, stopword presence — FIRST
+    // matching rule wins, like a real curation pipeline's drop-reason
+    // accounting. Every signal folds inside the row; the query is a pure
+    // map (the per-reason counts downstream would be one tiny agg).
+    "q99_quality_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", TextOps.tokensCol)
+        .filter(size(col("toks")) > 0)
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("mean_len",
+          expr("aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
+            .cast("double") / col("n_tok").cast("double"))
+        .withColumn("dup_frac",
+          (col("n_tok") - size(array_distinct(col("toks")))).cast("double") /
+            col("n_tok").cast("double"))
+        .withColumn("stop_frac",
+          size(filter(col("toks"), x => x.isin("the", "a"))).cast("double") /
+            col("n_tok").cast("double"))
+        .select(col("doc_id"), col("n_tok"), col("mean_len"),
+          col("dup_frac"), col("stop_frac"),
+          when(col("n_tok") < 10, "too_short")
+            .when(col("n_tok") > 400, "too_long")
+            .when(col("mean_len") < 2.0 || col("mean_len") > 12.0,
+              "word_length")
+            .when(col("dup_frac") > 0.9, "repetitive")
+            .when(col("stop_frac") < 0.01, "no_stopwords")
+            .otherwise("keep").as("verdict"))
+    }),
+
     // Duplicated-substring-span profile (Lee et al. 2021, "Deduplicating
     // Training Data Makes Language Models Better" §3 ExactSubstr shape):
     // every 8-token span is hashed; a span present in ≥2 documents is a
@@ -372,6 +446,53 @@ object PipelineOps {
         |  CAST(coalesce(max(CASE WHEN last_type = 'purchase'
         |    THEN last_commit END), -1) AS BIGINT) AS confirmed_scn
         |FROM t""".stripMargin,
+
+    "q97_collapse_repeats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    list_concat(toks[1:1],
+         |      list_transform(
+         |        list_filter(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+         |          p -> p[2] <> p[1]),
+         |        p -> p[2])) AS collapsed
+         |  FROM base WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(len(collapsed) AS BIGINT) AS n_collapsed,
+         |  md5(array_to_string(collapsed, ' ')) AS collapsed_hash
+         |FROM c""".stripMargin,
+
+    "q98_vocab_topk" ->
+      s"""WITH v AS (
+         |  SELECT lang, unnest(list_distinct($sqlToks)) AS token
+         |  FROM documents),
+         |df AS (SELECT lang, token, count(*) AS df FROM v GROUP BY 1, 2),
+         |r AS (SELECT lang, token, CAST(df AS BIGINT) AS df,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY df DESC, token) AS BIGINT) AS rank FROM df)
+         |SELECT lang, token, df, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q99_quality_filter" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |sig AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS mean_len,
+         |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS dup_frac,
+         |    CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS stop_frac
+         |  FROM base WHERE len(toks) > 0)
+         |SELECT doc_id, n_tok, mean_len, dup_frac, stop_frac,
+         |  CASE WHEN n_tok < 10 THEN 'too_short'
+         |       WHEN n_tok > 400 THEN 'too_long'
+         |       WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 'word_length'
+         |       WHEN dup_frac > 0.9 THEN 'repetitive'
+         |       WHEN stop_frac < 0.01 THEN 'no_stopwords'
+         |       ELSE 'keep' END AS verdict
+         |FROM sig""".stripMargin,
 
     "q90_dup_spans" ->
       s"""WITH base AS (
