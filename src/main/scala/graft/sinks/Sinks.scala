@@ -42,6 +42,104 @@ object Sinks {
     extra.foldLeft(base) { case (w, (k, v)) => w.option(s"kafka.$k", v) }
   }
 
+  /** W2 rotation parity (WriterFile.cpp:43-235): the reference rotates the
+    * output file by `max-file-size` with a filename mask — `%i` (or zero-
+    * filled `%2i`..`%10i`) numbered mode, `%t` timestamp mode, `%s` redo-
+    * sequence mode, or no token = single file (append required). A message
+    * that would overflow `maxFileSize` closes the current file and opens
+    * the next name; numbered mode scans the directory at startup and
+    * continues after the highest existing number (append) or starts past
+    * it (truncate). Single ordered output stream, like the reference's
+    * writer thread — use driver-side inside `foreachBatch`, the same seam
+    * as ConfirmTracker below.
+    */
+  final class RotatingFileWriter(output: String, maxFileSize: Long = 0L,
+      append: Boolean = true, newLine: String = "\n",
+      clock: () => Long = () => System.currentTimeMillis()) {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+
+    private val (dir, mask) = {
+      val i = output.lastIndexOf('/')
+      if (i >= 0) (output.substring(0, i), output.substring(i + 1))
+      else (".", output)
+    }
+    // (mode, prefix, suffix, zeroFill)
+    private val NumTok = "%(10|[2-9])?i".r
+    private val (mode, prefix, suffix, fill) =
+      NumTok.findFirstMatchIn(mask) match {
+        case Some(m) =>
+          ("num", mask.substring(0, m.start), mask.substring(m.end),
+            Option(m.group(1)).map(_.toInt).getOrElse(1))
+        case None if mask.contains("%t") =>
+          val p = mask.indexOf("%t")
+          ("timestamp", mask.substring(0, p), mask.substring(p + 2), 1)
+        case None if mask.contains("%s") =>
+          val p = mask.indexOf("%s")
+          ("sequence", mask.substring(0, p), mask.substring(p + 2), 1)
+        case None =>
+          require(!mask.contains("%"),
+            s"invalid value for 'output': $output") // ConfigurationException 30005
+          require(append,
+            s"output file is with no rotation: $output - 'append' must be set") // 30006
+          ("single", mask, "", 1)
+      }
+    require(mode == "single" || maxFileSize > 0,
+      s"'max-file-size' must be defined for output with rotation: $output") // 30007
+
+    // numbered mode: continue after the highest existing file number
+    private var fileNum: Long =
+      if (mode != "num") 0L
+      else {
+        val existing = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .filter(_.isFile).map(_.getName)
+          .filter(n => n.startsWith(prefix) && n.endsWith(suffix) &&
+            n.length > prefix.length + suffix.length)
+          .flatMap(n => scala.util.Try(
+            n.substring(prefix.length, n.length - suffix.length).toLong).toOption)
+        existing.foldLeft(0L)((acc, n) =>
+          if (append) math.max(acc, n) else math.max(acc, n + 1))
+      }
+    private var currentSize = 0L
+    private var currentPath: Option[java.nio.file.Path] = None
+
+    private def nameFor(seq: Long): String = mode match {
+      case "num" =>
+        val s = fileNum.toString
+        prefix + ("0" * math.max(0, fill - s.length)) + s + suffix
+      case "timestamp" => prefix + clock().toString + suffix
+      case "sequence" => prefix + seq.toString + suffix
+      case _ => prefix
+    }
+
+    /** Append one message (rotating first if it would overflow). */
+    def write(msg: String, seq: Long = 0L): Unit = {
+      val bytes = (msg + newLine).getBytes("UTF-8")
+      val rotatable = mode == "num" || mode == "timestamp"
+      if (rotatable && currentPath.isDefined &&
+          currentSize + bytes.length > maxFileSize) {
+        currentPath = None
+        currentSize = 0
+        if (mode == "num") fileNum += 1
+      }
+      val p = currentPath.getOrElse {
+        val np = Paths.get(dir, nameFor(seq))
+        currentPath = Some(np)
+        currentSize = if (Files.exists(np)) Files.size(np) else 0L
+        np
+      }
+      Files.write(p, bytes, StandardOpenOption.CREATE,
+        StandardOpenOption.APPEND)
+      currentSize += bytes.length
+    }
+
+    /** Sequence mode: a new redo sequence switches the file (the
+      * reference's per-log file). */
+    def onSequence(seq: Long): Unit =
+      if (mode == "sequence") { currentPath = None; currentSize = 0 }
+
+    def currentFile: Option[String] = currentPath.map(_.toString)
+  }
+
   /** W4 discard sink (benchmarking). */
   def streamToNoop(messages: DataFrame, checkpoint: String): StreamingQuery =
     messages.writeStream.format("noop")
