@@ -399,7 +399,7 @@ object OracleCodecs {
     require(in != null, "timezone_map.tsv resource missing")
     try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { line =>
           val Array(k, name) = line.split('\t')
           Integer.decode(k).intValue() -> name
