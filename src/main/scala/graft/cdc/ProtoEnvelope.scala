@@ -231,18 +231,32 @@ object ProtoEnvelope {
   }
 
   /** enriched rows (Materialize output) → (key, value_bin) frame; the
-    * binary twin of [[Envelope.toMessages]]. */
-  def toMessages(enriched: DataFrame): DataFrame = {
+    * binary twin of [[Envelope.toMessages]]. The flag-gated reference
+    * fields follow the same knobs as the JSON envelope: `timestampCommit`
+    * → RedoResponse.tm (commit clock nanos, BuilderProtobuf.h:113-125),
+    * `dbName` → RedoResponse.db (:190), `addSequences` → Payload.num
+    * (:83); defaults leave them off the wire, exactly like the reference
+    * without those format bits. */
+  def toMessages(enriched: DataFrame,
+      fmt: Envelope.Format = Envelope.Format()): DataFrame = {
     // scalars packed into arrays: Scala UDFs take ≤10 args
     val enc = udf((nums: Seq[Long], strs: Seq[String],
         before: Map[String, String], after: Map[String, String],
         attrs: Map[String, String]) =>
       encodeResponse(nums(0), nums(1), nums(2), strs(0), strs(1), strs(2),
-        strs(3), nums(3), strs(4), before, after, strs(5), attrs))
+        strs(3), nums(3), strs(4), before, after, strs(5), attrs,
+        tm = nums(4), db = strs(6), num = nums(5)))
+    val tmCol =
+      if (fmt.timestampCommit) col("tm").cast("long") else lit(0L)
+    val numCol =
+      if (fmt.addSequences) coalesce(col("num"), lit(0L)) else lit(0L)
+    val dbCol =
+      if (fmt.dbName.nonEmpty) lit(fmt.dbName) else lit(null).cast("string")
     enriched.withColumn("value_bin",
-        enc(array(col("cScn"), col("cIdx"), col("scn"), col("obj")),
+        enc(array(col("cScn"), col("cIdx"), col("scn"), col("obj"),
+            tmCol, numCol),
           array(col("xid"), col("op"), col("owner"), col("table_name"),
-            col("rid"), col("ddlText")),
+            col("rid"), col("ddlText"), dbCol),
           col("before"), col("after"), col("attrs")))
       .withColumn("key", col("tag"))
   }

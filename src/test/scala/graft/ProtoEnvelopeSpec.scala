@@ -130,4 +130,39 @@ class ProtoEnvelopeSpec extends AnyFunSuite {
     assert(afters.map(v => new String(v(5).asInstanceOf[Array[Byte]])) ==
       Seq("7", "x"))
   }
+
+  test("flag-gated tm/db/num follow the JSON envelope knobs on the wire") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val dict = Dictionary(Seq(DbTable(100L, 100L, "OWNER1", "T1",
+      Seq(DbColumn("ID", 2, numPk = 1)), tagType = "pk")))
+    val messages = TxnAssembly.assembleBatch(Seq(
+      ChangeEvent(2L, "9.0.1", Op.Ins).copy(obj = 100L,
+        after = Map("ID" -> "7"), tm = 1700000000L),
+      ChangeEvent(3L, "9.0.1", Op.Ins).copy(obj = 100L,
+        after = Map("ID" -> "8"), tm = 1700000001L),
+      ChangeEvent(4L, "9.0.1", Op.Commit).copy(tm = 1700000009L)).toDS())
+    val enriched = Materialize(messages, dict)
+    // flags ON: tm (field 4), db (8), Payload.num (10) appear; num=0 on
+    // the txn's first message is the proto3 default → correctly absent
+    // from the wire (a generated client still reads 0)
+    val on = ProtoEnvelope.toMessages(enriched, Envelope.Format(
+        dbName = "ORCL", timestampCommit = true, addSequences = true))
+      .select("value_bin").orderBy("cScn", "cIdx").collect()
+      .map(_.getAs[Array[Byte]](0))
+    val tops = on.map(b => decode(b).toMap)
+    tops.foreach { top =>
+      assert(top.contains(4) && top(4).asInstanceOf[Long] > 0L) // commit tm
+      assert(new String(top(8).asInstanceOf[Array[Byte]]) == "ORCL")
+    }
+    val nums = tops.map(t =>
+      decode(t(9).asInstanceOf[Array[Byte]]).toMap.getOrElse(10, 0L))
+    assert(nums.toSeq == Seq(0L, 1L), s"per-txn ordinals: ${nums.toSeq}")
+    // flags OFF (default): none of the three fields reach the wire
+    val off = ProtoEnvelope.toMessages(enriched)
+      .select("value_bin").collect().head.getAs[Array[Byte]](0)
+    val topOff = decode(off).toMap
+    assert(!topOff.contains(4) && !topOff.contains(8))
+    assert(!decode(topOff(9).asInstanceOf[Array[Byte]]).toMap.contains(10))
+  }
 }
