@@ -189,26 +189,32 @@ object Materialize {
     * raw hex unless `experimentalXmlType`, where the decoded XML text
     * passes through. Tables with neither (json_cols/xml_cols empty or the
     * schemaless null passthrough) short-circuit. */
-  def applyExperimentalTypes(df: DataFrame, opts: Options): DataFrame = {
-    def fix(img: Column): Column = {
-      val j = when(col("json_cols").isNull || size(col("json_cols")) === 0,
-        img).otherwise(
-        if (opts.experimentalJson)
-          transform_values(img, (k, v) =>
-            when(array_contains(col("json_cols"), k),
-              hex(encode(v, "UTF-8"))).otherwise(v))
-        else
-          map_filter(img, (k, _) => !array_contains(col("json_cols"), k)))
-      when(col("xml_cols").isNull || size(col("xml_cols")) === 0, j)
-        .otherwise(
-          if (opts.experimentalXmlType) j
-          else transform_values(j, (k, v) =>
-            when(array_contains(col("xml_cols"), k),
-              hex(encode(v, "UTF-8"))).otherwise(v)))
-    }
-    df.withColumn("before", fix(col("before")))
-      .withColumn("after", fix(col("after")))
+  /** The per-image Column form of the experimental-type surgery —
+    * exposed so a query can evaluate BOTH flag settings over one scan
+    * (q96) instead of materializing twice and joining. */
+  private[graft] def experimentalImage(img: Column,
+      experimentalJson: Boolean, experimentalXmlType: Boolean): Column = {
+    val j = when(col("json_cols").isNull || size(col("json_cols")) === 0,
+      img).otherwise(
+      if (experimentalJson)
+        transform_values(img, (k, v) =>
+          when(array_contains(col("json_cols"), k),
+            hex(encode(v, "UTF-8"))).otherwise(v))
+      else
+        map_filter(img, (k, _) => !array_contains(col("json_cols"), k)))
+    when(col("xml_cols").isNull || size(col("xml_cols")) === 0, j)
+      .otherwise(
+        if (experimentalXmlType) j
+        else transform_values(j, (k, v) =>
+          when(array_contains(col("xml_cols"), k),
+            hex(encode(v, "UTF-8"))).otherwise(v)))
   }
+
+  def applyExperimentalTypes(df: DataFrame, opts: Options): DataFrame =
+    df.withColumn("before", experimentalImage(col("before"),
+        opts.experimentalJson, opts.experimentalXmlType))
+      .withColumn("after", experimentalImage(col("after"),
+        opts.experimentalJson, opts.experimentalXmlType))
 
   /** CHAR_FORMAT::HEX: every image value as uppercase hex of its UTF-8
     * bytes (Builder.h:1129-1184 valueBufferAppendHex path — byte-level,

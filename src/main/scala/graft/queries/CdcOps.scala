@@ -538,8 +538,10 @@ object CdcOps {
     // Experimental XMLTYPE / JSON (type 119) handling (Builder.cpp:143-158):
     // default output drops the JSON column and hex-dumps the XMLTYPE blob;
     // under the experimental flags the JSON LOB emits as raw hex and the
-    // XML decodes to text. Both flag settings run over the same feed and
-    // join on event_id, so one gate pins all four paths.
+    // XML decodes to text. BOTH flag settings evaluate as column
+    // expressions over ONE materialization pass (Materialize.
+    // experimentalImage) — no second scan, no self-join — so one gate pins
+    // all four paths with a single-scan plan.
     "q96_experimental_types" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       import spark.implicits._
@@ -559,16 +561,21 @@ object CdcOps {
           "-1L AS bScn", "0L AS tm",
           "1 AS thread", "-1L AS offset", "0L AS num")
         .as[ChangeMessage]
-      val dflt = Materialize(messages, dict)
-        .select(col("cScn").as("event_id"),
-          size(col("after")).cast("long").as("n_cols_default"),
-          element_at(col("after"), "xdoc").as("xdoc_raw"))
-      val exp = Materialize(messages, dict, Materialize.Options(
-          experimentalJson = true, experimentalXmlType = true))
-        .select(col("cScn").as("event_id"),
-          element_at(col("after"), "doc").as("json_raw"),
-          element_at(col("after"), "xdoc").as("xml_text"))
-      dflt.join(exp, "event_id")
+      // the shared pipeline up to (but not including) the experimental
+      // step, then both variants as per-row map surgery on the same scan
+      val pre = Materialize.withTag(Materialize.applyColumnFormat(
+        Materialize.applyVisibility(Materialize.applyGuardResurrection(
+          Materialize.applyConditions(
+            Materialize.enrich(messages, dict), dict)))))
+      val aDflt = Materialize.experimentalImage(col("after"),
+        experimentalJson = false, experimentalXmlType = false)
+      val aExp = Materialize.experimentalImage(col("after"),
+        experimentalJson = true, experimentalXmlType = true)
+      pre.select(col("cScn").as("event_id"),
+        size(aDflt).cast("long").as("n_cols_default"),
+        element_at(aDflt, "xdoc").as("xdoc_raw"),
+        element_at(aExp, "doc").as("json_raw"),
+        element_at(aExp, "xdoc").as("xml_text"))
     }),
 
     "q53_column_visibility" -> ((s, dir) => {
