@@ -119,6 +119,28 @@ object FormatOps {
           col("op"), col("ddlText").as("ddl_text"))
     }),
 
+    // DDL-op classification counters (Metrics.h:68-73 emitDdlOps*): the
+    // q62 DDL path feeds Metrics.ddlCounters — leading-keyword buckets
+    // alter/create/drop/truncate/purge with FLASHBACK falling to `other`.
+    // One short-key aggregation; the gate pins counts per bucket.
+    "q100_ddl_counters" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val verbs = "array('ALTER TABLE T', 'CREATE INDEX I', 'DROP TABLE T'," +
+        " 'TRUNCATE TABLE T', 'PURGE RECYCLEBIN -- ', 'FLASHBACK TABLE T')"
+      val f = feed(s, dir,
+        "CASE WHEN event_type = 'error' THEN 'DDL' ELSE 'INS' END",
+        "CASE WHEN event_type = 'error' THEN concat(" +
+          s"element_at($verbs, CAST(user_id % 6 AS INT) + 1), " +
+          "CAST(user_id AS STRING)) ELSE CAST(NULL AS STRING) END")
+      val ddl = TxnAssembly.assembleBatch(f,
+          TxnAssembly.Config(commitAtEnd = true))
+        .toDF()
+        .filter(col("op") === MsgOp.Ddl)
+        .withColumnRenamed("ddlText", "ddl_text")
+      graft.streaming.Metrics.ddlCounters(ddl)
+        .select(col("ddl_kind"), col("n_ops").cast("long"))
+    }),
+
     // Per-batch `chkpt` message (Parser.cpp:1509-1536 per-LWN checkpoint →
     // Envelope.withCheckpointMessage): clients advance their restart
     // position even across DML-free stretches. The gate checks the
@@ -590,6 +612,15 @@ object FormatOps {
       """SELECT event_id AS scn, user_id, 'ddl' AS op,
         |  'ALTER TABLE T' || user_id || ' /* ' || props || ' */' AS ddl_text
         |FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q100_ddl_counters" ->
+      """SELECT CASE user_id % 6
+        |    WHEN 0 THEN 'alter' WHEN 1 THEN 'create' WHEN 2 THEN 'drop'
+        |    WHEN 3 THEN 'truncate' WHEN 4 THEN 'purge' ELSE 'other' END
+        |    AS ddl_kind,
+        |  CAST(count(*) AS BIGINT) AS n_ops
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY 1""".stripMargin,
 
     "q63_checkpoint_msg" ->
       """SELECT CAST(count(*)

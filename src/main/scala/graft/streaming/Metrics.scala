@@ -79,6 +79,36 @@ object Metrics {
       .groupBy(col("owner"), col("table_name"), col("op"))
       .agg(count(lit(1)).as("n_ops"))
 
+  /** DDL-op classification counters (≙ Metrics.h:68-73 emitDdlOpsAlter/
+    * Create/Drop/Other/Purge/Truncate): the reference classifies by the
+    * statement's leading keyword; `purge` is its own bucket and
+    * `truncate` likewise, everything else unrecognized falls to `other`.
+    * One short-key aggregation over the ddl messages. */
+  def ddlCounters(messages: DataFrame): DataFrame = {
+    val kw = upper(regexp_extract(trim(col("ddl_text")), "^(\\w+)", 1))
+    messages
+      .withColumn("ddl_kind",
+        when(kw === "ALTER", "alter")
+          .when(kw === "CREATE", "create")
+          .when(kw === "DROP", "drop")
+          .when(kw === "TRUNCATE", "truncate")
+          .when(kw === "PURGE", "purge")
+          .otherwise("other"))
+      .groupBy("ddl_kind")
+      .agg(count(lit(1)).as("n_ops"))
+  }
+
+  /** DML skip counters (≙ Metrics.h:79-86 emitDmlOps*Skip): events whose
+    * obj# has no selected dictionary entry — the filter-out side of the
+    * enrich join, counted per op with one aggregation over a broadcast
+    * anti-join (the dictionary side is tiny, so the events never
+    * reshuffle). */
+  def dmlSkipCounters(events: DataFrame, dictObjs: Seq[Long]): DataFrame =
+    events
+      .filter(!col("obj").isin(dictObjs: _*))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_skipped"))
+
   /** §2.9 event-time windowed throughput: tumbling-window op counts with a
     * bounded-lateness watermark. On a stream, a window emits once the
     * watermark passes its end and later-than-watermark events are DROPPED

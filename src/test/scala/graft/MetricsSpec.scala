@@ -65,4 +65,26 @@ class MetricsSpec extends AnyFunSuite {
     assert(out == Map(
       ("U1", "T1", "c") -> 2L, ("U1", "T1", "u") -> 1L, ("U2", "T2", "d") -> 1L))
   }
+
+  test("ddlCounters classifies by leading keyword; unknown falls to other") {
+    import spark.implicits._
+    val df = Seq(
+      "ALTER TABLE t ADD c INT", "  alter session set x=1",
+      "CREATE INDEX i ON t(c)", "DROP TABLE t", "TRUNCATE TABLE t",
+      "PURGE RECYCLEBIN", "FLASHBACK TABLE t TO BEFORE DROP", "GRANT ALL")
+      .toDF("ddl_text")
+    val out = Metrics.ddlCounters(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("alter" -> 2L, "create" -> 1L, "drop" -> 1L,
+      "truncate" -> 1L, "purge" -> 1L, "other" -> 2L))
+  }
+
+  test("dmlSkipCounters counts unselected-obj events per op") {
+    import spark.implicits._
+    val df = Seq((100L, "c"), (100L, "u"), (999L, "c"), (999L, "c"),
+      (998L, "d")).toDF("obj", "op")
+    val out = Metrics.dmlSkipCounters(df, Seq(100L)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("c" -> 2L, "d" -> 1L))
+  }
 }
