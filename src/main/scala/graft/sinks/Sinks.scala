@@ -111,21 +111,26 @@ object Sinks {
       case _ => prefix
     }
 
-    /** Append one message (rotating first if it would overflow). */
+    private def open(seq: Long): java.nio.file.Path = {
+      val np = Paths.get(dir, nameFor(seq))
+      currentPath = Some(np)
+      currentSize = if (Files.exists(np)) Files.size(np) else 0L
+      np
+    }
+
+    /** Append one message (rotating first if it would overflow — including
+      * the first write after an append-mode restart into an almost-full
+      * file, like the reference's checkFile-before-write). A message
+      * larger than maxFileSize still writes into an empty file (the
+      * reference warns 60029 and proceeds). */
     def write(msg: String, seq: Long = 0L): Unit = {
       val bytes = (msg + newLine).getBytes("UTF-8")
       val rotatable = mode == "num" || mode == "timestamp"
-      if (rotatable && currentPath.isDefined &&
+      var p = currentPath.getOrElse(open(seq))
+      if (rotatable && currentSize > 0 &&
           currentSize + bytes.length > maxFileSize) {
-        currentPath = None
-        currentSize = 0
         if (mode == "num") fileNum += 1
-      }
-      val p = currentPath.getOrElse {
-        val np = Paths.get(dir, nameFor(seq))
-        currentPath = Some(np)
-        currentSize = if (Files.exists(np)) Files.size(np) else 0L
-        np
+        p = open(seq)
       }
       Files.write(p, bytes, StandardOpenOption.CREATE,
         StandardOpenOption.APPEND)

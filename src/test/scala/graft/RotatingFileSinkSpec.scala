@@ -46,6 +46,25 @@ class RotatingFileSinkSpec extends AnyFunSuite {
     assert(read(dir, "out.2.json") == "mmmmmmmm5\n")
   }
 
+  test("append restart into a full file rotates before the first write") {
+    val dir = tmp()
+    val w1 = new RotatingFileWriter(s"$dir/out.%i.json", maxFileSize = 20)
+    (1 to 2).foreach(i => w1.write(s"mmmmmmmm$i")) // file 0 exactly full
+    val w2 = new RotatingFileWriter(s"$dir/out.%i.json", maxFileSize = 20)
+    w2.write("mmmmmmmm3") // 0 is full → must open 1, not overflow 0
+    assert(read(dir, "out.0.json") == "mmmmmmmm1\nmmmmmmmm2\n")
+    assert(read(dir, "out.1.json") == "mmmmmmmm3\n")
+  }
+
+  test("oversized message still writes into an empty file") {
+    val dir = tmp()
+    val w = new RotatingFileWriter(s"$dir/out.%i.json", maxFileSize = 5)
+    w.write("mmmmmmmmmm") // 11 bytes > 5: reference warns and proceeds
+    assert(read(dir, "out.0.json") == "mmmmmmmmmm\n")
+    w.write("x") // next write rotates
+    assert(read(dir, "out.1.json") == "x\n")
+  }
+
   test("timestamp mode names files from the clock at switch time") {
     val dir = tmp()
     var now = 1000L
