@@ -245,6 +245,31 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(out.head.getString(1) == "7") // tag from pre-hex logical value
   }
 
+  test("guard + experimental + visibility + hex compose in builder order") {
+    // a guarded column resurrected to NULL, a JSON column dropped (flag
+    // off), an XMLTYPE hexed (flag off), the guard column stripped as
+    // hidden, then char-hex rendering over what remains — NULL stays NULL
+    // (the resurrected entry has no bytes to hex, like the reference's
+    // size-0 sentinel)
+    val gDict = Dictionary(Seq(DbTable(100L, 100L, "OWNER1", "TG", Seq(
+      DbColumn("ID", 2, numPk = 1),
+      DbColumn("g1", 1, guardSeg = 0),
+      DbColumn("J", 119),
+      DbColumn("X", 113, xmlType = true),
+      DbColumn("SYS_NC0$", 23, hidden = true, guard = true)))))
+    val out = pipe(Seq(
+      ev(1, Op.Ins, after = Map("ID" -> "7", "J" -> "{}", "X" -> "<a/>",
+        "SYS_NC0$" -> "01")),
+      ev(2, Op.Commit)), gDict,
+      opts = Materialize.Options(charFormatHex = true))
+      .select("after").collect().head.getMap[String, String](0).toMap
+    // ID "7"→hex 37; g1 resurrected null; J dropped; X "<a/>" hexed by the
+    // experimental step, then char-hex hexes the hex string again (the
+    // reference writes the raw-hex bytes through the same hex renderer)
+    assert(out == Map("ID" -> "37", "g1" -> null,
+      "X" -> "3C612F3E".flatMap(c => f"${c.toInt}%02X")))
+  }
+
   test("f15: schema evolution — scn-versioned dictionary join") {
     val evolved = dict1.evolve(
       DbTable(100L, 100L, "OWNER1", "T1_RENAMED",
