@@ -92,6 +92,34 @@ class TextOpsNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("spanHashes unicode fuzz: byte-level token scan == Column tokenizer") {
+    // the kernel splits tokens on raw 0x20 bytes; multi-byte UTF-8 never
+    // contains 0x20, but only ASCII corpora exercised that claim — fuzz
+    // with multi-byte chars (2/3/4-byte sequences), runs of spaces, and
+    // leading/trailing space
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "aå日🙂z €ß".toCharArray // includes 2-,3-,4-byte chars
+    val docs = (0 until 200).map { i =>
+      val len = rnd.nextInt(40)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    }.toDF("doc_id", "text")
+    val n = 3
+    val toks = TextOps.tokensCol
+    val len3 = size(toks) - (n - 1)
+    val joined = (2 to n).foldLeft(slice(toks, lit(1), len3)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), len3), (a, b) => concat(a, lit(" "), b))
+    }
+    val grams = array_distinct(
+      when(size(toks) >= n, joined).otherwise(array().cast("array<string>")))
+    val both = docs.select(
+      array_sort(TextExpressions.spanHashes(col("text"), n)).as("nat"),
+      array_sort(transform(grams, g => md5(g))).as("ref"))
+    assert(both.filter(not(col("nat") <=> col("ref"))).count() == 0)
+    assert(both.filter(size(col("nat")) > 0).count() > 20) // non-trivial
+  }
+
   test("minhashSig of empty shingle set is null") {
     import spark.implicits._
     val r = Seq(Tuple1(Seq.empty[String])).toDF("sh")
