@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSig, Shingles3}
+import graft.functions.{CosineSimilarity, MinHashSig, Shingles3, SpanHashes}
 
 /** SQL function surface (SURVEY.md §2.10): the engine's native expressions
   * registered by name, so `spark.sql("SELECT minhash_sig(shingles3(text), 8)
@@ -46,7 +46,29 @@ object GraftExtensions {
       info("minhash_sig",
         "minhash_sig(shingles, n) - n md5-minhash values (n literal)"),
       (args: Seq[Expression]) =>
-        MinHashSig(args(0), intLit(args(1), "minhash_sig n"))))
+        MinHashSig(args(0), intLit(args(1), "minhash_sig n"))),
+    (FunctionIdentifier("span_hashes"),
+      info("span_hashes",
+        "span_hashes(text, n) - distinct md5 hashes of n-token spans " +
+          "(one-pass kernel; n literal)"),
+      (args: Seq[Expression]) =>
+        SpanHashes(args(0), intLit(args(1), "span_hashes n"))),
+    // Spark's internal bloom-filter pair, surfaced by name: the standard
+    // seen-before pre-filter for 100 TB dedup/anti-join pipelines
+    // (catalyst ships them for runtime filters but registers no SQL name)
+    (FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "bloom_filter_agg(xxhash64(x), items, bits) - bloom filter bytes"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1), args(2))
+          .toAggregateExpression()),
+    (FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bf, xxhash64(x)) - membership test"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args(0), args(1))))
 
   /** Register on a live session (idempotent; createOrReplace semantics). */
   def register(spark: SparkSession): Unit = {

@@ -175,6 +175,45 @@ object TextOps {
     }),
 
     // Exact dedup: canonical row per normalized-text hash.
+    // Bloom-prefiltered incremental dedup — the 100 TB "seen before?"
+    // shape: a new batch (source = src0) screens against the EXISTING
+    // corpus without ever joining to it wholesale. The existing side
+    // aggregates once into a bloom filter over xxhash64 of the doc
+    // fingerprint (md5 of the first 8-token span — element 1 of the
+    // SpanHashes kernel output); the filter broadcasts (KBs); bloom
+    // negatives are definitively new (no false negatives), and only the
+    // bloom POSITIVES — a tiny candidate set — are exact-verified with a
+    // semi-join. Spark ships BloomFilterAggregate/BloomFilterMightContain
+    // for runtime filters; GraftExtensions surfaces them by SQL name.
+    "q101_bloom_incremental" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        element_at(graft.functions.TextExpressions
+          .spanHashes(col("text"), 8), 1).as("fp"))
+      val existing = d.filter(col("source") =!= "src0" && col("fp").isNotNull)
+      val batch = d.filter(col("source") === "src0")
+      // the filter must reach might_contain as a CONSTANT (that is how
+      // Spark's own runtime filters inject it — the scalar subquery is
+      // executed first); one job builds the KB-sized filter, the literal
+      // then ships with the task binaries. Dictionary-bootstrap pattern:
+      // collecting a dimension artifact, never corpus data.
+      val bf: Array[Byte] = existing.agg(
+        expr("bloom_filter_agg(xxhash64(fp), 10000L, 80000L)").as("bf"))
+        .collect().head.getAs[Array[Byte]](0)
+      val flagged = batch.withColumn("maybe",
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.graftbridge.Bridge.expression(lit(bf)),
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              xxhash64(col("fp"))))))
+      val dupSet = flagged.filter(col("maybe") && col("fp").isNotNull)
+        .join(broadcast(existing.select(col("fp").as("fp2")).distinct()),
+          col("fp") === col("fp2"), "left_semi")
+        .select(col("doc_id")).withColumn("is_dup", lit(1L))
+      batch.select("doc_id").join(dupSet, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+    }),
+
     "q25_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(md5(lower(col("text"))).as("text_hash"))
@@ -484,6 +523,18 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q101_bloom_incremental" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len($sqlTokens) >= 8
+         |      THEN md5(array_to_string(($sqlTokens)[1:8], ' ')) END AS fp
+         |  FROM documents)
+         |SELECT a.doc_id,
+         |  CAST(CASE WHEN a.fp IS NOT NULL AND EXISTS (
+         |    SELECT 1 FROM t b WHERE b.source <> 'src0' AND b.fp = a.fp)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |FROM t a WHERE a.source = 'src0'""".stripMargin,
+
     "q81_token_pack" ->
       s"""SELECT doc_id, source, n_tok,
          |  CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS pack_id

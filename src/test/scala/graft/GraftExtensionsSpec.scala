@@ -63,6 +63,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("span_hashes and the bloom pair are SQL-callable") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(Tuple1("a b c d")).toDF("text").createOrReplaceTempView("sp_docs")
+    // span_hashes(text, 2) = md5 of each distinct 2-token span
+    val sh = spark.sql(
+      "SELECT span_hashes(text, 2) FROM sp_docs").collect().head.getSeq[String](0)
+    assert(sh.length == 3) // "a b", "b c", "c d"
+    // bloom roundtrip: members hit, non-member may only false-positive
+    Seq(1L, 2L, 3L).toDF("x").createOrReplaceTempView("bl")
+    val bf = spark.sql(
+      "SELECT bloom_filter_agg(xxhash64(x), 10L, 400L) FROM bl")
+      .collect().head.getAs[Array[Byte]](0)
+    assert(bf.nonEmpty)
+    Seq(Tuple1(bf)).toDF("bf").createOrReplaceTempView("bfv")
+    val hits = spark.sql(
+      """SELECT x, bloom_might_contain((SELECT first(bf) FROM bfv),
+        |  xxhash64(x)) FROM VALUES (1L), (2L), (3L) AS t(x)""".stripMargin)
+      .collect().map(_.getBoolean(1))
+    assert(hits.forall(identity)) // no false negatives, ever
+  }
+
   test("extensions class injects every entry") {
     // unit-level: the plug-in path applies the same entries (an isolated
     // end-to-end session would race the suite-shared one in this JVM)
