@@ -39,6 +39,22 @@ object Tables {
       df.repartition(on)
     else df
 
+  /** Bucketed materialization — the cluster-scale answer to repeated
+    * joins/aggregations on one key (dedup fingerprints, xid, vec_id):
+    * both sides written with `bucketBy(n, key)` are co-located by the
+    * SAME hash partitioning at read time, so the join plans with ZERO
+    * Exchange on either side (asserted in TablesBucketingSpec). This is
+    * the "pre-shuffle once, join forever" trade: one write-time shuffle
+    * amortized over every downstream consumer — at 100 TB the difference
+    * between an ingest-time cost and an every-query cost. Requires a
+    * saveAsTable target (bucket metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Configuration applied to every session we control (Bench/tests).
     * The driver's Verify builds its own session; queries must not depend on
     * these being set — they are performance, not correctness, knobs.
