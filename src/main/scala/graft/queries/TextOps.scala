@@ -206,8 +206,18 @@ object TextOps {
             org.apache.spark.sql.graftbridge.Bridge.expression(lit(bf)),
             org.apache.spark.sql.graftbridge.Bridge.expression(
               xxhash64(col("fp"))))))
-      val dupSet = flagged.filter(col("maybe") && col("fp").isNotNull)
-        .join(broadcast(existing.select(col("fp").as("fp2")).distinct()),
+      // exact verify with the SMALL side broadcast: bloom positives are a
+      // tiny candidate fp set; the corpus-sized `existing` is scanned once
+      // with a broadcast semi-join and is never broadcast or reshuffled
+      // itself (broadcasting existing's fps would be corpus-sized at
+      // 100 TB and defeat the bloom's purpose)
+      val candFps = flagged.filter(col("maybe") && col("fp").isNotNull)
+        .select(col("fp")).distinct()
+      val confirmedFps = existing
+        .join(broadcast(candFps), Seq("fp"), "left_semi")
+        .select(col("fp")).distinct()
+      val dupSet = flagged
+        .join(broadcast(confirmedFps.withColumnRenamed("fp", "fp2")),
           col("fp") === col("fp2"), "left_semi")
         .select(col("doc_id")).withColumn("is_dup", lit(1L))
       batch.select("doc_id").join(dupSet, Seq("doc_id"), "left_outer")
