@@ -1,0 +1,228 @@
+package graft.streaming
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.cdc._
+import graft.core.OracleCodecs
+
+/** Loader for the reference replicator's JSON configuration document
+  * (`documentation/json/json.adoc` shape: top-level `source`/`target`
+  * arrays; `source` nests reader/format/filter, `target` nests writer) —
+  * a reference user's existing OpenLogReplicator.json drives this engine
+  * directly. Knob values map per `src/common/Format.h` (bit meanings) and
+  * the per-section adoc docs; behaviors the engine implements elsewhere
+  * (codec rendering choices, path mapping) are surfaced on [[Loaded]] for
+  * the feed-adaptation layer instead of being dropped silently.
+  *
+  * The dictionary (table columns) is NOT in the reference config — the
+  * reference reads it from the database; here the caller passes the
+  * [[Dictionary]] (from [[Dictionary.fromCatalog]] or a checkpoint) and
+  * the config's `filter.table` rules contribute the selectors plus the
+  * per-table key/condition/tag overrides.
+  */
+object ConfigLoader {
+
+  /** target.writer, for the caller to hand to [[graft.sinks.Sinks]]. */
+  sealed trait WriterSpec
+  case class FileWriterSpec(output: String, maxFileSize: Long,
+      newLine: Int, append: Boolean) extends WriterSpec
+  case class KafkaWriterSpec(brokers: String, topic: String,
+      properties: Map[String, String]) extends WriterSpec
+  case class NetworkWriterSpec(uri: String) extends WriterSpec
+  case object DiscardWriterSpec extends WriterSpec
+
+  case class Loaded(
+      alias: String,
+      dbName: String,
+      config: Pipeline.Config,
+      writer: Option[WriterSpec],
+      /** MESSAGE_FORMAT::FULL — route enriched rows through
+        * [[Envelope.toTxnMessages]] (one message per transaction). */
+      messageFull: Boolean,
+      /** codec-side rendering selectors applied at feed adaptation:
+        * XID_FORMAT / TIMESTAMP_FORMAT / INTERVAL_DTS / INTERVAL_YTM raw
+        * values (Format.h:54-168,195-200). */
+      xidFormat: Int,
+      timestampFormat: Int,
+      intervalDts: Int,
+      intervalYtm: Int,
+      /** signed east-of-UTC seconds from reader.db-timezone (validated —
+        * an unparseable zone throws, like the reference's startup). */
+      dbTimezoneSec: Int,
+      pathMapping: Seq[(String, String)])
+
+  private def jint(v: JValue, dflt: Int = 0): Int = v match {
+    case JInt(n) => n.toInt
+    case JLong(n) => n.toInt
+    case _ => dflt
+  }
+  private def jlong(v: JValue, dflt: Long = 0L): Long = v match {
+    case JInt(n) => n.toLong
+    case JLong(n) => n
+    case _ => dflt
+  }
+  private def jstr(v: JValue, dflt: String = ""): String = v match {
+    case JString(s) => s
+    case _ => dflt
+  }
+  private def bit(v: Int, b: Int): Boolean = (v & b) != 0
+
+  def load(json: String, dict: Dictionary): Loaded = {
+    val root = JsonMethods.parse(json)
+    val src = (root \ "source") match {
+      case JArray(xs) if xs.nonEmpty => xs.head
+      case other => other // tolerate a single object
+    }
+    val alias = jstr(src \ "alias")
+    val dbName = jstr(src \ "name")
+
+    // ----- reader ---------------------------------------------------------
+    val reader = src \ "reader"
+    val dbTz = jstr(reader \ "db-timezone", "+00:00")
+    val dbTzSec = OracleCodecs.parseTzOffset(dbTz).getOrElse(
+      throw new IllegalArgumentException(s"unparseable db-timezone: $dbTz"))
+    val pathMapping = (reader \ "path-mapping") match {
+      case JArray(xs) =>
+        xs.map(jstr(_)).grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+      case _ => Nil
+    }
+    // batch readers name their input; online mode watches a directory
+    val srcPath = (reader \ "redo-log") match {
+      case JArray(xs) if xs.nonEmpty => jstr(xs.head)
+      case JString(s) => s
+      case _ => ""
+    }
+
+    // ----- filter / table rules -------------------------------------------
+    val filter = src \ "filter"
+    val rules = (filter \ "table") match {
+      case JArray(xs) => xs
+      case _ => Nil
+    }
+    val selectors = rules.map { r =>
+      TableSelector(jstr(r \ "owner"), jstr(r \ "table"))
+    }
+    // per-table key/condition/tag overrides onto the provided dictionary
+    val tables = dict.tables.map { t =>
+      rules.find(r => TableSelector(jstr(r \ "owner"), jstr(r \ "table"))
+        .matches(t.owner, t.name)) match {
+        case None => t
+        case Some(r) =>
+          val t1 = (r \ "key") match {
+            case JString(k) if k.nonEmpty =>
+              t.copy(keyList = k.split(",").map(_.trim).toSeq)
+            case _ => t
+          }
+          val t2 = (r \ "condition") match {
+            case JString(c) if c.nonEmpty => t1.copy(conditionExpr = c)
+            case _ => t1
+          }
+          (r \ "tag") match {
+            case JString("[pk]") => t2.copy(tagType = "pk")
+            case JString("[all]") => t2.copy(tagType = "all")
+            case JString(cols) if cols.nonEmpty =>
+              t2.copy(tagCols = cols.split(",").map(_.trim).toSeq)
+            case _ => t2
+          }
+      }
+    }
+    val skipXids = (filter \ "skip-xid") match {
+      case JArray(xs) => xs.map(jstr(_)).toSet
+      case _ => Set.empty[String]
+    }
+    val dumpXids = (filter \ "dump-xid") match {
+      case JArray(xs) => xs.map(jstr(_)).toSet
+      case _ => Set.empty[String]
+    }
+
+    // ----- format (Format.h bit meanings) ----------------------------------
+    val fmt = src \ "format"
+    val fmtType = jstr(fmt \ "type", "json")
+    val columnFormat = jint(fmt \ "column") match {
+      case 1 => Materialize.FullInsDec
+      case 2 => Materialize.FullUpd
+      case _ => Materialize.Changed
+    }
+    val charV = jint(fmt \ "char") // CHAR_FORMAT: bit 2 = HEX
+    val scnTypeV = jint(fmt \ "scn-type") // SCN_TYPE bits
+    val msgV = jint(fmt \ "message") // MESSAGE_FORMAT bits
+    val attrV = jint(fmt \ "attributes") // ATTRIBUTES_FORMAT bits
+    val schemaV = jint(fmt \ "schema") // SCHEMA_FORMAT bits
+    val dbV = jint(fmt \ "db") // DB_FORMAT bits
+    val userV = jint(fmt \ "user-type") // USER_TYPE bits
+    val tsTypeV = jint(fmt \ "timestamp-type") // TIMESTAMP_TYPE bits
+
+    val envelope =
+      if (fmtType == "debezium") Envelope.debezium(dbName)
+      else Envelope.Format(
+        dbName = dbName,
+        scnFormatHex = jint(fmt \ "scn") == 1, // SCN_FORMAT::TEXT_HEX
+        scnTypeBegin = bit(scnTypeV, 2), // SCN_TYPE::BEGIN
+        scnTypeCommit = bit(scnTypeV, 8), // SCN_TYPE::COMMIT
+        timestampCommit = bit(tsTypeV, 1), // TIMESTAMP_TYPE::COMMIT_VALUE
+        skipBegin = bit(msgV, 4), // MESSAGE_FORMAT::SKIP_BEGIN
+        skipCommit = bit(msgV, 8), // ::SKIP_COMMIT
+        addOffset = bit(msgV, 16), // ::ADD_OFFSET
+        addSequences = bit(msgV, 2), // ::ADD_SEQUENCES
+        schemaFormatFull = bit(schemaV, 1), // SCHEMA_FORMAT::FULL
+        schemaObj = bit(schemaV, 4), // ::OBJ
+        attributesBegin = bit(attrV, 1), // ATTRIBUTES_FORMAT::BEGIN
+        attributesDml = bit(attrV, 2), // ::DML
+        attributesCommit = bit(attrV, 4), // ::COMMIT
+        ridSkip = jint(fmt \ "rid") == 0, // RID_FORMAT::SKIP is 0
+        userBegin = bit(userV, 1), userDml = bit(userV, 2),
+        userCommit = bit(userV, 4), userDdl = bit(userV, 8),
+        redoThread = jint(fmt \ "redo-thread") == 1, // ::TEXT
+        dbAddDml = bit(dbV, 1), // DB_FORMAT::ADD_DML
+        dbAddDdl = bit(dbV, 2)) // ::ADD_DDL
+
+    val materialize = Materialize.Options(
+      columnFormat = columnFormat,
+      charFormatHex = bit(charV, 2), // CHAR_FORMAT::HEX
+      unknownTypeShow = jint(fmt \ "unknown-type") == 1) // UNKNOWN_TYPE::SHOW
+
+    // ----- target.writer ----------------------------------------------------
+    val tgt = (root \ "target") match {
+      case JArray(xs) => xs.find(t => jstr(t \ "source") == alias)
+        .orElse(xs.headOption)
+      case _ => None
+    }
+    val writer = tgt.map(_ \ "writer").flatMap { w =>
+      jstr(w \ "type") match {
+        case "file" => Some(FileWriterSpec(
+          jstr(w \ "output"), jlong(w \ "max-file-size"),
+          jint(w \ "new-line", 1), jint(w \ "append", 1) == 1))
+        case "kafka" => Some(KafkaWriterSpec(
+          jstr(w \ "brokers"), jstr(w \ "topic"),
+          (w \ "properties") match {
+            case JObject(fields) =>
+              fields.map { case (k, v) => k -> jstr(v, v.toString) }.toMap
+            case _ => Map.empty
+          }))
+        case "network" | "zeromq" => Some(NetworkWriterSpec(jstr(w \ "uri")))
+        case "discard" => Some(DiscardWriterSpec)
+        case _ => None
+      }
+    }
+
+    Loaded(
+      alias = alias,
+      dbName = dbName,
+      config = Pipeline.Config(
+        source = Pipeline.SourceConfig(path = srcPath),
+        dict = new Dictionary(tables, selectors),
+        assembly = TxnAssembly.Config(
+          skipXids = skipXids, dumpXids = dumpXids),
+        materialize = materialize,
+        envelope = envelope,
+        wireFormat = if (fmtType == "protobuf") "proto" else "json"),
+      writer = writer,
+      messageFull = bit(msgV, 1), // MESSAGE_FORMAT::FULL
+      xidFormat = jint(fmt \ "xid"),
+      timestampFormat = jint(fmt \ "timestamp"),
+      intervalDts = jint(fmt \ "interval-dts"),
+      intervalYtm = jint(fmt \ "interval-ytm"),
+      dbTimezoneSec = dbTzSec,
+      pathMapping = pathMapping)
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+import graft.streaming.{ConfigLoader, Pipeline}
+
+/** The reference-config loader must read OpenLogReplicator.json documents
+  * exactly as the reference's own examples shape them (scripts/
+  * OpenLogReplicator-example-*.json) and map every format knob per
+  * Format.h bit semantics. */
+class ConfigLoaderSpec extends AnyFunSuite {
+
+  private val dict = Dictionary(Seq(
+    DbTable(100L, 100L, "OWNER1", "TABLENAME1",
+      Seq(DbColumn("COL1", 1), DbColumn("COL2", 1), DbColumn("COL3", 1),
+        DbColumn("OTHER", 1))),
+    DbTable(200L, 200L, "OWNER1", "TABLENAME2", Seq(DbColumn("ID", 2))),
+    DbTable(300L, 300L, "OWNER2", "TABX", Seq(DbColumn("ID", 2)))))
+
+  test("file-writer example config: tables, keys, writer, defaults") {
+    val json =
+      """{
+        |  "version": "1.9.0",
+        |  "source": [{
+        |    "alias": "SOURCE", "name": "DBNAME",
+        |    "reader": {"type": "batch", "redo-log": ["/data/feed"]},
+        |    "format": {"type": "json"},
+        |    "filter": {"table": [
+        |      {"owner": "OWNER1", "table": "TABLENAME1",
+        |       "key": "COL1,COL2,COL3"},
+        |      {"owner": "OWNER1", "table": "TABLENAME2"},
+        |      {"owner": "OWNER2", "table": "TAB.*"}]}
+        |  }],
+        |  "target": [{
+        |    "alias": "FILE", "source": "SOURCE",
+        |    "writer": {"type": "file", "output": "output-%t.json",
+        |      "new-line": 1, "max-file-size": 1073741824, "append": 0}
+        |  }]
+        |}""".stripMargin
+    val l = ConfigLoader.load(json, dict)
+    assert(l.alias == "SOURCE" && l.dbName == "DBNAME")
+    assert(l.config.source.path == "/data/feed")
+    // selectors select all three tables; key override applies to the first
+    val d = l.config.dict
+    assert(d.selected.map(_.name).toSet ==
+      Set("TABLENAME1", "TABLENAME2", "TABX"))
+    assert(d.lookup(100L, 1L).get.keyColumns.map(_.name) ==
+      Seq("COL1", "COL2", "COL3"))
+    assert(l.writer.contains(ConfigLoader.FileWriterSpec(
+      "output-%t.json", 1073741824L, 1, append = false)))
+    // reference format defaults: everything off
+    val f = l.config.envelope
+    assert(!f.scnFormatHex && !f.scnTypeBegin && !f.scnTypeCommit &&
+      !f.timestampCommit && !f.addSequences && !f.schemaFormatFull &&
+      !f.redoThread)
+    assert(f.ridSkip) // RID_FORMAT::SKIP = 0 is the reference default
+    assert(!f.attributesBegin && !f.attributesDml && !f.attributesCommit)
+    assert(!f.dbAddDml && !f.dbAddDdl)
+    assert(l.config.materialize.columnFormat == Materialize.Changed)
+    assert(!l.messageFull)
+  }
+
+  test("full-knobs config: Format.h bit mapping") {
+    val json =
+      """{
+        |  "source": [{
+        |    "alias": "S", "name": "ORCL",
+        |    "reader": {"type": "online", "db-timezone": "+05:30",
+        |      "path-mapping": ["/db/fra", "/opt/fra"]},
+        |    "format": {"type": "json",
+        |      "column": 2, "char": 2, "scn": 1, "scn-type": 10,
+        |      "message": 23, "attributes": 7, "schema": 5, "db": 3,
+        |      "user-type": 15, "timestamp-type": 1, "rid": 1,
+        |      "redo-thread": 1, "unknown-type": 1,
+        |      "xid": 2, "timestamp": 7, "interval-dts": 9,
+        |      "interval-ytm": 4},
+        |    "filter": {
+        |      "table": [{"owner": "OWNER1", "table": ".*",
+        |        "condition": "[op] == 'i'", "tag": "[pk]"}],
+        |      "skip-xid": ["0x0001.002.00000003"],
+        |      "dump-xid": ["0x0009.001.00000001"]}
+        |  }],
+        |  "target": [{"alias": "K", "source": "S",
+        |    "writer": {"type": "kafka", "brokers": "b:9092",
+        |      "topic": "redo", "properties": {"acks": "all"}}}]
+        |}""".stripMargin
+    val l = ConfigLoader.load(json, dict)
+    val f = l.config.envelope
+    assert(f.scnFormatHex) // scn: 1 = TEXT_HEX
+    assert(f.scnTypeBegin && f.scnTypeCommit) // scn-type 10 = BEGIN|COMMIT
+    assert(f.timestampCommit) // timestamp-type 1 = COMMIT_VALUE
+    // message 23 = FULL | ADD_SEQUENCES | SKIP_BEGIN | ADD_OFFSET
+    assert(l.messageFull && f.addSequences && f.skipBegin && !f.skipCommit &&
+      f.addOffset)
+    assert(f.attributesBegin && f.attributesDml && f.attributesCommit) // 7
+    assert(f.schemaFormatFull && f.schemaObj) // schema 5 = FULL | OBJ
+    assert(f.dbAddDml && f.dbAddDdl) // db 3 = ALL
+    assert(f.userBegin && f.userDml && f.userCommit && f.userDdl) // 15
+    assert(!f.ridSkip) // rid 1 = TEXT
+    assert(f.redoThread)
+    assert(l.config.materialize.columnFormat == Materialize.FullUpd)
+    assert(l.config.materialize.charFormatHex) // char 2 = HEX
+    assert(l.config.materialize.unknownTypeShow)
+    // filter extras
+    assert(l.config.assembly.skipXids == Set("0x0001.002.00000003"))
+    assert(l.config.assembly.dumpXids == Set("0x0009.001.00000001"))
+    val t = l.config.dict.lookup(100L, 1L).get
+    assert(t.conditionExpr == "[op] == 'i'" && t.tagType == "pk")
+    // reader extras
+    assert(l.dbTimezoneSec == 5 * 3600 + 30 * 60)
+    assert(l.pathMapping == Seq("/db/fra" -> "/opt/fra"))
+    // codec-side selectors surfaced raw
+    assert(l.xidFormat == 2 && l.timestampFormat == 7 &&
+      l.intervalDts == 9 && l.intervalYtm == 4)
+    assert(l.writer.contains(ConfigLoader.KafkaWriterSpec(
+      "b:9092", "redo", Map("acks" -> "all"))))
+  }
+
+  test("debezium preset and protobuf wire format") {
+    val json =
+      """{"source": [{"alias": "S", "name": "ORCL",
+        |  "reader": {"type": "batch"},
+        |  "format": {"type": "debezium"},
+        |  "filter": {"table": [{"owner": ".*", "table": ".*"}]}}],
+        | "target": [{"alias": "D", "source": "S",
+        |   "writer": {"type": "discard"}}]}""".stripMargin
+    val l = ConfigLoader.load(json, dict)
+    assert(l.config.envelope == Envelope.debezium("ORCL"))
+    assert(l.writer.contains(ConfigLoader.DiscardWriterSpec))
+
+    val pb = ConfigLoader.load(json.replace("debezium", "protobuf"), dict)
+    assert(pb.config.wireFormat == "proto")
+  }
+
+  test("unparseable db-timezone is a config error, like the reference") {
+    val json =
+      """{"source": [{"alias": "S", "name": "D",
+        |  "reader": {"type": "batch", "db-timezone": "bogus"},
+        |  "format": {"type": "json"}, "filter": {"table": []}}]}"""
+        .stripMargin
+    intercept[IllegalArgumentException] { ConfigLoader.load(json, dict) }
+  }
+
+  test("loaded config drives Pipeline.batch end-to-end") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg").toString
+    Seq(
+      ChangeEvent(1L, "9.0.1", Op.Ins).copy(obj = 100L,
+        after = Map("COL1" -> "1", "OTHER" -> "x")),
+      ChangeEvent(2L, "9.0.1", Op.Commit))
+      .toDS().coalesce(1).write.json(s"$dir/feed")
+    val json =
+      s"""{"source": [{"alias": "S", "name": "D",
+         |  "reader": {"type": "batch", "redo-log": ["$dir/feed"]},
+         |  "format": {"type": "json"},
+         |  "filter": {"table": [
+         |    {"owner": "OWNER1", "table": "TABLENAME1", "key": "COL1"}]}}]}"""
+        .stripMargin
+    val l = ConfigLoader.load(json, dict)
+    val out = Pipeline.batch(spark, l.config).collect()
+    assert(out.length == 1)
+    val value = out.head.getAs[String]("value")
+    assert(value.contains(""""op":"c"""") && value.contains("TABLENAME1"))
+  }
+}
