@@ -36,9 +36,6 @@ object ConfigLoader {
       dbName: String,
       config: Pipeline.Config,
       writer: Option[WriterSpec],
-      /** MESSAGE_FORMAT::FULL — route enriched rows through
-        * [[Envelope.toTxnMessages]] (one message per transaction). */
-      messageFull: Boolean,
       /** codec-side rendering selectors applied at feed adaptation:
         * XID_FORMAT / TIMESTAMP_FORMAT / INTERVAL_DTS / INTERVAL_YTM raw
         * values (Format.h:54-168,195-200). */
@@ -215,9 +212,9 @@ object ConfigLoader {
           skipXids = skipXids, dumpXids = dumpXids),
         materialize = materialize,
         envelope = envelope,
-        wireFormat = if (fmtType == "protobuf") "proto" else "json"),
+        wireFormat = if (fmtType == "protobuf") "proto" else "json",
+        messageFull = bit(msgV, 1)), // MESSAGE_FORMAT::FULL
       writer = writer,
-      messageFull = bit(msgV, 1), // MESSAGE_FORMAT::FULL
       xidFormat = jint(fmt \ "xid"),
       timestampFormat = jint(fmt \ "timestamp"),
       intervalDts = jint(fmt \ "interval-dts"),

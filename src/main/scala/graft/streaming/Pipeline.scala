@@ -25,7 +25,10 @@ object Pipeline {
       /** "json" (W1/W2 text envelope) or "proto" (W3 binary wire format —
         * value column becomes the RedoResponse bytes; chkpt messages are
         * JSON-envelope-only). */
-      wireFormat: String = "json")
+      wireFormat: String = "json",
+      /** MESSAGE_FORMAT::FULL: one message per transaction with the DML
+        * payload array ([[Envelope.toTxnMessages]]); json wire only. */
+      messageFull: Boolean = false)
 
   /** Batch replay (entry point B): deterministic input → deterministic
     * output; the golden-test mode. */
@@ -60,7 +63,10 @@ object Pipeline {
         .select(col("key"), col("value_bin").as("value"),
           col("cScn").as("c_scn"), col("cIdx").as("c_idx"))
     } else {
-      val sink = Envelope.forSink(Envelope.toMessages(enriched, cfg.envelope))
+      val base =
+        if (cfg.messageFull) Envelope.toTxnMessages(enriched)
+        else Envelope.toMessages(enriched, cfg.envelope)
+      val sink = Envelope.forSink(base)
       // chkpt emission is a batch-shape concept (per-LWN ≙ per-batch); in
       // streaming, apply it inside foreachBatch on each micro-batch instead.
       if (cfg.envelope.emitCheckpoint && !streaming)

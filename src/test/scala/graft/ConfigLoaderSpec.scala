@@ -57,7 +57,7 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(!f.attributesBegin && !f.attributesDml && !f.attributesCommit)
     assert(!f.dbAddDml && !f.dbAddDdl)
     assert(l.config.materialize.columnFormat == Materialize.Changed)
-    assert(!l.messageFull)
+    assert(!l.config.messageFull)
   }
 
   test("full-knobs config: Format.h bit mapping") {
@@ -90,8 +90,8 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(f.scnTypeBegin && f.scnTypeCommit) // scn-type 10 = BEGIN|COMMIT
     assert(f.timestampCommit) // timestamp-type 1 = COMMIT_VALUE
     // message 23 = FULL | ADD_SEQUENCES | SKIP_BEGIN | ADD_OFFSET
-    assert(l.messageFull && f.addSequences && f.skipBegin && !f.skipCommit &&
-      f.addOffset)
+    assert(l.config.messageFull && f.addSequences && f.skipBegin &&
+      !f.skipCommit && f.addOffset)
     assert(f.attributesBegin && f.attributesDml && f.attributesCommit) // 7
     assert(f.schemaFormatFull && f.schemaObj) // schema 5 = FULL | OBJ
     assert(f.dbAddDml && f.dbAddDdl) // db 3 = ALL
