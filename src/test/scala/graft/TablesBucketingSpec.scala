@@ -14,18 +14,35 @@ class TablesBucketingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = {
     val wh = Files.createTempDirectory("graft_warehouse").toString
-    SparkSession.builder()
+    // NOTE: in the full suite this getOrCreate returns another suite's
+    // session, whose (static) warehouse conf wins — so every table here is
+    // dropped AND its leftover location cleared before writing
+    val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
-      // isolate: bucketed reads must not be disabled
-      .config("spark.sql.sources.bucketing.enabled", "true")
       .getOrCreate()
+    s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    s
+  }
+
+  private def freshTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
   }
 
   test("bucketed tables join with zero exchanges; results unchanged") {
     import spark.implicits._
+    freshTable("b_orders")
+    freshTable("b_items")
     val orders = (0L until 1000L).map(i => (i, s"o$i")).toDF("key", "o")
     val items = (0L until 3000L).map(i => (i % 1000L, s"i$i")).toDF("key", "v")
     Tables.writeBucketed(orders, "b_orders", "key", buckets = 8)
