@@ -187,9 +187,13 @@ object TextOps {
     // for runtime filters; GraftExtensions surfaces them by SQL name.
     "q101_bloom_incremental" -> ((s, dir) => {
       graft.GraftExtensions.register(s)
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        element_at(graft.functions.TextExpressions
-          .spanHashes(col("text"), 8), 1).as("fp"))
+      // fingerprint = md5 of the FIRST 8-token span only — one hash per
+      // doc (the SpanHashes kernel would hash every span; q90's need,
+      // not this one's)
+      val fpCol = when(size(tokensCol) >= 8,
+        md5(concat_ws(" ", slice(tokensCol, 1, 8))))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), fpCol.as("fp"))
       val existing = d.filter(col("source") =!= "src0" && col("fp").isNotNull)
       val batch = d.filter(col("source") === "src0")
       // the filter must reach might_contain as a CONSTANT (that is how
