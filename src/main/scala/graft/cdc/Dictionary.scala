@@ -155,8 +155,13 @@ case class TableSelector(ownerPattern: String, namePattern: String) {
     ownerRe.findFirstIn(owner).isDefined && nameRe.findFirstIn(name).isDefined
 }
 
-/** Immutable dictionary snapshot + scn-versioned lookup. */
-class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector]) {
+/** Immutable dictionary snapshot + scn-versioned lookup. `xmlCtx` carries
+  * the XDB token tables when the schema has XMLTYPE columns (the reference
+  * replicates XDB.X$xx%% like any other dictionary table and serializes
+  * them in the checkpoint schema — SerializerJson.cpp xdbTtSet/XNm/XQn
+  * sections); None when the schema has none. */
+class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
+    val xmlCtx: Option[XmlCtx] = None) {
 
   /** Tables passing the selection rules (union of rules). */
   lazy val selected: Seq[DbTable] =
@@ -217,7 +222,8 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector]) {
         t.copy(validToScn = scn)
       else t
     }
-    new Dictionary(updated :+ newVersion.copy(validFromScn = scn), selectors)
+    new Dictionary(updated :+ newVersion.copy(validFromScn = scn), selectors,
+      xmlCtx)
   }
 }
 
@@ -313,7 +319,22 @@ object Dictionary {
     val sels = dict.selectors.map(s =>
         s"""{"owner":"${esc(s.ownerPattern)}","table":"${esc(s.namePattern)}"}""")
       .mkString("[", ",", "]")
-    s"""{"tables":$ts,"selectors":$sels}"""
+    // XDB token tables, present only when the schema carries them — the
+    // SerializerJson xdb* checkpoint sections (§1.3 XMLTYPE decode)
+    val xml = dict.xmlCtx.map { c =>
+      val tt = c.ttSet.map(t =>
+        s"""{"guid":"${esc(t.guid)}","tokSuf":"${esc(t.tokSuf)}",""" +
+          s""""flags":${t.flags},"obj":${t.obj}}""").mkString("[", ",", "]")
+      val nm = c.xnm.map(n =>
+        s"""{"id":"${esc(n.id)}","nmSpcUri":"${esc(n.nmSpcUri)}"}""")
+        .mkString("[", ",", "]")
+      val qn = c.xqn.map(q =>
+        s"""{"id":"${esc(q.id)}","localName":"${esc(q.localName)}",""" +
+          s""""nmSpcId":"${esc(q.nmSpcId)}","flags":"${esc(q.flags)}"}""")
+        .mkString("[", ",", "]")
+      s""","xdbTtSet":$tt,"xdbXNm":$nm,"xdbXQn":$qn"""
+    }.getOrElse("")
+    s"""{"tables":$ts,"selectors":$sels$xml}"""
   }
 
   /** Inverse of [[toJson]] — restart path: checkpoint schema JSON → live

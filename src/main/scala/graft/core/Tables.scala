@@ -33,7 +33,12 @@ object Tables {
     * PAYLOAD for nothing (scan splits already give the parallelism), so it
     * is gated behind `graft.spreadLocal` (default true for the local bench;
     * set false in cluster submit conf → the call is a no-op and plans show
-    * no payload Exchange). Correctness never depends on it. */
+    * no payload Exchange). Correctness never depends on it.
+    *
+    * Kept as a bare `repartition(col)` (AQE may re-coalesce it on
+    * small-byte stages — measured r6: forcing an explicit
+    * defaultParallelism count regressed the text bench ~30%, the extra
+    * task waves costing more than the parallelism won). */
   def spread(df: DataFrame, on: Column): DataFrame =
     if (df.sparkSession.conf.get("graft.spreadLocal", "true").toBoolean)
       df.repartition(on)

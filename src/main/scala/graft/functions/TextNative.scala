@@ -77,12 +77,16 @@ object TextNative {
     false
   }
 
-  /** nBits-bit simhash: bit p (MSB first) is the majority vote of
-    * "nibble p of md5(feature) ≥ 8" — identical to the Column/SQL
-    * formulation `substr(md5(x), p+1, 1) >= '8'`, but ONE md5 per feature
-    * instead of one per (feature, position). */
+  /** nBits-bit simhash, MSB first, still ONE md5 per feature (the Column/
+    * SQL formulation pays one md5 per (feature, position)). Bit p's vote:
+    *   p < 32  — "nibble p of md5(feature) ≥ 8" (the nibble's top bit),
+    *             identical to `substr(md5(x), p+1, 1) >= '8'`;
+    *   p ≥ 32  — bit 2 of nibble (p − 32), i.e. the hex char is one of
+    *             4-7 or c-f. Widening to 64 bits (q59) keeps the 32-bit
+    *             prefix bit-for-bit identical, so 32-bit callers and the
+    *             DuckDB oracle's `>= '8'` idiom are untouched. */
   def simhashSig(features: ArrayData, nBits: Int): Long = {
-    require(nBits <= 32, "md5 has 32 nibbles")
+    require(nBits <= 64, "one md5 supplies 32 nibbles x 2 voted bits")
     val m = features.numElements()
     val md = MessageDigest.getInstance("MD5")
     val votes = new Array[Int](nBits)
@@ -92,8 +96,9 @@ object TextNative {
       val h = md.digest(features.getUTF8String(j).getBytes)
       var p = 0
       while (p < nBits) {
-        val nibble = if (p % 2 == 0) (h(p / 2) >> 4) & 0xf else h(p / 2) & 0xf
-        if (nibble >= 8) votes(p) += 1
+        val q = if (p < 32) p else p - 32
+        val nibble = if (q % 2 == 0) (h(q / 2) >> 4) & 0xf else h(q / 2) & 0xf
+        if ((if (p < 32) nibble >= 8 else (nibble & 4) != 0)) votes(p) += 1
         p += 1
       }
       j += 1
@@ -162,6 +167,41 @@ object TextNative {
     val it = seen.iterator()
     i = 0
     while (it.hasNext) { out(i) = toHex(it.next().array()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Per-document term frequencies in ONE pass over the raw UTF-8 bytes:
+    * distinct tokens in first-occurrence order with their counts, as
+    * (token, tf) structs. Token scan splits on 0x20 (never inside a
+    * multi-byte UTF-8 sequence), so it equals the
+    * `filter(split(text,' '), x -> x <> '')` Column tokenizer; the output
+    * multiset equals `groupBy(token).count()` over the exploded tokens —
+    * which is exactly the shuffle this kernel deletes (q55). */
+  def tokenTf(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val len = b.length
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Int]](64)
+    var i = 0
+    while (i < len) {
+      if (b(i) == ' ') i += 1
+      else {
+        var j = i + 1
+        while (j < len && b(j) != ' ') j += 1
+        val tok = UTF8String.fromBytes(b, i, j - i)
+        val c = counts.get(tok)
+        if (c == null) counts.put(tok, Array(1)) else c(0) += 1
+        i = j + 1
+      }
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      i += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -259,6 +299,27 @@ case class MinHashSig(child: Expression, nSig: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text → (token, tf) structs, distinct tokens in first-occurrence order
+  * (one-pass kernel — deletes q55's (doc_id, token) tf shuffle). */
+case class TokenTf(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${dt.sql}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_tf"
+  override def nullSafeEval(t: Any): Any =
+    TextNative.tokenTf(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextNative.tokenTf($t)")
+  override protected def withNewChildInternal(newChild: Expression): TokenTf =
+    copy(child = newChild)
+}
+
 /** features → nBits-bit simhash as a long (majority md5-nibble votes). */
 case class SimHashBits(child: Expression, nBits: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -284,6 +345,8 @@ object TextExpressions {
     Bridge.column(SpanHashes(Bridge.expression(text), n))
   def minhashSig(shingles: Column, nSig: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), nSig))
+  def tokenTf(text: Column): Column =
+    Bridge.column(TokenTf(Bridge.expression(text)))
   def simhashBits(features: Column, nBits: Int): Column =
     Bridge.column(SimHashBits(Bridge.expression(features), nBits))
 }

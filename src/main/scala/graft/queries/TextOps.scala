@@ -70,13 +70,15 @@ object TextOps {
     * Jaccard ≥ 0.5 (shared by q29 and the q46 clustering on top of it). */
   private[graft] def lshVerifiedPairs(docs: DataFrame,
       bandCap: Int = DefaultBandCap): DataFrame = {
-    // lazy localCheckpoint, not cache(): a cache() here is keyed in the
+    // localCheckpoint, not cache(): a cache() here is keyed in the
     // session CacheManager and outlives the query (q29+q46 in one session
     // pinned two copies of the shingle arrays); checkpoint blocks are
     // dropped by the ContextCleaner once the plan is unreferenced. Trade:
     // lost blocks fail the job instead of recomputing — fine for a
-    // within-query scratch dataset.
-    val banded0 = withBands(docs).localCheckpoint(false)
+    // within-query scratch dataset. EAGER: concurrent broadcast-build
+    // jobs race a LAZY checkpoint and each re-runs the shingle+minhash
+    // kernel pass before it materializes (r6 listener profile).
+    val banded0 = withBands(docs).localCheckpoint()
     val bandedAll = banded0.select(col("doc_id"),
         explode(array(col("band0"), col("band1"))).as("band"))
     // Candidate pairs per band bucket WITHOUT a self-join: one exchange on
@@ -113,6 +115,51 @@ object TextOps {
         col("n_inter").cast("double") / col("n_union").cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** SimHash hamming-≤3 pairs (q59): 64-bit signature, four 16-bit bands —
+    * an exact hamming-3 ball (3 flipped bits invalidate at most 3 of the 4
+    * bands, so one must collide: no recall loss). 16-bit bands keep the
+    * join's key space at 4·2^16, so a bucket is ~n/65536 and the in-bucket
+    * self-join stays linear-ish at corpus scale; the same count-prefiltered
+    * skew cap as the MinHash path (DefaultBandCap rationale) makes a
+    * degenerate bucket (boilerplate with identical sigs — q25's exact-dup
+    * territory) contribute no pairs and no join work, enforced BEFORE the
+    * join on a map-side-combined count. The sig is ONE native pass (one md5
+    * per shingle — SimHashBits); shuffles carry only (bno, band, id, sig). */
+  private[graft] def simhashPairs(docs: DataFrame,
+      bandCap: Int = DefaultBandCap): DataFrame = {
+    // EAGER localCheckpoint: sigs is 16 bytes/doc, and the hot-band count,
+    // the anti-join probe, and both self-join sides all fan out from it —
+    // without the checkpoint each branch re-runs the scan + shingle +
+    // simhash kernel (per-branch pruning defeats ReuseExchange). Eager,
+    // not lazy: a lazy checkpoint materializes inside the first job that
+    // touches it, and Spark launches the broadcast-build jobs
+    // CONCURRENTLY — each raced to compute the full kernel pass before
+    // the other had materialized it (observed as duplicate 32-task
+    // kernel stages in the r6 listener profile).
+    val sigs = docs
+      .withColumn("sh", graft.functions.TextExpressions.shingles3(col("text")))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.simhashBits(col("sh"), 64).as("sig"))
+      .localCheckpoint()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("bno"),
+          shiftright(col("sig"), 16 * (3 - b)).bitwiseAND(lit(65535L))
+            .as("band"))): _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.bno"), col("b.band"))
+    val hot = banded.groupBy(col("bno"), col("band")).count()
+      .filter(col("count") > bandCap).select(col("bno"), col("band"))
+    val cold = banded.join(hot, Seq("bno", "band"), "left_anti")
+    cold.as("x").join(cold.as("y"), Seq("bno", "band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3) // before distinct: shrink the shuffle
+      .distinct()
   }
 
   /** documents → (doc_id, shingles, band0, band1) — shared LSH front end.
@@ -267,33 +314,12 @@ object TextOps {
         .select(col("doc_id"), concat(bits: _*).as("simhash"))
     }),
 
-    // SimHash near-dup pairs over SHINGLE features: 32-bit signature,
-    // four 8-bit bands — an exact hamming-3 ball (3 flipped bits can
-    // invalidate at most 3 bands, so one must collide: no recall loss).
-    // Token-level bits degenerate on a homogeneous corpus (global token
-    // stats dominate → near-clique); shingles are doc-specific. The sig is
-    // ONE native pass (one md5 per shingle — SimHashBits), candidates come
-    // from the band join, popcount verifies; shuffles only (band, id, sig).
-    "q59_simhash_pairs" -> ((s, dir) => {
-      val sigs = spread(t(s, dir, "documents"))
-        .withColumn("sh", graft.functions.TextExpressions.shingles3(col("text")))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"),
-          graft.functions.TextExpressions.simhashBits(col("sh"), 32).as("sig"))
-      val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("bno"),
-            shiftright(col("sig"), 8 * (3 - b)).bitwiseAND(lit(255L))
-              .as("band"))): _*)).as("b"))
-        .select(col("doc_id"), col("sig"), col("b.bno"), col("b.band"))
-      banded.as("x").join(banded.as("y"), Seq("bno", "band"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"),
-          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long")
-            .as("hamming"))
-        .filter(col("hamming") <= 3) // before distinct: shrink the shuffle
-        .distinct()
-    }),
+    // SimHash near-dup pairs over SHINGLE features (token-level bits
+    // degenerate on a homogeneous corpus — global token stats dominate →
+    // near-clique; shingles are doc-specific). Plan + skew-cap rationale
+    // on simhashPairs above.
+    "q59_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(spread(t(s, dir, "documents")))),
 
     // MinHash signatures + LSH band hashes.
     "q28_minhash_sig" -> ((s, dir) => {
@@ -356,25 +382,54 @@ object TextOps {
     // TF-IDF top term per document: tf and df are exact ints; the only
     // float op is tf·ln(N/df) with a 6-decimal round (ln differs across
     // engines only in the last ulp — far inside the rounding guard).
-    // Scale shape: one shuffle on (doc,token) for tf, one on token for df
-    // (broadcast back — vocab ≪ corpus), top-1 via per-doc window.
+    // Scale shape — the classic (doc_id, token) tf shuffle is GONE: the
+    // TokenTf kernel folds each doc's term counts IN-ROW (one pass over
+    // the raw bytes, the Shingles3/SpanHashes discipline), so the whole
+    // query is exactly TWO lean jobs:
+    //  1. vocab stats in ONE aggregation over the kernel's distinct
+    //     tokens: df is a map-side-combined count, and each doc's FIRST
+    //     token carries a flag whose per-token sums add up to n_docs
+    //     driver-side (≡ the oracle's countDistinct over exploded
+    //     tokens — every tokenful doc flags exactly one token). The
+    //     vocab is a DIMENSION (q101's bloom rationale): collected,
+    //     re-entered as a LocalRelation, broadcast — at huge vocabs this
+    //     flips to a broadcast JOIN of the same aggregate.
+    //  2. scoring: explode the kernel's (token, tf) runs, broadcast-join
+    //     the vocab, top-1 per doc via min_by on the (-score, token) key —
+    //     unlike a window it partial-aggregates map-side (each doc's runs
+    //     sit in one partition straight off the scan), so the final
+    //     exchange carries ~one row per doc. No spread here, unlike the
+    //     shingle/minhash queries: the kernel is one cheap pass per row,
+    //     so scan splits already give the parallelism and a full-text
+    //     repartition would be the most expensive node in the plan —
+    //     the scoring pass has NO corpus-wide exchange at all.
     "q55_tfidf_top_term" -> ((s, dir) => {
-      val toks = spread(t(s, dir, "documents"))
-        .select(col("doc_id"), explode(tokensCol).as("token"))
-      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = toks.select("doc_id", "token").distinct()
-        .groupBy("token").agg(count(lit(1)).as("df"))
-      val n = toks.select(countDistinct(col("doc_id")).as("n_docs"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("token"))
-      tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+      import s.implicits._
+      val docs0 = t(s, dir, "documents")
+      val tfPairs = graft.functions.TextExpressions.tokenTf(col("text"))
+      val statRows = docs0
+        .select(explode(transform(tfPairs, (p, j) =>
+          struct(p.getField("token").as("token"),
+            (j === 0).cast("int").as("first")))).as("e"))
+        .groupBy(col("e.token").as("token"))
+        .agg(count(lit(1)).as("df"), sum(col("e.first")).as("firsts"))
+        .collect()
+      val nDocs = statRows.map(_.getLong(2)).sum
+      val dfLocal = statRows
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("token", "df")
+      docs0
+        .select(col("doc_id"), explode(tfPairs).as("p"))
+        .select(col("doc_id"), col("p.token").as("token"),
+          col("p.tf").cast("long").as("tf"))
+        .join(broadcast(dfLocal), "token")
         .withColumn("score",
-          round(col("tf") * log(col("n_docs").cast("double") /
+          round(col("tf") * log(lit(nDocs.toDouble) /
             col("df").cast("double")), 6))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("doc_id"), col("token").as("top_term"),
-          col("tf"), col("df"), col("score"))
+        .groupBy(col("doc_id"))
+        .agg(min_by(struct(col("token"), col("tf"), col("df"), col("score")),
+          struct(negate(col("score")), col("token"))).as("top"))
+        .select(col("doc_id"), col("top.token").as("top_term"),
+          col("top.tf"), col("top.df"), col("top.score"))
     }),
 
     // Token-rarity quality signal: per-document mean document-frequency of
@@ -676,27 +731,41 @@ object TextOps {
     },
 
     "q59_simhash_pairs" -> {
-      // 32-bit sig built arithmetically: bit p (MSB first) → 2^(32-p)
-      val sigSum = (1 to 32).map { p =>
+      // 64-bit sig restated as two nonnegative 32-bit halves (signed-BIGINT
+      // shifts never arise): hi bit p votes "nibble p of md5 ≥ 8" (top bit),
+      // lo bit p votes bit 2 of nibble p (hex char 4-7 or c-f) — exactly
+      // SimHashBits' 64-bit layout, MSB first, 2^(32-p) per bit.
+      val hiSum = (1 to 32).map { p =>
         s"CAST(2 * len(list_filter(sh, x -> substr(md5(x), $p, 1) >= '8')) > len(sh) AS INT) * ${1L << (32 - p)}"
       }.mkString(" + ")
+      val loSum = (1 to 32).map { p =>
+        s"CAST(2 * len(list_filter(sh, x -> substr(md5(x), $p, 1) IN ('4','5','6','7','c','d','e','f'))) > len(sh) AS INT) * ${1L << (32 - p)}"
+      }.mkString(" + ")
       s"""WITH sigs AS (
-         |  SELECT doc_id, CAST($sigSum AS BIGINT) AS sig
+         |  SELECT doc_id, CAST($hiSum AS BIGINT) AS hi,
+         |    CAST($loSum AS BIGINT) AS lo
          |  FROM (SELECT doc_id, ${sqlShingles(sqlTokens)} AS sh FROM documents)
          |  WHERE len(sh) > 0),
          |banded AS (
-         |  SELECT doc_id, sig, 0 AS bno, (sig >> 24) & 255 AS band FROM sigs
+         |  SELECT doc_id, hi, lo, 0 AS bno, (hi >> 16) & 65535 AS band FROM sigs
          |  UNION ALL
-         |  SELECT doc_id, sig, 1, (sig >> 16) & 255 FROM sigs
+         |  SELECT doc_id, hi, lo, 1, hi & 65535 FROM sigs
          |  UNION ALL
-         |  SELECT doc_id, sig, 2, (sig >> 8) & 255 FROM sigs
+         |  SELECT doc_id, hi, lo, 2, (lo >> 16) & 65535 FROM sigs
          |  UNION ALL
-         |  SELECT doc_id, sig, 3, sig & 255 FROM sigs)
+         |  SELECT doc_id, hi, lo, 3, lo & 65535 FROM sigs),
+         |hot AS (
+         |  SELECT bno, band FROM banded GROUP BY 1, 2
+         |  HAVING count(*) > $DefaultBandCap),
+         |cold AS (
+         |  SELECT b.* FROM banded b ANTI JOIN hot h USING (bno, band))
          |SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
-         |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
-         |FROM banded x JOIN banded y USING (bno, band)
+         |  CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+         |    AS BIGINT) AS hamming
+         |FROM cold x JOIN cold y USING (bno, band)
          |WHERE x.doc_id < y.doc_id
-         |  AND bit_count(xor(x.sig, y.sig)) <= 3""".stripMargin
+         |  AND bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3"""
+        .stripMargin
     },
 
     "q28_minhash_sig" ->

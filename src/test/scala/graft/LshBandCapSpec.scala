@@ -63,4 +63,36 @@ class LshBandCapSpec extends AnyFunSuite {
       .select("doc_id_a", "doc_id_b").collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("simhash band cap: over-cap bands contribute no pairs") {
+    // identical boilerplate → identical 64-bit sigs → all four band
+    // buckets hold the whole cluster; over the cap every bucket is hot
+    // and the cluster contributes ZERO pairs, while the exact-dup pairs
+    // outside the cluster survive untouched
+    val capped = TextOps.simhashPairs(skewedCorpus)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L), (3L, 4L)))
+
+    // without the cap the boilerplate cluster floods the join: C(100,2)
+    val uncapped = TextOps.simhashPairs(skewedCorpus, bandCap = 1 << 20)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 2 + 100 * 99 / 2)
+    assert(capped.subsetOf(uncapped))
+  }
+
+  test("simhash healthy corpus: capped and uncapped pairs identical") {
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      val base = s"document number $i speaks about topic $i in original words $i"
+      (i.toLong, if (i % 2 == 1) s"document number ${i - 1} speaks about " +
+        s"topic ${i - 1} in original words ${i - 1}" else base)
+    }.toDF("doc_id", "text")
+    val a = TextOps.simhashPairs(docs)
+      .select("doc_id_a", "doc_id_b").collect().toSet
+    val b = TextOps.simhashPairs(docs, bandCap = 1 << 20)
+      .select("doc_id_a", "doc_id_b").collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }

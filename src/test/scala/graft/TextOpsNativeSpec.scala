@@ -71,6 +71,44 @@ class TextOpsNativeSpec extends AnyFunSuite {
     assert(both.filter(col("n") =!= 0L).count() > 50) // non-trivial sigs
   }
 
+  test("simhashBits 64-bit: hi half == the 32-bit sig, lo half == nibble-bit2 votes") {
+    val base = docs
+      .select(col("doc_id"), TextOps.shinglesCol(TextOps.tokensCol).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // lo bit p (MSB first) votes bit 2 of md5 nibble p: hex char 4-7 / c-f
+    val loRef = (1 to 32).map { p =>
+      (size(filter(col("sh"), x => substring(md5(x), p, 1)
+        .isin("4", "5", "6", "7", "c", "d", "e", "f"))) * 2 >
+        size(col("sh"))).cast("long") * lit(1L << (32 - p))
+    }.reduce(_ + _)
+    val both = base.select(
+      shiftright(TextExpressions.simhashBits(col("sh"), 64), 32)
+        .bitwiseAND(lit(0xffffffffL)).as("hi"),
+      TextExpressions.simhashBits(col("sh"), 64)
+        .bitwiseAND(lit(0xffffffffL)).as("lo"),
+      TextExpressions.simhashBits(col("sh"), 32).as("sig32"),
+      loRef.as("loRef"))
+    assert(both.filter(col("hi") =!= col("sig32")).count() == 0)
+    assert(both.filter(col("lo") =!= col("loRef")).count() == 0)
+    assert(both.filter(col("lo") =!= 0L).count() > 50) // non-trivial lo half
+  }
+
+  test("tokenTf == groupBy(token).count over exploded tokens") {
+    // the kernel's in-row (token, tf) runs must equal the shuffle it
+    // deletes: explode(tokens) -> groupBy(doc_id, token).count
+    val native = docs
+      .select(col("doc_id"), explode(TextExpressions.tokenTf(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"),
+        col("p.tf").cast("long").as("tf"))
+    val reference = docs
+      .select(col("doc_id"), explode(TextOps.tokensCol).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    assert(native.exceptAll(reference).count() == 0)
+    assert(reference.exceptAll(native).count() == 0)
+    // non-trivial: repeated tokens exist (tf > 1 somewhere)
+    assert(native.filter(col("tf") > 1).count() > 0)
+  }
+
   test("spanHashes(n) == md5 over array_distinct(chained zip_with grams)") {
     for (n <- Seq(2, 4, 8)) {
       // the retired Column formulation (q90/q84's pre-kernel shape), kept
