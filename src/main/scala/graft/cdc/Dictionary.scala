@@ -364,6 +364,19 @@ object Dictionary {
     }.toSeq
     val sels = root.get("selectors").elements().asScala.map(s =>
       TableSelector(s.get("owner").asText, s.get("table").asText)).toSeq
-    new Dictionary(tables, sels)
+    val xmlCtx =
+      if (root.has("xdbXQn") || root.has("xdbXNm") || root.has("xdbTtSet")) {
+        def arr(name: String) = Option(root.get(name))
+          .map(_.elements().asScala.toSeq).getOrElse(Nil)
+        Some(XmlCtx(
+          arr("xdbTtSet").map(t => XdbTtSet(t.get("guid").asText,
+            t.get("tokSuf").asText, t.get("flags").asLong, t.get("obj").asLong)),
+          arr("xdbXNm").map(n => XdbXNm(n.get("id").asText,
+            n.get("nmSpcUri").asText)),
+          arr("xdbXQn").map(q => XdbXQn(q.get("id").asText,
+            q.get("localName").asText, q.get("nmSpcId").asText,
+            q.get("flags").asText))))
+      } else None
+    new Dictionary(tables, sels, xmlCtx)
   }
 }

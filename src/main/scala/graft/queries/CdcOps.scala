@@ -578,6 +578,45 @@ object CdcOps {
         element_at(aExp, "xdoc").as("xml_text"))
     }),
 
+    // §1.3 XMLTYPE decode through the XDB token dictionaries: each event
+    // row becomes a binary-XML (CSX) token stream — header, namespace
+    // set/add, 16- and 32-bit tag codes, an inline attribute, text chunks,
+    // repeat-tag and end-tag markers — built deterministically from the
+    // row's columns, then decoded back to XML text by the REAL
+    // dictionary-resolved decoder (cdc/XmlDecode.scala ≙
+    // Builder::parseXml, Builder.cpp:1844-2390) with the XdbXQn/XdbXNm
+    // token tables as driver-side dimensions. The oracle reconstructs the
+    // expected XML string straight from the source columns (the q48
+    // byte-golden pattern, in reverse): any mis-decoded token breaks the
+    // match. Scale shape: scan→project, the token maps ride the closure —
+    // no exchange anywhere.
+    "q102_xml_decode" -> ((s, dir) => {
+      val ctx = XmlCtx(
+        Seq(XdbTtSet("8A99F9A3C6B54F21A0E6D0112A3C0001", "01", 0L, 100L)),
+        Seq(XdbXNm("10", "http://example.com/ns")),
+        Seq(XdbXQn("01", "doc", "10", "0"), XdbXQn("02", "id", "00", "1"),
+          XdbXQn("03", "item", "00", "0"),
+          XdbXQn("010003", "deep", "00", "0")))
+      val ev = Tables.load(s, dir, "events").selectExpr("event_id",
+        "event_type AS et",
+        "CAST(CAST(value AS DECIMAL(10,2)) AS STRING) AS vs",
+        "CAST(user_id AS STRING) AS us", "CAST(event_id AS STRING) AS ids")
+      def sz(c: String) = s"lpad(hex(octet_length($c) - 1), 2, '0')"
+      // 9E header (decl+1.0) · B2 ns-set (prefix "ns", nmSpc 0x10, dict
+      // 0x20) · C8 <doc> · DD xmlns · C0 id attr · C8 <item> text D9 ·
+      // D4 repeat text D9 · C9 32-bit-code <deep> text D9 · D9 · A0
+      val hexExpr = "concat('9E00000A'," +
+        "'B2020000001000206E73'," +
+        "'C80001','DD0020'," +
+        s"'C0', ${sz("ids")}, '0002', hex(ids)," +
+        s"'C80003', ${sz("et")}, hex(et), 'D9'," +
+        s"'D4', ${sz("vs")}, hex(vs), 'D9'," +
+        s"'C900010003', ${sz("us")}, hex(us), 'D9', 'D9', 'A0')"
+      ev.withColumn("xbin", expr(s"unhex($hexExpr)"))
+        .select(col("event_id"),
+          XmlDecode.decodeCol(col("xbin"), ctx).as("xml_text"))
+    }),
+
     "q53_column_visibility" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       import spark.implicits._
@@ -830,6 +869,18 @@ object CdcOps {
     "q53_column_visibility" ->
       """SELECT event_id, CAST(1 AS BIGINT) AS n_cols,
         |  CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS v
+        |FROM events""".stripMargin,
+
+    // the decoded token stream restated as direct string assembly: decl,
+    // prefixed root with xmlns + attribute, two <item> texts, 32-bit-code
+    // <deep> — mirrors the token-by-token trace through parseXml
+    "q102_xml_decode" ->
+      """SELECT event_id,
+        |  '<?xml version="1.0"?><ns:doc xmlns:ns="http://example.com/ns" id="'
+        |  || CAST(event_id AS VARCHAR) || '"><item>' || event_type
+        |  || '</item><item>' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)
+        |  || '</item><deep>' || CAST(user_id AS VARCHAR)
+        |  || '</deep></ns:doc>' AS xml_text
         |FROM events""".stripMargin,
 
     "q96_experimental_types" ->
