@@ -293,6 +293,106 @@ object Dictionary {
     new Dictionary(tables, selectors)
   }
 
+  /** The reference's catalog SQL, verbatim in shape
+    * (ReplicatorOnline.h:193-560): flashback `AS OF SCN` reads over the
+    * SYS.%$ tables, per-owner filtering, and the MOD-2^64 decomposition
+    * that splits Oracle NUMBER-typed 128-bit flag words (SPARE1, COL$
+    * PROPERTY) into two unsigned-64 halves a client can hold. Exposed for
+    * inspection/spec-gating; [[fromJdbc]] issues exactly these against an
+    * Oracle dialect. */
+  def oracleCatalogSql(asOfScn: Long, ownerId: Long): Map[String, String] = {
+    val m = "18446744073709551616"
+    Map(
+      "users" -> (s"SELECT U.USER#, U.NAME, MOD(U.SPARE1, $m) AS SPARE11," +
+        s" MOD(TRUNC(U.SPARE1 / $m), $m) AS SPARE12" +
+        s" FROM SYS.USER$$ AS OF SCN $asOfScn U"),
+      "objs" -> (s"SELECT O.OWNER#, O.OBJ#, O.DATAOBJ#, O.NAME, O.TYPE#," +
+        s" MOD(O.FLAGS, $m) AS FLAGS1, MOD(TRUNC(O.FLAGS / $m), $m) AS FLAGS2" +
+        s" FROM SYS.OBJ$$ AS OF SCN $asOfScn O WHERE O.OWNER# = $ownerId"),
+      "cols" -> (s"SELECT C.OBJ#, C.COL#, C.SEGCOL#, C.INTCOL#, C.NAME," +
+        s" C.TYPE#, C.LENGTH, C.PRECISION#, C.SCALE, C.NULL$$," +
+        s" MOD(C.PROPERTY, $m) AS PROPERTY1," +
+        s" MOD(TRUNC(C.PROPERTY / $m), $m) AS PROPERTY2" +
+        s" FROM SYS.OBJ$$ AS OF SCN $asOfScn O" +
+        s" JOIN SYS.COL$$ AS OF SCN $asOfScn C ON O.OBJ# = C.OBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      "cdef" -> (s"SELECT D.CON#, D.OBJ#, D.TYPE#" +
+        s" FROM SYS.OBJ$$ AS OF SCN $asOfScn O" +
+        s" JOIN SYS.CDEF$$ AS OF SCN $asOfScn D ON O.OBJ# = D.OBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      "ccol" -> (s"SELECT L.CON#, L.INTCOL#, L.OBJ#, MOD(L.SPARE1, $m) AS" +
+        s" SPARE11, MOD(TRUNC(L.SPARE1 / $m), $m) AS SPARE12" +
+        s" FROM SYS.OBJ$$ AS OF SCN $asOfScn O" +
+        s" JOIN SYS.CCOL$$ AS OF SCN $asOfScn L ON O.OBJ# = L.OBJ#" +
+        s" WHERE O.OWNER# = $ownerId"))
+  }
+
+  /** S2 online bootstrap over a live connection: issue the reference's
+    * ~flashback catalog queries via `spark.read.jdbc` and feed
+    * [[fromCatalog]]. Two dialects share one assembly:
+    *
+    *  - `oracleDialect = true` (production): unquoted SYS.%$ names,
+    *    `AS OF SCN` when `asOfScn` is set, and the MOD-2^64 PROPERTY
+    *    decomposition — the [[oracleCatalogSql]] shapes.
+    *  - `oracleDialect = false` (any ANSI JDBC source, e.g. the Derby
+    *    spec): quoted identifiers, no flashback clause, PROPERTY1/2 read
+    *    as plain columns.
+    *
+    * Decoding follows the reference: tables are OBJ$ TYPE# = 2 rows;
+    * nullable is NULL$ = 0; hidden is COL$ PROPERTY bit 5
+    * (SysCol.h:38); the PK designation walks CDEF$ TYPE# = 2 (PK
+    * constraints, SysCDef.h:32) through CCOL$ INTCOL# back to the column
+    * names. All five reads are dimension-sized (single-partition JDBC
+    * scans) — the same asymmetry that lets the dictionary broadcast. */
+  def fromJdbc(spark: SparkSession, url: String,
+      props: java.util.Properties, asOfScn: Option[Long] = None,
+      catalogSchema: String = "SYS", oracleDialect: Boolean = true,
+      selectors: Seq[TableSelector] = Nil): Dictionary = {
+    import org.apache.spark.sql.functions.col
+    def q(id: String) = if (oracleDialect) id else "\"" + id + "\""
+    def tbl(name: String) =
+      (if (oracleDialect) s"$catalogSchema.$name"
+       else s"$catalogSchema.${q(name)}") +
+        asOfScn.filter(_ => oracleDialect).map(s => s" AS OF SCN $s")
+          .getOrElse("")
+    def read(sql: String) = spark.read.jdbc(url, s"($sql) CAT", props)
+    val users = read(s"SELECT U.${q("USER#")} AS USER_ID, U.NAME" +
+        s" FROM ${tbl("USER$")} U")
+      .select(col("USER_ID").as("user_id"), col("NAME").as("name"))
+    val objs = read(s"SELECT O.${q("OWNER#")} AS OWNER_ID," +
+        s" O.${q("OBJ#")} AS OBJ, O.${q("DATAOBJ#")} AS DATA_OBJ, O.NAME" +
+        s" FROM ${tbl("OBJ$")} O WHERE O.${q("TYPE#")} = 2")
+      .select(col("OBJ").as("obj"), col("DATA_OBJ").as("data_obj"),
+        col("OWNER_ID").as("owner_id"), col("NAME").as("name"))
+    val propertySel =
+      if (oracleDialect)
+        "MOD(C.PROPERTY, 18446744073709551616) AS PROPERTY1"
+      else s"C.PROPERTY1"
+    val colsRaw = read(s"SELECT C.${q("OBJ#")} AS OBJ," +
+        s" C.${q("COL#")} AS COL_NO, C.${q("INTCOL#")} AS INTCOL," +
+        s" C.NAME, C.${q("TYPE#")} AS TYPE_CODE, C.LENGTH," +
+        s" C.${q("PRECISION#")} AS PREC, C.SCALE," +
+        s" C.${q("NULL$")} AS NULLS, $propertySel" +
+        s" FROM ${tbl("COL$")} C")
+    val cols = colsRaw.select(col("OBJ").as("obj"),
+      col("COL_NO").as("col_no"), col("NAME").as("name"),
+      col("TYPE_CODE").as("type_code"), col("LENGTH").as("length"),
+      col("PREC").as("precision"), col("SCALE").as("scale"),
+      (col("NULLS").cast("long") === 0L).as("nullable"),
+      (col("PROPERTY1").cast("long").bitwiseAND(1L << 5) =!= 0L)
+        .as("hidden"))
+    val cdef = read(s"SELECT D.${q("CON#")} AS CON, D.${q("OBJ#")} AS OBJ" +
+      s" FROM ${tbl("CDEF$")} D WHERE D.${q("TYPE#")} = 2")
+    val ccol = read(s"SELECT L.${q("CON#")} AS CON," +
+      s" L.${q("INTCOL#")} AS INTCOL, L.${q("OBJ#")} AS OBJ" +
+      s" FROM ${tbl("CCOL$")} L")
+    val pkCols = ccol.join(cdef, Seq("CON", "OBJ"))
+      .join(colsRaw.select(col("OBJ"), col("INTCOL"), col("NAME")),
+        Seq("OBJ", "INTCOL"))
+      .select(col("OBJ").as("obj"), col("NAME").as("name"))
+    fromCatalog(objs, users, cols, Some(pkCols), selectors)
+  }
+
   /** Checkpoint-schema JSON (de)serialization, shape-compatible with what
     * our pipeline persists between runs (FIXTURES.md §B). */
   def toJson(dict: Dictionary): String = {
