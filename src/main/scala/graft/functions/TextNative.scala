@@ -170,6 +170,101 @@ object TextNative {
     new GenericArrayData(out)
   }
 
+  private def xx64(b: Array[Byte], len: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+
+  /** [[spanHashes]] in `graft.hash=xxhash64` mode: same one-pass token
+    * scan, but each span digests to ONE long (seed 42 = the builtin
+    * `xxhash64()`, so `array_distinct(transform(grams, xxhash64))` is the
+    * byte-parity restatement) — 8 bytes per span key instead of 32 hex
+    * chars. The production knob for 100 TB dedup joins; md5 stays the
+    * default because the DuckDB oracles can only restate md5. */
+  def spanHashes64(text: UTF8String, n: Int): ArrayData = {
+    val b = text.getBytes
+    val len = b.length
+    var cap = 64
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var nt = 0
+    var i = 0
+    while (i < len) {
+      if (b(i) == ' ') i += 1
+      else {
+        var j = i + 1
+        while (j < len && b(j) != ' ') j += 1
+        if (nt == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(nt) = i; ends(nt) = j; nt += 1
+        i = j + 1
+      }
+    }
+    if (nt < n) return new GenericArrayData(new Array[Any](0))
+    val nSpans = nt - n + 1
+    var span = new Array[Byte](64)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](
+      math.max(16, nSpans * 2))
+    var k = 0
+    while (k < nSpans) {
+      var sl = 0
+      var t = 0
+      while (t < n) {
+        val tl = ends(k + t) - starts(k + t)
+        if (sl + tl + 1 > span.length)
+          span = java.util.Arrays.copyOf(span, (sl + tl + 1) * 2)
+        if (t > 0) { span(sl) = ' '; sl += 1 }
+        System.arraycopy(b, starts(k + t), span, sl, tl)
+        sl += tl
+        t += 1
+      }
+      seen.add(xx64(span, sl))
+      k += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** [[minhashSig]] in `graft.hash=xxhash64` mode: element i = SIGNED min
+    * over shingles of xxhash64("i|" + shingle) — signed so the Column
+    * restatement `array_min(transform(sh, s -> xxhash64('i|' || s)))`
+    * is value-identical. 8-byte signature elements; null on empty. */
+  def minhashSig64(shingles: ArrayData, nSig: Int): ArrayData = {
+    val m = shingles.numElements()
+    if (m == 0) return null
+    val mins = new Array[Long](nSig)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val prefixes = new Array[Array[Byte]](nSig)
+    var i = 0
+    while (i < nSig) { prefixes(i) = (i.toString + "|").getBytes; i += 1 }
+    var buf = new Array[Byte](64)
+    var j = 0
+    while (j < m) {
+      val sh = shingles.getUTF8String(j).getBytes
+      i = 0
+      while (i < nSig) {
+        val p = prefixes(i)
+        if (p.length + sh.length > buf.length)
+          buf = java.util.Arrays.copyOf(buf, (p.length + sh.length) * 2)
+        System.arraycopy(p, 0, buf, 0, p.length)
+        System.arraycopy(sh, 0, buf, p.length, sh.length)
+        val h = xx64(buf, p.length + sh.length)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    val out = new Array[Any](nSig)
+    i = 0
+    while (i < nSig) { out(i) = mins(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Per-document term frequencies in ONE pass over the raw UTF-8 bytes:
     * distinct tokens in first-occurrence order with their counts, as
     * (token, tf) structs. Token scan splits on 0x20 (never inside a
@@ -256,42 +351,57 @@ case class Shingles3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** text → distinct md5-hex hashes of its n-token spans (one-pass kernel,
-  * codegen-participating — the hot path of q90_dup_spans/q84_contamination). */
-case class SpanHashes(child: Expression, n: Int) extends UnaryExpression {
+/** text → distinct hashes of its n-token spans (one-pass kernel,
+  * codegen-participating — the hot path of q90_dup_spans/q84_contamination).
+  * `hash` is the session's `graft.hash` knob: "md5" (hex strings, what the
+  * DuckDB oracles restate — default) or "xxhash64" (longs, 1/4 the key
+  * bytes — the production mode for corpus-scale dedup joins). */
+case class SpanHashes(child: Expression, n: Int, hash: String = "md5")
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string input, got ${dt.sql}")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(
+    if (hash == "xxhash64") LongType else StringType, containsNull = false)
   override def prettyName: String = "span_hashes"
   override def nullSafeEval(t: Any): Any =
-    TextNative.spanHashes(t.asInstanceOf[UTF8String], n)
+    if (hash == "xxhash64")
+      TextNative.spanHashes64(t.asInstanceOf[UTF8String], n)
+    else TextNative.spanHashes(t.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t =>
-      s"graft.functions.TextNative.spanHashes($t, $n)")
+      if (hash == "xxhash64")
+        s"graft.functions.TextNative.spanHashes64($t, $n)"
+      else s"graft.functions.TextNative.spanHashes($t, $n)")
   override protected def withNewChildInternal(newChild: Expression): SpanHashes =
     copy(child = newChild)
 }
 
-/** shingles → nSig-element minhash signature (md5-hex minima). Null on
-  * empty shingle sets — callers filter those rows anyway. */
-case class MinHashSig(child: Expression, nSig: Int) extends UnaryExpression {
+/** shingles → nSig-element minhash signature (md5-hex minima, or signed
+  * xxhash64 minima under `graft.hash=xxhash64`). Null on empty shingle
+  * sets — callers filter those rows anyway. */
+case class MinHashSig(child: Expression, nSig: Int, hash: String = "md5")
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<string> input, got ${dt.sql}")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(
+    if (hash == "xxhash64") LongType else StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
   override def nullSafeEval(sh: Any): Any =
-    TextNative.minhashSig(sh.asInstanceOf[ArrayData], nSig)
+    if (hash == "xxhash64")
+      TextNative.minhashSig64(sh.asInstanceOf[ArrayData], nSig)
+    else TextNative.minhashSig(sh.asInstanceOf[ArrayData], nSig)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, sh => {
+      val fn = if (hash == "xxhash64") "minhashSig64" else "minhashSig"
       s"""
-         |${ev.value} = graft.functions.TextNative.minhashSig($sh, $nSig);
+         |${ev.value} = graft.functions.TextNative.$fn($sh, $nSig);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin
     })
@@ -339,12 +449,19 @@ case class SimHashBits(child: Expression, nBits: Int) extends UnaryExpression {
 }
 
 object TextExpressions {
+  /** The session's `graft.hash` knob ("md5" default, "xxhash64" the
+    * compact production mode), read at plan-construction time — the
+    * expression carries the resolved mode, so executors never consult
+    * conf. */
+  private def hashMode: String =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.conf.get("graft.hash", "md5")).getOrElse("md5")
   def shingles3(text: Column): Column =
     Bridge.column(Shingles3(Bridge.expression(text)))
   def spanHashes(text: Column, n: Int): Column =
-    Bridge.column(SpanHashes(Bridge.expression(text), n))
+    Bridge.column(SpanHashes(Bridge.expression(text), n, hashMode))
   def minhashSig(shingles: Column, nSig: Int): Column =
-    Bridge.column(MinHashSig(Bridge.expression(shingles), nSig))
+    Bridge.column(MinHashSig(Bridge.expression(shingles), nSig, hashMode))
   def tokenTf(text: Column): Column =
     Bridge.column(TokenTf(Bridge.expression(text)))
   def simhashBits(features: Column, nBits: Int): Column =

@@ -158,6 +158,54 @@ class TextOpsNativeSpec extends AnyFunSuite {
     assert(both.filter(size(col("nat")) > 0).count() > 20) // non-trivial
   }
 
+  test("graft.hash=xxhash64: spanHashes == xxhash64 over distinct grams") {
+    spark.conf.set("graft.hash", "xxhash64")
+    try {
+      for (n <- Seq(2, 4)) {
+        val toks = TextOps.tokensCol
+        val len = size(toks) - (n - 1)
+        val joined = (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
+          zip_with(acc, slice(toks, lit(k), len),
+            (a, b) => concat(a, lit(" "), b))
+        }
+        val grams = array_distinct(
+          when(size(toks) >= n, joined)
+            .otherwise(array().cast("array<string>")))
+        val both = docs.select(
+          array_sort(TextExpressions.spanHashes(col("text"), n)).as("native"),
+          array_sort(transform(grams, g => xxhash64(g))).as("reference"))
+        assert(both.filter(not(col("native") <=> col("reference"))).count() == 0)
+        assert(both.filter(size(col("native")) > 0).count() > 50)
+      }
+      // type flips to array<long> — the 4x-smaller production key
+      val dt = docs.select(TextExpressions.spanHashes(col("text"), 4).as("h"))
+        .schema("h").dataType
+      assert(dt == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
+    } finally spark.conf.set("graft.hash", "md5")
+  }
+
+  test("graft.hash=xxhash64: minhashSig == array_min(transform(xxhash64))") {
+    spark.conf.set("graft.hash", "xxhash64")
+    try {
+      val base = docs.select(col("doc_id"),
+        TextOps.shinglesCol(TextOps.tokensCol).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val nSig = 8
+      val refCols = (0 until nSig).map(i =>
+        array_min(transform(col("sh"),
+          s => xxhash64(concat(lit(i.toString + "|"), s)))).as(s"r$i"))
+      val both = base.withColumn("sig",
+        TextExpressions.minhashSig(col("sh"), nSig))
+        .select((0 until nSig).map(i =>
+          element_at(col("sig"), i + 1).as(s"n$i")) ++ refCols: _*)
+      val mismatch = (0 until nSig).map(i =>
+        both.filter(col(s"n$i") =!= col(s"r$i")).count()).sum
+      assert(mismatch == 0)
+      assert(both.count() > 50)
+    } finally spark.conf.set("graft.hash", "md5")
+  }
+
   test("minhashSig of empty shingle set is null") {
     import spark.implicits._
     val r = Seq(Tuple1(Seq.empty[String])).toDF("sh")
