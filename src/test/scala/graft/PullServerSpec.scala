@@ -120,6 +120,84 @@ class PullServerSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("two interleaved clients: per-client confirms, min-bounded GC") {
+    val srv = new PullServer("DB1", outbox)
+    try {
+      // client A starts and drains the stream
+      val a = new Client(srv.port)
+      a.send(RedoRequest(Req.Start, "DB1"))
+      assert(a.recv().code == Resp.Replicate)
+      assert((1 to 5).map(_ => a.recv()).flatMap(_.cScn) ==
+        Seq(101L, 102L, 103L, 104L, 105L))
+
+      // client B connects CONCURRENTLY (A stays up) and replays from 102
+      val b = new Client(srv.port)
+      b.send(RedoRequest(Req.Continue, "DB1", cScn = Some(102L), cIdx = Some(0L)))
+      assert(b.recv().code == Resp.Replicate)
+      assert((1 to 3).map(_ => b.recv()).flatMap(_.cScn) ==
+        Seq(103L, 104L, 105L))
+      assert(srv.clientCount == 2)
+
+      // A confirms everything; B has confirmed nothing → B pins the
+      // queue: nothing may be dropped
+      (1 to 5).foreach(i => a.send(
+        RedoRequest(Req.Confirm, "DB1", cScn = Some(100L + i), cIdx = Some(0L))))
+      awaitConfirmed(srv, Some((105L, 0L)))
+      assert(srv.outboxSize == 5)
+
+      // B confirms through 103 → the queue truncates at min(B=103, A=105)
+      (1 to 3).foreach(i => b.send(
+        RedoRequest(Req.Confirm, "DB1", cScn = Some(100L + i), cIdx = Some(0L))))
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (srv.outboxSize != 2 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(srv.outboxSize == 2) // 104, 105 remain
+
+      // B catches up → fully-confirmed queue drains to empty
+      (4 to 5).foreach(i => b.send(
+        RedoRequest(Req.Confirm, "DB1", cScn = Some(100L + i), cIdx = Some(0L))))
+      while (srv.outboxSize != 0 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(srv.outboxSize == 0)
+      a.close(); b.close()
+    } finally srv.close()
+  }
+
+  test("append grows the queue; a departed laggard stops pinning it") {
+    val srv = new PullServer("DB1", outbox.take(2))
+    try {
+      val a = new Client(srv.port)
+      a.send(RedoRequest(Req.Start, "DB1"))
+      assert(a.recv().code == Resp.Replicate)
+      (1 to 2).foreach(_ => a.recv())
+      // producer appends two more; CONTINUE picks them up
+      outbox.slice(2, 4).foreach { case (s, i, m) => srv.append(s, i, m) }
+      assert(srv.outboxSize == 4)
+      a.send(RedoRequest(Req.Confirm, "DB1", cScn = Some(101L), cIdx = Some(0L)))
+      a.send(RedoRequest(Req.Confirm, "DB1", cScn = Some(102L), cIdx = Some(0L)))
+      a.send(RedoRequest(Req.Continue, "DB1"))
+      assert(a.recv().code == Resp.Replicate)
+      assert((1 to 2).map(_ => a.recv()).flatMap(_.cScn) == Seq(103L, 104L))
+
+      // a second client that never confirms pins the queue (103, 104
+      // remain after A's earlier acks) even once A acks everything...
+      val b = new Client(srv.port)
+      b.send(RedoRequest(Req.Info, "DB1"))
+      assert(b.recv().code == Resp.Replicate)
+      a.send(RedoRequest(Req.Confirm, "DB1", cScn = Some(103L), cIdx = Some(0L)))
+      a.send(RedoRequest(Req.Confirm, "DB1", cScn = Some(104L), cIdx = Some(0L)))
+      awaitConfirmed(srv, Some((104L, 0L)))
+      assert(srv.outboxSize == 2)
+      // ...until it disconnects: the laggard's pin lifts and GC drains
+      b.close()
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (srv.outboxSize != 0 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(srv.outboxSize == 0)
+      a.close()
+    } finally srv.close()
+  }
+
   test("request codec round-trips presence") {
     val r = RedoRequest(Req.Continue, "DB1", scn = None, seq = Some(9L),
       cScn = Some(0L), cIdx = Some(7L))
