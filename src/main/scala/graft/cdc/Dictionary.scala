@@ -216,6 +216,23 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
   /** Apply one dictionary-DML change (SystemTransaction semantics §1.2:
     * DDL observed as system-table DML): returns a new snapshot where the
     * replaced version is closed at `scn` and the new one opens there. */
+  /** ADAPTIVE_SCHEMA refinement (§1.2): the reference registers a `.*`/`.*`
+    * wildcard table element (OpenLogReplicator.cpp:617-618) so unknown
+    * obj#s are accepted, and synthesizes dictionary entries for them
+    * (Metadata::loadAdaptiveSchema, Metadata.cpp:626) that afterwards
+    * version exactly like catalog-born ones. Here: an unseen obj# gets an
+    * `UNKNOWN.OBJ_<obj#>` entry whose columns are the observed feed
+    * columns (varchar-typed — the feed is pre-rendered text), valid from
+    * the first scn it was seen at. A known obj# is a no-op. [[evolve]]
+    * then applies to the synthesized entry like any other. */
+  def withAdaptive(obj: Long, colNames: Seq[String],
+      firstScn: Long = 0L): Dictionary =
+    if (tables.exists(_.obj == obj)) this
+    else new Dictionary(
+      tables :+ DbTable(obj, obj, "UNKNOWN", s"OBJ_$obj",
+        colNames.map(n => DbColumn(n, 1)), validFromScn = firstScn),
+      selectors, xmlCtx)
+
   def evolve(newVersion: DbTable, scn: Long): Dictionary = {
     val updated = tables.map { t =>
       if (t.obj == newVersion.obj && scn >= t.validFromScn && scn < t.validToScn)

@@ -362,6 +362,54 @@ object CdcOps {
           to_json(col("after")).as("after_json"))
     }),
 
+    // §1.2 ADAPTIVE_SCHEMA refinement: the wildcard element accepts
+    // unknown obj#s, each gets a SYNTHESIZED dictionary entry learned
+    // from the feed (UNKNOWN.OBJ_<n>, columns = observed image keys,
+    // valid from first sight — Dictionary.withAdaptive ≙
+    // OpenLogReplicator.cpp:617-618 + Metadata.cpp:626), and the
+    // synthesized entry then VERSIONS like a catalog-born one: obj 1 is
+    // altered at scn 5000 and messages resolve as-of their scn. The
+    // learning pass is a dimension-sized aggregate (distinct obj# +
+    // union of keys + min scn), collected once — the same asymmetry as
+    // every other dictionary build; the feed itself only ever joins the
+    // broadcast dictionary.
+    "q103_adaptive_schema" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val base = Dictionary(Seq(DbTable(0L, 0L, "APP", "KNOWN",
+        Seq(DbColumn("value", 1), DbColumn("etype", 1)))),
+        Seq(TableSelector(".*", ".*"))) // the wildcard element
+      def messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op",
+          "user_id % 4 AS obj", // obj 0 known; 1, 2, 3 unknown
+          "'' AS rid", "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(CAST(value AS DECIMAL(10,2)) AS STRING), " +
+            "'etype', event_type) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset", "0L AS num")
+        .as[ChangeMessage]
+      val knownObjs = base.tables.map(_.obj).toSet
+      val learnRows = messages.toDF()
+        .filter(!col("obj").isin(knownObjs.toSeq: _*))
+        .groupBy(col("obj"))
+        .agg(min(col("scn")).as("first_scn"),
+          array_sort(array_distinct(flatten(
+            collect_list(map_keys(col("after")))))).as("cols"))
+        .collect()
+      val learned = learnRows.foldLeft(base) { (d, r) =>
+        d.withAdaptive(r.getLong(0), r.getSeq[String](2), r.getLong(1))
+      }
+      // the synthesized obj 1 versions like a real table: DDL at scn 5000
+      val dict = learned.lookupLatest(1L)
+        .map(t => learned.evolve(t.copy(name = "OBJ_1_ALTERED"), 5000L))
+        .getOrElse(learned)
+      Materialize.enrich(messages, dict)
+        .select(col("cScn").as("event_id"), col("owner"), col("table_name"))
+    }),
+
     // §1.4 golden envelope JSON through the full materialize + envelope
     // path; the oracle reconstructs the exact wire bytes independently, so
     // field order, null-omission, and tag/rid formatting are all gated.
@@ -869,6 +917,17 @@ object CdcOps {
     "q53_column_visibility" ->
       """SELECT event_id, CAST(1 AS BIGINT) AS n_cols,
         |  CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS v
+        |FROM events""".stripMargin,
+
+    // adaptive resolution restated: obj 0 stays catalog-born; unknown
+    // objs resolve to their synthesized UNKNOWN.OBJ_<n> entries, with
+    // obj 1's post-DDL version taking over at scn 5000
+    "q103_adaptive_schema" ->
+      """SELECT event_id,
+        |  CASE WHEN user_id % 4 = 0 THEN 'APP' ELSE 'UNKNOWN' END AS owner,
+        |  CASE WHEN user_id % 4 = 0 THEN 'KNOWN'
+        |       WHEN user_id % 4 = 1 AND event_id >= 5000 THEN 'OBJ_1_ALTERED'
+        |       ELSE 'OBJ_' || CAST(user_id % 4 AS VARCHAR) END AS table_name
         |FROM events""".stripMargin,
 
     // the decoded token stream restated as direct string assembly: decl,

@@ -43,4 +43,28 @@ class DictionarySpec extends AnyFunSuite {
       Seq("id", "payload\"quoted"))
     assert(t1.resolvedTagCols == Seq("id"))
   }
+
+  test("withAdaptive synthesizes an entry that versions like a real one") {
+    val dict = Dictionary(Seq(t1))
+      .withAdaptive(777L, Seq("a", "b"), firstScn = 100L)
+    // known obj is a no-op
+    assert(dict.withAdaptive(100L, Seq("x"), 1L).tables.size ==
+      dict.tables.size)
+    val syn = dict.lookup(777L, 100L).get
+    assert(syn.owner == "UNKNOWN" && syn.name == "OBJ_777")
+    assert(syn.columns.map(_.name) == Seq("a", "b"))
+    assert(dict.lookup(777L, 99L).isEmpty) // not valid before first sight
+    // ...and a later DDL versions it exactly like a catalog-born table
+    val evolved = dict.evolve(
+      syn.copy(name = "OBJ_777_ALTERED",
+        columns = syn.columns :+ graft.cdc.DbColumn("c", 1)), 5000L)
+    assert(evolved.lookup(777L, 4999L).get.name == "OBJ_777")
+    assert(evolved.lookup(777L, 5000L).get.name == "OBJ_777_ALTERED")
+    assert(evolved.lookup(777L, 5000L).get.columns.map(_.name) ==
+      Seq("a", "b", "c"))
+    // serde keeps the synthesized lineage
+    val back = Dictionary.fromJson(Dictionary.toJson(evolved))
+    assert(back.lookup(777L, 4999L).get.name == "OBJ_777")
+    assert(back.lookup(777L, 5000L).get.name == "OBJ_777_ALTERED")
+  }
 }
