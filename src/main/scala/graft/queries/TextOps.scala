@@ -455,6 +455,41 @@ object TextOps {
           col("sum_df").cast("double") / col("n_types").cast("double"))
     }),
 
+    // Bigram novelty score — the cheap LM-ish fluency/novelty signal: how
+    // much of a document is made of bigrams the corpus has seen often vs
+    // bigrams (nearly) unique to it. Build the corpus bigram document-
+    // frequency, keep the top-1024 bigrams with df≥2 (the broadcast
+    // dimension is BOUNDED BY CONSTRUCTION — the LSH band-cap discipline
+    // applied to a vocabulary), and score each doc by the integer ppm of
+    // its distinct bigrams OUTSIDE that frequent set. Scale shape:
+    // bigrams + distinct happen INSIDE the row (slice/zip_with, no
+    // (doc,bigram) shuffle for scoring); df is one exchange on the bigram
+    // key with map-side combine; the frequent set comes back as a 1-row
+    // broadcast and coverage is an in-row array_intersect — the corpus is
+    // scanned, never reshuffled. Integer output only (covered ≤ n_bigrams,
+    // ppm by integer div) → exact cross-engine parity.
+    "q105_bigram_novelty" -> ((s, dir) => {
+      val toks = tokensCol
+      val bigs = array_distinct(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), bigs.as("bigs"))
+      val dfq = docs.select(explode(col("bigs")).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+      val freq = dfq.filter(col("c") >= 2)
+        .orderBy(col("c").desc, col("bg").asc).limit(1024)
+        .groupBy().agg(collect_list(col("bg")).as("fr"))
+      docs.crossJoin(broadcast(freq))
+        .select(col("doc_id"), size(col("bigs")).as("n_bigrams"),
+          size(array_intersect(col("bigs"), col("fr"))).as("covered"))
+        .withColumn("novelty_ppm",
+          expr("CAST(((n_bigrams - covered) * 1000000) div n_bigrams AS BIGINT)"))
+    }),
+
     // BPE-ish regex tokenization: letter runs / digit runs / single
     // punctuation, counted per class (the shape of a GPT-style pre-tokenizer;
     // pattern kept engine-portable).
@@ -890,6 +925,29 @@ object TextOps {
          |    AS n_hapax,
          |  CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
          |FROM toks JOIN df USING (token) GROUP BY doc_id""".stripMargin,
+
+    // Relational mirror of the bigram-novelty score: same tokenization,
+    // same df≥2 ∧ top-1024 frequent set, coverage via join instead of the
+    // in-row intersect.
+    "q105_bigram_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $sqlTokens AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    list_zip(t[1:len(t)-1], t[2:len(t)]),
+         |    p -> p[1] || ' ' || p[2])) AS bigs
+         |  FROM toks WHERE len(t) >= 2),
+         |e AS (SELECT doc_id, unnest(bigs) AS bg FROM b),
+         |dfq AS (SELECT bg, count(*) AS c FROM e GROUP BY bg),
+         |freq AS (SELECT bg FROM dfq WHERE c >= 2
+         |         ORDER BY c DESC, bg LIMIT 1024),
+         |cov AS (SELECT e.doc_id, count(*) AS covered
+         |        FROM e JOIN freq USING (bg) GROUP BY e.doc_id)
+         |SELECT b.doc_id, CAST(len(bigs) AS INT) AS n_bigrams,
+         |  CAST(coalesce(cov.covered, 0) AS INT) AS covered,
+         |  CAST(((len(bigs) - coalesce(cov.covered, 0)) * 1000000)
+         |    // len(bigs) AS BIGINT) AS novelty_ppm
+         |FROM b LEFT JOIN cov USING (doc_id)""".stripMargin,
 
     "q42_rolling_hash" ->
       """SELECT doc_id,

@@ -166,6 +166,85 @@ object VectorOps {
     "q91_kmeans" -> ((s, dir) =>
       kmeansAssign(s, dir).select("vec_id", "cluster", "dist2")),
 
+    // PQ-ANN (product quantization, Jégou et al. TPAMI 2011): the corpus
+    // is compressed to M=4 sub-codes — the 64-dim vector splits into four
+    // 16-dim subvectors, each quantized against its own 8-entry codebook
+    // (seeded from vec_id<8, then ONE integer-exact Lloyd update, the q91
+    // discipline generalized per-subspace). Top-k answers by ASYMMETRIC
+    // distance: each query precomputes its 4×8 sub-distance table, and a
+    // candidate's approximate distance is four table LOOKUPS on its codes
+    // — never a 64-dim computation against the raw corpus. The 100 TB
+    // shape: the searched representation is 4 small ints per vector (64×
+    // smaller than the float payload), codebooks and query tables are
+    // broadcast, encode + lookup both run INSIDE the scanned row, the
+    // codebook update shuffles only 4·8·16 partial-sum cells, and the
+    // only corpus-sized exchange is short (q_id, c_id, dist) rows into
+    // the per-query top-k. All arithmetic is BIGINT-exact (2^20
+    // quantization, floor(sum/n) update), so the oracle — which computes
+    // the same thing relationally, joining codes to the query's table on
+    // (m, cluster) and summing over m — matches hash-for-hash.
+    "q104_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), quant(col("embedding")).as("q"))
+      val cents0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"), col("q"))
+        .select(explode(sequence(lit(0), lit(3))).as("m"), col("cluster"),
+          col("q"))
+        .select(col("m"), col("cluster"),
+          slice(col("q"), col("m") * 16 + 1, lit(16)).as("cent"))
+      val a0 = Tables.spread(e, col("vec_id"))
+        .crossJoin(broadcast(pqPack(cents0)))
+        .select(col("vec_id"), col("q"),
+          pqEncode(col("q"), col("cents")).as("codes0"))
+      // one Lloyd update per (subspace, code): floor(sum/n) in pure
+      // integer arithmetic; shuffles k·M·subdim cells, corpus-size-free
+      val cents1 = a0
+        .select(col("q"), posexplode(col("codes0")).as(Seq("m", "code")))
+        .select(col("m"), col("code"),
+          posexplode(slice(col("q"), col("m") * 16 + 1, lit(16)))
+            .as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos")
+        .agg(expr("(sum(v) - pmod(sum(v), count(*))) div count(*)")
+          .cast("long").as("cd"))
+        .groupBy("m", "code")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cd")))),
+          x => x.getField("cd")).as("cent"))
+        .select(col("m"), col("code").as("cluster"), col("cent"))
+      // the trained codebook is a DIMENSION ARTIFACT (4·8 rows): collect
+      // it once — exactly how production PQ ships codebooks — so the
+      // serving plan below is scan + broadcasts + ONE top-k exchange
+      // instead of re-running the training subtree per consumer
+      import s.implicits._
+      val cbLocal = cents1.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+        .toSeq.toDF("m", "cluster", "cent")
+      val c1p = pqPack(cbLocal)
+      val enc = Tables.spread(e, col("vec_id")).crossJoin(broadcast(c1p))
+        .select(col("vec_id").as("c_id"),
+          pqEncode(col("q"), col("cents")).as("codes"))
+      // asymmetric distance tables: queries stay full-precision
+      val qt = e.filter(col("vec_id") < 10).crossJoin(broadcast(c1p))
+        .select(col("vec_id").as("q_id"),
+          transform(col("cents"), cs => struct(
+            cs.getField("m").as("m"),
+            cs.getField("cluster").as("cluster"),
+            qdist2(slice(col("q"), cs.getField("m") * 16 + 1, lit(16)),
+              cs.getField("cent")).as("d"))).as("dtable"))
+      val w = Window.partitionBy("q_id").orderBy(col("approx_d"), col("c_id"))
+      enc.crossJoin(broadcast(qt))
+        .filter(col("c_id") =!= col("q_id"))
+        .withColumn("approx_d",
+          aggregate(sequence(lit(0), lit(3)), lit(0L), (acc, m) =>
+            acc + element_at(filter(col("dtable"), tb =>
+              tb.getField("m") === m &&
+                tb.getField("cluster") === element_at(col("codes"), m + 1)),
+              1).getField("d")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "c_id", "rank", "approx_d")
+    }),
+
     // SemDeDup-shaped semantic dedup (Abbas et al. 2023): k-means first,
     // then near-duplicate detection WITHIN each cluster only — the cluster
     // is the candidate-pruning structure, so the corpus is never compared
@@ -225,6 +304,30 @@ object VectorOps {
   private def qdist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (s, d) => s + d)
+
+  /** (m, cluster, cent) codebook rows → ONE row holding the
+    * (m, cluster)-sorted array, so PQ encode is a 1-row broadcast and the
+    * per-subspace argmin stays inside the scanned row (q91's pack,
+    * extended with the subspace key). */
+  private def pqPack(cb: DataFrame): DataFrame =
+    cb.groupBy().agg(array_sort(collect_list(
+      struct(col("m"), col("cluster"), col("cent")))).as("cents"))
+
+  /** In-row PQ encoder: for each subspace m, argmin squared-L2 over that
+    * subspace's codebook entries. Strict `<` over the (m, cluster)-sorted
+    * array breaks ties to the lowest cluster id (≙ the oracle's
+    * `ORDER BY dist2, cluster`). Returns array<int> of 4 codes. */
+  private def pqEncode(q: Column, cents: Column): Column =
+    transform(sequence(lit(0), lit(3)), m => {
+      val sub = slice(q, m * 16 + 1, lit(16))
+      aggregate(filter(cents, cs => cs.getField("m") === m),
+        struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, cs) => {
+          val d = qdist2(sub, cs.getField("cent"))
+          when(d < acc.getField("d"),
+            struct(d.as("d"), cs.getField("cluster").as("c"))).otherwise(acc)
+        }).getField("c")
+    })
 
   /** (cluster, cent) rows → ONE row holding the cluster-sorted centroid
     * array, so assignment is a 1-row broadcast and argmin stays inside
@@ -313,6 +416,62 @@ object VectorOps {
     // Integer-exact mirror of q91: same quantization, BIGINT distances,
     // floor(sum/n) centroid update, ties to the lowest cluster id.
     "q91_kmeans" -> sqlKmeans,
+
+    // Relational mirror of the PQ pipeline: subspaces via range(4),
+    // argmin via row_number, the ADC lookup via a join on (m, cluster)
+    // summed over m — same integers, different algebra.
+    "q104_ann_pq" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, CAST(t.range AS INT) AS m,
+        |    q[t.range*16+1 : t.range*16+16] AS sub
+        |  FROM q, range(4) t),
+        |c0 AS (SELECT m, CAST(vec_id AS INT) AS cluster, sub AS cent
+        |       FROM sub WHERE vec_id < 8),
+        |d0 AS (
+        |  SELECT s.vec_id, s.m, c.cluster,
+        |    list_reduce(list_transform(list_zip(s.sub, c.cent),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS dist2
+        |  FROM sub s JOIN c0 c USING (m)),
+        |a0 AS (SELECT vec_id, m, cluster FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |    ORDER BY dist2, cluster) AS rn FROM d0) WHERE rn = 1),
+        |u AS (
+        |  SELECT m, cluster, pos,
+        |    CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
+        |      // count(*) AS BIGINT) AS cd
+        |  FROM (SELECT a0.m, a0.cluster, unnest(s.sub) AS v,
+        |          generate_subscripts(s.sub, 1) AS pos
+        |        FROM a0 JOIN sub s ON s.vec_id = a0.vec_id AND s.m = a0.m)
+        |  GROUP BY m, cluster, pos),
+        |c1 AS (SELECT m, cluster, list(cd ORDER BY pos) AS cent
+        |       FROM u GROUP BY m, cluster),
+        |d1 AS (
+        |  SELECT s.vec_id, s.m, c.cluster,
+        |    list_reduce(list_transform(list_zip(s.sub, c.cent),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS dist2
+        |  FROM sub s JOIN c1 c USING (m)),
+        |codes AS (SELECT vec_id, m, cluster FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |    ORDER BY dist2, cluster) AS rn FROM d1) WHERE rn = 1),
+        |qt AS (
+        |  SELECT s.vec_id AS q_id, c.m, c.cluster,
+        |    list_reduce(list_transform(list_zip(s.sub, c.cent),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS d
+        |  FROM sub s JOIN c1 c USING (m) WHERE s.vec_id < 10),
+        |approx AS (
+        |  SELECT qt.q_id, codes.vec_id AS c_id,
+        |    CAST(sum(qt.d) AS BIGINT) AS approx_d
+        |  FROM codes JOIN qt ON qt.m = codes.m AND qt.cluster = codes.cluster
+        |  GROUP BY qt.q_id, codes.vec_id)
+        |SELECT q_id, c_id, rank, approx_d FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY approx_d, c_id) AS rank
+        |  FROM approx WHERE c_id <> q_id)
+        |WHERE rank <= 3""".stripMargin,
 
     "q92_semantic_dedup" ->
       s"""WITH assign AS ($sqlKmeans),

@@ -98,6 +98,54 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got == assign(c1).map { case (k, v) => k -> v })
   }
 
+  test("q104: matches a plain-Scala PQ pipeline exactly (integer space)") {
+    val raw = graft.core.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val q = raw.map { case (id, v) =>
+      id -> v.map(x => BigDecimal(x.toDouble * 1048576.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toMap
+    def sub(v: Array[Long], m: Int): Array[Long] =
+      v.slice(m * 16, (m + 1) * 16)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Map[(Int, Int), Array[Long]]) =
+      q.flatMap { case (id, v) => (0 until 4).map { m =>
+        (id, m) -> cents.collect { case ((`m`, c), cent) => c -> cent }
+          .toSeq.sortBy(_._1)
+          .minBy { case (c, cent) => (d2(sub(v, m), cent), c) }._1
+      }}
+    val c0: Map[(Int, Int), Array[Long]] =
+      (for (c <- 0 until 8; m <- 0 until 4)
+        yield (m, c) -> sub(q(c.toLong), m)).toMap
+    val a0 = assign(c0)
+    // floor(sum/n) update — Math.floorDiv is the exact integer floor
+    val c1 = a0.groupBy { case ((_, m), c) => (m, c) }
+      .map { case ((m, c), members) =>
+        val vs = members.keys.map { case (id, _) => sub(q(id), m) }.toSeq
+        (m, c) -> Array.tabulate(16)(d =>
+          Math.floorDiv(vs.map(_(d)).sum, vs.size.toLong))
+      }
+    val codes = assign(c1)
+    val dtables = q.filter(_._1 < 10).map { case (qid, v) =>
+      qid -> c1.map { case ((m, c), cent) => (m, c) -> d2(sub(v, m), cent) }
+    }
+    val expected = dtables.flatMap { case (qid, dt) =>
+      q.keys.filter(_ != qid).toSeq
+        .map { cid =>
+          (cid, (0 until 4).map(m => dt((m, codes((cid, m))))).sum) }
+        .sortBy { case (cid, d) => (d, cid) }.take(3).zipWithIndex
+        .map { case ((cid, d), i) => (qid, cid, i + 1, d) }
+    }.toSet
+
+    val got = VectorOps.defs("q104_ann_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.size == 30) // 10 queries × top-3
+  }
+
   test("q92: chain structure — first of each cluster keeps, dups have prev") {
     val rows = VectorOps.defs("q92_semantic_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1),
