@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSig, Shingles3, SpanHashes}
+import graft.functions.{CosineSimilarity, KmvMinima, MinHashSig, Shingles3, SpanHashes}
 
 /** SQL function surface (SURVEY.md §2.10): the engine's native expressions
   * registered by name, so `spark.sql("SELECT minhash_sig(shingles3(text), 8)
@@ -53,6 +53,13 @@ object GraftExtensions {
           "(one-pass kernel; n literal)"),
       (args: Seq[Expression]) =>
         SpanHashes(args(0), intLit(args(1), "span_hashes n"))),
+    (FunctionIdentifier("kmv_minima"),
+      info("kmv_minima",
+        "kmv_minima(h, k) - k smallest distinct values (KMV sketch; " +
+          "feed md5(x); k literal)"),
+      (args: Seq[Expression]) =>
+        KmvMinima(args(0), intLit(args(1), "kmv_minima k"))
+          .toAggregateExpression()),
     // Spark's internal bloom-filter pair, surfaced by name: the standard
     // seen-before pre-filter for 100 TB dedup/anti-join pipelines
     // (catalyst ships them for runtime filters but registers no SQL name)

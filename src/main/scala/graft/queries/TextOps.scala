@@ -490,6 +490,36 @@ object TextOps {
           expr("CAST(((n_bigrams - covered) * 1000000) div n_bigrams AS BIGINT)"))
     }),
 
+    // Distinct-cardinality sketch — per-source distinct-bigram count via
+    // the native KMV aggregate (graft.functions.KmvMinima): bounded O(k)
+    // state per group, mergeable map-side, so the exchange carries ≤k
+    // hashes per group no matter how many TB of text flow in. The exact
+    // countDistinct rides along as the calibration column (it's the thing
+    // the sketch replaces at scale — at 100 TB you'd drop it). KMV over
+    // md5 is engine-portable bit-for-bit, which Spark's approx_count_
+    // distinct (HLL++) can never be — that's why this query is
+    // hash-gateable at all. Estimate: (k-1)/F(v_k) with v_k the k-th
+    // minimum as a hash-space fraction; all arithmetic is exact-int or
+    // single IEEE double ops, identical in both engines.
+    "q106_distinct_sketch" -> ((s, dir) => {
+      val bigs = array_distinct(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      val ex = spread(t(s, dir, "documents"))
+        .select(col("source"), tokensCol.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("source"), explode(bigs).as("bg"))
+      ex.groupBy("source")
+        .agg(graft.functions.KmvMinima(md5(col("bg")), 64).as("mins"),
+          countDistinct(col("bg")).as("n_exact"))
+        .select(col("source"), col("n_exact"),
+          when(size(col("mins")) < 64, size(col("mins")).cast("long"))
+            .otherwise(round(lit(63.0) * lit(1.152921504606846976e18) /
+              conv(substring(element_at(col("mins"), 64), 1, 15), 16, 10)
+                .cast("double")).cast("long")).as("n_est"))
+    }),
+
     // BPE-ish regex tokenization: letter runs / digit runs / single
     // punctuation, counted per class (the shape of a GPT-style pre-tokenizer;
     // pattern kept engine-portable).
@@ -948,6 +978,36 @@ object TextOps {
          |  CAST(((len(bigs) - coalesce(cov.covered, 0)) * 1000000)
          |    // len(bigs) AS BIGINT) AS novelty_ppm
          |FROM b LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    // KMV mirror: min-k via row_number over md5, the hex→int fold replaces
+    // Spark's conv(); same 2^60 hash-space fraction arithmetic.
+    "q106_distinct_sketch" ->
+      s"""WITH toks AS (
+         |  SELECT source, $sqlTokens AS t FROM documents),
+         |b AS (
+         |  SELECT source, list_distinct(list_transform(
+         |    list_zip(t[1:len(t)-1], t[2:len(t)]),
+         |    p -> p[1] || ' ' || p[2])) AS bigs
+         |  FROM toks WHERE len(t) >= 2),
+         |e AS (SELECT source, unnest(bigs) AS bg FROM b),
+         |exact AS (SELECT source, CAST(count(DISTINCT bg) AS BIGINT)
+         |            AS n_exact FROM e GROUP BY source),
+         |h AS (SELECT DISTINCT source, md5(bg) AS h FROM e),
+         |mins AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM h),
+         |kth AS (SELECT source, max(CASE WHEN rn = 64 THEN h END) AS h64,
+         |    CAST(count(*) AS BIGINT) AS n_mins
+         |  FROM mins WHERE rn <= 64 GROUP BY source)
+         |SELECT k.source, exact.n_exact,
+         |  CASE WHEN k.n_mins < 64 THEN k.n_mins
+         |    ELSE CAST(round(63.0 * 1152921504606846976.0 /
+         |      CAST(list_reduce(list_transform(
+         |        string_split(substr(k.h64, 1, 15), ''),
+         |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |        (a, d) -> a * 16 + d) AS DOUBLE)) AS BIGINT)
+         |  END AS n_est
+         |FROM kth k JOIN exact USING (source)""".stripMargin,
 
     "q42_rolling_hash" ->
       """SELECT doc_id,

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.KmvMinima
+
+/** Pins for the KMV distinct-sketch aggregate beyond the q106 gate. */
+class KmvSketchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("min-k across many partitions == single-pass brute force") {
+    import spark.implicits._
+    // deterministic pseudo-values; 7 partitions force partial-buffer
+    // serialize + merge through the exchange
+    val values = (0 until 5000).map(i => s"v$i")
+    val hashed = values.map(v =>
+      java.security.MessageDigest.getInstance("MD5").digest(v.getBytes)
+        .map("%02x".format(_)).mkString)
+    val expected = hashed.distinct.sorted.take(64)
+    val got = values.toDF("v").repartition(7)
+      .agg(KmvMinima(md5(col("v")), 64).as("mins"))
+      .collect().head.getSeq[String](0)
+    assert(got == expected)
+  }
+
+  test("duplicates cannot distort the sketch (set semantics)") {
+    import spark.implicits._
+    val base = (0 until 100).map(i => s"v$i")
+    val dup = base ++ Seq.fill(10000)("v0") // one viral value
+    val a = base.toDF("v").repartition(5)
+      .agg(KmvMinima(md5(col("v")), 16)).collect().head.getSeq[String](0)
+    val b = dup.toDF("v").repartition(5)
+      .agg(KmvMinima(md5(col("v")), 16)).collect().head.getSeq[String](0)
+    assert(a == b)
+  }
+
+  test("fewer distinct values than k: returns all of them, sorted") {
+    import spark.implicits._
+    val got = Seq("b", "a", "c", "a").toDF("v")
+      .agg(KmvMinima(md5(col("v")), 64)).collect().head.getSeq[String](0)
+    assert(got.length == 3 && got == got.sorted)
+  }
+
+  test("SQL surface: kmv_minima registered and grouped") {
+    import spark.implicits._
+    (0 until 300).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
+      .createOrReplaceTempView("kmv_in")
+    val rows = spark.sql(
+      """SELECT g, size(kmv_minima(md5(v), 8)) AS n
+        |FROM kmv_in GROUP BY g""".stripMargin).collect()
+    assert(rows.length == 3 && rows.forall(_.getInt(1) == 8))
+  }
+
+  test("estimate lands within KMV error bounds on 20k distinct values") {
+    import spark.implicits._
+    val n = 20000
+    val est = (0 until n).map(i => s"value-$i").toDF("v").repartition(8)
+      .agg(KmvMinima(md5(col("v")), 256).as("mins"))
+      .select(round(lit(255.0) * lit(1.152921504606846976e18) /
+        conv(substring(element_at(col("mins"), 256), 1, 15), 16, 10)
+          .cast("double")).cast("long"))
+      .collect().head.getLong(0)
+    // stddev ≈ n/sqrt(k-2) ≈ 6.3%; 4σ bound
+    assert(math.abs(est - n) < n * 0.25, s"estimate $est vs true $n")
+  }
+}
