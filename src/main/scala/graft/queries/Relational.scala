@@ -240,6 +240,22 @@ object Relational {
         .select("event_id", "event_type")
     }),
 
+    // Z-order layout key (graft.operators.ZOrder): Morton-interleave
+    // (o_custkey, order epoch-day) — the multi-dim clustering key whose
+    // write-time sort makes parquet min/max skipping prune range scans on
+    // EITHER dimension at 100 TB (see ZOrderSpec for the measured file-
+    // pruning effect; this gate pins the key arithmetic bit-for-bit).
+    // Pure per-row integer ops, codegen'd, zero exchange.
+    "q107_zorder_key" -> ((s, dir) => {
+      val days = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), days.as("epoch_day"))
+        .withColumn("zkey",
+          graft.operators.ZOrder.interleave2(
+            col("o_custkey"), col("epoch_day"), 21))
+    }),
+
     "q44_salted_agg" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("salt", pmod(col("event_id"), lit(8)))
@@ -386,6 +402,20 @@ object Relational {
         |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
         |  CASE event_type WHEN 'click' THEN '10'
         |                  WHEN 'view' THEN '20' ELSE '80' END""".stripMargin,
+
+    // Morton interleave restated as a list_sum of shifted bits
+    "q107_zorder_key" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, epoch_day,
+        |  CAST(list_sum(list_transform(range(21), i ->
+        |    ((o_custkey >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)) +
+        |    ((epoch_day >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))))
+        |  AS BIGINT) AS zkey
+        |FROM base""".stripMargin,
 
     // salted two-phase agg ≡ plain group-by (the salt is internal)
     "q44_salted_agg" ->
