@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import graft.streaming.CorpusIngest
+import graft.streaming.CorpusIngest.Doc
+
+/** Streaming first-seen dedup: cross-batch state, in-batch winner rule,
+  * restart-without-duplicates, and parity with the batch twin. */
+class CorpusIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def doc(id: Long, text: String) =
+    Doc(id, java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString, text)
+
+  test("cross-batch dedup: later occurrences of a hash never re-emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = CorpusIngest.firstSeen(in.toDS())
+      .writeStream.format("memory").queryName("ingest1")
+      .outputMode("append").start()
+    try {
+      in.addData(doc(1, "alpha"), doc(2, "beta"))
+      q.processAllAvailable()
+      in.addData(doc(3, "beta"), doc(4, "gamma")) // beta is a dup
+      q.processAllAvailable()
+      val rows = spark.table("ingest1").collect()
+        .map(r => r.getAs[Long]("docId") -> r.getAs[String]("text")).toMap
+      assert(rows == Map(1L -> "alpha", 2L -> "beta", 4L -> "gamma"))
+    } finally q.stop()
+  }
+
+  test("in-batch duplicates: the lowest docId wins deterministically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = CorpusIngest.firstSeen(in.toDS())
+      .writeStream.format("memory").queryName("ingest2")
+      .outputMode("append").start()
+    try {
+      in.addData(doc(9, "same"), doc(3, "same"), doc(7, "same"))
+      q.processAllAvailable()
+      val rows = spark.table("ingest2").collect()
+      assert(rows.length == 1 && rows.head.getAs[Long]("docId") == 3L)
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint: state survives, no duplicate emissions") {
+    import spark.implicits._
+    // memory sinks can't recover a checkpoint → file source/sink, the
+    // f18 (StreamingSpec) restart pattern
+    val dir = Files.createTempDirectory("ingest_restart").toString
+    val srcDir = s"$dir/docs"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def writeBatch(n: Int, docs: Seq[Doc]): Unit =
+      docs.toDS().coalesce(1).write.json(s"$srcDir/batch$n")
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema("docId LONG, hash STRING, text STRING")
+        .json(s"$srcDir/*").as[Doc]
+      val q = CorpusIngest.firstSeen(in)
+        .writeStream.format("json").option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeBatch(1, Seq(doc(1, "alpha"), doc(2, "beta")))
+    runOnce()
+    writeBatch(2, Seq(doc(5, "alpha"), doc(6, "delta"))) // alpha pre-seen
+    runOnce()
+    val ids = spark.read.json(outDir).collect()
+      .map(_.getAs[Long]("docId")).toSet
+    assert(ids == Set(1L, 2L, 6L), s"got $ids")
+  }
+
+  test("streaming result == batch twin on the same document set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(doc(4, "x"), doc(2, "x"), doc(7, "y"), doc(1, "z"),
+      doc(9, "z"), doc(5, "w"))
+    val in = MemoryStream[Doc]
+    val q = CorpusIngest.firstSeen(in.toDS())
+      .writeStream.format("memory").queryName("ingest4")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest4").collect()
+        .map(r => (r.getAs[String]("hash"), r.getAs[Long]("docId"))).toSet
+      val batch = CorpusIngest.firstSeenBatch(docs.toDF()).collect()
+        .map(r => (r.getAs[String]("hash"), r.getAs[Long]("docId"))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("ttl timer contract (TestGroupState): admit → timeout → re-admit") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val h = CorpusIngest.firstSeenHandler(1000L) _
+    // first sight: admits, arms the timer
+    val s1 = TestGroupState.create[Boolean](
+      optionalState = org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    val out1 = h("h1", Iterator(doc(5, "alpha"), doc(2, "alpha")), s1).toSeq
+    assert(out1.map(_.docId) == Seq(2L)) // lowest docId wins
+    assert(s1.exists && s1.get && s1.getTimeoutTimestampMs.isPresent)
+    // seen again before the horizon: suppressed
+    val s2 = TestGroupState.create[Boolean](
+      org.apache.spark.api.java.Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
+      500L, org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    assert(h("h1", Iterator(doc(9, "alpha")), s2).isEmpty)
+    // horizon lapses: state removed...
+    val s3 = TestGroupState.create[Boolean](
+      org.apache.spark.api.java.Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
+      2000L, org.apache.spark.api.java.Optional.empty(), hasTimedOut = true)
+    assert(h("h1", Iterator.empty, s3).isEmpty && s3.isRemoved)
+    // ...and the hash re-admits
+    val s4 = TestGroupState.create[Boolean](
+      org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      2100L, org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    assert(h("h1", Iterator(doc(11, "alpha")), s4).map(_.docId).toSeq == Seq(11L))
+  }
+}
