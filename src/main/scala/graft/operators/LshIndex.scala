@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.queries.TextOps
+
+/** Persistent LSH near-duplicate index — the INCREMENTAL path for a
+  * growing 100 TB corpus. `lshVerifiedPairs` (q29) re-shards the whole
+  * corpus per run; at scale the corpus is indexed ONCE and every new
+  * crawl increment is matched against the index with the indexed side
+  * never re-shuffling:
+  *
+  *   - `<name>_bands`  (band, doc_id), bucketed+sorted BY BAND: the
+  *     candidate join is a sort-merge join where the index side reads
+  *     pre-bucketed files with ZERO Exchange (TablesBucketingSpec
+  *     semantics) — only the increment shuffles, and it is the small
+  *     side by construction;
+  *   - `<name>_shingles` (doc_id, shingles), bucketed BY DOC_ID: the
+  *     verify lookup joins only the CANDIDATE old docs, again with no
+  *     index-side exchange.
+  *
+  * The q29 skew discipline carries over: the per-band member count for
+  * the cap comes from a groupBy on the bucketed band table — itself
+  * exchange-free — so a degenerate band (viral boilerplate) is dropped
+  * before any candidate expansion. Complements `CorpusIngest` (streaming
+  * EXACT dedup) with the near-dup equivalent for batch increments; the
+  * bloom pre-filter (q101) runs before either to cheaply discard
+  * exact re-crawls.
+  */
+object LshIndex {
+
+  /** Index `docs` (doc_id, text) under bucketed tables `<name>_bands` /
+    * `<name>_shingles`. One kernel pass (shingles + minhash); rewrite =
+    * full refresh (overwrite), matching how layout tables are compacted. */
+  def write(spark: SparkSession, docs: DataFrame, name: String,
+      buckets: Int = 32): Unit = {
+    // a managed-table LOCATION can outlive the catalog entry (a previous
+    // session's warehouse dir) and then saveAsTable refuses even with
+    // overwrite — clear both before writing
+    Seq(s"${name}_bands", s"${name}_shingles").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    val banded = TextOps.withBands(docs).localCheckpoint()
+    Tables.writeBucketed(
+      banded.select(col("doc_id"),
+        explode(array(col("band0"), col("band1"))).as("band")),
+      s"${name}_bands", "band", buckets)
+    Tables.writeBucketed(banded.select("doc_id", "shingles"),
+      s"${name}_shingles", "doc_id", buckets)
+  }
+
+  /** Match an increment against the index: verified Jaccard ≥ `tau` pairs
+    * (new_id, old_id, jaccard). Only the increment moves — both joins
+    * read the index in bucket order. */
+  def matchIncrement(spark: SparkSession, newDocs: DataFrame, name: String,
+      bandCap: Int = TextOps.DefaultBandCap,
+      tau: Double = 0.5): DataFrame = {
+    val newBanded = TextOps.withBands(newDocs).localCheckpoint()
+    val idx = spark.table(s"${name}_bands")
+    // exchange-free cap count: the groupBy key IS the bucket key
+    val hot = idx.groupBy("band").count()
+      .filter(col("count") > bandCap).select("band")
+    val cand = newBanded
+      .select(col("doc_id").as("new_id"),
+        explode(array(col("band0"), col("band1"))).as("band"))
+      .join(idx.join(hot, Seq("band"), "left_anti"), "band")
+      .select(col("new_id"), col("doc_id").as("old_id"))
+      .filter(col("new_id") =!= col("old_id"))
+      .distinct()
+    val oldSh = spark.table(s"${name}_shingles")
+      .select(col("doc_id").as("old_id"), col("shingles").as("sh_old"))
+    cand.join(oldSh, "old_id")
+      .join(newBanded.select(col("doc_id").as("new_id"),
+        col("shingles").as("sh_new")), "new_id")
+      .withColumn("n_inter", size(array_intersect(col("sh_new"), col("sh_old"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_new")) + size(col("sh_old")) - col("n_inter"))
+          .cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("new_id", "old_id", "jaccard")
+  }
+}

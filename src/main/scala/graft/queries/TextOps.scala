@@ -167,7 +167,7 @@ object TextOps {
     * row (graft.functions.TextNative): the Column formulation re-reads the
     * shingle array per seed and evaluates every HOF lambda interpreted —
     * same output, ~2× the time (TextOpsNativeSpec pins the equality). */
-  private def withBands(docs: DataFrame): DataFrame = {
+  private[graft] def withBands(docs: DataFrame): DataFrame = {
     val base = spread(docs)
       .select(col("doc_id"),
         graft.functions.TextExpressions.shingles3(col("text")).as("shingles"))
@@ -453,6 +453,21 @@ object TextOps {
           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
         .withColumn("mean_df",
           col("sum_df").cast("double") / col("n_types").cast("double"))
+    }),
+
+    // Incremental near-dup against a PERSISTENT LSH index (operators/
+    // LshIndex): the corpus (80% split) is indexed once into bucketed
+    // band + shingle tables, then the increment (20%) is matched with the
+    // indexed side never re-shuffling — the grows-forever corpus shape
+    // where q29's whole-corpus reshard would be the bottleneck. The gate
+    // covers index write → bucketed read → capped candidate join →
+    // verify; LshIndexSpec pins the zero-exchange plan property.
+    "q108_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.LshIndex.write(
+        s, docs.filter(col("doc_id") % 5 =!= 0), "q108_idx", 8)
+      graft.operators.LshIndex.matchIncrement(
+        s, docs.filter(col("doc_id") % 5 === 0), "q108_idx")
     }),
 
     // Bigram novelty score — the cheap LM-ish fluency/novelty signal: how
@@ -955,6 +970,32 @@ object TextOps {
          |    AS n_hapax,
          |  CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
          |FROM toks JOIN df USING (token) GROUP BY doc_id""".stripMargin,
+
+    // q29's oracle restricted to new×old pairs (the index is an
+    // implementation artifact — relationally it's just a split corpus;
+    // the cap is omitted exactly as in q29, pinned by LshBandCapSpec)
+    "q108_incremental_neardup" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, shingles,
+         |    md5(mh0 || mh1 || mh2 || mh3) AS band0,
+         |    md5(mh4 || mh5 || mh6 || mh7) AS band1
+         |  FROM ($sqlBands)),
+         |banded AS (
+         |  SELECT doc_id, unnest([band0, band1]) AS band FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |  FROM banded x JOIN banded y USING (band)
+         |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
+         |scored AS (
+         |  SELECT new_id, old_id,
+         |    CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE) /
+         |    CAST(len(sa.shingles) + len(sb.shingles)
+         |         - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+         |    AS jaccard
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.new_id
+         |  JOIN sig sb ON sb.doc_id = cand.old_id)
+         |SELECT new_id, old_id, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
 
     // Relational mirror of the bigram-novelty score: same tokenization,
     // same df≥2 ∧ top-1024 frequent set, coverage via join instead of the

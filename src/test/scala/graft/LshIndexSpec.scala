@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.LshIndex
+
+/** Persistent LSH index: incremental matches == whole-corpus pairs
+  * restricted to the increment, and the index side of the candidate join
+  * reads its buckets with no Exchange. */
+class LshIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val wh = Files.createTempDirectory("lsh_wh").toString
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    s
+  }
+
+  private def freshTables(): Unit = Seq("t_idx_bands", "t_idx_shingles")
+    .foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf
+        .get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+
+  test("incremental matches == whole-corpus q29 pairs touching the increment") {
+    freshTables()
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val isNew = col("doc_id") % 5 === 0
+    LshIndex.write(spark, docs.filter(!isNew), "t_idx", buckets = 4)
+    val got = LshIndex.matchIncrement(spark, docs.filter(isNew), "t_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // reference: the q29 whole-corpus path, keeping only new×old pairs
+    val all = graft.queries.TextOps.lshVerifiedPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = all.collect {
+      case (a, b) if a % 5 == 0 && b % 5 != 0 => (a, b)
+      case (a, b) if b % 5 == 0 && a % 5 != 0 => (b, a)
+    }
+    assert(got == expected)
+    assert(got.nonEmpty, "split must produce at least one near-dup pair")
+  }
+
+  test("index side of the candidate join reads buckets with no Exchange") {
+    // bands table already written by the previous test
+    val idx = spark.table("t_idx_bands")
+    val capCount = idx.groupBy("band").count()
+    assert(!capCount.queryExecution.executedPlan.toString.contains("Exchange"),
+      "cap count on the bucketed band table must not shuffle")
+    import spark.implicits._
+    val someBands = idx.select("band").distinct().limit(5)
+      .collect().map(_.getString(0)).toSeq
+    val probe = someBands.zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("new_id", "band")
+    val joined = probe.hint("merge").join(idx, "band")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(400))
+    // exactly ONE exchange: the probe side; the index side is bucket-read
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 1, s"index side must not shuffle:\n${plan.take(900)}")
+  }
+}
