@@ -432,6 +432,61 @@ object TextOps {
           col("top.tf"), col("top.df"), col("top.score"))
     }),
 
+    // BM25 top-k retrieval (Robertson-Walker k1=1.2, b=0.75): each query
+    // doc's distinct tokens retrieve its 3 best matches — the sparse-
+    // retrieval twin of the ANN pack (q31/q32/q43/q104), and the standard
+    // quality tool for mining related documents / dedup triage. Float
+    // discipline: a per-(query,doc) score is a SUM of per-term doubles,
+    // and a shuffled double sum is order-nondeterministic — so the terms
+    // are collected, sorted by token, and folded left from 0.0 (exactly
+    // the DuckDB list(ORDER BY)+list_reduce), with every arithmetic
+    // expression parenthesized identically on both sides → bit-identical
+    // scores. Scale shape: df/N/avgdl are a collect-job dimension
+    // artifact (q55), query terms broadcast, the corpus tf explode joins
+    // them broadcast-side; exchanges are the (q,doc) score agg and the
+    // per-query top-k, both on short keys.
+    "q109_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val docs0 = t(s, dir, "documents")
+      val tfPairs = graft.functions.TextExpressions.tokenTf(col("text"))
+      val tf = spread(docs0)
+        .select(col("doc_id"), size(tokensCol).as("dl"),
+          explode(tfPairs).as("p"))
+        .select(col("doc_id"), col("dl"), col("p.token").as("token"),
+          col("p.tf").cast("long").as("tf"))
+      // dimension artifact: N, avgdl, df(token) — one collect job
+      val statRows = tf.groupBy("token").agg(count(lit(1)).as("df")).collect()
+      val metaRow = docs0
+        .agg(count(lit(1)), sum(size(tokensCol))).collect().head
+      val nDocs = metaRow.getLong(0)
+      val avgdl = metaRow.getLong(1).toDouble / nDocs.toDouble
+      val dfLocal = statRows.map(r => (r.getString(0), r.getLong(1)))
+        .toSeq.toDF("token", "df")
+      val qterms = docs0.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(tokensCol)).as("token"))
+      val termScore =
+        log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(1.0) - lit(0.75) + lit(0.75) *
+                (col("dl").cast("double") / lit(avgdl)))))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("doc_id"))
+      tf.join(broadcast(qterms), "token")
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(broadcast(dfLocal), "token")
+        .withColumn("sc", termScore)
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(round(aggregate(
+          array_sort(collect_list(struct(col("token"), col("sc")))),
+          lit(0.0), (acc, x) => acc + x.getField("sc")), 6).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "doc_id", "rank", "score")
+    }),
+
     // Token-rarity quality signal: per-document mean document-frequency of
     // its distinct tokens plus the hapax (df = 1) count — the integer-exact
     // stand-in for a unigram-LM perplexity filter (rare-vocabulary docs
@@ -970,6 +1025,43 @@ object TextOps {
          |    AS n_hapax,
          |  CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
          |FROM toks JOIN df USING (token) GROUP BY doc_id""".stripMargin,
+
+    // BM25 mirror: identical parenthesization everywhere a double is
+    // touched; the per-(q,doc) sum folds a token-ORDERED list from 0.0
+    // exactly like the Spark side's array_sort fold.
+    "q109_bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |e AS (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM toks),
+         |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM e GROUP BY doc_id, dl, token),
+         |stats AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |          FROM tf GROUP BY token),
+         |meta AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM toks),
+         |q AS (SELECT doc_id AS q_id, unnest(list_distinct(t)) AS token
+         |      FROM toks WHERE doc_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, tf.doc_id, tf.token,
+         |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |         (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+         |      ((CAST(tf AS DOUBLE) * 2.2) /
+         |        (CAST(tf AS DOUBLE) + 1.2 *
+         |          (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+         |    AS sc
+         |  FROM tf JOIN q USING (token) JOIN stats USING (token)
+         |    CROSS JOIN meta
+         |  WHERE tf.doc_id <> q.q_id),
+         |agg AS (
+         |  SELECT q_id, doc_id,
+         |    round(list_reduce(
+         |      list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY token)),
+         |      (a, b) -> a + b), 6) AS score
+         |  FROM scored GROUP BY q_id, doc_id)
+         |SELECT q_id, doc_id, rank, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, doc_id) AS rank FROM agg)
+         |WHERE rank <= 3""".stripMargin,
 
     // q29's oracle restricted to new×old pairs (the index is an
     // implementation artifact — relationally it's just a split corpus;
