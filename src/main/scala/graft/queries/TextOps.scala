@@ -449,11 +449,15 @@ object TextOps {
       import s.implicits._
       val docs0 = t(s, dir, "documents")
       val tfPairs = graft.functions.TextExpressions.tokenTf(col("text"))
+      // EAGER checkpoint: the stats collect below AND the main scoring
+      // query both consume tf — without it the TokenTf kernel pass runs
+      // twice (the q55 lesson; −1.3s at sf0.1)
       val tf = spread(docs0)
         .select(col("doc_id"), size(tokensCol).as("dl"),
           explode(tfPairs).as("p"))
         .select(col("doc_id"), col("dl"), col("p.token").as("token"),
           col("p.tf").cast("long").as("tf"))
+        .localCheckpoint()
       // dimension artifact: N, avgdl, df(token) — one collect job
       val statRows = tf.groupBy("token").agg(count(lit(1)).as("df")).collect()
       val metaRow = docs0

@@ -195,7 +195,8 @@ object VectorOps {
       val a0 = Tables.spread(e, col("vec_id"))
         .crossJoin(broadcast(pqPack(cents0)))
         .select(col("vec_id"), col("q"),
-          pqEncode(col("q"), col("cents")).as("codes0"))
+          graft.functions.PqNative.pqEncode(col("q"), col("cents"))
+            .as("codes0"))
       // one Lloyd update per (subspace, code): floor(sum/n) in pure
       // integer arithmetic; shuffles k·M·subdim cells, corpus-size-free
       val cents1 = a0
@@ -222,7 +223,8 @@ object VectorOps {
       val c1p = pqPack(cbLocal)
       val enc = Tables.spread(e, col("vec_id")).crossJoin(broadcast(c1p))
         .select(col("vec_id").as("c_id"),
-          pqEncode(col("q"), col("cents")).as("codes"))
+          graft.functions.PqNative.pqEncode(col("q"), col("cents"))
+            .as("codes"))
       // asymmetric distance tables: queries stay full-precision
       val qt = e.filter(col("vec_id") < 10).crossJoin(broadcast(c1p))
         .select(col("vec_id").as("q_id"),
@@ -235,11 +237,7 @@ object VectorOps {
       enc.crossJoin(broadcast(qt))
         .filter(col("c_id") =!= col("q_id"))
         .withColumn("approx_d",
-          aggregate(sequence(lit(0), lit(3)), lit(0L), (acc, m) =>
-            acc + element_at(filter(col("dtable"), tb =>
-              tb.getField("m") === m &&
-                tb.getField("cluster") === element_at(col("codes"), m + 1)),
-              1).getField("d")))
+          graft.functions.PqNative.adcSum(col("codes"), col("dtable")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("q_id", "c_id", "rank", "approx_d")
@@ -313,11 +311,14 @@ object VectorOps {
     cb.groupBy().agg(array_sort(collect_list(
       struct(col("m"), col("cluster"), col("cent")))).as("cents"))
 
-  /** In-row PQ encoder: for each subspace m, argmin squared-L2 over that
-    * subspace's codebook entries. Strict `<` over the (m, cluster)-sorted
-    * array breaks ties to the lowest cluster id (≙ the oracle's
-    * `ORDER BY dist2, cluster`). Returns array<int> of 4 codes. */
-  private def pqEncode(q: Column, cents: Column): Column =
+  /** In-row PQ encoder, Column-HOF REFERENCE formulation: for each
+    * subspace m, argmin squared-L2 over that subspace's codebook entries;
+    * strict `<` over the (m, cluster)-sorted array breaks ties to the
+    * lowest cluster id (≙ the oracle's `ORDER BY dist2, cluster`).
+    * q104 runs the native kernel (graft.functions.PqNative — interpreted
+    * HOF lambdas were 5.6× the oracle at sf0.1); VectorOpsSpec pins the
+    * kernel to this formulation. */
+  private[graft] def pqEncodeRef(q: Column, cents: Column): Column =
     transform(sequence(lit(0), lit(3)), m => {
       val sub = slice(q, m * 16 + 1, lit(16))
       aggregate(filter(cents, cs => cs.getField("m") === m),

@@ -44,7 +44,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q93_token_rarity"       -> 2, // token df + doc_id agg (df broadcast back)
     "q101_bloom_incremental" -> 2, // bloom agg + verified-new agg
     "q104_ann_pq"            -> 3, // top-k + two 32-row codebook packs
-    "q105_bigram_novelty"    -> 1  // bigram df only (scoring is in-row)
+    "q105_bigram_novelty"    -> 1, // bigram df only (scoring is in-row)
+    "q106_distinct_sketch"   -> 2, // KMV agg + the countDistinct expand
+    "q107_zorder_key"        -> 0, // pure per-row arithmetic
+    "q109_bm25_topk"         -> 2  // (q,doc) score agg + per-query top-k
   )
 
   private def shuffleCount(name: String): Int = {

@@ -146,6 +146,41 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got.size == 30) // 10 queries × top-3
   }
 
+  test("PqNative kernels == the Column-HOF reference formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PqNative
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1048576.0).cast("long")).as("q"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"), col("q"))
+      .select(explode(sequence(lit(0), lit(3))).as("m"), col("cluster"),
+        slice(col("q"), col("m") * 16 + 1, lit(16)).as("cent"))
+      .groupBy().agg(array_sort(collect_list(
+        struct(col("m"), col("cluster"), col("cent")))).as("cents"))
+    val both = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        PqNative.pqEncode(col("q"), col("cents")).as("native"),
+        VectorOps.pqEncodeRef(col("q"), col("cents")).as("ref"))
+    assert(both.filter(col("native") =!= col("ref")).count() == 0)
+    // AdcSum == the fold over a synthetic dtable derived from the packed
+    // codebook (every (m, cluster) present exactly once)
+    val withD = both.crossJoin(broadcast(cents))
+      .withColumn("dtable", transform(col("cents"), cs => struct(
+        cs.getField("m").as("m"), cs.getField("cluster").as("cluster"),
+        (cs.getField("m").cast("long") * 1000 +
+          cs.getField("cluster").cast("long")).as("d"))))
+      .select(col("vec_id"),
+        PqNative.adcSum(col("native"), col("dtable")).as("fast"),
+        aggregate(sequence(lit(0), lit(3)), lit(0L), (acc, m) =>
+          acc + element_at(filter(col("dtable"), tb =>
+            tb.getField("m") === m &&
+              tb.getField("cluster") === element_at(col("native"), m + 1)),
+            1).getField("d")).as("slow"))
+    assert(withD.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
   test("q92: chain structure — first of each cluster keeps, dups have prev") {
     val rows = VectorOps.defs("q92_semantic_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1),
