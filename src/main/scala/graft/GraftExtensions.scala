@@ -53,6 +53,20 @@ object GraftExtensions {
           "(one-pass kernel; n literal)"),
       (args: Seq[Expression]) =>
         SpanHashes(args(0), intLit(args(1), "span_hashes n"))),
+    (FunctionIdentifier("pq_encode"),
+      info("pq_encode",
+        "pq_encode(q, cents, m, subdim) - PQ codes vs a packed codebook " +
+          "(m/subdim literals)"),
+      (args: Seq[Expression]) =>
+        graft.functions.PqNative.PqEncode(args(0), args(1),
+          intLit(args(2), "pq_encode m"), intLit(args(3), "pq_encode subdim"))),
+    (FunctionIdentifier("adc_sum"),
+      info("adc_sum",
+        "adc_sum(codes, dtable, m) - asymmetric-distance sum over a " +
+          "query's sub-distance table (m literal)"),
+      (args: Seq[Expression]) =>
+        graft.functions.PqNative.AdcSum(args(0), args(1),
+          intLit(args(2), "adc_sum m"))),
     (FunctionIdentifier("kmv_minima"),
       info("kmv_minima",
         "kmv_minima(h, k) - k smallest distinct values (KMV sketch; " +

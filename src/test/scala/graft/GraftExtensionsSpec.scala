@@ -85,6 +85,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(hits.forall(identity)) // no false negatives, ever
   }
 
+  test("pq_encode / adc_sum are SQL-callable and agree end-to-end") {
+    GraftExtensions.register(spark)
+    // 1-D vectors, 2 subspaces of 1 dim: codebook (m=0: c0=[0], c1=[10]),
+    // (m=1: c0=[0], c1=[10]); q=[9,2] → codes [1, 0]
+    val row = spark.sql(
+      """SELECT pq_encode(array(9L, 2L),
+        |  array(struct(0 AS m, 0 AS cluster, array(0L) AS cent),
+        |        struct(0 AS m, 1 AS cluster, array(10L) AS cent),
+        |        struct(1 AS m, 0 AS cluster, array(0L) AS cent),
+        |        struct(1 AS m, 1 AS cluster, array(10L) AS cent)),
+        |  2, 1) AS codes""".stripMargin).collect().head
+    assert(row.getSeq[Int](0) == Seq(1, 0))
+    val d = spark.sql(
+      """SELECT adc_sum(array(1, 0),
+        |  array(struct(0 AS m, 0 AS cluster, 7L AS d),
+        |        struct(0 AS m, 1 AS cluster, 5L AS d),
+        |        struct(1 AS m, 0 AS cluster, 11L AS d),
+        |        struct(1 AS m, 1 AS cluster, 13L AS d)),
+        |  2) AS dist""".stripMargin).collect().head.getLong(0)
+    assert(d == 5L + 11L)
+  }
+
   test("extensions class injects every entry") {
     // unit-level: the plug-in path applies the same entries (an isolated
     // end-to-end session would race the suite-shared one in this JVM)
