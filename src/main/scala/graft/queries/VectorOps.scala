@@ -243,6 +243,8 @@ object VectorOps {
         .select("q_id", "c_id", "rank", "approx_d")
     }),
 
+    "q110_balanced_sample" -> balancedSample,
+
     // SemDeDup-shaped semantic dedup (Abbas et al. 2023): k-means first,
     // then near-duplicate detection WITHIN each cluster only — the cluster
     // is the candidate-pruning structure, so the corpus is never compared
@@ -265,6 +267,25 @@ object VectorOps {
         .select(col("vec_id"), col("cluster"), col("prev_id"), col("is_dup"))
     })
   )
+
+  /** Cluster-balanced sampling — the curation step after q91/q92: cap
+    * each k-means cluster at 40 members so no dense region dominates the
+    * training mix (the DoReMi/SemDeDup-style balance pass). Selection
+    * order inside a cluster is md5(vec_id) — deterministic, reshard- and
+    * rerun-safe like q47/q86, and unbiased w.r.t. insertion order. Scale
+    * shape: assignment is the q91 broadcast-argmin (corpus never shuffles
+    * to assign); the cap is one window per cluster over (cluster, hash,
+    * id) triples — `WindowGroupLimit` prunes map-side, so the exchange
+    * carries at most what the rank filter keeps per partition. */
+  lazy val balancedSample: Q = (s, dir) => {
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("pick"), col("vec_id"))
+    kmeansAssign(s, dir)
+      .withColumn("pick", md5(col("vec_id").cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 40)
+      .select(col("vec_id"), col("cluster"), col("rk"))
+  }
 
   /** Shared 2-pass Lloyd assignment (see q91): (vec_id, cluster, dist2). */
   private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
@@ -473,6 +494,16 @@ object VectorOps {
         |    ORDER BY approx_d, c_id) AS rank
         |  FROM approx WHERE c_id <> q_id)
         |WHERE rank <= 3""".stripMargin,
+
+    // same kmeans CTE; the cap is a row_number over (md5(id), id)
+    "q110_balanced_sample" ->
+      s"""WITH assign AS ($sqlKmeans)
+         |SELECT vec_id, cluster, rk FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (
+         |    PARTITION BY cluster
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |  FROM assign)
+         |WHERE rk <= 40""".stripMargin,
 
     "q92_semantic_dedup" ->
       s"""WITH assign AS ($sqlKmeans),
