@@ -111,9 +111,60 @@ object PqNative {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Full-dimension argmin over a (cluster, cent)-packed codebook — the
+    * k-means assignment hot loop (q91/q92/q110's `nearest` fold, native).
+    * Returns struct(d, c): min squared-L2 and its cluster, ties to the
+    * lowest cluster id (strict < over the cluster-sorted array). */
+  case class NearestCent(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(_: StructType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"nearest_cent needs (array<bigint>, array<struct>), got ${l.sql}/${r.sql}")
+      }
+    override def dataType: DataType = StructType(Seq(
+      StructField("d", LongType, nullable = false),
+      StructField("c", IntegerType, nullable = false)))
+    override def prettyName: String = "nearest_cent"
+
+    override def nullSafeEval(qv: Any, cb: Any): Any = {
+      val q = qv.asInstanceOf[ArrayData]
+      val cents = cb.asInstanceOf[ArrayData]
+      val dims = q.numElements()
+      val n = cents.numElements()
+      var best = Long.MaxValue
+      var bestC = -1
+      var i = 0
+      while (i < n) {
+        val row = cents.getStruct(i, 2)
+        val cent = row.getArray(1)
+        var d = 0L
+        var j = 0
+        while (j < dims) {
+          val diff = q.getLong(j) - cent.getLong(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < best) { best = d; bestC = row.getInt(0) }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(best, bestC)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): NearestCent =
+      copy(left = newLeft, right = newRight)
+  }
+
   def pqEncode(q: Column, cents: Column, m: Int = 4, subDim: Int = 16): Column =
     Bridge.column(PqEncode(Bridge.expression(q), Bridge.expression(cents), m, subDim))
 
   def adcSum(codes: Column, dtable: Column, m: Int = 4): Column =
     Bridge.column(AdcSum(Bridge.expression(codes), Bridge.expression(dtable), m))
+
+  def nearestCent(q: Column, cents: Column): Column =
+    Bridge.column(NearestCent(Bridge.expression(q), Bridge.expression(cents)))
 }

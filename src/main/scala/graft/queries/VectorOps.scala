@@ -280,7 +280,7 @@ object VectorOps {
   lazy val balancedSample: Q = (s, dir) => {
     val w = Window.partitionBy("cluster")
       .orderBy(col("pick"), col("vec_id"))
-    kmeansAssign(s, dir)
+    kmeansAssign(s, dir).select("vec_id", "cluster")
       .withColumn("pick", md5(col("vec_id").cast("string")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 40)
@@ -295,7 +295,8 @@ object VectorOps {
       .select(col("vec_id").cast("int").as("cluster"), col("q").as("cent"))
     val a1 = e.crossJoin(broadcast(pack(cents0)))
       .select(col("vec_id"), col("q"),
-        nearest(col("q"), col("cents")).getField("c").as("cluster"))
+        graft.functions.PqNative.nearestCent(col("q"), col("cents"))
+          .getField("c").as("cluster"))
     val cents1 = a1
       .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy("cluster", "pos")
@@ -310,7 +311,8 @@ object VectorOps {
         array_sort(collect_list(struct(col("pos"), col("cd")))),
         x => x.getField("cd")).as("cent"))
     e.crossJoin(broadcast(pack(cents1)))
-      .withColumn("best", nearest(col("q"), col("cents")))
+      .withColumn("best",
+        graft.functions.PqNative.nearestCent(col("q"), col("cents")))
       .select(col("vec_id"), col("best").getField("c").as("cluster"),
         col("best").getField("d").as("dist2"))
   }
@@ -359,9 +361,12 @@ object VectorOps {
       array_sort(collect_list(struct(col("cluster"), col("cent"))))
         .as("cents"))
 
-  /** Argmin fold over the packed centroid array: strict `<` on a
-    * cluster-ascending array breaks ties to the LOWEST cluster id. */
-  private def nearest(q: Column, cents: Column): Column =
+  /** Argmin fold over the packed centroid array, Column-HOF REFERENCE
+    * formulation: strict `<` on a cluster-ascending array breaks ties to
+    * the LOWEST cluster id. q91/q92/q110 run the native kernel
+    * (PqNative.NearestCent — the interpreted fold was the whole cost of
+    * a bench-honest assignment pass); VectorOpsSpec pins equality. */
+  private[graft] def nearestRef(q: Column, cents: Column): Column =
     aggregate(cents,
       struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
       (acc, cs) => {

@@ -179,6 +179,16 @@ class VectorOpsSpec extends AnyFunSuite {
               tb.getField("cluster") === element_at(col("native"), m + 1)),
             1).getField("d")).as("slow"))
     assert(withD.filter(col("fast") =!= col("slow")).count() == 0)
+    // NearestCent == the HOF argmin fold over a (cluster, cent) pack
+    val kpack = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"), col("q").as("cent"))
+      .groupBy().agg(array_sort(collect_list(
+        struct(col("cluster"), col("cent")))).as("kc"))
+    val near = e.crossJoin(broadcast(kpack))
+      .select(col("vec_id"),
+        PqNative.nearestCent(col("q"), col("kc")).as("fast"),
+        VectorOps.nearestRef(col("q"), col("kc")).as("ref"))
+    assert(near.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
   test("q92: chain structure — first of each cluster keeps, dups have prev") {
