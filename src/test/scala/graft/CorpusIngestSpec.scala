@@ -104,6 +104,39 @@ class CorpusIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composes with the q101 bloom: history prefiltered, stream deduped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    GraftExtensions.register(spark)
+    // historical corpus → KB-sized bloom over xxhash64(content hash);
+    // the stream screens against HISTORY via the broadcast bloom (never
+    // joining the corpus) and against ITSELF via firstSeen state
+    val history = Seq("old-one", "old-two").toDF("text")
+    val bloom = history
+      .select(expr("bloom_filter_agg(xxhash64(md5(text)), 10L, 400L)"))
+      .collect().head.getAs[Array[Byte]](0)
+    val in = MemoryStream[Doc]
+    val withBloom = in.toDS()
+      .withColumn("seen_hist",
+        call_function("bloom_might_contain", lit(bloom),
+          xxhash64(col("hash"))))
+      .filter(!col("seen_hist")).drop("seen_hist").as[Doc]
+    val q = CorpusIngest.firstSeen(withBloom)
+      .writeStream.format("memory").queryName("ingest_bloom")
+      .outputMode("append").start()
+    try {
+      in.addData(doc(1, "old-one"), doc(2, "fresh"), doc(3, "fresh"),
+        doc(4, "brand-new"))
+      q.processAllAvailable()
+      val ids = spark.table("ingest_bloom").collect()
+        .map(_.getAs[Long]("docId")).toSet
+      // old-one: killed by the history bloom (no false negatives);
+      // fresh: in-stream dup → lowest id only; brand-new: passes
+      assert(ids == Set(2L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("ttl timer contract (TestGroupState): admit → timeout → re-admit") {
     import org.apache.spark.sql.streaming.TestGroupState
     val h = CorpusIngest.firstSeenHandler(1000L) _

@@ -55,6 +55,26 @@ class LshIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty, "split must produce at least one near-dup pair")
   }
 
+  test("over-cap index bands contribute no pairs (degenerate boilerplate)") {
+    import spark.implicits._
+    // 30 identical old docs (one viral band per LSH band) + 1 distinct;
+    // a new doc equal to the boilerplate must find NOTHING under a cap
+    // below 30 — those are q25's exact-dup territory, not LSH work
+    val boiler = "spark table scan join merge sort group filter key row"
+    val old = (1L to 30L).map(i => (i, boiler)) :+
+      (99L, "totally different words that share no shingle with boiler x")
+    val fresh = Seq((1000L, boiler))
+    freshTables()
+    LshIndex.write(spark, old.toDF("doc_id", "text"), "t_idx", buckets = 4)
+    val capped = LshIndex.matchIncrement(
+      spark, fresh.toDF("doc_id", "text"), "t_idx", bandCap = 8)
+    assert(capped.count() == 0, "over-cap band must contribute no pairs")
+    // sanity: with a generous cap the same increment matches all 30
+    val uncapped = LshIndex.matchIncrement(
+      spark, fresh.toDF("doc_id", "text"), "t_idx", bandCap = 1000)
+    assert(uncapped.count() == 30)
+  }
+
   test("index side of the candidate join reads buckets with no Exchange") {
     // bands table already written by the previous test
     val idx = spark.table("t_idx_bands")
