@@ -449,43 +449,39 @@ object TextOps {
       import s.implicits._
       val docs0 = t(s, dir, "documents")
       val tfPairs = graft.functions.TextExpressions.tokenTf(col("text"))
-      // EAGER checkpoint: the stats collect below AND the main scoring
-      // query both consume tf — without it the TokenTf kernel pass runs
-      // twice (the q55 lesson; −1.3s at sf0.1)
-      val tf = spread(docs0)
-        .select(col("doc_id"), size(tokensCol).as("dl"),
-          explode(tfPairs).as("p"))
-        .select(col("doc_id"), col("dl"), col("p.token").as("token"),
-          col("p.tf").cast("long").as("tf"))
-        .localCheckpoint()
-      // dimension artifact: N, avgdl, df(token) — one collect job
-      val statRows = tf.groupBy("token").agg(count(lit(1)).as("df")).collect()
+      // dimension artifacts: df(token), N, avgdl, and the 10 query term
+      // sets — all driver-side collect jobs (the q55 discipline)
+      val dfMap = docs0.select(explode(tfPairs).as("p"))
+        .groupBy(col("p.token").as("token")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val metaRow = docs0
         .agg(count(lit(1)), sum(size(tokensCol))).collect().head
       val nDocs = metaRow.getLong(0)
       val avgdl = metaRow.getLong(1).toDouble / nDocs.toDouble
-      val dfLocal = statRows.map(r => (r.getString(0), r.getLong(1)))
-        .toSeq.toDF("token", "df")
-      val qterms = docs0.filter(col("doc_id") < 10)
-        .select(col("doc_id").as("q_id"),
-          explode(array_distinct(tokensCol)).as("token"))
-      val termScore =
-        log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
-          ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(1.0) - lit(0.75) + lit(0.75) *
-                (col("dl").cast("double") / lit(avgdl)))))
+      // (q_id, token-sorted (token, df) terms) — broadcast dimension
+      val qdata = docs0.filter(col("doc_id") < 10)
+        .select(col("doc_id"), array_distinct(tokensCol)).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[String](1).sorted.map(tk => (tk, dfMap(tk)))))
+        .toSeq.toDF("q_id", "terms")
+      // scoring is IN-ROW: the document's token-sorted tf array merges
+      // against each query's sorted terms in the native Bm25Score kernel
+      // (token-ordered matched-terms fold ≙ the oracle's list(ORDER BY)
+      // reduce) — no (doc, token) explode, no corpus-sized exchange; only
+      // (q_id, doc_id, score) rows reach the per-query top-k. raw > 0.0
+      // keeps exactly the oracle's pair set (≥1 matched term ⇔ score > 0:
+      // idf and tf terms are strictly positive).
+      val docsTf = spread(docs0)
+        .select(col("doc_id"), size(tokensCol).as("dl"),
+          array_sort(tfPairs).as("dtf"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
         .orderBy(col("score").desc, col("doc_id"))
-      tf.join(broadcast(qterms), "token")
+      docsTf.crossJoin(broadcast(qdata))
         .filter(col("doc_id") =!= col("q_id"))
-        .join(broadcast(dfLocal), "token")
-        .withColumn("sc", termScore)
-        .groupBy(col("q_id"), col("doc_id"))
-        .agg(round(aggregate(
-          array_sort(collect_list(struct(col("token"), col("sc")))),
-          lit(0.0), (acc, x) => acc + x.getField("sc")), 6).as("score"))
+        .withColumn("raw", graft.functions.Bm25Native.score(
+          col("dtf"), col("terms"), col("dl"), nDocs.toDouble, avgdl))
+        .filter(col("raw") > 0.0)
+        .withColumn("score", round(col("raw"), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("q_id", "doc_id", "rank", "score")

@@ -47,7 +47,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q105_bigram_novelty"    -> 1, // bigram df only (scoring is in-row)
     "q106_distinct_sketch"   -> 2, // KMV agg + the countDistinct expand
     "q107_zorder_key"        -> 0, // pure per-row arithmetic
-    "q109_bm25_topk"         -> 2  // (q,doc) score agg + per-query top-k
+    "q109_bm25_topk"         -> 1  // per-query top-k only (scoring in-row)
   )
 
   private def shuffleCount(name: String): Int = {
