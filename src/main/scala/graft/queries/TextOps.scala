@@ -487,6 +487,32 @@ object TextOps {
         .select("q_id", "doc_id", "rank", "score")
     }),
 
+    // Token-entropy quality signal — Shannon entropy of the document's
+    // unigram distribution, the standard lexical-diversity filter
+    // (low-entropy = TextOps.q82's repetition family seen through an
+    // information lens; keyword-stuffed and template docs score low even
+    // when no single token dominates). Pure map over the scan: the
+    // (token, tf) pairs come from the one-pass TokenTf kernel and the
+    // -Σ p·ln p fold runs IN-ROW over the token-SORTED pairs (the q109
+    // float discipline: a fixed fold order makes the double sum
+    // bit-identical to the oracle's list(ORDER BY) reduce). Zero
+    // exchange; scales with corpus bytes.
+    "q111_token_entropy" -> ((s, dir) => {
+      val tfPairs = graft.functions.TextExpressions.tokenTf(col("text"))
+      val n = col("n_tokens").cast("double")
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), size(tokensCol).as("n_tokens"),
+          array_sort(tfPairs).as("ps"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("entropy", round(-aggregate(col("ps"), lit(0.0),
+          (acc, p) => {
+            val pr = p.getField("tf").cast("double") / n
+            acc + pr * log(pr)
+          }), 6))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("ps")).as("n_types"), col("entropy"))
+    }),
+
     // Token-rarity quality signal: per-document mean document-frequency of
     // its distinct tokens plus the hapax (df = 1) count — the integer-exact
     // stand-in for a unigram-LM perplexity filter (rare-vocabulary docs
@@ -1025,6 +1051,23 @@ object TextOps {
          |    AS n_hapax,
          |  CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
          |FROM toks JOIN df USING (token) GROUP BY doc_id""".stripMargin,
+
+    // entropy mirror: same token-sorted fold, same (tf/n)*ln(tf/n) shape
+    "q111_token_entropy" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |tf AS (SELECT doc_id, any_value(len(t)) AS n_tokens, token,
+         |         CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, t, unnest(t) AS token FROM toks)
+         |       GROUP BY doc_id, token)
+         |SELECT doc_id, CAST(any_value(n_tokens) AS INT) AS n_tokens,
+         |  CAST(count(*) AS INT) AS n_types,
+         |  round(-list_reduce(
+         |    list_prepend(CAST(0 AS DOUBLE),
+         |      list((CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)) *
+         |           ln(CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |           ORDER BY token)),
+         |    (a, b) -> a + b), 6) AS entropy
+         |FROM tf GROUP BY doc_id""".stripMargin,
 
     // BM25 mirror: identical parenthesization everywhere a double is
     // touched; the per-(q,doc) sum folds a token-ORDERED list from 0.0
