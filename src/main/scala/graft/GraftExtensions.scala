@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, KmvMinima, MinHashSig, Shingles3, SpanHashes}
+import graft.functions.{CosineSimilarity, KmvMinima, MinHashSig, MojibakeFix, Shingles3, SpanHashes, UrlCanon}
 
 /** SQL function surface (SURVEY.md §2.10): the engine's native expressions
   * registered by name, so `spark.sql("SELECT minhash_sig(shingles3(text), 8)
@@ -67,6 +67,15 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         graft.functions.PqNative.AdcSum(args(0), args(1),
           intLit(args(2), "adc_sum m"))),
+    (FunctionIdentifier("url_canon"),
+      info("url_canon",
+        "url_canon(url) - canonical http(s) URL (case/www/default-port/" +
+          "trailing-slash/fragment/tracking-param/param-order normalized)"),
+      (args: Seq[Expression]) => UrlCanon(args.head)),
+    (FunctionIdentifier("mojibake_fix"),
+      info("mojibake_fix",
+        "mojibake_fix(text) - repair cp1252-mojibake UTF-8 sequences"),
+      (args: Seq[Expression]) => MojibakeFix(args.head)),
     (FunctionIdentifier("kmv_minima"),
       info("kmv_minima",
         "kmv_minima(h, k) - k smallest distinct values (KMV sketch; " +
