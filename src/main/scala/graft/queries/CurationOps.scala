@@ -88,6 +88,23 @@ object CurationOps {
        |     ELSE text END""".stripMargin
   private[graft] val ParaFreqThreshold = 100L
 
+  // ---- q116: hashed linear quality classifier --------------------------
+  // The fastText-style scorer shape: score = Σ_tokens w(token) with hashed
+  // feature weights. Weights are a pure function of the token (md5-derived
+  // integer in [-1000, 1000]) so both engines compute the identical model
+  // with no trained artifact; a real model swaps the hash for a broadcast
+  // weight map — the plan shape (in-row fold, zero exchange) is unchanged.
+  private val hexDigits = "0123456789abcdef"
+
+  // ---- q117: corpus snapshot delta -------------------------------------
+  // Two deterministic snapshot views of the corpus: A drops doc_id%10==9,
+  // B drops doc_id%10==0 and revises text where doc_id%7==0 — so the delta
+  // has all four statuses at any SF.
+  private val snapAFilter = "doc_id % 10 <> 9"
+  private val snapBFilter = "doc_id % 10 <> 0"
+  private val snapBText =
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END"
+
   val defs: Map[String, Q] = Map(
 
     "q112_url_canon" -> ((s, dir) => {
@@ -151,9 +168,80 @@ object CurationOps {
             p => !array_contains(typedLit(hs), md5(p))).as("kept"))
         .select(col("doc_id"), col("n_paras"), size(col("kept")).as("n_kept"),
           array_join(col("kept"), " ").as("cleaned"))
+    }),
+
+    "q116_quality_classifier" -> ((s, dir) => {
+      // w(tok) folds inside the row: conv(md5-prefix) % 2001 - 1000, BIGINT
+      // throughout so the sum is exact and order-free. Zero exchange.
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokensCol.as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), size(col("t")).as("n_tokens"),
+          aggregate(col("t"), lit(0L), (acc, tok) =>
+            acc + (conv(substring(md5(tok), 1, 4), 16, 10).cast("long")
+              % 2001L - 1000L)).as("score"))
+        .withColumn("keep",
+          when(col("score") > 0, lit(1)).otherwise(lit(0)))
+    }),
+
+    "q117_snapshot_delta" -> ((s, dir) => {
+      // Payload narrows to (doc_id, md5) BEFORE the join, so the full-outer
+      // exchange ships two longs + a hash per doc, never text. At 100 TB
+      // both snapshots come from `Tables.writeBucketed(doc_id)` and the
+      // join plans as a zero-exchange SMJ (TablesBucketingSpec's contract).
+      val docs = t(s, dir, "documents")
+      val a = docs.filter(expr(snapAFilter))
+        .select(col("doc_id"), md5(col("text")).as("ha"))
+      val b = docs.filter(expr(snapBFilter))
+        .selectExpr("doc_id", s"md5($snapBText) AS hb")
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("hb").isNull, lit("removed"))
+            .when(col("ha").isNull, lit("added"))
+            .when(col("ha") =!= col("hb"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
     }))
 
+  /** DuckDB has no conv(hex): decode 4 hex chars positionally. */
+  private def sqlHex4(h: String): String =
+    s"""((strpos('$hexDigits', substr($h, 1, 1)) - 1) * 4096 +
+       | (strpos('$hexDigits', substr($h, 2, 1)) - 1) * 256 +
+       | (strpos('$hexDigits', substr($h, 3, 1)) - 1) * 16 +
+       | (strpos('$hexDigits', substr($h, 4, 1)) - 1))""".stripMargin
+
+  private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
+
   val oracles: Map[String, String] = Map(
+
+    "q116_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents
+         |             WHERE len($sqlTokens) > 0),
+         |e AS (SELECT doc_id, len(t) AS n_tokens, unnest(t) AS tok FROM toks),
+         |w AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         |    sum(${sqlHex4("md5(tok)")} % 2001 - 1000) AS score
+         |  FROM e GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |  CAST(score AS BIGINT) AS score,
+         |  CASE WHEN score > 0 THEN 1 ELSE 0 END AS keep
+         |FROM w""".stripMargin,
+
+    "q117_snapshot_delta" ->
+      s"""WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents
+         |           WHERE $snapAFilter),
+         |b AS (SELECT doc_id, md5($snapBText) AS hb FROM documents
+         |      WHERE $snapBFilter),
+         |j AS (SELECT doc_id,
+         |    CASE WHEN hb IS NULL THEN 'removed'
+         |         WHEN ha IS NULL THEN 'added'
+         |         WHEN ha <> hb THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM a FULL OUTER JOIN b USING (doc_id))
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM j GROUP BY status""".stripMargin,
 
     "q112_url_canon" ->
       s"""WITH raw AS (SELECT doc_id, ($urlSynth) AS url FROM documents),
