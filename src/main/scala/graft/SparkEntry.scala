@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CdcOps, CurationOps, FormatOps, PipelineOps, Relational, TextOps, VectorOps}
+import graft.queries.{CdcOps, CurationOps, FormatOps, PipelineOps, Relational, SelectionOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ TextOps.defs ++ VectorOps.defs ++ CdcOps.defs ++
-      FormatOps.defs ++ PipelineOps.defs ++ CurationOps.defs
+      FormatOps.defs ++ PipelineOps.defs ++ CurationOps.defs ++
+      SelectionOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
       CdcOps.oracles ++ FormatOps.oracles ++ PipelineOps.oracles ++
-      CurationOps.oracles
+      CurationOps.oracles ++ SelectionOps.oracles
 }

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Training-data pipeline pack #4: data SELECTION for LM training —
+  * retrieval-style chunking, n-gram-LM perplexity filtering (the
+  * CCNet/KenLM quality gate), and DSIR-style hashed-n-gram importance
+  * weighting (Xie et al. 2023, "Data Selection for Language Models via
+  * Importance Resampling").
+  *
+  * Scale notes:
+  *   - q118 chunking is a pure in-row transform + generator — zero
+  *     exchange; chunk rows inherit the scan's partitioning.
+  *   - q119's LM is a DIMENSION artifact: bigram counts are one
+  *     (bigram, count) exchange with map-side combine, and the model
+  *     (≤ vocab² entries) collects to the driver and rides back into the
+  *     row as two literal maps — scoring itself is a zero-exchange map,
+  *     the exact shape of a broadcast KenLM at cluster scale.
+  *   - q120's feature space is HASHED to a fixed 256 buckets precisely so
+  *     the "model" (two 256-long count vectors) is scale-invariant: the
+  *     one exchange carries (bucket, count) pairs, never tokens, and the
+  *     per-doc score folds inside the row in token-sorted order (the q109
+  *     float discipline — fixed fold order makes the double sum
+  *     bit-identical to the oracle's list(ORDER BY) reduce).
+  */
+object SelectionOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+  private def spread(df: DataFrame): DataFrame = Tables.spread(df, col("doc_id"))
+
+  // ---- q118: token chunking with overlap (RAG / context packing) -------
+  private val ChunkW = 32 // window tokens
+  private val ChunkS = 24 // stride tokens (8-token overlap)
+
+  // ---- q119: bigram-LM average negative log-likelihood -----------------
+  // P(b|a) = (C(a b) + 1) / (C(a ·) + V): add-one smoothing, C(a ·) the
+  // count of `a` as a bigram FIRST element (so probabilities sum to 1 over
+  // the vocab), V the corpus distinct-token count.
+
+  // ---- q120: DSIR importance log-ratio ---------------------------------
+  // Feature = md5-hash bucket of each token instance, 256 buckets; target
+  // distribution = the 'src0' slice of the corpus. Per-doc score
+  // Σ_tok ln[(T_b+1)/(T+256)] − ln[(C_b+1)/(C+256)] — positive means the
+  // doc looks more like the target than like the corpus average.
+  private val DsirBuckets = 256
+  private val DsirTarget = "src0"
+  private def bucketCol(tok: Column): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % DsirBuckets
+
+  val defs: Map[String, Q] = Map(
+
+    "q118_chunk_overlap" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), TextOps.tokensCol.as("t"))
+        .filter(size(col("t")) > 0)
+        .withColumn("n", size(col("t")))
+        .withColumn("nch",
+          when(col("n") <= ChunkW, lit(1L))
+            .otherwise(ceil((col("n") - lit(ChunkW)) / lit(ChunkS.toDouble))
+              .cast("long") + 1L)
+            .cast("int"))
+        .select(col("doc_id"), col("n"),
+          posexplode(transform(sequence(lit(0), col("nch") - 1),
+            i => array_join(slice(col("t"), i * ChunkS + 1, lit(ChunkW)), " ")))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+          least(lit(ChunkW), col("n") - col("chunk_id") * ChunkS)
+            .cast("int").as("n_toks"),
+          col("chunk"))
+    }),
+
+    "q119_lm_perplexity" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), TextOps.tokensCol.as("t"))
+      val bigs = zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val withBigs = docs.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), bigs.as("bigs"))
+      // dimension artifacts (driver-side collect jobs, the q55/q109
+      // discipline): the bigram LM (≤ vocab² rows) and V
+      val bgRows = withBigs.select(explode(col("bigs")).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val bgMap = bgRows.toMap
+      val firstMap = bgRows.groupBy(_._1.split(" ", 2)(0))
+        .map { case (a, rs) => a -> rs.map(_._2).sum }
+      val vocab = docs.select(explode(col("t")).as("tok"))
+        .agg(countDistinct("tok")).collect().head.getLong(0)
+      val mBg = typedLit(bgMap)
+      val mFirst = typedLit(firstMap)
+      // in-row: position-ordered fold of ln P(b|a) over the bigram array
+      val lr = (bg: Column) =>
+        log((coalesce(element_at(mBg, bg), lit(0L)) + 1L).cast("double") /
+          (coalesce(element_at(mFirst, substring_index(bg, " ", 1)), lit(0L))
+            + vocab).cast("double"))
+      withBigs
+        .select(col("doc_id"), size(col("bigs")).as("n_bigrams"),
+          aggregate(transform(col("bigs"), lr), lit(0.0),
+            (acc, x) => acc + x).as("ll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(-col("ll") / col("n_bigrams").cast("double"), 6).as("avg_nll"))
+    }),
+
+    "q120_dsir_weight" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), TextOps.tokensCol.as("t"))
+        .filter(size(col("t")) > 0)
+      // dimension artifact: per-bucket (corpus, target) instance counts —
+      // one skinny exchange, 256-row collect
+      val counts = docs
+        .select(col("source"), explode(col("t")).as("tok"))
+        .groupBy(bucketCol(col("tok")).as("b"))
+        .agg(count(lit(1)).as("cb"),
+          sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("tb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val cTot = counts.map(_._2).sum + DsirBuckets
+      val tTot = counts.map(_._3).sum + DsirBuckets
+      val mC = typedLit(counts.map(c => c._1 -> c._2).toMap)
+      val mT = typedLit(counts.map(c => c._1 -> c._3).toMap)
+      // ln[(T_b+1)(C+256) / ((C_b+1)(T+256))]: all factors are exact
+      // integer-valued doubles (< 2^53 at any plausible SF of this corpus;
+      // a 100 TB run precomputes the 256 log-ratios driver-side instead)
+      val lr = (tok: Column) => {
+        val b = bucketCol(tok)
+        log(((element_at(mT, b) + 1L) * cTot).cast("double") /
+          ((element_at(mC, b) + 1L) * tTot).cast("double"))
+      }
+      docs
+        .select(col("doc_id"), col("source"), size(col("t")).as("n_tokens"),
+          aggregate(transform(array_sort(col("t")), lr), lit(0.0),
+            (acc, x) => acc + x).as("s"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          round(col("s"), 6).as("dsir_lr"))
+    }))
+
+  private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private val hexDigits = "0123456789abcdef"
+  private def sqlHex4(h: String): String =
+    s"""((strpos('$hexDigits', substr($h, 1, 1)) - 1) * 4096 +
+       | (strpos('$hexDigits', substr($h, 2, 1)) - 1) * 256 +
+       | (strpos('$hexDigits', substr($h, 3, 1)) - 1) * 16 +
+       | (strpos('$hexDigits', substr($h, 4, 1)) - 1))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q118_chunk_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         |c AS (SELECT doc_id, t, n,
+         |    CASE WHEN n <= $ChunkW THEN 1
+         |         ELSE CAST(ceil((n - $ChunkW) / $ChunkS.0) AS BIGINT) + 1
+         |    END AS nch
+         |  FROM d),
+         |u AS (SELECT doc_id, t, n, unnest(range(nch)) AS i FROM c)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         |  CAST(least($ChunkW, n - i * $ChunkS) AS INT) AS n_toks,
+         |  array_to_string(t[(i*$ChunkS+1):(i*$ChunkS+$ChunkW)], ' ') AS chunk
+         |FROM u""".stripMargin,
+
+    "q119_lm_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |p AS (SELECT doc_id, list_transform(
+         |    list_zip(t[1:len(t)-1], t[2:len(t)]),
+         |    q -> q[1] || ' ' || q[2]) AS bigs
+         |  FROM toks WHERE len(t) >= 2),
+         |x AS (SELECT doc_id, i, bigs[CAST(i + 1 AS INT)] AS bg
+         |  FROM (SELECT doc_id, bigs, unnest(range(len(bigs))) AS i FROM p)),
+         |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1),
+         |fc AS (SELECT string_split(bg, ' ')[1] AS a,
+         |    CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM toks)),
+         |lr AS (SELECT x.doc_id, x.i,
+         |    ln(CAST(coalesce(bc.c, 0) + 1 AS DOUBLE) /
+         |       CAST(fc.c + v.v AS DOUBLE)) AS l
+         |  FROM x JOIN fc ON string_split(x.bg, ' ')[1] = fc.a
+         |    LEFT JOIN bc ON x.bg = bc.bg CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+         |  round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(l ORDER BY i)), (a, b) -> a + b) / count(*), 6) AS avg_nll
+         |FROM lr GROUP BY doc_id""".stripMargin,
+
+    "q120_dsir_weight" ->
+      s"""WITH toks AS (SELECT doc_id, source, $sqlTokens AS t
+         |  FROM documents WHERE len($sqlTokens) > 0),
+         |e AS (SELECT doc_id, source, unnest(t) AS tok FROM toks),
+         |bk AS (SELECT doc_id, source, tok,
+         |    ${sqlHex4("md5(tok)")} % $DsirBuckets AS b FROM e),
+         |c AS (SELECT b, CAST(count(*) AS BIGINT) AS cb,
+         |    CAST(count(*) FILTER (WHERE source = '$DsirTarget') AS BIGINT)
+         |      AS tb
+         |  FROM bk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cb) + $DsirBuckets AS BIGINT) AS ct,
+         |    CAST(sum(tb) + $DsirBuckets AS BIGINT) AS tt FROM c),
+         |lr AS (SELECT bk.doc_id, bk.tok,
+         |    ln(CAST((c.tb + 1) * tot.ct AS DOUBLE) /
+         |       CAST((c.cb + 1) * tot.tt AS DOUBLE)) AS l
+         |  FROM bk JOIN c ON bk.b = c.b CROSS JOIN tot)
+         |SELECT t2.doc_id, any_value(t2.source) AS source,
+         |  CAST(any_value(len(t2.t)) AS INT) AS n_tokens,
+         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(lr.l ORDER BY lr.tok)), (a, b) -> a + b), 6) AS dsir_lr
+         |FROM lr JOIN toks t2 ON lr.doc_id = t2.doc_id
+         |GROUP BY t2.doc_id""".stripMargin)
+}

@@ -47,7 +47,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q105_bigram_novelty"    -> 1, // bigram df only (scoring is in-row)
     "q106_distinct_sketch"   -> 2, // KMV agg + the countDistinct expand
     "q107_zorder_key"        -> 0, // pure per-row arithmetic
-    "q109_bm25_topk"         -> 1  // per-query top-k only (scoring in-row)
+    "q109_bm25_topk"         -> 1, // per-query top-k only (scoring in-row)
+    "q112_url_canon"         -> 1, // groupBy on the SHORT canonical key
+    "q115_paragraph_dedup"   -> 0, // freq set is a collect job; apply in-row
+    "q116_quality_classifier" -> 0, // hashed-weight fold inside the row
+    "q117_snapshot_delta"    -> 3, // 2 join-side + status agg (0+1 bucketed)
+    "q118_chunk_overlap"     -> 0, // in-row generator
+    "q119_lm_perplexity"     -> 0, // LM is a collect artifact; scoring in-row
+    "q120_dsir_weight"       -> 0  // 256-bucket model collect; fold in-row
   )
 
   private def shuffleCount(name: String): Int = {

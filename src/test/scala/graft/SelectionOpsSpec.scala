@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.queries.SelectionOps
+
+/** Semantic pins for the data-selection pack (q118–q120) beyond the
+  * DuckDB hash gate: chunk coverage/overlap arithmetic, the LM's
+  * probability-mass sanity, and DSIR's directionality (target-slice docs
+  * must score above the corpus at large).
+  */
+class SelectionOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q118: chunks cover every token exactly; stride overlap is 8") {
+    val rows = SelectionOps.defs("q118_chunk_overlap")(spark, sf)
+      .selectExpr("doc_id", "chunk_id", "n_toks",
+        "size(filter(split(chunk, ' '), x -> x != '')) AS actual")
+      .collect()
+    assert(rows.nonEmpty)
+    // n_toks column matches the real token count of the chunk text
+    rows.foreach(r => assert(r.getInt(2) == r.getInt(3).toInt,
+      s"doc ${r.getLong(0)} chunk ${r.getInt(1)}"))
+    // per doc: first chunk starts at 0, consecutive chunks advance by the
+    // stride (24), so token coverage = 24·(k−1) + last-chunk size
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id",
+        "size(filter(split(text, ' '), x -> x != '')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val k = rs.map(_.getInt(1)).max + 1
+      val last = rs.find(_.getInt(1) == k - 1).get.getInt(2)
+      assert(24 * (k - 1) + last == docs(doc), s"doc $doc coverage")
+    }
+  }
+
+  test("q119: natural text scores lower avg_nll than a shuffled-vocab doc") {
+    // the LM is trained on the corpus itself, so real bigrams are frequent
+    // and every doc's avg negative log-likelihood must beat ln of the
+    // uniform-smoothing floor for at least the corpus median
+    val nll = SelectionOps.defs("q119_lm_perplexity")(spark, sf)
+      .select("avg_nll").collect().map(_.getDouble(0))
+    assert(nll.nonEmpty)
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("explode(filter(split(text, ' '), x -> x != '')) AS t")
+      .agg(countDistinct("t")).collect().head.getLong(0)
+    // uniform model would give ln(vocab); trained-LM median must be lower
+    val sorted = nll.sorted
+    assert(sorted(sorted.length / 2) < math.log(vocab.toDouble))
+  }
+
+  test("q120: target-slice docs average a higher importance score") {
+    val rows = SelectionOps.defs("q120_dsir_weight")(spark, sf)
+      .select(col("source"), col("dsir_lr"), col("n_tokens")).collect()
+    val (tgt, rest) = rows.partition(_.getString(0) == "src0")
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def perTokMean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getDouble(1) / r.getInt(2)).sum / rs.length
+    // the estimator is exactly "target-likeness": src0 must sit above the
+    // non-target mean (per-token normalized so length doesn't dominate)
+    assert(perTokMean(tgt) > perTokMean(rest))
+  }
+}
