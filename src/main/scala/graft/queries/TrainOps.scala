@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Training-data pipeline pack #5: training-run preparation and pipeline
+  * EVALUATION — deterministic corpus sharding/ordering, tokenizer (BPE)
+  * merge learning, ANN recall measurement, and classifier threshold
+  * calibration. The ops a team runs between "corpus is curated" and
+  * "training job starts".
+  *
+  * Scale notes:
+  *   - q121 avoids the global total-order sort every naive "shuffle the
+  *     corpus" implementation pays: shard = hash bucket (one hash
+  *     exchange), order = rank WITHIN the shard — at 1000 executors each
+  *     shard sorts locally and writers stream shards independently.
+  *   - q123 is classic distributed BPE: the corpus is exploded ONCE into a
+  *     (token, count) vocabulary (the only corpus-sized exchange), and
+  *     every learning round thereafter shuffles (symbol-pair, partial sum)
+  *     cells — alphabet-sized, corpus-size-free. The argmax pair per round
+  *     is a TakeOrderedAndProject (no global sort) collected as a
+  *     dimension artifact, exactly how a trained merge table ships.
+  *   - q122/q124 are evaluation harnesses COMPOSED from gated operators
+  *     (q31 exact ANN / q43 IVF; q116 classifier) — the join/agg sides are
+  *     query-set- and threshold-sized, so both reduce to broadcast joins
+  *     over tiny frames on top of the underlying operators' plans.
+  */
+object TrainOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+  private def spread(df: DataFrame): DataFrame = Tables.spread(df, col("doc_id"))
+
+  // ---- q121: deterministic corpus shuffle into training shards ---------
+  private val NShards = 64
+  private val OrderSalt = "ord42|"
+
+  // ---- q123: BPE merge learning ----------------------------------------
+  private val BpeRounds = 3
+
+  /** One greedy left-to-right merge pass of pair (a, b) over a
+    * space-joined symbol string, as a fold: if the accumulator's LAST
+    * symbol is `a` (exact or space-delimited — `~ endsWith " a"` cannot
+    * false-match a symbol that merely ends in "a") and the next symbol is
+    * `b`, the pair fuses into one symbol `ab`; a fused symbol cannot
+    * re-fuse with the element that produced it (standard single-pass BPE
+    * application). DuckDB's list_reduce mirrors this fold exactly —
+    * SelectionOps/VectorOps' sequential-fold parity discipline. */
+  private def mergeFold(seq: Column, a: String, b: String): Column =
+    aggregate(split(seq, " "), lit(""),
+      (acc, x) =>
+        when(acc === "", x)
+          .when((acc === lit(a) || acc.endsWith(lit(" " + a))) && (x === lit(b)),
+            concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
+          .otherwise(concat(acc, lit(" "), x)))
+
+  // ---- q124: threshold sweep -------------------------------------------
+  private val Thresholds: Seq[Int] = (-800 to 800 by 200)
+
+  val defs: Map[String, Q] = Map(
+
+    "q121_train_order" -> ((s, dir) => {
+      // shard = md5 bucket, pos = rank within shard by the same hash: a
+      // reproducible corpus-wide "random" training order with ONE hash
+      // exchange and per-shard local sorts — never a global range sort
+      val h = md5(concat(lit(OrderSalt), col("doc_id").cast("string")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard",
+          (conv(substring(col("h"), 1, 4), 16, 10).cast("long")
+            % NShards).cast("int"))
+        .withColumn("pos",
+          (row_number().over(Window.partitionBy("shard").orderBy("h")) - 1)
+            .cast("long"))
+        .select("doc_id", "shard", "pos")
+    }),
+
+    "q122_ann_recall" -> ((s, dir) => {
+      // recall@3 of the IVF index (q43) against brute-force truth (q31):
+      // the standard index-quality gate before an ANN index ships
+      val exact = VectorOps.defs("q31_ann_topk")(s, dir)
+        .filter(col("rank") <= 3).select("q_id", "c_id")
+      val approx = VectorOps.defs("q43_ann_ivf")(s, dir)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      // both sides are query-set-sized (≤ 10·k rows): broadcast the probe
+      // side so the compare adds zero exchanges beyond the underlying
+      // operators' own plans + the 10-row groupBy
+      exact.join(broadcast(approx), Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("int").as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          round(col("n_hit") / 3.0, 6).as("recall"))
+    }),
+
+    "q123_bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      // the ONLY corpus-sized pass: tokens → (token, count) vocabulary;
+      // symbol sequences start as the token's characters
+      var cur = spread(t(s, dir, "documents"))
+        .select(explode(TextOps.tokensCol).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .select(col("tok"), col("n"),
+          array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), " ")
+            .as("seq"))
+        .localCheckpoint()
+      val learned =
+        (1 to BpeRounds).map { r =>
+          val syms = split(col("seq"), " ")
+          // frequency-weighted adjacent-pair counts: the exchange carries
+          // (a, b, partial n) — alphabet², not corpus, rows
+          val top = cur
+            .select(col("n"), explode(zip_with(
+              slice(syms, lit(1), size(syms) - 1),
+              slice(syms, lit(2), size(syms) - 1),
+              (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum("n").as("c"))
+            .orderBy(col("c").desc, col("a"), col("b"))
+            .limit(1).collect()(0)
+          val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+          // apply the merge in-row; checkpoint keeps round r+1's plan flat
+          cur = cur.select(col("tok"), col("n"),
+            mergeFold(col("seq"), a, b).as("seq")).localCheckpoint()
+          val nSym = cur.select(sum(col("n") * size(split(col("seq"), " "))))
+            .collect()(0).getLong(0)
+          (r, a, b, c, nSym)
+        }
+      learned.toDF("merge_round", "pair_a", "pair_b", "pair_count",
+        "n_symbols")
+    }),
+
+    "q124_threshold_sweep" -> ((s, dir) => {
+      // calibration curve for the q116 classifier: keep-rate + surviving
+      // token budget per cutoff — how a filtering threshold is actually
+      // chosen. Thresholds explode from a 9-element literal; the one
+      // exchange carries (threshold, partials)
+      CurationOps.defs("q116_quality_classifier")(s, dir)
+        .select(col("n_tokens"), col("score"),
+          explode(typedLit(Thresholds)).as("threshold"))
+        .groupBy("threshold")
+        .agg(
+          sum(when(col("score") > col("threshold"), 1L).otherwise(0L))
+            .as("n_keep"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("score") > col("threshold"),
+            col("n_tokens").cast("long")).otherwise(0L)).as("tokens_kept"))
+        .select(col("threshold"), col("n_keep"),
+          round(col("n_keep").cast("double") / col("n_docs"), 6)
+            .as("keep_rate"),
+          col("tokens_kept"))
+    }))
+
+  private val hexDigits = "0123456789abcdef"
+  private def sqlHex4(h: String): String =
+    s"""((strpos('$hexDigits', substr($h, 1, 1)) - 1) * 4096 +
+       | (strpos('$hexDigits', substr($h, 2, 1)) - 1) * 256 +
+       | (strpos('$hexDigits', substr($h, 3, 1)) - 1) * 16 +
+       | (strpos('$hexDigits', substr($h, 4, 1)) - 1))""".stripMargin
+
+  private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** One oracle-side BPE round: pair counts from s{r-1}, argmax into
+    * m{r}, fold-merged sequences into s{r}, corpus symbol total into
+    * n{r}. The list_reduce lambda mirrors [[mergeFold]] term for term. */
+  private def sqlBpeRound(r: Int): String = {
+    val prev = s"s${r - 1}"
+    s"""p$r AS (SELECT t[CAST(i + 1 AS INT)] AS a, t[CAST(i + 2 AS INT)] AS b,
+       |    CAST(sum(n) AS BIGINT) AS c
+       |  FROM (SELECT n, string_split(seq, ' ') AS t,
+       |      unnest(range(len(string_split(seq, ' ')) - 1)) AS i FROM $prev)
+       |  GROUP BY 1, 2),
+       |m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+       |s$r AS (SELECT tok, n, list_reduce(
+       |    list_prepend('', string_split(seq, ' ')),
+       |    (acc, x) -> CASE WHEN acc = '' THEN x
+       |      WHEN (acc = m$r.a OR ends_with(acc, ' ' || m$r.a)) AND x = m$r.b
+       |        THEN substr(acc, 1, len(acc) - len(m$r.a)) || m$r.a || m$r.b
+       |      ELSE acc || ' ' || x END) AS seq
+       |  FROM $prev, m$r),
+       |n$r AS (SELECT CAST(sum(n * len(string_split(seq, ' '))) AS BIGINT)
+       |    AS ns FROM s$r)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "q121_train_order" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    md5('$OrderSalt' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id, h,
+         |    CAST(${sqlHex4("h")} % $NShards AS INT) AS shard FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h) - 1
+         |    AS BIGINT) AS pos
+         |FROM s""".stripMargin,
+
+    "q122_ann_recall" ->
+      s"""WITH exact AS (SELECT q_id, c_id FROM (
+         |    ${VectorOps.oracles("q31_ann_topk")}) WHERE rank <= 3),
+         |approx AS (SELECT q_id, c_id FROM (
+         |    ${VectorOps.oracles("q43_ann_ivf")}))
+         |SELECT e.q_id, CAST(count(a.c_id) AS INT) AS n_hit,
+         |  round(count(a.c_id) / 3.0, 6) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.q_id = a.q_id AND e.c_id = a.c_id
+         |GROUP BY e.q_id""".stripMargin,
+
+    "q123_bpe_learn" ->
+      s"""WITH v AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest($sqlTokens) AS tok FROM documents)
+         |  GROUP BY tok),
+         |s0 AS (SELECT tok, n,
+         |    array_to_string(regexp_extract_all(tok, '.'), ' ') AS seq
+         |  FROM v),
+         |${sqlBpeRound(1)},
+         |${sqlBpeRound(2)},
+         |${sqlBpeRound(3)}
+         |SELECT CAST(1 AS INT) AS merge_round, m1.a AS pair_a,
+         |  m1.b AS pair_b, m1.c AS pair_count, n1.ns AS n_symbols
+         |FROM m1, n1
+         |UNION ALL SELECT CAST(2 AS INT), m2.a, m2.b, m2.c, n2.ns
+         |FROM m2, n2
+         |UNION ALL SELECT CAST(3 AS INT), m3.a, m3.b, m3.c, n3.ns
+         |FROM m3, n3""".stripMargin,
+
+    "q124_threshold_sweep" ->
+      s"""WITH scored AS (SELECT * FROM (
+         |    ${CurationOps.oracles("q116_quality_classifier")})),
+         |th AS (SELECT CAST(unnest(range(-800, 801, 200)) AS INT)
+         |    AS threshold)
+         |SELECT th.threshold,
+         |  CAST(count(*) FILTER (WHERE score > threshold) AS BIGINT)
+         |    AS n_keep,
+         |  round(count(*) FILTER (WHERE score > threshold)
+         |    / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+         |  CAST(coalesce(sum(n_tokens) FILTER (WHERE score > threshold), 0)
+         |    AS BIGINT) AS tokens_kept
+         |FROM scored CROSS JOIN th
+         |GROUP BY th.threshold""".stripMargin)
+}

@@ -54,7 +54,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q117_snapshot_delta"    -> 3, // 2 join-side + status agg (0+1 bucketed)
     "q118_chunk_overlap"     -> 0, // in-row generator
     "q119_lm_perplexity"     -> 0, // LM is a collect artifact; scoring in-row
-    "q120_dsir_weight"       -> 0  // 256-bucket model collect; fold in-row
+    "q120_dsir_weight"       -> 0, // 256-bucket model collect; fold in-row
+    "q121_train_order"       -> 1, // ONE hash exchange; per-shard local sort
+    "q122_ann_recall"        -> 5, // q31 (1) + q43 (3) + 10-row groupBy; compare join broadcasts
+    "q123_bpe_learn"         -> 0, // learned merge table is a driver artifact
+    "q124_threshold_sweep"   -> 1  // (threshold, partials) agg on 9 keys
   )
 
   private def shuffleCount(name: String): Int = {

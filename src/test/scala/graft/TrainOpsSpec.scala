@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.queries.TrainOps
+
+/** Semantic pins for the training-prep/eval pack (q121–q124) beyond the
+  * DuckDB hash gate: shard-order contiguity, recall bounds vs ground
+  * truth, BPE merge accounting, and threshold-sweep monotonicity.
+  */
+class TrainOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q121: every doc lands in exactly one shard; positions are 0..n-1") {
+    val rows = TrainOps.defs("q121_train_order")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_.getLong(0)).distinct.length == nDocs)
+    rows.foreach(r => assert(r.getInt(1) >= 0 && r.getInt(1) < 64))
+    // in-shard positions are a contiguous 0-based run (a writer can
+    // stream each shard independently with no gaps)
+    rows.groupBy(_.getInt(1)).foreach { case (shard, rs) =>
+      val ps = rs.map(_.getLong(2)).sorted
+      assert(ps.head == 0L && ps.last == ps.length - 1L, s"shard $shard")
+    }
+  }
+
+  test("q122: 10 query rows, n_hit in [0,3], recall = n_hit/3") {
+    val rows = TrainOps.defs("q122_ann_recall")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val hit = r.getInt(1)
+      assert(hit >= 0 && hit <= 3)
+      assert(math.abs(r.getDouble(2) - hit / 3.0) < 1e-6)
+    }
+  }
+
+  test("q123: merges shrink the corpus by at most the pair count, and " +
+    "fused pairs vanish from the next round's sequences") {
+    val rows = TrainOps.defs("q123_bpe_learn")(spark, sf)
+      .orderBy("merge_round").collect()
+    assert(rows.length == 3)
+    // initial corpus symbol total = total characters of all token instances
+    val n0 = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr(
+        "aggregate(filter(split(text, ' '), x -> x != ''), 0L, " +
+          "(a, x) -> a + length(x)) AS n")
+      .agg(sum("n")).collect()(0).getLong(0)
+    var prev = n0
+    rows.foreach { r =>
+      val (c, ns) = (r.getLong(3), r.getLong(4))
+      assert(c > 0)
+      // greedy one-pass application: overlapping occurrences can't all
+      // fuse, so the shrink is positive but bounded by the pair count
+      assert(ns < prev && prev - ns <= c,
+        s"round ${r.getInt(0)}: $prev -> $ns (pair count $c)")
+      prev = ns
+    }
+  }
+
+  test("q124: keep-rate and kept tokens are nonincreasing in the cutoff") {
+    val rows = TrainOps.defs("q124_threshold_sweep")(spark, sf)
+      .orderBy("threshold").collect()
+    assert(rows.length == 9)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) >= hi.getLong(1))
+      assert(lo.getDouble(2) >= hi.getDouble(2))
+      assert(lo.getLong(3) >= hi.getLong(3))
+    }
+    // the sweep brackets a meaningful operating range: not everything
+    // survives the top cutoff, something survives the bottom one
+    assert(rows.head.getLong(1) > rows.last.getLong(1))
+  }
+}
