@@ -105,6 +105,21 @@ object CurationOps {
   private val snapBText =
     "CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END"
 
+  // ---- q127: domain blocklist with subdomain semantics ------------------
+  // A blocklist entry bans the exact host AND every subdomain beneath it —
+  // the match key set is the host's label-suffix chain (≥ 2 labels), built
+  // in-row. The 3-entry list here is an in-row literal; a production-scale
+  // (100k+) blocklist swaps arrays_overlap for explode(suffixes) +
+  // broadcast semi-join on the exact suffix key — the q84 contamination
+  // shape — with zero change to the suffix construction.
+  private val hostSynth =
+    """CASE WHEN doc_id % 4 = 0
+      |  THEN 'site' || (doc_id % 20) || '.example.com'
+      |  ELSE 'sub' || (doc_id % 7) || '.site' || (doc_id % 20) ||
+      |    '.example.com' END""".stripMargin
+  private val Blocklist =
+    Seq("site3.example.com", "site15.example.com", "sub2.site4.example.com")
+
   val defs: Map[String, Q] = Map(
 
     "q112_url_canon" -> ((s, dir) => {
@@ -203,6 +218,16 @@ object CurationOps {
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    }),
+
+    "q127_blocklist_filter" -> ((s, dir) => {
+      val parts = split(col("host"), "\\.")
+      val sfx = transform(sequence(lit(2), size(parts)),
+        k => array_join(slice(parts, size(parts) - k + 1, k), "."))
+      t(s, dir, "documents")
+        .selectExpr("doc_id", s"($hostSynth) AS host")
+        .filter(!arrays_overlap(sfx, typedLit(Blocklist)))
+        .select("doc_id", "host")
     }))
 
   /** DuckDB has no conv(hex): decode 4 hex chars positionally. */
@@ -215,6 +240,20 @@ object CurationOps {
   private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+
+    "q127_blocklist_filter" ->
+      s"""WITH h AS (SELECT doc_id, ($hostSynth) AS host FROM documents),
+         |p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h),
+         |sfx AS (SELECT doc_id, host,
+         |    list_transform(range(2, len(parts) + 1),
+         |      k -> array_to_string(
+         |        parts[len(parts) - CAST(k AS INT) + 1 : len(parts)], '.'))
+         |      AS sfx
+         |  FROM p)
+         |SELECT doc_id, host FROM sfx
+         |WHERE len(list_intersect(sfx,
+         |  [${Blocklist.map(b => s"'$b'").mkString(", ")}])) = 0"""
+        .stripMargin,
 
     "q116_quality_classifier" ->
       s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 
 /** Training-data pipeline pack #4: data SELECTION for LM training —
@@ -49,6 +50,14 @@ object SelectionOps {
   private val DsirTarget = "src0"
   private def bucketCol(tok: Column): Column =
     conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % DsirBuckets
+
+  // ---- q125: Gumbel top-k importance resampling ------------------------
+  // The RESAMPLE half of DSIR: draw a weighted-without-replacement sample
+  // of size k from the q120 importance weights via the Gumbel-top-k trick
+  // (key = w/τ + Gumbel noise; the top k keys ARE a temperature-τ sample).
+  // Noise is md5-derived, so the "random" sample is bit-reproducible.
+  private val ResampleTau = 2.0
+  private val ResampleK = 100
 
   val defs: Map[String, Q] = Map(
 
@@ -106,7 +115,27 @@ object SelectionOps {
           round(-col("ll") / col("n_bigrams").cast("double"), 6).as("avg_nll"))
     }),
 
-    "q120_dsir_weight" -> ((s, dir) => {
+    "q120_dsir_weight" -> dsirWeights,
+
+    "q125_importance_resample" -> ((s, dir) => {
+      // u in (0,1) from the top 8 md5 nibbles; Gumbel = -ln(-ln(u)).
+      // Scale shape: scoring is in-row on top of q120's plan; the top-k
+      // is a TakeOrderedAndProject (per-partition heaps, no global sort);
+      // the rank window runs AFTER the limit, over k rows only.
+      val g = -log(-log(
+        (conv(substring(md5(concat(lit("g|"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long").cast("double") + 0.5) / 4294967296.0))
+      dsirWeights(s, dir)
+        .withColumn("samp_key", col("dsir_lr") / ResampleTau + g)
+        .orderBy(col("samp_key").desc, col("doc_id")).limit(ResampleK)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("samp_key").desc,
+            col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("source"),
+          round(col("samp_key"), 6).as("samp_key"))
+    }))
+
+  private def dsirWeights: Q = (s, dir) => {
       val docs = spread(t(s, dir, "documents"))
         .select(col("doc_id"), col("source"), TextOps.tokensCol.as("t"))
         .filter(size(col("t")) > 0)
@@ -136,7 +165,7 @@ object SelectionOps {
             (acc, x) => acc + x).as("s"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           round(col("s"), 6).as("dsir_lr"))
-    }))
+    }
 
   private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
   private val hexDigits = "0123456789abcdef"
@@ -146,7 +175,50 @@ object SelectionOps {
        | (strpos('$hexDigits', substr($h, 3, 1)) - 1) * 16 +
        | (strpos('$hexDigits', substr($h, 4, 1)) - 1))""".stripMargin
 
+  /** The q120 oracle text — also embedded as q125's derived table. */
+  private def oracleDsir: String =
+    s"""WITH toks AS (SELECT doc_id, source, $sqlTokens AS t
+       |  FROM documents WHERE len($sqlTokens) > 0),
+       |e AS (SELECT doc_id, source, unnest(t) AS tok FROM toks),
+       |bk AS (SELECT doc_id, source, tok,
+       |    ${sqlHex4("md5(tok)")} % $DsirBuckets AS b FROM e),
+       |c AS (SELECT b, CAST(count(*) AS BIGINT) AS cb,
+       |    CAST(count(*) FILTER (WHERE source = '$DsirTarget') AS BIGINT)
+       |      AS tb
+       |  FROM bk GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cb) + $DsirBuckets AS BIGINT) AS ct,
+       |    CAST(sum(tb) + $DsirBuckets AS BIGINT) AS tt FROM c),
+       |lr AS (SELECT bk.doc_id, bk.tok,
+       |    ln(CAST((c.tb + 1) * tot.ct AS DOUBLE) /
+       |       CAST((c.cb + 1) * tot.tt AS DOUBLE)) AS l
+       |  FROM bk JOIN c ON bk.b = c.b CROSS JOIN tot)
+       |SELECT t2.doc_id, any_value(t2.source) AS source,
+       |  CAST(any_value(len(t2.t)) AS INT) AS n_tokens,
+       |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(lr.l ORDER BY lr.tok)), (a, b) -> a + b), 6) AS dsir_lr
+       |FROM lr JOIN toks t2 ON lr.doc_id = t2.doc_id
+       |GROUP BY t2.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q120_dsir_weight" -> oracleDsir,
+
+    "q125_importance_resample" ->
+      s"""WITH w AS (SELECT * FROM ($oracleDsir)),
+         |g0 AS (SELECT doc_id, source, dsir_lr,
+         |    md5('g|' || CAST(doc_id AS VARCHAR)) AS gh FROM w),
+         |k AS (SELECT doc_id, source,
+         |    dsir_lr / $ResampleTau - ln(-ln(
+         |      ((${sqlHex4("substr(gh, 1, 4)")} * 65536.0 +
+         |        ${sqlHex4("substr(gh, 5, 4)")}) + 0.5) / 4294967296.0))
+         |      AS samp_key
+         |  FROM g0),
+         |r AS (SELECT doc_id, source, samp_key,
+         |    row_number() OVER (ORDER BY samp_key DESC, doc_id) AS rank
+         |  FROM k)
+         |SELECT CAST(rank AS INT) AS rank, doc_id, source,
+         |  round(samp_key, 6) AS samp_key
+         |FROM r WHERE rank <= $ResampleK""".stripMargin,
 
     "q118_chunk_overlap" ->
       s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
@@ -183,28 +255,5 @@ object SelectionOps {
          |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
          |  round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |      list(l ORDER BY i)), (a, b) -> a + b) / count(*), 6) AS avg_nll
-         |FROM lr GROUP BY doc_id""".stripMargin,
-
-    "q120_dsir_weight" ->
-      s"""WITH toks AS (SELECT doc_id, source, $sqlTokens AS t
-         |  FROM documents WHERE len($sqlTokens) > 0),
-         |e AS (SELECT doc_id, source, unnest(t) AS tok FROM toks),
-         |bk AS (SELECT doc_id, source, tok,
-         |    ${sqlHex4("md5(tok)")} % $DsirBuckets AS b FROM e),
-         |c AS (SELECT b, CAST(count(*) AS BIGINT) AS cb,
-         |    CAST(count(*) FILTER (WHERE source = '$DsirTarget') AS BIGINT)
-         |      AS tb
-         |  FROM bk GROUP BY 1),
-         |tot AS (SELECT CAST(sum(cb) + $DsirBuckets AS BIGINT) AS ct,
-         |    CAST(sum(tb) + $DsirBuckets AS BIGINT) AS tt FROM c),
-         |lr AS (SELECT bk.doc_id, bk.tok,
-         |    ln(CAST((c.tb + 1) * tot.ct AS DOUBLE) /
-         |       CAST((c.cb + 1) * tot.tt AS DOUBLE)) AS l
-         |  FROM bk JOIN c ON bk.b = c.b CROSS JOIN tot)
-         |SELECT t2.doc_id, any_value(t2.source) AS source,
-         |  CAST(any_value(len(t2.t)) AS INT) AS n_tokens,
-         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list(lr.l ORDER BY lr.tok)), (a, b) -> a + b), 6) AS dsir_lr
-         |FROM lr JOIN toks t2 ON lr.doc_id = t2.doc_id
-         |GROUP BY t2.doc_id""".stripMargin)
+         |FROM lr GROUP BY doc_id""".stripMargin)
 }

@@ -59,6 +59,46 @@ object TrainOps {
   // ---- q124: threshold sweep -------------------------------------------
   private val Thresholds: Seq[Int] = (-800 to 800 by 200)
 
+  /** Shared BPE learner (q123 reports it, q126 encodes with it): returns
+    * the merge table [(round, a, b, pair count, corpus symbols after)] and
+    * the post-merge vocabulary (tok, n, seq). The corpus is exploded ONCE
+    * into (token, count); each round shuffles alphabet²-sized pair cells,
+    * takes the argmax pair as a TakeOrdered dimension artifact, and
+    * applies the merge in-row over the checkpointed vocabulary. */
+  private def bpeLearn(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
+    var cur = spread(t(s, dir, "documents"))
+      .select(explode(TextOps.tokensCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .select(col("tok"), col("n"),
+        array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), " ")
+          .as("seq"))
+      .localCheckpoint()
+    val learned =
+      (1 to BpeRounds).map { r =>
+        val syms = split(col("seq"), " ")
+        // frequency-weighted adjacent-pair counts: the exchange carries
+        // (a, b, partial n) — alphabet², not corpus, rows
+        val top = cur
+          .select(col("n"), explode(zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("n").as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+        // apply the merge in-row; checkpoint keeps round r+1's plan flat
+        cur = cur.select(col("tok"), col("n"),
+          mergeFold(col("seq"), a, b).as("seq")).localCheckpoint()
+        val nSym = cur.select(sum(col("n") * size(split(col("seq"), " "))))
+          .collect()(0).getLong(0)
+        (r, a, b, c, nSym)
+      }
+    (learned, cur)
+  }
+
   val defs: Map[String, Q] = Map(
 
     "q121_train_order" -> ((s, dir) => {
@@ -96,39 +136,28 @@ object TrainOps {
 
     "q123_bpe_learn" -> ((s, dir) => {
       import s.implicits._
-      // the ONLY corpus-sized pass: tokens → (token, count) vocabulary;
-      // symbol sequences start as the token's characters
-      var cur = spread(t(s, dir, "documents"))
-        .select(explode(TextOps.tokensCol).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("n"))
-        .select(col("tok"), col("n"),
-          array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), " ")
-            .as("seq"))
-        .localCheckpoint()
-      val learned =
-        (1 to BpeRounds).map { r =>
-          val syms = split(col("seq"), " ")
-          // frequency-weighted adjacent-pair counts: the exchange carries
-          // (a, b, partial n) — alphabet², not corpus, rows
-          val top = cur
-            .select(col("n"), explode(zip_with(
-              slice(syms, lit(1), size(syms) - 1),
-              slice(syms, lit(2), size(syms) - 1),
-              (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum("n").as("c"))
-            .orderBy(col("c").desc, col("a"), col("b"))
-            .limit(1).collect()(0)
-          val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
-          // apply the merge in-row; checkpoint keeps round r+1's plan flat
-          cur = cur.select(col("tok"), col("n"),
-            mergeFold(col("seq"), a, b).as("seq")).localCheckpoint()
-          val nSym = cur.select(sum(col("n") * size(split(col("seq"), " "))))
-            .collect()(0).getLong(0)
-          (r, a, b, c, nSym)
-        }
-      learned.toDF("merge_round", "pair_a", "pair_b", "pair_count",
-        "n_symbols")
+      bpeLearn(s, dir)._1.toDF("merge_round", "pair_a", "pair_b",
+        "pair_count", "n_symbols")
+    }),
+
+    "q126_bpe_encode" -> ((s, dir) => {
+      // ENCODE with the learned tokenizer: the post-merge vocabulary maps
+      // token → its BPE symbol count, and — being vocabulary-sized — rides
+      // a broadcast join back onto the corpus. The one corpus exchange is
+      // the per-doc agg, and its map side collapses to ~1 row per doc
+      // (scan rows arrive doc-contiguous, partial agg by doc_id).
+      val vocab = bpeLearn(s, dir)._2
+        .select(col("tok"), size(split(col("seq"), " ")).as("nb"))
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(TextOps.tokensCol).as("tok"))
+        .join(broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          sum(length(col("tok"))).cast("long").as("n_chars"),
+          sum("nb").cast("long").as("n_bpe"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("n_bpe"),
+          round(col("n_bpe").cast("double") / col("n_chars"), 6)
+            .as("compression"))
     }),
 
     "q124_threshold_sweep" -> ((s, dir) => {
@@ -183,6 +212,18 @@ object TrainOps {
        |    AS ns FROM s$r)""".stripMargin
   }
 
+  /** The full learning chain v → s0 → (p/m/s/n)×3, shared by q123/q126. */
+  private def sqlBpeChain: String =
+    s"""v AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest($sqlTokens) AS tok FROM documents)
+       |  GROUP BY tok),
+       |s0 AS (SELECT tok, n,
+       |    array_to_string(regexp_extract_all(tok, '.'), ' ') AS seq
+       |  FROM v),
+       |${sqlBpeRound(1)},
+       |${sqlBpeRound(2)},
+       |${sqlBpeRound(3)}""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q121_train_order" ->
@@ -208,15 +249,7 @@ object TrainOps {
          |GROUP BY e.q_id""".stripMargin,
 
     "q123_bpe_learn" ->
-      s"""WITH v AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT unnest($sqlTokens) AS tok FROM documents)
-         |  GROUP BY tok),
-         |s0 AS (SELECT tok, n,
-         |    array_to_string(regexp_extract_all(tok, '.'), ' ') AS seq
-         |  FROM v),
-         |${sqlBpeRound(1)},
-         |${sqlBpeRound(2)},
-         |${sqlBpeRound(3)}
+      s"""WITH $sqlBpeChain
          |SELECT CAST(1 AS INT) AS merge_round, m1.a AS pair_a,
          |  m1.b AS pair_b, m1.c AS pair_count, n1.ns AS n_symbols
          |FROM m1, n1
@@ -224,6 +257,17 @@ object TrainOps {
          |FROM m2, n2
          |UNION ALL SELECT CAST(3 AS INT), m3.a, m3.b, m3.c, n3.ns
          |FROM m3, n3""".stripMargin,
+
+    "q126_bpe_encode" ->
+      s"""WITH $sqlBpeChain,
+         |e AS (SELECT doc_id, unnest($sqlTokens) AS tok FROM documents)
+         |SELECT e.doc_id, CAST(count(*) AS INT) AS n_tokens,
+         |  CAST(sum(len(e.tok)) AS BIGINT) AS n_chars,
+         |  CAST(sum(len(string_split(s3.seq, ' '))) AS BIGINT) AS n_bpe,
+         |  round(sum(len(string_split(s3.seq, ' ')))
+         |    / CAST(sum(len(e.tok)) AS DOUBLE), 6) AS compression
+         |FROM e JOIN s3 ON e.tok = s3.tok
+         |GROUP BY e.doc_id""".stripMargin,
 
     "q124_threshold_sweep" ->
       s"""WITH scored AS (SELECT * FROM (

@@ -58,7 +58,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q121_train_order"       -> 1, // ONE hash exchange; per-shard local sort
     "q122_ann_recall"        -> 5, // q31 (1) + q43 (3) + 10-row groupBy; compare join broadcasts
     "q123_bpe_learn"         -> 0, // learned merge table is a driver artifact
-    "q124_threshold_sweep"   -> 1  // (threshold, partials) agg on 9 keys
+    "q124_threshold_sweep"   -> 1, // (threshold, partials) agg on 9 keys
+    "q125_importance_resample" -> 0, // TakeOrdered top-k; rank window post-limit
+    "q126_bpe_encode"        -> 1, // vocab broadcasts back; ONE doc agg
+    "q127_blocklist_filter"  -> 0  // suffix set + overlap test in-row
   )
 
   private def shuffleCount(name: String): Int = {

@@ -58,6 +58,17 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(sorted(sorted.length / 2) < math.log(vocab.toDouble))
   }
 
+  test("q125: ranks are 1..100, keys nonincreasing, docs distinct") {
+    val rows = SelectionOps.defs("q125_importance_resample")(spark, sf)
+      .orderBy("rank").collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 100))
+    assert(rows.map(_.getLong(1)).distinct.length == 100)
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getDouble(3) >= lo.getDouble(3) - 1e-9)
+    }
+  }
+
   test("q120: target-slice docs average a higher importance score") {
     val rows = SelectionOps.defs("q120_dsir_weight")(spark, sf)
       .select(col("source"), col("dsir_lr"), col("n_tokens")).collect()

@@ -67,6 +67,40 @@ class TrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q126: encoding accounts for every token; compression in (0,1]") {
+    val rows = TrainOps.defs("q126_bpe_encode")(spark, sf).collect()
+    val totalToks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("size(filter(split(text, ' '), x -> x != '')) AS n")
+      .agg(sum("n")).collect()(0).getLong(0)
+    // the vocab join must not drop a single token instance
+    assert(rows.map(_.getInt(1).toLong).sum == totalToks)
+    rows.foreach { r =>
+      val (nt, nc, nb) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      assert(nb <= nc, s"doc ${r.getLong(0)}: merges can only shrink")
+      assert(nb >= nt, s"doc ${r.getLong(0)}: every token keeps >=1 symbol")
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("q127: kept set matches exact suffix-chain blocklist semantics") {
+    val bl = Seq("site3.example.com", "site15.example.com",
+      "sub2.site4.example.com")
+    def host(id: Long): String =
+      if (id % 4 == 0) s"site${id % 20}.example.com"
+      else s"sub${id % 7}.site${id % 20}.example.com"
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expect = ids.filter { id =>
+      val h = host(id)
+      !bl.exists(e => h == e || h.endsWith("." + e))
+    }.toSet
+    val got = graft.queries.CurationOps
+      .defs("q127_blocklist_filter")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    assert(got.size < ids.length, "the blocklist must actually bite")
+  }
+
   test("q124: keep-rate and kept tokens are nonincreasing in the cutoff") {
     val rows = TrainOps.defs("q124_threshold_sweep")(spark, sf)
       .orderBy("threshold").collect()
