@@ -82,13 +82,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // durable artifact: same JSON, written to the repo tree so each round's
-    // full per-query map survives even if the captured stdout is truncated
+    // full per-query map survives even if the captured stdout is truncated.
+    // FILTERED local-iteration runs print only — a subset must never
+    // overwrite the full-set artifact.
     val outFile = new java.io.File("BENCH_FULL.json").getAbsoluteFile
     val line =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","file":"$outFile"}"""
-    try java.nio.file.Files.writeString(outFile.toPath, line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    if (nameFilter.isEmpty)
+      try java.nio.file.Files.writeString(outFile.toPath, line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     println(line)
     spark.stop()
   }
