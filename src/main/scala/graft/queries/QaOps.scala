@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Training-data pipeline pack #7: curation QA / diagnostics — the
+  * reports a data team reads BEFORE signing off a corpus build: where the
+  * near-duplicates concentrate, how sensitive the dedup verdict is to its
+  * threshold, and how much content actually drifted between snapshots.
+  *
+  * All three COMPOSE already-gated operators (q29's verified LSH pairs,
+  * q117's snapshot synthesis), so the diagnostics inherit audited plans
+  * and add only short-key aggregations:
+  *   - q128 reuses the pairs pipeline and ships (doc_id) / (source, count)
+  *     rows — never text — through its joins;
+  *   - q129 scores drift IN-ROW (both snapshot texts derive from the same
+  *     scanned row; shingle sets + Jaccard never leave it): zero exchange;
+  *   - q130 explodes a 5-element threshold grid over the pairs' jaccard
+  *     column — one (threshold, partials) exchange. Survivor stats are
+  *     min/max (order-free exact on doubles), deliberately NOT a mean: a
+  *     shuffled double mean is bit-nondeterministic (the q109 discipline).
+  */
+object QaOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  // ---- q129: snapshot content drift ------------------------------------
+  // Three deterministic revision flavors: a prepended banner (high
+  // jaccard), an appended correction (high), a global word substitution
+  // (low) — so the drift report spans the verdict boundary at any SF.
+  private val DriftSynth =
+    """CASE WHEN doc_id % 3 = 0 THEN 'breaking news update ' || text
+      |     WHEN doc_id % 3 = 1 THEN text || ' appended correction rev2'
+      |     ELSE replace(text, 'a', 'the') END""".stripMargin
+  private val DriftThreshold = 0.8
+
+  // ---- q130: dedup threshold sensitivity -------------------------------
+  private val JaccardGrid = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  private def toks(c: Column): Column = filter(split(c, " "), x => x =!= "")
+
+  val defs: Map[String, Q] = Map(
+
+    "q128_neardup_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextOps.lshVerifiedPairs(docs)
+      // docs touched by ANY verified pair; the joins ship ids + source
+      val involved = pairs
+        .select(explode(array(col("doc_id_a"), col("doc_id_b")))
+          .as("doc_id"))
+        .distinct()
+      val bySrc = involved
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("nd"))
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(bySrc, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("nd"), lit(0L)).as("n_dup_docs"),
+          round(coalesce(col("nd"), lit(0L)).cast("double") / col("n_docs"),
+            6).as("dup_rate"))
+    }),
+
+    "q129_snapshot_drift" -> ((s, dir) => {
+      val shA = TextOps.shinglesCol(toks(col("text")))
+      val shB = TextOps.shinglesCol(toks(expr(s"($DriftSynth)")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), shA.as("sh_a"), shB.as("sh_b"))
+        .withColumn("n_inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("n_union",
+          size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+        .withColumn("jaccard",
+          when(col("n_union") === 0, lit(1.0))
+            .otherwise(col("n_inter").cast("double") /
+              col("n_union").cast("double")))
+        .select(col("doc_id"), size(col("sh_a")).as("n_sh_a"),
+          size(col("sh_b")).as("n_sh_b"), round(col("jaccard"), 6)
+            .as("jaccard"),
+          when(col("jaccard") < DriftThreshold, lit("rededup"))
+            .otherwise(lit("stable")).as("verdict"))
+    }),
+
+    "q130_dedup_sensitivity" -> ((s, dir) => {
+      TextOps.lshVerifiedPairs(t(s, dir, "documents"))
+        .select(col("jaccard"),
+          explode(typedLit(JaccardGrid)).as("threshold"))
+        .groupBy("threshold")
+        .agg(
+          sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L))
+            .as("n_pairs"),
+          round(min(when(col("jaccard") >= col("threshold"),
+            col("jaccard"))), 6).as("min_jaccard"),
+          round(max(when(col("jaccard") >= col("threshold"),
+            col("jaccard"))), 6).as("max_jaccard"))
+    }))
+
+  private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private def sqlToksOf(e: String) =
+    s"list_filter(string_split($e, ' '), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+
+    "q128_neardup_rate" ->
+      s"""WITH pairs AS (${TextOps.oracles("q29_minhash_pairs")}),
+         |inv AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_id_a AS doc_id FROM pairs
+         |  UNION ALL SELECT doc_id_b FROM pairs)),
+         |b AS (SELECT d.source, CAST(count(*) AS BIGINT) AS nd
+         |  FROM inv JOIN documents d USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT tot.source, tot.n_docs,
+         |  CAST(coalesce(b.nd, 0) AS BIGINT) AS n_dup_docs,
+         |  round(coalesce(b.nd, 0) / CAST(tot.n_docs AS DOUBLE), 6)
+         |    AS dup_rate
+         |FROM tot LEFT JOIN b USING (source)""".stripMargin,
+
+    "q129_snapshot_drift" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    ${TextOps.sqlShingles(sqlTokens)} AS sh_a,
+         |    ${TextOps.sqlShingles(sqlToksOf(s"($DriftSynth)"))} AS sh_b
+         |  FROM documents),
+         |j AS (SELECT doc_id, len(sh_a) AS n_sh_a, len(sh_b) AS n_sh_b,
+         |    len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS ni,
+         |    len(sh_a) + len(sh_b)
+         |      - len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS nu
+         |  FROM s),
+         |k AS (SELECT doc_id, n_sh_a, n_sh_b,
+         |    CASE WHEN nu = 0 THEN 1.0
+         |         ELSE ni / CAST(nu AS DOUBLE) END AS jaccard
+         |  FROM j)
+         |SELECT doc_id, CAST(n_sh_a AS INT) AS n_sh_a,
+         |  CAST(n_sh_b AS INT) AS n_sh_b,
+         |  round(jaccard, 6) AS jaccard,
+         |  CASE WHEN jaccard < $DriftThreshold THEN 'rededup'
+         |       ELSE 'stable' END AS verdict
+         |FROM k""".stripMargin,
+
+    "q130_dedup_sensitivity" ->
+      s"""WITH pairs AS (${TextOps.oracles("q29_minhash_pairs")}),
+         |th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+         |    AS threshold)
+         |SELECT th.threshold,
+         |  CAST(count(*) FILTER (WHERE jaccard >= threshold) AS BIGINT)
+         |    AS n_pairs,
+         |  round(min(jaccard) FILTER (WHERE jaccard >= threshold), 6)
+         |    AS min_jaccard,
+         |  round(max(jaccard) FILTER (WHERE jaccard >= threshold), 6)
+         |    AS max_jaccard
+         |FROM pairs CROSS JOIN th
+         |GROUP BY th.threshold""".stripMargin)
+}

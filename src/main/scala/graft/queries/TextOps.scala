@@ -737,7 +737,7 @@ object TextOps {
 
   // DuckDB-side building blocks (kept in one place so Spark/SQL stay in sync)
   private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
-  private def sqlShingles(toks: String) =
+  private[graft] def sqlShingles(toks: String) =
     s"""list_distinct(CASE WHEN len($toks) >= 3
        | THEN list_transform(range(1, len($toks) - 1),
        |   i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
