@@ -15,12 +15,24 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default;
-    // read it as epoch-nanos long (exact — no truncation) in ANY session,
-    // including the driver-provided one.
-    if (name == "events")
+    // events.ts arrives as parquet TIMESTAMP(NANOS) in some testdata
+    // generations (Spark rejects it by default → read as epoch-nanos long)
+    // and TIMESTAMP(MICROS) in others. Every operator consumes ts as
+    // epoch-nanos BIGINT (matching the DuckDB oracle's epoch_ns(ts)), so
+    // normalize HERE for any physical type, in ANY session, including the
+    // driver-provided one. The UTC pin makes the NTZ→instant conversion
+    // exact regardless of host timezone.
+    if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => df
+        case _ => df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp_ltz)) * 1000L"))
+      }
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
   /** Local-parallelism escape hatch, OFF for cluster plans.
