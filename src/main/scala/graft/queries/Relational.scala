@@ -265,6 +265,34 @@ object Relational {
         .groupBy("event_type")
         .agg(sum(col("pc")).as("n_events"),
           sum(col("ps")).cast("double").as("sum_value"))
+    }),
+
+    // §2.6 range join without a range join: per-order market activity —
+    // all lineitems (any order) shipped within the 7 days from its order
+    // date. A naive interval join is a cross product; the scale pattern is
+    // an equi-join on a coarse DAY bucket (each order explodes into its 7
+    // day keys), with the exact interval predicate as a residual filter —
+    // here the bucket is exactly the interval (whole-day window), so the
+    // residual is vacuous by construction. The fact side (lineitem) never
+    // shuffles: the exploded (order, day) side is two longs × 7 rows per
+    // order and broadcasts; where the build side outgrows a broadcast, the
+    // SAME day key becomes the shuffle/bucketed-join key.
+    "q135_interval_join" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val odays = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), epoch).cast("long")
+            .as("d0"))
+        .select(col("o_orderkey"),
+          explode(sequence(col("d0"), col("d0") + 6)).as("day"))
+      t(s, dir, "lineitem")
+        .select(datediff(col("l_shipdate").cast("date"), epoch).cast("long")
+          .as("day"), col("l_extendedprice"))
+        .join(broadcast(odays), "day")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_ship"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
     })
   )
 
@@ -421,6 +449,16 @@ object Relational {
     "q44_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // the bucketed equi-join restated as the naive interval join
+    "q135_interval_join" ->
+      """SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_ship,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders o JOIN lineitem l
+        |  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+        | AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + 6
+        |GROUP BY 1""".stripMargin
   )
 }

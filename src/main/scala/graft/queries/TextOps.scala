@@ -724,6 +724,31 @@ object TextOps {
         aggregate(split(col("text"), ""), lit(0L),
           (h, c) => (h * 31L + ascii(c).cast("long")) % 1000000007L)
           .as("fingerprint"))
+    }),
+
+    // Inverted-index shard build: the materialization BEHIND q109's BM25 —
+    // token → (df, cf, capped ascending posting list). Per-doc term counts
+    // fold IN-ROW via the TokenTf kernel (no (doc, token) pre-aggregation
+    // shuffle), so the plan is ONE exchange on the token key: the rank
+    // window and the groupBy share that clustering. The posting list is
+    // capped at 16 BEFORE collect_list (rank filter, not a post-slice), so
+    // a stopword's bucket carries 16 ids — never its full million-doc
+    // posting run — through the aggregation buffer.
+    "q133_inverted_index" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.tokenTf(col("text")))
+            .as("p"))
+        .select(col("doc_id"), col("p.token").as("tok"),
+          col("p.tf").cast("long").as("tf"))
+      val w = Window.partitionBy("tok").orderBy("doc_id")
+      tf.withColumn("rn", row_number().over(w))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+          array_join(transform(
+            array_sort(collect_list(when(col("rn") <= 16, col("doc_id")))),
+            x => x.cast("string")), ",").as("postings"))
     })
   )
 
@@ -1192,6 +1217,17 @@ object TextOps {
         |      list_transform(string_split(text, ''),
         |        c -> CAST(ascii(c) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q133_inverted_index" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest($sqlTokens) AS tok FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+         |  CAST(sum(tf) AS BIGINT) AS cf,
+         |  array_to_string((list(doc_id ORDER BY doc_id))[1:16], ',')
+         |    AS postings
+         |FROM tf GROUP BY tok""".stripMargin
   )
 }

@@ -179,6 +179,30 @@ object TrainOps {
           round(col("n_keep").cast("double") / col("n_docs"), 6)
             .as("keep_rate"),
           col("tokens_kept"))
+    }),
+
+    // Tokenizer-coverage gate: OOV rate of a held-out split against the
+    // vocabulary observed on the train split — the go/no-go check before a
+    // learned tokenizer (q123) ships. The train-side dedup is in-row
+    // (array_distinct) before the distinct agg, so the vocab exchange
+    // carries ~unique-words, not corpus-tokens, rows; the vocab is a
+    // dimension and broadcasts back onto the eval explode, whose groupBy
+    // is the only corpus-sized (but map-side-combined, 20-key) exchange.
+    "q134_vocab_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = docs.filter(col("doc_id") % 5 < 4)
+        .select(explode(array_distinct(TextOps.tokensCol)).as("tok"))
+        .distinct()
+        .withColumn("known", lit(1L))
+      docs.filter(col("doc_id") % 5 >= 4)
+        .select(col("source"), explode(TextOps.tokensCol).as("tok"))
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 6)
+            .as("oov_rate"))
     }))
 
   private val hexDigits = "0123456789abcdef"
@@ -282,5 +306,18 @@ object TrainOps {
          |  CAST(coalesce(sum(n_tokens) FILTER (WHERE score > threshold), 0)
          |    AS BIGINT) AS tokens_kept
          |FROM scored CROSS JOIN th
-         |GROUP BY th.threshold""".stripMargin)
+         |GROUP BY th.threshold""".stripMargin,
+
+    "q134_vocab_coverage" ->
+      s"""WITH vocab AS (
+         |  SELECT DISTINCT unnest($sqlTokens) AS tok
+         |  FROM documents WHERE doc_id % 5 < 4),
+         |ev AS (SELECT source, unnest($sqlTokens) AS tok
+         |  FROM documents WHERE doc_id % 5 >= 4)
+         |SELECT ev.source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+         |  round(count(*) FILTER (WHERE v.tok IS NULL)
+         |    / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         |FROM ev LEFT JOIN vocab v ON ev.tok = v.tok
+         |GROUP BY ev.source""".stripMargin)
 }
