@@ -269,30 +269,33 @@ object Relational {
 
     // §2.6 range join without a range join: per-order market activity —
     // all lineitems (any order) shipped within the 7 days from its order
-    // date. A naive interval join is a cross product; the scale pattern is
-    // an equi-join on a coarse DAY bucket (each order explodes into its 7
-    // day keys), with the exact interval predicate as a residual filter —
-    // here the bucket is exactly the interval (whole-day window), so the
-    // residual is vacuous by construction. The fact side (lineitem) never
-    // shuffles: the exploded (order, day) side is two longs × 7 rows per
-    // order and broadcasts; where the build side outgrows a broadcast, the
-    // SAME day key becomes the shuffle/bucketed-join key.
+    // date. A naive interval join is a cross product, and even a day-bucket
+    // equi-join emits |lineitem| × (orders/day × 7) intermediate rows — a
+    // quadratic blowup as both sides grow over TPC-H's FIXED date range.
+    // count/sum are decomposable, so the scale plan pre-aggregates the fact
+    // side per day BELOW the join: `daily` is ≈2,400 rows at ANY scale
+    // factor (one per distinct ship day), a genuinely bounded dimension
+    // artifact that broadcasts safely. The exploded (order, day) side then
+    // joins the broadcast and sums its ≤7 daily partials per order —
+    // identical result, and lineitem itself never transits the join (only
+    // its per-day partials, shrunk map-side by partial aggregation, do).
     "q135_interval_join" -> ((s, dir) => {
       val epoch = lit("1970-01-01").cast("date")
-      val odays = t(s, dir, "orders")
+      val daily = t(s, dir, "lineitem")
+        .groupBy(datediff(col("l_shipdate").cast("date"), epoch).cast("long")
+          .as("day"))
+        .agg(count(lit(1)).as("d_cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("d_sum"))
+      t(s, dir, "orders")
         .select(col("o_orderkey"),
           datediff(col("o_orderdate").cast("date"), epoch).cast("long")
             .as("d0"))
         .select(col("o_orderkey"),
           explode(sequence(col("d0"), col("d0") + 6)).as("day"))
-      t(s, dir, "lineitem")
-        .select(datediff(col("l_shipdate").cast("date"), epoch).cast("long")
-          .as("day"), col("l_extendedprice"))
-        .join(broadcast(odays), "day")
+        .join(broadcast(daily), "day")
         .groupBy("o_orderkey")
-        .agg(count(lit(1)).as("n_ship"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-            .as("sum_price"))
+        .agg(sum(col("d_cnt")).as("n_ship"),
+          sum(col("d_sum")).cast("double").as("sum_price"))
     })
   )
 
