@@ -389,11 +389,14 @@ object TextOps {
     //  1. vocab stats in ONE aggregation over the kernel's distinct
     //     tokens: df is a map-side-combined count, and each doc's FIRST
     //     token carries a flag whose per-token sums add up to n_docs
-    //     driver-side (≡ the oracle's countDistinct over exploded
-    //     tokens — every tokenful doc flags exactly one token). The
-    //     vocab is a DIMENSION (q101's bloom rationale): collected,
-    //     re-entered as a LocalRelation, broadcast — at huge vocabs this
-    //     flips to a broadcast JOIN of the same aggregate.
+    //     as a 1-row scalar job (≡ the oracle's countDistinct over
+    //     exploded tokens — every tokenful doc flags exactly one token).
+    //     The (token, df) frame itself NEVER reaches the driver: a web
+    //     corpus's vocabulary is Heaps'-law unbounded, so df stays a
+    //     DataFrame joined WITHOUT a broadcast hint — AQE flips the SMJ
+    //     to a broadcast at runtime when the observed vocab fits 64MB,
+    //     and degrades to a shuffle join (not a driver OOM) when it
+    //     doesn't.
     //  2. scoring: explode the kernel's (token, tf) runs, broadcast-join
     //     the vocab, top-1 per doc via min_by on the (-score, token) key —
     //     unlike a window it partial-aggregates map-side (each doc's runs
@@ -404,24 +407,20 @@ object TextOps {
     //     repartition would be the most expensive node in the plan —
     //     the scoring pass has NO corpus-wide exchange at all.
     "q55_tfidf_top_term" -> ((s, dir) => {
-      import s.implicits._
       val docs0 = t(s, dir, "documents")
       val tfPairs = graft.functions.TextExpressions.tokenTf(col("text"))
-      val statRows = docs0
-        .select(explode(transform(tfPairs, (p, j) =>
-          struct(p.getField("token").as("token"),
-            (j === 0).cast("int").as("first")))).as("e"))
-        .groupBy(col("e.token").as("token"))
-        .agg(count(lit(1)).as("df"), sum(col("e.first")).as("firsts"))
-        .collect()
-      val nDocs = statRows.map(_.getLong(2)).sum
-      val dfLocal = statRows
-        .map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("token", "df")
+      // nDocs (docs with ≥1 token) is the ONLY driver-side artifact — a
+      // 1-row scalar, O(1) at any corpus size
+      val nDocs = docs0.filter(size(tfPairs) > 0).count()
+      val dfDim = docs0
+        .select(explode(tfPairs).as("p"))
+        .groupBy(col("p.token").as("token"))
+        .agg(count(lit(1)).as("df"))
       docs0
         .select(col("doc_id"), explode(tfPairs).as("p"))
         .select(col("doc_id"), col("p.token").as("token"),
           col("p.tf").cast("long").as("tf"))
-        .join(broadcast(dfLocal), "token")
+        .join(dfDim, "token")
         .withColumn("score",
           round(col("tf") * log(lit(nDocs.toDouble) /
             col("df").cast("double")), 6))
@@ -449,21 +448,31 @@ object TextOps {
       import s.implicits._
       val docs0 = t(s, dir, "documents")
       val tfPairs = graft.functions.TextExpressions.tokenTf(col("text"))
-      // dimension artifacts: df(token), N, avgdl, and the 10 query term
-      // sets — all driver-side collect jobs (the q55 discipline)
-      val dfMap = docs0.select(explode(tfPairs).as("p"))
-        .groupBy(col("p.token").as("token")).agg(count(lit(1)).as("df"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // driver-side artifacts are all BOUNDED: N/avgdl are a 1-row scalar
+      // job, and df is computed ONLY for the ≤10 query docs' terms — the
+      // exploded (doc, token) stream semi-joins the broadcast query-term
+      // set BEFORE the aggregation, so neither the shuffle nor the collect
+      // ever carries the full Heaps'-law vocabulary (each (q_id, token)
+      // partial counts df for that token; a (doc, token) row appears once
+      // per querying q_id, so the count is df either way).
       val metaRow = docs0
         .agg(count(lit(1)), sum(size(tokensCol))).collect().head
       val nDocs = metaRow.getLong(0)
       val avgdl = metaRow.getLong(1).toDouble / nDocs.toDouble
+      val qterms = docs0.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(tokensCol)).as("token"))
+      val qrows = docs0.select(explode(tfPairs).as("p"))
+        .select(col("p.token").as("token"))
+        .join(broadcast(qterms), "token")
+        .groupBy(col("q_id"), col("token")).agg(count(lit(1)).as("df"))
+        .collect()
       // (q_id, token-sorted (token, df) terms) — broadcast dimension
-      val qdata = docs0.filter(col("doc_id") < 10)
-        .select(col("doc_id"), array_distinct(tokensCol)).collect()
-        .map(r => (r.getLong(0),
-          r.getSeq[String](1).sorted.map(tk => (tk, dfMap(tk)))))
-        .toSeq.toDF("q_id", "terms")
+      val qdata = qrows
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toSeq
+        .groupBy(_._1).toSeq
+        .map { case (q, rs) => (q, rs.map(_._2).sortBy(_._1)) }
+        .toDF("q_id", "terms")
       // scoring is IN-ROW: the document's token-sorted tf array merges
       // against each query's sorted terms in the native Bm25Score kernel
       // (token-ordered matched-terms fold ≙ the oracle's list(ORDER BY)
@@ -729,26 +738,28 @@ object TextOps {
     // Inverted-index shard build: the materialization BEHIND q109's BM25 —
     // token → (df, cf, capped ascending posting list). Per-doc term counts
     // fold IN-ROW via the TokenTf kernel (no (doc, token) pre-aggregation
-    // shuffle), so the plan is ONE exchange on the token key: the rank
-    // window and the groupBy share that clustering. The posting list is
-    // capped at 16 BEFORE collect_list (rank filter, not a post-slice), so
-    // a stopword's bucket carries 16 ids — never its full million-doc
-    // posting run — through the aggregation buffer.
+    // shuffle), and the capped posting list is a BOUNDED-STATE aggregate,
+    // not a window: min-16 is decomposable (min16(A∪B) =
+    // min16(min16(A)∪min16(B))), so the native KmvMinima k-minimum
+    // aggregate keeps ≤16 zero-padded ids per token in its buffer,
+    // map-side combined — the whole query is ONE exchange on tok whose
+    // rows carry ≤16 ids per token partial, and a stopword's full
+    // million-doc posting run NEVER transits a reducer (the r6 rank-window
+    // version routed it through one before the filter; the window sort and
+    // its second pass over the clustering are gone too).
     "q133_inverted_index" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val tf = t(s, dir, "documents")
+      t(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.functions.TextExpressions.tokenTf(col("text")))
             .as("p"))
         .select(col("doc_id"), col("p.token").as("tok"),
           col("p.tf").cast("long").as("tf"))
-      val w = Window.partitionBy("tok").orderBy("doc_id")
-      tf.withColumn("rn", row_number().over(w))
         .groupBy("tok")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
           array_join(transform(
-            array_sort(collect_list(when(col("rn") <= 16, col("doc_id")))),
-            x => x.cast("string")), ",").as("postings"))
+            graft.functions.KmvMinima(
+              lpad(col("doc_id").cast("string"), 19, "0"), 16),
+            x => x.cast("long").cast("string")), ",").as("postings"))
     })
   )
 

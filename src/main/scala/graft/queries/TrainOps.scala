@@ -142,15 +142,18 @@ object TrainOps {
 
     "q126_bpe_encode" -> ((s, dir) => {
       // ENCODE with the learned tokenizer: the post-merge vocabulary maps
-      // token → its BPE symbol count, and — being vocabulary-sized — rides
-      // a broadcast join back onto the corpus. The one corpus exchange is
-      // the per-doc agg, and its map side collapses to ~1 row per doc
-      // (scan rows arrive doc-contiguous, partial agg by doc_id).
+      // token → its BPE symbol count and joins back onto the corpus. Being
+      // vocabulary-sized it carries NO broadcast hint (the q134 rule): AQE
+      // broadcasts it at runtime while it fits 64MB and degrades to a
+      // shuffle join — not an OOM — when a web-scale vocab outgrows it.
+      // The one corpus exchange is the per-doc agg, and its map side
+      // collapses to ~1 row per doc (scan rows arrive doc-contiguous,
+      // partial agg by doc_id).
       val vocab = bpeLearn(s, dir)._2
         .select(col("tok"), size(split(col("seq"), " ")).as("nb"))
       spread(t(s, dir, "documents"))
         .select(col("doc_id"), explode(TextOps.tokensCol).as("tok"))
-        .join(broadcast(vocab), "tok")
+        .join(vocab, "tok")
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("int").as("n_tokens"),
           sum(length(col("tok"))).cast("long").as("n_chars"),
@@ -185,9 +188,13 @@ object TrainOps {
     // vocabulary observed on the train split — the go/no-go check before a
     // learned tokenizer (q123) ships. The train-side dedup is in-row
     // (array_distinct) before the distinct agg, so the vocab exchange
-    // carries ~unique-words, not corpus-tokens, rows; the vocab is a
-    // dimension and broadcasts back onto the eval explode, whose groupBy
-    // is the only corpus-sized (but map-side-combined, 20-key) exchange.
+    // carries ~unique-words, not corpus-tokens, rows. The vocab is NOT a
+    // fixed dimension (a web corpus's vocabulary is Heaps'-law unbounded),
+    // so no forced broadcast: the join plans as an SMJ on tok, and AQE
+    // flips it to a broadcast at runtime whenever the observed vocab fits
+    // the 64MB threshold — degrade-to-shuffle instead of driver OOM. The
+    // eval-side groupBy is the only other (map-side-combined, 20-key)
+    // exchange.
     "q134_vocab_coverage" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val vocab = docs.filter(col("doc_id") % 5 < 4)
@@ -196,7 +203,7 @@ object TrainOps {
         .withColumn("known", lit(1L))
       docs.filter(col("doc_id") % 5 >= 4)
         .select(col("source"), explode(TextOps.tokensCol).as("tok"))
-        .join(broadcast(vocab), Seq("tok"), "left")
+        .join(vocab, Seq("tok"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Driver-collect discipline (the r6 finding-2 gate): every `.collect()`
+  * in main source must be a BOUNDED artifact — a 1-row scalar, a
+  * fixed-size model (codebook, 256-bucket DSIR counts, 9 thresholds), or
+  * a set semi-joined down to a bounded key space BEFORE collection. A
+  * vocabulary-sized collect (Heaps'-law unbounded on a web corpus — the
+  * r6 q55/q109/q134 defect) must never reappear.
+  *
+  * Enforced as a per-file allowlist with justifications: adding a
+  * `.collect()` anywhere fails this spec until the new site is reviewed
+  * and its bound written down here.
+  */
+class CollectDisciplineSpec extends AnyFunSuite {
+
+  // file -> (allowed .collect() count, why each is bounded)
+  private val allowed: Map[String, (Int, String)] = Map(
+    "cdc/Dictionary.scala" -> (4,
+      "dictionary bootstrap: catalog tables are schema-sized by design"),
+    "examples/BatchReplay.scala" -> (1, "example printout, not an operator"),
+    "queries/CdcOps.scala" -> (1, "q58 fixture dump path (one-time scaffolding)"),
+    "queries/CurationOps.scala" -> (1,
+      "q115 repeated-paragraph hash set: bounded by duplicated boilerplate"),
+    "queries/SelectionOps.scala" -> (3,
+      "q119 bigram-LM typedLit model (documented exemption, SCALE.md) + " +
+        "V scalar + DSIR 256-bucket counts"),
+    "queries/TextOps.scala" -> (3,
+      "q84 gram golden bytes + q109 1-row N/avgdl scalar + q109 " +
+        "query-term df rows (semi-joined to the <=10 query docs BEFORE " +
+        "collect)"),
+    "queries/TrainOps.scala" -> (2, "q123 argmax 1-row + corpus-size scalar"),
+    "queries/VectorOps.scala" -> (1, "k-means packed-centroid codebook (k*d)")
+  )
+
+  test("main-source .collect() sites stay on the bounded allowlist") {
+    val root = Paths.get("src/main/scala/graft")
+    val found = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map { p =>
+        val n = Files.readString(p)
+          .linesIterator
+          .filterNot(l => l.contains("collect_list") || l.contains("collect_set"))
+          .count(_.contains(".collect()"))
+        root.relativize(p).toString -> n
+      }
+      .filter(_._2 > 0)
+      .toMap
+    val over = found.collect {
+      case (f, n) if n > allowed.get(f).map(_._1).getOrElse(0) =>
+        s"$f: $n collects > allowed ${allowed.get(f).map(_._1).getOrElse(0)}" +
+          " - review the new site's bound and update CollectDisciplineSpec"
+    }
+    assert(over.isEmpty, over.mkString("; "))
+    // stale allowlist rows rot the gate: tighten when a collect is removed
+    val stale = allowed.collect {
+      case (f, (n, _)) if found.getOrElse(f, 0) < n =>
+        s"$f: allowlist says $n but source has ${found.getOrElse(f, 0)}"
+    }
+    assert(stale.isEmpty, stale.mkString("; "))
+  }
+
+  test("no full-vocabulary broadcast hints in the token-join paths") {
+    // the r6 q134 defect class: a broadcast() hint on a frame keyed by
+    // corpus tokens bypasses autoBroadcastJoinThreshold and turns an
+    // unbounded vocab into a forced driver/executor OOM at scale. Vocab
+    // joins must stay hint-free (AQE decides) — named dimension frames
+    // here are the greps that caught r6's offenders.
+    for (f <- Seq("queries/TextOps.scala", "queries/TrainOps.scala")) {
+      val src = Files.readString(Paths.get("src/main/scala/graft", f))
+      assert(!src.contains("broadcast(vocab"),
+        s"$f: broadcast hint on a vocabulary frame")
+      assert(!src.contains("broadcast(dfDim"),
+        s"$f: broadcast hint on the token-df frame")
+    }
+  }
+}
