@@ -6,15 +6,28 @@ import org.apache.spark.sql.execution.ExplainMode
 
 /** Shuffle-budget regression net: pins the number of shuffle Exchanges in
   * the CLUSTER-shaped physical plan (graft.spreadLocal=false, so the
-  * local-parallelism repartitions are out of the picture) for the
-  * structurally interesting queries. A new Exchange in one of these plans
-  * is exactly the "shuffle creep" that stays invisible at sf0.001 and
-  * becomes the bottleneck at 100 TB — this spec makes it a test failure
-  * with a diff-able number instead of a slow bench three rounds later.
+  * local-parallelism repartitions are out of the picture) for EVERY
+  * SparkEntry query. A new Exchange in one of these plans is exactly the
+  * "shuffle creep" that stays invisible at sf0.001 and becomes the
+  * bottleneck at 100 TB - this spec makes it a test failure with a
+  * diff-able number instead of a slow bench three rounds later.
   *
   * Budgets are the CURRENT measured counts (static plan nodes, reused
-  * subtrees included), not aspirations: tightening one is a win worth a
-  * commit; loosening one needs a written scale argument.
+  * subtrees included; regenerate with `Test/runMain
+  * graft.tools.PrintShuffles`), not aspirations: tightening one is a win
+  * worth a commit; loosening one needs a written scale argument. Coverage
+  * is TOTAL by construction - the completeness test fails on any
+  * SparkEntry.queries key without a budget row (the r6 lesson: q133-q135
+  * merged without one and a 6x replan shipped), and on any stale row.
+  *
+  * Two measurement caveats, both conservative: (a) queries that
+  * materialize driver-side dimension artifacts (q109/q115/q119/q123...)
+  * run those collect jobs during plan CONSTRUCTION - the budget pins the
+  * final plan's exchanges; the artifact jobs are separately bounded by
+  * design (each is a scalar, a fixed-size model, or a semi-joined set).
+  * (b) localCheckpoint-based iteration (q46's propagation) executes
+  * during construction too, so its static count covers the consuming
+  * plan - the per-round exchanges are pinned by ConnectedComponentsSpec.
   */
 class PlanBudgetSpec extends AnyFunSuite {
 
@@ -28,40 +41,139 @@ class PlanBudgetSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   // (query, max shuffle exchanges in the cluster-shaped plan)
-  private val budgets: Seq[(String, Int)] = Seq(
-    "q08_txn_assembly"       -> 2, // xid exchange + commit-order sort
-    "q25_dedup_exact"        -> 1, // the hash-groupBy
-    "q29_minhash_pairs"      -> 3, // band explode + capped self-join + dedup
-    "q31_ann_topk"           -> 1, // per-query top-k only (corpus never shuffles)
-    "q43_ann_ivf"            -> 3, // cell join + top-k (assignment is in-row)
-    "q50_piece_merge"        -> 2, // xid exchange + spillable sort
-    "q55_tfidf_top_term"     -> 1, // ONE doc_id agg (vocab stats are a collect job)
-    "q59_simhash_pairs"      -> 3, // 16-bit band join, capped (r5 fix)
-    "q80_dedup_apply"        -> 2, // pairs + anti-join; corpus not reshuffled
-    "q84_contamination"      -> 2, // span-hash agg + verdict agg (grams broadcast)
-    "q90_dup_spans"          -> 2, // span-hash groupBy + span dedup
-    "q91_kmeans"             -> 4, // k·d partial-sum update (corpus-size-free)
-    "q93_token_rarity"       -> 2, // token df + doc_id agg (df broadcast back)
-    "q101_bloom_incremental" -> 2, // bloom agg + verified-new agg
-    "q104_ann_pq"            -> 3, // top-k + two 32-row codebook packs
-    "q105_bigram_novelty"    -> 1, // bigram df only (scoring is in-row)
-    "q106_distinct_sketch"   -> 2, // KMV agg + the countDistinct expand
-    "q107_zorder_key"        -> 0, // pure per-row arithmetic
-    "q109_bm25_topk"         -> 1, // per-query top-k only (scoring in-row)
-    "q112_url_canon"         -> 1, // groupBy on the SHORT canonical key
-    "q115_paragraph_dedup"   -> 0, // freq set is a collect job; apply in-row
-    "q116_quality_classifier" -> 0, // hashed-weight fold inside the row
-    "q117_snapshot_delta"    -> 3, // 2 join-side + status agg (0+1 bucketed)
-    "q118_chunk_overlap"     -> 0, // in-row generator
-    "q119_lm_perplexity"     -> 0, // LM is a collect artifact; scoring in-row
-    "q120_dsir_weight"       -> 0, // 256-bucket model collect; fold in-row
-    "q121_train_order"       -> 1, // ONE hash exchange; per-shard local sort
-    "q122_ann_recall"        -> 5, // q31 (1) + q43 (3) + 10-row groupBy; compare join broadcasts
-    "q123_bpe_learn"         -> 0, // learned merge table is a driver artifact
-    "q124_threshold_sweep"   -> 1, // (threshold, partials) agg on 9 keys
-    "q125_importance_resample" -> 0, // TakeOrdered top-k; rank window post-limit
-    "q126_bpe_encode"        -> 1, // vocab broadcasts back; ONE doc agg
-    "q127_blocklist_filter"  -> 0  // suffix set + overlap test in-row
+  private val budgets: Map[String, Int] = Map(
+    "q01_scan_project"           -> 0,
+    "q02_agg_counters"           -> 2,
+    "q03_filter_regex"           -> 0,
+    "q04_condition_filter"       -> 0,
+    "q05_skip_xid"               -> 0,
+    "q06_dict_join"              -> 1,
+    "q07_multi_join"             -> 1,
+    "q08_txn_assembly"           -> 2, // xid exchange + commit-order sort
+    "q09_order_within"           -> 1,
+    "q100_ddl_counters"          -> 2,
+    "q101_bloom_incremental"     -> 2, // bloom agg + verified-new agg
+    "q102_xml_decode"            -> 0,
+    "q103_adaptive_schema"       -> 0,
+    "q104_ann_pq"                -> 3, // top-k + two 32-row codebook packs
+    "q105_bigram_novelty"        -> 1, // bigram df only (scoring is in-row)
+    "q106_distinct_sketch"       -> 2, // KMV agg + the countDistinct expand
+    "q107_zorder_key"            -> 0, // pure per-row arithmetic
+    "q108_incremental_neardup"   -> 1,
+    "q109_bm25_topk"             -> 1, // per-query top-k; df semi-joined BELOW its agg (r7)
+    "q10_partial_rollback"       -> 1,
+    "q110_balanced_sample"       -> 5, // cluster sizes + per-cluster quota sample
+    "q111_token_entropy"         -> 0,
+    "q112_url_canon"             -> 1, // groupBy on the SHORT canonical key
+    "q113_mojibake_fix"          -> 0,
+    "q114_boilerplate_strip"     -> 0,
+    "q115_paragraph_dedup"       -> 0, // freq set is a collect job; apply in-row
+    "q116_quality_classifier"    -> 0, // hashed-weight fold inside the row
+    "q117_snapshot_delta"        -> 3, // 2 join-side + status agg (0+1 bucketed)
+    "q118_chunk_overlap"         -> 0, // in-row generator
+    "q119_lm_perplexity"         -> 0, // LM is a collect artifact; scoring in-row
+    "q11_explode_multirow"       -> 1,
+    "q120_dsir_weight"           -> 0, // 256-bucket model collect; fold in-row
+    "q121_train_order"           -> 1, // ONE hash exchange; per-shard local sort
+    "q122_ann_recall"            -> 4, // q31 (1) + q43 (3); compare join broadcasts
+    "q123_bpe_learn"             -> 0, // learned merge table is a driver artifact
+    "q124_threshold_sweep"       -> 1, // (threshold, partials) agg on 9 keys
+    "q125_importance_resample"   -> 0, // TakeOrdered top-k; rank window post-limit
+    "q126_bpe_encode"            -> 1, // vocab broadcasts back; ONE doc agg
+    "q127_blocklist_filter"      -> 0, // suffix set + overlap test in-row
+    "q128_neardup_rate"          -> 6, // composes q29 pairs + concentration aggs
+    "q129_snapshot_drift"        -> 0,
+    "q12_changed_only"           -> 1,
+    "q130_dedup_sensitivity"     -> 4,
+    "q133_inverted_index"        -> 1, // ONE tok exchange; KmvMinima bounds postings (r7: window gone)
+    "q134_vocab_coverage"        -> 2, // vocab distinct + source agg (hint dropped r7: AQE decides)
+    "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
+    "q13_codecs"                 -> 0,
+    "q14_pricing_summary"        -> 1,
+    "q15_shipping_priority"      -> 1,
+    "q16_running_sum"            -> 1,
+    "q17_sessionize"             -> 1,
+    "q18_asof_lookup"            -> 1,
+    "q19_distinct"               -> 1,
+    "q20_anti_join"              -> 0,
+    "q21_topk_per_group"         -> 1,
+    "q22_text_stats"             -> 0,
+    "q23_quality_score"          -> 0,
+    "q24_lang_guess"             -> 0,
+    "q25_dedup_exact"            -> 1, // the hash-groupBy
+    "q26_ngram_jaccard"          -> 1,
+    "q27_simhash"                -> 0,
+    "q28_minhash_sig"            -> 0,
+    "q29_minhash_pairs"          -> 3, // band explode + capped self-join + dedup
+    "q30_cosine_pairs"           -> 1,
+    "q31_ann_topk"               -> 1, // per-query top-k only (corpus never shuffles)
+    "q32_ann_bucketed"           -> 1,
+    "q33_multimodal_meta"        -> 0,
+    "q34_embed_neardup"          -> 1,
+    "q35_lob_assembly"           -> 1,
+    "q36_skip_xid_state"         -> 2,
+    "q37_mm_decode"              -> 0,
+    "q38_mm_frames"              -> 0,
+    "q39_schema_evolution"       -> 0,
+    "q40_envelope_json"          -> 0,
+    "q41_bpe_tokens"             -> 0,
+    "q42_rolling_hash"           -> 0,
+    "q43_ann_ivf"                -> 3, // cell join + top-k (assignment is in-row)
+    "q44_salted_agg"             -> 2,
+    "q45_schemaless"             -> 0,
+    "q46_dedup_clusters"         -> 0, // propagation runs at construction (localCheckpoint); static plan = final anti-join
+    "q47_stratified_sample"      -> 0,
+    "q48_envelope_proto"         -> 0,
+    "q49_windowed_rate"          -> 1,
+    "q50_piece_merge"            -> 2, // xid exchange + spillable sort
+    "q51_oversized_drop"         -> 2,
+    "q52_number_codec"           -> 0,
+    "q53_column_visibility"      -> 0,
+    "q54_lob_resolve"            -> 4,
+    "q55_tfidf_top_term"         -> 2, // vocab df agg + doc agg (df a JOINED frame, not a driver collect: r7)
+    "q56_apply_changes"          -> 2,
+    "q57_session_attrs"          -> 3,
+    "q58_dsv2_source"            -> 0,
+    "q59_simhash_pairs"          -> 3, // 16-bit band join, capped (r5 fix)
+    "q60_set_ops"                -> 4,
+    "q61_counters_rollup"        -> 1,
+    "q62_ddl_messages"           -> 1,
+    "q63_checkpoint_msg"         -> 4,
+    "q64_ts_formats"             -> 0,
+    "q65_xid_formats"            -> 0,
+    "q66_interval_render"        -> 0,
+    "q68_ts_tz_render"           -> 0,
+    "q69_hex_formats"            -> 0,
+    "q70_header_variants"        -> 0,
+    "q71_txn_message_full"       -> 2,
+    "q72_schema_full"            -> 0,
+    "q73_dump_xid"               -> 0,
+    "q74_envelope_options"       -> 0,
+    "q75_db_scn_sequences"       -> 0,
+    "q76_unknown_type"           -> 0,
+    "q77_pii_redact"             -> 0,
+    "q78_normalize"              -> 0,
+    "q79_debezium"               -> 0,
+    "q80_dedup_apply"            -> 2, // pairs + anti-join; corpus not reshuffled
+    "q81_token_pack"             -> 1,
+    "q82_repetition"             -> 0,
+    "q83_domain_stats"           -> 2,
+    "q84_contamination"          -> 2, // span-hash agg + verdict agg (grams broadcast)
+    "q85_length_percentiles"     -> 2,
+    "q86_mix_weighted"           -> 3,
+    "q87_vec_quantize"           -> 0,
+    "q88_rac_threads"            -> 1,
+    "q89_checkpoint_state"       -> 2,
+    "q90_dup_spans"              -> 2, // span-hash groupBy + span dedup
+    "q91_kmeans"                 -> 4, // k*d partial-sum update (corpus-size-free)
+    "q92_semantic_dedup"         -> 5, // kmeans rounds + nearest-centroid dedup agg
+    "q93_token_rarity"           -> 2, // token df + doc_id agg (df broadcast back)
+    "q94_db_timezone"            -> 0,
+    "q95_guard_columns"          -> 0,
+    "q96_experimental_types"     -> 0,
+    "q97_collapse_repeats"       -> 0,
+    "q98_vocab_topk"             -> 2,
+    "q99_quality_filter"         -> 0
   )
 
   private def shuffleCount(name: String): Int = {
@@ -72,10 +184,19 @@ class PlanBudgetSpec extends AnyFunSuite {
     "[+:]- Exchange \\(".r.findAllIn(plan).length
   }
 
+  test("every SparkEntry query has a budget row (and none are stale)") {
+    val keys = SparkEntry.queries.keySet
+    val missing = keys -- budgets.keySet
+    val stale = budgets.keySet -- keys
+    assert(missing.isEmpty,
+      s"queries without a shuffle budget (add a measured row): $missing")
+    assert(stale.isEmpty, s"budget rows for deleted queries: $stale")
+  }
+
   test("cluster-shaped plans stay inside their shuffle budgets") {
     spark.conf.set("graft.spreadLocal", "false")
     try {
-      val over = budgets.flatMap { case (name, budget) =>
+      val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
         val got = shuffleCount(name)
         if (got > budget) Some(s"$name: $got shuffles > budget $budget")
         else None
