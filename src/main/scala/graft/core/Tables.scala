@@ -20,17 +20,25 @@ object Tables {
     // and TIMESTAMP(MICROS) in others. Every operator consumes ts as
     // epoch-nanos BIGINT (matching the DuckDB oracle's epoch_ns(ts)), so
     // normalize HERE for any physical type, in ANY session, including the
-    // driver-provided one. The UTC pin makes the NTZ→instant conversion
-    // exact regardless of host timezone.
+    // driver-provided one — with tz-INDEPENDENT expressions only, so the
+    // load never mutates the caller's session timeZone (an LTZ column is
+    // already an instant; an NTZ wall clock is decomposed into
+    // date/hour/minute/second fields, all tz-free, and re-assembled as
+    // its UTC reading, ≡ DuckDB's epoch_ns of the same wall clock).
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
       val df = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      import org.apache.spark.sql.functions.expr
       df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => df
-        case _ => df.withColumn("ts",
-          org.apache.spark.sql.functions.expr(
-            "unix_micros(cast(ts as timestamp_ltz)) * 1000L"))
+        case LongType => df
+        case TimestampType => // instant: no wall-clock interpretation
+          df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+        case _ => // NTZ: read the wall clock as UTC, field-wise
+          df.withColumn("ts", expr(
+            "(unix_date(cast(ts as date)) * 86400000000L + " +
+            "(hour(ts) * 3600L + minute(ts) * 60L) * 1000000L + " +
+            "cast(date_part('SECOND', ts) * 1000000 as long)) * 1000L"))
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
