@@ -321,6 +321,57 @@ object PipelineOps {
           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
         .withColumn("dup_frac",
           col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+    }),
+
+    // The WHOLE curation+selection pipeline as ONE gated artifact: exact
+    // dedup → LSH near-dup apply → in-row quality rules → DSIR importance
+    // weights → Gumbel top-k resample → deterministic shard order, pinned
+    // by the per-shard training manifest (shard, n_docs, position-ordered
+    // doc list). Every stage IS an already-gated operator (q25/q80/q99
+    // family/q120/q125/q121) — this query pins their COMPOSITION: stage
+    // boundaries, filter order, and the exact document set and order a
+    // training run would consume. Scale shape is inherited stage by
+    // stage: content-hash agg + id join (exact), the capped band plan
+    // (near-dup), zero-exchange row filters (quality), a 256-bucket
+    // dimension artifact + TakeOrdered top-k (DSIR sample), and the
+    // manifest aggregates ≤k sampled rows on the shard key.
+    "q136_curation_e2e" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val docs = t(s, dir, "documents")
+      // 1. exact dedup: first-seen (min doc_id) per content hash
+      val keep = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val exact = docs.join(keep, "doc_id")
+      // 2. near-dup apply: verified pairs → components → drop members
+      val pairs = TextOps.lshVerifiedPairs(exact)
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      val drops = graft.operators.ConnectedComponents.runPropagation(pairs)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val deduped = exact.join(drops, Seq("doc_id"), "left_anti")
+      // 3. quality rules, in-row (token bounds + mean token length)
+      val quality = deduped
+        .withColumn("n_tokens", size(TextOps.tokensCol))
+        .filter(col("n_tokens").between(5, 100000) &&
+          (col("n_chars") + 1).cast("double") /
+            col("n_tokens").cast("double") < 40.0)
+      // 4. DSIR weights → Gumbel top-k on the survivors
+      val sampled = SelectionOps.gumbelTopKOf(
+        SelectionOps.dsirWeightsOf(quality))
+      // 5. shard + in-shard order → per-shard manifest
+      val h = md5(concat(lit(TrainOps.OrderSalt),
+        col("doc_id").cast("string")))
+      sampled.select(col("doc_id"), h.as("h"))
+        .withColumn("shard",
+          (conv(substring(col("h"), 1, 4), 16, 10).cast("long")
+            % TrainOps.NShards).cast("int"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("shard").orderBy("h")) - 1)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+            p => p.getField("doc_id").cast("string")), ",").as("doc_order"))
     })
   )
 
@@ -510,6 +561,45 @@ object PipelineOps {
          |    AS n_dup_spans,
          |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS dup_frac
-         |FROM c GROUP BY doc_id""".stripMargin
+         |FROM c GROUP BY doc_id""".stripMargin,
+
+    // Stage-for-stage restatement of the Spark pipeline: the same LSH
+    // chain (TextOps.sqlLshClusterChain) over the exact-deduped set, the
+    // same quality predicate, the same DSIR+Gumbel chain over the
+    // survivors, the same shard/pos arithmetic — composed as CTEs.
+    "q136_curation_e2e" ->
+      s"""WITH RECURSIVE kept AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |exact AS (
+         |  SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+         |${TextOps.sqlLshClusterChain("exact")},
+         |dedup AS (
+         |  SELECT e.* FROM exact e
+         |  LEFT JOIN clus c ON c.doc_id = e.doc_id AND c.doc_id <> c.cluster_id
+         |  WHERE c.doc_id IS NULL),
+         |qual AS (
+         |  SELECT doc_id, source, text FROM dedup
+         |  WHERE len($sqlToks) BETWEEN 5 AND 100000
+         |    AND CAST(n_chars + 1 AS DOUBLE) / len($sqlToks) < 40.0),
+         |samp AS (
+         |  SELECT * FROM (
+         |    ${SelectionOps.oracleGumbelFrom(SelectionOps.oracleDsirFrom("qual"))})),
+         |sh AS (
+         |  SELECT doc_id,
+         |    md5('${TrainOps.OrderSalt}' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM samp),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CAST(${TrainOps.sqlHex4("h")} % ${TrainOps.NShards} AS INT)
+         |      AS shard, h
+         |  FROM sh),
+         |p AS (
+         |  SELECT doc_id, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY h) - 1 AS pos
+         |  FROM sp)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)
+         |    AS doc_order
+         |FROM p GROUP BY shard""".stripMargin
   )
 }

@@ -117,26 +117,36 @@ object SelectionOps {
 
     "q120_dsir_weight" -> dsirWeights,
 
-    "q125_importance_resample" -> ((s, dir) => {
-      // u in (0,1) from the top 8 md5 nibbles; Gumbel = -ln(-ln(u)).
-      // Scale shape: scoring is in-row on top of q120's plan; the top-k
-      // is a TakeOrderedAndProject (per-partition heaps, no global sort);
-      // the rank window runs AFTER the limit, over k rows only.
-      val g = -log(-log(
-        (conv(substring(md5(concat(lit("g|"), col("doc_id").cast("string"))),
-          1, 8), 16, 10).cast("long").cast("double") + 0.5) / 4294967296.0))
-      dsirWeights(s, dir)
-        .withColumn("samp_key", col("dsir_lr") / ResampleTau + g)
-        .orderBy(col("samp_key").desc, col("doc_id")).limit(ResampleK)
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("samp_key").desc,
-            col("doc_id"))))
-        .select(col("rank"), col("doc_id"), col("source"),
-          round(col("samp_key"), 6).as("samp_key"))
-    }))
+    "q125_importance_resample" -> ((s, dir) => gumbelTopKOf(dsirWeights(s, dir))))
 
-  private def dsirWeights: Q = (s, dir) => {
-      val docs = spread(t(s, dir, "documents"))
+  /** Gumbel top-k importance resample over a DSIR-weights frame
+    * (doc_id, source, dsir_lr) — the q125 operator, parametrized so
+    * pipeline compositions (q136) can resample a derived stage.
+    *
+    * u in (0,1) from the top 8 md5 nibbles; Gumbel = -ln(-ln(u)).
+    * Scale shape: scoring is in-row on top of the weights plan; the top-k
+    * is a TakeOrderedAndProject (per-partition heaps, no global sort);
+    * the rank window runs AFTER the limit, over k rows only. */
+  private[graft] def gumbelTopKOf(w: DataFrame): DataFrame = {
+    val g = -log(-log(
+      (conv(substring(md5(concat(lit("g|"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long").cast("double") + 0.5) / 4294967296.0))
+    w.withColumn("samp_key", col("dsir_lr") / ResampleTau + g)
+      .orderBy(col("samp_key").desc, col("doc_id")).limit(ResampleK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("samp_key").desc,
+          col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("source"),
+        round(col("samp_key"), 6).as("samp_key"))
+  }
+
+  private def dsirWeights: Q = (s, dir) =>
+    dsirWeightsOf(spread(t(s, dir, "documents")))
+
+  /** DSIR importance weights over any (doc_id, source, text) frame — the
+    * q120 operator parametrized by its input stage. */
+  private[graft] def dsirWeightsOf(base: DataFrame): DataFrame = {
+      val docs = base
         .select(col("doc_id"), col("source"), TextOps.tokensCol.as("t"))
         .filter(size(col("t")) > 0)
       // dimension artifact: per-bucket (corpus, target) instance counts —
@@ -175,10 +185,11 @@ object SelectionOps {
        | (strpos('$hexDigits', substr($h, 3, 1)) - 1) * 16 +
        | (strpos('$hexDigits', substr($h, 4, 1)) - 1))""".stripMargin
 
-  /** The q120 oracle text — also embedded as q125's derived table. */
-  private def oracleDsir: String =
+  /** The q120 oracle text — also embedded as q125's derived table.
+    * Parametrized by the input relation for pipeline composition (q136). */
+  private[graft] def oracleDsirFrom(from: String): String =
     s"""WITH toks AS (SELECT doc_id, source, $sqlTokens AS t
-       |  FROM documents WHERE len($sqlTokens) > 0),
+       |  FROM $from WHERE len($sqlTokens) > 0),
        |e AS (SELECT doc_id, source, unnest(t) AS tok FROM toks),
        |bk AS (SELECT doc_id, source, tok,
        |    ${sqlHex4("md5(tok)")} % $DsirBuckets AS b FROM e),
@@ -199,26 +210,32 @@ object SelectionOps {
        |FROM lr JOIN toks t2 ON lr.doc_id = t2.doc_id
        |GROUP BY t2.doc_id""".stripMargin
 
+  private def oracleDsir: String = oracleDsirFrom("documents")
+
+  /** The q125 oracle text over any DSIR-weights derived table —
+    * parametrized for pipeline composition (q136). */
+  private[graft] def oracleGumbelFrom(dsirSql: String): String =
+    s"""WITH w AS (SELECT * FROM ($dsirSql)),
+       |g0 AS (SELECT doc_id, source, dsir_lr,
+       |    md5('g|' || CAST(doc_id AS VARCHAR)) AS gh FROM w),
+       |k AS (SELECT doc_id, source,
+       |    dsir_lr / $ResampleTau - ln(-ln(
+       |      ((${sqlHex4("substr(gh, 1, 4)")} * 65536.0 +
+       |        ${sqlHex4("substr(gh, 5, 4)")}) + 0.5) / 4294967296.0))
+       |      AS samp_key
+       |  FROM g0),
+       |r AS (SELECT doc_id, source, samp_key,
+       |    row_number() OVER (ORDER BY samp_key DESC, doc_id) AS rank
+       |  FROM k)
+       |SELECT CAST(rank AS INT) AS rank, doc_id, source,
+       |  round(samp_key, 6) AS samp_key
+       |FROM r WHERE rank <= $ResampleK""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q120_dsir_weight" -> oracleDsir,
 
-    "q125_importance_resample" ->
-      s"""WITH w AS (SELECT * FROM ($oracleDsir)),
-         |g0 AS (SELECT doc_id, source, dsir_lr,
-         |    md5('g|' || CAST(doc_id AS VARCHAR)) AS gh FROM w),
-         |k AS (SELECT doc_id, source,
-         |    dsir_lr / $ResampleTau - ln(-ln(
-         |      ((${sqlHex4("substr(gh, 1, 4)")} * 65536.0 +
-         |        ${sqlHex4("substr(gh, 5, 4)")}) + 0.5) / 4294967296.0))
-         |      AS samp_key
-         |  FROM g0),
-         |r AS (SELECT doc_id, source, samp_key,
-         |    row_number() OVER (ORDER BY samp_key DESC, doc_id) AS rank
-         |  FROM k)
-         |SELECT CAST(rank AS INT) AS rank, doc_id, source,
-         |  round(samp_key, 6) AS samp_key
-         |FROM r WHERE rank <= $ResampleK""".stripMargin,
+    "q125_importance_resample" -> oracleGumbelFrom(oracleDsirFrom("documents")),
 
     "q118_chunk_overlap" ->
       s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),

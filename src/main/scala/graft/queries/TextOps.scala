@@ -781,12 +781,53 @@ object TextOps {
   private def sqlMinhash(sh: String, i: Int) =
     s"list_min(list_transform($sh, s -> md5('$i|' || s)))"
 
-  private val sqlBands: String = {
+  private def sqlBandsFrom(from: String): String = {
     val mhs = (0 until nSig).map(i => s"${sqlMinhash("shingles", i)} AS mh$i").mkString(",\n  ")
     s"""SELECT doc_id, shingles, $mhs
-       |  FROM (SELECT doc_id, ${sqlShingles(sqlTokens)} AS shingles FROM documents)
+       |  FROM (SELECT doc_id, ${sqlShingles(sqlTokens)} AS shingles FROM $from)
        |  WHERE len(shingles) > 0""".stripMargin
   }
+  private val sqlBands: String = sqlBandsFrom("documents")
+
+  /** The LSH → verified-pairs → connected-components CTE chain
+    * (sig…clus), parametrized by the input relation so pipeline
+    * compositions (q136) can run it on a derived stage. Must be embedded
+    * under a `WITH RECURSIVE` header (walk is the recursive member);
+    * `clus` exposes (doc_id, cluster_id). ≙ [[lshVerifiedPairs]] +
+    * ConnectedComponents.runPropagation on the Spark side. */
+  private[graft] def sqlLshClusterChain(from: String): String =
+    s"""sig AS (
+       |  SELECT doc_id, shingles,
+       |    md5(mh0 || mh1 || mh2 || mh3) AS band0,
+       |    md5(mh4 || mh5 || mh6 || mh7) AS band1
+       |  FROM (${sqlBandsFrom(from)})),
+       |banded AS (
+       |  SELECT doc_id, unnest([band0, band1]) AS band FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+       |  FROM banded x JOIN banded y USING (band)
+       |  WHERE x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT doc_id_a, doc_id_b FROM (
+       |    SELECT doc_id_a, doc_id_b,
+       |      CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE) /
+       |      CAST(len(sa.shingles) + len(sb.shingles)
+       |           - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+       |      AS jaccard
+       |    FROM cand
+       |    JOIN sig sa ON sa.doc_id = cand.doc_id_a
+       |    JOIN sig sb ON sb.doc_id = cand.doc_id_b)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_id_a AS node, doc_id_b AS nbr FROM pairs
+       |  UNION SELECT doc_id_b, doc_id_a FROM pairs),
+       |walk AS (
+       |  SELECT node, node AS lab FROM edges
+       |  UNION
+       |  SELECT e.node, w.lab FROM edges e JOIN walk w ON w.node = e.nbr),
+       |clus AS (
+       |  SELECT node AS doc_id, min(lab) AS cluster_id FROM walk
+       |  GROUP BY node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q101_bloom_incremental" ->
@@ -812,38 +853,7 @@ object TextOps {
          |        FROM documents))""".stripMargin,
 
     "q80_dedup_apply" ->
-      s"""WITH RECURSIVE sig AS (
-         |  SELECT doc_id, shingles,
-         |    md5(mh0 || mh1 || mh2 || mh3) AS band0,
-         |    md5(mh4 || mh5 || mh6 || mh7) AS band1
-         |  FROM ($sqlBands)),
-         |banded AS (
-         |  SELECT doc_id, unnest([band0, band1]) AS band FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
-         |  FROM banded x JOIN banded y USING (band)
-         |  WHERE x.doc_id < y.doc_id),
-         |pairs AS (
-         |  SELECT doc_id_a, doc_id_b FROM (
-         |    SELECT doc_id_a, doc_id_b,
-         |      CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE) /
-         |      CAST(len(sa.shingles) + len(sb.shingles)
-         |           - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
-         |      AS jaccard
-         |    FROM cand
-         |    JOIN sig sa ON sa.doc_id = cand.doc_id_a
-         |    JOIN sig sb ON sb.doc_id = cand.doc_id_b)
-         |  WHERE jaccard >= 0.5),
-         |edges AS (
-         |  SELECT doc_id_a AS node, doc_id_b AS nbr FROM pairs
-         |  UNION SELECT doc_id_b, doc_id_a FROM pairs),
-         |walk AS (
-         |  SELECT node, node AS lab FROM edges
-         |  UNION
-         |  SELECT e.node, w.lab FROM edges e JOIN walk w ON w.node = e.nbr),
-         |clus AS (
-         |  SELECT node AS doc_id, min(lab) AS cluster_id FROM walk
-         |  GROUP BY node)
+      s"""WITH RECURSIVE ${sqlLshClusterChain("documents")}
          |SELECT d.doc_id, d.source, d.n_chars
          |FROM documents d
          |LEFT JOIN clus c ON c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id

@@ -34,8 +34,8 @@ object TrainOps {
   private def spread(df: DataFrame): DataFrame = Tables.spread(df, col("doc_id"))
 
   // ---- q121: deterministic corpus shuffle into training shards ---------
-  private val NShards = 64
-  private val OrderSalt = "ord42|"
+  private[graft] val NShards = 64
+  private[graft] val OrderSalt = "ord42|"
 
   // ---- q123: BPE merge learning ----------------------------------------
   private val BpeRounds = 3
@@ -213,7 +213,7 @@ object TrainOps {
     }))
 
   private val hexDigits = "0123456789abcdef"
-  private def sqlHex4(h: String): String =
+  private[graft] def sqlHex4(h: String): String =
     s"""((strpos('$hexDigits', substr($h, 1, 1)) - 1) * 4096 +
        | (strpos('$hexDigits', substr($h, 2, 1)) - 1) * 256 +
        | (strpos('$hexDigits', substr($h, 3, 1)) - 1) * 16 +
