@@ -53,6 +53,56 @@ class MetricsSpec extends AnyFunSuite {
     } finally Metrics.detach(spark, collector)
   }
 
+  test("soak-shape counters on RocksDB: state grows with open txns and drains at commit") {
+    // miniature of tools.StreamSoak (whose 1M-event figures live in
+    // SCALE.md §streaming-soak): cross-batch open transactions must be
+    // VISIBLE in the reported state gauges — peak stateRows equals the
+    // open-txn count and the final batch drains to zero. Runs on the
+    // RocksDB provider, the at-scale backend the soak measures.
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    import s.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val collector = Metrics.attach(spark)
+    try {
+      val input = MemoryStream[ChangeEvent]
+      val query = TxnAssembly.assembleStream(input.toDS())
+        .writeStream.format("noop").outputMode("append").start()
+      val nTxn = 64
+      // batch 1: all txns open (begin + ins each), none commit
+      input.addData((0 until nTxn).flatMap { j =>
+        val xid = s"1.0.$j"
+        Seq(ev(j * 10L, Op.Begin, xid),
+          ev(j * 10L + 1, Op.Ins, xid).copy(after = Map("k" -> s"v$j")))
+      })
+      query.processAllAvailable()
+      // batch 2: every txn commits → state drains
+      input.addData((0 until nTxn).map(j => ev(j * 10L + 2, Op.Commit, s"1.0.$j")))
+      query.processAllAvailable()
+      query.stop()
+      var tries = 0
+      while (collector.snapshots.count(_.inputRows > 0) < 2 && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      val batches = collector.snapshots.filter(_.inputRows > 0)
+      assert(batches.size >= 2)
+      assert(batches.head.inputRows == 2L * nTxn)
+      assert(batches.head.stateRows == nTxn.toLong) // one state row per open txn
+      assert(batches.head.stateBytes > 0L)
+      assert(batches.last.stateRows == 0L) // commit batch drains the store
+    } finally {
+      Metrics.detach(spark, collector)
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dmlCounters aggregates per (owner, table, op)") {
     import spark.implicits._
     val df = Seq(

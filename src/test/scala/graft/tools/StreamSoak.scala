@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.cdc.{ChangeEvent, Op, TxnAssembly}
+import graft.streaming.Metrics
+
+/** Streaming state-scale soak for the CDC assembler: drives a synthetic
+  * 1M-event feed (default 250k txns × 4 events) through
+  * `TxnAssembly.assembleStream` on the RocksDB state provider, half the
+  * transactions spanning a micro-batch boundary so keyed state is
+  * genuinely exercised (not just created and dropped inside one batch).
+  * Prints one JSON line with throughput and peak state numbers; the
+  * figures are recorded in SCALE.md §streaming-soak.
+  *
+  * Run: sbt "Test/runMain graft.tools.StreamSoak [nTxns] [nBatches]"
+  *
+  * Yardstick parity: the reference reports redo MB/s
+  * (/root/reference: Ctx metrics, BASELINE.md table); here the payload
+  * estimate counts the generated column bytes so the MB/s figure is the
+  * same "logical change volume per second" notion.
+  */
+object StreamSoak {
+  def main(args: Array[String]): Unit = {
+    val nTxns = args.headOption.map(_.toInt).getOrElse(250000)
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def ev(scn: Long, xid: String, op: String): ChangeEvent =
+      ChangeEvent(scn, xid, op)
+    val pad = "x" * 40
+    def insEv(scn: Long, xid: String, j: Int): ChangeEvent =
+      ev(scn, xid, Op.Ins).copy(obj = 1001L,
+        after = Map("id" -> j.toString, "payload" -> s"$pad-$j"))
+    var payloadBytes = 0L
+
+    // txn j: BEGIN,INS,INS in batch (j % nBatches); COMMIT in the same
+    // batch for even j, the NEXT batch for odd j (cross-batch open state)
+    val perBatch = Array.fill(nBatches + 1)(
+      scala.collection.mutable.ArrayBuffer.empty[ChangeEvent])
+    (0 until nTxns).foreach { j =>
+      val b = j % nBatches
+      val xid = s"${j % 256}.${j >> 8}.$j"
+      val scn0 = j.toLong * 10
+      perBatch(b) += ev(scn0, xid, Op.Begin)
+      perBatch(b) += insEv(scn0 + 1, xid, j)
+      perBatch(b) += insEv(scn0 + 2, xid, j + 1)
+      val cb = if (j % 2 == 0) b else b + 1
+      perBatch(cb) += ev(scn0 + 3, xid, Op.Commit)
+      payloadBytes += 4 * 48 + 2 * (50 + pad.length) // rough wire estimate
+    }
+
+    val collector = Metrics.attach(spark)
+    val input = MemoryStream[ChangeEvent]
+    val query = TxnAssembly.assembleStream(input.toDS())
+      .writeStream.format("noop").outputMode("append").start()
+    val t0 = System.nanoTime()
+    perBatch.foreach { batch =>
+      if (batch.nonEmpty) {
+        input.addData(batch.toSeq)
+        query.processAllAvailable()
+      }
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    query.stop()
+    val snaps = collector.snapshots
+    val inRows = snaps.map(_.inputRows).sum
+    val peakStateRows = if (snaps.isEmpty) 0L else snaps.map(_.stateRows).max
+    val peakStateMb = if (snaps.isEmpty) 0.0
+      else snaps.map(_.stateBytes).max / 1e6
+    val mb = payloadBytes / 1e6
+    println(f"""{"soak":"assembleStream-rocksdb","txns":$nTxns,""" +
+      f""""events":$inRows,"batches":${snaps.size},"secs":$secs%.1f,""" +
+      f""""events_per_sec":${inRows / secs}%.0f,"mb":$mb%.1f,""" +
+      f""""mb_per_sec":${mb / secs}%.2f,"peak_state_rows":$peakStateRows,""" +
+      f""""peak_state_mb":$peakStateMb%.1f}""")
+    spark.stop()
+  }
+}
