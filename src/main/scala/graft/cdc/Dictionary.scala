@@ -310,38 +310,138 @@ object Dictionary {
     new Dictionary(tables, selectors)
   }
 
-  /** The reference's catalog SQL, verbatim in shape
-    * (ReplicatorOnline.h:193-560): flashback `AS OF SCN` reads over the
-    * SYS.%$ tables, per-owner filtering, and the MOD-2^64 decomposition
-    * that splits Oracle NUMBER-typed 128-bit flag words (SPARE1, COL$
-    * PROPERTY) into two unsigned-64 halves a client can hold. Exposed for
-    * inspection/spec-gating; [[fromJdbc]] issues exactly these against an
-    * Oracle dialect. */
-  def oracleCatalogSql(asOfScn: Long, ownerId: Long): Map[String, String] = {
+  /** The reference's COMPLETE online-bootstrap catalog SQL, verbatim in
+    * shape (ReplicatorOnline.h:193-591, the `_USER` flashback variants):
+    * `AS OF SCN` placed directly after every SYS.%$ table reference,
+    * per-owner filtering through the OBJ$ join, the name-regex gates on
+    * USER$/OBJ$, and the MOD-2^64 decomposition that splits Oracle
+    * NUMBER-typed 128-bit flag words (SPARE1, FLAGS, PROPERTY, FLAGS_STG)
+    * into two unsigned-64 halves a client can hold.
+    *
+    * PROVENANCE: these strings are transcriptions of the reference's
+    * catalog interface (the SQL an output-compatible bootstrap must issue
+    * against a real Oracle), parametrized by scn/owner/name-regex — the
+    * timezone_map.tsv rule: factual interface content, annotated. The
+    * reference selects ROWID first in every query (its checkpoint-delta
+    * bookkeeping); kept for exactness, readers may ignore the column.
+    *
+    * [[fromJdbc]] consumes the relational core (users/objs/cols/cdef/
+    * ccol → tables, columns, keys). The partition/LOB/XDB entries are the
+    * rest of the reference's bootstrap surface (TABPART/TABCOMPART/
+    * TABSUBPART obj→partition resolution, LOB locator maps, ECOL guard
+    * columns — pre-resolved upstream in our pre-decoded feed contract,
+    * SURVEY §7.5; XDB$TTSET registers the XmlDecode token tables), pinned
+    * here by OracleDialectSpec so a live-Oracle run is a config change,
+    * not a code change. */
+  def oracleCatalogSql(asOfScn: Long, ownerId: Long,
+      nameRegex: String = ".*"): Map[String, String] = {
     val m = "18446744073709551616"
+    def mod2(col: String, a1: String, a2: String) =
+      s"MOD($col, $m) AS $a1, MOD(TRUNC($col / $m), $m) AS $a2"
+    val scn = asOfScn
     Map(
-      "users" -> (s"SELECT U.USER#, U.NAME, MOD(U.SPARE1, $m) AS SPARE11," +
-        s" MOD(TRUNC(U.SPARE1 / $m), $m) AS SPARE12" +
-        s" FROM SYS.USER$$ AS OF SCN $asOfScn U"),
-      "objs" -> (s"SELECT O.OWNER#, O.OBJ#, O.DATAOBJ#, O.NAME, O.TYPE#," +
-        s" MOD(O.FLAGS, $m) AS FLAGS1, MOD(TRUNC(O.FLAGS / $m), $m) AS FLAGS2" +
-        s" FROM SYS.OBJ$$ AS OF SCN $asOfScn O WHERE O.OWNER# = $ownerId"),
-      "cols" -> (s"SELECT C.OBJ#, C.COL#, C.SEGCOL#, C.INTCOL#, C.NAME," +
-        s" C.TYPE#, C.LENGTH, C.PRECISION#, C.SCALE, C.NULL$$," +
-        s" MOD(C.PROPERTY, $m) AS PROPERTY1," +
-        s" MOD(TRUNC(C.PROPERTY / $m), $m) AS PROPERTY2" +
-        s" FROM SYS.OBJ$$ AS OF SCN $asOfScn O" +
-        s" JOIN SYS.COL$$ AS OF SCN $asOfScn C ON O.OBJ# = C.OBJ#" +
+      // ReplicatorOnline.h:573 SQL_GET_SYS_USER
+      "users" -> (s"SELECT U.ROWID, U.USER#, U.NAME," +
+        s" ${mod2("U.SPARE1", "SPARE11", "SPARE12")}" +
+        s" FROM SYS.USER$$ AS OF SCN $scn U" +
+        s" WHERE REGEXP_LIKE(U.NAME, '$nameRegex')"),
+      // ReplicatorOnline.h:447 SQL_GET_SYS_OBJ_USER
+      "objs" -> (s"SELECT O.ROWID, O.OWNER#, O.OBJ#, O.DATAOBJ#, O.NAME," +
+        s" O.TYPE#, ${mod2("O.FLAGS", "FLAGS1", "FLAGS2")}" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O WHERE O.OWNER# = $ownerId"),
+      // ReplicatorOnline.h:458 SQL_GET_SYS_OBJ_NAME (regex-gated variant)
+      "obj_name" -> (s"SELECT O.ROWID, O.OWNER#, O.OBJ#, O.DATAOBJ#," +
+        s" O.NAME, O.TYPE#, ${mod2("O.FLAGS", "FLAGS1", "FLAGS2")}" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" WHERE O.OWNER# = $ownerId AND REGEXP_LIKE(O.NAME, '$nameRegex')"),
+      // ReplicatorOnline.h:241 SQL_GET_SYS_COL_USER
+      "cols" -> (s"SELECT C.ROWID, C.OBJ#, C.COL#, C.SEGCOL#, C.INTCOL#," +
+        s" C.NAME, C.TYPE#, C.LENGTH, C.PRECISION#, C.SCALE," +
+        s" C.CHARSETFORM, C.CHARSETID, C.NULL$$," +
+        s" ${mod2("C.PROPERTY", "PROPERTY1", "PROPERTY2")}" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.COL$$ AS OF SCN $scn C ON O.OBJ# = C.OBJ#" +
         s" WHERE O.OWNER# = $ownerId"),
-      "cdef" -> (s"SELECT D.CON#, D.OBJ#, D.TYPE#" +
-        s" FROM SYS.OBJ$$ AS OF SCN $asOfScn O" +
-        s" JOIN SYS.CDEF$$ AS OF SCN $asOfScn D ON O.OBJ# = D.OBJ#" +
+      // ReplicatorOnline.h:218 SQL_GET_SYS_CDEF_USER
+      "cdef" -> (s"SELECT D.ROWID, D.CON#, D.OBJ#, D.TYPE#" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.CDEF$$ AS OF SCN $scn D ON O.OBJ# = D.OBJ#" +
         s" WHERE O.OWNER# = $ownerId"),
-      "ccol" -> (s"SELECT L.CON#, L.INTCOL#, L.OBJ#, MOD(L.SPARE1, $m) AS" +
-        s" SPARE11, MOD(TRUNC(L.SPARE1 / $m), $m) AS SPARE12" +
-        s" FROM SYS.OBJ$$ AS OF SCN $asOfScn O" +
-        s" JOIN SYS.CCOL$$ AS OF SCN $asOfScn L ON O.OBJ# = L.OBJ#" +
-        s" WHERE O.OWNER# = $ownerId"))
+      // ReplicatorOnline.h:193 SQL_GET_SYS_CCOL_USER
+      "ccol" -> (s"SELECT L.ROWID, L.CON#, L.INTCOL#, L.OBJ#," +
+        s" ${mod2("L.SPARE1", "SPARE11", "SPARE12")}" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.CCOL$$ AS OF SCN $scn L ON O.OBJ# = L.OBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      // ReplicatorOnline.h:469 SQL_GET_SYS_TAB_USER
+      "tabs" -> (s"SELECT T.ROWID, T.OBJ#, T.DATAOBJ#, T.TS#, T.CLUCOLS," +
+        s" ${mod2("T.FLAGS", "FLAGS1", "FLAGS2")}," +
+        s" ${mod2("T.PROPERTY", "PROPERTY1", "PROPERTY2")}" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.TAB$$ AS OF SCN $scn T ON O.OBJ# = T.OBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      // ReplicatorOnline.h:266 SQL_GET_SYS_DEFERRED_STG_USER
+      "deferred_stg" -> (s"SELECT DS.ROWID, DS.OBJ#," +
+        s" ${mod2("DS.FLAGS_STG", "FLAGS_STG1", "FLAGS_STG2")}" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.DEFERRED_STG$$ AS OF SCN $scn DS ON O.OBJ# = DS.OBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      // ReplicatorOnline.h:291 SQL_GET_SYS_ECOL_USER (12c+ guard columns)
+      "ecol" -> (s"SELECT E.ROWID, E.TABOBJ#, E.COLNUM, E.GUARD_ID" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.ECOL$$ AS OF SCN $scn E ON O.OBJ# = E.TABOBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      // ReplicatorOnline.h:314 SQL_GET_SYS_ECOL11_USER (11g: no GUARD_ID)
+      "ecol11" -> (s"SELECT E.ROWID, E.TABOBJ#, E.COLNUM, -1 AS GUARD_ID" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.ECOL$$ AS OF SCN $scn E ON O.OBJ# = E.TABOBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      // ReplicatorOnline.h:337 SQL_GET_SYS_LOB_USER
+      "lobs" -> (s"SELECT L.ROWID, L.OBJ#, L.COL#, L.INTCOL#, L.LOBJ#," +
+        s" L.TS# FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.LOB$$ AS OF SCN $scn L ON O.OBJ# = L.OBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      // ReplicatorOnline.h:360 SQL_GET_SYS_LOB_COMP_PART_USER
+      "lob_comp_part" -> (s"SELECT LCP.ROWID, LCP.PARTOBJ#, LCP.LOBJ#" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.LOB$$ AS OF SCN $scn L ON O.OBJ# = L.OBJ#" +
+        s" JOIN SYS.LOBCOMPPART$$ AS OF SCN $scn LCP ON LCP.LOBJ# = L.LOBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      // ReplicatorOnline.h:389 SQL_GET_SYS_LOB_FRAG_USER (part + non-part
+      // locator fragments, UNION ALL exactly as the reference)
+      "lob_frag" -> (s"SELECT LF.ROWID, LF.FRAGOBJ#, LF.PARENTOBJ#, LF.TS#" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.LOB$$ AS OF SCN $scn L ON O.OBJ# = L.OBJ#" +
+        s" JOIN SYS.LOBCOMPPART$$ AS OF SCN $scn LCP ON LCP.LOBJ# = L.LOBJ#" +
+        s" JOIN SYS.LOBFRAG$$ AS OF SCN $scn LF ON LCP.PARTOBJ# = LF.PARENTOBJ#" +
+        s" WHERE O.OWNER# = $ownerId" +
+        s" UNION ALL" +
+        s" SELECT LF.ROWID, LF.FRAGOBJ#, LF.PARENTOBJ#, LF.TS#" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.LOB$$ AS OF SCN $scn L ON O.OBJ# = L.OBJ#" +
+        s" JOIN SYS.LOBFRAG$$ AS OF SCN $scn LF ON L.LOBJ# = LF.PARENTOBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      // ReplicatorOnline.h:496 SQL_GET_SYS_TABCOMPART_USER
+      "tabcompart" -> (s"SELECT TCP.ROWID, TCP.OBJ#, TCP.DATAOBJ#, TCP.BO#" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.TABCOMPART$$ AS OF SCN $scn TCP ON O.OBJ# = TCP.OBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      // ReplicatorOnline.h:519 SQL_GET_SYS_TABPART_USER
+      "tabpart" -> (s"SELECT TP.ROWID, TP.OBJ#, TP.DATAOBJ#, TP.BO#" +
+        s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.TABPART$$ AS OF SCN $scn TP ON O.OBJ# = TP.OBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      // ReplicatorOnline.h:542 SQL_GET_SYS_TABSUBPART_USER
+      "tabsubpart" -> (s"SELECT TSP.ROWID, TSP.OBJ#, TSP.DATAOBJ#," +
+        s" TSP.POBJ# FROM SYS.OBJ$$ AS OF SCN $scn O" +
+        s" JOIN SYS.TABSUBPART$$ AS OF SCN $scn TSP ON O.OBJ# = TSP.OBJ#" +
+        s" WHERE O.OWNER# = $ownerId"),
+      // ReplicatorOnline.h:565 SQL_GET_SYS_TS
+      "ts" -> (s"SELECT T.ROWID, T.TS#, T.NAME, T.BLOCKSIZE" +
+        s" FROM SYS.TS$$ AS OF SCN $scn T"),
+      // ReplicatorOnline.h:584 SQL_GET_XDB_TTSET (XmlDecode token tables)
+      "xdb_ttset" -> (s"SELECT T.ROWID, T.GUID, T.TOKSUF, T.FLAGS, T.OBJ#" +
+        s" FROM XDB.XDB$$TTSET AS OF SCN $scn T"))
   }
 
   /** S2 online bootstrap over a live connection: issue the reference's
