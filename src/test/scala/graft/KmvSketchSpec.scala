@@ -52,6 +52,31 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(got.length == 3 && got == got.sorted)
   }
 
+  test("q133 postings contract: padded min-k per group == numeric smallest-k") {
+    import spark.implicits._
+    // the inverted-index cap relies on min16(A∪B) = min16(min16(A)∪min16(B))
+    // over zero-padded ids (lexicographic ≡ numeric order after lpad 19).
+    // Deterministic skewed fixture: token t0 appears in every doc (the
+    // stopword case), others in a pseudo-random subset; 9 partitions force
+    // partial buffers through the exchange.
+    val rows = for {
+      d <- 0 until 3000
+      t <- 0 until 8
+      if t == 0 || (d * 31 + t * 17) % 7 == 0
+    } yield (s"t$t", d.toLong * 1001)
+    val got = rows.toDF("tok", "doc_id").repartition(9)
+      .groupBy("tok")
+      .agg(KmvMinima(lpad(col("doc_id").cast("string"), 19, "0"), 16)
+        .as("mins"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).map(_.toLong)).toMap
+    val expected = rows.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(_._2).distinct.sorted.take(16).toSeq
+    }
+    assert(got == expected)
+    assert(got("t0").size == 16) // the stopword run really was capped
+  }
+
   test("SQL surface: kmv_minima registered and grouped") {
     import spark.implicits._
     (0 until 300).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
