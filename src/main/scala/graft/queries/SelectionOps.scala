@@ -59,6 +59,14 @@ object SelectionOps {
   private val ResampleTau = 2.0
   private val ResampleK = 100
 
+  // ---- q119: pruned-LM size cap ----------------------------------------
+  // The bigram LM and first-token counts keep only the top-LmTopK entries
+  // by (count desc, key asc) — fixed-size driver artifacts at any corpus
+  // (Heaps'-law vocab² would otherwise grow unbounded); pruned entries
+  // back off to count 0 under add-one smoothing. 512 < the sf0.01 bigram
+  // vocabulary, so the pruning path is ACTIVE in the oracle gate.
+  private val LmTopK = 512
+
   val defs: Map[String, Q] = Map(
 
     "q118_chunk_overlap" -> ((s, dir) => {
@@ -90,14 +98,24 @@ object SelectionOps {
         (a, b) => concat(a, lit(" "), b))
       val withBigs = docs.filter(size(col("t")) >= 2)
         .select(col("doc_id"), bigs.as("bigs"))
-      // dimension artifacts (driver-side collect jobs, the q55/q109
-      // discipline): the bigram LM (≤ vocab² rows) and V
+      // BOUNDED dimension artifacts (r7): the LM is PRUNED to the top
+      // LmTopK bigram counts and top LmTopK first-token counts — rank =
+      // (count desc, key asc), the deterministic order both engines
+      // share — so the driver artifact is fixed-size at ANY corpus (the
+      // standard n-gram model pruning; a pruned/unseen entry backs off
+      // to count 0 under the add-one smoothing). Each artifact job is a
+      // TakeOrderedAndProject: per-partition heaps of LmTopK, no global
+      // sort, never a vocab²-sized collect.
       val bgRows = withBigs.select(explode(col("bigs")).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("bg")).limit(LmTopK)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       val bgMap = bgRows.toMap
-      val firstMap = bgRows.groupBy(_._1.split(" ", 2)(0))
-        .map { case (a, rs) => a -> rs.map(_._2).sum }
+      val firstMap = withBigs.select(explode(col("bigs")).as("bg"))
+        .groupBy(substring_index(col("bg"), " ", 1).as("a"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a")).limit(LmTopK)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val vocab = docs.select(explode(col("t")).as("tok"))
         .agg(countDistinct("tok")).collect().head.getLong(0)
       val mBg = typedLit(bgMap)
@@ -259,15 +277,19 @@ object SelectionOps {
          |  FROM toks WHERE len(t) >= 2),
          |x AS (SELECT doc_id, i, bigs[CAST(i + 1 AS INT)] AS bg
          |  FROM (SELECT doc_id, bigs, unnest(range(len(bigs))) AS i FROM p)),
-         |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1),
-         |fc AS (SELECT string_split(bg, ' ')[1] AS a,
-         |    CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1),
+         |bc AS (SELECT bg, c FROM (
+         |    SELECT bg, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1)
+         |  ORDER BY c DESC, bg LIMIT $LmTopK),
+         |fc AS (SELECT a, c FROM (
+         |    SELECT string_split(bg, ' ')[1] AS a,
+         |      CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1)
+         |  ORDER BY c DESC, a LIMIT $LmTopK),
          |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
          |  FROM (SELECT unnest(t) AS tok FROM toks)),
          |lr AS (SELECT x.doc_id, x.i,
          |    ln(CAST(coalesce(bc.c, 0) + 1 AS DOUBLE) /
-         |       CAST(fc.c + v.v AS DOUBLE)) AS l
-         |  FROM x JOIN fc ON string_split(x.bg, ' ')[1] = fc.a
+         |       CAST(coalesce(fc.c, 0) + v.v AS DOUBLE)) AS l
+         |  FROM x LEFT JOIN fc ON string_split(x.bg, ' ')[1] = fc.a
          |    LEFT JOIN bc ON x.bg = bc.bg CROSS JOIN v)
          |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
          |  round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -25,9 +25,10 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "queries/CdcOps.scala" -> (1, "q58 fixture dump path (one-time scaffolding)"),
     "queries/CurationOps.scala" -> (1,
       "q115 repeated-paragraph hash set: bounded by duplicated boilerplate"),
-    "queries/SelectionOps.scala" -> (3,
-      "q119 bigram-LM typedLit model (documented exemption, SCALE.md) + " +
-        "V scalar + DSIR 256-bucket counts"),
+    "queries/SelectionOps.scala" -> (4,
+      "q119 pruned LM: top-LmTopK bigram + first-token TakeOrdered " +
+        "collects (fixed-size at any corpus) + V scalar + DSIR " +
+        "256-bucket counts"),
     "queries/TextOps.scala" -> (3,
       "q84 gram golden bytes + q109 1-row N/avgdl scalar + q109 " +
         "query-term df rows (semi-joined to the <=10 query docs BEFORE " +
