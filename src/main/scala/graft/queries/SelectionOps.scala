@@ -63,9 +63,24 @@ object SelectionOps {
   // The bigram LM and first-token counts keep only the top-LmTopK entries
   // by (count desc, key asc) — fixed-size driver artifacts at any corpus
   // (Heaps'-law vocab² would otherwise grow unbounded); pruned entries
-  // back off to count 0 under add-one smoothing. 512 < the sf0.01 bigram
-  // vocabulary, so the pruning path is ACTIVE in the oracle gate.
-  private val LmTopK = 512
+  // back off to count 0 under add-one smoothing. On a real Zipf corpus
+  // the head holds the mass, so 64k entries ≈ the full model; the
+  // SYNTHETIC gate corpus is the opposite shape (31 tokens, ~all 961
+  // bigrams realized near-uniformly — rank-pruning it would just erase
+  // the model), so there the cap sits above the realized vocabulary and
+  // the pruning RULE is pinned by its own skewed-fixture spec
+  // (SelectionOpsSpec "prunedTopK") while the oracle carries the same
+  // LIMIT for engine parity.
+  private[graft] val LmTopK = 65536
+
+  /** The q119 artifact rule, factored for spec-level pinning: top-k
+    * (count desc, key asc) count table over a key expression, fetched as
+    * a TakeOrdered bounded collect. */
+  private[graft] def prunedTopK(rows: DataFrame, key: Column, k: Int)
+      : Array[(String, Long)] =
+    rows.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("k")).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
 
   val defs: Map[String, Q] = Map(
 
@@ -106,16 +121,10 @@ object SelectionOps {
       // to count 0 under the add-one smoothing). Each artifact job is a
       // TakeOrderedAndProject: per-partition heaps of LmTopK, no global
       // sort, never a vocab²-sized collect.
-      val bgRows = withBigs.select(explode(col("bigs")).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("bg")).limit(LmTopK)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      val bgMap = bgRows.toMap
-      val firstMap = withBigs.select(explode(col("bigs")).as("bg"))
-        .groupBy(substring_index(col("bg"), " ", 1).as("a"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("a")).limit(LmTopK)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exploded = withBigs.select(explode(col("bigs")).as("bg"))
+      val bgMap = prunedTopK(exploded, col("bg"), LmTopK).toMap
+      val firstMap = prunedTopK(exploded,
+        substring_index(col("bg"), " ", 1), LmTopK).toMap
       val vocab = docs.select(explode(col("t")).as("tok"))
         .agg(countDistinct("tok")).collect().head.getLong(0)
       val mBg = typedLit(bgMap)

@@ -25,9 +25,9 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "queries/CdcOps.scala" -> (1, "q58 fixture dump path (one-time scaffolding)"),
     "queries/CurationOps.scala" -> (1,
       "q115 repeated-paragraph hash set: bounded by duplicated boilerplate"),
-    "queries/SelectionOps.scala" -> (4,
-      "q119 pruned LM: top-LmTopK bigram + first-token TakeOrdered " +
-        "collects (fixed-size at any corpus) + V scalar + DSIR " +
+    "queries/SelectionOps.scala" -> (3,
+      "q119 prunedTopK TakeOrdered collect (LmTopK-bounded at any " +
+        "corpus, skewed-fixture spec-pinned) + V scalar + DSIR " +
         "256-bucket counts"),
     "queries/TextOps.scala" -> (3,
       "q84 gram golden bytes + q109 1-row N/avgdl scalar + q109 " +

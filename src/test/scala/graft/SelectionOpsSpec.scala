@@ -58,6 +58,26 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(sorted(sorted.length / 2) < math.log(vocab.toDouble))
   }
 
+  test("prunedTopK: skewed fixture keeps the Zipf head, prunes the hapax tail") {
+    import spark.implicits._
+    // the LM-artifact rule q119 relies on, exercised on the shape a REAL
+    // corpus has (the synthetic gate corpus is dense/uniform, so the cap
+    // cannot activate there): 20 head keys with descending counts, 500
+    // hapax-tail keys. k=20 must return exactly the head, count-ordered,
+    // ties broken by key asc.
+    val head = (0 until 20).flatMap(i => Seq.fill(100 - i)(f"head$i%02d"))
+    val tail = (0 until 500).map(i => f"tail$i%03d")
+    val got = SelectionOps.prunedTopK(
+      (head ++ tail).toDF("bg"), col("bg"), 20)
+    assert(got.length == 20)
+    assert(got.map(_._1).toSeq == (0 until 20).map(i => f"head$i%02d"))
+    assert(got.map(_._2).toSeq == (0 until 20).map(i => 100L - i))
+    // tie-break determinism: equal counts order by key ascending
+    val tied = SelectionOps.prunedTopK(
+      Seq("b", "a", "c", "a", "b", "c").toDF("bg"), col("bg"), 2)
+    assert(tied.map(_._1).toSeq == Seq("a", "b"))
+  }
+
   test("q125: ranks are 1..100, keys nonincreasing, docs distinct") {
     val rows = SelectionOps.defs("q125_importance_resample")(spark, sf)
       .orderBy("rank").collect()
