@@ -22,7 +22,9 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "cdc/Dictionary.scala" -> (4,
       "dictionary bootstrap: catalog tables are schema-sized by design"),
     "examples/BatchReplay.scala" -> (1, "example printout, not an operator"),
-    "queries/CdcOps.scala" -> (1, "q58 fixture dump path (one-time scaffolding)"),
+    "queries/CdcOps.scala" -> (1,
+      "q103 ADAPTIVE_SCHEMA learn: one row per UNKNOWN obj (schema-sized, " +
+        "the dictionary-bootstrap class)"),
     "queries/CurationOps.scala" -> (1,
       "q115 repeated-paragraph hash set: bounded by duplicated boilerplate"),
     "queries/SelectionOps.scala" -> (3,
@@ -30,9 +32,9 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "corpus, skewed-fixture spec-pinned) + V scalar + DSIR " +
         "256-bucket counts"),
     "queries/TextOps.scala" -> (3,
-      "q84 gram golden bytes + q109 1-row N/avgdl scalar + q109 " +
-        "query-term df rows (semi-joined to the <=10 query docs BEFORE " +
-        "collect)"),
+      "q101 KB-sized bloom-filter bytes (bounded by its 10k-item/80k-bit " +
+        "build args) + q109 1-row N/avgdl scalar + q109 query-term df " +
+        "rows (semi-joined to the <=10 query docs BEFORE collect)"),
     "queries/TrainOps.scala" -> (2, "q123 argmax 1-row + corpus-size scalar"),
     "queries/VectorOps.scala" -> (1, "k-means packed-centroid codebook (k*d)")
   )
