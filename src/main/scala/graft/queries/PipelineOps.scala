@@ -338,10 +338,15 @@ object PipelineOps {
     "q136_curation_e2e" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val docs = t(s, dir, "documents")
-      // 1. exact dedup: first-seen (min doc_id) per content hash
-      val keep = docs.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val exact = docs.join(keep, "doc_id")
+      // 1. exact dedup: first-seen (min doc_id) per content hash.
+      // localCheckpoint (the lshVerifiedPairs discipline): every later
+      // stage — band build, anti-join left side, quality, both DSIR
+      // passes — consumes `exact`; without the pin each would re-run the
+      // scan + hash-agg + join chain.
+      val exact = docs.join(
+        docs.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+        "doc_id").localCheckpoint()
       // 2. near-dup apply: verified pairs → components → drop members
       val pairs = TextOps.lshVerifiedPairs(exact)
         .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
@@ -349,12 +354,15 @@ object PipelineOps {
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
       val deduped = exact.join(drops, Seq("doc_id"), "left_anti")
-      // 3. quality rules, in-row (token bounds + mean token length)
+      // 3. quality rules, in-row (token bounds + mean token length);
+      // pinned once — the DSIR stage scans its input twice (bucket
+      // counts, then scoring)
       val quality = deduped
         .withColumn("n_tokens", size(TextOps.tokensCol))
         .filter(col("n_tokens").between(5, 100000) &&
           (col("n_chars") + 1).cast("double") /
             col("n_tokens").cast("double") < 40.0)
+        .localCheckpoint()
       // 4. DSIR weights → Gumbel top-k on the survivors
       val sampled = SelectionOps.gumbelTopKOf(
         SelectionOps.dsirWeightsOf(quality))

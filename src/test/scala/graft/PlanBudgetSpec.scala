@@ -88,7 +88,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q133_inverted_index"        -> 1, // ONE tok exchange; KmvMinima bounds postings (r7: window gone)
     "q134_vocab_coverage"        -> 2, // vocab distinct + source agg (hint dropped r7: AQE decides)
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
-    "q136_curation_e2e"          -> 5, // exact-dedup hash agg + id join (2) + anti-join + sample/manifest; LSH+propagation run at construction (q46 caveat)
+    "q136_curation_e2e"          -> 2, // sample top-k + manifest agg; exact-dedup/LSH/quality stages pinned by localCheckpoint at construction (q46 caveat)
     "q13_codecs"                 -> 0,
     "q14_pricing_summary"        -> 1,
     "q15_shipping_priority"      -> 1,
