@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.cdc.{ChangeEvent, Op, TxnAssembly}
-import graft.streaming.Metrics
+import graft.streaming.{CorpusIngest, Metrics}
 
 /** Streaming state-scale soak for the CDC assembler: drives a synthetic
   * 1M-event feed (default 250k txns × 4 events) through
@@ -84,6 +84,45 @@ object StreamSoak {
       f""""events_per_sec":${inRows / secs}%.0f,"mb":$mb%.1f,""" +
       f""""mb_per_sec":${mb / secs}%.2f,"peak_state_rows":$peakStateRows,""" +
       f""""peak_state_mb":$peakStateMb%.1f}""")
+    Metrics.detach(spark, collector)
+
+    // ---- CorpusIngest first-seen dedup soak -----------------------------
+    // Same RocksDB session: nDocs documents, 20% exact duplicates of an
+    // earlier doc (the re-crawl shape), arriving over nBatches batches.
+    // State = one boolean per DISTINCT content hash — the claim to pin is
+    // that state tracks DISTINCT content (80% here), not stream length,
+    // and survivors equal the distinct count exactly.
+    val nDocs = nTxns // same order of magnitude as the txn soak
+    val body = "lorem ipsum dolor sit amet " * 8 // ~200 chars
+    def doc(j: Int): CorpusIngest.Doc = {
+      val content = if (j % 5 == 4) s"$body-${j - 4}" else s"$body-$j"
+      CorpusIngest.Doc(j.toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+        content)
+    }
+    val collector2 = Metrics.attach(spark)
+    val input2 = MemoryStream[CorpusIngest.Doc]
+    val query2 = CorpusIngest.firstSeen(input2.toDS())
+      .writeStream.format("noop").outputMode("append").start()
+    val t1 = System.nanoTime()
+    (0 until nBatches).foreach { b =>
+      input2.addData((b until nDocs by nBatches).map(doc))
+      query2.processAllAvailable()
+    }
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    query2.stop()
+    val snaps2 = collector2.snapshots
+    val in2 = snaps2.map(_.inputRows).sum
+    val finalStateRows = if (snaps2.isEmpty) 0L else snaps2.last.stateRows
+    val stateMb2 = if (snaps2.isEmpty) 0.0
+      else snaps2.map(_.stateBytes).max / 1e6
+    val mb2 = nDocs.toLong * (body.length + 12) / 1e6
+    println(f"""{"soak":"corpusIngest-rocksdb","docs":$in2,""" +
+      f""""distinct_frac":0.8,"batches":${snaps2.size},"secs":$secs2%.1f,""" +
+      f""""docs_per_sec":${in2 / secs2}%.0f,"mb":$mb2%.1f,""" +
+      f""""mb_per_sec":${mb2 / secs2}%.2f,""" +
+      f""""final_state_rows":$finalStateRows,"state_mb":$stateMb2%.1f}""")
     spark.stop()
   }
 }
