@@ -74,11 +74,12 @@ object SelectionOps {
   private[graft] val LmTopK = 65536
 
   /** The q119 artifact rule, factored for spec-level pinning: top-k
-    * (count desc, key asc) count table over a key expression, fetched as
-    * a TakeOrdered bounded collect. */
-  private[graft] def prunedTopK(rows: DataFrame, key: Column, k: Int)
+    * (count desc, key asc) over a (key, count) frame, fetched as a
+    * TakeOrdered bounded collect. Callers pass a pre-aggregated counts
+    * frame so one corpus pass can feed several pruned artifacts. */
+  private[graft] def prunedTopK(counts: DataFrame, k: Int)
       : Array[(String, Long)] =
-    rows.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+    counts.toDF("k", "c")
       .orderBy(col("c").desc, col("k")).limit(k)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
@@ -118,13 +119,18 @@ object SelectionOps {
       // (count desc, key asc), the deterministic order both engines
       // share — so the driver artifact is fixed-size at ANY corpus (the
       // standard n-gram model pruning; a pruned/unseen entry backs off
-      // to count 0 under the add-one smoothing). Each artifact job is a
-      // TakeOrderedAndProject: per-partition heaps of LmTopK, no global
-      // sort, never a vocab²-sized collect.
-      val exploded = withBigs.select(explode(col("bigs")).as("bg"))
-      val bgMap = prunedTopK(exploded, col("bg"), LmTopK).toMap
-      val firstMap = prunedTopK(exploded,
-        substring_index(col("bg"), " ", 1), LmTopK).toMap
+      // to count 0 under the add-one smoothing). ONE corpus pass builds
+      // the (bigram, count) table — the intermediate every LM trainer
+      // materializes — pinned by localCheckpoint; both artifacts are
+      // then TakeOrdered heaps over it (first-token counts = per-first
+      // SUMS of the bigram counts, exact), never a vocab²-sized collect.
+      val bgCounts = withBigs.select(explode(col("bigs")).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val bgMap = prunedTopK(bgCounts, LmTopK).toMap
+      val firstMap = prunedTopK(
+        bgCounts.groupBy(substring_index(col("bg"), " ", 1).as("a"))
+          .agg(sum(col("c")).as("c")), LmTopK).toMap
       val vocab = docs.select(explode(col("t")).as("tok"))
         .agg(countDistinct("tok")).collect().head.getLong(0)
       val mBg = typedLit(bgMap)

@@ -67,14 +67,15 @@ class SelectionOpsSpec extends AnyFunSuite {
     // ties broken by key asc.
     val head = (0 until 20).flatMap(i => Seq.fill(100 - i)(f"head$i%02d"))
     val tail = (0 until 500).map(i => f"tail$i%03d")
-    val got = SelectionOps.prunedTopK(
-      (head ++ tail).toDF("bg"), col("bg"), 20)
+    def counts(xs: Seq[String]) =
+      xs.toDF("bg").groupBy("bg").agg(count(lit(1)).as("c"))
+    val got = SelectionOps.prunedTopK(counts(head ++ tail), 20)
     assert(got.length == 20)
     assert(got.map(_._1).toSeq == (0 until 20).map(i => f"head$i%02d"))
     assert(got.map(_._2).toSeq == (0 until 20).map(i => 100L - i))
     // tie-break determinism: equal counts order by key ascending
     val tied = SelectionOps.prunedTopK(
-      Seq("b", "a", "c", "a", "b", "c").toDF("bg"), col("bg"), 2)
+      counts(Seq("b", "a", "c", "a", "b", "c")), 2)
     assert(tied.map(_._1).toSeq == Seq("a", "b"))
   }
 
