@@ -335,6 +335,10 @@ object Dictionary {
     * not a code change. */
   def oracleCatalogSql(asOfScn: Long, ownerId: Long,
       nameRegex: String = ".*"): Map[String, String] = {
+    // the reference passes the pattern as bind :j; inlining a literal
+    // requires quote-doubling or a pattern like O'BRIEN.* breaks the
+    // statement (ORA-00907) — or worse, splices into it
+    val nameRegexLit = nameRegex.replace("'", "''")
     val m = "18446744073709551616"
     def mod2(col: String, a1: String, a2: String) =
       s"MOD($col, $m) AS $a1, MOD(TRUNC($col / $m), $m) AS $a2"
@@ -344,7 +348,7 @@ object Dictionary {
       "users" -> (s"SELECT U.ROWID, U.USER#, U.NAME," +
         s" ${mod2("U.SPARE1", "SPARE11", "SPARE12")}" +
         s" FROM SYS.USER$$ AS OF SCN $scn U" +
-        s" WHERE REGEXP_LIKE(U.NAME, '$nameRegex')"),
+        s" WHERE REGEXP_LIKE(U.NAME, '$nameRegexLit')"),
       // ReplicatorOnline.h:447 SQL_GET_SYS_OBJ_USER
       "objs" -> (s"SELECT O.ROWID, O.OWNER#, O.OBJ#, O.DATAOBJ#, O.NAME," +
         s" O.TYPE#, ${mod2("O.FLAGS", "FLAGS1", "FLAGS2")}" +
@@ -353,7 +357,7 @@ object Dictionary {
       "obj_name" -> (s"SELECT O.ROWID, O.OWNER#, O.OBJ#, O.DATAOBJ#," +
         s" O.NAME, O.TYPE#, ${mod2("O.FLAGS", "FLAGS1", "FLAGS2")}" +
         s" FROM SYS.OBJ$$ AS OF SCN $scn O" +
-        s" WHERE O.OWNER# = $ownerId AND REGEXP_LIKE(O.NAME, '$nameRegex')"),
+        s" WHERE O.OWNER# = $ownerId AND REGEXP_LIKE(O.NAME, '$nameRegexLit')"),
       // ReplicatorOnline.h:241 SQL_GET_SYS_COL_USER
       "cols" -> (s"SELECT C.ROWID, C.OBJ#, C.COL#, C.SEGCOL#, C.INTCOL#," +
         s" C.NAME, C.TYPE#, C.LENGTH, C.PRECISION#, C.SCALE," +

@@ -338,13 +338,15 @@ object PipelineOps {
     "q136_curation_e2e" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val docs = t(s, dir, "documents")
-      // 1. exact dedup: first-seen (min doc_id) per content hash.
+      // 1. exact dedup: first-seen (min doc_id) per content hash — the
+      // q25 rule VERBATIM (md5 over lower(text)), so stage 1 really is
+      // the gated operator, not a near-copy of it.
       // localCheckpoint (the lshVerifiedPairs discipline): every later
       // stage — band build, anti-join left side, quality, both DSIR
       // passes — consumes `exact`; without the pin each would re-run the
       // scan + hash-agg + join chain.
       val exact = docs.join(
-        docs.groupBy(md5(col("text")).as("h"))
+        docs.groupBy(md5(lower(col("text"))).as("h"))
           .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
         "doc_id").localCheckpoint()
       // 2. near-dup apply: verified pairs → components → drop members
@@ -366,15 +368,9 @@ object PipelineOps {
       // 4. DSIR weights → Gumbel top-k on the survivors
       val sampled = SelectionOps.gumbelTopKOf(
         SelectionOps.dsirWeightsOf(quality))
-      // 5. shard + in-shard order → per-shard manifest
-      val h = md5(concat(lit(TrainOps.OrderSalt),
-        col("doc_id").cast("string")))
-      sampled.select(col("doc_id"), h.as("h"))
-        .withColumn("shard",
-          (conv(substring(col("h"), 1, 4), 16, 10).cast("long")
-            % TrainOps.NShards).cast("int"))
-        .withColumn("pos",
-          row_number().over(Window.partitionBy("shard").orderBy("h")) - 1)
+      // 5. shard + in-shard order (the gated q121 rule, via its factored
+      // operator) → per-shard manifest
+      TrainOps.trainOrderOf(sampled)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),
           array_join(transform(
@@ -577,7 +573,8 @@ object PipelineOps {
     // survivors, the same shard/pos arithmetic — composed as CTEs.
     "q136_curation_e2e" ->
       s"""WITH RECURSIVE kept AS (
-         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(lower(text))),
          |exact AS (
          |  SELECT d.* FROM documents d JOIN kept USING (doc_id)),
          |${TextOps.sqlLshClusterChain("exact")},
@@ -592,19 +589,7 @@ object PipelineOps {
          |samp AS (
          |  SELECT * FROM (
          |    ${SelectionOps.oracleGumbelFrom(SelectionOps.oracleDsirFrom("qual"))})),
-         |sh AS (
-         |  SELECT doc_id,
-         |    md5('${TrainOps.OrderSalt}' || CAST(doc_id AS VARCHAR)) AS h
-         |  FROM samp),
-         |sp AS (
-         |  SELECT doc_id,
-         |    CAST(${TrainOps.sqlHex4("h")} % ${TrainOps.NShards} AS INT)
-         |      AS shard, h
-         |  FROM sh),
-         |p AS (
-         |  SELECT doc_id, shard,
-         |    row_number() OVER (PARTITION BY shard ORDER BY h) - 1 AS pos
-         |  FROM sp)
+         |p AS (${TrainOps.sqlTrainOrderFrom("samp")})
          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)
          |    AS doc_order

@@ -746,7 +746,10 @@ object TextOps {
     // rows carry ≤16 ids per token partial, and a stopword's full
     // million-doc posting run NEVER transits a reducer (the r6 rank-window
     // version routed it through one before the filter; the window sort and
-    // its second pass over the clustering are gone too).
+    // its second pass over the clustering are gone too). Precondition of
+    // the lpad-19 encoding: doc_id ≥ 0 (lexicographic ≡ numeric only for
+    // non-negatives) — the corpus contract everywhere in this engine
+    // (TESTDATA doc_id is a non-negative int64 surrogate key).
     "q133_inverted_index" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -794,7 +797,13 @@ object TextOps {
     * compositions (q136) can run it on a derived stage. Must be embedded
     * under a `WITH RECURSIVE` header (walk is the recursive member);
     * `clus` exposes (doc_id, cluster_id). ≙ [[lshVerifiedPairs]] +
-    * ConnectedComponents.runPropagation on the Spark side. */
+    * ConnectedComponents.runPropagation on the Spark side — EXCEPT the
+    * band cap: the SQL expands every bucket while the Spark side drops
+    * over-cap (>DefaultBandCap) degenerate buckets. The gate corpora
+    * have no over-cap bucket so the oracles agree (same deliberate
+    * omission as q29/q80, pinned separately by LshBandCapSpec); a corpus
+    * with a degenerate bucket would diverge here by design — the cap is
+    * the scale behavior, this SQL is the reference semantics. */
   private[graft] def sqlLshClusterChain(from: String): String =
     s"""sig AS (
        |  SELECT doc_id, shingles,

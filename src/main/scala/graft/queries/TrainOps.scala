@@ -99,23 +99,39 @@ object TrainOps {
     (learned, cur)
   }
 
+  /** The q121 shard-order operator over any frame with a doc_id column —
+    * shard = md5 bucket, pos = rank within shard by the same hash: a
+    * reproducible corpus-wide "random" training order with ONE hash
+    * exchange and per-shard local sorts, never a global range sort.
+    * Factored so pipeline compositions (q136) provably run the gated
+    * rule (salt, hash width, tie-break) rather than a copy of it. */
+  private[graft] def trainOrderOf(df: DataFrame): DataFrame = {
+    val h = md5(concat(lit(OrderSalt), col("doc_id").cast("string")))
+    df.select(col("doc_id"), h.as("h"))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 4), 16, 10).cast("long")
+          % NShards).cast("int"))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy("shard").orderBy("h")) - 1)
+          .cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  /** q121's oracle restated over any relation — the SQL twin of
+    * [[trainOrderOf]], shared by the q136 composition. */
+  private[graft] def sqlTrainOrderFrom(rel: String): String =
+    s"""SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h) - 1
+       |    AS BIGINT) AS pos
+       |FROM (SELECT doc_id, h,
+       |    CAST(${sqlHex4("h")} % $NShards AS INT) AS shard
+       |  FROM (SELECT doc_id,
+       |      md5('$OrderSalt' || CAST(doc_id AS VARCHAR)) AS h
+       |    FROM $rel))""".stripMargin
+
   val defs: Map[String, Q] = Map(
 
-    "q121_train_order" -> ((s, dir) => {
-      // shard = md5 bucket, pos = rank within shard by the same hash: a
-      // reproducible corpus-wide "random" training order with ONE hash
-      // exchange and per-shard local sorts — never a global range sort
-      val h = md5(concat(lit(OrderSalt), col("doc_id").cast("string")))
-      t(s, dir, "documents")
-        .select(col("doc_id"), h.as("h"))
-        .withColumn("shard",
-          (conv(substring(col("h"), 1, 4), 16, 10).cast("long")
-            % NShards).cast("int"))
-        .withColumn("pos",
-          (row_number().over(Window.partitionBy("shard").orderBy("h")) - 1)
-            .cast("long"))
-        .select("doc_id", "shard", "pos")
-    }),
+    "q121_train_order" -> ((s, dir) => trainOrderOf(t(s, dir, "documents"))),
 
     "q122_ann_recall" -> ((s, dir) => {
       // recall@3 of the IVF index (q43) against brute-force truth (q31):
@@ -257,16 +273,7 @@ object TrainOps {
 
   val oracles: Map[String, String] = Map(
 
-    "q121_train_order" ->
-      s"""WITH h AS (SELECT doc_id,
-         |    md5('$OrderSalt' || CAST(doc_id AS VARCHAR)) AS h
-         |  FROM documents),
-         |s AS (SELECT doc_id, h,
-         |    CAST(${sqlHex4("h")} % $NShards AS INT) AS shard FROM h)
-         |SELECT doc_id, shard,
-         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h) - 1
-         |    AS BIGINT) AS pos
-         |FROM s""".stripMargin,
+    "q121_train_order" -> sqlTrainOrderFrom("documents"),
 
     "q122_ann_recall" ->
       s"""WITH exact AS (SELECT q_id, c_id FROM (

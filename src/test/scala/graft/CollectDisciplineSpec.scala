@@ -41,17 +41,21 @@ class CollectDisciplineSpec extends AnyFunSuite {
 
   test("main-source .collect() sites stay on the bounded allowlist") {
     val root = Paths.get("src/main/scala/graft")
-    val found = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .map { p =>
-        val n = Files.readString(p)
-          .linesIterator
-          .filterNot(l => l.contains("collect_list") || l.contains("collect_set"))
-          .count(_.contains(".collect()"))
-        root.relativize(p).toString -> n
-      }
-      .filter(_._2 > 0)
-      .toMap
+    // match the method call directly — a filterNot on collect_list lines
+    // would let `.agg(collect_list(x)).collect()` (exactly the class this
+    // gate blocks) slip through on one line
+    val collectCall = raw"\.collect\(\)".r
+    val walk = Files.walk(root)
+    val found =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .map { p =>
+          root.relativize(p).toString ->
+            collectCall.findAllIn(Files.readString(p)).length
+        }
+        .filter(_._2 > 0)
+        .toMap
+      finally walk.close()
     val over = found.collect {
       case (f, n) if n > allowed.get(f).map(_._1).getOrElse(0) =>
         s"$f: $n collects > allowed ${allowed.get(f).map(_._1).getOrElse(0)}" +

@@ -108,6 +108,9 @@ class OracleDialectSpec extends AnyFunSuite {
     // name-regex gates (bind :j in the reference, inlined literal here)
     assert(sql("users").contains("REGEXP_LIKE(U.NAME, 'MY.*')"))
     assert(sql("obj_name").contains("REGEXP_LIKE(O.NAME, 'MY.*')"))
+    // quote-doubling: a pattern with an apostrophe must stay one literal
+    val quoted = Dictionary.oracleCatalogSql(scn, owner, "O'BRIEN.*")
+    assert(quoted("users").contains("REGEXP_LIKE(U.NAME, 'O''BRIEN.*')"))
     // the reference's join keys, one per catalog family
     assert(sql("cols").contains("ON O.OBJ# = C.OBJ#"))
     assert(sql("cdef").contains("ON O.OBJ# = D.OBJ#"))
