@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, KmvMinima, MinHashSig, MojibakeFix, Shingles3, SpanHashes, UrlCanon}
+import graft.functions.{CharsetDecode, CosineSimilarity, KmvMinima, MinHashSig, MojibakeFix, Shingles3, SpanHashes, UrlCanon}
 
 /** SQL function surface (SURVEY.md §2.10): the engine's native expressions
   * registered by name, so `spark.sql("SELECT minhash_sig(shingles3(text), 8)
@@ -76,6 +76,11 @@ object GraftExtensions {
       info("mojibake_fix",
         "mojibake_fix(text) - repair cp1252-mojibake UTF-8 sequences"),
       (args: Seq[Expression]) => MojibakeFix(args.head)),
+    (FunctionIdentifier("ora_charset_decode"),
+      info("ora_charset_decode",
+        "ora_charset_decode(bin, charset_id) - decode raw column bytes " +
+          "under an Oracle NLS charset id (Locales.cpp id space)"),
+      (args: Seq[Expression]) => CharsetDecode(args(0), args(1))),
     (FunctionIdentifier("kmv_minima"),
       info("kmv_minima",
         "kmv_minima(h, k) - k smallest distinct values (KMV sketch; " +

@@ -27,7 +27,13 @@ case class DbColumn(
       * -1 = not guarded (Builder.cpp:1325 `guardSeg != -1` test) */
     guardSeg: Int = -1,
     /** BLOB column backing an XMLTYPE (SysCol xmlType, Builder.cpp:143) */
-    xmlType: Boolean = false)
+    xmlType: Boolean = false,
+    /** NLS charset ID (SysCol.h:104 charsetId; Builder.cpp:131 passes it
+      * to parseString per value). 0 = unset → the feed's pre-decoded
+      * UTF-8 contract applies; a non-UTF-8 id means the feed carries the
+      * column's RAW bytes hex-encoded and materialization decodes them
+      * via [[graft.core.OracleCharsets]]. */
+    charsetId: Int = 0)
 
 object DbTable {
   /** The typeCodes Builder.cpp:254-612's value switch decodes; anything
@@ -85,6 +91,13 @@ case class DbTable(
 
   /** XMLTYPE-backed BLOB columns (Builder.cpp:143). */
   def xmlCols: Seq[String] = columns.filter(_.xmlType).map(_.name)
+
+  /** (name, charsetId) of string columns whose feed value is raw hex in
+    * a non-UTF-8 charset (parseString dispatch, Builder.cpp:131). 873 =
+    * AL32UTF8 is the pass-through contract; 0 = unset behaves the same. */
+  def charsetCols: Seq[(String, Int)] =
+    columns.filter(c => c.charsetId != 0 && c.charsetId != 873)
+      .map(c => (c.name, c.charsetId))
 
   /** Tag columns for the message key (F7). */
   def resolvedTagCols: Seq[String] = tagType match {
@@ -199,10 +212,12 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
         t.guardColName.orNull,
         t.guardedCols,
         t.jsonCols,
-        t.xmlCols)
+        t.xmlCols,
+        t.charsetCols.toMap)
     }.toDF("obj", "dataObj", "owner", "table_name", "key_cols", "tag_cols",
       "invisible_cols", "unknown_cols", "valid_from_scn", "valid_to_scn",
-      "schema_cols", "guard_col", "guarded_cols", "json_cols", "xml_cols")
+      "schema_cols", "guard_col", "guarded_cols", "json_cols", "xml_cols",
+      "charset_cols")
       // SCHEMA_FORMAT::FULL descriptor field names (rendered via to_json)
       .withColumn("schema_cols",
         org.apache.spark.sql.functions.expr("transform(schema_cols, c -> " +

@@ -255,8 +255,30 @@ object Materialize {
             coalesce(element_at(col("after"), c), element_at(col("before"), c),
               lit(""))))))
 
-  /** Full path: enrich → conditions → visibility → column format →
-    * unknown-type → schemaless COL_n naming → tag. */
+  /** Charset decode (§2.7; Builder.cpp:131 parseString(data, size,
+    * column->charsetId, ...) over the Locales.cpp:648-800 id space): a
+    * column declared with a non-UTF-8 `charsetId` arrives as hex of its
+    * RAW bytes (the feed can't pre-decode what the dictionary owns) and
+    * decodes here, value-side, before any projection policy — exactly
+    * where the reference decodes, between redo extraction and the
+    * column-format diff. Tables without charset columns short-circuit on
+    * the null/empty map; the per-row id makes one codegen'd projection
+    * serve a feed mixing charsets. */
+  def applyCharsetDecode(df: DataFrame): DataFrame = {
+    import graft.functions.CharsetExpressions.charsetDecode
+    def dec(img: Column): Column =
+      when(col("charset_cols").isNull || size(col("charset_cols")) === 0,
+        img).otherwise(
+        transform_values(img, (k, v) =>
+          when(v.isNotNull && map_contains_key(col("charset_cols"), k),
+            charsetDecode(unhex(v), element_at(col("charset_cols"), k)))
+            .otherwise(v)))
+    df.withColumn("before", dec(col("before")))
+      .withColumn("after", dec(col("after")))
+  }
+
+  /** Full path: enrich → charset decode → conditions → visibility →
+    * column format → unknown-type → schemaless COL_n naming → tag. */
   def apply(messages: Dataset[ChangeMessage], dict: Dictionary,
       opts: Options = Options())(implicit spark: SparkSession): DataFrame = {
     // unknown-type AFTER column format: the reference diffs raw redo
@@ -271,7 +293,8 @@ object Materialize {
       applyUnknownType(
         applyColumnFormat(
           applyVisibility(applyGuardResurrection(
-            applyConditions(enrich(messages, dict, opts), dict))),
+            applyConditions(
+              applyCharsetDecode(enrich(messages, dict, opts)), dict))),
           opts),
         opts.unknownTypeShow),
       opts)

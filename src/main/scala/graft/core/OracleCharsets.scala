@@ -1,0 +1,127 @@
+package graft.core
+
+import java.nio.charset.Charset
+
+/** Oracle charset-ID → UTF-8 decode (§2.7 "Charset decode" row).
+  *
+  * The reference hand-codes ~34k LoC of per-charset mapping tables
+  * (`/root/reference/src/locales/CharacterSet*.cpp`) because C++ ships no
+  * charset library; the JVM ships all the major families natively, so the
+  * Spark-side implementation is an ID→`java.nio.charset.Charset` table
+  * plus one decode call. The ID space is the reference's
+  * `Locales::characterMap` (Locales.cpp:648-800), which is itself Oracle's
+  * NLS_CHARSET_ID space; per-column IDs come from SYS.COL$ (SysCol.h:104
+  * `charsetId`) and dispatch at value-decode time
+  * (Builder.cpp:131 `parseString(data, size, column->charsetId, ...)`).
+  *
+  * Coverage: every `characterMap` entry whose encoding the JVM provides —
+  * the ISO-8859 family, all windows-125x pages, the DOS/IBM codepages,
+  * the Mac script sets, KOI8-R/U, TIS-620, and the CJK multi-byte sets
+  * (Shift_JIS, EUC-JP, EUC-KR, MS949, GB2312/GBK/GB18030, Big5,
+  * MS950, Big5-HKSCS, EUC-TW). Oracle "UTF8" (ID 871) is CESU-8 — NOT
+  * AL32UTF8 (873): supplementary characters encode as 6-byte surrogate
+  * pairs — and the JVM's CESU-8 charset reproduces exactly that. The
+  * 7-bit NRC variants, legacy Arabic DOS pages and a few vendor sets
+  * (DEC/HP/NEXTSTEP/EBCDIC-era) have no JVM equivalent and stay
+  * unsupported, like any ID absent from the map: [[decode]] throws — the
+  * reference refuses to start on a charset it has no table for
+  * (Locales.cpp map lookup failure ≙ config error).
+  *
+  * Decode errors (malformed sequence / unmappable code point) substitute
+  * U+FFFD, matching `CharacterSet::badChar` → `UNICODE_UNKNOWN_CHARACTER
+  * = 0xFFFD` (CharacterSet.h:32, CharacterSet.cpp:28-56); the JVM's
+  * `new String(bytes, charset)` constructor has exactly these REPLACE
+  * semantics.
+  */
+object OracleCharsets {
+
+  /** NLS charset ID → (Oracle name, JVM charset name). Factual table
+    * transcribed from Locales.cpp:648-800, filtered to JVM-available
+    * encodings (checked at class-init: a JDK lacking one simply drops the
+    * ID from [[supported]] rather than failing later per-row). */
+  private val idTable: Seq[(Int, String, String)] = Seq(
+    (1, "US7ASCII", "US-ASCII"),
+    (4, "US8PC437", "IBM437"),
+    (10, "WE8PC850", "IBM850"),
+    (28, "WE8PC858", "IBM00858"),
+    (31, "WE8ISO8859P1", "ISO-8859-1"),
+    (32, "EE8ISO8859P2", "ISO-8859-2"),
+    (33, "SE8ISO8859P3", "ISO-8859-3"),
+    (34, "NEE8ISO8859P4", "ISO-8859-4"),
+    (35, "CL8ISO8859P5", "ISO-8859-5"),
+    (36, "AR8ISO8859P6", "ISO-8859-6"),
+    (37, "EL8ISO8859P7", "ISO-8859-7"),
+    (38, "IW8ISO8859P8", "ISO-8859-8"),
+    (39, "WE8ISO8859P9", "ISO-8859-9"),
+    (40, "NE8ISO8859P10", "ISO-8859-10"),
+    (41, "TH8TISASCII", "TIS-620"),
+    (45, "VN8MSWIN1258", "windows-1258"),
+    (46, "WE8ISO8859P15", "ISO-8859-15"),
+    (47, "BLT8ISO8859P13", "ISO-8859-13"),
+    (48, "CEL8ISO8859P14", "ISO-8859-14"),
+    (51, "CL8KOI8U", "KOI8-U"),
+    (150, "EE8PC852", "IBM852"),
+    (152, "RU8PC866", "IBM866"),
+    (155, "RU8PC855", "IBM855"),
+    (156, "TR8PC857", "IBM857"),
+    (159, "CL8MACCYRILLICS", "x-MacCyrillic"),
+    (160, "WE8PC860", "IBM860"),
+    (161, "IS8PC861", "IBM861"),
+    (162, "EE8MACCES", "x-MacCentralEurope"),
+    (163, "EE8MACCROATIANS", "x-MacCroatian"),
+    (164, "TR8MACTURKISHS", "x-MacTurkish"),
+    (165, "IS8MACICELANDICS", "x-MacIceland"),
+    (166, "EL8MACGREEKS", "x-MacGreek"),
+    (167, "IW8MACHEBREWS", "x-MacHebrew"),
+    (170, "EE8MSWIN1250", "windows-1250"),
+    (171, "CL8MSWIN1251", "windows-1251"),
+    (174, "EL8MSWIN1253", "windows-1253"),
+    (175, "IW8MSWIN1255", "windows-1255"),
+    (177, "TR8MSWIN1254", "windows-1254"),
+    (178, "WE8MSWIN1252", "windows-1252"),
+    (179, "BLT8MSWIN1257", "windows-1257"),
+    (190, "N8PC865", "IBM865"),
+    (196, "CL8KOI8R", "KOI8-R"),
+    (197, "BLT8PC775", "IBM775"),
+    (352, "WE8MACROMAN8S", "x-MacRoman"),
+    (354, "TH8MACTHAIS", "x-MacThai"),
+    (382, "EL8PC737", "x-IBM737"),
+    (385, "EL8PC869", "x-IBM869"),
+    (390, "CDN8PC863", "IBM863"),
+    (560, "AR8MSWIN1256", "windows-1256"),
+    (830, "JA16EUC", "EUC-JP"),
+    (832, "JA16SJIS", "Shift_JIS"),
+    (840, "KO16KSC5601", "EUC-KR"),
+    (846, "KO16MSWIN949", "x-windows-949"),
+    (850, "ZHS16CGB231280", "GB2312"),
+    (852, "ZHS16GBK", "GBK"),
+    (854, "ZHS32GB18030", "GB18030"),
+    (860, "ZHT32EUC", "x-EUC-TW"),
+    (865, "ZHT16BIG5", "Big5"),
+    (867, "ZHT16MSWIN950", "x-windows-950"),
+    (868, "ZHT16HKSCS", "Big5-HKSCS"),
+    (871, "UTF8", "CESU-8"),
+    (873, "AL32UTF8", "UTF-8"),
+    (2000, "AL16UTF16", "UTF-16BE"))
+
+  /** ID → Charset for every entry this JVM provides. `Charset` objects
+    * are immutable and thread-safe; the map rides task closures. */
+  val supported: Map[Int, Charset] = idTable.flatMap { case (id, _, jvm) =>
+    if (Charset.isSupported(jvm)) Some(id -> Charset.forName(jvm)) else None
+  }.toMap
+
+  /** ID → Oracle charset name, for diagnostics/config echo. */
+  val oracleName: Map[Int, String] =
+    idTable.map { case (id, ora, _) => id -> ora }.toMap
+
+  /** Decode raw column bytes under the column's NLS charset ID.
+    * Unknown ID → IllegalArgumentException (config-error semantics, like
+    * the reference's startup refusal); bad sequences → U+FFFD. */
+  def decode(bytes: Array[Byte], charsetId: Int): String = {
+    val cs = supported.getOrElse(charsetId,
+      throw new IllegalArgumentException(
+        s"unsupported charset id $charsetId" +
+          oracleName.get(charsetId).fold("")(n => s" ($n)")))
+    new String(bytes, cs)
+  }
+}

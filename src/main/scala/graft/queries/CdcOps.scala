@@ -665,6 +665,53 @@ object CdcOps {
           XmlDecode.decodeCol(col("xbin"), ctx).as("xml_text"))
     }),
 
+    // §2.7 charset decode (the reference's src/locales/ surface,
+    // Builder.cpp:131 parseString dispatch over Locales.cpp:648-800):
+    // eight tables, each declaring its txt column under a different NLS
+    // charset id — ISO-8859-1, MSWIN1252, Shift_JIS, GBK, EUC-KR, Big5,
+    // CESU-8 ("UTF8", where a supplementary char is a 6-byte surrogate
+    // pair) and AL16UTF16 (UTF-16BE, where even the ASCII run is 2-byte)
+    // — and a feed carrying each row's RAW bytes hex-encoded. The full
+    // Materialize path resolves the per-column charset from the
+    // dictionary and decodes value-side; the oracle states the expected
+    // UTF-8 text directly from the source columns, so any mis-decode in
+    // any charset family breaks the hash. Scale shape: scan → broadcast
+    // dict join → codegen'd per-row decode; zero exchanges.
+    "q137_charset_decode" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val ids = Seq(31, 178, 832, 852, 840, 865, 871, 2000)
+      val dict = Dictionary(ids.zipWithIndex.map { case (id, i) =>
+        DbTable(100L + i, 100L, "APP", s"T$id",
+          Seq(DbColumn("txt", 1, charsetId = id)))
+      })
+      // per-charset raw-bytes hex: ASCII prefix (UTF-16BE-widened for id
+      // 2000) + a multi-byte tail exercising the non-ASCII plane
+      val tail = Map(31 -> "E9F1", 178 -> "8099", 832 -> "82A082A2",
+        852 -> "C4E3BAC3", 840 -> "B0A1B3AA", 865 -> "A4A4A4E5",
+        871 -> "EDA081EDB080", 2000 -> "D801DC00")
+      val hexExpr = ids.zipWithIndex.map { case (id, i) =>
+        val prefix =
+          if (id == 2000) "hex(encode(event_type, 'UTF-16BE'))"
+          else "hex(event_type)"
+        s"WHEN user_id % 8 = $i THEN concat($prefix, '${tail(id)}')"
+      }.mkString("CASE ", " ", " END")
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op",
+          "100L + user_id % 8 AS obj", "'' AS rid",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          s"map('txt', $hexExpr) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset", "0L AS num")
+        .as[ChangeMessage]
+      Materialize(messages, dict)
+        .select(col("cScn").as("event_id"), col("table_name"),
+          element_at(col("after"), "txt").as("txt"))
+    }),
+
     "q53_column_visibility" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       import spark.implicits._
@@ -940,6 +987,21 @@ object CdcOps {
         |  || '</item><item>' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)
         |  || '</item><deep>' || CAST(user_id AS VARCHAR)
         |  || '</deep></ns:doc>' AS xml_text
+        |FROM events""".stripMargin,
+
+    // expected text restated directly: the ASCII prefix survives every
+    // charset and each family appends its known decoded tail (the same
+    // public code-point assignments the JVM charsets implement)
+    "q137_charset_decode" ->
+      """SELECT event_id,
+        |  'T' || CAST(CASE user_id % 8
+        |    WHEN 0 THEN 31 WHEN 1 THEN 178 WHEN 2 THEN 832
+        |    WHEN 3 THEN 852 WHEN 4 THEN 840 WHEN 5 THEN 865
+        |    WHEN 6 THEN 871 ELSE 2000 END AS VARCHAR) AS table_name,
+        |  event_type || CASE user_id % 8
+        |    WHEN 0 THEN 'éñ' WHEN 1 THEN '€™' WHEN 2 THEN 'あい'
+        |    WHEN 3 THEN '你好' WHEN 4 THEN '가나' WHEN 5 THEN '中文'
+        |    WHEN 6 THEN '𐐀' ELSE '𐐀' END AS txt
         |FROM events""".stripMargin,
 
     "q96_experimental_types" ->

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.OracleCharsets
+
+/** Golden-bytes gate for the NLS charset decode surface (§2.7; the
+  * reference's src/locales/ tables, dispatched per column at
+  * Builder.cpp:131). Each fixture is a raw byte string under a named
+  * Oracle charset ID and the exact UTF-8 text it must decode to — the
+  * code-point assignments are the public ones the encodings define, so a
+  * regression in the ID→charset table or the decode call breaks a
+  * specific family's row, not a generic assertion. */
+class CharsetDecodeSpec extends AnyFunSuite {
+
+  private def bytes(hex: String): Array[Byte] =
+    hex.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  // (charsetId, Oracle name, raw hex, expected UTF-8)
+  private val golden = Seq(
+    (1, "US7ASCII", "48656C6C6F", "Hello"),
+    (31, "WE8ISO8859P1", "E9F1", "éñ"), // é ñ
+    (46, "WE8ISO8859P15", "A4", "€"), // € (P15's euro at 0xA4)
+    (178, "WE8MSWIN1252", "8099", "€™"), // € ™ (C1 range remap)
+    (35, "CL8ISO8859P5", "BDDD", "Нн"), // Н н
+    (171, "CL8MSWIN1251", "C4E0", "Да"), // Д а
+    (196, "CL8KOI8R", "C1C2", "аб"), // а б
+    (37, "EL8ISO8859P7", "C1E1", "Αα"), // Α α
+    (41, "TH8TISASCII", "A1A2", "กข"), // ก ข
+    (4, "US8PC437", "8090", "ÇÉ"), // Ç É
+    (152, "RU8PC866", "80EE", "Аю"), // А ю
+    (352, "WE8MACROMAN8S", "8E", "é"), // é (Mac Roman)
+    (832, "JA16SJIS", "82A082A2", "あい"), // あ い
+    (830, "JA16EUC", "A4A2A4A4", "あい"), // あ い
+    (852, "ZHS16GBK", "C4E3BAC3", "你好"), // 你 好
+    (854, "ZHS32GB18030", "C4E3BAC3", "你好"), // GBK subset holds
+    (840, "KO16KSC5601", "B0A1B3AA", "가나"), // 가 나
+    (865, "ZHT16BIG5", "A4A4A4E5", "中文"), // 中 文
+    (873, "AL32UTF8", "F0909080", "𐐀"), // U+10400, 4-byte UTF-8
+    // Oracle "UTF8" is CESU-8: the SAME code point is a 6-byte
+    // surrogate pair — the bytes 871 accepts, 873 must NOT
+    (871, "UTF8", "EDA081EDB080", "𐐀"),
+    (2000, "AL16UTF16", "00E9D801DC00", "é𐐀"))
+
+  for ((id, name, hex, want) <- golden)
+    test(s"$name (id $id): $hex decodes") {
+      assert(OracleCharsets.oracleName(id) == name) // table pins the pair
+      assert(OracleCharsets.decode(bytes(hex), id) == want)
+    }
+
+  test("CESU-8 vs AL32UTF8 differ exactly on supplementary encoding") {
+    // 873 sees CESU-8 surrogate bytes as malformed → two replacement
+    // runs, NOT the code point (the families are distinct decoders)
+    val cesu = bytes("EDA081EDB080")
+    assert(OracleCharsets.decode(cesu, 873) != "𐐀")
+    assert(OracleCharsets.decode(cesu, 873).contains('�'))
+  }
+
+  test("malformed bytes substitute U+FFFD (CharacterSet.h:32 badChar)") {
+    assert(OracleCharsets.decode(bytes("41FFFE42"), 873) == "A��B")
+    // truncated SJIS lead byte at end of value
+    assert(OracleCharsets.decode(bytes("4182"), 832) == "A�")
+  }
+
+  test("unknown id throws (the reference's startup refusal semantics)") {
+    val e = intercept[IllegalArgumentException](
+      OracleCharsets.decode(bytes("41"), 999))
+    assert(e.getMessage.contains("999"))
+  }
+
+  test("every claimed id resolves on this JVM and decodes ASCII") {
+    // AL16UTF16 is the one fixed-width-2 family — exclude from the
+    // 1-byte ASCII probe and check its 2-byte form instead
+    for (id <- OracleCharsets.supported.keys if id != 2000)
+      assert(OracleCharsets.decode(Array('A'.toByte), id) == "A",
+        s"id $id")
+    assert(OracleCharsets.decode(bytes("0041"), 2000) == "A")
+  }
+
+  test("the id table tracks Locales.cpp: spot-pin the full family list") {
+    // one representative per family group in Locales.cpp:648-800
+    val expect = Map(1 -> "US7ASCII", 31 -> "WE8ISO8859P1",
+      178 -> "WE8MSWIN1252", 196 -> "CL8KOI8R", 352 -> "WE8MACROMAN8S",
+      832 -> "JA16SJIS", 852 -> "ZHS16GBK", 865 -> "ZHT16BIG5",
+      871 -> "UTF8", 873 -> "AL32UTF8", 2000 -> "AL16UTF16")
+    for ((id, name) <- expect) assert(OracleCharsets.oracleName(id) == name)
+    // coverage floor: the JVM-backed subset must stay ≥ 55 ids wide
+    assert(OracleCharsets.supported.size >= 55,
+      s"charset coverage shrank: ${OracleCharsets.supported.size}")
+  }
+}

@@ -55,6 +55,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q101_bloom_incremental"     -> 2, // bloom agg + verified-new agg
     "q102_xml_decode"            -> 0,
     "q103_adaptive_schema"       -> 0,
+    "q137_charset_decode"        -> 0, // broadcast dict join + in-row decode
     "q104_ann_pq"                -> 3, // top-k + two 32-row codebook packs
     "q105_bigram_novelty"        -> 1, // bigram df only (scoring is in-row)
     "q106_distinct_sketch"       -> 2, // KMV agg + the countDistinct expand
