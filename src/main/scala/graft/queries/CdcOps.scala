@@ -712,6 +712,42 @@ object CdcOps {
           element_at(col("after"), "txt").as("txt"))
     }),
 
+    // CLOB charset decode AFTER page reassembly (Builder.cpp:160-165:
+    // parseLob passes column->charsetId; parseString's appendData/
+    // hasPrev/hasNext args exist exactly for chunk continuation,
+    // Builder.h:1086): each event becomes a 2-page CLOB of Shift_JIS
+    // bytes where the FIRST multi-byte character straddles the page
+    // boundary — page 1 ends on the 0x82 lead byte, page 2 opens with
+    // its 0xA0 trail byte. Decoding page-wise would yield U+FFFD at the
+    // seam; only assemble-then-decode (the reference's order) produces
+    // the clean text the oracle states, so the gate pins the
+    // composition's ORDER, not just each stage. Scale shape: one lobId
+    // exchange (the q35 plan) + in-row unhex/decode.
+    "q139_clob_charset" -> ((s, dir) => {
+      val pages = Tables.load(s, dir, "events")
+        .selectExpr("event_id", "event_type",
+          "explode(array(1, 2)) AS page")
+        .selectExpr(
+          "event_id AS scn", "0 AS subScn", "1L AS seq", "event_id AS offset",
+          "1 AS thread", "'9.0.9' AS xid", s"'${Op.LobData}' AS op",
+          "0L AS obj", "0L AS bdba", "0 AS slot", "'' AS fb",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('lobId', CAST(event_id AS STRING), " +
+            "'page', CAST(page AS STRING), " +
+            "'data', CASE page WHEN 1 THEN concat(hex(event_type), '82') " +
+            "ELSE 'A082A2' END) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS suppBefore",
+          "CAST(NULL AS MAP<STRING,STRING>) AS suppAfter",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "0L AS tm")
+      LobAssembly.assemble(pages)
+        .select(col("lob_id").cast("long").as("event_id"),
+          col("n_pages"),
+          graft.functions.CharsetExpressions.charsetDecode(
+            unhex(col("lob_data")), lit(832)).as("clob_text"))
+    }),
+
     "q53_column_visibility" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       import spark.implicits._
@@ -987,6 +1023,13 @@ object CdcOps {
         |  || '</item><item>' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)
         |  || '</item><deep>' || CAST(user_id AS VARCHAR)
         |  || '</deep></ns:doc>' AS xml_text
+        |FROM events""".stripMargin,
+
+    // the straddled SJIS pair decodes clean only if assembly precedes
+    // decode — the oracle simply states the final text
+    "q139_clob_charset" ->
+      """SELECT event_id, CAST(2 AS BIGINT) AS n_pages,
+        |  event_type || 'あい' AS clob_text
         |FROM events""".stripMargin,
 
     // expected text restated directly: the ASCII prefix survives every

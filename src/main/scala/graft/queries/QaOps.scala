@@ -94,6 +94,59 @@ object QaOps {
             col("jaccard"))), 6).as("min_jaccard"),
           round(max(when(col("jaccard") >= col("threshold"),
             col("jaccard"))), 6).as("max_jaccard"))
+    }),
+
+    // Asymmetric CONTAINMENT detection (quote-inclusion dedup): doc A is
+    // contained in doc B when ≥80% of A's 8-token spans appear in B —
+    // the case resemblance-LSH (q29) structurally misses, because a
+    // short doc quoted inside a long one has tiny Jaccard but
+    // containment ≈ 1 (Broder 1997's containment coefficient
+    // |S(A)∩S(B)|/|S(A)|). The gate synthesizes guaranteed containments:
+    // every ≥20-token doc contributes a "quote doc" of its first 40% of
+    // tokens (id + 1e8), both engines deriving the same corpus. Scale
+    // shape: spans fold in-row (SpanHashes kernel, text never shuffles),
+    // one (h, [(doc, n_spans)]) exchange with the df∈[2,8] bucket cap —
+    // the band-cap discipline: a boilerplate span shared by thousands of
+    // docs is dropped, bounding every bucket to ≤28 in-row pairs — and
+    // one short-key pair aggregation. n_spans rides the explode payload,
+    // so no join back to the corpus anywhere.
+    "q138_containment" -> ((s, dir) => {
+      val idOff = 100000000L
+      val docs = t(s, dir, "documents")
+      val quotes = docs
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 20)
+        .select((col("doc_id") + idOff).as("doc_id"),
+          array_join(slice(col("t"), lit(1),
+            expr("(size(t) * 2) div 5").cast("int")), " ").as("text"))
+      val corpus = docs.select("doc_id", "text").union(quotes)
+      val spans = Tables.spread(corpus, col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.spanHashes(col("text"), 8)
+            .as("sh"))
+        .filter(size(col("sh")) >= 8)
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"),
+          explode(col("sh")).as("h"))
+      val cA = col("n_common") / col("na").cast("double")
+      val cB = col("n_common") / col("nb").cast("double")
+      spans.groupBy("h")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n_spans"))))
+          .as("ds"))
+        .filter(size(col("ds")).between(2, 8))
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> " +
+            "transform(slice(ds, i + 2, size(ds)), y -> " +
+            "struct(x.doc_id AS a, x.n_spans AS na, " +
+            "y.doc_id AS b, y.n_spans AS nb))))")).as("p"))
+        .select(col("p.a").as("a"), col("p.na").as("na"),
+          col("p.b").as("b"), col("p.nb").as("nb"))
+        .groupBy("a", "na", "b", "nb").agg(count(lit(1)).as("n_common"))
+        .filter(greatest(cA, cB) >= 0.8)
+        .select(
+          when(cA >= cB, col("a")).otherwise(col("b")).as("contained_id"),
+          when(cA >= cB, col("b")).otherwise(col("a")).as("container_id"),
+          col("n_common"),
+          round(greatest(cA, cB), 6).as("containment"))
     }))
 
   private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -150,5 +203,54 @@ object QaOps {
          |  round(max(jaccard) FILTER (WHERE jaccard >= threshold), 6)
          |    AS max_jaccard
          |FROM pairs CROSS JOIN th
-         |GROUP BY th.threshold""".stripMargin)
+         |GROUP BY th.threshold""".stripMargin,
+
+    // the same synthesized corpus, span set, bucket cap and containment
+    // arithmetic, restated relationally (self-join on the capped span
+    // hash instead of the in-bucket pair explode)
+    "q138_containment" ->
+      s"""WITH qsrc AS (
+         |  SELECT doc_id, $sqlTokens AS t FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000000,
+         |    array_to_string(t[1:(len(t) * 2) // 5], ' ')
+         |  FROM qsrc WHERE len(t) >= 20),
+         |base AS (
+         |  SELECT doc_id, ${sqlToksOf("text")} AS toks FROM corpus),
+         |spd AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) >= 8
+         |    THEN list_transform(range(1, len(toks) - 6),
+         |           i -> array_to_string(toks[i:i+7], ' '))
+         |    ELSE [] END) AS sps FROM base),
+         |flt AS (
+         |  SELECT doc_id, CAST(len(sps) AS BIGINT) AS n_spans, sps
+         |  FROM spd WHERE len(sps) >= 8),
+         |sp AS (
+         |  SELECT doc_id, n_spans, md5(unnest(sps)) AS h FROM flt),
+         |capped AS (
+         |  SELECT h FROM sp GROUP BY h HAVING count(*) BETWEEN 2 AND 8),
+         |pairs AS (
+         |  SELECT a.doc_id AS a, a.n_spans AS na,
+         |    b.doc_id AS b, b.n_spans AS nb,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM sp a
+         |  JOIN capped c ON a.h = c.h
+         |  JOIN sp b ON b.h = a.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT
+         |  CASE WHEN n_common / CAST(na AS DOUBLE)
+         |         >= n_common / CAST(nb AS DOUBLE) THEN a ELSE b END
+         |    AS contained_id,
+         |  CASE WHEN n_common / CAST(na AS DOUBLE)
+         |         >= n_common / CAST(nb AS DOUBLE) THEN b ELSE a END
+         |    AS container_id,
+         |  n_common,
+         |  round(greatest(n_common / CAST(na AS DOUBLE),
+         |    n_common / CAST(nb AS DOUBLE)), 6) AS containment
+         |FROM pairs
+         |WHERE greatest(n_common / CAST(na AS DOUBLE),
+         |  n_common / CAST(nb AS DOUBLE)) >= 0.8""".stripMargin)
 }

@@ -62,6 +62,17 @@ class CharsetDecodeSpec extends AnyFunSuite {
     assert(OracleCharsets.decode(bytes("4182"), 832) == "A�")
   }
 
+  test("LOB seam: assemble-then-decode is NOT decode-then-assemble") {
+    // a multi-byte char straddling a page boundary (q139's fixture
+    // shape; parseString's appendData/hasPrev/hasNext continuation,
+    // Builder.h:1086): page-wise decode mangles both sides of the seam,
+    // assembled bytes decode clean
+    val p1 = bytes("4182"); val p2 = bytes("A082A2")
+    assert(OracleCharsets.decode(p1 ++ p2, 832) == "Aあい")
+    assert(OracleCharsets.decode(p1, 832) + OracleCharsets.decode(p2, 832)
+      != "Aあい")
+  }
+
   test("unknown id throws (the reference's startup refusal semantics)") {
     val e = intercept[IllegalArgumentException](
       OracleCharsets.decode(bytes("41"), 999))

@@ -56,6 +56,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q102_xml_decode"            -> 0,
     "q103_adaptive_schema"       -> 0,
     "q137_charset_decode"        -> 0, // broadcast dict join + in-row decode
+    "q139_clob_charset"          -> 1, // the q35 lobId exchange + in-row decode
     "q104_ann_pq"                -> 3, // top-k + two 32-row codebook packs
     "q105_bigram_novelty"        -> 1, // bigram df only (scoring is in-row)
     "q106_distinct_sketch"       -> 2, // KMV agg + the countDistinct expand
@@ -86,6 +87,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q129_snapshot_drift"        -> 0,
     "q12_changed_only"           -> 1,
     "q130_dedup_sensitivity"     -> 4,
+    "q138_containment"           -> 2, // (h) bucket agg + (pair) agg
     "q133_inverted_index"        -> 1, // ONE tok exchange; KmvMinima bounds postings (r7: window gone)
     "q134_vocab_coverage"        -> 2, // vocab distinct + source agg (hint dropped r7: AQE decides)
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
