@@ -147,6 +147,52 @@ object QaOps {
           when(cA >= cB, col("b")).otherwise(col("a")).as("container_id"),
           col("n_common"),
           round(greatest(cA, cB), 6).as("containment"))
+    }),
+
+    // Benchmark decontamination: flag training docs sharing 3-gram
+    // shingles with the held-out evaluation set (the GPT-3/PaLM-style
+    // n-gram overlap scrub every pretraining corpus runs before release).
+    // The gate synthesizes the eval split as doc_id % 97 = 0 (~1% of the
+    // corpus) and — the q138 discipline — guaranteed leaks: every ≥6-token
+    // eval doc contributes a train doc of its first half (id + 2e8),
+    // whose shingle set is a subset of the eval set (overlap_frac = 1.0,
+    // verdict 'drop' at ANY scale factor), while organic trigram
+    // collisions stay far below the 0.2 bar — both branches exercised,
+    // SF-independently. In production the eval side is a FIXED benchmark
+    // suite — a bounded dimension artifact at ANY corpus scale, which is
+    // why (unlike the q134 vocabulary) the broadcast hint is honest here:
+    // eval suites are ~MBs by construction, independent of training-corpus
+    // size. Scale shape: shingles fold in-row (native kernel, text never
+    // shuffles), the train side meets the broadcast hash set with ZERO
+    // exchange, and the one corpus exchange is the per-doc overlap agg
+    // whose map side collapses to ~1 row per doc (scan rows arrive
+    // doc-contiguous). Shingle arrays are distinct per doc, so count(*)
+    // after the semi-join = distinct shared shingles without a (doc, sh)
+    // distinct.
+    "q140_decontamination" -> ((s, dir) => {
+      val leakOff = 200000000L
+      val docs = t(s, dir, "documents")
+      val sh = graft.functions.TextExpressions.shingles3(col("text"))
+      val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+      val leaked = evalDocs
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 6)
+        .select((col("doc_id") + leakOff).as("doc_id"),
+          array_join(slice(col("t"), lit(1),
+            expr("size(t) div 2").cast("int")), " ").as("text"))
+      val bench = evalDocs.select(explode(sh).as("sh")).distinct()
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "text").union(leaked)
+      Tables.spread(train, col("doc_id"))
+        .select(col("doc_id"), size(sh).as("n_sh"), explode(sh).as("sh"))
+        .join(broadcast(bench), "sh")
+        .groupBy("doc_id", "n_sh")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("doc_id"), col("n_sh"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / col("n_sh"), 6)
+            .as("overlap_frac"),
+          when(col("n_overlap").cast("double") / col("n_sh") >= 0.2,
+            lit("drop")).otherwise(lit("review")).as("verdict"))
     }))
 
   private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -252,5 +298,32 @@ object QaOps {
          |    n_common / CAST(nb AS DOUBLE)), 6) AS containment
          |FROM pairs
          |WHERE greatest(n_common / CAST(na AS DOUBLE),
-         |  n_common / CAST(nb AS DOUBLE)) >= 0.8""".stripMargin)
+         |  n_common / CAST(nb AS DOUBLE)) >= 0.8""".stripMargin,
+
+    "q140_decontamination" ->
+      s"""WITH ev AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |evt AS (SELECT doc_id, $sqlTokens AS t FROM ev),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000000,
+         |    array_to_string(t[1:len(t) // 2], ' ')
+         |  FROM evt WHERE len(t) >= 6),
+         |bench AS (
+         |  SELECT DISTINCT unnest(${TextOps.sqlShingles(sqlTokens)}) AS sh
+         |  FROM ev),
+         |ex AS (
+         |  SELECT doc_id, CAST(len(sh) AS INT) AS n_sh, unnest(sh) AS sh
+         |  FROM (SELECT doc_id, ${TextOps.sqlShingles(sqlTokens)} AS sh
+         |    FROM train)),
+         |hits AS (
+         |  SELECT e.doc_id, e.n_sh, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM ex e JOIN bench b ON e.sh = b.sh
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, n_sh, n_overlap,
+         |  round(n_overlap / CAST(n_sh AS DOUBLE), 6) AS overlap_frac,
+         |  CASE WHEN n_overlap / CAST(n_sh AS DOUBLE) >= 0.2 THEN 'drop'
+         |       ELSE 'review' END AS verdict
+         |FROM hits""".stripMargin)
 }

@@ -59,6 +59,9 @@ object TrainOps {
   // ---- q124: threshold sweep -------------------------------------------
   private val Thresholds: Seq[Int] = (-800 to 800 by 200)
 
+  // ---- q141: sequence packing ------------------------------------------
+  private val SeqLen = 1024L
+
   /** Shared BPE learner (q123 reports it, q126 encodes with it): returns
     * the merge table [(round, a, b, pair count, corpus symbols after)] and
     * the post-merge vocabulary (tok, n, seq). The corpus is exploded ONCE
@@ -226,6 +229,33 @@ object TrainOps {
         .select(col("source"), col("n_tokens"), col("n_oov"),
           round(col("n_oov").cast("double") / col("n_tokens"), 6)
             .as("oov_rate"))
+    }),
+
+    // Sequence packing: concatenate-and-chunk the shuffled corpus into
+    // fixed-length training sequences (the GPT-style "document boundaries
+    // ignored" packing every LM training job runs between shard order and
+    // the data loader). Each doc's start offset is the running token count
+    // of everything before it in its shard's deterministic order (q121's
+    // salt-hash order), so seq_id/seq_off are pure window arithmetic —
+    // no greedy bin-packing state, bit-identical on any executor count.
+    // Scale shape: ONE hash exchange on shard + a local per-shard
+    // sort-window (never a global sort, the q121 rule); the window ships
+    // (doc_id, h, n_tok) — text never shuffles, n_tok folds in-row at
+    // the scan.
+    "q141_sequence_packing" -> ((s, dir) => {
+      val h = md5(concat(lit(OrderSalt), col("doc_id").cast("string")))
+      val w = Window.partitionBy("shard").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), h.as("h"),
+          size(TextOps.tokensCol).cast("long").as("n_tok"))
+        .withColumn("shard",
+          (conv(substring(col("h"), 1, 4), 16, 10).cast("long")
+            % NShards).cast("int"))
+        .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"),
+          expr(s"off div $SeqLen").as("seq_id"),
+          expr(s"off % $SeqLen").as("seq_off"), col("n_tok"))
     }))
 
   private val hexDigits = "0123456789abcdef"
@@ -333,5 +363,19 @@ object TrainOps {
          |  round(count(*) FILTER (WHERE v.tok IS NULL)
          |    / CAST(count(*) AS DOUBLE), 6) AS oov_rate
          |FROM ev LEFT JOIN vocab v ON ev.tok = v.tok
-         |GROUP BY ev.source""".stripMargin)
+         |GROUP BY ev.source""".stripMargin,
+
+    "q141_sequence_packing" ->
+      s"""SELECT doc_id, shard,
+         |  CAST(off // $SeqLen AS BIGINT) AS seq_id,
+         |  CAST(off % $SeqLen AS BIGINT) AS seq_off, n_tok
+         |FROM (SELECT doc_id, shard, n_tok,
+         |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM (SELECT doc_id, h,
+         |      CAST(${sqlHex4("h")} % $NShards AS INT) AS shard,
+         |      CAST(len($sqlTokens) AS BIGINT) AS n_tok
+         |    FROM (SELECT doc_id, text,
+         |        md5('$OrderSalt' || CAST(doc_id AS VARCHAR)) AS h
+         |      FROM documents)))""".stripMargin)
 }
