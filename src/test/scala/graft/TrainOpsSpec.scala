@@ -114,4 +114,28 @@ class TrainOpsSpec extends AnyFunSuite {
     // survives the top cutoff, something survives the bottom one
     assert(rows.head.getLong(1) > rows.last.getLong(1))
   }
+
+  test("q141: per-shard offsets are exact prefix sums of token counts " +
+    "(concatenate-and-chunk packing leaves no gaps and no overlaps)") {
+    val rows = TrainOps.defs("q141_sequence_packing")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) < 1024, s"seq_off ${r}")
+      assert(r.getLong(2) >= 0)
+    }
+    // within a shard, reconstruct each doc's start offset
+    // (seq_id*1024 + seq_off) and check the sorted run is exactly the
+    // running sum of token counts — every token lands in exactly one
+    // slot of exactly one sequence
+    rows.groupBy(_.getInt(1)).foreach { case (shard, rs) =>
+      val byOff = rs.map(r => (r.getLong(2) * 1024L + r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+      var expect = 0L
+      byOff.foreach { case (off, nTok) =>
+        assert(off == expect, s"shard $shard: off $off != $expect")
+        expect += nTok
+      }
+    }
+  }
 }
