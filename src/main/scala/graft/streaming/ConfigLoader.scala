@@ -31,11 +31,22 @@ object ConfigLoader {
   case class NetworkWriterSpec(uri: String) extends WriterSpec
   case object DiscardWriterSpec extends WriterSpec
 
+  /** Top-level `metrics` section (OpenLogReplicator.cpp:364-399: `type`,
+    * `bind`, `tag-names`). `newRegistry` builds the name-parity
+    * [[Prometheus]] registry; `bind` is surfaced for the caller's HTTP
+    * exposer (serving the scrape endpoint is deployment plumbing, not
+    * engine semantics — [[Prometheus.render]] is the scrape body). */
+  case class MetricsConf(metricsType: String, bind: String,
+      tagNames: Prometheus.TagNames) {
+    def newRegistry(): Prometheus = new Prometheus(tagNames)
+  }
+
   case class Loaded(
       alias: String,
       dbName: String,
       config: Pipeline.Config,
       writer: Option[WriterSpec],
+      metrics: Option[MetricsConf],
       /** codec-side rendering selectors applied at feed adaptation:
         * XID_FORMAT / TIMESTAMP_FORMAT / INTERVAL_DTS / INTERVAL_YTM raw
         * values (Format.h:54-168,195-200). */
@@ -202,6 +213,17 @@ object ConfigLoader {
       }
     }
 
+    // ----- top-level metrics (OpenLogReplicator.cpp:364-399) --------------
+    val metricsConf = (root \ "metrics") match {
+      case JObject(_) =>
+        val m = root \ "metrics"
+        val mType = jstr(m \ "type")
+        if (mType.isEmpty) None
+        else Some(MetricsConf(mType, jstr(m \ "bind"),
+          Prometheus.TagNames.parse(jstr(m \ "tag-names", "none"))))
+      case _ => None
+    }
+
     Loaded(
       alias = alias,
       dbName = dbName,
@@ -215,6 +237,7 @@ object ConfigLoader {
         wireFormat = if (fmtType == "protobuf") "proto" else "json",
         messageFull = bit(msgV, 1)), // MESSAGE_FORMAT::FULL
       writer = writer,
+      metrics = metricsConf,
       xidFormat = jint(fmt \ "xid"),
       timestampFormat = jint(fmt \ "timestamp"),
       intervalDts = jint(fmt \ "interval-dts"),

@@ -164,5 +164,32 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(out.length == 1)
     val value = out.head.getAs[String]("value")
     assert(value.contains(""""op":"c"""") && value.contains("TABLENAME1"))
+    // no top-level metrics section → no registry
+    assert(l.metrics.isEmpty)
+  }
+
+  test("metrics section: the documented prometheus example maps to a " +
+    "name-parity registry") {
+    // metrics.adoc's own configuration example, verbatim shape
+    val json =
+      """{"source": [{"alias": "S", "name": "D",
+        |  "reader": {"type": "batch", "redo-log": ["/data/feed"]},
+        |  "format": {"type": "json"}, "filter": {"table": []}}],
+        |  "metrics": {"type": "prometheus", "bind": "0.0.0.0:8080",
+        |    "tag-names": "all"}}""".stripMargin
+    val l = ConfigLoader.load(json, dict)
+    val mc = l.metrics.get
+    assert(mc.metricsType == "prometheus" && mc.bind == "0.0.0.0:8080")
+    assert(mc.tagNames == graft.streaming.Prometheus.TagNames.All)
+    val reg = mc.newRegistry()
+    // the registry honors the knob: user-table dml gets (owner, table)
+    reg.emitDmlOps("insert", "out", 2, "OWNER1", "TABLENAME1")
+    assert(reg.render().contains(
+      "dml_ops{filter=\"out\",owner=\"OWNER1\"," +
+        "table=\"TABLENAME1\",type=\"insert\"} 2"))
+    // invalid tag-names is a config error (ConfigurationException 30001)
+    intercept[IllegalArgumentException] {
+      ConfigLoader.load(json.replace("\"all\"", "\"bogus\""), dict)
+    }
   }
 }

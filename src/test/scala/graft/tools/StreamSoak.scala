@@ -84,6 +84,19 @@ object StreamSoak {
       f""""events_per_sec":${inRows / secs}%.0f,"mb":$mb%.1f,""" +
       f""""mb_per_sec":${mb / secs}%.2f,"peak_state_rows":$peakStateRows,""" +
       f""""peak_state_mb":$peakStateMb%.1f}""")
+    // Prometheus-name-parity scrape of the same soak (the surface a
+    // migrated dashboard reads): batch gauges + the txn-outcome counters
+    val prom = new graft.streaming.Prometheus()
+    prom.setServiceState("replicating")
+    snaps.foreach(prom.observeBatch)
+    prom.emitTransactions("commit", "out", nTxns.toLong)
+    prom.emitBytesParsed(payloadBytes)
+    println("[soak] prometheus scrape excerpt:")
+    prom.render().linesIterator
+      .filter(l => l.startsWith("transactions{") ||
+        l.startsWith("memory_used_mb{type=\"transactions\"}") ||
+        l.startsWith("bytes_parsed") || l.startsWith("checkpoint_lag"))
+      .foreach(l => println("[soak]   " + l))
     Metrics.detach(spark, collector)
 
     // ---- CorpusIngest first-seen dedup soak -----------------------------
