@@ -109,6 +109,51 @@ object Metrics {
       .groupBy(col("op"))
       .agg(count(lit(1)).as("n_skipped"))
 
+  /** Bridge Spark task metrics onto the reference-named Prometheus
+    * families ([[Prometheus]]): scan input bytes ≙ `bytes_read` (the
+    * reference counts redo-file bytes read — here it is feed-file bytes),
+    * spill-to-disk bytes ≙ `swap_operations_mb{type="write"}` (the
+    * reference swaps 1 MB txn-buffer blocks under memory pressure; the
+    * Spark analogue is task spill during shuffle/sort/agg — a nonzero
+    * value is the same signal: the working set outgrew memory). Spark
+    * does not report spill READ-back volume per task, so the `read` and
+    * `discard` series stay registered-at-zero — present for scrape-shape
+    * parity, honest about what the engine can observe.
+    *
+    * Listener callbacks are driver-side and O(1) per task — nothing on
+    * the executor hot path. */
+  final class TaskMetricsBridge(prom: Prometheus)
+      extends org.apache.spark.scheduler.SparkListener {
+    private val spillCarryBytes = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        if (m.inputMetrics != null && m.inputMetrics.bytesRead > 0)
+          prom.emitBytesRead(m.inputMetrics.bytesRead)
+        if (m.diskBytesSpilled > 0) {
+          // the family is denominated in MB (the reference swaps whole
+          // 1 MB blocks); carry the sub-MB remainder across tasks so
+          // small spills are not lost to truncation
+          val total = spillCarryBytes.addAndGet(m.diskBytesSpilled)
+          val mb = total >> 20
+          if (mb > 0 && spillCarryBytes.compareAndSet(total, total & ((1L << 20) - 1)))
+            prom.emitSwapOperationsMb("write", mb)
+        }
+      }
+    }
+  }
+
+  /** Register a task-metrics bridge feeding `prom`; caller keeps the
+    * handle for removal. */
+  def attachTaskMetrics(spark: SparkSession, prom: Prometheus): TaskMetricsBridge = {
+    val b = new TaskMetricsBridge(prom)
+    spark.sparkContext.addSparkListener(b)
+    b
+  }
+  def detachTaskMetrics(spark: SparkSession, b: TaskMetricsBridge): Unit =
+    spark.sparkContext.removeSparkListener(b)
+
   /** §2.9 event-time windowed throughput: tumbling-window op counts with a
     * bounded-lateness watermark. On a stream, a window emits once the
     * watermark passes its end and later-than-watermark events are DROPPED

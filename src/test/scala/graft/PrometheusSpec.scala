@@ -94,6 +94,26 @@ class PrometheusSpec extends AnyFunSuite {
     assert(r.contains("checkpoint_lag 1.5"))
   }
 
+  test("task-metrics bridge feeds bytes_read from real scans") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    val reg = new Prometheus()
+    val bridge = Metrics.attachTaskMetrics(spark, reg)
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+      // listener bus is async; poll until the counter lands
+      def read(): Long = reg.render().linesIterator
+        .find(_.startsWith("bytes_read ")).get
+        .stripPrefix("bytes_read ").toLong
+      var tries = 0
+      while (read() == 0 && tries < 100) { Thread.sleep(50); tries += 1 }
+      assert(read() > 0)
+      // swap families stay registered at zero without spill
+      assert(reg.render().contains("swap_operations_mb{type=\"read\"} 0"))
+    } finally Metrics.detachTaskMetrics(spark, bridge)
+  }
+
   test("exposition format: every line is a comment or name{labels} value") {
     val reg = new Prometheus(TagNames.All)
     reg.emitDmlOps("update", "out", 3, "A", "B")
