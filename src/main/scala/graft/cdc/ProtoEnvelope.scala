@@ -146,11 +146,15 @@ object ProtoEnvelope {
     * means "continue from last", WriterStream.cpp:186-196). */
   case class RedoRequest(code: Int, db: String, scn: Option[Long] = None,
       seq: Option[Long] = None, cScn: Option[Long] = None,
-      cIdx: Option[Long] = None)
+      cIdx: Option[Long] = None, tms: Option[String] = None,
+      tmRel: Option[Long] = None)
 
   def encodeRequest(r: RedoRequest): Array[Byte] =
     vint(1, r.code.toLong) ++ str(2, r.db) ++
       r.scn.map(vintOneof(3, _)).getOrElse(Array.emptyByteArray) ++
+      r.tms.map(s => lenDelim(4, s.getBytes(UTF_8)))
+        .getOrElse(Array.emptyByteArray) ++
+      r.tmRel.map(vintOneof(5, _)).getOrElse(Array.emptyByteArray) ++
       r.seq.map(vintOneof(6, _)).getOrElse(Array.emptyByteArray) ++
       r.cScn.map(vintOneof(8, _)).getOrElse(Array.emptyByteArray) ++
       r.cIdx.map(vintOneof(9, _)).getOrElse(Array.emptyByteArray)
@@ -187,6 +191,8 @@ object ProtoEnvelope {
       case (1, Left(v)) => r = r.copy(code = v.toInt)
       case (2, Right(s)) => r = r.copy(db = new String(s, UTF_8))
       case (3, Left(v)) => r = r.copy(scn = Some(v))
+      case (4, Right(s)) => r = r.copy(tms = Some(new String(s, UTF_8)))
+      case (5, Left(v)) => r = r.copy(tmRel = Some(v))
       case (6, Left(v)) => r = r.copy(seq = Some(v))
       case (8, Left(v)) => r = r.copy(cScn = Some(v))
       case (9, Left(v)) => r = r.copy(cIdx = Some(v))

@@ -142,6 +142,12 @@ final class PullServer(database: String,
               scn = outboxSnapshot.headOption.map(_._1),
               cScn = Some(tracker.confirmed.map(_._1).getOrElse(0L)),
               cIdx = Some(tracker.confirmed.map(_._2).getOrElse(0L))))
+          else if (req.tms.nonEmpty || req.tmRel.nonEmpty)
+            // time-based start needs the replicator's DB clock to resolve
+            // time→scn (ReplicatorOnline); this engine's feed is
+            // scn-addressed, so the request fails cleanly instead of
+            // guessing — the reference's FAILED_START arm
+            send(out, ProtoEnvelope.encodeControlResponse(Resp.FailedStart))
           else {
             started = true
             send(out, ProtoEnvelope.encodeControlResponse(Resp.Replicate,
@@ -167,11 +173,14 @@ final class PullServer(database: String,
           }
 
         case Req.Confirm =>
-          // processConfirm: no response; the global watermark advances
-          // contiguously, this client's position advances monotonically,
-          // and fully-covered queue entries are dropped
+          // processConfirm: no response; the confirm is CUMULATIVE —
+          // every queued message at or below (c_scn, c_idx) confirms
+          // (WriterStream.cpp:215-217 pops the whole prefix; the client
+          // acks only each 1000th message and relies on this). This
+          // client's position advances monotonically and fully-covered
+          // queue entries are dropped.
           for (cs <- req.cScn; ci = req.cIdx.getOrElse(0L)) {
-            tracker.confirm(cs, ci)
+            tracker.confirmUpTo(cs, ci)
             clientConfirms.computeIfPresent(connId, (_, old) =>
               if (Ordering[(Long, Long)].gt((cs, ci), old)) (cs, ci) else old)
             gc()

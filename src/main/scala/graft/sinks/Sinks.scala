@@ -196,6 +196,25 @@ object Sinks {
       }
     }
 
+    /** Cumulative ack — confirm EVERY pending id at or below
+      * (cScn, cIdx): the network-protocol confirm semantics
+      * (WriterStream.cpp:215-217 pops the whole queue prefix ≤ the
+      * client's position; StreamClient acks only each 1000th message and
+      * relies on exactly this). Per-message [[confirm]] remains for sinks
+      * that ack individual deliveries (file/Kafka callbacks). */
+    def confirmUpTo(cScn: Long, cIdx: Long): Unit = synchronized {
+      val id = (cScn, cIdx)
+      pending --= pending.rangeTo(id).toList
+      val wm = pending.headOption match {
+        case Some(low) => sentLog.maxBefore(low)
+        case None => sentMax
+      }
+      wm.foreach { w =>
+        watermark = Some(w)
+        sentLog --= sentLog.rangeUntil(w)
+      }
+    }
+
     /** The idempotent-restart position: all ids ≤ this are delivered. */
     def confirmed: Option[(Long, Long)] = synchronized { watermark }
     def inflight: Int = synchronized { pending.size }

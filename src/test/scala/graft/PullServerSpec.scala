@@ -63,14 +63,13 @@ class PullServerSpec extends AnyFunSuite {
       val got1 = (1 to 5).map(_ => c1.recv())
       assert(got1.forall(_.code == Resp.Payload))
       assert(got1.flatMap(_.cScn) == Seq(101L, 102L, 103L, 104L, 105L))
-      // ack 101, then the out-of-order 103: watermark holds at 101
+      // ack 101, then 103: the protocol confirm is CUMULATIVE — every
+      // message at or below the position confirms (WriterStream.cpp:
+      // 215-217 pops the whole queue prefix; StreamClient acks only each
+      // 1000th message and relies on this), so 103 covers 102 too
       c1.send(RedoRequest(Req.Confirm, "DB1", cScn = Some(101L), cIdx = Some(0L)))
       awaitConfirmed(srv, Some((101L, 0L)))
       c1.send(RedoRequest(Req.Confirm, "DB1", cScn = Some(103L), cIdx = Some(0L)))
-      Thread.sleep(100) // give a wrong advance the chance to happen
-      assert(srv.confirmed == Some((101L, 0L)))
-      // the gap-filling 102 advances past the already-acked 103
-      c1.send(RedoRequest(Req.Confirm, "DB1", cScn = Some(102L), cIdx = Some(0L)))
       awaitConfirmed(srv, Some((103L, 0L)))
       c1.close()
 
