@@ -30,7 +30,8 @@ import graft.cdc.ProtoEnvelope.{Req, Resp}
   * deployment would put the same state machine behind ZeroMQ or keep
   * Kafka as the scale sink (Sinks.kafkaWriter). */
 final class PullServer(database: String,
-    initial: IndexedSeq[(Long, Long, Array[Byte])]) {
+    initial: IndexedSeq[(Long, Long, Array[Byte])],
+    prom: Option[graft.streaming.Prometheus] = None) {
 
   private val tracker = new Sinks.ConfirmTracker
   private val server = new ServerSocket(0, 8,
@@ -81,8 +82,17 @@ final class PullServer(database: String,
       val keepFrom = outbox.indexWhere { case (s, i, _) =>
         Ordering[(Long, Long)].gt((s, i), m)
       }
+      val dropped =
+        if (keepFrom < 0) outbox.toSeq else outbox.take(keepFrom).toSeq
       if (keepFrom < 0) outbox.clear()
       else if (keepFrom > 0) outbox.remove(0, keepFrom)
+      // the reference's confirmMessage emit (Writer.cpp:107-110): one
+      // per queue entry popped by the cumulative confirm
+      prom.foreach { p =>
+        dropped.foreach { case (_, _, b) =>
+          p.emitMessagesConfirmed(1); p.emitBytesConfirmed(b.length.toLong)
+        }
+      }
     }
   }
 
@@ -208,6 +218,12 @@ final class PullServer(database: String,
           }
         }
         send(out, bytes)
+        // the reference's exact emit point (Writer.cpp:301-305: after
+        // sendMessage). Replays to a resuming client count again, like
+        // the reference's resend path — sent ≠ confirmed by design.
+        prom.foreach { p =>
+          p.emitMessagesSent(1); p.emitBytesSent(bytes.length.toLong)
+        }
       }
   }
 

@@ -55,7 +55,8 @@ object Sinks {
     */
   final class RotatingFileWriter(output: String, maxFileSize: Long = 0L,
       append: Boolean = true, newLine: String = "\n",
-      clock: () => Long = () => System.currentTimeMillis()) {
+      clock: () => Long = () => System.currentTimeMillis(),
+      prom: Option[graft.streaming.Prometheus] = None) {
     import java.nio.file.{Files, Paths, StandardOpenOption}
 
     private val (dir, mask) = {
@@ -135,6 +136,12 @@ object Sinks {
       Files.write(p, bytes, StandardOpenOption.CREATE,
         StandardOpenOption.APPEND)
       currentSize += bytes.length
+      // a file write is sent AND confirmed at once (the reference's
+      // file writer calls confirmMessage right after the write)
+      prom.foreach { pm =>
+        pm.emitMessagesSent(1); pm.emitBytesSent(bytes.length.toLong)
+        pm.emitMessagesConfirmed(1); pm.emitBytesConfirmed(bytes.length.toLong)
+      }
     }
 
     /** Sequence mode: a new redo sequence switches the file (the

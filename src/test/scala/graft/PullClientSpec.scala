@@ -86,6 +86,36 @@ class PullClientSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("writer emit points feed messages/bytes sent and confirmed") {
+    val prom = new graft.streaming.Prometheus()
+    val srv = new PullServer("DB1", outbox, Some(prom))
+    try {
+      val c = new PullClient("127.0.0.1", srv.port, "DB1")
+      val i = c.info()
+      c.begin(i, StartSpec.parse("now"))
+      var n = 0
+      c.consume({ _ => n += 1; n < 5 }, confirmEvery = 2)
+      val deadline = System.nanoTime() + 5000000000L
+      while (srv.confirmed != Some((104L, 0L)) &&
+        System.nanoTime() < deadline) Thread.sleep(10)
+      def v(name: String): Long = prom.render().linesIterator
+        .find(_.startsWith(name + " ")).get.stripPrefix(name + " ").toLong
+      assert(v("messages_sent") == 5 && v("bytes_sent") > 0)
+      // cumulative confirm (104, 0) popped 101-104 from the queue
+      assert(v("messages_confirmed") == 4 && v("bytes_confirmed") > 0)
+      c.close()
+    } finally srv.close()
+
+    // the file writer sends and confirms in one step
+    val dir = java.nio.file.Files.createTempDirectory("graft_prom").toString
+    val fprom = new graft.streaming.Prometheus()
+    val w = new graft.sinks.Sinks.RotatingFileWriter(s"$dir/out.json",
+      prom = Some(fprom))
+    w.write("{\"a\":1}"); w.write("{\"b\":2}")
+    val r = fprom.render()
+    assert(r.contains("messages_sent 2") && r.contains("messages_confirmed 2"))
+  }
+
   test("time-based START fails cleanly (no DB clock to resolve time→scn)") {
     val srv = new PullServer("DB2", outbox)
     try {
