@@ -62,6 +62,41 @@ object TrainOps {
   // ---- q141: sequence packing ------------------------------------------
   private val SeqLen = 1024L
 
+  // ---- q142: unigram-LM tokenizer --------------------------------------
+  private val UniTopK = 128
+
+  /** Learn the scored unigram vocabulary: all substrings of length
+    * 1..MaxPiece of the (capped) corpus tokens, weighted by token
+    * frequency; vocab = the full alphabet (every length-1 substring) +
+    * the top-[[UniTopK]] multi-char pieces by (count desc, piece asc);
+    * score = floor(1000·ln(cnt/total)) milli-nats over the chosen vocab.
+    * Two token-bounded exchanges build it; the result is a bounded
+    * dimension artifact (alphabet + 128 entries) collected at plan
+    * construction, like the BPE merge table and the q119 LM. */
+  private[graft] def unigramVocab(s: SparkSession, dir: String): Map[String, Long] = {
+    import graft.functions.UnigramNative.{MaxPiece, TokCap}
+    val tokf = spread(t(s, dir, "documents"))
+      .select(explode(TextOps.tokensCol).as("tok0"))
+      .select(col("tok0").substr(lit(1), lit(TokCap)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val subs = tokf
+      .select(col("tok"), col("f"),
+        explode(sequence(lit(1), length(col("tok")))).as("i"))
+      .select(col("tok"), col("f"), col("i"),
+        explode(sequence(lit(1), lit(MaxPiece))).as("k"))
+      .filter(col("i") + col("k") - 1 <= length(col("tok")))
+      .select(col("tok").substr(col("i"), col("k")).as("sub"), col("f"))
+      .groupBy("sub").agg(sum(col("f")).as("cnt"))
+    val singles = subs.filter(length(col("sub")) === 1).collect()
+    val multi = subs.filter(length(col("sub")) >= 2)
+      .orderBy(col("cnt").desc, col("sub").asc).limit(UniTopK).collect()
+    val entries = (singles ++ multi).map(r => r.getString(0) -> r.getLong(1))
+    val total = entries.map(_._2).sum.toDouble
+    entries.map { case (sub, cnt) =>
+      sub -> math.floor(math.log(cnt / total) * 1000).toLong
+    }.toMap
+  }
+
   /** Shared BPE learner (q123 reports it, q126 encodes with it): returns
     * the merge table [(round, a, b, pair count, corpus symbols after)] and
     * the post-merge vocabulary (tok, n, seq). The corpus is exploded ONCE
@@ -256,7 +291,121 @@ object TrainOps {
         .select(col("doc_id"), col("shard"),
           expr(s"off div $SeqLen").as("seq_id"),
           expr(s"off % $SeqLen").as("seq_off"), col("n_tok"))
+    }),
+
+    // Unigram-LM (SentencePiece-family) tokenizer: learn a scored piece
+    // vocabulary, then Viterbi-segment the corpus — the second real-world
+    // subword family next to BPE (q123/q126). Scores are INTEGER
+    // milli-nats, so the DP and every per-doc sum are exact integer
+    // arithmetic: bit-identical across engines, executors, and addition
+    // orders (one step past the round()-discipline). Scale shape: the
+    // vocab is a bounded collected artifact (alphabet + top-128 pieces —
+    // fixed size at ANY corpus scale, unlike the raw vocabulary);
+    // encoding folds fully IN-ROW via the native kernel, so the final
+    // plan is scan → project, zero corpus exchanges (the q119/q120
+    // class). The only caveat worth naming: ln() is libm on both
+    // engines; a last-ulp divergence would need ln·1000 within 1e-13 of
+    // an integer to flip a floor() — negligible, and confined to vocab
+    // CONSTRUCTION, never per-row work.
+    "q142_unigram_tokenizer" -> ((s, dir) => {
+      val vocab = unigramVocab(s, dir)
+      val enc = graft.functions.UnigramNative.Expressions
+        .unigramEncode(col("text"), vocab)
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), enc.as("e"))
+        .filter(col("e.n_tok") > 0)
+        .select(col("doc_id"), col("e.n_tok").as("n_tok"),
+          col("e.n_pieces").as("n_pieces"),
+          col("e.nll_milli").as("nll_milli"),
+          round(col("e.n_pieces").cast("double") / col("e.n_tok"), 6)
+            .as("avg_pieces"))
     }))
+
+  /** q142's oracle: the identical vocab build + Viterbi restated
+    * relationally — the DP's sliding 4-boundary state rides a recursive
+    * CTE (the carried b1..b3/q1..q3 columns are best/pieces at j-1..j-3),
+    * candidate pieces pre-pivot per (tok, j), and max-score-then-fewer-
+    * pieces picks via a sorted (-score, pieces) struct list. All integer
+    * milli-nat arithmetic — hash-exact vs the native kernel. */
+  private def sqlUnigram: String = {
+    import graft.functions.UnigramNative.{MaxPiece, Penalty, TokCap}
+    s"""WITH tokocc AS (
+       |  SELECT substr(tok, 1, $TokCap) AS tok FROM (
+       |    SELECT unnest($sqlTokens) AS tok FROM documents)),
+       |tokf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+       |  FROM tokocc GROUP BY tok),
+       |subs AS (
+       |  SELECT substr(tok, CAST(i AS INT), CAST(k AS INT)) AS sub,
+       |    CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM tokf
+       |  CROSS JOIN range(1, ${TokCap + 1}) ti(i)
+       |  CROSS JOIN range(1, ${MaxPiece + 1}) tk(k)
+       |  WHERE i + k - 1 <= len(tok)
+       |  GROUP BY 1),
+       |vocab AS (
+       |  SELECT sub, cnt FROM subs WHERE len(sub) = 1
+       |  UNION ALL
+       |  (SELECT sub, cnt FROM subs WHERE len(sub) >= 2
+       |   ORDER BY cnt DESC, sub LIMIT $UniTopK)),
+       |scored AS (
+       |  SELECT sub,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE) /
+       |      (SELECT CAST(sum(cnt) AS DOUBLE) FROM vocab)) * 1000)
+       |      AS BIGINT) AS s
+       |  FROM vocab),
+       |cand AS (
+       |  SELECT tok, n, j,
+       |    max(CASE WHEN k = 1 THEN coalesce(s, $Penalty) END) AS s1,
+       |    max(CASE WHEN k = 2 THEN s END) AS s2,
+       |    max(CASE WHEN k = 3 THEN s END) AS s3,
+       |    max(CASE WHEN k = 4 THEN s END) AS s4
+       |  FROM (
+       |    SELECT f.tok, len(f.tok) AS n, CAST(j AS INT) AS j,
+       |      CAST(k AS INT) AS k, v.s
+       |    FROM tokf f
+       |    CROSS JOIN range(1, ${TokCap + 1}) tj(j)
+       |    CROSS JOIN range(1, ${MaxPiece + 1}) tk(k)
+       |    LEFT JOIN scored v
+       |      ON v.sub = substr(f.tok, CAST(j - k + 1 AS INT), CAST(k AS INT))
+       |    WHERE j <= len(f.tok) AND k <= j)
+       |  GROUP BY 1, 2, 3),
+       |seg AS (
+       |  WITH RECURSIVE dp AS (
+       |    SELECT tok, len(tok) AS n, 0 AS j,
+       |      CAST(0 AS BIGINT) AS b0, 0 AS q0,
+       |      CAST(NULL AS BIGINT) AS b1, CAST(NULL AS INT) AS q1,
+       |      CAST(NULL AS BIGINT) AS b2, CAST(NULL AS INT) AS q2,
+       |      CAST(NULL AS BIGINT) AS b3, CAST(NULL AS INT) AS q3
+       |    FROM tokf
+       |    UNION ALL
+       |    SELECT tok, n, j2 AS j, -(pick.nb) AS b0, pick.q AS q0,
+       |      b0 AS b1, q0 AS q1, b1 AS b2, q1 AS q2, b2 AS b3, q2 AS q3
+       |    FROM (
+       |      SELECT dp.tok, dp.n, dp.j + 1 AS j2, dp.b0, dp.q0, dp.b1,
+       |        dp.q1, dp.b2, dp.q2,
+       |        (list_sort(list_filter([
+       |          {'nb': -(dp.b0 + c.s1), 'q': dp.q0 + 1},
+       |          CASE WHEN dp.b1 IS NOT NULL AND c.s2 IS NOT NULL
+       |            THEN {'nb': -(dp.b1 + c.s2), 'q': dp.q1 + 1} END,
+       |          CASE WHEN dp.b2 IS NOT NULL AND c.s3 IS NOT NULL
+       |            THEN {'nb': -(dp.b2 + c.s3), 'q': dp.q2 + 1} END,
+       |          CASE WHEN dp.b3 IS NOT NULL AND c.s4 IS NOT NULL
+       |            THEN {'nb': -(dp.b3 + c.s4), 'q': dp.q3 + 1} END],
+       |          x -> x IS NOT NULL)))[1] AS pick
+       |      FROM dp JOIN cand c ON c.tok = dp.tok AND c.j = dp.j + 1
+       |      WHERE dp.j < dp.n))
+       |  SELECT tok, q0 AS p, b0 AS s FROM dp WHERE j = n),
+       |docseg AS (
+       |  SELECT d.doc_id, sg.p, sg.s
+       |  FROM (SELECT doc_id, substr(tok, 1, $TokCap) AS tok FROM (
+       |      SELECT doc_id, unnest($sqlTokens) AS tok FROM documents)) d
+       |  JOIN seg sg ON sg.tok = d.tok)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  CAST(sum(p) AS BIGINT) AS n_pieces,
+       |  CAST(-sum(s) AS BIGINT) AS nll_milli,
+       |  round(sum(p) / CAST(count(*) AS DOUBLE), 6) AS avg_pieces
+       |FROM docseg GROUP BY doc_id""".stripMargin
+  }
 
   private val hexDigits = "0123456789abcdef"
   private[graft] def sqlHex4(h: String): String =
@@ -377,5 +526,7 @@ object TrainOps {
          |      CAST(len($sqlTokens) AS BIGINT) AS n_tok
          |    FROM (SELECT doc_id, text,
          |        md5('$OrderSalt' || CAST(doc_id AS VARCHAR)) AS h
-         |      FROM documents)))""".stripMargin)
+         |      FROM documents)))""".stripMargin,
+
+    "q142_unigram_tokenizer" -> sqlUnigram)
 }

@@ -138,4 +138,38 @@ class TrainOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q142 kernel: Viterbi picks the max-score segmentation, ties to " +
+    "fewer pieces, singles fall back with the OOV penalty") {
+    import graft.functions.UnigramNative
+    val vocab = Map[String, Long](
+      "a" -> -2000L, "b" -> -2000L, "ab" -> -1000L, "abab" -> -1500L)
+    // abab: one 4-char piece (-1500) beats ab+ab (-2000) and chars (-8000)
+    assert(UnigramNative.segment("abab", vocab) == (1, -1500L))
+    // abab + b: no piece spans the boundary choice — ab ab b? abab+b
+    assert(UnigramNative.segment("ababb", vocab) == (2, -3500L))
+    // tie: aa as a+a — with "aa" scored equal to a+a, fewer pieces wins
+    val tie = vocab + ("aa" -> -4000L)
+    assert(UnigramNative.segment("aa", tie) == (1, -4000L))
+    // OOV char: penalty single, then known pieces resume
+    assert(UnigramNative.segment("zab", vocab) ==
+      (2, UnigramNative.Penalty - 1000L))
+    // cap: tokens truncate at TokCap before segmentation
+    val caps = Map[String, Long]("a" -> -1000L)
+    val long = "a" * 40
+    val enc = UnigramNative.segment(long.substring(0, UnigramNative.TokCap), caps)
+    assert(enc == (UnigramNative.TokCap, -1000L * UnigramNative.TokCap))
+  }
+
+  test("q142: per-doc sums are consistent and pieces compress tokens") {
+    val rows = TrainOps.defs("q142_unigram_tokenizer")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nPieces, nll) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTok > 0 && nPieces >= nTok, s"doc ${r.getLong(0)}")
+      // every piece costs > 0 milli-nats; NLL grows with piece count
+      assert(nll > 0 && nll >= nPieces)
+      assert(math.abs(r.getDouble(4) - nPieces.toDouble / nTok) < 1e-6)
+    }
+  }
 }
