@@ -35,7 +35,10 @@ class CollectDisciplineSpec extends AnyFunSuite {
       "q101 KB-sized bloom-filter bytes (bounded by its 10k-item/80k-bit " +
         "build args) + q109 1-row N/avgdl scalar + q109 query-term df " +
         "rows (semi-joined to the <=10 query docs BEFORE collect)"),
-    "queries/TrainOps.scala" -> (2, "q123 argmax 1-row + corpus-size scalar"),
+    "queries/TrainOps.scala" -> (4,
+      "q123 argmax 1-row + corpus-size scalar + q142 unigram vocab " +
+        "(alphabet rows + a LIMIT-128 TakeOrdered — bounded by " +
+        "construction at any corpus scale, unlike the q134 raw vocab)"),
     "queries/VectorOps.scala" -> (1, "k-means packed-centroid codebook (k*d)")
   )
 
