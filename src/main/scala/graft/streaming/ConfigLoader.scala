@@ -41,12 +41,24 @@ object ConfigLoader {
     def newRegistry(): Prometheus = new Prometheus(tagNames)
   }
 
+  /** source.debug (json/3.debug.adoc): bounded-run / stop-trigger knobs
+    * for controlled tests. The micro-batch is the engine's LWN-checkpoint
+    * analogue (SURVEY §1.1), so `stop-checkpoints` counts micro-batches
+    * and `stop-transactions` counts drained (committed) keyed-state rows;
+    * `owner`/`table` name the debug table whose DML stops the run.
+    * `stop-log-switches` has no analogue in a pre-decoded feed (there are
+    * no redo file switches to observe) and is surfaced for completeness
+    * only. Enforcement: [[DebugStop]]. */
+  case class DebugConf(stopLogSwitches: Long, stopCheckpoints: Long,
+      stopTransactions: Long, owner: String, table: String)
+
   case class Loaded(
       alias: String,
       dbName: String,
       config: Pipeline.Config,
       writer: Option[WriterSpec],
       metrics: Option[MetricsConf],
+      debug: Option[DebugConf],
       /** codec-side rendering selectors applied at feed adaptation:
         * XID_FORMAT / TIMESTAMP_FORMAT / INTERVAL_DTS / INTERVAL_YTM raw
         * values (Format.h:54-168,195-200). */
@@ -224,6 +236,18 @@ object ConfigLoader {
       case _ => None
     }
 
+    // ----- source.debug (3.debug.adoc) ------------------------------------
+    val debugConf = (src \ "debug") match {
+      case JObject(_) =>
+        val d = src \ "debug"
+        Some(DebugConf(
+          jlong(d \ "stop-log-switches"),
+          jlong(d \ "stop-checkpoints"),
+          jlong(d \ "stop-transactions"),
+          jstr(d \ "owner"), jstr(d \ "table")))
+      case _ => None
+    }
+
     Loaded(
       alias = alias,
       dbName = dbName,
@@ -238,6 +262,7 @@ object ConfigLoader {
         messageFull = bit(msgV, 1)), // MESSAGE_FORMAT::FULL
       writer = writer,
       metrics = metricsConf,
+      debug = debugConf,
       xidFormat = jint(fmt \ "xid"),
       timestampFormat = jint(fmt \ "timestamp"),
       intervalDts = jint(fmt \ "interval-dts"),
