@@ -59,6 +59,12 @@ object ConfigLoader {
       writer: Option[WriterSpec],
       metrics: Option[MetricsConf],
       debug: Option[DebugConf],
+      /** ADAPTIVE_SCHEMA (flag 0x0004): callers feed unseen objects
+        * through [[graft.cdc.Dictionary.withAdaptive]] per batch. */
+      adaptiveSchema: Boolean,
+      /** The raw REDO_FLAGS bitmask — reader-layer bits with no analogue
+        * in a pre-decoded feed stay visible here instead of vanishing. */
+      rawFlags: Long,
       /** codec-side rendering selectors applied at feed adaptation:
         * XID_FORMAT / TIMESTAMP_FORMAT / INTERVAL_DTS / INTERVAL_YTM raw
         * values (Format.h:54-168,195-200). */
@@ -196,10 +202,25 @@ object ConfigLoader {
         dbAddDml = bit(dbV, 1), // DB_FORMAT::ADD_DML
         dbAddDdl = bit(dbV, 2)) // ::ADD_DDL
 
+    // ----- source.flags (1.source.adoc REDO_FLAGS bitmask, Ctx.h:86-106) --
+    // Bits with a materialize knob flip it; reader-side bits (ARCH_ONLY,
+    // DIRECT_DISABLE, IGNORE_DATA_ERRORS, VERIFY_SCHEMA, CHECKPOINT_KEEP)
+    // concern the binary capture layer the pre-decoded feed replaces and
+    // ride through on `rawFlags` for the caller.
+    val flagsV = jlong(src \ "flags")
+    def rflag(b: Int): Boolean = (flagsV & (1L << b)) != 0
+
     val materialize = Materialize.Options(
       columnFormat = columnFormat,
+      showSystemTransactions = rflag(11), // SHOW_SYSTEM_TRANSACTIONS
+      schemaless = rflag(1) || rflag(2), // SCHEMALESS (ADAPTIVE implies it)
+      showHiddenColumns = rflag(6), // SHOW_HIDDEN_COLUMNS
+      showNestedColumns = rflag(8), // SHOW_NESTED_COLUMNS
+      showUnusedColumns = rflag(9), // SHOW_UNUSED_COLUMNS
       charFormatHex = bit(charV, 2), // CHAR_FORMAT::HEX
-      unknownTypeShow = jint(fmt \ "unknown-type") == 1) // UNKNOWN_TYPE::SHOW
+      unknownTypeShow = jint(fmt \ "unknown-type") == 1, // UNKNOWN_TYPE::SHOW
+      experimentalJson = rflag(17), // EXPERIMENTAL_JSON
+      experimentalXmlType = rflag(16)) // EXPERIMENTAL_XMLTYPE
 
     // ----- target.writer ----------------------------------------------------
     val tgt = (root \ "target") match {
@@ -263,6 +284,8 @@ object ConfigLoader {
       writer = writer,
       metrics = metricsConf,
       debug = debugConf,
+      adaptiveSchema = rflag(2),
+      rawFlags = flagsV,
       xidFormat = jint(fmt \ "xid"),
       timestampFormat = jint(fmt \ "timestamp"),
       intervalDts = jint(fmt \ "interval-dts"),

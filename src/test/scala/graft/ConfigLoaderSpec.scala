@@ -168,6 +168,33 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(l.metrics.isEmpty)
   }
 
+  test("flags bitmask maps REDO_FLAGS bits onto the materialize knobs") {
+    def loadFlags(v: Long) = ConfigLoader.load(
+      s"""{"source": [{"alias": "S", "name": "D",
+         |  "reader": {"type": "batch", "redo-log": ["/f"]},
+         |  "flags": $v,
+         |  "format": {"type": "json"}, "filter": {"table": []}}]}"""
+        .stripMargin, dict)
+    // 0x0002 SCHEMALESS | 0x0040 SHOW_HIDDEN | 0x0800 SHOW_SYSTEM
+    val l1 = loadFlags(0x2L | 0x40L | 0x800L)
+    assert(l1.config.materialize.schemaless)
+    assert(l1.config.materialize.showHiddenColumns)
+    assert(l1.config.materialize.showSystemTransactions)
+    assert(!l1.config.materialize.showNestedColumns && !l1.adaptiveSchema)
+    // 0x0004 ADAPTIVE implies schemaless and surfaces adaptiveSchema;
+    // 0x10000/0x20000 experimental decode flags
+    val l2 = loadFlags(0x4L | 0x10000L | 0x20000L)
+    assert(l2.config.materialize.schemaless && l2.adaptiveSchema)
+    assert(l2.config.materialize.experimentalXmlType)
+    assert(l2.config.materialize.experimentalJson)
+    // reader-layer bits ride through on rawFlags (ARCH_ONLY here)
+    val l3 = loadFlags(0x1L)
+    assert(l3.rawFlags == 1L && !l3.config.materialize.schemaless)
+    // no flags → defaults
+    assert(loadFlags(0L).config.materialize ==
+      graft.cdc.Materialize.Options())
+  }
+
   test("metrics section: the documented prometheus example maps to a " +
     "name-parity registry") {
     // metrics.adoc's own configuration example, verbatim shape
