@@ -62,19 +62,20 @@ object PullClient {
   }
 
   /** The CLI shape of the reference utility:
-    * `PullClient <host:port> <database> <startSpec>` — connects, drives
-    * the session, prints one line per payload, confirms every 1000th. */
+    * `PullClient <host:port> <database> <protobuf|json> <startSpec>` —
+    * connects, drives the session, prints one line per payload,
+    * confirms every 1000th. */
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "use: PullClient <host:port> <database> " +
+    require(args.length == 4,
+      "use: PullClient <host:port> <database> <protobuf|json> " +
         "[now{,<seq>}|scn:<scn>{,<seq>}|c:<scn>,<idx>|next]")
     val Array(host, port) = args(0).split(":", 2)
-    val c = new PullClient(host, port.toInt, args(1))
+    val c = new PullClient(host, port.toInt, args(1), args(2))
     try {
       val info = c.info()
       println(s"- code: ${info.code}, scn: ${info.scn.getOrElse(0L)}, " +
         s"confirmed: ${info.cScn.getOrElse(0L)},${info.cIdx.getOrElse(0L)}")
-      c.begin(info, StartSpec.parse(args(2)))
+      c.begin(info, StartSpec.parse(args(3)))
       var n = 0L
       c.consume { bytes =>
         n += 1
@@ -85,8 +86,10 @@ object PullClient {
   }
 }
 
-final class PullClient(host: String, port: Int, database: String)
-    extends AutoCloseable {
+final class PullClient(host: String, port: Int, database: String,
+    format: String = "protobuf") extends AutoCloseable {
+  require(format == "protobuf" || format == "json",
+    s"incorrect format, expected: [protobuf|json], got $format")
   import PullClient._
 
   private val sock = new Socket(host, port)
@@ -151,6 +154,24 @@ final class PullClient(host: String, port: Int, database: String)
     resp
   }
 
+  /** A payload's confirm position, per wire format (StreamClient.cpp:
+    * 256-270: protobuf reads RedoResponse.c_scn/c_idx, json parses the
+    * envelope document's "c_scn"/"c_idx" fields). */
+  private[sinks] def position(bytes: Array[Byte]): Option[(Long, Long)] =
+    if (format == "protobuf") {
+      val r = ProtoEnvelope.decodeControlResponse(bytes)
+      r.cScn.map(cs => (cs, r.cIdx.getOrElse(0L)))
+    } else {
+      import org.json4s._
+      val doc = org.json4s.jackson.JsonMethods.parse(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      (doc \ "c_scn", doc \ "c_idx") match {
+        case (JInt(s), JInt(i)) => Some((s.toLong, i.toLong))
+        case (JInt(s), _) => Some((s.toLong, 0L))
+        case _ => None
+      }
+    }
+
   /** Payload loop: hand each framed message to `f`; a false return stops
     * consuming. Confirms every `confirmEvery`-th message with that
     * message's (c_scn, c_idx) — the reference's each-1000th cadence, and
@@ -163,11 +184,8 @@ final class PullClient(host: String, port: Int, database: String)
       val bytes = readFrame()
       n += 1
       go = f(bytes)
-      if (n % confirmEvery == 0) {
-        val r = ProtoEnvelope.decodeControlResponse(bytes)
-        for (cs <- r.cScn)
-          confirm(cs, r.cIdx.getOrElse(0L))
-      }
+      if (n % confirmEvery == 0)
+        position(bytes).foreach { case (cs, ci) => confirm(cs, ci) }
     }
   }
 
