@@ -22,6 +22,8 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "cdc/Dictionary.scala" -> (4,
       "dictionary bootstrap: catalog tables are schema-sized by design"),
     "examples/BatchReplay.scala" -> (1, "example printout, not an operator"),
+    "examples/ServeDemo.scala" -> (1,
+      "demo feed materialized to drive the loopback servers, not an operator"),
     "queries/CdcOps.scala" -> (1,
       "q103 ADAPTIVE_SCHEMA learn: one row per UNKNOWN obj (schema-sized, " +
         "the dictionary-bootstrap class)"),
