@@ -86,6 +86,30 @@ class PullClientSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("json format: confirm positions parse from the envelope document " +
+    "(StreamClient.cpp:263-270)") {
+    val jsonMsgs = (1 to 4).map { i =>
+      (100L + i, 0L,
+        s"""{"c_scn":${100 + i},"c_idx":0,"scn":${100 + i},"payload":[{"op":"c"}]}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val srv = new PullServer("DB1", jsonMsgs.toIndexedSeq)
+    try {
+      val c = new PullClient("127.0.0.1", srv.port, "DB1", "json")
+      val i = c.info()
+      c.begin(i, StartSpec.parse("now"))
+      var n = 0
+      c.consume({ _ => n += 1; n < 4 }, confirmEvery = 2)
+      val deadline = System.nanoTime() + 5000000000L
+      while (srv.confirmed != Some((104L, 0L)) &&
+        System.nanoTime() < deadline) Thread.sleep(10)
+      assert(srv.confirmed == Some((104L, 0L)))
+      c.close()
+      intercept[IllegalArgumentException](
+        new PullClient("127.0.0.1", srv.port, "DB1", "avro"))
+    } finally srv.close()
+  }
+
   test("writer emit points feed messages/bytes sent and confirmed") {
     val prom = new graft.streaming.Prometheus()
     val srv = new PullServer("DB1", outbox, Some(prom))
