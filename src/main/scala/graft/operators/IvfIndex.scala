@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Persistent IVF (inverted-file) ANN index — the INCREMENTAL path for a
+  * growing embedding corpus, the vector-side twin of [[LshIndex]]. The
+  * one-shot q43 formulation re-assigns the whole corpus per run; at
+  * scale the index is built ONCE and every ingest increment is assigned
+  * and matched with the indexed side never re-shuffling:
+  *
+  *   - `<name>_cells` (cell, vec_id, embedding), bucketed+sorted BY
+  *     CELL: the probe join is a sort-merge join where the index side
+  *     reads pre-bucketed files with ZERO Exchange (TablesBucketingSpec
+  *     semantics) — only the increment shuffles, and it is the small
+  *     side by construction;
+  *   - `<name>_cents` — the FROZEN packed centroid row (k·d values):
+  *     increments assign against the centroids the index was built
+  *     with, never a recompute (centroid drift is a rebuild decision, a
+  *     compaction-style refresh, not an ingest-path side effect).
+  *
+  * Assignment is q43/q91's packed-centroid discipline: all centroids
+  * ride ONE broadcast row and the argmax-cosine fold runs inside each
+  * scanned row — neither the corpus at build time nor the increment at
+  * ingest time shuffles to assign.
+  */
+object IvfIndex {
+
+  private val cosine = graft.functions.Expressions.cosineSim _
+
+  /** The in-row argmax-cosine assignment (strict `>` over the
+    * cent_id-ascending packed array — ties keep the lowest id, matching
+    * the oracle's (cos desc, cent_id asc) order). */
+  private def bestCell(emb: Column): Column =
+    aggregate(col("cents"),
+      struct(lit(Double.NegativeInfinity).as("cs"), lit(-1L).as("c")),
+      (acc, ce) => {
+        val csim = cosine(emb, ce.getField("cent_emb"))
+        when(csim > acc.getField("cs"),
+          struct(csim.as("cs"), ce.getField("cent_id").as("c")))
+          .otherwise(acc)
+      }).getField("c")
+
+  /** Build the index from `vectors` (vec_id, embedding): centroids =
+    * the `k` lowest vec_ids (the q43/q91 deterministic seeding), every
+    * vector assigned in-row, cells stored bucketed. Rewrite = full
+    * refresh (overwrite), like layout-table compaction. */
+  def write(spark: SparkSession, vectors: DataFrame, name: String,
+      k: Int = 8, buckets: Int = 16): Unit = {
+    Seq(s"${name}_cells", s"${name}_cents").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    val cents = vectors.orderBy("vec_id").limit(k)
+      .groupBy().agg(array_sort(collect_list(struct(
+        col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))))
+        .as("cents"))
+    cents.write.saveAsTable(s"${name}_cents")
+    val assigned = Tables.spread(vectors, col("vec_id"))
+      .crossJoin(broadcast(spark.table(s"${name}_cents")))
+      .select(bestCell(col("embedding")).as("cell"), col("vec_id"),
+        col("embedding"))
+    Tables.writeBucketed(assigned, s"${name}_cells", "cell", buckets)
+  }
+
+  /** Match an ingest increment against the index: each new vector
+    * assigns in-row to its FROZEN centroid cell and meets that cell's
+    * indexed members in bucket order — (new_id, old_id, rank, cos_sim),
+    * top-`topK` by cosine. Only the increment moves. */
+  def matchIncrement(spark: SparkSession, newVecs: DataFrame, name: String,
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Tables.spread(newVecs, col("vec_id"))
+      .crossJoin(broadcast(spark.table(s"${name}_cents")))
+      .select(bestCell(col("embedding")).as("cell"),
+        col("vec_id").as("new_id"), col("embedding").as("new_emb"))
+    val w = Window.partitionBy("new_id")
+      .orderBy(col("cos_sim").desc, col("old_id"))
+    spark.table(s"${name}_cells")
+      .select(col("cell"), col("vec_id").as("old_id"),
+        col("embedding").as("old_emb"))
+      .join(assigned, "cell")
+      .withColumn("cos_sim", cosine(col("new_emb"), col("old_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("new_id"), col("old_id"), col("rank"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+}

@@ -243,6 +243,22 @@ object VectorOps {
         .select("q_id", "c_id", "rank", "approx_d")
     }),
 
+    // Incremental IVF maintenance (operators/IvfIndex — the vector twin
+    // of q108's LSH index): the historical 90% of the corpus indexes
+    // ONCE (cells bucketed by the in-row frozen-centroid assignment),
+    // then the 10% ingest increment assigns against the SAME frozen
+    // centroids and meets its cell's members where the index side reads
+    // pre-bucketed files with zero Exchange — at 100 TB the historical
+    // embeddings never move for an ingest batch, and centroid drift is
+    // an explicit rebuild decision, not an ingest side effect.
+    "q143_ivf_increment" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.operators.IvfIndex.write(
+        s, e.filter(col("vec_id") % 10 =!= 9), "q143_idx")
+      graft.operators.IvfIndex.matchIncrement(
+        s, e.filter(col("vec_id") % 10 === 9), "q143_idx")
+    }),
+
     "q110_balanced_sample" -> balancedSample,
 
     // SemDeDup-shaped semantic dedup (Abbas et al. 2023): k-means first,
@@ -413,6 +429,38 @@ object VectorOps {
          |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
          |  FROM bucketed q JOIN bucketed c USING (bucket)
          |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q143_ivf_increment" ->
+      s"""WITH hist AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9),
+         |delta AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 9),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent
+         |  FROM hist ORDER BY vec_id LIMIT 8),
+         |hassign AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT h.vec_id, h.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY h.vec_id
+         |        ORDER BY ${sqlCos("h.embedding", "c.cent")} DESC,
+         |                 c.cent_id) AS r
+         |    FROM hist h CROSS JOIN cents c)
+         |  WHERE r = 1),
+         |dassign AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT d.vec_id, d.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY ${sqlCos("d.embedding", "c.cent")} DESC,
+         |                 c.cent_id) AS r
+         |    FROM delta d CROSS JOIN cents c)
+         |  WHERE r = 1)
+         |SELECT new_id, old_id, rank, round(cs, 6) AS cos_sim FROM (
+         |  SELECT d.vec_id AS new_id, h.vec_id AS old_id,
+         |    ${sqlCos("d.embedding", "h.embedding")} AS cs,
+         |    row_number() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${sqlCos("d.embedding", "h.embedding")} DESC,
+         |               h.vec_id) AS rank
+         |  FROM dassign d JOIN hassign h USING (cell))
          |WHERE rank <= 3""".stripMargin,
 
     "q43_ann_ivf" ->

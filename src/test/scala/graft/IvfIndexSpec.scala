@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.IvfIndex
+
+/** Persistent IVF index (q143's operator): centroids stay FROZEN across
+  * increments, the probe join reads the bucketed cell table without an
+  * index-side Exchange, and increments assign exactly like the build
+  * pass did. */
+class IvfIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val wh = Files.createTempDirectory("ivf_wh").toString
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    s
+  }
+
+  private def vecs = graft.core.Tables
+    .load(spark, "/root/testdata/sf0.001", "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  test("centroids are frozen: an increment with a LOWER vec_id than any " +
+    "centroid does not change the stored centroid set or assignments") {
+    val hist = vecs.filter(col("vec_id") % 10 =!= 9 && col("vec_id") >= 2)
+    IvfIndex.write(spark, hist, "ivf_t", k = 4)
+    val centsBefore = spark.table("ivf_t_cents")
+      .selectExpr("transform(cents, c -> c.cent_id) AS ids")
+      .collect().head.getSeq[Long](0)
+    // k lowest HISTORICAL ids seed the centroids
+    assert(centsBefore == Seq(2L, 3L, 4L, 5L))
+    // increment includes vec_id 0 — lower than every centroid id; a
+    // recompute would re-seed, a frozen index must not
+    val inc = vecs.filter(col("vec_id") === 0 || col("vec_id") % 10 === 9)
+    val matched = IvfIndex.matchIncrement(spark, inc, "ivf_t")
+    assert(matched.filter(col("new_id") === 0).count() > 0)
+    val centsAfter = spark.table("ivf_t_cents")
+      .selectExpr("transform(cents, c -> c.cent_id) AS ids")
+      .collect().head.getSeq[Long](0)
+    assert(centsAfter == centsBefore)
+  }
+
+  test("increment results equal the one-shot assignment restricted to " +
+    "new-vs-indexed pairs") {
+    val isNew = col("vec_id") % 10 === 9
+    IvfIndex.write(spark, vecs.filter(!isNew), "ivf_t2", k = 8)
+    val got = IvfIndex.matchIncrement(spark, vecs.filter(isNew), "ivf_t2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.nonEmpty)
+    // reference: assign EVERYTHING with the same frozen centroids (the
+    // cells table already holds the historical assignment; re-derive the
+    // delta side identically via a second matchIncrement over one vector
+    // at a time is circular — instead pin the invariants the oracle gate
+    // proves globally at sf0.01):
+    // per new vector: ranks are 1..n contiguous, candidates unique, and
+    // every candidate is a historical (non-increment) member
+    got.groupBy(_._1).foreach { case (newId, rs) =>
+      assert(rs.map(_._3).toSeq.sorted == (1 to rs.size).toSeq,
+        s"ranks for $newId")
+      assert(rs.map(_._2).size == rs.size)
+      rs.foreach { case (_, oldId, _) => assert(oldId % 10 != 9) }
+    }
+  }
+
+  test("probe join reads the bucketed cell table without an index-side " +
+    "Exchange") {
+    val idx = spark.table("ivf_t2_cells")
+    val inc = vecs.filter(col("vec_id") % 10 === 9)
+    val plan = IvfIndex.matchIncrement(spark, inc, "ivf_t2")
+      .queryExecution.executedPlan.toString
+    // one exchange for the increment side (plus the top-k window's reuse
+    // of it); the bucketed index side must contribute none
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 2, s"index side must not shuffle:\n${plan.take(900)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(400))
+    // and the raw bucketed scan aggregates by cell with no shuffle at all
+    val byCell = idx.groupBy("cell").count()
+    assert(!byCell.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
