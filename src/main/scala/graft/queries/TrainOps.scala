@@ -62,6 +62,12 @@ object TrainOps {
   // ---- q141: sequence packing ------------------------------------------
   private val SeqLen = 1024L
 
+  // ---- q144: hybrid retrieval fusion -----------------------------------
+  private val RrfK = 60.0
+
+  // ---- q145: group-aware split -----------------------------------------
+  private[graft] val SplitSalt = "split42|"
+
   // ---- q142: unigram-LM tokenizer --------------------------------------
   private val UniTopK = 128
 
@@ -319,6 +325,52 @@ object TrainOps {
           col("e.nll_milli").as("nll_milli"),
           round(col("e.n_pieces").cast("double") / col("e.n_tok"), 6)
             .as("avg_pieces"))
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion (k=60, the Cormack et al.
+    // constant) of the dense ANN list (q31) and the sparse BM25 list
+    // (q109) — the standard two-tower retrieval merge, composed from two
+    // gated operators exactly like q122. Both fused sides are
+    // query-set-sized (≤10 queries × ≤5 ranks), so every exchange past
+    // the underlying operators' own audited plans moves tens of rows.
+    // Float discipline: each RRF score is 1/(60+rank) terms summed in a
+    // FIXED order (dense term first), identical expression text on both
+    // sides; ties after round(…,6) break on candidate id.
+    "q144_hybrid_rrf" -> ((s, dir) => {
+      val dense = VectorOps.defs("q31_ann_topk")(s, dir)
+        .select(col("q_id"), col("c_id").as("id"), col("rank").as("r_d"))
+      val sparse = TextOps.defs("q109_bm25_topk")(s, dir)
+        .select(col("q_id"), col("doc_id").as("id"), col("rank").as("r_s"))
+      val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("id"))
+      dense.join(sparse, Seq("q_id", "id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (col("r_d") + lit(RrfK)), lit(0.0)) +
+            coalesce(lit(1.0) / (col("r_s") + lit(RrfK)), lit(0.0)), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "id", "rank", "rrf")
+    }),
+
+    // Group-aware (domain-holdout) train/val/test split: the split is a
+    // pure function of the document's SOURCE domain (salted md5 bucket:
+    // 8/1/1), so no domain — and therefore none of the near-duplicates
+    // that concentrate within a domain — can straddle splits. This is
+    // the leakage-safe alternative to q134's per-doc modulo split, and
+    // the output's (source, split) grain pins both the assignment rule
+    // and the per-domain token budgets the mixing step (q86) consumes.
+    // Scale shape: per-row hash + in-row token count, then ONE exchange
+    // whose keys are domains (≪ docs); embarrassingly parallel before
+    // it, map-side-combined into it.
+    "q145_domain_split" -> ((s, dir) => {
+      val b = conv(substring(
+        md5(concat(lit(SplitSalt), col("source"))), 1, 4), 16, 10)
+        .cast("long") % 10
+      spread(t(s, dir, "documents"))
+        .select(col("source"), size(TextOps.tokensCol).cast("long").as("n_tok"))
+        .withColumn("split",
+          when(b < 8, "train").when(b === 8, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
     }))
 
   /** q142's oracle: the identical vocab build + Viterbi restated
@@ -528,5 +580,33 @@ object TrainOps {
          |        md5('$OrderSalt' || CAST(doc_id AS VARCHAR)) AS h
          |      FROM documents)))""".stripMargin,
 
-    "q142_unigram_tokenizer" -> sqlUnigram)
+    "q142_unigram_tokenizer" -> sqlUnigram,
+
+    "q144_hybrid_rrf" ->
+      s"""WITH dense AS (SELECT q_id, c_id AS id, rank AS r_d FROM (
+         |    ${VectorOps.oracles("q31_ann_topk")})),
+         |sparse AS (SELECT q_id, doc_id AS id, rank AS r_s FROM (
+         |    ${TextOps.oracles("q109_bm25_topk")})),
+         |fused AS (
+         |  SELECT coalesce(d.q_id, sp.q_id) AS q_id,
+         |    coalesce(d.id, sp.id) AS id,
+         |    round(coalesce(1.0 / (d.r_d + 60.0), 0.0) +
+         |          coalesce(1.0 / (sp.r_s + 60.0), 0.0), 6) AS rrf
+         |  FROM dense d FULL JOIN sparse sp
+         |    ON d.q_id = sp.q_id AND d.id = sp.id)
+         |SELECT q_id, id, rank, rrf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf DESC, id) AS rank FROM fused)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q145_domain_split" ->
+      s"""SELECT source,
+         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM (SELECT source, CAST(len($sqlTokens) AS BIGINT) AS n_tok,
+         |    ${sqlHex4(s"md5('$SplitSalt' || source)")} % 10 AS b
+         |  FROM documents)
+         |GROUP BY source, b""".stripMargin)
 }

@@ -281,6 +281,42 @@ object VectorOps {
             cosine(col("embedding"), col("prev_emb")) > 0.2, 1L)
             .otherwise(0L))
         .select(col("vec_id"), col("cluster"), col("prev_id"), col("is_dup"))
+    }),
+
+    // kNN label propagation: spread a small seed-labeled set (every 5th
+    // vector keeps its curator label) over the unlabeled corpus by
+    // majority vote of each target's 3 nearest seeds — the standard
+    // cheap-classifier labeling move (domain/quality tags) between
+    // clustering (q91) and a trained model. Scale shape: the seed set is
+    // a labeled DIMENSION (small by construction — labels are the scarce
+    // thing) and broadcasts like q31's query side; the corpus streams
+    // once through the in-row cosine kernel, and everything after the
+    // rank-≤3 cut is (vec_id, label, count) short rows. The vote window
+    // and vote agg both cluster on vec_id, so one exchange serves all
+    // three post-cut steps. Ties: (votes desc, label asc) — integer
+    // comparisons, engine-independent; neighbor rank ties break on s_id
+    // under the q31 float discipline (bit-identical cosine both sides).
+    "q146_label_propagation" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val seeds = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"),
+          col("label").as("s_label"))
+      val targets = Tables.spread(e.filter(col("vec_id") % 5 =!= 0), col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val wk = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("s_id"))
+      val wv = Window.partitionBy("vec_id")
+        .orderBy(col("n_votes").desc, col("s_label"))
+      targets.crossJoin(broadcast(seeds))
+        .withColumn("cos_sim", cosineNative(col("embedding"), col("s_emb")))
+        .withColumn("r", row_number().over(wk))
+        .filter(col("r") <= 3)
+        .groupBy(col("vec_id"), col("s_label"))
+        .agg(count(lit(1)).cast("int").as("n_votes"))
+        .withColumn("rv", row_number().over(wv))
+        .filter(col("rv") === 1)
+        .select(col("vec_id"), col("s_label").as("pred_label"),
+          col("n_votes"))
     })
   )
 
@@ -571,7 +607,27 @@ object VectorOps {
          |             JOIN embeddings pe ON pe.vec_id = m.prev_id)
          |SELECT m.vec_id, m.cluster, m.prev_id,
          |  CAST(coalesce(p.dup, 0) AS BIGINT) AS is_dup
-         |FROM m LEFT JOIN p ON p.vec_id = m.vec_id""".stripMargin
+         |FROM m LEFT JOIN p ON p.vec_id = m.vec_id""".stripMargin,
+
+    "q146_label_propagation" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS s_id, embedding AS s_emb, label AS s_label
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |knn AS (
+         |  SELECT vec_id, s_label FROM (
+         |    SELECT t.vec_id, s.s_label,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${sqlCos("t.embedding", "s.s_emb")} DESC, s.s_id)
+         |        AS r
+         |    FROM embeddings t CROSS JOIN seeds s
+         |    WHERE t.vec_id % 5 <> 0)
+         |  WHERE r <= 3),
+         |votes AS (SELECT vec_id, s_label, CAST(count(*) AS INT) AS n_votes
+         |  FROM knn GROUP BY vec_id, s_label)
+         |SELECT vec_id, s_label AS pred_label, n_votes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY n_votes DESC, s_label) AS rv FROM votes)
+         |WHERE rv = 1""".stripMargin
   )
 
   /** DuckDB mirror of [[kmeansAssign]] (q91/q92 share it). */

@@ -94,6 +94,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q141_sequence_packing"      -> 1, // ONE shard hash exchange; per-shard local sort-window
     "q142_unigram_tokenizer"     -> 0, // vocab is a collect artifact; encode folds in-row
     "q143_ivf_increment"         -> 1, // increment's cell exchange; bucketed index side reads free
+    "q144_hybrid_rrf"            -> 5, // q31 (1) + q109 (1) + fuse join/window over ≤80-row sides
+    "q145_domain_split"          -> 1, // ONE domain-key exchange, map-side combined
+    "q146_label_propagation"     -> 1, // vec_id exchange serves knn window + vote agg + argmax
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
     "q136_curation_e2e"          -> 2, // sample top-k + manifest agg; exact-dedup/LSH/quality stages pinned by localCheckpoint at construction (q46 caveat)
     "q13_codecs"                 -> 0,

@@ -172,4 +172,51 @@ class TrainOpsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(4) - nPieces.toDouble / nTok) < 1e-6)
     }
   }
+
+  test("q144: fusion equals a plain-Scala RRF over the two gated lists") {
+    val dense = graft.queries.VectorOps.defs("q31_ann_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val sparse2 = graft.queries.TextOps.defs("q109_bm25_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    def rrf(k: (Long, Long)): Double = {
+      val raw = dense.get(k).map(r => 1.0 / (r + 60.0)).getOrElse(0.0) +
+        sparse2.get(k).map(r => 1.0 / (r + 60.0)).getOrElse(0.0)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (dense.keySet ++ sparse2.keySet).toSeq
+      .map(k => (k._1, k._2, rrf(k)))
+      .groupBy(_._1).flatMap { case (_, cs) =>
+        cs.sortBy(c => (-c._3, c._2)).take(3).zipWithIndex
+          .map { case ((q, id, sc), i) => (q, id, i + 1, sc) }
+      }.toSet
+    val got = TrainOps.defs("q144_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(got == expect)
+    // docs found by BOTH towers outrank single-tower docs of equal rank
+    assert(got.exists { case (q, id, _, sc) =>
+      dense.contains((q, id)) && sparse2.contains((q, id)) && sc > 1.0 / 61.0
+    }, "fixture should contain at least one both-tower candidate")
+  }
+
+  test("q145: splits are domain-pure, exhaustive, and hash-reproducible") {
+    val rows = TrainOps.defs("q145_domain_split")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // leakage-freedom: each domain appears in EXACTLY one split
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // exhaustive: doc counts sum to the corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.map(_._3).sum == docs.count())
+    // the assignment is the salted md5 bucket, recomputed independently
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (source, split, _, _) =>
+      val hex = md.digest(s"${TrainOps.SplitSalt}$source".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(hex.substring(0, 4), 16) % 10
+      val want = if (b < 8) "train" else if (b == 8) "val" else "test"
+      assert(split == want, s"domain $source")
+    }
+    // all three splits are populated at this SF (8/1/1 over ~25 domains)
+    assert(rows.map(_._2).distinct.toSet == Set("train", "val", "test"))
+  }
 }

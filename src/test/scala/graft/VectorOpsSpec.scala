@@ -211,4 +211,34 @@ class VectorOpsSpec extends AnyFunSuite {
     val nDup = rows.count(_._4 == 1L)
     assert(nDup > 0 && nDup < rows.length)
   }
+
+  test("q146: matches a plain-Scala 3-NN majority vote exactly") {
+    val all = graft.core.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    // mirror the CosineSimilarity kernel: one fused loop, double accum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seeds = all.filter(_._1 % 5 == 0)
+    val expect = all.filter(_._1 % 5 != 0).map { case (id, emb, _) =>
+      val top3 = seeds.map(s => (s._1, s._3, cos(emb, s._2)))
+        .sortBy(s => (-s._3, s._1)).take(3)
+      val (label, votes) = top3.groupBy(_._2).view
+        .mapValues(_.length).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      (id, label, votes)
+    }.toSet
+    val got = VectorOps.defs("q146_label_propagation")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == expect)
+    assert(got.size == all.length - seeds.length)
+    got.foreach { case (_, _, v) => assert(v >= 1 && v <= 3) }
+  }
 }
