@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CdcOps, CurationOps, FormatOps, PipelineOps, QaOps, Relational, SelectionOps, TextOps, TrainOps, VectorOps}
+import graft.queries.{AnalyticsOps, CdcOps, CurationOps, FormatOps, PipelineOps, QaOps, Relational, SelectionOps, TextOps, TrainOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ TextOps.defs ++ VectorOps.defs ++ CdcOps.defs ++
       FormatOps.defs ++ PipelineOps.defs ++ CurationOps.defs ++
-      SelectionOps.defs ++ TrainOps.defs ++ QaOps.defs
+      SelectionOps.defs ++ TrainOps.defs ++ QaOps.defs ++ AnalyticsOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
     Relational.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
       CdcOps.oracles ++ FormatOps.oracles ++ PipelineOps.oracles ++
       CurationOps.oracles ++ SelectionOps.oracles ++ TrainOps.oracles ++
-      QaOps.oracles
+      QaOps.oracles ++ AnalyticsOps.oracles
 }

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+
+/** Event-analytics pack #8: the downstream consumption side of a CDC feed —
+  * once changes land in an events table, the questions a data team asks of
+  * it are funnels, cohorts, transition matrices, outliers, and
+  * budget-constrained selection. Each is a classic large-scale analytics
+  * operator with a distinct scale shape worth pinning:
+  *
+  *   - q147 funnel: the sequential-dependency stage chain (t2 needs t1)
+  *     folds IN-ROW over each user's sorted event array — ONE user_id
+  *     exchange replaces the oracle's 4 chained join+agg passes;
+  *   - q148 retention: first-touch cohort via min-week agg + a
+  *     co-partitioned self-join (both sides hash on user_id, AQE reuses
+  *     the partitioning) — payload is (user_id, week) longs only;
+  *   - q149 transitions: lag window on the same user_id exchange, then a
+  *     25-key aggregation — the matrix is type²-bounded at any SF;
+  *   - q150 anomalies: 3-sigma outliers with the z-test rearranged into
+  *     EXACT integer-cents arithmetic ((xn−S)² > 9(nQ−S²) in decimal) so
+  *     the verdict is bit-identical across engines and partition orders —
+  *     a shuffled double mean/stddev is last-bit nondeterministic (the
+  *     q109/q130 discipline); stats are a 5-row broadcast dimension;
+  *   - q151 budget selection: greedy score-ordered prefix under a token
+  *     budget as a DISTRIBUTED prefix-sum — range-partition by (score
+  *     desc, doc_id), per-partition token totals (≤ shuffle-partitions
+  *     rows) become broadcast offsets, and the cumulative sum completes
+  *     per-partition in parallel. The naive formulation (a global-ORDER
+  *     window) plans a SINGLE-partition sort — the one-reducer
+  *     anti-pattern this engine bans at 100 TB.
+  */
+object AnalyticsOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  private val WeekNs = 604800000000000L // 7 * 86400e9, ts is epoch-nanos
+
+  /** Funnel stage chain, first-qualifying-timestamp semantics. */
+  private val FunnelStages = Seq("signup", "view", "click", "purchase")
+
+  /** Max gap between consecutive funnel stages (24h in ns): stage k
+    * qualifies only within this window after stage k−1 — without it every
+    * active user eventually hits all four types and the funnel saturates. */
+  private val FunnelGapNs = 86400000000000L
+
+  val defs: Map[String, Q] = Map(
+
+    // Ordered-funnel conversion: per user, t1 = first signup, t_k = first
+    // stage-k event STRICTLY after t_{k-1} and within the 24h stage gap;
+    // report cumulative users per stage. The sequential dependency is
+    // resolved in ONE pass: sort each user's events in-row and fold the
+    // 4-slot accumulator left-to-right (aggregate HOF, codegen'd) — vs
+    // the oracle's 4 chained join+min passes. Per-user arrays are bounded
+    // by per-user activity (sessions × events/session), not corpus size.
+    "q147_funnel" -> ((s, dir) => {
+      val acc0 = struct(
+        lit(null).cast("bigint").as("t1"), lit(null).cast("bigint").as("t2"),
+        lit(null).cast("bigint").as("t3"), lit(null).cast("bigint").as("t4"))
+      def step(acc: Column, e: Column): Column = {
+        val ts = e.getField("ts"); val et = e.getField("event_type")
+        def adv(cur: Column, prev: Column, stage: String): Column =
+          when(cur.isNull && prev.isNotNull && et === stage &&
+            ts > prev && ts <= prev + FunnelGapNs, ts).otherwise(cur)
+        struct(
+          when(acc.getField("t1").isNull && et === FunnelStages(0), ts)
+            .otherwise(acc.getField("t1")).as("t1"),
+          adv(acc.getField("t2"), acc.getField("t1"), FunnelStages(1)).as("t2"),
+          adv(acc.getField("t3"), acc.getField("t2"), FunnelStages(2)).as("t3"),
+          adv(acc.getField("t4"), acc.getField("t3"), FunnelStages(3)).as("t4"))
+      }
+      val perUser = t(s, dir, "events")
+        .filter(col("event_type").isin(FunnelStages.map(lit): _*))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .select(aggregate(col("evs"), acc0, step).as("st"))
+      val counts = perUser.agg(
+        count(col("st.t1")).as("n1"), count(col("st.t2")).as("n2"),
+        count(col("st.t3")).as("n3"), count(col("st.t4")).as("n4"))
+      counts.select(explode(array(FunnelStages.zipWithIndex.map {
+        case (stage, i) => struct(
+          lit(i + 1).as("stage_idx"), lit(stage).as("stage"),
+          col(s"n${i + 1}").as("n_users"))
+      }: _*)).as("r")).select("r.*")
+    }),
+
+    // Weekly retention cohorts: cohort = a user's first active week (weeks
+    // are epoch-ns div 7d — integer division, no tz/calendar dependence),
+    // offset = active week − cohort week, value = distinct active users.
+    // Both exchanges hash user_id (agg, then self-join) so the join
+    // co-locates; rows in flight are 2–3 longs wide.
+    "q148_retention_cohort" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr(s"ts div $WeekNs").as("wk"))
+      val first = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
+
+    // Per-user event-type transition matrix (order-1 Markov estimate):
+    // lag window on the user_id exchange, then count per (prev, next) and
+    // normalize per prev-type row. The matrix is |types|²-bounded (25
+    // cells) at ANY scale; p divides two exact longs → deterministic.
+    "q149_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wp = Window.partitionBy("prev_type")
+      t(s, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          round(col("n").cast("double") / sum("n").over(wp).cast("double"), 6))
+    }),
+
+    // 3-sigma outliers on value, per event_type. |x−μ|/σ > 3 is rearranged
+    // to (x·n − S)² > 9(n·Q − S²) over integer CENTS (x·100), computed in
+    // decimal(38,0): every quantity is an exact integer, so the flag set
+    // is bit-identical regardless of partitioning/aggregation order —
+    // unlike any avg/stddev of shuffled doubles. Per-type stats are a
+    // |types|-row dimension broadcast back onto the stream; headroom is
+    // ~1e12 rows/type before d²/nQ approach 38 digits (SCALE.md).
+    "q150_value_anomalies" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val c = t(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100, 0).cast("long").cast(dec).as("xc"))
+      val st = c.groupBy("event_type").agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("xc")).cast(dec).as("s"),
+        sum(col("xc") * col("xc")).cast(dec).as("q"))
+      val d = col("xc") * col("n") - col("s")
+      c.join(broadcast(st), "event_type")
+        .filter(d * d >
+          lit(9).cast(dec) * (col("n") * col("q") - col("s") * col("s")))
+        .select("event_id", "event_type", "value")
+    }),
+
+    // Token-budget selection: rank docs by a quality score (distinct-token
+    // ratio, exact integer ppm) and keep the greedy prefix whose cumulative
+    // token count fits a 10%-of-corpus budget. Executed as a distributed
+    // prefix-sum: range-partition on the rank key, materialize once
+    // (localCheckpoint — the offsets job and the main pass must see the
+    // SAME partition assignment), collect per-partition token totals
+    // (≤ shuffle-partitions rows — a partition-count artifact, never
+    // corpus-sized), and add each partition's exclusive prefix offset to
+    // its LOCAL running sum. Every partition cumsums in parallel; the
+    // oracle's global-ORDER window would be one reducer at 100 TB.
+    "q151_token_budget_select" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val sc = t(s, dir, "documents")
+        .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_tok"),
+          expr("n_distinct * 1000000 div n_tok").as("score"))
+      val budget = sc.agg(sum("n_tok")).head.getLong(0) / 10
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val parts = sc
+        .repartitionByRange(nParts, col("score").desc, col("doc_id"))
+        .sortWithinPartitions(col("score").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val totals = parts.groupBy("pid").agg(sum("n_tok").as("ptot"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = totals.map(_._1)
+        .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+      val offCol = coalesce(element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("pid")), lit(0L))
+      val w = Window.partitionBy("pid")
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parts.withColumn("cum", sum("n_tok").over(w) + offCol)
+        .filter(col("cum") <= budget)
+        .select("doc_id", "score", "n_tok", "cum")
+    })
+  )
+
+  private val sqlToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+
+    "q147_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND epoch_ns(e.ts) > s1.t1
+        |    AND epoch_ns(e.ts) <= s1.t1 + 86400000000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s2.t2
+        |    AND epoch_ns(e.ts) <= s2.t2 + 86400000000000 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t4 FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s3.t3
+        |    AND epoch_ns(e.ts) <= s3.t3 + 86400000000000 GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS stage_idx, 'signup' AS stage,
+        |       (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin,
+
+    "q148_retention_cohort" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_ns(ts) // 604800000000000 AS wk FROM events),
+        |fw AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT fw.cohort_week, ev.wk - fw.cohort_week AS week_offset,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN fw ON ev.user_id = fw.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q149_event_transitions" ->
+      """SELECT prev_type, event_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |      AS DOUBLE), 6) AS p
+        |FROM (
+        |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT event_type, lag(event_type) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |        FROM events)
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+
+    "q150_value_anomalies" ->
+      """WITH c AS (SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS xc FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xc) AS BIGINT) AS s, CAST(sum(xc * xc) AS BIGINT) AS q
+        |  FROM c GROUP BY 1)
+        |SELECT event_id, c.event_type, value
+        |FROM c JOIN st ON c.event_type = st.event_type
+        |WHERE CAST(xc * n - s AS HUGEINT) * CAST(xc * n - s AS HUGEINT) >
+        |  9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
+        |       - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+
+    "q151_token_budget_select" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    CAST(len($sqlToks) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct($sqlToks)) AS BIGINT) * 1000000
+         |      // CAST(len($sqlToks) AS BIGINT) AS score
+         |  FROM documents WHERE len($sqlToks) > 0)
+         |SELECT doc_id, score, n_tok, cum FROM (
+         |  SELECT doc_id, score, n_tok,
+         |    CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM sc)
+         |WHERE cum <= (SELECT CAST(sum(n_tok) AS BIGINT) // 10 FROM sc)""".stripMargin
+  )
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.AnalyticsOps
+
+/** Semantic pins for the event-analytics pack beyond the DuckDB hash gate:
+  * the funnel must be monotone (a later stage can never out-count an
+  * earlier one), the transition matrix must be row-stochastic, the exact
+  * integer z²-test must agree with the plain double formulation away from
+  * the boundary, and q151's distributed prefix-sum must equal the
+  * single-window cumulative sum it replaces — on every partition count.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q147: funnel counts are monotone non-increasing from stage 1 to 4") {
+    val rows = AnalyticsOps.defs("q147_funnel")(spark, sf)
+      .orderBy("stage_idx").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("signup", "view", "click", "purchase"))
+    val ns = rows.map(_.getLong(2))
+    ns.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"funnel not monotone: ${ns.mkString(",")}")
+    }
+    assert(ns.head > 0)
+  }
+
+  test("q148: offset-0 cell of each cohort counts the full cohort") {
+    val rows = AnalyticsOps.defs("q148_retention_cohort")(spark, sf).collect()
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (cw, rs) =>
+      val at0 = rs.find(_.getLong(1) == 0L)
+      assert(at0.isDefined, s"cohort $cw missing offset 0")
+      // every user is active in their own first week by definition, so no
+      // later offset can exceed the offset-0 population
+      val n0 = at0.get.getLong(2)
+      rs.foreach(r => assert(r.getLong(2) <= n0,
+        s"cohort $cw offset ${r.getLong(1)} out-counts offset 0"))
+    }
+  }
+
+  test("q149: transition matrix is row-stochastic (each prev row sums to ~1)") {
+    val rows = AnalyticsOps.defs("q149_event_transitions")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val psum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"row $prev sums to $psum")
+    }
+  }
+
+  test("q150: exact integer z²-test matches the double 3-sigma rule") {
+    val flagged = AnalyticsOps.defs("q150_value_anomalies")(spark, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // recompute with plain double mean/stddev_pop; no sf0.001 value sits
+    // within 1e-6 sigma of the boundary, so the sets must agree exactly
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    val st = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_pop("value").as("sd"))
+    val dbl = ev.join(st, "event_type")
+      .filter(abs(col("value") - col("mu")) > col("sd") * 3)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == dbl,
+      s"exact-vs-double mismatch: ${(flagged diff dbl) ++ (dbl diff flagged)}")
+  }
+
+  test("q151: distributed prefix-sum equals the single-window cumsum, " +
+    "and is invariant to the partition count") {
+    def run(parts: String): Map[Long, Long] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try AnalyticsOps.defs("q151_token_budget_select")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val dist = run("4")
+    // oracle shape: one global-order window (fine at spec scale)
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val sc = graft.core.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        expr("n_distinct * 1000000 div n_tok").as("score"))
+    val budget = sc.agg(sum("n_tok")).head.getLong(0) / 10
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val single = sc.withColumn("cum", sum("n_tok").over(w))
+      .filter(col("cum") <= budget)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(dist == single)
+    // partition-count invariance: the offsets mechanism, not luck
+    assert(run("7") == dist)
+    assert(run("1") == dist)
+  }
+}

@@ -24,6 +24,10 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "examples/BatchReplay.scala" -> (1, "example printout, not an operator"),
     "examples/ServeDemo.scala" -> (1,
       "demo feed materialized to drive the loopback servers, not an operator"),
+    "queries/AnalyticsOps.scala" -> (1,
+      "q151 per-partition token totals: <= spark.sql.shuffle.partitions " +
+        "rows (a partition-count artifact for the distributed prefix-sum " +
+        "offsets, never corpus-sized)"),
     "queries/CdcOps.scala" -> (1,
       "q103 ADAPTIVE_SCHEMA learn: one row per UNKNOWN obj (schema-sized, " +
         "the dictionary-bootstrap class)"),

@@ -97,6 +97,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q144_hybrid_rrf"            -> 5, // q31 (1) + q109 (1) + fuse join/window over ≤80-row sides
     "q145_domain_split"          -> 1, // ONE domain-key exchange, map-side combined
     "q146_label_propagation"     -> 1, // vec_id exchange serves knn window + vote agg + argmax
+    "q147_funnel"                -> 2, // user_id fold exchange + 1-row final agg
+    "q148_retention_cohort"      -> 4, // user agg + co-partitioned join + countDistinct expand
+    "q149_event_transitions"     -> 3, // user lag window + 25-key agg + prev_type norm window
+    "q150_value_anomalies"       -> 1, // 5-row stats agg; join back is broadcast
+    "q151_token_budget_select"   -> 1, // pid window; range exchange is behind the checkpoint
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
     "q136_curation_e2e"          -> 2, // sample top-k + manifest agg; exact-dedup/LSH/quality stages pinned by localCheckpoint at construction (q46 caveat)
     "q13_codecs"                 -> 0,
