@@ -142,6 +142,101 @@ object AnalyticsOps {
         .select("event_id", "event_type", "value")
     }),
 
+    // Per-session aggregates over the q17 sessionize shape (same 30-min
+    // inactivity gap): the lag window and the (user, session) aggregation
+    // both key on user_id first, so the agg re-shuffles only (user,
+    // session, ts, value) short rows. Output is one row per session —
+    // bounded by activity, not corpus size.
+    "q152_session_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (col("ts") - col("prev_ts")) > 1800000000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts")) - min(col("ts"))).as("duration_ns"),
+          countDistinct("event_type").as("n_types"))
+    }),
+
+    // Dense hourly time series with gap-fill: bucket counts per (hour,
+    // type), then left-join onto the generated hour×type grid so missing
+    // buckets surface as explicit zeros (what a downstream rate monitor
+    // needs). The grid is (hours-in-range × |types|) — time-range-bounded,
+    // data-volume-independent — built with sequence+explode from a 1-row
+    // min/max agg; no driver collect, no corpus re-scan.
+    "q153_timeseries_gapfill" -> ((s, dir) => {
+      val HourNs = 3600000000000L
+      val ev = t(s, dir, "events")
+        .select(expr(s"ts div $HourNs").as("h"), col("event_type"))
+      val counts = ev.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
+      val hours = ev.agg(min("h").as("lo"), max("h").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+      val types = ev.select("event_type").distinct()
+      hours.crossJoin(broadcast(types))
+        .join(counts, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
+    // Count-min sketch heavy hitters: d=4 independent hash rows × w=1024
+    // counters, portable bucket hash (md5-hex prefix → int, the q106
+    // convention). The counter build is the sketch's scale argument: the
+    // exploded token stream aggregates onto ≤ d·w = 4096 cells with
+    // map-side combine, so the exchange carries partials bounded by
+    // cells × partitions — NEVER vocabulary-sized. Estimates for the
+    // exact top-20 tokens then need only a 4096-row broadcast; CMS
+    // guarantees est ≥ exact (spec-pinned).
+    "q154_countmin_topk" -> ((s, dir) => {
+      val (d, wWidth) = (4, 1024)
+      def bucket(j: Column, tok: Column): Column =
+        conv(substring(md5(concat(j.cast("string"), lit(":"), tok)), 1, 8),
+          16, 10).cast("long") % wWidth
+      val toks = t(s, dir, "documents")
+        .select(explode(filter(split(col("text"), " "), x => x =!= ""))
+          .as("tok"))
+      val counters = toks
+        .select(col("tok"), explode(array((0 until d).map(lit): _*)).as("j"))
+        .select(col("j"), bucket(col("j"), col("tok")).as("b"))
+        .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
+      val top20 = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(20)
+      top20
+        .select(col("tok"), col("n_exact"),
+          explode(array((0 until d).map(lit): _*)).as("j"))
+        .withColumn("b", bucket(col("j"), col("tok")))
+        .join(broadcast(counters), Seq("j", "b"))
+        .groupBy("tok", "n_exact").agg(min("cnt").as("n_est"))
+    }),
+
+    // Hour-of-day × event-type PIVOT (Spark's relational pivot operator
+    // with an explicit value list — no dry-run distinct scan). One
+    // (hod, type) aggregation; the pivot itself is a 24-row reshape.
+    "q155_pivot_hourly" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pv = t(s, dir, "events")
+        .select(expr("(ts div 3600000000000) % 24").as("hod"),
+          col("event_type"))
+        .groupBy("hod").pivot("event_type", types).count()
+      pv.select(col("hod") +: types.map(c =>
+        coalesce(col(c), lit(0L)).as(c)): _*)
+    }),
+
+    // CUBE over (event_type, week) with grouping_id: all four aggregation
+    // granularities (cell, per-type, per-week, grand total) in one pass —
+    // Spark expands the grouping sets BELOW the exchange, so the shuffle
+    // still carries only short grouped keys. Bit order of grouping_id
+    // matches GROUPING(a, b) in DuckDB (a = high bit).
+    "q156_cube_totals" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), expr(s"ts div $WeekNs").as("wk"))
+        .cube("event_type", "wk")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    }),
+
     // Token-budget selection: rank docs by a quality score (distinct-token
     // ratio, exact integer ppm) and keep the greedy prefix whose cumulative
     // token count fits a 10%-of-corpus budget. Executed as a distributed
@@ -240,6 +335,83 @@ object AnalyticsOps {
         |WHERE CAST(xc * n - s AS HUGEINT) * CAST(xc * n - s AS HUGEINT) >
         |  9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
         |       - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+
+    "q152_session_stats" ->
+      """SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(epoch_ns(ts)) - min(epoch_ns(ts)) AS duration_ns,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(sum(new_session) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM (
+        |    SELECT event_id, user_id, ts, event_type,
+        |      CASE WHEN lag(ts) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id))
+        |          > 1800000000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q153_timeseries_gapfill" ->
+      """WITH b AS (SELECT epoch_ns(ts) // 3600000000000 AS h, event_type,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT unnest(generate_series(
+        |    (SELECT min(h) FROM b), (SELECT max(h) FROM b))) AS h),
+        |t AS (SELECT DISTINCT event_type FROM events)
+        |SELECT r.h, t.event_type, coalesce(b.n, CAST(0 AS BIGINT)) AS n
+        |FROM r CROSS JOIN t
+        |LEFT JOIN b ON b.h = r.h AND b.event_type = t.event_type""".stripMargin,
+
+    "q154_countmin_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS tok FROM documents),
+        |cells AS (
+        |  SELECT j, list_reduce(list_transform(
+        |      string_split(substr(md5(CAST(j AS VARCHAR) || ':' || tok),
+        |        1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, d) -> a * 16 + d) % 1024 AS b
+        |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+        |counters AS (
+        |  SELECT j, b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |top20 AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM toks
+        |  GROUP BY 1 ORDER BY n_exact DESC, tok LIMIT 20),
+        |est AS (
+        |  SELECT tok, n_exact, j, list_reduce(list_transform(
+        |      string_split(substr(md5(CAST(j AS VARCHAR) || ':' || tok),
+        |        1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, d) -> a * 16 + d) % 1024 AS b
+        |  FROM top20 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j))
+        |SELECT est.tok, est.n_exact, min(counters.cnt) AS n_est
+        |FROM est JOIN counters ON est.j = counters.j AND est.b = counters.b
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q155_pivot_hourly" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |    AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q156_cube_totals" ->
+      """SELECT event_type, epoch_ns(ts) // 604800000000000 AS wk,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(GROUPING(event_type, epoch_ns(ts) // 604800000000000)
+        |    AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY CUBE(1, 2)""".stripMargin,
 
     "q151_token_budget_select" ->
       s"""WITH sc AS (SELECT doc_id,

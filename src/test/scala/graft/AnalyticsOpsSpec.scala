@@ -74,6 +74,52 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"exact-vs-double mismatch: ${(flagged diff dbl) ++ (dbl diff flagged)}")
   }
 
+  test("q152: session stats are consistent with q17's session assignment") {
+    val stats = AnalyticsOps.defs("q152_session_stats")(spark, sf).collect()
+    // same gap rule as q17 → same number of (user, session) groups, and
+    // the per-session event counts must sum back to the event count
+    val q17 = graft.queries.Relational.defs("q17_sessionize")(spark, sf)
+      .select("user_id", "session_id").distinct().count()
+    assert(stats.length.toLong == q17)
+    val total = graft.core.Tables.load(spark, sf, "events").count()
+    assert(stats.map(_.getLong(2)).sum == total)
+    // a single-event session has zero duration; none can be negative
+    stats.foreach(r => assert(r.getLong(3) >= 0))
+  }
+
+  test("q153: gap-fill emits the full dense grid and preserves totals") {
+    val rows = AnalyticsOps.defs("q153_timeseries_gapfill")(spark, sf).collect()
+    val hours = rows.map(_.getLong(0)).distinct
+    val types = rows.map(_.getString(1)).distinct
+    assert(rows.length == hours.length * types.length, "grid not dense")
+    assert(hours.max - hours.min + 1 == hours.length, "hour range has holes")
+    val total = graft.core.Tables.load(spark, sf, "events").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    assert(rows.exists(_.getLong(2) == 0L), "no gap was actually filled")
+  }
+
+  test("q154: count-min estimates are always >= the exact count") {
+    val rows = AnalyticsOps.defs("q154_countmin_topk")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS under-estimated ${r.getString(0)}: ${r.getLong(2)} < ${r.getLong(1)}")
+    }
+  }
+
+  test("q156: cube granularities are mutually consistent") {
+    val rows = AnalyticsOps.defs("q156_cube_totals")(spark, sf).collect()
+    val grand = rows.filter(_.getLong(3) == 3L)
+    assert(grand.length == 1)
+    val total = grand.head.getLong(2)
+    // per-type (gid 1: wk aggregated away) and per-week (gid 2) slices
+    // must each re-sum to the grand total, cells (gid 0) too
+    Seq(0L, 1L, 2L).foreach { gid =>
+      val s = rows.filter(_.getLong(3) == gid).map(_.getLong(2)).sum
+      assert(s == total, s"gid $gid sums to $s != $total")
+    }
+  }
+
   test("q151: distributed prefix-sum equals the single-window cumsum, " +
     "and is invariant to the partition count") {
     def run(parts: String): Map[Long, Long] = {

@@ -102,6 +102,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q149_event_transitions"     -> 3, // user lag window + 25-key agg + prev_type norm window
     "q150_value_anomalies"       -> 1, // 5-row stats agg; join back is broadcast
     "q151_token_budget_select"   -> 1, // pid window; range exchange is behind the checkpoint
+    "q152_session_stats"         -> 1, // user window; session agg reuses the user partitioning
+    "q153_timeseries_gapfill"    -> 3, // bucket agg + 1-row min/max + type distinct; grid joins broadcast
+    "q154_countmin_topk"         -> 2, // 4096-cell counter agg (map-side combined) + exact vocab agg
+    "q155_pivot_hourly"          -> 2, // 24-key (hod,type) agg + pivot reshape
+    "q156_cube_totals"           -> 1, // grouping-set expand stays below ONE exchange
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
     "q136_curation_e2e"          -> 2, // sample top-k + manifest agg; exact-dedup/LSH/quality stages pinned by localCheckpoint at construction (q46 caveat)
     "q13_codecs"                 -> 0,
