@@ -237,6 +237,62 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
     }),
 
+    // Fuzzy entity matching (entity resolution): match corrupted names
+    // (deterministic one-char deletion) back to the canonical customer
+    // list by character-trigram Jaccard, with df-capped trigram BLOCKING —
+    // the all-pairs cross join is quadratic, so candidates come from a
+    // shared-rare-trigram join (df ≤ 64 kills the prefix trigrams every
+    // name shares, the LSH band-cap discipline applied to strings), and
+    // only candidate PAIRS pay the in-row Jaccard verify. Best match per
+    // query = one window over the (bounded) verified pairs. Oracle
+    // replicates blocking exactly, so recall choices are pinned, not
+    // approximated away.
+    "q158_fuzzy_match" -> ((s, dir) => {
+      val DfCap = 64
+      def tg(name: Column): Column = array_distinct(
+        transform(sequence(lit(1), length(name) - 2),
+          i => name.substr(i, lit(3))))
+      // trigram arrays are computed ONCE per side (a HOF inside three
+      // separate expressions would re-shingle per use — the q129 CSE
+      // lesson) and both the blocking explode and the verify read the
+      // same projected column; spread() fans the single-row-group local
+      // scan across cores (no-op under cluster conf)
+      // localCheckpoint: each side feeds BOTH the blocking explode and the
+      // verify join — pin the shingled frame once (rows × ~17 short
+      // strings, bounded by the entity dim) instead of re-shingling per
+      // consumer (q136's stage-pinning pattern). Measured A/B (FuzzyProbe,
+      // interleaved in one JVM, sf0.1): ckpt 3.4s steady / 5.4s cold vs
+      // plain 3.6s / 60s cold; a spread() repartition on top HURTS
+      // (8-10s — it re-shuffles the array payload for parallelism the
+      // 32-partition downstream exchanges already provide), so q158
+      // deliberately does NOT spread.
+      val canon = t(s, dir, "customer")
+        .select(col("c_custkey"), tg(col("c_name")).as("c_tg"))
+        .localCheckpoint()
+      val qs = t(s, dir, "customer")
+        .select(col("c_custkey").as("q_key"),
+          tg(expr("concat(substring(c_name, 1, 5), substring(c_name, 7))"))
+            .as("q_tg"))
+        .localCheckpoint()
+      val ctg = canon.select(col("c_custkey"), explode(col("c_tg")).as("tg"))
+      val qtg = qs.select(col("q_key"), explode(col("q_tg")).as("tg"))
+      val keep = ctg.groupBy("tg").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap).select("tg")
+      val pairs = qtg.join(keep, "tg").join(ctg, "tg")
+        .select("q_key", "c_custkey").distinct()
+      val v = pairs.join(qs, "q_key").join(canon, "c_custkey")
+        .withColumn("inter", size(array_intersect(col("q_tg"), col("c_tg"))))
+        .withColumn("nq", size(col("q_tg")))
+        .withColumn("nc", size(col("c_tg")))
+        .withColumn("j_ppm",
+          expr("inter * 1000000 div (nq + nc - inter)"))
+        .filter(col("j_ppm") >= 400000)
+      val w = Window.partitionBy("q_key")
+        .orderBy(col("j_ppm").desc, col("c_custkey"))
+      v.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("q_key", "c_custkey", "j_ppm")
+    }),
+
     // Token-budget selection: rank docs by a quality score (distinct-token
     // ratio, exact integer ppm) and keep the greedy prefix whose cumulative
     // token count fits a 10%-of-corpus budget. Executed as a distributed
@@ -335,6 +391,45 @@ object AnalyticsOps {
         |WHERE CAST(xc * n - s AS HUGEINT) * CAST(xc * n - s AS HUGEINT) >
         |  9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
         |       - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+
+    "q158_fuzzy_match" ->
+      """WITH canon AS (SELECT c_custkey, c_name AS name FROM customer),
+        |q AS (SELECT c_custkey AS q_key,
+        |        substr(c_name, 1, 5) || substr(c_name, 7) AS name
+        |      FROM customer),
+        |ctg AS (SELECT c_custkey, unnest(list_distinct(list_transform(
+        |         range(1, len(name) - 1), i -> substr(name, i, 3)))) AS tg
+        |       FROM canon),
+        |qtg AS (SELECT q_key, unnest(list_distinct(list_transform(
+        |         range(1, len(name) - 1), i -> substr(name, i, 3)))) AS tg
+        |       FROM q),
+        |dfc AS (SELECT tg, count(*) AS df FROM ctg GROUP BY 1),
+        |keep AS (SELECT tg FROM dfc WHERE df <= 64),
+        |pairs AS (SELECT DISTINCT q_key, c_custkey
+        |          FROM qtg JOIN keep USING (tg) JOIN ctg USING (tg)),
+        |v AS (SELECT p.q_key, p.c_custkey,
+        |        len(list_intersect(
+        |          list_distinct(list_transform(range(1, len(qn.name) - 1),
+        |            i -> substr(qn.name, i, 3))),
+        |          list_distinct(list_transform(range(1, len(cn.name) - 1),
+        |            i -> substr(cn.name, i, 3))))) AS inter,
+        |        len(list_distinct(list_transform(range(1, len(qn.name) - 1),
+        |          i -> substr(qn.name, i, 3)))) AS nq,
+        |        len(list_distinct(list_transform(range(1, len(cn.name) - 1),
+        |          i -> substr(cn.name, i, 3)))) AS nc
+        |      FROM pairs p
+        |      JOIN q qn ON p.q_key = qn.q_key
+        |      JOIN canon cn ON p.c_custkey = cn.c_custkey)
+        |SELECT q_key, c_custkey, j_ppm FROM (
+        |  SELECT q_key, c_custkey,
+        |    CAST(inter AS BIGINT) * 1000000
+        |      // CAST(nq + nc - inter AS BIGINT) AS j_ppm,
+        |    row_number() OVER (PARTITION BY q_key ORDER BY
+        |      CAST(inter AS BIGINT) * 1000000
+        |        // CAST(nq + nc - inter AS BIGINT) DESC, c_custkey) AS rk
+        |  FROM v WHERE CAST(inter AS BIGINT) * 1000000
+        |    // CAST(nq + nc - inter AS BIGINT) >= 400000)
+        |WHERE rk = 1""".stripMargin,
 
     "q152_session_stats" ->
       """SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,

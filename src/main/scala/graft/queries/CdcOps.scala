@@ -254,6 +254,30 @@ object CdcOps {
           max(element_at(col("attrs"), "region")).as("region"))
     }),
 
+    // SCD2 history build — the OTHER canonical CDC consumer (q56 is
+    // latest-state upsert): every surviving change becomes a version row
+    // [valid_from_scn, valid_to_scn), closed by the NEXT change of the
+    // same key (deletes close their predecessor but emit nothing; the
+    // live version carries valid_to NULL). One lead window on the key
+    // exchange — no self-join, no state accumulation; version rows are
+    // bounded by change volume, which a warehouse stores anyway.
+    "q157_scd2_history" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val feed = adapt(s, dir,
+        "CASE WHEN event_type = 'signup' THEN 'INS' " +
+          "WHEN event_type = 'error' THEN 'DEL' ELSE 'UPD' END")
+      val msgs = TxnAssembly
+        .assembleBatch(feed, TxnAssembly.Config(commitAtEnd = true)).toDF()
+        .filter(col("op").isin(MsgOp.Insert, MsgOp.Update, MsgOp.Delete))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("xid").orderBy("scn")
+      msgs.withColumn("valid_to_scn", lead(col("scn"), 1).over(w))
+        .filter(col("op") =!= MsgOp.Delete)
+        .select(col("xid").cast("long").as("user_id"),
+          element_at(col("after"), "value").as("value"),
+          col("scn").as("valid_from_scn"), col("valid_to_scn"))
+    }),
+
     // APPLY/MERGE — the canonical CDC consumer: replay the committed
     // message stream into latest-row-per-key state (upsert + delete
     // tombstones). This is what a reference user's downstream sink does
@@ -980,6 +1004,16 @@ object CdcOps {
         |  CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'EU'
         |       WHEN 1 THEN 'US' ELSE 'APAC' END AS region
         |FROM events GROUP BY user_id HAVING count(*) > 1""".stripMargin,
+
+    "q157_scd2_history" ->
+      """SELECT user_id, value, valid_from_scn, valid_to_scn FROM (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value,
+        |    event_type, event_id AS valid_from_scn,
+        |    lead(event_id) OVER (
+        |      PARTITION BY user_id ORDER BY event_id) AS valid_to_scn
+        |  FROM events)
+        |WHERE event_type <> 'error'""".stripMargin,
 
     "q56_apply_changes" ->
       """SELECT user_id, CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value

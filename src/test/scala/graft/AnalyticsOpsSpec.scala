@@ -120,6 +120,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q157: SCD2 intervals chain correctly per key") {
+    val rows = graft.queries.CdcOps.defs("q157_scd2_history")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      // closed intervals are strictly positive-width; the version chain
+      // never overlaps (valid_to <= next valid_from); at most ONE open
+      // (live) version per key, and only in the final position
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(3), s"user $uid: open interval not last")
+          assert(a.getLong(3) > a.getLong(2), s"user $uid: empty interval")
+          assert(a.getLong(3) <= b.getLong(2), s"user $uid: overlap")
+        case _ =>
+      }
+      assert(sorted.count(_.isNullAt(3)) <= 1, s"user $uid: two live rows")
+    }
+  }
+
+  test("q158: fuzzy match recovers the corrupted identity for nearly all " +
+    "queries, and every reported match clears the threshold") {
+    val rows = graft.queries.AnalyticsOps.defs("q158_fuzzy_match")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 400000L))
+    val selfRate = rows.count(r => r.getLong(0) == r.getLong(1)).toDouble /
+      rows.length
+    assert(selfRate >= 0.9, s"self-match rate $selfRate")
+  }
+
   test("q151: distributed prefix-sum equals the single-window cumsum, " +
     "and is invariant to the partition count") {
     def run(parts: String): Map[Long, Long] = {

@@ -107,6 +107,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q154_countmin_topk"         -> 2, // 4096-cell counter agg (map-side combined) + exact vocab agg
     "q155_pivot_hourly"          -> 2, // 24-key (hod,type) agg + pivot reshape
     "q156_cube_totals"           -> 1, // grouping-set expand stays below ONE exchange
+    "q157_scd2_history"          -> 2, // xid assembly exchange + lead window reuses key order
+    "q158_fuzzy_match"           -> 3, // trigram df agg + blocking join + pair distinct; verify joins AQE-sized
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
     "q136_curation_e2e"          -> 2, // sample top-k + manifest agg; exact-dedup/LSH/quality stages pinned by localCheckpoint at construction (q46 caveat)
     "q13_codecs"                 -> 0,
