@@ -237,6 +237,69 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
     }),
 
+    // Incremental view maintenance (IVM): refresh a per-user
+    // count/sum view by MERGING a 10% delta batch's partials into the
+    // base aggregate — never re-scanning the base fact rows. Deltas are
+    // SIGNED (error events retract: −1 count, −cents sum), so the merge
+    // also proves retraction handling. The oracle recomputes the view
+    // from scratch; hash-equality IS the IVM correctness proof. Sums use
+    // integer cents — exact under any partitioning, so incremental ≡
+    // full-recompute bit-for-bit. At scale the base agg is the stored
+    // materialized view (bucketed by user_id → zero-exchange merge);
+    // here it derives from the same scan for a self-contained gate.
+    "q159_ivm_refresh" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        when(col("event_type") === "error", lit(-1L)).otherwise(lit(1L))
+          .as("sign"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = ev.filter(col("event_id") % 10 =!= 0)
+        .groupBy("user_id")
+        .agg(sum("sign").as("bn"), sum(col("sign") * col("cents")).as("bs"))
+      val delta = ev.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id")
+        .agg(sum("sign").as("dn"), sum(col("sign") * col("cents")).as("ds"))
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_signed"),
+          (coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+            .as("sum_signed_cents"))
+    }),
+
+    // Robust (median/MAD) anomaly twin of q150: 3-sigma breaks when the
+    // outliers themselves inflate sigma; median ± 3·MAD does not. Both
+    // statistics come from the q85 histogram trick — per-type (cents,
+    // count) histograms with an integer rank predicate (2·cum ≥ total) —
+    // so the whole verdict is integer-exact: no float quantile
+    // interpolation, no engine parity risk, deterministic under any
+    // partitioning. Histogram cardinality is |types| × |distinct cents|,
+    // data-volume-independent; the 5-row med/mad dims broadcast.
+    "q160_robust_anomalies" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+        val h = df.groupBy("event_type", valueCol)
+          .agg(count(lit(1)).as("c"))
+        val wcum = Window.partitionBy("event_type").orderBy(valueCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wtot = Window.partitionBy("event_type")
+        h.withColumn("cum", sum("c").over(wcum))
+          .withColumn("total", sum("c").over(wtot))
+          .groupBy("event_type")
+          .agg(min(when(col("cum") * 2 >= col("total"), col(valueCol)))
+            .as(out))
+      }
+      val med = medianOf(ev, "cents", "med")
+      val withDev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("cents") - col("med")))
+      val mad = medianOf(withDev, "dev", "mad")
+      withDev.join(broadcast(mad), "event_type")
+        .filter(col("dev") > col("mad") * 3)
+        .select("event_id", "event_type", "value")
+    }),
+
     // Fuzzy entity matching (entity resolution): match corrupted names
     // (deterministic one-char deletion) back to the canonical customer
     // list by character-trigram Jaccard, with df-capped trigram BLOCKING —
@@ -391,6 +454,42 @@ object AnalyticsOps {
         |WHERE CAST(xc * n - s AS HUGEINT) * CAST(xc * n - s AS HUGEINT) >
         |  9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
         |       - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+
+    "q160_robust_anomalies" ->
+      """WITH c AS (SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |h1 AS (SELECT event_type, cents, count(*) AS cnt FROM c
+        |       GROUP BY 1, 2),
+        |m1 AS (SELECT event_type,
+        |    min(CASE WHEN 2 * cum >= total THEN cents END) AS med
+        |  FROM (SELECT event_type, cents, cnt,
+        |      sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      sum(cnt) OVER (PARTITION BY event_type) AS total FROM h1)
+        |  GROUP BY 1),
+        |d AS (SELECT c.event_id, c.event_type, c.value,
+        |    abs(c.cents - m1.med) AS dev
+        |  FROM c JOIN m1 ON c.event_type = m1.event_type),
+        |h2 AS (SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |m2 AS (SELECT event_type,
+        |    min(CASE WHEN 2 * cum >= total THEN dev END) AS mad
+        |  FROM (SELECT event_type, dev, cnt,
+        |      sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      sum(cnt) OVER (PARTITION BY event_type) AS total FROM h2)
+        |  GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value
+        |FROM d JOIN m2 ON d.event_type = m2.event_type
+        |WHERE d.dev > m2.mad * 3""".stripMargin,
+
+    "q159_ivm_refresh" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+        |    AS BIGINT) AS n_signed,
+        |  CAST(sum((CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) *
+        |    CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_signed_cents
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q158_fuzzy_match" ->
       """WITH canon AS (SELECT c_custkey, c_name AS name FROM customer),

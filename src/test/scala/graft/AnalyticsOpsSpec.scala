@@ -151,6 +151,44 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(selfRate >= 0.9, s"self-match rate $selfRate")
   }
 
+  test("q159: incremental merge equals full recompute for any split") {
+    // the oracle already pins the 10% split; re-check with a different
+    // delta fraction so the merge (not the split choice) is what's proven
+    val ev = graft.core.Tables.load(spark, sf, "events").select(
+      col("user_id"), col("event_id"),
+      when(col("event_type") === "error", lit(-1L)).otherwise(lit(1L))
+        .as("sign"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("user_id")
+      .agg(sum("sign").as("n"), sum(col("sign") * col("cents")).as("s"))
+    val full = agg(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = agg(ev.filter(col("event_id") % 3 =!= 0))
+    val delta = agg(ev.filter(col("event_id") % 3 === 0))
+    val merged = base.join(delta.withColumnRenamed("n", "dn")
+        .withColumnRenamed("s", "ds"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == full)
+  }
+
+  test("q160: robust flags differ from 3-sigma where sigma is inflated") {
+    val robust = graft.queries.AnalyticsOps
+      .defs("q160_robust_anomalies")(spark, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val sigma = graft.queries.AnalyticsOps
+      .defs("q150_value_anomalies")(spark, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // on a heavy-tailed value column MAD resists the outliers that
+    // inflate sigma, so the robust rule flags a superset
+    assert(robust.nonEmpty && sigma.nonEmpty)
+    assert(sigma.subsetOf(robust),
+      s"3-sigma flagged ids the robust rule missed: ${sigma diff robust}")
+    assert(robust.size > sigma.size)
+  }
+
   test("q151: distributed prefix-sum equals the single-window cumsum, " +
     "and is invariant to the partition count") {
     def run(parts: String): Map[Long, Long] = {

@@ -109,6 +109,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q156_cube_totals"           -> 1, // grouping-set expand stays below ONE exchange
     "q157_scd2_history"          -> 2, // xid assembly exchange + lead window reuses key order
     "q158_fuzzy_match"           -> 3, // trigram df agg + blocking join + pair distinct; verify joins AQE-sized
+    "q159_ivm_refresh"           -> 2, // base agg + delta agg; full-outer merge co-partitioned on user_id
+    "q160_robust_anomalies"      -> 6, // 2 histogram passes; 5 of 6 exchanges move only (type,cents) cells
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
     "q136_curation_e2e"          -> 2, // sample top-k + manifest agg; exact-dedup/LSH/quality stages pinned by localCheckpoint at construction (q46 caveat)
     "q13_codecs"                 -> 0,
