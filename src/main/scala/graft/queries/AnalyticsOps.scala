@@ -300,6 +300,65 @@ object AnalyticsOps {
         .select("event_id", "event_type", "value")
     }),
 
+    // Equi-depth (decile) feature binning WITHOUT ntile: ntile is a
+    // per-partition global sort — |types| reducer partitions at any
+    // scale, the one-reducer anti-pattern. Instead the 9 per-type decile
+    // BOUNDARIES come from the q85 histogram rank predicate
+    // (min value whose 10·cum ≥ k·total), broadcast as a 45-row dim, and
+    // every row assigns its bin IN-ROW as 1 + |boundaries strictly below
+    // it|. Ties land in one bin (value-based, deterministic) — unlike
+    // ntile's positional split, which is exactly what makes ntile
+    // unportable AND unscalable. Oracle replicates the boundary rule.
+    "q161_equidepth_bins" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val h = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wtot = Window.partitionBy("event_type")
+      val cum = h.withColumn("cum", sum("c").over(wcum))
+        .withColumn("total", sum("c").over(wtot))
+      val bounds = cum.groupBy("event_type")
+        .agg(array((1 to 9).map(k =>
+          min(when(col("cum") * 10 >= col("total") * k, col("cents"))))
+          : _*).as("bnds"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          (size(filter(col("bnds"), b => b < col("cents"))) + 1)
+            .cast("int").as("bin"))
+    }),
+
+    // Pearson correlation of value vs hour-of-day, per type, from EXACT
+    // integer sums: the six sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    // Σy²) aggregate as longs (order-free exact), and the float math is
+    // ONE fixed-shape expression over those six scalars — identical IEEE
+    // ops in both engines, so the rounded result is bit-deterministic
+    // under any partitioning. A naive corr() over shuffled doubles is
+    // not. Long headroom: n·Σx² ≤ 9e18 holds to ~1e8 rows/type; past
+    // that the six sums (only) widen to decimal, the float tail is
+    // unchanged (SCALE.md).
+    "q162_correlation" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("x"),
+        expr("(ts div 3600000000000) % 24").as("y"))
+      ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"),
+          round(
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))),
+            6).as("corr"))
+    }),
+
     // Fuzzy entity matching (entity resolution): match corrupted names
     // (deterministic one-char deletion) back to the canonical customer
     // list by character-trigram Jaccard, with df-capped trigram BLOCKING —
@@ -454,6 +513,49 @@ object AnalyticsOps {
         |WHERE CAST(xc * n - s AS HUGEINT) * CAST(xc * n - s AS HUGEINT) >
         |  9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
         |       - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+
+    "q161_equidepth_bins" ->
+      """WITH c AS (SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT event_type, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |cum AS (SELECT event_type, cents, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS total FROM h),
+        |b AS (SELECT event_type,
+        |    [min(CASE WHEN 10 * cum >= 1 * total THEN cents END),
+        |     min(CASE WHEN 10 * cum >= 2 * total THEN cents END),
+        |     min(CASE WHEN 10 * cum >= 3 * total THEN cents END),
+        |     min(CASE WHEN 10 * cum >= 4 * total THEN cents END),
+        |     min(CASE WHEN 10 * cum >= 5 * total THEN cents END),
+        |     min(CASE WHEN 10 * cum >= 6 * total THEN cents END),
+        |     min(CASE WHEN 10 * cum >= 7 * total THEN cents END),
+        |     min(CASE WHEN 10 * cum >= 8 * total THEN cents END),
+        |     min(CASE WHEN 10 * cum >= 9 * total THEN cents END)] AS bnds
+        |  FROM cum GROUP BY 1)
+        |SELECT c.event_id, c.event_type, c.value,
+        |  CAST(1 + len(list_filter(b.bnds, x -> x < c.cents)) AS INTEGER)
+        |    AS bin
+        |FROM c JOIN b ON c.event_type = b.event_type""".stripMargin,
+
+    "q162_correlation" ->
+      """WITH base AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS y FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM base GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+        |FROM a""".stripMargin,
 
     "q160_robust_anomalies" ->
       """WITH c AS (SELECT event_id, event_type, value,

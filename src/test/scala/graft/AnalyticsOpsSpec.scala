@@ -189,6 +189,50 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(robust.size > sigma.size)
   }
 
+  test("q161: bins are equi-depth (each decile within rounding of n/10) " +
+    "and monotone in value") {
+    val rows = graft.queries.AnalyticsOps
+      .defs("q161_equidepth_bins")(spark, sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (tpe, rs) =>
+      val n = rs.length
+      val byBin = rs.groupBy(_.getInt(3)).view.mapValues(_.length)
+      assert(byBin.keys.min >= 1 && byBin.keys.max <= 10)
+      // value-based binning puts ties in one bin, so a bin can deviate
+      // from n/10 by at most the largest tie run; cents ties are rare in
+      // this data — allow 3x slack rather than pin the tie structure
+      byBin.foreach { case (b, c) =>
+        assert(c <= math.max(3 * n / 10, 3), s"$tpe bin $b holds $c of $n")
+      }
+      // monotone: every value in bin b is <= every value in bin b+1
+      val maxPerBin = rs.groupBy(_.getInt(3)).view
+        .mapValues(_.map(_.getDouble(2)).max).toMap
+      val minPerBin = rs.groupBy(_.getInt(3)).view
+        .mapValues(_.map(_.getDouble(2)).min).toMap
+      maxPerBin.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(maxPerBin(a) <= minPerBin(b) + 1e-9)
+        case _ =>
+      }
+    }
+  }
+
+  test("q162: correlation is in [-1, 1] and matches Spark's corr()") {
+    val rows = graft.queries.AnalyticsOps
+      .defs("q162_correlation")(spark, sf).collect()
+    assert(rows.length == 5)
+    val ev = graft.core.Tables.load(spark, sf, "events").select(
+      col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("x"),
+      expr("(ts div 3600000000000) % 24").as("y"))
+    val ref = ev.groupBy("event_type").agg(corr("x", "y").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0)
+      assert(math.abs(c - ref(r.getString(0))) < 1e-4,
+        s"${r.getString(0)}: $c vs corr() ${ref(r.getString(0))}")
+    }
+  }
+
   test("q151: distributed prefix-sum equals the single-window cumsum, " +
     "and is invariant to the partition count") {
     def run(parts: String): Map[Long, Long] = {
