@@ -237,6 +237,27 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
     }),
 
+    // Native session_window: the same 30-min-gap sessions as q17/q152,
+    // but via Spark's built-in session-window aggregation — ONE
+    // groupBy(session_window, user) instead of lag + cumsum + second agg,
+    // and the SAME operator works unchanged under Structured Streaming
+    // with a watermark (merging windows is Spark's problem, state is
+    // per-open-session). Epoch-ns ts round-trips through timestamp_micros
+    // (the feed is micro-resolution, no precision loss); the oracle
+    // restates the gap rule with the q17 lag/cumsum shape — two
+    // formulations, one result, which is the point of the gate.
+    "q163_session_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("et"))
+      ev.groupBy(session_window(col("et"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start) * 1000")
+            .as("start_ns"),
+          expr("unix_micros(session_window.end) * 1000").as("end_ns"),
+          col("n_events"))
+    }),
+
     // Incremental view maintenance (IVM): refresh a per-user
     // count/sum view by MERGING a 10% delta batch's partials into the
     // base aggregate — never re-scanning the base fact rows. Deltas are
@@ -513,6 +534,26 @@ object AnalyticsOps {
         |WHERE CAST(xc * n - s AS HUGEINT) * CAST(xc * n - s AS HUGEINT) >
         |  9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
         |       - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+
+    "q163_session_window" ->
+      """SELECT user_id, min(ts_ns) AS start_ns,
+        |  max(ts_ns) + 1800000000000 AS end_ns,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT user_id, ts_ns,
+        |    CAST(sum(new_session) OVER (
+        |      PARTITION BY user_id ORDER BY ts_ns
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM (
+        |    SELECT user_id, epoch_ns(ts) AS ts_ns,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |          IS NULL
+        |        OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (
+        |          PARTITION BY user_id ORDER BY ts)) >= 1800000000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id, session_id""".stripMargin,
 
     "q161_equidepth_bins" ->
       """WITH c AS (SELECT event_id, event_type, value,

@@ -233,6 +233,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q163: native session_window agrees with the lag/cumsum shape") {
+    val rows = graft.queries.AnalyticsOps
+      .defs("q163_session_window")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.core.Tables.load(spark, sf, "events").count()
+    assert(rows.map(_.getLong(3)).sum == total)
+    // windows are well-formed and non-overlapping per user
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.foreach(r => assert(r.getLong(2) > r.getLong(1)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(2) <= b.getLong(1),
+          s"user $uid sessions overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("q151: distributed prefix-sum equals the single-window cumsum, " +
     "and is invariant to the partition count") {
     def run(parts: String): Map[Long, Long] = {
