@@ -258,6 +258,46 @@ object AnalyticsOps {
           col("n_events"))
     }),
 
+    // A/B experiment readout with an EXACT significance verdict: users
+    // split deterministically by md5 parity (rerunnable, no RNG state —
+    // the q86 discipline), conversion = user made ≥1 purchase, and the
+    // two-proportion z-test at 95% is rearranged into pure integer
+    // arithmetic — z² > 3.8415 ⟺ 10000·D²·n > 38415·n1·n2·x·(n−x) with
+    // D = x1·n2 − x2·n1 — evaluated in decimal(38,0), so the verdict
+    // never depends on float rounding or aggregation order. Null
+    // hypothesis holds by construction (the split is independent of
+    // behavior), so the expected readout is "not significant" — the gate
+    // pins the machinery, not a lucky dataset.
+    "q164_ab_test" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val users = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("grp",
+          when(conv(substring(md5(concat(lit("ab:"),
+            col("user_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2 === 0, "A").otherwise("B"))
+      // both arms in ONE conditional aggregation — a filter-per-arm plan
+      // re-scans and re-aggregates the user frame twice
+      users.agg(
+          sum(when(col("grp") === "A", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("grp") === "A", col("converted")).otherwise(0L))
+            .as("x1"),
+          sum(when(col("grp") === "B", 1L).otherwise(0L)).as("n2"),
+          sum(when(col("grp") === "B", col("converted")).otherwise(0L))
+            .as("x2"))
+        .withColumn("d",
+          (col("x1") * col("n2") - col("x2") * col("n1")).cast(dec))
+        .withColumn("n", (col("n1") + col("n2")).cast(dec))
+        .withColumn("x", (col("x1") + col("x2")).cast(dec))
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          (lit(10000).cast(dec) * col("d") * col("d") * col("n") >
+            lit(38415).cast(dec) * col("n1").cast(dec) *
+              col("n2").cast(dec) * col("x") * (col("n") - col("x")))
+            .as("significant"))
+    }),
+
     // Incremental view maintenance (IVM): refresh a per-user
     // count/sum view by MERGING a 10% delta batch's partials into the
     // base aggregate — never re-scanning the base fact rows. Deltas are
@@ -534,6 +574,34 @@ object AnalyticsOps {
         |WHERE CAST(xc * n - s AS HUGEINT) * CAST(xc * n - s AS HUGEINT) >
         |  9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
         |       - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+
+    "q164_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted,
+        |    CASE WHEN list_reduce(list_transform(
+        |        string_split(substr(md5('ab:' ||
+        |          CAST(user_id AS VARCHAR)), 1, 8), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |        (a, d) -> a * 16 + d) % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS grp
+        |  FROM events GROUP BY user_id),
+        |arms AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(converted) AS BIGINT) AS x FROM u GROUP BY 1),
+        |ab AS (SELECT
+        |    (SELECT n FROM arms WHERE grp = 'A') AS n1,
+        |    (SELECT x FROM arms WHERE grp = 'A') AS x1,
+        |    (SELECT n FROM arms WHERE grp = 'B') AS n2,
+        |    (SELECT x FROM arms WHERE grp = 'B') AS x2)
+        |SELECT n1, x1, n2, x2,
+        |  10000 * CAST(x1 * n2 - x2 * n1 AS HUGEINT)
+        |      * CAST(x1 * n2 - x2 * n1 AS HUGEINT)
+        |      * CAST(n1 + n2 AS HUGEINT) >
+        |    38415 * CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+        |      * CAST(x1 + x2 AS HUGEINT)
+        |      * CAST(n1 + n2 - x1 - x2 AS HUGEINT) AS significant
+        |FROM ab""".stripMargin,
 
     "q163_session_window" ->
       """SELECT user_id, min(ts_ns) AS start_ns,

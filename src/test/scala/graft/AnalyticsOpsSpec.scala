@@ -251,6 +251,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q164: A/B verdict matches the double z-test and the null split " +
+    "is balanced") {
+    val r = graft.queries.AnalyticsOps.defs("q164_ab_test")(spark, sf)
+      .collect().head
+    val (n1, x1, n2, x2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n1 > 0 && n2 > 0)
+    // md5 parity split ≈ half/half
+    assert(math.abs(n1 - n2).toDouble / (n1 + n2) < 0.25)
+    val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+    val p = (x1 + x2).toDouble / (n1 + n2)
+    val z2 = math.pow(p1 - p2, 2) / (p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+    assert(r.getBoolean(4) == (z2 > 3.8415),
+      s"integer verdict ${r.getBoolean(4)} vs double z²=$z2")
+  }
+
   test("q151: distributed prefix-sum equals the single-window cumsum, " +
     "and is invariant to the partition count") {
     def run(parts: String): Map[Long, Long] = {

@@ -114,6 +114,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q161_equidepth_bins"        -> 2, // histogram agg + boundary agg (cells only); assign is broadcast+in-row
     "q162_correlation"           -> 1, // six exact sums in one 5-key agg; float tail is scalar math
     "q163_session_window"        -> 1, // native session_window agg on ONE user exchange
+    "q164_ab_test"               -> 2, // user conversion agg + ONE conditional both-arms agg
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
     "q136_curation_e2e"          -> 2, // sample top-k + manifest agg; exact-dedup/LSH/quality stages pinned by localCheckpoint at construction (q46 caveat)
     "q13_codecs"                 -> 0,
