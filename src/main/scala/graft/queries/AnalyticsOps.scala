@@ -298,6 +298,59 @@ object AnalyticsOps {
             .as("significant"))
     }),
 
+    // Replica checksum — the CDC consumer's "does the sink match the
+    // source" verifier: an ORDER-INDEPENDENT per-partition fingerprint.
+    // Each row canonicalizes to a delimited string, hashes portably
+    // (md5-hex fold mod 1e9+7 — the q106 convention), and the per-type
+    // checksum is a plain SUM of row hashes: commutative, so any engine,
+    // any partitioning, any row order produces the same value, and a
+    // replica diff localizes to the event_type partition that diverges.
+    // Sum headroom: 1e9+7 × rows ≤ 2⁶³ holds to ~9e9 rows/partition
+    // (then widen the sum to decimal; the row hash is unchanged).
+    "q165_replica_checksum" -> ((s, dir) => {
+      val canon = concat_ws("|",
+        col("event_id").cast("string"), col("user_id").cast("string"),
+        col("event_type"), col("ts").cast("string"),
+        round(col("value") * 100, 0).cast("long").cast("string"),
+        col("props"))
+      t(s, dir, "events")
+        .select(col("event_type"),
+          (conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+            % 1000000007L).as("h"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
+    }),
+
+    // Frequent token pairs (market-basket, A-priori pruned): pair
+    // candidates are generated ONLY from tokens that individually clear
+    // the support bar — the classic pruning that keeps the pair space
+    // from exploding quadratically in the vocabulary. The corpus shape:
+    // distinct (doc, tok) explode → df agg → semi-join back (tok keys) →
+    // re-group per doc → pairs form IN-ROW from the sorted frequent
+    // subset (k²/2 per doc, k = frequent tokens in that doc) → one pair
+    // count. The oracle uses the equivalent relational self-join.
+    "q166_frequent_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      val e = docs.select(col("doc_id"),
+        explode(array_distinct(filter(split(col("text"), " "),
+          x => x =!= ""))).as("tok"))
+      val freq = e.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * 4 >= col("nd")).select("tok")
+      val perDoc = e.join(freq, "tok")
+        .groupBy("doc_id").agg(sort_array(collect_set("tok")).as("ts"))
+      val pairs = perDoc.select(explode(flatten(
+        transform(col("ts"), (x, i) =>
+          transform(slice(col("ts"), i + 2, lit(100000)),
+            y => struct(x.as("tok_a"), y.as("tok_b")))))).as("p"))
+      pairs.select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("support") * 10 >= col("nd"))
+        .select("tok_a", "tok_b", "support")
+    }),
+
     // Incremental view maintenance (IVM): refresh a per-user
     // count/sum view by MERGING a 10% delta batch's partials into the
     // base aggregate — never re-scanning the base fact rows. Deltas are
@@ -574,6 +627,38 @@ object AnalyticsOps {
         |WHERE CAST(xc * n - s AS HUGEINT) * CAST(xc * n - s AS HUGEINT) >
         |  9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
         |       - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""".stripMargin,
+
+    "q165_replica_checksum" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h) AS BIGINT) AS checksum
+        |FROM (
+        |  SELECT event_type, list_reduce(list_transform(
+        |      string_split(substr(md5(
+        |        CAST(event_id AS VARCHAR) || '|' ||
+        |        CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+        |        CAST(epoch_ns(ts) AS VARCHAR) || '|' ||
+        |        CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) ||
+        |        '|' || props), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, d) -> a * 16 + d) % 1000000007 AS h
+        |  FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "q166_frequent_pairs" ->
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS tok
+        |  FROM documents),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |f AS (SELECT tok FROM e GROUP BY tok
+        |      HAVING count(*) * 4 >= (SELECT n FROM nd)),
+        |ef AS (SELECT doc_id, tok FROM e JOIN f USING (tok))
+        |SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM ef a JOIN ef b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |GROUP BY 1, 2
+        |HAVING count(*) * 10 >= (SELECT n FROM nd)""".stripMargin,
 
     "q164_ab_test" ->
       """WITH u AS (

@@ -267,6 +267,64 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"integer verdict ${r.getBoolean(4)} vs double z²=$z2")
   }
 
+  test("q165: checksum is order- and partition-independent, and detects " +
+    "a single-row change") {
+    def sums(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = sums(graft.queries.AnalyticsOps
+      .defs("q165_replica_checksum")(spark, sf))
+    // replica simulation: same rows, different physical order/partitioning
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val reordered = try sums(graft.queries.AnalyticsOps
+      .defs("q165_replica_checksum")(spark, sf))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(reordered == base)
+    // a corrupted replica (one value off by a cent) must change exactly
+    // its partition's checksum — recompute over a mutated frame
+    import org.apache.spark.sql.functions.{when => w}
+    val ev = graft.core.Tables.load(spark, sf, "events")
+      .withColumn("value",
+        w(col("event_id") === 0, col("value") + 0.01)
+          .otherwise(col("value")))
+    val canon = concat_ws("|",
+      col("event_id").cast("string"), col("user_id").cast("string"),
+      col("event_type"), col("ts").cast("string"),
+      round(col("value") * 100, 0).cast("long").cast("string"),
+      col("props"))
+    val corrupted = ev.select(col("event_type"),
+        (conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+          % 1000000007L).as("h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("h").as("c")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val changed = base.keys.filter(k => base(k) != corrupted(k))
+    assert(changed.size == 1, s"corruption touched $changed")
+  }
+
+  test("q166: A-priori invariant — every frequent pair's tokens are " +
+    "individually frequent, support bars hold") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val nd = docs.count()
+    val pairs = graft.queries.AnalyticsOps
+      .defs("q166_frequent_pairs")(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair not canonically ordered")
+      assert(r.getLong(2) * 10 >= nd)
+    }
+    // anti-monotonicity: pair support <= each member's doc frequency
+    val df = docs.select(explode(array_distinct(filter(
+        split(col("text"), " "), x => x =!= ""))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    pairs.foreach { r =>
+      val s = r.getLong(2)
+      assert(s <= df(r.getString(0)) && s <= df(r.getString(1)))
+      assert(df(r.getString(0)) * 4 >= nd && df(r.getString(1)) * 4 >= nd)
+    }
+  }
+
   test("q151: distributed prefix-sum equals the single-window cumsum, " +
     "and is invariant to the partition count") {
     def run(parts: String): Map[Long, Long] = {
