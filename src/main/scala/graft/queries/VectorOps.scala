@@ -58,6 +58,32 @@ object VectorOps {
           round(cosine(col("embedding_a"), col("embedding_b")), 6).as("cos_sim"))
     }),
 
+    // Contrastive hard-negative mining: for each anchor (the per-batch
+    // anchor set of a contrastive training loop — bounded by batch size,
+    // q31's broadcast-dimension rule), the single most-similar vector
+    // with a DIFFERENT label. Corpus streams once through the native
+    // cosine kernel; the label inequality filters BEFORE the window, so
+    // ranked rows are candidates only. Scale path beyond brute force:
+    // swap the candidate stream for q43's IVF cells — same downstream.
+    "q167_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("label").as("a_label"))
+      val cand = Tables.spread(e, col("vec_id"))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("label").as("c_label"))
+      val w = Window.partitionBy("a_id")
+        .orderBy(col("cos_sim").desc, col("c_id"))
+      cand.crossJoin(broadcast(anchors))
+        .filter(col("c_label") =!= col("a_label"))
+        .withColumn("cos_sim", cosineNative(col("a_emb"), col("c_emb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("a_id"), col("c_id").as("hard_neg_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
     // Brute-force ANN: top-5 cosine neighbors for a fixed query set.
     // Query side broadcast; corpus streamed once; output ids+rank only
     // (floats stay internal so ranking ties are the only hash risk).
@@ -446,6 +472,17 @@ object VectorOps {
       s"""SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
          |  round(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin,
+
+    "q167_hard_negatives" ->
+      s"""SELECT a_id, hard_neg_id, cos_sim FROM (
+         |  SELECT a.vec_id AS a_id, c.vec_id AS hard_neg_id,
+         |    round(${sqlCos("a.embedding", "c.embedding")}, 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${sqlCos("a.embedding", "c.embedding")} DESC,
+         |        c.vec_id) AS rk
+         |  FROM embeddings a CROSS JOIN embeddings c
+         |  WHERE a.vec_id % 25 = 0 AND c.label <> a.label)
+         |WHERE rk = 1""".stripMargin,
 
     "q31_ann_topk" ->
       s"""SELECT q_id, c_id, rank FROM (
