@@ -321,6 +321,29 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
     }),
 
+    // Join-skew pre-flight diagnostic: before running the
+    // click⋈purchase attribution self-join on user_id, estimate each
+    // key's output contribution EXACTLY as c_clicks × c_purchases from
+    // ONE conditional-count pass — integer-exact, so the report is
+    // deterministic under any partitioning. At 100 TB this is the cheap
+    // pre-flight that sizes salting / AQE skew thresholds BEFORE the
+    // expensive join runs: it costs the same single key exchange the
+    // join itself would need (map-side combined to one row per key) and
+    // emits only the top offenders via TakeOrdered — no global sort.
+    "q168_skew_preflight" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c_clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c_purchases"))
+        .filter(col("c_clicks") > 0 && col("c_purchases") > 0)
+        .withColumn("fanout", col("c_clicks") * col("c_purchases"))
+        .orderBy(col("fanout").desc, col("user_id"))
+        .limit(20)
+    }),
+
     // Frequent token pairs (market-basket, A-priori pruned): pair
     // candidates are generated ONLY from tokens that individually clear
     // the support bar — the classic pruning that keeps the pair space
@@ -643,6 +666,19 @@ object AnalyticsOps {
         |      (a, d) -> a * 16 + d) % 1000000007 AS h
         |  FROM events)
         |GROUP BY 1""".stripMargin,
+
+    "q168_skew_preflight" ->
+      """SELECT user_id, c_clicks, c_purchases,
+        |  CAST(c_clicks * c_purchases AS BIGINT) AS fanout
+        |FROM (
+        |  SELECT user_id,
+        |    CAST(count(*) FILTER (WHERE event_type = 'click')
+        |      AS BIGINT) AS c_clicks,
+        |    CAST(count(*) FILTER (WHERE event_type = 'purchase')
+        |      AS BIGINT) AS c_purchases
+        |  FROM events GROUP BY 1)
+        |WHERE c_clicks > 0 AND c_purchases > 0
+        |ORDER BY fanout DESC, user_id LIMIT 20""".stripMargin,
 
     "q166_frequent_pairs" ->
       """WITH e AS (
