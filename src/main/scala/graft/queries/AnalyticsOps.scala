@@ -374,6 +374,45 @@ object AnalyticsOps {
         .select("tok_a", "tok_b", "support")
     }),
 
+    // PMI collocation scoring (phrase detection, word2vec-style): rank
+    // co-occurring token pairs by pointwise mutual information
+    // ln(P(a,b) / (P(a)·P(b))). The q162 float discipline: every
+    // sufficient statistic (support, df_a, df_b, n_docs) is an EXACT
+    // integer aggregate, and the float math is ONE fixed-shape
+    // expression per output row — bit-deterministic under any
+    // partitioning. The df of each frequent token rides IN-ROW through
+    // the per-doc pair generation (freq is a stopword-sized bounded
+    // set), so no vocabulary-sized join follows the pair aggregation.
+    "q169_pmi_collocations" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      val e = docs.select(col("doc_id"),
+        explode(array_distinct(filter(split(col("text"), " "),
+          x => x =!= ""))).as("tok"))
+      val freq = e.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * 4 >= col("nd")).select("tok", "df")
+      val perDoc = e.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(struct(col("tok"), col("df"))))
+          .as("ts"))
+      val pairs = perDoc.select(explode(flatten(
+        transform(col("ts"), (x, i) =>
+          transform(slice(col("ts"), i + 2, lit(100000)), y =>
+            struct(x.getField("tok").as("tok_a"),
+              x.getField("df").as("df_a"),
+              y.getField("tok").as("tok_b"),
+              y.getField("df").as("df_b")))))).as("p"))
+      pairs.select("p.tok_a", "p.df_a", "p.tok_b", "p.df_b")
+        .groupBy("tok_a", "df_a", "tok_b", "df_b")
+        .agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("support") * 10 >= col("nd"))
+        .select(col("tok_a"), col("tok_b"), col("support"),
+          round(log(col("support").cast("double") * col("nd") /
+            (col("df_a") * col("df_b"))), 6).as("pmi"))
+    }),
+
     // Incremental view maintenance (IVM): refresh a per-user
     // count/sum view by MERGING a 10% delta batch's partials into the
     // base aggregate — never re-scanning the base fact rows. Deltas are
@@ -679,6 +718,25 @@ object AnalyticsOps {
         |  FROM events GROUP BY 1)
         |WHERE c_clicks > 0 AND c_purchases > 0
         |ORDER BY fanout DESC, user_id LIMIT 20""".stripMargin,
+
+    "q169_pmi_collocations" ->
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS tok
+        |  FROM documents),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM e
+        |      GROUP BY tok
+        |      HAVING count(*) * 4 >= (SELECT n FROM nd)),
+        |ef AS (SELECT doc_id, tok, df FROM e JOIN f USING (tok))
+        |SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |  CAST(count(*) AS BIGINT) AS support,
+        |  round(ln(CAST(count(*) AS DOUBLE) * (SELECT n FROM nd)
+        |    / (a.df * b.df)), 6) AS pmi
+        |FROM ef a JOIN ef b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |GROUP BY a.tok, a.df, b.tok, b.df
+        |HAVING count(*) * 10 >= (SELECT n FROM nd)""".stripMargin,
 
     "q166_frequent_pairs" ->
       """WITH e AS (
