@@ -413,6 +413,34 @@ object AnalyticsOps {
             (col("df_a") * col("df_b"))), 6).as("pmi"))
     }),
 
+    // Deterministic negative sampling (contrastive training): pair
+    // every document with a pseudo-random OTHER document chosen by an
+    // md5-derived index over the dense id space — reproducible across
+    // engines/runs (no RNG state), self-collisions displaced by +1 mod
+    // n. The only data movement is ONE equi-join on the sampled id
+    // (co-partitioned at scale; bucketing removes it entirely); the
+    // corpus count is a 1-row broadcast. At 100 TB the dense id space
+    // comes from the shard-build row_number — the same artifact q121's
+    // train order already materializes.
+    "q170_negative_sampling" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.agg(count(lit(1)).as("n"))
+      val anchors = d.select(col("doc_id"), col("lang").as("a_lang"))
+        .crossJoin(broadcast(n))
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("long") % col("n"))
+        .withColumn("neg_id",
+          when(col("h") === col("doc_id"), (col("h") + 1) % col("n"))
+            .otherwise(col("h")))
+      anchors
+        .join(d.select(col("doc_id").as("neg_id"),
+          col("lang").as("n_lang"), col("source").as("neg_source")),
+          "neg_id")
+        .select(col("doc_id"), col("neg_id"), col("neg_source"),
+          (col("a_lang") =!= col("n_lang")).as("cross_lang"))
+    }),
+
     // Incremental view maintenance (IVM): refresh a per-user
     // count/sum view by MERGING a 10% delta batch's partials into the
     // base aggregate — never re-scanning the base fact rows. Deltas are
@@ -718,6 +746,25 @@ object AnalyticsOps {
         |  FROM events GROUP BY 1)
         |WHERE c_clicks > 0 AND c_purchases > 0
         |ORDER BY fanout DESC, user_id LIMIT 20""".stripMargin,
+
+    "q170_negative_sampling" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |a AS (
+        |  SELECT doc_id, lang AS a_lang,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15),
+        |        ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (x, d) -> x * 16 + d) % (SELECT n FROM nn) AS h
+        |  FROM documents),
+        |a2 AS (
+        |  SELECT doc_id, a_lang,
+        |    CASE WHEN h = doc_id THEN (h + 1) % (SELECT n FROM nn)
+        |         ELSE h END AS neg_id
+        |  FROM a)
+        |SELECT a2.doc_id, a2.neg_id, d.source AS neg_source,
+        |  a2.a_lang <> d.lang AS cross_lang
+        |FROM a2 JOIN documents d ON d.doc_id = a2.neg_id""".stripMargin,
 
     "q169_pmi_collocations" ->
       """WITH e AS (
