@@ -354,4 +354,64 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(run("7") == dist)
     assert(run("1") == dist)
   }
+
+  test("q168: reported fanouts equal brute-force per-key products and " +
+      "form the true top-20") {
+    val got = AnalyticsOps.defs("q168_skew_preflight")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // independent brute force through a different plan shape
+    val ev = graft.core.Tables.load(spark, sf, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUser = ev.groupBy(_._1).map { case (u, rs) =>
+      (u, rs.count(_._2 == "click").toLong,
+        rs.count(_._2 == "purchase").toLong)
+    }.filter(t => t._2 > 0 && t._3 > 0)
+      .map(t => (t._1, t._2, t._3, t._2 * t._3)).toSeq
+    val want = byUser.sortBy(t => (-t._4, t._1)).take(20)
+    assert(got.toSeq == want)
+  }
+
+  test("q169: PMI rows obey support <= min(df) and the score recomputes " +
+      "from the emitted sufficient statistics") {
+    val nd = graft.core.Tables.load(spark, sf, "documents").count()
+    // recompute each pair's df from the corpus, then its PMI
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val df = graft.core.Tables.load(spark, sf, "documents")
+      .select(explode(array_distinct(toks)).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = AnalyticsOps.defs("q169_pmi_collocations")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, sup, pmi) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(sup <= math.min(df(a), df(b)),
+        s"support $sup exceeds min df for ($a,$b)")
+      val want = BigDecimal(math.log(sup.toDouble * nd / (df(a) * df(b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(pmi - want) < 1e-9, s"pmi mismatch for ($a,$b)")
+    }
+  }
+
+  test("q170: every doc anchors exactly once, never pairs with itself, " +
+      "and the pairing is partition-count invariant") {
+    def run(parts: String): Seq[(Long, Long)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try AnalyticsOps.defs("q170_negative_sampling")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val pairs = run("4")
+    val n = graft.core.Tables.load(spark, sf, "documents").count()
+    assert(pairs.length == n && pairs.map(_._1).distinct.length == n)
+    pairs.foreach { case (doc, neg) =>
+      assert(doc != neg, s"doc $doc paired with itself")
+      assert(neg >= 0 && neg < n, s"neg $neg outside dense id space")
+    }
+    assert(run("1") == pairs && run("7") == pairs)
+  }
 }
