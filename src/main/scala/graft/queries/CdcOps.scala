@@ -297,6 +297,37 @@ object CdcOps {
           element_at(col("after"), "value").as("value"))
     }),
 
+    // Point-in-time (AS OF scn) state reconstruction — the reference's
+    // flashback-style replay bound (startScn/endScn on the replay range,
+    // /root/reference/src/replicator/Replicator.cpp position handling):
+    // the cutoff is applied to the FEED, before transaction assembly —
+    // point-in-time means changes past the position never existed, not
+    // that they are filtered from assembled output (an oversized txn
+    // straddling the cut must re-assemble from only its visible ops).
+    // The cutoff (60% of the max scn) stands in for the user-supplied
+    // AS-OF position; it reaches every row via a 1-row broadcast, never
+    // a driver round-trip. Output carries each key's asof_scn so a
+    // consumer can resume the delta replay from exactly there.
+    "q171_asof_state" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val mx = Tables.load(s, dir, "events").agg(max("event_id").as("mx"))
+      val feed = adapt(s, dir,
+        "CASE WHEN event_type = 'signup' THEN 'INS' " +
+          "WHEN event_type = 'error' THEN 'DEL' ELSE 'UPD' END")
+        .crossJoin(broadcast(mx))
+        .filter(col("scn") * 5 <= col("mx") * 3).drop("mx")
+        .as[ChangeEvent](org.apache.spark.sql.Encoders.product[ChangeEvent])
+      val msgs = TxnAssembly
+        .assembleBatch(feed, TxnAssembly.Config(commitAtEnd = true)).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("xid").orderBy(col("scn").desc)
+      msgs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("op") =!= MsgOp.Delete)
+        .select(col("xid").cast("long").as("user_id"),
+          element_at(col("after"), "value").as("value"),
+          col("scn").as("asof_scn"))
+    }),
+
     // J3 LOB-reference resolution through LobAssembly.resolve: one DML per
     // user references its assembled chain via the lob:<id> marker (plus one
     // referencing a chain that never arrives → null, the orphaned-owner
@@ -1021,6 +1052,20 @@ object CdcOps {
         |  SELECT user_id, value, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rk
         |  FROM events)
+        |WHERE rk = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q171_asof_state" ->
+      """WITH mx AS (SELECT max(event_id) AS mx FROM events),
+        |e AS (SELECT * FROM events
+        |      WHERE event_id * 5 <= (SELECT mx FROM mx) * 3)
+        |SELECT user_id,
+        |  CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value,
+        |  event_id AS asof_scn
+        |FROM (
+        |  SELECT user_id, value, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rk
+        |  FROM e)
         |WHERE rk = 1 AND event_type <> 'error'""".stripMargin,
 
     "q54_lob_resolve" ->

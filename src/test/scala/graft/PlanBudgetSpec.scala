@@ -121,6 +121,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q168_skew_preflight"        -> 1, // ONE user_id agg exchange; top-20 via TakeOrdered, no sort
     "q169_pmi_collocations"      -> 5, // q166 shape; df rides in-row so NO post-pair vocab join
     "q170_negative_sampling"     -> 3, // 1-row count agg + ONE neg_id equi-join (2 sides); hash is in-row
+    "q171_asof_state"            -> 3, // q56 shape + the 1-row max-scn agg; cutoff is broadcast pre-assembly
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
     "q136_curation_e2e"          -> 2, // sample top-k + manifest agg; exact-dedup/LSH/quality stages pinned by localCheckpoint at construction (q46 caveat)
     "q13_codecs"                 -> 0,
