@@ -247,8 +247,16 @@ object AnalyticsOps {
     // restates the gap rule with the q17 lag/cumsum shape — two
     // formulations, one result, which is the point of the gate.
     "q163_session_window" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("user_id"),
-        expr("timestamp_micros(ts div 1000)").as("et"))
+      // the micro-resolution invariant is ENFORCED, not assumed: ts
+      // round-trips through timestamp_micros, so a future nanos-resolution
+      // testdata generation (Tables.load reads TIMESTAMP(NANOS) as raw
+      // epoch-ns longs) would silently shift 30-min gap decisions vs the
+      // oracle's raw-ns formulation. assert_true makes it fail loudly.
+      val ev = t(s, dir, "events")
+        .filter(expr("assert_true(ts % 1000 = 0, " +
+          "'q163: ts must be micro-resolution epoch-ns') is null"))
+        .select(col("user_id"),
+          expr("timestamp_micros(ts div 1000)").as("et"))
       ev.groupBy(session_window(col("et"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
@@ -287,10 +295,14 @@ object AnalyticsOps {
           sum(when(col("grp") === "B", 1L).otherwise(0L)).as("n2"),
           sum(when(col("grp") === "B", col("converted")).otherwise(0L))
             .as("x2"))
+        // cast-then-multiply, matching the oracle's HUGEINT order: the
+        // long products x1*n2 would silently wrap near ~3e9-user arms if
+        // evaluated in 64-bit before the widening cast
         .withColumn("d",
-          (col("x1") * col("n2") - col("x2") * col("n1")).cast(dec))
-        .withColumn("n", (col("n1") + col("n2")).cast(dec))
-        .withColumn("x", (col("x1") + col("x2")).cast(dec))
+          col("x1").cast(dec) * col("n2").cast(dec) -
+            col("x2").cast(dec) * col("n1").cast(dec))
+        .withColumn("n", col("n1").cast(dec) + col("n2").cast(dec))
+        .withColumn("x", col("x1").cast(dec) + col("x2").cast(dec))
         .select(col("n1"), col("x1"), col("n2"), col("x2"),
           (lit(10000).cast(dec) * col("d") * col("d") * col("n") >
             lit(38415).cast(dec) * col("n1").cast(dec) *
@@ -308,11 +320,18 @@ object AnalyticsOps {
     // Sum headroom: 1e9+7 × rows ≤ 2⁶³ holds to ~9e9 rows/partition
     // (then widen the sum to decimal; the row hash is unchanged).
     "q165_replica_checksum" -> ((s, dir) => {
+      // every field rides through coalesce(..., chr(1)): concat_ws would
+      // silently SKIP a null field ("a|b" == "a|NULL-b" — the fingerprint
+      // stops being injective per field), and the oracle's bare || chain
+      // would instead null the whole hash and drop the row from the
+      // checksum. An explicit sentinel keeps both engines identical and
+      // injective when a nullable column goes null.
+      def f(c: Column): Column = coalesce(c.cast("string"), lit("\u0001"))
       val canon = concat_ws("|",
-        col("event_id").cast("string"), col("user_id").cast("string"),
-        col("event_type"), col("ts").cast("string"),
-        round(col("value") * 100, 0).cast("long").cast("string"),
-        col("props"))
+        f(col("event_id")), f(col("user_id")),
+        f(col("event_type")), f(col("ts")),
+        f(round(col("value") * 100, 0).cast("long")),
+        f(col("props")))
       t(s, dir, "events")
         .select(col("event_type"),
           (conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
@@ -575,9 +594,15 @@ object AnalyticsOps {
     // approximated away.
     "q158_fuzzy_match" -> ((s, dir) => {
       val DfCap = 64
-      def tg(name: Column): Column = array_distinct(
-        transform(sequence(lit(1), length(name) - 2),
-          i => name.substr(i, lit(3))))
+      // guard len<3: Spark's sequence(1, len-2) DESCENDS for len<3
+      // (sequence(1,0) -> [1,0]) and substr would emit bogus shingles,
+      // while the oracle's half-open range(1, len-1) is simply empty —
+      // the guard pins both engines to "short name => no trigrams"
+      def tg(name: Column): Column =
+        when(length(name) >= 3, array_distinct(
+          transform(sequence(lit(1), length(name) - 2),
+            i => name.substr(i, lit(3)))))
+          .otherwise(array().cast("array<string>"))
       // trigram arrays are computed ONCE per side (a HOF inside three
       // separate expressions would re-shingle per use — the q129 CSE
       // lesson) and both the blocking explode and the verify read the
@@ -724,11 +749,13 @@ object AnalyticsOps {
         |FROM (
         |  SELECT event_type, list_reduce(list_transform(
         |      string_split(substr(md5(
-        |        CAST(event_id AS VARCHAR) || '|' ||
-        |        CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
-        |        CAST(epoch_ns(ts) AS VARCHAR) || '|' ||
-        |        CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) ||
-        |        '|' || props), 1, 15), ''),
+        |        coalesce(CAST(event_id AS VARCHAR), chr(1)) || '|' ||
+        |        coalesce(CAST(user_id AS VARCHAR), chr(1)) || '|' ||
+        |        coalesce(event_type, chr(1)) || '|' ||
+        |        coalesce(CAST(epoch_ns(ts) AS VARCHAR), chr(1)) || '|' ||
+        |        coalesce(CAST(CAST(round(value * 100) AS BIGINT)
+        |          AS VARCHAR), chr(1)) ||
+        |        '|' || coalesce(props, chr(1))), 1, 15), ''),
         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
         |      (a, d) -> a * 16 + d) % 1000000007 AS h
         |  FROM events)

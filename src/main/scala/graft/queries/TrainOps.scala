@@ -108,8 +108,24 @@ object TrainOps {
     * the post-merge vocabulary (tok, n, seq). The corpus is exploded ONCE
     * into (token, count); each round shuffles alphabet²-sized pair cells,
     * takes the argmax pair as a TakeOrdered dimension artifact, and
-    * applies the merge in-row over the checkpointed vocabulary. */
+    * applies the merge in-row over the checkpointed vocabulary.
+    *
+    * Memoized per (session, dir): the learn is ~2·BpeRounds SEQUENTIAL
+    * driver jobs, and q126 re-running the learn q123 just finished doubled
+    * its wall time for an identical result (the r7 verdict's finding 2).
+    * The cached vocabulary frame is localCheckpointed, so reuse costs one
+    * scan of a bounded artifact; keying on the session identity keeps a
+    * restarted session from reading another session's dead checkpoints. */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Int, String), (Seq[(Int, String, String, Long, Long)], DataFrame)]()
+
   private def bpeLearn(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) =
+    bpeCache.computeIfAbsent(
+      (System.identityHashCode(s), dir), _ => bpeLearnImpl(s, dir))
+
+  private def bpeLearnImpl(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     var cur = spread(t(s, dir, "documents"))
       .select(explode(TextOps.tokensCol).as("tok"))

@@ -21,6 +21,12 @@ object VectorOps {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** q167: hard upper bound on the broadcast anchor set (a contrastive
+    * batch size) — the anchor filter is `vec_id % 25 = 0 AND
+    * vec_id < 25 * AnchorCap`, so the broadcast side is ≤ AnchorCap rows
+    * no matter how large the embeddings corpus grows. */
+  private[graft] val AnchorCap = 128L
+
   /** Left-fold sum of an array<double> column (parity with list_reduce). */
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
@@ -65,9 +71,14 @@ object VectorOps {
     // cosine kernel; the label inequality filters BEFORE the window, so
     // ranked rows are candidates only. Scale path beyond brute force:
     // swap the candidate stream for q43's IVF cells — same downstream.
+    // The anchor set is bounded BY CONSTRUCTION (vec_id < 25·AnchorCap ∧
+    // vec_id % 25 = 0 → ≤ AnchorCap rows regardless of corpus size), so
+    // the broadcast() hint is safe at any scale — a bare modulus filter
+    // would grow linearly with the corpus and OOM the broadcast.
     "q167_hard_negatives" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val anchors = e.filter(col("vec_id") % 25 === 0)
+      val anchors = e.filter(col("vec_id") % 25 === 0 &&
+          col("vec_id") < 25L * AnchorCap)
         .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
           col("label").as("a_label"))
       val cand = Tables.spread(e, col("vec_id"))
@@ -481,7 +492,8 @@ object VectorOps {
          |      ORDER BY ${sqlCos("a.embedding", "c.embedding")} DESC,
          |        c.vec_id) AS rk
          |  FROM embeddings a CROSS JOIN embeddings c
-         |  WHERE a.vec_id % 25 = 0 AND c.label <> a.label)
+         |  WHERE a.vec_id % 25 = 0 AND a.vec_id < ${25L * AnchorCap}
+         |    AND c.label <> a.label)
          |WHERE rk = 1""".stripMargin,
 
     "q31_ann_topk" ->

@@ -93,4 +93,61 @@ class CollectDisciplineSpec extends AnyFunSuite {
         s"$f: broadcast hint on the token-df frame")
     }
   }
+
+  // file -> (allowed broadcast() hint count, why each hinted frame is
+  // bounded by construction). The r7 advisor caught q167 broadcasting a
+  // `vec_id % 25` anchor set — 4% of the corpus, linear in data volume —
+  // in VectorOps, OUTSIDE the r6 lint's two-file scope. This gate makes
+  // every forced broadcast in main source a reviewed decision: adding a
+  // hint anywhere fails the suite until its bound is written down here.
+  private val broadcastAllowed: Map[String, (Int, String)] = Map(
+    "cdc/Materialize.scala" -> (1, "dictionary dim (schema-sized)"),
+    "operators/IvfIndex.scala" -> (2, "IVF centroid codebook (k rows)"),
+    "queries/AnalyticsOps.scala" -> (11,
+      "1-row scalars (nDocs x4, n, mx-class), 9-row bounds/med/mad dims, " +
+        "count-min `counters` <= 4096 cells"),
+    "queries/CdcOps.scala" -> (1, "1-row max-scn scalar"),
+    "queries/PipelineOps.scala" -> (4,
+      "bench eval split, per-source rates / maxw dims (source-count-sized)"),
+    "queries/QaOps.scala" -> (1, "bench eval split (fixed holdout)"),
+    "queries/Relational.scala" -> (5,
+      "TPC-H dims: nation/region/part-filter/customer-filter + 7-row " +
+        "daily seasonality dim"),
+    "queries/TextOps.scala" -> (6,
+      "<=10-doc query side (qterms/qdata), df of query terms only, " +
+        "KB bloom fp sets x2, stopword-sized freq set"),
+    "queries/TrainOps.scala" -> (1, "q122 approx side: <= 10 queries * k"),
+    "queries/VectorOps.scala" -> (13,
+      "query sets (vec_id < 10), packed codebooks (k*d), PQ codebooks, " +
+        "k-means seeds, q143 delta assignments, q167 anchors (<= AnchorCap " +
+        "by construction: vec_id % 25 = 0 AND vec_id < 25*AnchorCap)")
+  )
+
+  test("every broadcast() hint in main source is a reviewed bounded frame") {
+    val root = Paths.get("src/main/scala/graft")
+    val hint = raw"(?<!sparkContext\.)broadcast\(".r
+    val walk = Files.walk(root)
+    val found =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .map { p =>
+          root.relativize(p).toString ->
+            hint.findAllIn(Files.readString(p)).length
+        }
+        .filter(_._2 > 0)
+        .toMap
+      finally walk.close()
+    val over = found.collect {
+      case (f, n) if n > broadcastAllowed.get(f).map(_._1).getOrElse(0) =>
+        s"$f: $n broadcast hints > allowed " +
+          s"${broadcastAllowed.get(f).map(_._1).getOrElse(0)}" +
+          " - review the new frame's bound and update CollectDisciplineSpec"
+    }
+    assert(over.isEmpty, over.mkString("; "))
+    val stale = broadcastAllowed.collect {
+      case (f, (n, _)) if found.getOrElse(f, 0) < n =>
+        s"$f: allowlist says $n but source has ${found.getOrElse(f, 0)}"
+    }
+    assert(stale.isEmpty, stale.mkString("; "))
+  }
 }
