@@ -87,7 +87,8 @@ object PullClient {
 }
 
 final class PullClient(host: String, port: Int, database: String,
-    format: String = "protobuf") extends AutoCloseable {
+    format: String = "protobuf",
+    framing: Framing = PlainFraming) extends AutoCloseable {
   require(format == "protobuf" || format == "json",
     s"incorrect format, expected: [protobuf|json], got $format")
   import PullClient._
@@ -95,21 +96,12 @@ final class PullClient(host: String, port: Int, database: String,
   private val sock = new Socket(host, port)
   private val in = new DataInputStream(sock.getInputStream)
   private val out = new DataOutputStream(sock.getOutputStream)
+  framing.clientHandshake(in, out)
 
-  private def send(r: RedoRequest): Unit = {
-    out.write(ProtoEnvelope.frame(ProtoEnvelope.encodeRequest(r)))
-    out.flush()
-  }
+  private def send(r: RedoRequest): Unit =
+    framing.send(out, ProtoEnvelope.encodeRequest(r))
 
-  private def readFrame(): Array[Byte] = {
-    val len = Array.ofDim[Byte](4)
-    in.readFully(len)
-    val n = (len(0) & 0xff) | ((len(1) & 0xff) << 8) |
-      ((len(2) & 0xff) << 16) | ((len(3) & 0xff) << 24)
-    val body = Array.ofDim[Byte](n)
-    in.readFully(body)
-    body
-  }
+  private def readFrame(): Array[Byte] = framing.recv(in)
 
   /** INFO: server state + confirmed watermark (processInfo). */
   def info(): ControlResponse = {

@@ -31,7 +31,8 @@ import graft.cdc.ProtoEnvelope.{Req, Resp}
   * Kafka as the scale sink (Sinks.kafkaWriter). */
 final class PullServer(database: String,
     initial: IndexedSeq[(Long, Long, Array[Byte])],
-    prom: Option[graft.streaming.Prometheus] = None) {
+    prom: Option[graft.streaming.Prometheus] = None,
+    framing: Framing = PlainFraming) {
 
   private val tracker = new Sinks.ConfirmTracker
   private val server = new ServerSocket(0, 8,
@@ -111,6 +112,10 @@ final class PullServer(database: String,
           catch {
             case _: EOFException => // client went away mid-frame
             case _: SocketException =>
+            case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+              // framing handshake rejection (e.g. ZMTP socket-type or
+              // signature mismatch): that connection dies, server lives
+              System.err.println(s"[pull-server] conn $connId: ${e.getMessage}")
           } finally {
             clientConfirms.remove(connId)
             gc() // a departed client no longer pins the queue
@@ -128,8 +133,9 @@ final class PullServer(database: String,
   private def serveClient(sock: Socket, connId: Long): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
+    framing.serverHandshake(in, out)
     while (running) {
-      val req = ProtoEnvelope.decodeRequest(readFrame(in))
+      val req = ProtoEnvelope.decodeRequest(framing.recv(in))
       req.code match {
         case Req.Info =>
           // processInfo: wrong db rejected; otherwise status + positions.
@@ -228,20 +234,7 @@ final class PullServer(database: String,
   }
 
   private def send(out: DataOutputStream, msg: Array[Byte]): Unit =
-    out.synchronized {
-      out.write(ProtoEnvelope.frame(msg))
-      out.flush()
-    }
-
-  private def readFrame(in: DataInputStream): Array[Byte] = {
-    val len = Array.ofDim[Byte](4)
-    in.readFully(len)
-    val n = (len(0) & 0xff) | ((len(1) & 0xff) << 8) |
-      ((len(2) & 0xff) << 16) | ((len(3) & 0xff) << 24)
-    val body = Array.ofDim[Byte](n)
-    in.readFully(body)
-    body
-  }
+    out.synchronized { framing.send(out, msg) }
 
   def close(): Unit = {
     running = false

@@ -28,7 +28,18 @@ object ConfigLoader {
       newLine: Int, append: Boolean) extends WriterSpec
   case class KafkaWriterSpec(brokers: String, topic: String,
       properties: Map[String, String]) extends WriterSpec
-  case class NetworkWriterSpec(uri: String) extends WriterSpec
+  /** `transport` selects the wire framing ([[graft.sinks.Framing]]):
+    * "network" = plain 4-byte length prefixes (StreamNetwork.cpp),
+    * "zeromq" = ZMTP 3.0 PAIR (StreamZeroMQ.cpp,
+    * OpenLogReplicator.cpp:1191-1205) — the same pull-protocol state
+    * machine either way, matching the reference. */
+  case class NetworkWriterSpec(uri: String, transport: String = "network")
+      extends WriterSpec {
+    def newFraming(): graft.sinks.Framing = transport match {
+      case "zeromq" => new graft.sinks.ZmtpFraming("PAIR")
+      case _ => graft.sinks.PlainFraming
+    }
+  }
   case object DiscardWriterSpec extends WriterSpec
 
   /** Top-level `metrics` section (OpenLogReplicator.cpp:364-399: `type`,
@@ -240,7 +251,8 @@ object ConfigLoader {
               fields.map { case (k, v) => k -> jstr(v, v.toString) }.toMap
             case _ => Map.empty
           }))
-        case "network" | "zeromq" => Some(NetworkWriterSpec(jstr(w \ "uri")))
+        case t @ ("network" | "zeromq") =>
+          Some(NetworkWriterSpec(jstr(w \ "uri"), t))
         case "discard" => Some(DiscardWriterSpec)
         case _ => None
       }
