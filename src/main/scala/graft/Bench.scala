@@ -67,14 +67,29 @@ object Bench {
     // the steady-state engine throughput the 100 TB projection scales
     // from, not the one-time JIT ramp.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
-    val results = picked.map { case (name, fn) =>
+    // Run-condition guard (r8 verdict ask #3): the r8 driver bench ran
+    // uniformly ~1.21x slower than r7 with zero code changes — host
+    // contention that cost a judge re-bench to exonerate. Record the host
+    // load average around the timed loop and each query's iteration
+    // spread (max/min) so a regression is attributable from the artifact
+    // alone: uniform spread + high load → noise; isolated spread-1 slowdown
+    // → a real plan change.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadavg()
+    val timed = picked.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, if (times.min > 0) times.max / times.min else 1.0)
     }
+    val loadAfter = loadavg()
+    val results = timed.map { case (n, mn, _) => n -> mn }
+    val spreads = timed.map { case (n, _, sp) => n -> sp }
     // 4-decimal seconds keep the one-line contract compact (the driver's
     // stdout capture is tail-truncated; a full-precision 101-query map
     // overflowed it in r5 and lost q01–q37)
@@ -128,13 +143,19 @@ object Bench {
     // full per-query map survives even if the captured stdout is truncated.
     // FILTERED local-iteration runs print only — a subset must never
     // overwrite the full-set artifact.
+    val sps = spreads.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }
+      .mkString("{", ",", "}")
+    val conditions =
+      f""","loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f""" +
+        s""","iters":$iters,"spread":$sps"""
     val outFile = new java.io.File("BENCH_FULL.json").getAbsoluteFile
     val line =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","file":"$outFile""""
     val stdoutTail =
       if (oracle.isEmpty) "}" else s""","ratio_violations":${violations.size}}"""
     if (nameFilter.isEmpty)
-      try java.nio.file.Files.writeString(outFile.toPath, line + extra + "}\n")
+      try java.nio.file.Files.writeString(
+        outFile.toPath, line + conditions + extra + "}\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     println(line + stdoutTail)

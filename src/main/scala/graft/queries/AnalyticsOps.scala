@@ -253,7 +253,7 @@ object AnalyticsOps {
       // epoch-ns longs) would silently shift 30-min gap decisions vs the
       // oracle's raw-ns formulation. assert_true makes it fail loudly.
       val ev = t(s, dir, "events")
-        .filter(expr("assert_true(ts % 1000 = 0, " +
+        .filter(expr("assert_true(ts IS NULL OR ts % 1000 = 0, " +
           "'q163: ts must be micro-resolution epoch-ns') is null"))
         .select(col("user_id"),
           expr("timestamp_micros(ts div 1000)").as("et"))
@@ -368,9 +368,11 @@ object AnalyticsOps {
     // the support bar — the classic pruning that keeps the pair space
     // from exploding quadratically in the vocabulary. The corpus shape:
     // distinct (doc, tok) explode → df agg → semi-join back (tok keys) →
-    // re-group per doc → pairs form IN-ROW from the sorted frequent
-    // subset (k²/2 per doc, k = frequent tokens in that doc) → one pair
-    // count. The oracle uses the equivalent relational self-join.
+    // self-join of the frequent-only (doc, tok) frame on doc_id with
+    // tok_a < tok_b (the oracle's own relational shape). The self-join
+    // is an equi-join on doc_id, so at scale it's one co-partitioned
+    // shuffle of a frame already pruned to ≤4·avg_doc_len rows/doc —
+    // no per-doc array materialization, stays in whole-stage codegen.
     "q166_frequent_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("nd"))
@@ -380,13 +382,10 @@ object AnalyticsOps {
       val freq = e.groupBy("tok").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocs))
         .filter(col("df") * 4 >= col("nd")).select("tok")
-      val perDoc = e.join(freq, "tok")
-        .groupBy("doc_id").agg(sort_array(collect_set("tok")).as("ts"))
-      val pairs = perDoc.select(explode(flatten(
-        transform(col("ts"), (x, i) =>
-          transform(slice(col("ts"), i + 2, lit(100000)),
-            y => struct(x.as("tok_a"), y.as("tok_b")))))).as("p"))
-      pairs.select("p.tok_a", "p.tok_b")
+      val ef = e.join(freq, "tok").select("doc_id", "tok")
+      val a = ef.select(col("doc_id"), col("tok").as("tok_a"))
+      val b = ef.select(col("doc_id"), col("tok").as("tok_b"))
+      a.join(b, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
         .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("support"))
         .crossJoin(broadcast(nDocs))
         .filter(col("support") * 10 >= col("nd"))
@@ -400,8 +399,11 @@ object AnalyticsOps {
     // integer aggregate, and the float math is ONE fixed-shape
     // expression per output row — bit-deterministic under any
     // partitioning. The df of each frequent token rides IN-ROW through
-    // the per-doc pair generation (freq is a stopword-sized bounded
-    // set), so no vocabulary-sized join follows the pair aggregation.
+    // the self-join (freq is a stopword-sized bounded set), so no
+    // vocabulary-sized join follows the pair aggregation. Pair
+    // generation is the oracle's own relational shape: self-join of the
+    // frequent-only (doc, tok, df) frame on doc_id — one co-partitioned
+    // shuffle, no per-doc array materialization (r8 verdict ask #2).
     "q169_pmi_collocations" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("nd"))
@@ -411,18 +413,12 @@ object AnalyticsOps {
       val freq = e.groupBy("tok").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocs))
         .filter(col("df") * 4 >= col("nd")).select("tok", "df")
-      val perDoc = e.join(freq, "tok")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_set(struct(col("tok"), col("df"))))
-          .as("ts"))
-      val pairs = perDoc.select(explode(flatten(
-        transform(col("ts"), (x, i) =>
-          transform(slice(col("ts"), i + 2, lit(100000)), y =>
-            struct(x.getField("tok").as("tok_a"),
-              x.getField("df").as("df_a"),
-              y.getField("tok").as("tok_b"),
-              y.getField("df").as("df_b")))))).as("p"))
-      pairs.select("p.tok_a", "p.df_a", "p.tok_b", "p.df_b")
+      val ef = e.join(freq, "tok").select("doc_id", "tok", "df")
+      val a = ef.select(col("doc_id"),
+        col("tok").as("tok_a"), col("df").as("df_a"))
+      val b = ef.select(col("doc_id"),
+        col("tok").as("tok_b"), col("df").as("df_b"))
+      a.join(b, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
         .groupBy("tok_a", "df_a", "tok_b", "df_b")
         .agg(count(lit(1)).as("support"))
         .crossJoin(broadcast(nDocs))

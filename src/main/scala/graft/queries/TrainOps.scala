@@ -115,15 +115,22 @@ object TrainOps {
     * its wall time for an identical result (the r7 verdict's finding 2).
     * The cached vocabulary frame is localCheckpointed, so reuse costs one
     * scan of a bounded artifact; keying on the session identity keeps a
-    * restarted session from reading another session's dead checkpoints. */
+    * restarted session from reading another session's dead checkpoints.
+    * Keyed on the SparkSession REFERENCE (identity equals), not its
+    * identityHashCode — hash codes can collide across live sessions and
+    * would hand one session a frame bound to another. Entries whose
+    * session has stopped are evicted on the way in, so dead sessions'
+    * localCheckpointed frames don't pin memory forever. */
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (Int, String), (Seq[(Int, String, String, Long, Long)], DataFrame)]()
+      (SparkSession, String),
+      (Seq[(Int, String, String, Long, Long)], DataFrame)]()
 
   private def bpeLearn(s: SparkSession, dir: String)
-      : (Seq[(Int, String, String, Long, Long)], DataFrame) =
-    bpeCache.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ => bpeLearnImpl(s, dir))
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
+    bpeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    bpeCache.computeIfAbsent((s, dir), _ => bpeLearnImpl(s, dir))
+  }
 
   private def bpeLearnImpl(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {

@@ -172,27 +172,45 @@ object ZmtpFraming {
     bos.toByteArray
   }
 
+  // Untrusted network bytes: every offset/length is validated before
+  // indexing so a truncated or malformed command surfaces as the
+  // IllegalStateException PullServer already logs-and-rejects, not an
+  // uncaught ArrayIndexOutOfBoundsException killing the thread.
+  private def slice(body: Array[Byte], off: Int, len: Int): String = {
+    if (off < 0 || len < 0 || off + len > body.length)
+      throw new IllegalStateException("ZMTP: malformed command")
+    new String(body, off, len, US_ASCII)
+  }
+
   private[graft] def errorReason(body: Array[Byte]): String = {
+    if (body.length < 1)
+      throw new IllegalStateException("ZMTP: malformed command")
     val nameLen = body(0) & 0xff
+    if (2 + nameLen > body.length)
+      throw new IllegalStateException("ZMTP: malformed command")
     val rLen = body(1 + nameLen) & 0xff
-    new String(body, 2 + nameLen, rLen, US_ASCII)
+    slice(body, 2 + nameLen, rLen)
   }
 
   /** command body → (name, metadata properties). */
   private[graft] def parseCommand(
       body: Array[Byte]): (String, Map[String, String]) = {
+    if (body.length < 1)
+      throw new IllegalStateException("ZMTP: malformed command")
     val nameLen = body(0) & 0xff
-    val name = new String(body, 1, nameLen, US_ASCII)
+    val name = slice(body, 1, nameLen)
     if (name != "READY") return (name, Map.empty)
     var i = 1 + nameLen
     val props = Map.newBuilder[String, String]
     while (i < body.length) {
       val nl = body(i) & 0xff
-      val pn = new String(body, i + 1, nl, US_ASCII)
+      val pn = slice(body, i + 1, nl)
       i += 1 + nl
+      if (i + 4 > body.length)
+        throw new IllegalStateException("ZMTP: malformed command")
       val vl = ((body(i) & 0xff) << 24) | ((body(i + 1) & 0xff) << 16) |
         ((body(i + 2) & 0xff) << 8) | (body(i + 3) & 0xff)
-      val pv = new String(body, i + 4, vl, US_ASCII)
+      val pv = slice(body, i + 4, vl)
       i += 4 + vl
       props += pn -> pv
     }
