@@ -255,6 +255,11 @@ object AnalyticsOps {
       val ev = t(s, dir, "events")
         .filter(expr("assert_true(ts IS NULL OR ts % 1000 = 0, " +
           "'q163: ts must be micro-resolution epoch-ns') is null"))
+        // session_window drops NULL-ts rows via its implicit not-null
+        // filter; the oracle's lag/cumsum restatement could order or
+        // propagate NULLs differently, so BOTH formulations exclude them
+        // explicitly (oracle carries the matching WHERE ts IS NOT NULL).
+        .filter(col("ts").isNotNull)
         .select(col("user_id"),
           expr("timestamp_micros(ts div 1000)").as("et"))
       ev.groupBy(session_window(col("et"), "30 minutes"), col("user_id"))
@@ -367,12 +372,15 @@ object AnalyticsOps {
     // candidates are generated ONLY from tokens that individually clear
     // the support bar — the classic pruning that keeps the pair space
     // from exploding quadratically in the vocabulary. The corpus shape:
-    // distinct (doc, tok) explode → df agg → semi-join back (tok keys) →
+    // distinct (doc, tok) explode → df agg → BROADCAST the surviving
+    // token set back (it is bounded by 4·avg_doc_len tokens at ANY
+    // corpus size: Σdf = nd·avglen, so ≤ 4·avglen tokens can have
+    // df ≥ nd/4 — document-length-sized, never vocabulary-sized) →
     // self-join of the frequent-only (doc, tok) frame on doc_id with
-    // tok_a < tok_b (the oracle's own relational shape). The self-join
-    // is an equi-join on doc_id, so at scale it's one co-partitioned
-    // shuffle of a frame already pruned to ≤4·avg_doc_len rows/doc —
-    // no per-doc array materialization, stays in whole-stage codegen.
+    // tok_a < tok_b (the oracle's own relational shape). Both join
+    // sides reference the SAME ef plan and are aliased only AFTER the
+    // join, so their doc_id Exchanges canonicalize identically and
+    // ReuseExchange ships ONE shuffle of the pruned frame, not two.
     "q166_frequent_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("nd"))
@@ -382,10 +390,10 @@ object AnalyticsOps {
       val freq = e.groupBy("tok").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocs))
         .filter(col("df") * 4 >= col("nd")).select("tok")
-      val ef = e.join(freq, "tok").select("doc_id", "tok")
-      val a = ef.select(col("doc_id"), col("tok").as("tok_a"))
-      val b = ef.select(col("doc_id"), col("tok").as("tok_b"))
-      a.join(b, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
+      val ef = e.join(broadcast(freq), "tok").select("doc_id", "tok")
+      ef.as("a").join(ef.as("b"), col("a.doc_id") === col("b.doc_id"))
+        .filter(col("a.tok") < col("b.tok"))
+        .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
         .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("support"))
         .crossJoin(broadcast(nDocs))
         .filter(col("support") * 10 >= col("nd"))
@@ -399,11 +407,13 @@ object AnalyticsOps {
     // integer aggregate, and the float math is ONE fixed-shape
     // expression per output row — bit-deterministic under any
     // partitioning. The df of each frequent token rides IN-ROW through
-    // the self-join (freq is a stopword-sized bounded set), so no
-    // vocabulary-sized join follows the pair aggregation. Pair
+    // the self-join (freq is a stopword-sized bounded set — ≤4·avg_doc_len
+    // tokens can clear df ≥ nd/4, so it BROADCASTS at any corpus size),
+    // so no vocabulary-sized join follows the pair aggregation. Pair
     // generation is the oracle's own relational shape: self-join of the
-    // frequent-only (doc, tok, df) frame on doc_id — one co-partitioned
-    // shuffle, no per-doc array materialization (r8 verdict ask #2).
+    // frequent-only (doc, tok, df) frame on doc_id, aliased only AFTER
+    // the join so both sides canonicalize to the SAME doc_id Exchange
+    // and ReuseExchange ships the pruned frame once (q166 shape).
     "q169_pmi_collocations" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("nd"))
@@ -413,12 +423,11 @@ object AnalyticsOps {
       val freq = e.groupBy("tok").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocs))
         .filter(col("df") * 4 >= col("nd")).select("tok", "df")
-      val ef = e.join(freq, "tok").select("doc_id", "tok", "df")
-      val a = ef.select(col("doc_id"),
-        col("tok").as("tok_a"), col("df").as("df_a"))
-      val b = ef.select(col("doc_id"),
-        col("tok").as("tok_b"), col("df").as("df_b"))
-      a.join(b, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
+      val ef = e.join(broadcast(freq), "tok").select("doc_id", "tok", "df")
+      ef.as("a").join(ef.as("b"), col("a.doc_id") === col("b.doc_id"))
+        .filter(col("a.tok") < col("b.tok"))
+        .select(col("a.tok").as("tok_a"), col("a.df").as("df_a"),
+          col("b.tok").as("tok_b"), col("b.df").as("df_b"))
         .groupBy("tok_a", "df_a", "tok_b", "df_b")
         .agg(count(lit(1)).as("support"))
         .crossJoin(broadcast(nDocs))
@@ -869,7 +878,7 @@ object AnalyticsOps {
         |        OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (
         |          PARTITION BY user_id ORDER BY ts)) >= 1800000000000
         |      THEN 1 ELSE 0 END AS new_session
-        |    FROM events))
+        |    FROM events WHERE ts IS NOT NULL))
         |GROUP BY user_id, session_id""".stripMargin,
 
     "q161_equidepth_bins" ->

@@ -177,7 +177,13 @@ object ZmtpFraming {
   // IllegalStateException PullServer already logs-and-rejects, not an
   // uncaught ArrayIndexOutOfBoundsException killing the thread.
   private def slice(body: Array[Byte], off: Int, len: Int): String = {
-    if (off < 0 || len < 0 || off + len > body.length)
+    // overflow-safe: `off + len` can wrap negative for an
+    // attacker-controlled 4-byte length near Int.MaxValue, letting the
+    // naive `off + len > length` guard pass; rearranged subtraction
+    // cannot overflow (off >= 0 is checked first, so length - off is
+    // exact; an off beyond the array makes it negative and any len >= 0
+    // trips the guard).
+    if (off < 0 || len < 0 || len > body.length - off)
       throw new IllegalStateException("ZMTP: malformed command")
     new String(body, off, len, US_ASCII)
   }

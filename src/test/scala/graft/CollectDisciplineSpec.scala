@@ -103,9 +103,11 @@ class CollectDisciplineSpec extends AnyFunSuite {
   private val broadcastAllowed: Map[String, (Int, String)] = Map(
     "cdc/Materialize.scala" -> (1, "dictionary dim (schema-sized)"),
     "operators/IvfIndex.scala" -> (2, "IVF centroid codebook (k rows)"),
-    "queries/AnalyticsOps.scala" -> (11,
+    "queries/AnalyticsOps.scala" -> (13,
       "1-row scalars (nDocs x4, n, mx-class), 9-row bounds/med/mad dims, " +
-        "count-min `counters` <= 4096 cells"),
+        "count-min `counters` <= 4096 cells, q166/q169 frequent-token " +
+        "sets (<= 4*avg_doc_len tokens can clear df >= nd/4 since " +
+        "sum(df) = nd*avglen - document-length-sized at any corpus)"),
     "queries/CdcOps.scala" -> (1, "1-row max-scn scalar"),
     "queries/PipelineOps.scala" -> (4,
       "bench eval split, per-source rates / maxw dims (source-count-sized)"),
@@ -132,9 +134,13 @@ class CollectDisciplineSpec extends AnyFunSuite {
         .filter(p => p.toString.endsWith(".scala"))
         .map { p =>
           // strip line comments so a `broadcast(` MENTION in prose
-          // neither counts as a hint nor pads a file's allowance
+          // neither counts as a hint nor pads a file's allowance.
+          // Only whole-comment lines are dropped: a naive `//.*$` strip
+          // would also truncate string literals containing "//" (e.g.
+          // "http://...") and silently eat a real hint after the literal.
           val src = Files.readAllLines(p).asScala
-            .map(_.replaceFirst("//.*$", "")).mkString("\n")
+            .map(l => if (l.trim.startsWith("//")) "" else l)
+            .mkString("\n")
           root.relativize(p).toString -> hint.findAllIn(src).length
         }
         .filter(_._2 > 0)

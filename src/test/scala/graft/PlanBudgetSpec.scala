@@ -116,10 +116,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q163_session_window"        -> 1, // native session_window agg on ONE user exchange
     "q164_ab_test"               -> 2, // user conversion agg + ONE conditional both-arms agg
     "q165_replica_checksum"      -> 1, // row hashes fold in-row; one 5-key sum agg
-    "q166_frequent_pairs"        -> 5, // df agg + semi-join + doc regroup + pair agg; pairs form in-row
+    "q166_frequent_pairs"        -> 8, // 4 DISTINCT runtime stages (tok df + 1-row nDocs + doc_id self-join + pair agg): the ef/nDocs subtrees appear twice statically but canonicalize identically, so AQE ReusedExchange ships each once - enforced by the runtime-reuse test below
     "q167_hard_negatives"        -> 1, // anchors broadcast; cosine in-row; ONE a_id window exchange
     "q168_skew_preflight"        -> 1, // ONE user_id agg exchange; top-20 via TakeOrdered, no sort
-    "q169_pmi_collocations"      -> 5, // q166 shape; df rides in-row so NO post-pair vocab join
+    "q169_pmi_collocations"      -> 8, // q166 shape (4 distinct runtime stages, AQE reuse enforced below); df rides in-row so NO post-pair vocab join
     "q170_negative_sampling"     -> 3, // 1-row count agg + ONE neg_id equi-join (2 sides); hash is in-row
     "q171_asof_state"            -> 3, // q56 shape + the 1-row max-scn agg; cutoff is broadcast pre-assembly
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
@@ -238,6 +238,30 @@ class PlanBudgetSpec extends AnyFunSuite {
         else None
       }
       assert(over.isEmpty, over.mkString("; "))
+    } finally spark.conf.set("graft.spreadLocal", "true")
+  }
+
+  test("q166/q169 self-join duplicates dedupe to reused stages at runtime") {
+    // The static budgets above (8) count the ef/nDocs subtrees TWICE -
+    // both self-join sides reference the same plan, aliased only after
+    // the join, so their Exchanges canonicalize identically and AQE
+    // replaces the duplicates with ReusedExchange at runtime. This test
+    // executes both queries and asserts the reuse actually fires (>= 2
+    // ReusedExchange each: the doc_id self-join side + an nDocs/freq
+    // subtree), so the "4 distinct stages" claim in the budget comments
+    // is enforced, not aspirational.
+    spark.conf.set("graft.spreadLocal", "false")
+    try {
+      Seq("q166_frequent_pairs", "q169_pmi_collocations").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect()
+        val fin = df.queryExecution.executedPlan.toString
+        val reused = "ReusedExchange".r.findAllIn(fin).length
+        assert(reused >= 2,
+          s"$name: expected >= 2 ReusedExchange in the final adaptive " +
+            s"plan, got $reused - the self-join sides no longer share " +
+            "an Exchange subtree; re-measure the shuffle budget")
+      }
     } finally spark.conf.set("graft.spreadLocal", "true")
   }
 
