@@ -24,14 +24,17 @@ import scala.jdk.CollectionConverters._
   *   - the DefaultPartitioner's murmur2 key hash
   *     (`(murmur2(key) & 0x7fffffff) % numPartitions`).
   *
+  *   - MetadataRequest/Response v1 (api_key 3): broker list + per-
+  *     partition leaders, the discovery librdkafka performs on bootstrap.
+  *
   * [[KafkaDirectWriter]] produces over a plain socket and confirms
   * delivery from the produce response (≙ dr_msg_cb → confirmMessage,
-  * WriterKafka.cpp:90-97); [[MockKafkaBroker]] accepts, CRC-checks, and
-  * stores batches so the whole path runs end-to-end in-process. Against
-  * a real single-broker Kafka the writer works as-is (direct-connect,
-  * no metadata discovery); multi-broker leader routing is deployment
-  * plumbing a production rollout would add in front of the same wire
-  * encoding.
+  * WriterKafka.cpp:90-97). [[KafkaRoutedWriter]] adds the multi-broker
+  * layer: Metadata bootstrap, one connection per leader, per-partition
+  * routing, and metadata refresh + re-route on NOT_LEADER_FOR_PARTITION
+  * or a dead leader connection. [[MockKafkaBroker]] /
+  * [[MockKafkaCluster]] accept, CRC-check, and store batches (refusing
+  * non-led partitions) so both paths run end-to-end in-process.
   */
 object KafkaWire {
 
@@ -226,6 +229,93 @@ object KafkaWire {
     ProduceResult(corr, topic, partition, err, baseOffset)
   }
 
+  // ---- Metadata v1 request/response ------------------------------------
+  // librdkafka bootstraps by asking any broker for cluster metadata, then
+  // routes each partition's produce to that partition's leader
+  // (/root/reference/src/writer/WriterKafka.cpp:59-88 delegates exactly
+  // this to librdkafka). Metadata v1 is the published schema: request =
+  // [topics]; response = [brokers(node/host/port/rack)], controller_id,
+  // [topics(err/name/internal/[partitions(err/id/leader/replicas/isr)])].
+  case class BrokerNode(nodeId: Int, host: String, port: Int)
+  case class PartitionMeta(partition: Int, leader: Int)
+  case class ClusterMetadata(brokers: Seq[BrokerNode], topic: String,
+      partitions: Seq[PartitionMeta]) {
+    def leaderFor(partition: Int): Option[BrokerNode] =
+      partitions.find(_.partition == partition)
+        .flatMap(p => brokers.find(_.nodeId == p.leader))
+    def numPartitions: Int = partitions.size
+  }
+
+  /** MetadataRequest v1 (header v1) for one topic. */
+  def encodeMetadataRequest(correlationId: Int, clientId: String,
+      topic: String): Array[Byte] = {
+    val b = ByteBuffer.allocate(topic.length +
+      Option(clientId).map(_.length).getOrElse(0) + 32)
+    b.putShort(3) // api_key METADATA
+    b.putShort(1) // api_version
+    b.putInt(correlationId)
+    putString(b, clientId)
+    b.putInt(1) // topic array
+    putString(b, topic)
+    java.util.Arrays.copyOf(b.array(), b.position())
+  }
+
+  def encodeMetadataResponse(correlationId: Int,
+      meta: ClusterMetadata): Array[Byte] = {
+    val b = ByteBuffer.allocate(4096)
+    b.putInt(correlationId)
+    b.putInt(meta.brokers.size)
+    meta.brokers.foreach { br =>
+      b.putInt(br.nodeId); putString(b, br.host); b.putInt(br.port)
+      putString(b, null) // rack
+    }
+    b.putInt(meta.brokers.headOption.map(_.nodeId).getOrElse(-1)) // controller
+    b.putInt(1) // topic array
+    b.putShort(0) // topic error_code
+    putString(b, meta.topic)
+    b.put(0.toByte) // is_internal
+    b.putInt(meta.partitions.size)
+    meta.partitions.foreach { p =>
+      b.putShort(0) // partition error_code
+      b.putInt(p.partition)
+      b.putInt(p.leader)
+      b.putInt(1); b.putInt(p.leader) // replicas
+      b.putInt(1); b.putInt(p.leader) // isr
+    }
+    java.util.Arrays.copyOf(b.array(), b.position())
+  }
+
+  def decodeMetadataResponse(bytes: Array[Byte]): (Int, ClusterMetadata) = {
+    val b = ByteBuffer.wrap(bytes)
+    val corr = b.getInt
+    val brokers = (0 until b.getInt).map { _ =>
+      val id = b.getInt; val host = getString(b); val port = b.getInt
+      getString(b) // rack
+      BrokerNode(id, host, port)
+    }
+    b.getInt // controller_id
+    require(b.getInt == 1, "single-topic metadata expected")
+    val terr = b.getShort
+    require(terr == 0, s"metadata topic error $terr")
+    val topic = getString(b)
+    b.get() // is_internal
+    val parts = (0 until b.getInt).map { _ =>
+      val perr = b.getShort
+      require(perr == 0, s"metadata partition error $perr")
+      val pid = b.getInt
+      val leader = b.getInt
+      val nr = b.getInt; b.position(b.position() + 4 * nr) // replicas
+      val ni = b.getInt; b.position(b.position() + 4 * ni) // isr
+      PartitionMeta(pid, leader)
+    }
+    (corr, ClusterMetadata(brokers, topic, parts))
+  }
+
+  /** NOT_LEADER_FOR_PARTITION — the produce error a broker returns when
+    * asked for a partition it no longer leads; the signal that triggers a
+    * metadata refresh + re-route in librdkafka and [[KafkaRoutedWriter]]. */
+  val ErrNotLeader: Short = 6
+
   private[sinks] def readFrame(in: DataInputStream): Array[Byte] = {
     val n = in.readInt() // Kafka frames are big-endian int32 size prefixed
     val a = new Array[Byte](n)
@@ -296,11 +386,15 @@ final class KafkaDirectWriter(host: String, port: Int, topic: String,
   def close(): Unit = sock.close()
 }
 
-/** In-process single-partition-per-topic broker arm: accepts Produce v3,
-  * CRC-verifies every batch, appends records to an in-memory log, and
-  * answers with the base offset — enough protocol to drive the producer
-  * end-to-end and to assert stored bytes in specs. */
-final class MockKafkaBroker extends AutoCloseable {
+/** In-process broker arm: accepts Produce v3 (CRC-verifies every batch,
+  * appends records to an in-memory log, answers with the base offset) and
+  * Metadata v1 (reports the cluster's broker list + partition leaders —
+  * its own single-node view when standalone). In cluster mode
+  * ([[MockKafkaCluster]]) a Produce for a partition this broker does NOT
+  * lead is refused with NOT_LEADER_FOR_PARTITION, the real-broker
+  * behavior that forces producers to route by leader. */
+final class MockKafkaBroker(
+    cluster: Option[(MockKafkaCluster, Int)] = None) extends AutoCloseable {
   import KafkaWire._
 
   /** (topic, partition, key, value) in append order. */
@@ -341,7 +435,19 @@ final class MockKafkaBroker extends AutoCloseable {
         // client_id (header v1)
         val cidLen = req.getShort
         if (cidLen > 0) req.position(req.position() + cidLen)
-        if (apiKey != 0 || apiVersion != 3) {
+        if (apiKey == 3 && apiVersion == 1) {
+          require(req.getInt == 1, "single-topic metadata expected")
+          val tLen = req.getShort
+          val tA = new Array[Byte](tLen); req.get(tA)
+          val topic = new String(tA, UTF_8)
+          val meta = cluster match {
+            case Some((c, _)) => c.metadataFor(topic)
+            case None => // standalone single-node view: self leads p0
+              ClusterMetadata(Seq(BrokerNode(0, "127.0.0.1", port)), topic,
+                Seq(PartitionMeta(0, 0)))
+          }
+          writeFrame(out, encodeMetadataResponse(corr, meta))
+        } else if (apiKey != 0 || apiVersion != 3) {
           // error 35 = UNSUPPORTED_VERSION
           writeFrame(out, encodeProduceResponse(
             ProduceResult(corr, "", 0, 35, -1L)))
@@ -359,7 +465,10 @@ final class MockKafkaBroker extends AutoCloseable {
           val setLen = req.getInt
           val batch = new Array[Byte](setLen); req.get(batch)
           val resp =
-            try {
+            if (cluster.exists { case (c, self) =>
+                c.leaderOf(partition) != self })
+              ProduceResult(corr, topic, partition, ErrNotLeader, -1L)
+            else try {
               val (_, recs) = decodeBatch(batch) // CRC + magic verified
               val baseOffset = log.size().toLong
               recs.foreach(r => log.add((topic, partition, r.key, r.value)))
@@ -379,4 +488,183 @@ final class MockKafkaBroker extends AutoCloseable {
   }
 
   def close(): Unit = { running = false; server.close() }
+}
+
+/** N broker arms sharing one leadership map: partition p starts on broker
+  * p % n; [[reassignLeader]] moves it mid-run (the broker failover /
+  * rebalance event). Every arm answers Metadata with the full cluster
+  * view, so a producer can bootstrap from ANY broker — the librdkafka
+  * contract the reference relies on. */
+final class MockKafkaCluster(numBrokers: Int,
+    val numPartitions: Int) extends AutoCloseable {
+  import KafkaWire._
+
+  private val leaders =
+    new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+  (0 until numPartitions).foreach(p => leaders.put(p, p % numBrokers))
+
+  val brokers: Seq[MockKafkaBroker] =
+    (0 until numBrokers).map(i => new MockKafkaBroker(Some((this, i))))
+
+  def leaderOf(partition: Int): Int =
+    Option(leaders.get(partition)).map(_.intValue).getOrElse(-1)
+  def reassignLeader(partition: Int, brokerId: Int): Unit = {
+    require(brokerId >= 0 && brokerId < numBrokers)
+    leaders.put(partition, brokerId)
+  }
+  def metadataFor(topic: String): ClusterMetadata =
+    ClusterMetadata(
+      brokers.zipWithIndex.map { case (b, i) =>
+        BrokerNode(i, "127.0.0.1", b.port)
+      },
+      topic,
+      (0 until numPartitions).map(p => PartitionMeta(p, leaders.get(p))))
+
+  /** All brokers' logs merged (append order within a broker preserved). */
+  def records: Seq[(String, Int, Array[Byte], Array[Byte])] =
+    brokers.flatMap(_.records)
+
+  def close(): Unit = brokers.foreach(_.close())
+}
+
+/** Metadata-routed producer — the full librdkafka shape the reference
+  * gets for free (WriterKafka.cpp:59-88): bootstrap from one broker,
+  * discover partition leaders via Metadata v1, keep one connection per
+  * leader, route each record batch to its partition's leader, and on
+  * NOT_LEADER_FOR_PARTITION (or a dropped leader connection) refresh
+  * metadata from any live broker and retry the batch once against the
+  * new leader. [[KafkaDirectWriter]] remains the single-broker
+  * direct-connect fast path. */
+final class KafkaRoutedWriter(bootstrapHost: String, bootstrapPort: Int,
+    topic: String, acks: Short = -1,
+    clientId: String = "graft-producer",
+    prom: Option[graft.streaming.Prometheus] = None) extends AutoCloseable {
+  import KafkaWire._
+
+  private final class Conn(val host: String, val port: Int) {
+    val sock = new Socket(host, port)
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    def close(): Unit = try sock.close() catch { case _: Throwable => }
+  }
+
+  private var correlation = 0
+  private val conns = scala.collection.mutable.Map[(String, Int), Conn]()
+  private var meta: ClusterMetadata = fetchMetadata(
+    Seq(BrokerNode(-1, bootstrapHost, bootstrapPort)))
+
+  def numPartitions: Int = meta.numPartitions
+  def metadata: ClusterMetadata = meta
+
+  private def connTo(host: String, port: Int): Conn =
+    conns.getOrElseUpdate((host, port), new Conn(host, port))
+
+  private def dropConn(c: Conn): Unit = {
+    conns.remove((c.host, c.port)); c.close()
+  }
+
+  /** Ask each candidate broker in turn until one answers. */
+  private def fetchMetadata(candidates: Seq[BrokerNode]): ClusterMetadata = {
+    var last: Throwable = null
+    var found: ClusterMetadata = null
+    val it = candidates.iterator
+    while (found == null && it.hasNext) {
+      val br = it.next()
+      try {
+        val c = connTo(br.host, br.port)
+        correlation += 1
+        writeFrame(c.out, encodeMetadataRequest(correlation, clientId, topic))
+        val (corr, m) = decodeMetadataResponse(readFrame(c.in))
+        require(corr == correlation,
+          s"correlation mismatch: $corr != $correlation")
+        require(m.partitions.nonEmpty, s"topic $topic has no partitions")
+        found = m
+      } catch {
+        // a dead candidate may also have left a poisoned pooled
+        // connection - evict it so the produce path doesn't reuse it
+        case e: Throwable =>
+          conns.remove((br.host, br.port)).foreach(_.close())
+          last = e
+      }
+    }
+    if (found == null)
+      throw new IllegalStateException(
+        s"metadata unavailable from ${candidates.size} broker(s)", last)
+    found
+  }
+
+  private def refreshMetadata(): Unit = {
+    // any live broker can answer; fall back to the bootstrap address
+    meta = fetchMetadata(
+      meta.brokers :+ BrokerNode(-1, bootstrapHost, bootstrapPort))
+  }
+
+  /** Produce one single-partition batch to that partition's leader.
+    * Returns the broker-assigned base offset. One leader-change retry:
+    * NOT_LEADER / dead connection → refresh metadata → re-route. */
+  private def produceTo(partition: Int,
+      records: Seq[Record], baseTimestamp: Long): Long = {
+    val batch = encodeBatch(records, baseTimestamp = baseTimestamp)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val leader = meta.leaderFor(partition).getOrElse(
+        throw new IllegalStateException(s"no leader for p$partition"))
+      val c = connTo(leader.host, leader.port)
+      val resp =
+        try {
+          correlation += 1
+          writeFrame(c.out, encodeProduce(correlation, clientId, topic,
+            partition, batch, acks))
+          val r = decodeProduceResponse(readFrame(c.in))
+          require(r.correlationId == correlation,
+            s"correlation mismatch: ${r.correlationId} != $correlation")
+          Some(r)
+        } catch {
+          case _: java.io.IOException if attempt <= 2 =>
+            dropConn(c); None // dead leader: refresh + retry
+          case e: java.io.IOException =>
+            dropConn(c); throw e
+        }
+      resp match {
+        case Some(r) if r.errorCode == 0 =>
+          prom.foreach { p =>
+            p.emitMessagesConfirmed(records.size.toLong)
+            p.emitBytesConfirmed(batch.length.toLong)
+          }
+          return r.baseOffset
+        case Some(r) if r.errorCode == ErrNotLeader && attempt <= 2 =>
+          refreshMetadata()
+        case Some(r) =>
+          throw new IllegalStateException(
+            s"produce failed on p$partition: error ${r.errorCode}")
+        case None =>
+          refreshMetadata()
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Group a mixed-key batch by murmur2 partition over the DISCOVERED
+    * partition count and produce each group to its leader, ascending
+    * partition order (librdkafka's per-partition queue shape). Returns
+    * (partition → base offset). */
+  def sendPartitioned(records: Seq[(Array[Byte], Array[Byte])],
+      baseTimestamp: Long = 0L): Map[Int, Long] = {
+    prom.foreach { p =>
+      p.emitMessagesSent(records.size.toLong)
+      p.emitBytesSent(records.iterator.map { case (k, v) =>
+        (if (k == null) 0 else k.length) +
+          (if (v == null) 0 else v.length)
+      }.sum.toLong)
+    }
+    records.groupBy { case (k, _) =>
+      if (k == null) 0 else partitionFor(k, meta.numPartitions)
+    }.toSeq.sortBy(_._1).map { case (p, rs) =>
+      p -> produceTo(p, rs.map { case (k, v) => Record(k, v) },
+        baseTimestamp)
+    }.toMap
+  }
+
+  def close(): Unit = conns.values.foreach(_.close())
 }

@@ -1,7 +1,8 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sinks.{KafkaDirectWriter, KafkaWire, MockKafkaBroker}
+import graft.sinks.{KafkaDirectWriter, KafkaRoutedWriter, KafkaWire,
+  MockKafkaBroker, MockKafkaCluster}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** The W1 Kafka path driven end-to-end over the real wire protocol:
@@ -83,5 +84,72 @@ class KafkaWireSpec extends AnyFunSuite {
         assert(decodeProduceResponse(resp).errorCode == 2)
       } finally raw2.close()
     } finally broker.close()
+  }
+
+  test("metadata v1 round-trips and a standalone broker answers it") {
+    val meta = ClusterMetadata(
+      Seq(BrokerNode(0, "127.0.0.1", 9092), BrokerNode(1, "127.0.0.1", 9093)),
+      "t", Seq(PartitionMeta(0, 0), PartitionMeta(1, 1)))
+    val (corr, back) = decodeMetadataResponse(encodeMetadataResponse(7, meta))
+    assert(corr == 7 && back == meta)
+    assert(back.leaderFor(1).map(_.port).contains(9093))
+    val broker = new MockKafkaBroker()
+    try {
+      val w = new KafkaRoutedWriter("127.0.0.1", broker.port, "solo")
+      try {
+        assert(w.numPartitions == 1)
+        w.sendPartitioned(Seq(("k".getBytes, "v".getBytes)))
+        assert(broker.records.map(r => new String(r._4)) == Seq("v"))
+      } finally w.close()
+    } finally broker.close()
+  }
+
+  test("routed writer sends each partition to its own leader broker") {
+    val cluster = new MockKafkaCluster(numBrokers = 2, numPartitions = 2)
+    try {
+      // bootstrap from broker 1 — metadata must still reveal broker 0
+      val w = new KafkaRoutedWriter(
+        "127.0.0.1", cluster.brokers(1).port, "routed")
+      try {
+        // keys chosen to land on both partitions of the 2-partition topic
+        val keys = (0 until 40).map(i => s"key-$i")
+        val byPart = keys.groupBy(k =>
+          partitionFor(k.getBytes, 2))
+        assert(byPart.keySet == Set(0, 1), "fixture must cover both partitions")
+        w.sendPartitioned(keys.map(k => (k.getBytes, s"v-$k".getBytes)))
+        // every record landed on the broker that LEADS its partition
+        val b0 = cluster.brokers(0).records
+        val b1 = cluster.brokers(1).records
+        assert(b0.nonEmpty && b1.nonEmpty)
+        assert(b0.forall(_._2 == 0), "broker 0 must hold only p0")
+        assert(b1.forall(_._2 == 1), "broker 1 must hold only p1")
+        assert((b0 ++ b1).map(r => new String(r._3)).sorted ==
+          keys.sorted.map(identity))
+      } finally w.close()
+    } finally cluster.close()
+  }
+
+  test("routed writer survives a leader change via NOT_LEADER + refresh") {
+    val cluster = new MockKafkaCluster(numBrokers = 2, numPartitions = 2)
+    try {
+      val w = new KafkaRoutedWriter(
+        "127.0.0.1", cluster.brokers(0).port, "failover")
+      try {
+        val k0 = (0 until 40).map(i => s"key-$i")
+          .find(k => partitionFor(k.getBytes, 2) == 0).get
+        w.sendPartitioned(Seq((k0.getBytes, "before".getBytes)))
+        assert(cluster.brokers(0).records.exists(r => new String(r._4) == "before"))
+        // p0 moves to broker 1; the stale writer must hit NOT_LEADER on
+        // broker 0, refresh metadata, and land the batch on broker 1
+        cluster.reassignLeader(0, 1)
+        w.sendPartitioned(Seq((k0.getBytes, "after".getBytes)))
+        assert(cluster.brokers(1).records.exists(r =>
+          r._2 == 0 && new String(r._4) == "after"),
+          "post-reassign batch must land on the NEW leader")
+        assert(!cluster.brokers(0).records.exists(r =>
+          new String(r._4) == "after"),
+          "post-reassign batch must NOT land on the old leader")
+      } finally w.close()
+    } finally cluster.close()
   }
 }
