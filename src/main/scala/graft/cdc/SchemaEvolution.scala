@@ -1,0 +1,140 @@
+package graft.cdc
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** §1.2 streaming schema-evolution control path: DDL observed as
+  * system-table DML INSIDE the replicated stream, applied to the
+  * in-memory dictionary at the system transaction's commit — the
+  * SystemTransaction semantics
+  * (/root/reference/src/builder/SystemTransaction.cpp:427 processInsert,
+  * :525 processUpdate, :640 processDelete, :729 commit).
+  *
+  * Spark-first mapping (SURVEY §1.2): the system rows ride the SAME
+  * stream as user DML through TxnAssembly (so only COMMITTED system
+  * transactions take effect, like processCommit), and the per-micro-batch
+  * `foreachBatch` seam is where they fold into the driver-held
+  * [[Dictionary]]. Each change CLOSES the previous table version at its
+  * scn ([[Dictionary.evolve]]), so Materialize.enrich's as-of broadcast
+  * join keeps resolving in-flight lower-scn events against the old
+  * version — per-event-scn correctness, not per-batch.
+  *
+  * System transactions are schema-sized by design (a DDL touches a
+  * handful of catalog rows), so collecting them driver-side is the same
+  * bounded asymmetry that makes the dictionary broadcastable.
+  */
+object SchemaEvolution {
+
+  /** Oracle's fixed object numbers for the catalog tables whose DML the
+    * reference intercepts (SystemTransaction.cpp dispatches on table
+    * name; OBJ$/COL$ are objects 18/21 in every Oracle database). */
+  val ObjTab = 18L
+  val ColTab = 21L
+  val SystemObjs: Set[Long] = Set(ObjTab, ColTab)
+
+  /** Catalog-row field names inside the system DML's after/before image
+    * (the column names of OBJ$/COL$ as the redo feed renders them). */
+  private val FObj = "OBJ#"
+  private val FName = "NAME"
+  private val FType = "TYPE#"
+  private val FLength = "LENGTH"
+
+  def isSystem(obj: Long): Boolean = SystemObjs.contains(obj)
+
+  /** Fold one committed system-DML message into the dictionary.
+    * Semantics per SystemTransaction.cpp:
+    *   - OBJ$ update  (:525): rename of object OBJ# to NAME;
+    *   - OBJ$ delete  (:640): drop the object (version closed at scn);
+    *   - COL$ insert  (:427): add column NAME (TYPE#, LENGTH) to OBJ#;
+    *   - COL$ delete  (:640): drop column NAME from OBJ#;
+    *   - COL$ update  (:525): rename/retype column NAME on OBJ#.
+    * A change targeting an obj# the dictionary doesn't know is a no-op
+    * (the reference tracks only schema-matched objects). Every case is
+    * CONTENT-idempotent — a change whose effect is already present is
+    * skipped rather than re-versioned — which makes micro-batch REPLAY
+    * after a restart safe (the replayed messages find their effects in
+    * the restored snapshot and no-op) while still letting one system
+    * transaction carry several changes at the same scn.
+    */
+  def applyMessage(dict: Dictionary, m: ChangeMessage): Dictionary = {
+    val img = if (m.op == MsgOp.Delete) m.before else m.after
+    if (img == null) return dict
+    val target = img.get(FObj).flatMap(s => s.toLongOption).getOrElse(-1L)
+    dict.lookupLatest(target) match {
+      case None => dict
+      case Some(t) =>
+        (m.obj, m.op) match {
+          case (ObjTab, MsgOp.Update) =>
+            img.get(FName).filter(_ != t.name)
+              .map(n => dict.evolve(t.copy(name = n), m.scn))
+              .getOrElse(dict)
+          case (ObjTab, MsgOp.Delete) =>
+            // close the live version at scn without opening a successor
+            if (t.validToScn <= m.scn) dict // already dropped (replay)
+            else dict.evolve(t.copy(validToScn = m.scn), m.scn)
+          case (ColTab, MsgOp.Insert) =>
+            img.get(FName) match {
+              case Some(cn) if !t.columns.exists(_.name == cn) =>
+                val c = DbColumn(cn,
+                  img.get(FType).flatMap(_.toIntOption).getOrElse(1),
+                  img.get(FLength).flatMap(_.toIntOption).getOrElse(0))
+                dict.evolve(t.copy(columns = t.columns :+ c), m.scn)
+              case _ => dict
+            }
+          case (ColTab, MsgOp.Delete) =>
+            img.get(FName) match {
+              case Some(cn) if t.columns.exists(_.name == cn) =>
+                dict.evolve(
+                  t.copy(columns = t.columns.filterNot(_.name == cn)), m.scn)
+              case _ => dict
+            }
+          case (ColTab, MsgOp.Update) =>
+            val old = m.before
+            val oldName = Option(old).flatMap(_.get(FName))
+              .orElse(img.get(FName))
+            oldName.flatMap(on => t.columns.find(_.name == on)).map { c =>
+              val c2 = c.copy(
+                name = img.getOrElse(FName, c.name),
+                typeCode = img.get(FType).flatMap(_.toIntOption)
+                  .getOrElse(c.typeCode))
+              if (c2 == c) dict // effect already present (replay)
+              else dict.evolve(t.copy(columns =
+                t.columns.map(x => if (x.name == c.name) c2 else x)), m.scn)
+            }.getOrElse(dict)
+          case _ => dict
+        }
+    }
+  }
+
+  /** Fold a micro-batch's committed system messages in commit order —
+    * the deterministic replay order TxnAssembly already established. */
+  def applyMessages(dict: Dictionary, ms: Seq[ChangeMessage]): Dictionary =
+    ms.sortBy(m => (m.cScn, m.cIdx)).foldLeft(dict)(applyMessage)
+
+  // ---- dictionary checkpointing (restart without stale schema) ---------
+
+  /** Persist the evolved dictionary BEFORE the batch's output is emitted,
+    * named by batch id; atomic rename so a crash never leaves a torn
+    * file. On restart [[restoreLatest]] returns the newest snapshot —
+    * together with idempotent [[applyMessage]] replay this guarantees no
+    * stale-schema emission after recovery (the reference persists the
+    * same evolution in its checkpoint JSONs,
+    * /root/reference/src/metadata/SerializerJson.cpp:539-760). */
+  def checkpoint(dir: String, batchId: Long, dict: Dictionary): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".dict-$batchId.json.tmp")
+    Files.writeString(tmp, Dictionary.toJson(dict))
+    Files.move(tmp, d.resolve(f"dict-$batchId%020d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def restoreLatest(dir: String): Option[Dictionary] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return None
+    val snaps = Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.matches("dict-\\d+\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+    snaps.lastOption.map(p => Dictionary.fromJson(Files.readString(p)))
+  }
+}

@@ -21,8 +21,10 @@ import java.nio.charset.Charset
   * MS950, Big5-HKSCS, EUC-TW). Oracle "UTF8" (ID 871) is CESU-8 — NOT
   * AL32UTF8 (873): supplementary characters encode as 6-byte surrogate
   * pairs — and the JVM's CESU-8 charset reproduces exactly that. The
-  * 7-bit NRC variants, legacy Arabic DOS pages and a few vendor sets
-  * (DEC/HP/NEXTSTEP/EBCDIC-era) have no JVM equivalent and stay
+  * 7-bit NRC family (ISO 646 national variants; DEC NRCS and Siemens
+  * 9780X forms) has no JVM charset, so it's carried as override-on-ASCII
+  * tables below. The legacy Arabic DOS pages and a few vendor sets
+  * (HP/NEXTSTEP/EBCDIC-era) have no JVM equivalent and stay
   * unsupported, like any ID absent from the map: [[decode]] throws — the
   * reference refuses to start on a charset it has no table for
   * (Locales.cpp map lookup failure ≙ config error).
@@ -110,18 +112,82 @@ object OracleCharsets {
     if (Charset.isSupported(jvm)) Some(id -> Charset.forName(jvm)) else None
   }.toMap
 
+  /** 7-bit NRC national variants (ISO 646 / DEC NRCS / Siemens 9780X) —
+    * the one charset family the JVM does NOT ship. Each is ASCII with a
+    * handful of national substitutions, so the factual content is the
+    * override list, not a 128-entry table; transcribed from the
+    * reference's conversion arrays
+    * (CharacterSet7bit.cpp:39-190, themselves the published ISO 646
+    * variant assignments). Decode masks the high bit first
+    * (CharacterSet7bit::decode `byte1 & 0x7F`, CharacterSet7bit.cpp:31).
+    */
+  private val nrcOverrides: Map[Int, (String, Seq[(Int, Char)])] = {
+    val de = Seq(0x40 -> '§', 0x5B -> 'Ä', 0x5C -> 'Ö',
+      0x5D -> 'Ü', 0x7B -> 'ä', 0x7C -> 'ö',
+      0x7D -> 'ü', 0x7E -> 'ß')
+    val dkNo = Seq(0x5B -> 'Æ', 0x5C -> 'Ø', 0x5D -> 'Å',
+      0x5E -> 'Ü', 0x7B -> 'æ', 0x7C -> 'ø',
+      0x7D -> 'å', 0x7E -> 'ü')
+    val it = Seq(0x23 -> '£', 0x40 -> '§', 0x5B -> '°',
+      0x5C -> 'ç', 0x5D -> 'é', 0x60 -> 'ù',
+      0x7B -> 'à', 0x7C -> 'ò', 0x7D -> 'è',
+      0x7E -> 'ì')
+    val sv = Seq(0x40 -> 'É', 0x5B -> 'Ä', 0x5C -> 'Ö',
+      0x5D -> 'Å', 0x5E -> 'Ü', 0x60 -> 'é',
+      0x7B -> 'ä', 0x7C -> 'ö', 0x7D -> 'å',
+      0x7E -> 'ü')
+    Map(
+      11 -> ("D7DEC" -> de),
+      13 -> ("S7DEC" -> sv),
+      14 -> ("E7DEC" -> Seq(0x23 -> '£', 0x40 -> '§',
+        0x5B -> '¡', 0x5C -> 'Ñ', 0x5D -> '¿',
+        0x7B -> '°', 0x7C -> 'ñ', 0x7D -> 'ç')),
+      15 -> ("SF7ASCII" -> Seq(0x5B -> 'Ä', 0x5C -> 'Ö',
+        0x5D -> 'Å', 0x7B -> 'ä', 0x7C -> 'ö',
+        0x7D -> 'å')),
+      16 -> ("NDK7DEC" -> (Seq(0x40 -> 'Ä', 0x60 -> 'ä') ++ dkNo)),
+      17 -> ("I7DEC" -> it),
+      21 -> ("SF7DEC" -> (sv.filterNot(_._1 == 0x40))),
+      202 -> ("E7SIEMENS9780X" -> Seq(0x5B -> '¡', 0x5C -> 'Ñ',
+        0x5D -> '¿', 0x7B -> '´', 0x7C -> 'ñ',
+        0x7D -> 'ç', 0x7E -> '¨')),
+      203 -> ("S7SIEMENS9780X" -> (Seq(0x24 -> '¤') ++ sv)),
+      204 -> ("DK7SIEMENS9780X" -> dkNo),
+      205 -> ("N7SIEMENS9780X" -> dkNo),
+      206 -> ("I7SIEMENS9780X" -> it),
+      207 -> ("D7SIEMENS9780X" -> de))
+  }
+
+  /** ID → full 128-char decode table (ASCII identity + NRC overrides). */
+  private val nrcTables: Map[Int, Array[Char]] =
+    nrcOverrides.map { case (id, (_, ov)) =>
+      val a = Array.tabulate[Char](128)(_.toChar)
+      ov.foreach { case (pos, ch) => a(pos) = ch }
+      id -> a
+    }
+
   /** ID → Oracle charset name, for diagnostics/config echo. */
   val oracleName: Map[Int, String] =
-    idTable.map { case (id, ora, _) => id -> ora }.toMap
+    idTable.map { case (id, ora, _) => id -> ora } .toMap ++
+      nrcOverrides.map { case (id, (n, _)) => id -> n }
 
   /** Decode raw column bytes under the column's NLS charset ID.
     * Unknown ID → IllegalArgumentException (config-error semantics, like
     * the reference's startup refusal); bad sequences → U+FFFD. */
   def decode(bytes: Array[Byte], charsetId: Int): String = {
-    val cs = supported.getOrElse(charsetId,
-      throw new IllegalArgumentException(
-        s"unsupported charset id $charsetId" +
-          oracleName.get(charsetId).fold("")(n => s" ($n)")))
-    new String(bytes, cs)
+    nrcTables.get(charsetId) match {
+      case Some(tbl) =>
+        // 7-bit NRC: high bit masked like the reference's decode
+        val out = new Array[Char](bytes.length)
+        var i = 0
+        while (i < bytes.length) { out(i) = tbl(bytes(i) & 0x7f); i += 1 }
+        new String(out)
+      case None =>
+        val cs = supported.getOrElse(charsetId,
+          throw new IllegalArgumentException(
+            s"unsupported charset id $charsetId" +
+              oracleName.get(charsetId).fold("")(n => s" ($n)")))
+        new String(bytes, cs)
+    }
   }
 }

@@ -385,6 +385,47 @@ object CdcOps {
         .select(col("cScn").as("event_id"), col("table_name"))
     }),
 
+    // §1.2 streaming-evolution fold gated in batch shape: the SAME
+    // SchemaEvolution.applyMessages that foreachBatch runs per micro-batch
+    // (SystemTransaction.cpp:525 processUpdate semantics) folds a BOUNDED
+    // system-DML stream — OBJ$ renames derived from events with
+    // event_id % 97 = 0 AND event_id < 9700, ≤100 rows at ANY corpus
+    // size (two-sided filter, the AnchorCap pattern; real DDL streams are
+    // this sparse) — into a versioned dictionary, and every event then
+    // resolves its table name as-of ITS scn through the broadcast
+    // dictionary join. The oracle restates the as-of rule relationally
+    // (max rename scn <= event scn), so the whole versioning chain is
+    // hash-gated, not just spec-gated.
+    "q172_schema_evolve_fold" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val v0 = DbTable(100L, 100L, "APP", "ORDERS_V0",
+        Seq(DbColumn("value", 1)))
+      val renames = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 97 === 0 && col("event_id") < 9700 &&
+          col("event_id") > 0)
+        .select(col("event_id")).distinct().collect().map(_.getLong(0))
+      val sysMsgs = renames.sorted.map { rscn =>
+        ChangeMessage(rscn, 0L, rscn, 1L, "9.0.9", MsgOp.Update, 18L, "",
+          Map("OBJ#" -> "100", "NAME" -> "ORDERS_V0"),
+          Map("OBJ#" -> "100", "NAME" -> s"T_$rscn"), null, null)
+      }
+      val dict = SchemaEvolution.applyMessages(Dictionary(Seq(v0)),
+        sysMsgs.toSeq)
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op", "100L AS obj",
+          "'' AS rid", "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(value AS STRING)) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset", "0L AS num")
+        .as[ChangeMessage]
+      Materialize.enrich(messages, dict)
+        .select(col("cScn").as("event_id"), col("table_name"))
+    }),
+
     // §1.2 SCHEMALESS/ADAPTIVE mode through Materialize.enrich's left-outer
     // path: half the objs resolve against the dictionary, half pass through
     // with a null table name (raw COL_n-style output downstream).
@@ -942,6 +983,16 @@ object CdcOps {
         |  CASE WHEN event_id < 5000 THEN 'ORDERS_V1'
         |       ELSE 'ORDERS_V2' END AS table_name
         |FROM events""".stripMargin,
+
+    "q172_schema_evolve_fold" ->
+      """WITH ren AS (
+        |  SELECT DISTINCT event_id AS rscn FROM events
+        |  WHERE event_id % 97 = 0 AND event_id < 9700 AND event_id > 0)
+        |SELECT e.event_id,
+        |  coalesce('T_' || CAST(max(r.rscn) AS VARCHAR), 'ORDERS_V0')
+        |    AS table_name
+        |FROM events e LEFT JOIN ren r ON r.rscn <= e.event_id
+        |GROUP BY e.event_id""".stripMargin,
 
     "q45_schemaless" ->
       """SELECT event_id,

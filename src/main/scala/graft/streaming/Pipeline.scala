@@ -49,6 +49,45 @@ object Pipeline {
     run(events, cfg, streaming = true)
   }
 
+  /** §1.2 streaming control path: the SAME stream carries user DML and
+    * dictionary DML (system-table rows); both flow through TxnAssembly so
+    * only COMMITTED system transactions take effect (SystemTransaction
+    * .cpp:729 processCommit). Per micro-batch, `foreachBatch` first folds
+    * the batch's system messages into the driver-held dictionary
+    * (schema-sized collect), CHECKPOINTS it (before any output, so a
+    * crash can never emit against a schema newer than the snapshot),
+    * then materializes the user messages — the broadcast dictionary side
+    * rebuilds from the refreshed dictionary every batch, and the as-of
+    * join still resolves each event against the version valid at ITS
+    * scn, so pre-DDL events in the same batch keep the old schema. On
+    * restart the dictionary restores from the newest snapshot and
+    * replayed system messages are idempotent no-ops. */
+  def streamWithEvolution(spark: SparkSession, cfg: Config, dictDir: String,
+      checkpointLocation: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    implicit val s: SparkSession = spark
+    @volatile var dict =
+      SchemaEvolution.restoreLatest(dictDir).getOrElse(cfg.dict)
+    val events = EventSource.streamJson(spark, cfg.source.path,
+      cfg.source.maxFilesPerTrigger)
+    val messages = TxnAssembly.assembleStream(events, cfg.assembly)
+    messages.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[ChangeMessage], batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        val sysObjs = SchemaEvolution.SystemObjs.toSeq
+        val sys = batch.filter(col("obj").isin(sysObjs: _*)).collect()
+        if (sys.nonEmpty)
+          dict = SchemaEvolution.applyMessages(dict, sys.toSeq)
+        SchemaEvolution.checkpoint(dictDir, batchId, dict)
+        val user = batch.filter(!col("obj").isin(sysObjs: _*))
+        val enriched = Materialize(user, dict, cfg.materialize)
+        sink(envelopeTail(enriched, cfg, streaming = true), batchId)
+      }
+      .start()
+  }
+
   /** Shared tail: assembly → materialize → envelope → (key, value, c_scn,
     * c_idx). Works for both batch and streaming inputs (same plan). */
   def run(events: Dataset[ChangeEvent], cfg: Config, streaming: Boolean)(
@@ -57,6 +96,12 @@ object Pipeline {
       if (streaming) TxnAssembly.assembleStream(events, cfg.assembly)
       else TxnAssembly.assembleBatch(events, cfg.assembly)
     val enriched = Materialize(messages, cfg.dict, cfg.materialize)
+    envelopeTail(enriched, cfg, streaming)
+  }
+
+  /** Envelope stage shared by [[run]] and [[streamWithEvolution]]. */
+  private def envelopeTail(enriched: DataFrame, cfg: Config,
+      streaming: Boolean): DataFrame = {
     if (cfg.wireFormat == "proto") {
       import org.apache.spark.sql.functions.col
       ProtoEnvelope.toMessages(enriched)

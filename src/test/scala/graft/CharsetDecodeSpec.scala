@@ -40,13 +40,36 @@ class CharsetDecodeSpec extends AnyFunSuite {
     // Oracle "UTF8" is CESU-8: the SAME code point is a 6-byte
     // surrogate pair — the bytes 871 accepts, 873 must NOT
     (871, "UTF8", "EDA081EDB080", "𐐀"),
-    (2000, "AL16UTF16", "00E9D801DC00", "é𐐀"))
+    (2000, "AL16UTF16", "00E9D801DC00", "é𐐀"),
+    // 7-bit NRC family (ISO 646 national variants; r10): ASCII with
+    // national substitutions at #,$,@,[,\,],^,`,{,|,},~ — the exact
+    // assignments in CharacterSet7bit.cpp:39-190. One row per distinct
+    // table; the bytes cover every overridden position for that variant.
+    (11, "D7DEC", "405B5C5D7B7C7D7E", "§ÄÖÜäöüß"),
+    (207, "D7SIEMENS9780X", "405B5C5D7B7C7D7E", "§ÄÖÜäöüß"),
+    (13, "S7DEC", "405B5C5D5E607B7C7D7E", "ÉÄÖÅÜéäöåü"),
+    (21, "SF7DEC", "405B5C5D5E607B7C7D7E", "@ÄÖÅÜéäöåü"),
+    (203, "S7SIEMENS9780X", "24405B5C5D5E607B7C7D7E", "¤ÉÄÖÅÜéäöåü"),
+    (15, "SF7ASCII", "5B5C5D5E7B7C7D7E", "ÄÖÅ^äöå~"),
+    (14, "E7DEC", "23405B5C5D7B7C7D7E", "£§¡Ñ¿°ñç~"),
+    (202, "E7SIEMENS9780X", "23405B5C5D7B7C7D7E", "#@¡Ñ¿´ñç¨"),
+    (17, "I7DEC", "23405B5C5D607B7C7D7E", "£§°çéùàòèì"),
+    (206, "I7SIEMENS9780X", "23405B5C5D607B7C7D7E", "£§°çéùàòèì"),
+    (16, "NDK7DEC", "405B5C5D5E607B7C7D7E", "ÄÆØÅÜäæøåü"),
+    (204, "DK7SIEMENS9780X", "405B5C5D5E607B7C7D7E", "@ÆØÅÜ`æøåü"),
+    (205, "N7SIEMENS9780X", "405B5C5D5E607B7C7D7E", "@ÆØÅÜ`æøåü"))
 
   for ((id, name, hex, want) <- golden)
     test(s"$name (id $id): $hex decodes") {
       assert(OracleCharsets.oracleName(id) == name) // table pins the pair
       assert(OracleCharsets.decode(bytes(hex), id) == want)
     }
+
+  test("NRC decode masks the high bit (CharacterSet7bit.cpp:31)") {
+    // 0xDB = 0x5B | 0x80 → same as 0x5B (Ä in D7DEC)
+    assert(OracleCharsets.decode(bytes("DB"), 11) == "Ä")
+    assert(OracleCharsets.decode(bytes("C1"), 11) == "A") // 0x41 | 0x80
+  }
 
   test("CESU-8 vs AL32UTF8 differ exactly on supplementary encoding") {
     // 873 sees CESU-8 surrogate bytes as malformed → two replacement

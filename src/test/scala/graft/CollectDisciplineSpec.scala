@@ -28,11 +28,16 @@ class CollectDisciplineSpec extends AnyFunSuite {
       "q151 per-partition token totals: <= spark.sql.shuffle.partitions " +
         "rows (a partition-count artifact for the distributed prefix-sum " +
         "offsets, never corpus-sized)"),
-    "queries/CdcOps.scala" -> (1,
+    "queries/CdcOps.scala" -> (2,
       "q103 ADAPTIVE_SCHEMA learn: one row per UNKNOWN obj (schema-sized, " +
-        "the dictionary-bootstrap class)"),
+        "the dictionary-bootstrap class); q172 rename stream: <= 100 rows " +
+        "by two-sided filter (event_id % 97 = 0 AND < 9700)"),
     "queries/CurationOps.scala" -> (1,
       "q115 repeated-paragraph hash set: bounded by duplicated boilerplate"),
+    "streaming/Pipeline.scala" -> (1,
+      "streamWithEvolution per-batch system-DML fold: committed " +
+        "dictionary-table rows only (a DDL touches a handful of catalog " +
+        "rows - schema-sized, the dictionary-bootstrap class)"),
     "queries/SelectionOps.scala" -> (3,
       "q119 prunedTopK TakeOrdered collect (LmTopK-bounded at any " +
         "corpus, skewed-fixture spec-pinned) + V scalar + DSIR " +

@@ -82,4 +82,58 @@ class LobAssemblySpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0).getAs[Map[String, String]]("after") == Map("id" -> "1"))
   }
+
+  test("charset-seam fuzz: multibyte text split at random page " +
+      "boundaries survives assemble-then-decode (r9 verdict ask #8)") {
+    // The CLOB contract: pages carry RAW bytes (hex); only the ASSEMBLED
+    // byte string is charset-decoded (q139's shape). This property pins
+    // it: for random text in each multibyte family, encoded and split at
+    // RANDOM byte offsets — including mid-character — the decoded
+    // assembly equals the original text. A decode-per-page
+    // implementation would corrupt every split that lands inside a
+    // character (the CharsetDecodeSpec "LOB seam" case, generalized).
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC10B) // deterministic fuzz
+    // (charsetId, JVM charset, alphabet to draw text from)
+    val families = Seq(
+      (832, "Shift_JIS", "あいうえおカキクケコ漢字テスト"),
+      (830, "EUC-JP", "あいうえおカキクケコ漢字テスト"),
+      (852, "GBK", "你好世界中文测试数据"),
+      (854, "GB18030", "你好世界中文测试数据𐐀"), // incl. 4-byte
+      (840, "EUC-KR", "가나다라마바사아자차"),
+      (865, "Big5", "中文測試資料分頁"),
+      (873, "UTF-8", "héllo wörld 漢字 𐐀 mixed"), // AL32UTF8
+      (871, "CESU-8", "héllo wörld 漢字 𐐀 cesu")) // Oracle "UTF8"
+    for ((id, jvmName, alphabet) <- families; trial <- 0 until 4) {
+      // draw CODE POINTS, not chars: the supplementary 𐐀 is a surrogate
+      // pair, and char-indexed sampling would emit lone surrogates that
+      // can never round-trip through any charset
+      val cps = alphabet.codePoints().toArray
+      val sb = new java.lang.StringBuilder
+      (0 until (5 + rnd.nextInt(40)))
+        .foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      val text = sb.toString
+      val bytes = text.getBytes(java.nio.charset.Charset.forName(jvmName))
+      // random split points: 1..4 pages, boundaries anywhere in the
+      // byte string (mid-character splits very likely for CJK)
+      val nCuts = rnd.nextInt(4)
+      val cuts = (Seq(0, bytes.length) ++
+        Seq.fill(nCuts)(rnd.nextInt(bytes.length + 1))).distinct.sorted
+      val pages = cuts.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+        page(i + 1L, s"F$id-$trial", i,
+          bytes.slice(a, b).map("%02X".format(_)).mkString)
+      }.toSeq
+      val assembled = LobAssembly.assemble(
+          spark.createDataset(pages).toDF())
+        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      val hex = assembled(s"F$id-$trial")
+      val joined = hex.grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      assert(java.util.Arrays.equals(joined, bytes),
+        s"byte assembly diverged for id $id trial $trial")
+      assert(graft.core.OracleCharsets.decode(joined, id) == text,
+        s"charset $id ($jvmName) trial $trial: seam corrupted decode " +
+          s"(cuts at ${cuts.mkString(",")})")
+    }
+  }
 }

@@ -103,6 +103,29 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("Prometheus gauges track the soak's state curve batch by batch " +
+      "(r9 verdict ask #7)") {
+    // StreamSoak feeds each BatchMetrics through observeBatch; the
+    // memory_used_mb{type="transactions"} gauge must FOLLOW the curve
+    // (climb with the skewed stragglers, drain at the end), not just
+    // hold some final value — scrape after every observation and pin
+    // the gauge to that batch's stateBytes.
+    val prom = new graft.streaming.Prometheus()
+    val curve = Seq(10L, 200L, 900L, 1400L, 600L, 0L).map(_ * 1048576L)
+    curve.zipWithIndex.foreach { case (bytes, i) =>
+      prom.observeBatch(Metrics.BatchMetrics(
+        batchId = i.toLong, inputRows = 1000L, inputRowsPerSec = 0.0,
+        processedRowsPerSec = 0.0, stateRows = bytes / 1048576L,
+        stateBytes = bytes, batchDurationMs = 50L + i))
+      val line = prom.render().linesIterator
+        .find(_.startsWith("memory_used_mb{type=\"transactions\"}"))
+        .getOrElse(fail(s"gauge missing at batch $i"))
+      val got = line.split(" ").last.toDouble
+      assert(math.abs(got - bytes / 1048576.0) < 0.01,
+        s"batch $i: gauge $got != ${bytes / 1048576.0}")
+    }
+  }
+
   test("dmlCounters aggregates per (owner, table, op)") {
     import spark.implicits._
     val df = Seq(

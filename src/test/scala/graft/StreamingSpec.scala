@@ -331,4 +331,73 @@ class StreamingSpec extends AnyFunSuite {
       assert(!rows.exists(_._1 == 4L)) // cross-batch duplicate dropped
     } finally q.stop()
   }
+
+  test("§1.2 streaming schema evolution: mid-stream dictionary DML " +
+      "refreshes the broadcast dict; restart emits no stale schema") {
+    val dir = Files.createTempDirectory("evo").toString
+    val srcDir = s"$dir/feed"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val outRows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+
+    def writeFeed(name: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(srcDir, name))
+      lines.foreach(w.println)
+      w.close()
+    }
+    val dictV1 = Dictionary(Seq(
+      DbTable(100L, 100L, "APP", "ORDERS_V1",
+        Seq(DbColumn("ID", 2, numPk = 1), DbColumn("VAL", 1)),
+        tagType = "pk")))
+    def runOnce(): Unit = {
+      val q = graft.streaming.Pipeline.streamWithEvolution(spark,
+        graft.streaming.Pipeline.Config(
+          graft.streaming.Pipeline.SourceConfig(srcDir), dictV1),
+        s"$dir/dict", s"$dir/ckpt") { (df, _) =>
+        outRows ++= df.selectExpr("c_scn", "value").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+      }
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // txn1 (pre-DDL, commit scn 3) → must render ORDERS_V1;
+    // system txn: OBJ$ (obj 18) update renames obj#100 at scn 5;
+    // txn2 (post-DDL, commit scn 8) → must render ORDERS_V2.
+    writeFeed("feed_001.jsonl",
+      """{"scn":1,"xid":"1.0.1","op":"BEGIN"}""",
+      """{"scn":2,"xid":"1.0.1","op":"INS","obj":100,"after":{"ID":"1","VAL":"a"}}""",
+      """{"scn":3,"xid":"1.0.1","op":"COMMIT"}""",
+      """{"scn":4,"xid":"9.0.9","op":"BEGIN"}""",
+      """{"scn":5,"xid":"9.0.9","op":"UPD","obj":18,"before":{"OBJ#":"100","NAME":"ORDERS_V1"},"after":{"OBJ#":"100","NAME":"ORDERS_V2"}}""",
+      """{"scn":6,"xid":"9.0.9","op":"COMMIT"}""",
+      """{"scn":7,"xid":"2.0.1","op":"BEGIN"}""",
+      """{"scn":7,"xid":"2.0.1","op":"INS","obj":100,"after":{"ID":"2","VAL":"b"}}""",
+      """{"scn":8,"xid":"2.0.1","op":"COMMIT"}""")
+    runOnce()
+    val first = outRows.toSeq
+    assert(first.exists { case (scn, v) =>
+      scn == 3L && v.contains(""""table":"ORDERS_V1"""") }, s"got $first")
+    assert(first.exists { case (scn, v) =>
+      scn == 8L && v.contains(""""table":"ORDERS_V2"""") }, s"got $first")
+    assert(!first.exists { case (scn, v) =>
+      scn == 8L && v.contains("ORDERS_V1") }, "post-DDL txn used stale schema")
+
+    // RESTART with the ORIGINAL v1 config dict: the evolved name must
+    // come back from the dictionary checkpoint, not from cfg.dict — a
+    // post-restart transaction rendering ORDERS_V1 would be the
+    // stale-schema emission this path exists to prevent.
+    outRows.clear()
+    writeFeed("feed_002.jsonl",
+      """{"scn":10,"xid":"3.0.1","op":"BEGIN"}""",
+      """{"scn":10,"xid":"3.0.1","op":"INS","obj":100,"after":{"ID":"3","VAL":"c"}}""",
+      """{"scn":11,"xid":"3.0.1","op":"COMMIT"}""")
+    runOnce()
+    val second = outRows.toSeq
+    assert(second.exists { case (scn, v) =>
+      scn == 11L && v.contains(""""table":"ORDERS_V2"""") }, s"got $second")
+    assert(!second.exists(_._2.contains("ORDERS_V1")),
+      "restart resolved against the stale pre-DDL dictionary")
+    // no duplicate re-emission of txn1/txn2 after restart
+    assert(!second.exists { case (scn, _) => scn == 3L || scn == 8L },
+      s"restart re-emitted committed transactions: $second")
+  }
 }
