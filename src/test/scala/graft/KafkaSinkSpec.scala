@@ -144,4 +144,71 @@ class KafkaSinkSpec extends AnyFunSuite {
       }
     } finally broker.close()
   }
+
+  test("routed delivery across a 2-broker cluster with a MID-STREAM " +
+      "leader change: every record on its leader, no duplicates") {
+    // The full librdkafka shape under Structured Streaming: foreachBatch
+    // discovers leaders via Metadata, routes per murmur2 partition, and
+    // a leader reassignment BETWEEN micro-batches is absorbed by the
+    // NOT_LEADER → refresh → re-route path, invisibly to the stream.
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = Files.createTempDirectory("graft_kafka_routed").toString
+    val srcDir = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val cluster = new graft.sinks.MockKafkaCluster(
+      numBrokers = 2, numPartitions = 2)
+    try {
+      def writeBatch(n: Int, rows: Seq[(Long, Long, String)]): Unit =
+        rows.toDF("c_scn", "c_idx", "value").coalesce(1)
+          .write.json(s"$srcDir/batch$n")
+      def runOnce(): Unit = {
+        val in = spark.readStream
+          .schema("c_scn LONG, c_idx LONG, value STRING").json(s"$srcDir/*")
+          .selectExpr("concat(c_scn, ':', c_idx) AS key", "value")
+        val port = cluster.brokers(0).port
+        val q = in.writeStream
+          .option("checkpointLocation", s"$dir/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val rows = batch.collect()
+              .map(r => (r.getString(0).getBytes(UTF_8),
+                r.getString(1).getBytes(UTF_8))).toSeq
+            if (rows.nonEmpty) {
+              val w = new graft.sinks.KafkaRoutedWriter(
+                "127.0.0.1", port, "cdc")
+              try { w.sendPartitioned(rows); () } finally w.close()
+            }
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      writeBatch(1, (0 until 8).map(i => (100L, i.toLong, s"v$i")))
+      runOnce()
+      // leadership flips between micro-batches (broker failover)
+      cluster.reassignLeader(0, 1)
+      cluster.reassignLeader(1, 0)
+      writeBatch(2, (0 until 8).map(i => (101L, i.toLong, s"w$i")))
+      runOnce()
+      val got = cluster.records
+      val keys = got.map(r => new String(r._3, UTF_8))
+      assert(keys.sorted ==
+        ((0 until 8).map(i => s"100:$i") ++
+          (0 until 8).map(i => s"101:$i")).sorted)
+      assert(keys.distinct.size == keys.size, s"duplicate produce: $keys")
+      // every record sits on the broker that led its partition WHEN
+      // produced: batch-1 rows on p%2, batch-2 rows on the flipped map
+      cluster.brokers.zipWithIndex.foreach { case (b, bid) =>
+        b.records.foreach { case (_, p, k, _) =>
+          val scn = new String(k, UTF_8).takeWhile(_ != ':')
+          assert(graft.sinks.KafkaWire.partitionFor(k, 2) == p)
+          if (scn == "100") assert(p % 2 == bid,
+            s"batch-1 record on wrong broker: p$p on broker $bid")
+          else assert((p + 1) % 2 == bid,
+            s"batch-2 record on wrong broker after flip: p$p on broker $bid")
+        }
+      }
+    } finally cluster.close()
+  }
 }

@@ -129,6 +129,29 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally cluster.close()
   }
 
+  test("routed writer survives a DEAD leader: connection failure → " +
+      "metadata refresh from a surviving broker → re-route") {
+    val cluster = new MockKafkaCluster(numBrokers = 2, numPartitions = 2)
+    try {
+      val w = new KafkaRoutedWriter(
+        "127.0.0.1", cluster.brokers(0).port, "dead-leader")
+      try {
+        val k0 = (0 until 40).map(i => s"key-$i")
+          .find(k => partitionFor(k.getBytes, 2) == 0).get
+        w.sendPartitioned(Seq((k0.getBytes, "warm".getBytes)))
+        // broker 0 (p0's leader) dies; p0 moves to broker 1. The writer's
+        // pooled connection to broker 0 must fail, metadata must come
+        // from the SURVIVING broker, and the batch must land on broker 1.
+        cluster.reassignLeader(0, 1)
+        cluster.brokers(0).close()
+        w.sendPartitioned(Seq((k0.getBytes, "after-death".getBytes)))
+        assert(cluster.brokers(1).records.exists(r =>
+          r._2 == 0 && new String(r._4) == "after-death"),
+          "batch must land on the surviving broker after leader death")
+      } finally w.close()
+    } finally cluster.close()
+  }
+
   test("routed writer survives a leader change via NOT_LEADER + refresh") {
     val cluster = new MockKafkaCluster(numBrokers = 2, numPartitions = 2)
     try {
