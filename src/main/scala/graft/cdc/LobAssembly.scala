@@ -95,4 +95,98 @@ object LobAssembly {
       .withColumn("after", rewrite(col("after"), col("_lobmap")))
       .drop("_refs", "_lobmap")
   }
+
+  // ---- streaming path (T6 across micro-batches) -------------------------
+
+  /** One event on the lobId-keyed stream: a parked page (`kind = "page"`)
+    * or an owning-DML reference (`kind = "ref"`, carrying the owner's
+    * message coordinates). */
+  case class LobEvent(lobId: String, kind: String, page: Int, data: String,
+      xid: String, cScn: Long, cIdx: Long, scn: Long)
+
+  /** Parked page chain per lobId (the LobCtx analogue). */
+  case class LobChainState(pages: Seq[(Int, String)])
+
+  /** A reference resolved against its (possibly cross-batch) chain.
+    * `lobData = None` reproduces the batch path's orphaned-owner rule. */
+  case class ResolvedLob(xid: String, cScn: Long, cIdx: Long,
+      lobId: String, lobData: Option[String], nPages: Int)
+
+  /** Streaming T6: pages park in lobId-keyed state across micro-batch
+    * boundaries; an owning reference consumes the parked chain when it
+    * arrives (pages sorted by page number, like [[assemble]]), after
+    * which the chain is PURGED — the reference frees LobCtx data once
+    * the owning DML materializes. A chain no owner ever claims times out
+    * after `orphanTtlMs` (processing time) and is dropped, the streaming
+    * analogue of Parser.cpp:1214-1220's orphan parking + discard.
+    *
+    * Scale shape: state per lobId holds only that chain's pages (chain
+    * length is a page-chain bound, not feed-sized) and drains on
+    * ownership, so store size ∝ in-flight chains — the same
+    * open-work-only discipline as TxnAssembly's keyed state. */
+  def streamResolve(events: org.apache.spark.sql.Dataset[LobEvent],
+      orphanTtlMs: Long = 0L)(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[ResolvedLob] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val timeout =
+      if (orphanTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.lobId).flatMapGroupsWithState(
+      OutputMode.Append, timeout)(
+      (lobId: String, it: Iterator[LobEvent],
+          state: GroupState[LobChainState]) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          // within a batch the group arrives unordered; scn order is the
+          // redo order (pages precede their owning DML's commit)
+          var pages = state.getOption.map(_.pages).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[ResolvedLob]
+          it.toSeq.sortBy(_.scn).foreach { e =>
+            if (e.kind == "page") pages = pages :+ (e.page -> e.data)
+            else {
+              val chain = pages.sortBy(_._1)
+              out += ResolvedLob(e.xid, e.cScn, e.cIdx, lobId,
+                if (chain.isEmpty) None else Some(chain.map(_._2).mkString),
+                chain.size)
+              pages = Seq.empty // purge on materialization
+            }
+          }
+          if (pages.nonEmpty) {
+            state.update(LobChainState(pages))
+            if (orphanTtlMs > 0) state.setTimeoutDuration(orphanTtlMs)
+          } else state.remove()
+          out.result().iterator
+        }
+      })
+  }
+
+  /** Adapter: the ChangeEvent feed → the lobId-keyed [[LobEvent]] stream.
+    * Page events come from `op = LOB_DATA`; references from DML events
+    * whose after image carries `lob:<id>` markers (one event per marker,
+    * J3's reference extraction in streaming shape). */
+  def toLobEvents(events: org.apache.spark.sql.Dataset[ChangeEvent])(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[LobEvent] = {
+    import spark.implicits._
+    val pages = events.toDF().filter(col("op") === Op.LobData)
+      .select(
+        element_at(col("after"), "lobId").as("lobId"),
+        lit("page").as("kind"),
+        element_at(col("after"), "page").cast("int").as("page"),
+        element_at(col("after"), "data").as("data"),
+        col("xid"), col("scn").as("cScn"), lit(0L).as("cIdx"), col("scn"))
+      .filter(col("lobId").isNotNull && col("page").isNotNull)
+    val emptyMap = map().cast("map<string,string>")
+    val refs = events.toDF().filter(col("op") =!= Op.LobData)
+      .select(col("xid"), col("scn"), explode(
+        transform(
+          filter(map_values(coalesce(col("after"), emptyMap)),
+            v => v.startsWith(Marker)),
+          v => v.substr(lit(Marker.length + 1), lit(Int.MaxValue))))
+        .as("lobId"))
+      .select(col("lobId"), lit("ref").as("kind"),
+        lit(-1).as("page"), lit(null).cast("string").as("data"),
+        col("xid"), col("scn").as("cScn"), lit(0L).as("cIdx"), col("scn"))
+    pages.unionByName(refs).as[LobEvent]
+  }
 }

@@ -332,6 +332,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T6 streaming LOB assembly: chains park across micro-batches, " +
+      "owner consumes + purges, orphaned owner resolves null") {
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    import s.implicits._
+    import LobAssembly.{LobEvent, ResolvedLob}
+    def pg(lobId: String, page: Int, data: String, scn: Long) =
+      LobEvent(lobId, "page", page, data, "9.0.9", scn, 0L, scn)
+    def ref(lobId: String, xid: String, scn: Long) =
+      LobEvent(lobId, "ref", -1, null, xid, scn, 0L, scn)
+    val input = MemoryStream[LobEvent]
+    val out = LobAssembly.streamResolve(input.toDS())
+    val q = out.writeStream.format("memory").queryName("lob_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: L1 gets two pages (out of order), L2's OWNER arrives
+      // with no pages (orphaned-owner → null), L3 gets page 0 only
+      input.addData(pg("L1", 1, "big ", 2), pg("L1", 0, "hello ", 1),
+        ref("L2", "2.0.1", 5), pg("L3", 0, "part-", 6))
+      q.processAllAvailable()
+      // batch 2: L1's owner claims the parked chain + a same-batch page;
+      // L3 gets its second page (still unclaimed)
+      input.addData(pg("L1", 2, "world", 3), ref("L1", "1.0.1", 4),
+        pg("L3", 1, "two", 7))
+      q.processAllAvailable()
+      // batch 3: L3's owner claims the cross-batch chain; a SECOND L1
+      // ref finds the chain purged (consumed at materialization) → null
+      input.addData(ref("L3", "3.0.1", 8), ref("L1", "4.0.1", 9))
+      q.processAllAvailable()
+      val rows = spark.table("lob_stream").as[ResolvedLob].collect()
+        .map(r => (r.xid, r.lobId, r.lobData, r.nPages)).toSet
+      assert(rows == Set(
+        ("2.0.1", "L2", None, 0),
+        ("1.0.1", "L1", Some("hello big world"), 3),
+        ("3.0.1", "L3", Some("part-two"), 2),
+        ("4.0.1", "L1", None, 0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("T6 streaming LOB: toLobEvents adapts the ChangeEvent feed " +
+      "(pages + marker references)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val feed = Seq(
+      ChangeEvent(1, "9.0.9", Op.LobData).copy(
+        after = Map("lobId" -> "L1", "page" -> "0", "data" -> "x")),
+      ChangeEvent(2, "1.0.1", Op.Ins).copy(
+        after = Map("id" -> "7", "doc" -> "lob:L1", "note" -> "plain"))).toDS()
+    val evs = LobAssembly.toLobEvents(feed).collect()
+    assert(evs.map(e => (e.lobId, e.kind)).toSet ==
+      Set(("L1", "page"), ("L1", "ref")))
+    assert(evs.find(_.kind == "ref").get.xid == "1.0.1")
+  }
+
   test("§1.2 streaming schema evolution: mid-stream dictionary DML " +
       "refreshes the broadcast dict; restart emits no stale schema") {
     val dir = Files.createTempDirectory("evo").toString
