@@ -316,8 +316,15 @@ object KafkaWire {
     * metadata refresh + re-route in librdkafka and [[KafkaRoutedWriter]]. */
   val ErrNotLeader: Short = 6
 
+  /** Frames above this are refused before allocation — a malformed or
+    * hostile peer must not be able to drive a multi-GB `new Array`
+    * (Kafka's own socket.request.max.bytes default is 100 MB). */
+  val MaxFrameBytes: Int = 100 * 1024 * 1024
+
   private[sinks] def readFrame(in: DataInputStream): Array[Byte] = {
     val n = in.readInt() // Kafka frames are big-endian int32 size prefixed
+    if (n < 0 || n > MaxFrameBytes)
+      throw new IllegalStateException(s"kafka wire: bad frame length $n")
     val a = new Array[Byte](n)
     in.readFully(a)
     a
@@ -474,8 +481,11 @@ final class MockKafkaBroker(
               recs.foreach(r => log.add((topic, partition, r.key, r.value)))
               ProduceResult(corr, topic, partition, 0, baseOffset)
             } catch {
-              // 2 = CORRUPT_MESSAGE
-              case _: IllegalArgumentException =>
+              // 2 = CORRUPT_MESSAGE. Any decode failure — CRC/length
+              // require (IAE), truncated varints (BufferUnderflow),
+              // negative record lengths (NegativeArraySize) — must
+              // answer the producer, not kill the connection thread.
+              case _: RuntimeException =>
                 ProduceResult(corr, topic, partition, 2, -1L)
             }
           writeFrame(out, encodeProduceResponse(resp))
@@ -484,6 +494,10 @@ final class MockKafkaBroker(
     } catch {
       case _: java.io.EOFException =>
       case _: SocketException =>
+      // unparseable request header/frame (bad lengths, truncation):
+      // disconnect, like a real broker dropping an undecodable
+      // connection — never an uncaught-exception thread death
+      case _: RuntimeException =>
     } finally sock.close()
   }
 

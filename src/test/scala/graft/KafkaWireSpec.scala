@@ -86,6 +86,48 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("malformed wire input: bad frame lengths refuse before allocation, " +
+      "corrupt batches answer error 2, broker thread survives") {
+    // negative / multi-GB frame length prefixes must throw BEFORE any
+    // allocation (the ZMTP Framing discipline applied to the Kafka side)
+    def wf(out: java.io.DataOutputStream, b: Array[Byte]): Unit = {
+      out.writeInt(b.length); out.write(b); out.flush()
+    }
+    def rf(in: java.io.DataInputStream): Array[Byte] = {
+      val n = in.readInt(); val a = new Array[Byte](n); in.readFully(a); a
+    }
+    // a poisoned length prefix: the BROKER must refuse it (connection
+    // closes — EOF on our next read) instead of allocating gigabytes
+    locally {
+      val b2 = new MockKafkaBroker()
+      try {
+        val sock = new java.net.Socket("127.0.0.1", b2.port)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        try {
+          out.writeInt(Int.MaxValue); out.write(Array[Byte](1, 2, 3)); out.flush()
+          intercept[java.io.IOException] { in.readInt(); () } // broker hung up
+        } finally sock.close()
+      } finally b2.close()
+    }
+    // a garbage record batch gets CORRUPT_MESSAGE, and the SAME
+    // connection then serves a valid produce (thread not killed)
+    val broker = new MockKafkaBroker()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", broker.port)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      try {
+        val garbage = Array.fill[Byte](40)(0x5A)
+        wf(out, encodeProduce(1, "c", "t", 0, garbage))
+        assert(decodeProduceResponse(rf(in)).errorCode == 2)
+        val good = encodeBatch(Seq(Record("k".getBytes, "v".getBytes)))
+        wf(out, encodeProduce(2, "c", "t", 0, good))
+        assert(decodeProduceResponse(rf(in)).errorCode == 0)
+      } finally sock.close()
+    } finally broker.close()
+  }
+
   test("metadata v1 round-trips and a standalone broker answers it") {
     val meta = ClusterMetadata(
       Seq(BrokerNode(0, "127.0.0.1", 9092), BrokerNode(1, "127.0.0.1", 9093)),
