@@ -543,7 +543,12 @@ object Dictionary {
         s"""{"name":"${esc(c.name)}","type":${c.typeCode},"length":${c.length},""" +
           s""""precision":${c.precision},"scale":${c.scale},"numPk":${c.numPk},""" +
           s""""nullable":${c.nullable},"hidden":${c.hidden},"guard":${c.guard},""" +
-          s""""nested":${c.nested},"unused":${c.unused}}"""
+          s""""nested":${c.nested},"unused":${c.unused},""" +
+          // restart-correctness: without these three a checkpointed
+          // schema silently loses guard bitmaps, XMLTYPE routing, and
+          // per-column charset decode after recovery
+          s""""guardSeg":${c.guardSeg},"xmlType":${c.xmlType},""" +
+          s""""charsetId":${c.charsetId}}"""
       }.mkString("[", ",", "]")
       s"""{"obj":${t.obj},"dataObj":${t.dataObj},"owner":"${esc(t.owner)}",""" +
         s""""name":"${esc(t.name)}","columns":$cols,""" +
@@ -589,7 +594,11 @@ object Dictionary {
           c.get("scale").asInt, c.get("numPk").asInt,
           c.get("nullable").asBoolean, c.get("hidden").asBoolean,
           c.get("guard").asBoolean, c.get("nested").asBoolean,
-          c.get("unused").asBoolean)
+          c.get("unused").asBoolean,
+          // absent in pre-r10 checkpoints → the constructor defaults
+          guardSeg = Option(c.get("guardSeg")).map(_.asInt).getOrElse(-1),
+          xmlType = Option(c.get("xmlType")).exists(_.asBoolean),
+          charsetId = Option(c.get("charsetId")).map(_.asInt).getOrElse(0))
       }.toSeq
       DbTable(t.get("obj").asLong, t.get("dataObj").asLong,
         t.get("owner").asText, t.get("name").asText, cols,

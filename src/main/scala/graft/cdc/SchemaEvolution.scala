@@ -49,12 +49,13 @@ object SchemaEvolution {
     *   - COL$ delete  (:640): drop column NAME from OBJ#;
     *   - COL$ update  (:525): rename/retype column NAME on OBJ#.
     * A change targeting an obj# the dictionary doesn't know is a no-op
-    * (the reference tracks only schema-matched objects). Every case is
-    * CONTENT-idempotent — a change whose effect is already present is
-    * skipped rather than re-versioned — which makes micro-batch REPLAY
-    * after a restart safe (the replayed messages find their effects in
-    * the restored snapshot and no-op) while still letting one system
-    * transaction carry several changes at the same scn.
+    * (the reference tracks only schema-matched objects). Replay safety
+    * is two-layered: a HIGH-WATER GUARD skips any change strictly older
+    * than the object's latest version (a replayed historical change must
+    * never re-apply against later state — property-tested against full-
+    * history replay in SchemaEvolutionSpec), and the per-case CONTENT
+    * checks make the boundary scn idempotent too, so one system
+    * transaction may still carry several changes at the same scn.
     */
   def applyMessage(dict: Dictionary, m: ChangeMessage): Dictionary = {
     val img = if (m.op == MsgOp.Delete) m.before else m.after
@@ -62,6 +63,7 @@ object SchemaEvolution {
     val target = img.get(FObj).flatMap(s => s.toLongOption).getOrElse(-1L)
     dict.lookupLatest(target) match {
       case None => dict
+      case Some(t) if m.scn < t.validFromScn => dict // replayed history
       case Some(t) =>
         (m.obj, m.op) match {
           case (ObjTab, MsgOp.Update) =>

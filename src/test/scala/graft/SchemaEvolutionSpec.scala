@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+
+/** §1.2 evolution-fold invariants (driver-side, no Spark session):
+  * checkpoint serde fidelity, replay idempotency, and as-of lookup
+  * correctness against a sequential model — the properties
+  * Pipeline.streamWithEvolution's restart guarantee rests on. */
+class SchemaEvolutionSpec extends AnyFunSuite {
+
+  private def msg(obj: Long, op: String, scn: Long,
+      before: Map[String, String], after: Map[String, String]): ChangeMessage =
+    ChangeMessage(scn, 0L, scn, 1L, "9.0.9", op, obj, "",
+      before, after, null, null)
+
+  private def rename(target: Long, to: String, scn: Long): ChangeMessage =
+    msg(SchemaEvolution.ObjTab, MsgOp.Update, scn,
+      Map("OBJ#" -> target.toString),
+      Map("OBJ#" -> target.toString, "NAME" -> to))
+
+  private val base = Dictionary(Seq(
+    DbTable(100L, 100L, "APP", "T0",
+      Seq(DbColumn("ID", 2, numPk = 1), DbColumn("VAL", 1)))))
+
+  test("checkpoint serde keeps version windows AND per-column flags " +
+      "(guardSeg/xmlType/charsetId survive a restart)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 20) {
+      val cols = (0 until 1 + rnd.nextInt(6)).map { i =>
+        DbColumn(s"C$i", Seq(1, 2, 12, 96, 112, 113)(rnd.nextInt(6)),
+          length = rnd.nextInt(100), precision = rnd.nextInt(38) - 1,
+          scale = rnd.nextInt(10) - 1, numPk = rnd.nextInt(2),
+          nullable = rnd.nextBoolean(), hidden = rnd.nextBoolean(),
+          guard = rnd.nextBoolean(), nested = rnd.nextBoolean(),
+          unused = rnd.nextBoolean(), guardSeg = rnd.nextInt(10) - 1,
+          xmlType = rnd.nextBoolean(), charsetId = Seq(0, 31, 832, 871)(rnd.nextInt(4)))
+      }
+      val t0 = DbTable(100L + rnd.nextInt(5), 200L, "APP",
+        s"T${rnd.nextInt(100)}", cols, tagType = "pk")
+      // evolve a few versions so the windows are non-trivial
+      val dict = (1 to rnd.nextInt(4)).foldLeft(Dictionary(Seq(t0))) {
+        (d, k) =>
+          d.lookupLatest(t0.obj)
+            .map(t => d.evolve(t.copy(name = s"${t0.name}_V$k"), k * 1000L))
+            .getOrElse(d)
+      }
+      val back = Dictionary.fromJson(Dictionary.toJson(dict))
+      assert(back.tables.sortBy(t => (t.obj, t.validFromScn)) ==
+        dict.tables.sortBy(t => (t.obj, t.validFromScn)))
+    }
+  }
+
+  test("pre-r10 checkpoints (without the new column fields) still load") {
+    val legacy = Dictionary.toJson(base)
+      .replaceAll(""","guardSeg":-?\d+,"xmlType":(true|false),"charsetId":\d+""", "")
+    assert(!legacy.contains("guardSeg"))
+    val back = Dictionary.fromJson(legacy)
+    assert(back.tables.head.columns.map(_.name) == Seq("ID", "VAL"))
+    assert(back.tables.head.columns.forall(c =>
+      c.guardSeg == -1 && !c.xmlType && c.charsetId == 0))
+  }
+
+  test("replay idempotency: folding the same committed messages twice " +
+      "leaves the dictionary unchanged (restart-safe)") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 50) {
+      val ms = (1 to 1 + rnd.nextInt(8)).map { k =>
+        val scn = k * 100L
+        rnd.nextInt(4) match {
+          case 0 => rename(100L, s"N$k", scn)
+          case 1 => msg(SchemaEvolution.ColTab, MsgOp.Insert, scn,
+            null, Map("OBJ#" -> "100", "NAME" -> s"C$k", "TYPE#" -> "1"))
+          case 2 => msg(SchemaEvolution.ColTab, MsgOp.Delete, scn,
+            Map("OBJ#" -> "100", "NAME" -> "VAL"), null)
+          case _ => msg(SchemaEvolution.ColTab, MsgOp.Update, scn,
+            Map("OBJ#" -> "100", "NAME" -> "ID"),
+            Map("OBJ#" -> "100", "NAME" -> "ID", "TYPE#" -> "2"))
+        }
+      }
+      val once = SchemaEvolution.applyMessages(base, ms)
+      val twice = SchemaEvolution.applyMessages(once, ms)
+      assert(twice.tables.sortBy(_.validFromScn) ==
+        once.tables.sortBy(_.validFromScn),
+        s"replay changed the dictionary for ${ms.map(_.op)}")
+    }
+  }
+
+  test("as-of lookups match the sequential model after a rename chain") {
+    val scns = Seq(1000L, 2000L, 3000L)
+    val dict = SchemaEvolution.applyMessages(base,
+      scns.map(s => rename(100L, s"T_$s", s)))
+    assert(dict.lookup(100L, 500L).map(_.name).contains("T0"))
+    assert(dict.lookup(100L, 1000L).map(_.name).contains("T_1000"))
+    assert(dict.lookup(100L, 1500L).map(_.name).contains("T_1000"))
+    assert(dict.lookup(100L, 2999L).map(_.name).contains("T_2000"))
+    assert(dict.lookup(100L, 99999L).map(_.name).contains("T_3000"))
+  }
+
+  test("OBJ$ delete closes the live window; later events see no table") {
+    val dict = SchemaEvolution.applyMessages(base, Seq(
+      msg(SchemaEvolution.ObjTab, MsgOp.Delete, 5000L,
+        Map("OBJ#" -> "100", "NAME" -> "T0"), null)))
+    assert(dict.lookup(100L, 4999L).isDefined)
+    assert(dict.lookup(100L, 5000L).isEmpty)
+    // replaying the delete is a no-op
+    val again = SchemaEvolution.applyMessages(dict, Seq(
+      msg(SchemaEvolution.ObjTab, MsgOp.Delete, 5000L,
+        Map("OBJ#" -> "100", "NAME" -> "T0"), null)))
+    assert(again.tables == dict.tables)
+  }
+}
