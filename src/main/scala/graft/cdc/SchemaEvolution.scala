@@ -122,13 +122,22 @@ object SchemaEvolution {
     * stale-schema emission after recovery (the reference persists the
     * same evolution in its checkpoint JSONs,
     * /root/reference/src/metadata/SerializerJson.cpp:539-760). */
-  def checkpoint(dir: String, batchId: Long, dict: Dictionary): Unit = {
+  def checkpoint(dir: String, batchId: Long, dict: Dictionary,
+      keep: Int = 10): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
     val tmp = d.resolve(s".dict-$batchId.json.tmp")
     Files.writeString(tmp, Dictionary.toJson(dict))
     Files.move(tmp, d.resolve(f"dict-$batchId%020d.json"),
       StandardCopyOption.ATOMIC_MOVE)
+    // retention: a long-running stream must not accumulate one snapshot
+    // per evolution forever (the reference similarly caps checkpoint
+    // files, Metadata checkpoint retention). Newest `keep` survive.
+    val snaps = Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.matches("dict-\\d+\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+    snaps.dropRight(keep).foreach(p =>
+      try Files.delete(p) catch { case _: java.io.IOException => })
   }
 
   def restoreLatest(dir: String): Option[Dictionary] = {

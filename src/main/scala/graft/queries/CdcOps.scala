@@ -808,6 +808,47 @@ object CdcOps {
           element_at(col("after"), "txt").as("txt"))
     }),
 
+    // §2.7 7-bit NRC decode (r10: CharacterSet7bit.cpp's ISO 646
+    // national variants as override-on-ASCII tables): four tables
+    // declare their txt column under D7DEC / E7DEC / NDK7DEC / S7DEC;
+    // the feed carries hex bytes = the ASCII event_type prefix + a tail
+    // hitting every overridden position of that variant, plus (id 11) a
+    // HIGH-BIT-SET byte 0xDB that must decode like 0x5B — the `& 0x7F`
+    // mask CharacterSet7bit::decode applies. The oracle states the
+    // expected national characters directly, so the mapping table and
+    // the mask are both cross-engine-gated, not just spec-pinned.
+    "q174_nrc_decode" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val ids = Seq(11, 14, 16, 13)
+      val dict = Dictionary(ids.zipWithIndex.map { case (id, i) =>
+        DbTable(100L + i, 100L, "APP", s"N$id",
+          Seq(DbColumn("txt", 1, charsetId = id)))
+      })
+      val tail = Map(
+        11 -> "405B5C5D7B7C7D7EDB", // D7DEC + masked 0xDB (≡ 0x5B)
+        14 -> "23405B5C5D7B7C7D7E", // E7DEC
+        16 -> "405B5C5D5E607B7C7D7E", // NDK7DEC
+        13 -> "405B5C5D5E607B7C7D7E") // S7DEC
+      val hexExpr = ids.zipWithIndex.map { case (id, i) =>
+        s"WHEN user_id % 4 = $i THEN concat(hex(event_type), '${tail(id)}')"
+      }.mkString("CASE ", " ", " END")
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op",
+          "100L + user_id % 4 AS obj", "'' AS rid",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          s"map('txt', $hexExpr) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset", "0L AS num")
+        .as[ChangeMessage]
+      Materialize(messages, dict)
+        .select(col("cScn").as("event_id"), col("table_name"),
+          element_at(col("after"), "txt").as("txt"))
+    }),
+
     // CLOB charset decode AFTER page reassembly (Builder.cpp:160-165:
     // parseLob passes column->charsetId; parseString's appendData/
     // hasPrev/hasNext args exist exactly for chunk continuation,
@@ -1175,6 +1216,18 @@ object CdcOps {
         |    WHEN 0 THEN 'éñ' WHEN 1 THEN '€™' WHEN 2 THEN 'あい'
         |    WHEN 3 THEN '你好' WHEN 4 THEN '가나' WHEN 5 THEN '中文'
         |    WHEN 6 THEN '𐐀' ELSE '𐐀' END AS txt
+        |FROM events""".stripMargin,
+
+    "q174_nrc_decode" ->
+      """SELECT event_id,
+        |  'N' || CAST(CASE user_id % 4
+        |    WHEN 0 THEN 11 WHEN 1 THEN 14 WHEN 2 THEN 16
+        |    ELSE 13 END AS VARCHAR) AS table_name,
+        |  event_type || CASE user_id % 4
+        |    WHEN 0 THEN '§ÄÖÜäöüßÄ'
+        |    WHEN 1 THEN '£§¡Ñ¿°ñç~'
+        |    WHEN 2 THEN 'ÄÆØÅÜäæøåü'
+        |    ELSE 'ÉÄÖÅÜéäöåü' END AS txt
         |FROM events""".stripMargin,
 
     "q96_experimental_types" ->

@@ -78,9 +78,15 @@ object Pipeline {
         import org.apache.spark.sql.functions.col
         val sysObjs = SchemaEvolution.SystemObjs.toSeq
         val sys = batch.filter(col("obj").isin(sysObjs: _*)).collect()
+        val before = dict
         if (sys.nonEmpty)
           dict = SchemaEvolution.applyMessages(dict, sys.toSeq)
-        SchemaEvolution.checkpoint(dictDir, batchId, dict)
+        // snapshot on change (before any output - a crash must never
+        // have emitted against a schema newer than the newest snapshot);
+        // batch 0 always snapshots so restore never falls back to a
+        // possibly-stale cfg.dict once the stream has run
+        if ((dict ne before) || batchId == 0L)
+          SchemaEvolution.checkpoint(dictDir, batchId, dict)
         val user = batch.filter(!col("obj").isin(sysObjs: _*))
         val enriched = Materialize(user, dict, cfg.materialize)
         sink(envelopeTail(enriched, cfg, streaming = true), batchId)

@@ -123,6 +123,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q170_negative_sampling"     -> 3, // 1-row count agg + ONE neg_id equi-join (2 sides); hash is in-row
     "q171_asof_state"            -> 3, // q56 shape + the 1-row max-scn agg; cutoff is broadcast pre-assembly
     "q172_schema_evolve_fold"    -> 0, // rename stream is a <=100-row construction collect; feed only joins the broadcast dict
+    "q174_nrc_decode"            -> 0, // q137 shape: scan -> broadcast dict join -> in-row NRC decode
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
     "q136_curation_e2e"          -> 2, // sample top-k + manifest agg; exact-dedup/LSH/quality stages pinned by localCheckpoint at construction (q46 caveat)
     "q13_codecs"                 -> 0,
