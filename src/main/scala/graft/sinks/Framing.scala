@@ -20,6 +20,15 @@ trait Framing {
   def recv(in: DataInputStream): Array[Byte]
 }
 
+object Framing {
+  /** Frames above this are refused BEFORE allocation on every framing
+    * implementation — a corrupt or hostile length prefix must not drive
+    * a multi-GB (or negative) `new Array`. Far above any real message:
+    * the reference's builder caps messages via max-message-mb (default
+    * well below this). */
+  val MaxFrameBytes: Int = 256 * 1024 * 1024
+}
+
 /** StreamNetwork.cpp framing: 4-byte little-endian length + body. */
 object PlainFraming extends Framing {
   override def send(out: DataOutputStream, msg: Array[Byte]): Unit = {
@@ -31,6 +40,8 @@ object PlainFraming extends Framing {
     in.readFully(len)
     val n = (len(0) & 0xff) | ((len(1) & 0xff) << 8) |
       ((len(2) & 0xff) << 16) | ((len(3) & 0xff) << 24)
+    if (n < 0 || n > Framing.MaxFrameBytes)
+      throw new IllegalStateException(s"network: bad frame length $n")
     val body = Array.ofDim[Byte](n)
     in.readFully(body)
     body
@@ -250,7 +261,10 @@ object ZmtpFraming {
     val len =
       if ((flags & FlagLong) != 0) {
         val l = in.readLong()
-        require(l >= 0 && l <= Int.MaxValue, s"ZMTP: frame too large: $l")
+        // refuse before allocation: an 8-byte length near 2^63 (or the
+        // plain 2 GB Int.MaxValue) must not reach `Array.ofDim`
+        require(l >= 0 && l <= Framing.MaxFrameBytes,
+          s"ZMTP: frame too large: $l")
         l.toInt
       } else in.readUnsignedByte()
     val body = Array.ofDim[Byte](len)

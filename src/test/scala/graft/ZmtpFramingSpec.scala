@@ -101,6 +101,24 @@ class ZmtpFramingSpec extends AnyFunSuite {
     assert(ZmtpFraming.errorReason(err).contains("invalid socket type"))
   }
 
+  test("hostile length prefixes refuse before allocation (both framings)") {
+    import java.io.{ByteArrayInputStream, DataInputStream}
+    // plain framing: negative and 2 GB little-endian prefixes
+    def plain(bytes: Array[Byte]) = intercept[IllegalStateException] {
+      graft.sinks.PlainFraming.recv(
+        new DataInputStream(new ByteArrayInputStream(bytes)))
+    }
+    plain(Array[Byte](-1, -1, -1, -1)) // 0xFFFFFFFF → negative
+    plain(Array[Byte](-1, -1, -1, 0x7f)) // Int.MaxValue
+    // ZMTP long-frame: 2^62 length must throw, not allocate
+    val zb = new ByteArrayOutputStream()
+    zb.write(0x02) // FlagLong
+    zb.write(Array[Byte](0x40, 0, 0, 0, 0, 0, 0, 0), 0, 8) // 2^62 BE
+    intercept[IllegalArgumentException] {
+      new ZmtpFraming("PAIR").recv(din(zb.toByteArray))
+    }
+  }
+
   test("non-ZMTP bytes are rejected at the signature") {
     val e = intercept[IllegalArgumentException] {
       ZmtpFraming.readGreeting(din(Array.fill[Byte](64)(0x20)))
