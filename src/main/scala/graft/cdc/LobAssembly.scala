@@ -163,8 +163,9 @@ object LobAssembly {
 
   /** Adapter: the ChangeEvent feed → the lobId-keyed [[LobEvent]] stream.
     * Page events come from `op = LOB_DATA`; references from DML events
-    * whose after image carries `lob:<id>` markers (one event per marker,
-    * J3's reference extraction in streaming shape). */
+    * whose before OR after image carries `lob:<id>` markers (one event
+    * per distinct marker — the same two-image extraction the batch
+    * [[resolve]] performs, in streaming shape). */
   def toLobEvents(events: org.apache.spark.sql.Dataset[ChangeEvent])(
       implicit spark: SparkSession): org.apache.spark.sql.Dataset[LobEvent] = {
     import spark.implicits._
@@ -177,12 +178,14 @@ object LobAssembly {
         col("xid"), col("scn").as("cScn"), lit(0L).as("cIdx"), col("scn"))
       .filter(col("lobId").isNotNull && col("page").isNotNull)
     val emptyMap = map().cast("map<string,string>")
+    def refsOf(img: Column) =
+      transform(
+        filter(map_values(coalesce(img, emptyMap)),
+          v => v.startsWith(Marker)),
+        v => v.substr(lit(Marker.length + 1), lit(Int.MaxValue)))
     val refs = events.toDF().filter(col("op") =!= Op.LobData)
-      .select(col("xid"), col("scn"), explode(
-        transform(
-          filter(map_values(coalesce(col("after"), emptyMap)),
-            v => v.startsWith(Marker)),
-          v => v.substr(lit(Marker.length + 1), lit(Int.MaxValue))))
+      .select(col("xid"), col("scn"), explode(array_distinct(
+          concat(refsOf(col("before")), refsOf(col("after")))))
         .as("lobId"))
       .select(col("lobId"), lit("ref").as("kind"),
         lit(-1).as("page"), lit(null).cast("string").as("data"),

@@ -195,14 +195,23 @@ object AnalyticsOps {
       def bucket(j: Column, tok: Column): Column =
         conv(substring(md5(concat(j.cast("string"), lit(":"), tok)), 1, 8),
           16, 10).cast("long") % wWidth
-      val toks = t(s, dir, "documents")
+      // ONE corpus tokenize pass (r10): the sketch cells are derivable
+      // from the per-token exact counts — sum(n_exact) over the tokens
+      // hashing into a cell IS the cell's count — so the 4-way explode
+      // and its 4 md5s run over the VOCABULARY-sized agg output, not the
+      // corpus token stream (was: two tokenize scans + 4x corpus-row
+      // explode into the cell agg). Same numbers, same oracle.
+      val vocab = t(s, dir, "documents")
         .select(explode(filter(split(col("text"), " "), x => x =!= ""))
           .as("tok"))
-      val counters = toks
-        .select(col("tok"), explode(array((0 until d).map(lit): _*)).as("j"))
-        .select(col("j"), bucket(col("j"), col("tok")).as("b"))
-        .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
-      val top20 = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      val counters = vocab
+        .select(col("tok"), col("n_exact"),
+          explode(array((0 until d).map(lit): _*)).as("j"))
+        .select(col("j"), bucket(col("j"), col("tok")).as("b"),
+          col("n_exact"))
+        .groupBy("j", "b").agg(sum("n_exact").as("cnt"))
+      val top20 = vocab
         .orderBy(col("n_exact").desc, col("tok")).limit(20)
       top20
         .select(col("tok"), col("n_exact"),

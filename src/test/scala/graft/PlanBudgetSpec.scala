@@ -104,7 +104,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q151_token_budget_select"   -> 1, // pid window; range exchange is behind the checkpoint
     "q152_session_stats"         -> 1, // user window; session agg reuses the user partitioning
     "q153_timeseries_gapfill"    -> 3, // bucket agg + 1-row min/max + type distinct; grid joins broadcast
-    "q154_countmin_topk"         -> 2, // 4096-cell counter agg (map-side combined) + exact vocab agg
+    "q154_countmin_topk"         -> 3, // ONE tok agg (statically duplicated for cells + top20 consumers, AQE-reused at runtime) + 4096-cell agg over the VOCAB frame (r10: corpus tokenized once)
     "q155_pivot_hourly"          -> 2, // 24-key (hod,type) agg + pivot reshape
     "q156_cube_totals"           -> 1, // grouping-set expand stays below ONE exchange
     "q157_scd2_history"          -> 2, // xid assembly exchange + lead window reuses key order

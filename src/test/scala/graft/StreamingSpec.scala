@@ -379,11 +379,16 @@ class StreamingSpec extends AnyFunSuite {
       ChangeEvent(1, "9.0.9", Op.LobData).copy(
         after = Map("lobId" -> "L1", "page" -> "0", "data" -> "x")),
       ChangeEvent(2, "1.0.1", Op.Ins).copy(
-        after = Map("id" -> "7", "doc" -> "lob:L1", "note" -> "plain"))).toDS()
+        after = Map("id" -> "7", "doc" -> "lob:L1", "note" -> "plain")),
+      // delete: the marker sits in the BEFORE image (batch resolve scans
+      // both images; the adapter must too)
+      ChangeEvent(3, "2.0.1", Op.Del).copy(
+        before = Map("id" -> "8", "doc" -> "lob:L2"))).toDS()
     val evs = LobAssembly.toLobEvents(feed).collect()
     assert(evs.map(e => (e.lobId, e.kind)).toSet ==
-      Set(("L1", "page"), ("L1", "ref")))
-    assert(evs.find(_.kind == "ref").get.xid == "1.0.1")
+      Set(("L1", "page"), ("L1", "ref"), ("L2", "ref")))
+    assert(evs.find(e => e.kind == "ref" && e.lobId == "L1").get.xid == "1.0.1")
+    assert(evs.find(e => e.kind == "ref" && e.lobId == "L2").get.xid == "2.0.1")
   }
 
   test("§1.2 streaming schema evolution: mid-stream dictionary DML " +
