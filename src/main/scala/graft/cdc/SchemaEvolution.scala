@@ -1,6 +1,6 @@
 package graft.cdc
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 /** §1.2 streaming schema-evolution control path: DDL observed as
@@ -133,19 +133,22 @@ object SchemaEvolution {
     // retention: a long-running stream must not accumulate one snapshot
     // per evolution forever (the reference similarly caps checkpoint
     // files, Metadata checkpoint retention). Newest `keep` survive.
-    val snaps = Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.matches("dict-\\d+\\.json"))
-      .toSeq.sortBy(_.getFileName.toString)
-    snaps.dropRight(keep).foreach(p =>
+    listSnapshots(d).dropRight(keep).foreach(p =>
       try Files.delete(p) catch { case _: java.io.IOException => })
   }
 
   def restoreLatest(dir: String): Option[Dictionary] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return None
-    val snaps = Files.list(d).iterator().asScala
+    listSnapshots(d).lastOption
+      .map(p => Dictionary.fromJson(Files.readString(p)))
+  }
+
+  private def listSnapshots(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val stream = Files.list(d) // must close: holds a directory handle
+    try stream.iterator().asScala
       .filter(_.getFileName.toString.matches("dict-\\d+\\.json"))
       .toSeq.sortBy(_.getFileName.toString)
-    snaps.lastOption.map(p => Dictionary.fromJson(Files.readString(p)))
+    finally stream.close()
   }
 }
