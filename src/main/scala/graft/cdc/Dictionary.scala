@@ -248,6 +248,20 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
         colNames.map(n => DbColumn(n, 1)), validFromScn = firstScn),
       selectors, xmlCtx)
 
+  /** Retention: drop table versions no event can resolve against any
+    * more — those whose validity window closed at or before `scn` (the
+    * stream's low-water mark: nothing older than the oldest open
+    * transaction's first scn can still be emitted). Keeps the broadcast
+    * dictionary bounded by the ACTIVE schema instead of growing with
+    * years of DDL history; the full history stays in the snapshot
+    * checkpoints, exactly like the reference keeps it in its checkpoint
+    * JSONs while the in-memory schema holds current versions. */
+  def pruneBefore(scn: Long): Dictionary = {
+    val pruned = tables.filter(_.validToScn > scn)
+    if (pruned.length == tables.length) this
+    else new Dictionary(pruned, selectors, xmlCtx)
+  }
+
   def evolve(newVersion: DbTable, scn: Long): Dictionary = {
     val updated = tables.map { t =>
       if (t.obj == newVersion.obj && scn >= t.validFromScn && scn < t.validToScn)

@@ -62,8 +62,14 @@ object Pipeline {
     * scn, so pre-DDL events in the same batch keep the old schema. On
     * restart the dictionary restores from the newest snapshot and
     * replayed system messages are idempotent no-ops. */
+  /** `dictRetentionScns`: when > 0, table versions whose validity closed
+    * more than this many scns below the batch's max commit scn are
+    * pruned from the LIVE dictionary each batch (snapshots keep full
+    * history). Size it above the oldest-open-transaction span — the same
+    * contract as the abandoned-transaction TTL — so no in-flight event
+    * can outlive the versions it needs. 0 = keep everything. */
   def streamWithEvolution(spark: SparkSession, cfg: Config, dictDir: String,
-      checkpointLocation: String)(
+      checkpointLocation: String, dictRetentionScns: Long = 0L)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     implicit val s: SparkSession = spark
     @volatile var dict =
@@ -87,6 +93,15 @@ object Pipeline {
         // possibly-stale cfg.dict once the stream has run
         if ((dict ne before) || batchId == 0L)
           SchemaEvolution.checkpoint(dictDir, batchId, dict)
+        if (dictRetentionScns > 0L) {
+          // low-water prune AFTER the snapshot (history stays durable):
+          // versions closed more than the retention below this batch's
+          // max commit scn are unreachable by any future emission
+          val mx = batch.agg(
+            org.apache.spark.sql.functions.max(col("cScn"))).head()
+          if (!mx.isNullAt(0))
+            dict = dict.pruneBefore(mx.getLong(0) - dictRetentionScns)
+        }
         val user = batch.filter(!col("obj").isin(sysObjs: _*))
         val enriched = Materialize(user, dict, cfg.materialize)
         sink(envelopeTail(enriched, cfg, streaming = true), batchId)

@@ -97,6 +97,26 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(dict.lookup(100L, 99999L).map(_.name).contains("T_3000"))
   }
 
+  test("pruneBefore drops only versions no future event can resolve; " +
+      "as-of lookups at or above the mark are unchanged") {
+    val scns = Seq(1000L, 2000L, 3000L)
+    val dict = SchemaEvolution.applyMessages(base,
+      scns.map(s => rename(100L, s"T_$s", s)))
+    assert(dict.tables.size == 4)
+    val pruned = dict.pruneBefore(2000L)
+    // [0,1000) and [1000,2000) closed at/below the mark → gone
+    assert(pruned.tables.size == 2)
+    assert(pruned.lookup(100L, 1500L).isEmpty) // history pruned (by design)
+    for (scn <- Seq(2000L, 2999L, 3000L, 99999L))
+      assert(pruned.lookup(100L, scn) == dict.lookup(100L, scn),
+        s"lookup at $scn changed")
+    // pruning below everything is a no-op returning the same instance
+    assert(dict.pruneBefore(0L) eq dict)
+    // the open latest version always survives, whatever the mark
+    assert(dict.pruneBefore(Long.MaxValue - 1)
+      .lookupLatest(100L).map(_.name).contains("T_3000"))
+  }
+
   test("OBJ$ delete closes the live window; later events see no table") {
     val dict = SchemaEvolution.applyMessages(base, Seq(
       msg(SchemaEvolution.ObjTab, MsgOp.Delete, 5000L,
