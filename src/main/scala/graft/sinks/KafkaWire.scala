@@ -262,7 +262,12 @@ object KafkaWire {
 
   def encodeMetadataResponse(correlationId: Int,
       meta: ClusterMetadata): Array[Byte] = {
-    val b = ByteBuffer.allocate(4096)
+    // sized to the actual cluster: a broker row is host + ~16 bytes of
+    // ids/lengths; a partition row is err(2) + id/leader(8) + 1-entry
+    // replica and isr arrays (8 each) = 26 bytes, padded to 32
+    val b = ByteBuffer.allocate(64 + meta.topic.length +
+      meta.brokers.map(_.host.length + 20).sum +
+      meta.partitions.size * 32)
     b.putInt(correlationId)
     b.putInt(meta.brokers.size)
     meta.brokers.foreach { br =>
