@@ -61,8 +61,9 @@ object Pipeline {
     * join still resolves each event against the version valid at ITS
     * scn, so pre-DDL events in the same batch keep the old schema. On
     * restart the dictionary restores from the newest snapshot and
-    * replayed system messages are idempotent no-ops. */
-  /** `dictRetentionScns`: when > 0, table versions whose validity closed
+    * replayed system messages are idempotent no-ops.
+    *
+    * `dictRetentionScns`: when > 0, table versions whose validity closed
     * more than this many scns below the batch's max commit scn are
     * pruned from the LIVE dictionary each batch (snapshots keep full
     * history). Size it above the oldest-open-transaction span — the same
