@@ -117,6 +117,25 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .lookupLatest(100L).map(_.name).contains("T_3000"))
   }
 
+  test("a 10k-DDL history with periodic low-water pruning stays bounded " +
+      "(the years-of-DDL broadcast-size scale case)") {
+    var dict = base
+    var maxSize = 0
+    for (k <- 1 to 10000) {
+      dict = SchemaEvolution.applyMessage(dict, rename(100L, s"T_$k", k * 10L))
+      if (k % 100 == 0) {
+        // low-water 500 scns behind the head (the open-txn span bound)
+        dict = dict.pruneBefore(k * 10L - 500L)
+        maxSize = math.max(maxSize, dict.tables.size)
+      }
+    }
+    // without pruning this would be 10001 versions; with it the live
+    // dictionary holds only the retention window (~50 versions) + slack
+    assert(maxSize <= 120, s"dictionary grew to $maxSize versions")
+    assert(dict.lookupLatest(100L).map(_.name).contains("T_10000"))
+    assert(dict.lookup(100L, 99995L).map(_.name).contains("T_9999"))
+  }
+
   test("OBJ$ delete closes the live window; later events see no table") {
     val dict = SchemaEvolution.applyMessages(base, Seq(
       msg(SchemaEvolution.ObjTab, MsgOp.Delete, 5000L,
