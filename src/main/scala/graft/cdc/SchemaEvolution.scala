@@ -48,6 +48,13 @@ object SchemaEvolution {
     *   - COL$ insert  (:427): add column NAME (TYPE#, LENGTH) to OBJ#;
     *   - COL$ delete  (:640): drop column NAME from OBJ#;
     *   - COL$ update  (:525): rename/retype column NAME on OBJ#.
+    * OBJ$ INSERT (CREATE TABLE) is deliberately not handled here: a
+    * created table only becomes materializable once its COL$ rows exist,
+    * and this engine's route for newly-appearing objects is the
+    * ADAPTIVE_SCHEMA path ([[Dictionary.withAdaptive]], q103) — the
+    * wildcard element learns the new obj#'s columns from the feed and
+    * the synthesized entry then versions through THESE cases like any
+    * catalog-born table.
     * A change targeting an obj# the dictionary doesn't know is a no-op
     * (the reference tracks only schema-matched objects). Replay safety
     * is two-layered: a HIGH-WATER GUARD skips any change strictly older
