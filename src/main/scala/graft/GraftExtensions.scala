@@ -38,6 +38,11 @@ object GraftExtensions {
       info("cosine_similarity",
         "cosine_similarity(a, b) - cosine of two array<float> embeddings"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("graft_tokens"),
+      info("graft_tokens",
+        "graft_tokens(text) - non-empty space-delimited tokens " +
+          "(one-pass codegen kernel)"),
+      (args: Seq[Expression]) => graft.functions.Tokens(args.head)),
     (FunctionIdentifier("shingles3"),
       info("shingles3",
         "shingles3(text) - distinct space-token 3-gram shingles"),

@@ -52,6 +52,26 @@ object TextNative {
     new GenericArrayData(out)
   }
 
+  /** Non-empty space-delimited tokens in one pass — byte-equal to
+    * `filter(split(text, " "), x => x =!= "")` (single-space split with
+    * empties dropped), without the regex split OR the interpreted
+    * ArrayFilter lambda: higher-order functions are CodegenFallback in
+    * Spark, so the Column form broke whole-stage codegen at EVERY
+    * tokenize site (the single hottest scalar path in the text pack). */
+  def tokens(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[Any](64)
+    var start = 0
+    val len = s.length
+    while (start <= len) {
+      var end = s.indexOf(' ', start)
+      if (end < 0) end = len
+      if (end > start) out.add(UTF8String.fromString(s.substring(start, end)))
+      start = end + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private val hexChars = "0123456789abcdef".toCharArray
 
   private def toHex(b: Array[Byte]): UTF8String = {
@@ -330,6 +350,25 @@ object TextNative {
     while (i < nSig) { out(i) = toHex(mins(i)); i += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** text → non-empty space tokens, codegen-participating (replaces the
+  * CodegenFallback `filter(split(...), lambda)` at every tokenize site). */
+case class Tokens(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${dt.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+  override def nullSafeEval(t: Any): Any =
+    TextNative.tokens(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextNative.tokens($t)")
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
 }
 
 /** text → distinct token-3-gram shingles, as a codegen-participating

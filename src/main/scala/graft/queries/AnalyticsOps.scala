@@ -202,7 +202,7 @@ object AnalyticsOps {
       // corpus token stream (was: two tokenize scans + 4x corpus-row
       // explode into the cell agg). Same numbers, same oracle.
       val vocab = t(s, dir, "documents")
-        .select(explode(filter(split(col("text"), " "), x => x =!= ""))
+        .select(explode(graft.queries.TextOps.tokensOf(col("text")))
           .as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n_exact"))
       val counters = vocab
@@ -394,8 +394,8 @@ object AnalyticsOps {
       val docs = t(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("nd"))
       val e = docs.select(col("doc_id"),
-        explode(array_distinct(filter(split(col("text"), " "),
-          x => x =!= ""))).as("tok"))
+        explode(array_distinct(
+          graft.queries.TextOps.tokensOf(col("text")))).as("tok"))
       val freq = e.groupBy("tok").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocs))
         .filter(col("df") * 4 >= col("nd")).select("tok")
@@ -427,8 +427,8 @@ object AnalyticsOps {
       val docs = t(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("nd"))
       val e = docs.select(col("doc_id"),
-        explode(array_distinct(filter(split(col("text"), " "),
-          x => x =!= ""))).as("tok"))
+        explode(array_distinct(
+          graft.queries.TextOps.tokensOf(col("text")))).as("tok"))
       val freq = e.groupBy("tok").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocs))
         .filter(col("df") * 4 >= col("nd")).select("tok", "df")
@@ -669,7 +669,7 @@ object AnalyticsOps {
     // its LOCAL running sum. Every partition cumsums in parallel; the
     // oracle's global-ORDER window would be one reducer at 100 TB.
     "q151_token_budget_select" -> ((s, dir) => {
-      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val toks = graft.queries.TextOps.tokensOf(col("text"))
       val sc = t(s, dir, "documents")
         .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
           size(array_distinct(toks)).cast("long").as("n_distinct"))

@@ -173,7 +173,7 @@ object CurationOps {
       // map-side combine; the surviving set is KB-sized by construction
       val hs = paras
         .select(explode(col("paras")).as("para"))
-        .filter(size(filter(split(col("para"), " "), x => x =!= "")) === 16)
+        .filter(size(graft.queries.TextOps.tokensOf(col("para"))) === 16)
         .groupBy(md5(col("para")).as("h")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= ParaFreqThreshold)
         .select("h").collect().map(_.getString(0)).sorted.toSeq

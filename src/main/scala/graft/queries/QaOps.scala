@@ -39,7 +39,7 @@ object QaOps {
   // ---- q130: dedup threshold sensitivity -------------------------------
   private val JaccardGrid = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
 
-  private def toks(c: Column): Column = filter(split(c, " "), x => x =!= "")
+  private def toks(c: Column): Column = graft.queries.TextOps.tokensOf(c)
 
   val defs: Map[String, Q] = Map(
 

@@ -19,9 +19,17 @@ object TextOps {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
-  /** Non-empty whitespace tokens, as a Column over `text`. */
-  private[graft] def tokensCol: Column =
-    filter(split(col("text"), " "), x => x =!= "")
+  /** Non-empty whitespace tokens, as a Column over `text` — the native
+    * one-pass kernel (r10): `filter(split(...), lambda)` is a
+    * CodegenFallback higher-order function that broke whole-stage
+    * codegen at every tokenize site; [[graft.functions.TextNative.tokens]]
+    * is byte-identical and codegen-participating. */
+  private[graft] def tokensCol: Column = tokensOf(col("text"))
+
+  private[graft] def tokensOf(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.Tokens(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 
   /** Distinct 3-gram (token-trigram) shingles.
     *
