@@ -128,6 +128,51 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("batch round-trip property: random records (null keys/values, " +
+      "empty, binary) survive encode→decode byte-exact") {
+    val rnd = new scala.util.Random(0xBEEF)
+    for (trial <- 0 until 50) {
+      val recs = (0 until rnd.nextInt(20)).map { _ =>
+        def blob(): Array[Byte] =
+          if (rnd.nextInt(5) == 0) null
+          else Array.fill(rnd.nextInt(200))(rnd.nextInt.toByte)
+        Record(blob(), blob())
+      }
+      val (off, back) = decodeBatch(encodeBatch(recs, baseOffset = trial))
+      assert(off == trial)
+      assert(back.size == recs.size)
+      recs.zip(back).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a.key, b.key) &&
+          java.util.Arrays.equals(a.value, b.value), s"trial $trial")
+      }
+    }
+  }
+
+  test("decode fuzz: random bytes throw decode errors, never escape the " +
+      "RuntimeException class the broker handles") {
+    val rnd = new scala.util.Random(0xFADE)
+    for (_ <- 0 until 300) {
+      val junk = Array.fill(rnd.nextInt(120))(rnd.nextInt.toByte)
+      try { decodeBatch(junk); () } catch {
+        case _: RuntimeException => // IAE/ISE/underflow — handled class
+        case e: Throwable => fail(s"unhandled ${e.getClass} for junk batch")
+      }
+      try { decodeMetadataResponse(junk); () } catch {
+        case _: RuntimeException =>
+        case e: Throwable => fail(s"unhandled ${e.getClass} for junk metadata")
+      }
+    }
+    // truncation fuzz: every prefix of a VALID batch must also stay in
+    // the handled class (the partial-read shape a dying peer produces)
+    val good = encodeBatch(Seq(Record("k".getBytes, "v".getBytes)))
+    for (n <- 0 until good.length) {
+      try { decodeBatch(good.take(n)); () } catch {
+        case _: RuntimeException =>
+        case e: Throwable => fail(s"unhandled ${e.getClass} at prefix $n")
+      }
+    }
+  }
+
   test("metadata v1 round-trips and a standalone broker answers it") {
     val meta = ClusterMetadata(
       Seq(BrokerNode(0, "127.0.0.1", 9092), BrokerNode(1, "127.0.0.1", 9093)),

@@ -119,6 +119,32 @@ class ZmtpFramingSpec extends AnyFunSuite {
     }
   }
 
+  test("command-body fuzz: random bytes parse or throw the handled " +
+      "IllegalStateException, never an index/array error") {
+    // guards the r9 bounds-check work (and the r10 overflow-safe slice):
+    // PullServer's handler catches ISE/IAE — anything else would kill
+    // the connection thread, the exact failure the advisor flagged
+    val rnd = new scala.util.Random(0x23)
+    for (trial <- 0 until 500) {
+      val body = Array.fill(rnd.nextInt(80))(rnd.nextInt.toByte)
+      try { ZmtpFraming.parseCommand(body); () } catch {
+        case _: IllegalStateException =>
+        case e: Throwable =>
+          fail(s"trial $trial: unhandled ${e.getClass.getName}")
+      }
+    }
+    // the adversarial shape from the r10 advisor finding: a READY body
+    // whose 4-byte property length is near Int.MaxValue (off+len would
+    // wrap negative under the naive guard)
+    val b = new ByteArrayOutputStream()
+    b.write(5); b.write("READY".getBytes("US-ASCII"))
+    b.write(3); b.write("key".getBytes("US-ASCII"))
+    b.write(Array[Byte](0x7f, -1, -1, -1), 0, 4) // vl = Int.MaxValue
+    intercept[IllegalStateException] {
+      ZmtpFraming.parseCommand(b.toByteArray)
+    }
+  }
+
   test("non-ZMTP bytes are rejected at the signature") {
     val e = intercept[IllegalArgumentException] {
       ZmtpFraming.readGreeting(din(Array.fill[Byte](64)(0x20)))
