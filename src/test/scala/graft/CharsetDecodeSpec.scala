@@ -96,6 +96,20 @@ class CharsetDecodeSpec extends AnyFunSuite {
       != "Aあい")
   }
 
+  test("decode fuzz: random bytes never throw on any supported id " +
+      "(U+FFFD substitution semantics, CharacterSet.h:32)") {
+    val nrcIds = Seq(11, 13, 14, 15, 16, 17, 21, 202, 203, 204, 205, 206, 207)
+    val rnd = new scala.util.Random(0xC5)
+    for (id <- OracleCharsets.supported.keys.toSeq ++ nrcIds; _ <- 0 until 5) {
+      val junk = Array.fill(rnd.nextInt(64))(rnd.nextInt.toByte)
+      val out = OracleCharsets.decode(junk, id) // must substitute, not throw
+      assert(out != null)
+    }
+    // NRC is total by construction: all 256 byte values decode
+    val all = Array.tabulate[Byte](256)(_.toByte)
+    nrcIds.foreach(id => assert(OracleCharsets.decode(all, id).length == 256))
+  }
+
   test("unknown id throws (the reference's startup refusal semantics)") {
     val e = intercept[IllegalArgumentException](
       OracleCharsets.decode(bytes("41"), 999))
