@@ -91,20 +91,19 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val sorted = times.sorted
-      val median = sorted(sorted.length / 2)
+      // true median: even lengths average the two middle elements (an
+      // upper-middle pick would record the MAX for iters=2, defeating the
+      // min-vs-median contention-attribution signal this field exists for)
+      val median =
+        if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+        else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
       (name, times.min, median,
         if (times.min > 0) times.max / times.min else 1.0)
     }
     val loadAfter = loadavg()
-    val results = timed.map { case (n, mn, _, _) => n -> mn }
+    val results0 = timed.map { case (n, mn, _, _) => n -> mn }
     val medians = timed.map { case (n, _, md, _) => n -> md }
     val spreads = timed.map { case (n, _, _, sp) => n -> sp }
-    // 4-decimal seconds keep the one-line contract compact (the driver's
-    // stdout capture is tail-truncated; a full-precision 101-query map
-    // overflowed it in r5 and lost q01–q37)
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Per-query oracle ratios (the r7 verdict's #1 ask): when a DuckDB
     // timing artifact from tools/bench_oracle.py is present, fold it into
     // the durable BENCH_FULL.json as {"oracle_s", "ratio"} plus the
@@ -128,14 +127,55 @@ object Bench {
         System.err.println(s"[bench] bad $oracleFile: ${e.getMessage}")
         Map.empty
       }
+    def violationsOf(mins: Seq[(String, Double)]): Seq[String] =
+      mins.collect {
+        case (k, v) if v > RatioGateMinSparkS &&
+          oracle.get(k).exists(o => o > 0 && v / o > RatioGateMax) &&
+          !RatioExemptions.contains(k) => k
+      }
+    // Second-chance pass (r10 verdict ask #1 — self-exonerating ratio
+    // gate): three consecutive rounds needed a judge re-bench to dismiss
+    // host-contention false positives (r10: q144 36.2s→1.3s quiet). A
+    // multi-minute contention window can swallow all `iters` back-to-back
+    // iterations of adjacent queries, so min-of-N alone doesn't save
+    // them. Re-run each would-be violator up to 2 more times AFTER the
+    // full loop (time-separated from its contention window, plus an
+    // explicit pause), fold the new minimum in, and record the recheck
+    // times so the artifact itself distinguishes "was noise" (recheck
+    // clears the gate) from "really slow" (recheck confirms).
+    val prelim = violationsOf(results0)
+    val rechecked: Map[String, Double] =
+      if (prelim.isEmpty || nameFilter.nonEmpty) Map.empty
+      else {
+        Thread.sleep(15000) // step out of a still-live contention window
+        val fnByName = picked.toMap
+        prelim.map { name =>
+          val fn = fnByName(name)
+          val o = oracle.getOrElse(name, Double.MaxValue)
+          var best = Double.MaxValue
+          var i = 0
+          while (i < 2 && !(best <= RatioGateMinSparkS ||
+              best / o <= RatioGateMax)) {
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            i += 1
+          }
+          name -> best
+        }.toMap
+      }
+    val results = results0.map { case (k, v) =>
+      k -> math.min(v, rechecked.getOrElse(k, v)) }
+    // 4-decimal seconds keep the one-line contract compact (the driver's
+    // stdout capture is tail-truncated; a full-precision 101-query map
+    // overflowed it in r5 and lost q01–q37)
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val ratios = results.flatMap { case (k, v) =>
       oracle.get(k).filter(_ > 0).map(o => k -> v / o)
     }.toMap
-    val violations = results.collect {
-      case (k, v) if v > RatioGateMinSparkS &&
-        ratios.get(k).exists(_ > RatioGateMax) &&
-        !RatioExemptions.contains(k) => k
-    }
+    val violations = violationsOf(results)
     val extra =
       if (oracle.isEmpty) ""
       else {
@@ -146,7 +186,9 @@ object Bench {
           ratios.get(k).map(r => "\"" + k + f"""":$r%.4f""") }
           .mkString("{", ",", "}")
         val vs = violations.map("\"" + _ + "\"").mkString("[", ",", "]")
-        s""","oracle_s":$os,"ratio":$rs,"ratio_violations":$vs"""
+        val rc = rechecked.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + f"""":$v%.4f""" }.mkString("{", ",", "}")
+        s""","oracle_s":$os,"ratio":$rs,"ratio_violations":$vs,"rechecked":$rc"""
       }
     // durable artifact: same JSON, written to the repo tree so each round's
     // full per-query map survives even if the captured stdout is truncated.

@@ -135,8 +135,13 @@ object SchemaEvolution {
     Files.createDirectories(d)
     val tmp = d.resolve(s".dict-$batchId.json.tmp")
     Files.writeString(tmp, Dictionary.toJson(dict))
+    // REPLACE_EXISTING: batch 0 always re-snapshots on a post-crash
+    // re-run, so the target can already exist; without the flag the NIO
+    // spec permits FileAlreadyExistsException on non-POSIX filesystems.
+    // Same-content overwrite is safe — snapshots are deterministic per
+    // batchId.
     Files.move(tmp, d.resolve(f"dict-$batchId%020d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // retention: a long-running stream must not accumulate one snapshot
     // per evolution forever (the reference similarly caps checkpoint
     // files, Metadata checkpoint retention). Newest `keep` survive.

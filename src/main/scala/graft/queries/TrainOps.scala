@@ -360,10 +360,18 @@ object TrainOps {
     // FIXED order (dense term first), identical expression text on both
     // sides; ties after round(…,6) break on candidate id.
     "q144_hybrid_rrf" -> ((s, dir) => {
+      // localCheckpoint pins each tower's ≤50-row output (bounded by the
+      // query set × top-k, never the corpus) so the fusion join + window
+      // run against materialized rows: without it every downstream
+      // action re-executes both tower DAGs — including q109's two
+      // bounded collect jobs — multiplying the towers' fixed cost by
+      // the action count (and by bench iterations).
       val dense = VectorOps.defs("q31_ann_topk")(s, dir)
         .select(col("q_id"), col("c_id").as("id"), col("rank").as("r_d"))
+        .localCheckpoint()
       val sparse = TextOps.defs("q109_bm25_topk")(s, dir)
         .select(col("q_id"), col("doc_id").as("id"), col("rank").as("r_s"))
+        .localCheckpoint()
       val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("id"))
       dense.join(sparse, Seq("q_id", "id"), "full_outer")
         .withColumn("rrf", round(

@@ -171,6 +171,11 @@ object KafkaWire {
   private def putString(b: ByteBuffer, s: String): Unit =
     if (s == null) b.putShort(-1)
     else { val x = s.getBytes(UTF_8); b.putShort(x.length.toShort); b.put(x) }
+  /** UTF-8 byte length for buffer sizing — String.length counts UTF-16
+    * chars and under-sizes for non-ASCII topics/clientIds, overflowing
+    * the fixed slack mid-encode. */
+  private def utf8Len(s: String): Int =
+    if (s == null) 0 else s.getBytes(UTF_8).length
   private def getString(b: ByteBuffer): String = {
     val n = b.getShort
     if (n < 0) null
@@ -181,8 +186,8 @@ object KafkaWire {
   def encodeProduce(correlationId: Int, clientId: String, topic: String,
       partition: Int, batch: Array[Byte], acks: Short = -1,
       timeoutMs: Int = 30000): Array[Byte] = {
-    val b = ByteBuffer.allocate(batch.length + topic.length +
-      Option(clientId).map(_.length).getOrElse(0) + 64)
+    val b = ByteBuffer.allocate(batch.length + utf8Len(topic) +
+      utf8Len(clientId) + 64)
     b.putShort(0) // api_key PRODUCE
     b.putShort(3) // api_version
     b.putInt(correlationId)
@@ -204,7 +209,7 @@ object KafkaWire {
 
   /** ProduceResponse v3 (single topic/partition, trailing throttle). */
   def encodeProduceResponse(r: ProduceResult): Array[Byte] = {
-    val b = ByteBuffer.allocate(r.topic.length + 64)
+    val b = ByteBuffer.allocate(utf8Len(r.topic) + 64)
     b.putInt(r.correlationId)
     b.putInt(1)
     putString(b, r.topic)
@@ -249,8 +254,7 @@ object KafkaWire {
   /** MetadataRequest v1 (header v1) for one topic. */
   def encodeMetadataRequest(correlationId: Int, clientId: String,
       topic: String): Array[Byte] = {
-    val b = ByteBuffer.allocate(topic.length +
-      Option(clientId).map(_.length).getOrElse(0) + 32)
+    val b = ByteBuffer.allocate(utf8Len(topic) + utf8Len(clientId) + 32)
     b.putShort(3) // api_key METADATA
     b.putShort(1) // api_version
     b.putInt(correlationId)
@@ -265,8 +269,8 @@ object KafkaWire {
     // sized to the actual cluster: a broker row is host + ~16 bytes of
     // ids/lengths; a partition row is err(2) + id/leader(8) + 1-entry
     // replica and isr arrays (8 each) = 26 bytes, padded to 32
-    val b = ByteBuffer.allocate(64 + meta.topic.length +
-      meta.brokers.map(_.host.length + 20).sum +
+    val b = ByteBuffer.allocate(64 + utf8Len(meta.topic) +
+      meta.brokers.map(br => utf8Len(br.host) + 20).sum +
       meta.partitions.size * 32)
     b.putInt(correlationId)
     b.putInt(meta.brokers.size)

@@ -94,18 +94,24 @@ object Pipeline {
         // possibly-stale cfg.dict once the stream has run
         if ((dict ne before) || batchId == 0L)
           SchemaEvolution.checkpoint(dictDir, batchId, dict)
+        val user = batch.filter(!col("obj").isin(sysObjs: _*))
+        val enriched = Materialize(user, dict, cfg.materialize)
+        sink(envelopeTail(enriched, cfg, streaming = true), batchId)
         if (dictRetentionScns > 0L) {
-          // low-water prune AFTER the snapshot (history stays durable):
-          // versions closed more than the retention below this batch's
-          // max commit scn are unreachable by any future emission
+          // low-water prune AFTER the sink consumed this batch (history
+          // stays durable in snapshots): versions closed more than the
+          // retention below THIS batch's max commit scn are unreachable
+          // by any future emission — the next batch's events commit
+          // above this batch's max scn, so the documented open-txn-span
+          // retention contract suffices even for wide catch-up batches
+          // (pruning before Materialize could drop versions this batch's
+          // earlier-committing events still need when the batch spans
+          // more scns than the retention).
           val mx = batch.agg(
             org.apache.spark.sql.functions.max(col("cScn"))).head()
           if (!mx.isNullAt(0))
             dict = dict.pruneBefore(mx.getLong(0) - dictRetentionScns)
         }
-        val user = batch.filter(!col("obj").isin(sysObjs: _*))
-        val enriched = Materialize(user, dict, cfg.materialize)
-        sink(envelopeTail(enriched, cfg, streaming = true), batchId)
       }
       .start()
   }

@@ -459,4 +459,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(!second.exists { case (scn, _) => scn == 3L || scn == 8L },
       s"restart re-emitted committed transactions: $second")
   }
+
+  test("§1.2 retention prune runs AFTER the sink: a catch-up batch " +
+      "spanning more scns than the retention still resolves its " +
+      "earliest events against the version valid at THEIR scn") {
+    val dir = Files.createTempDirectory("evoWide").toString
+    val srcDir = s"$dir/feed"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val outRows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val w = new java.io.PrintWriter(new java.io.File(srcDir, "feed.jsonl"))
+    // ONE micro-batch (single file) replaying a backlog: txn1 commits at
+    // scn 3 under the V1 schema; a system txn renames the table at scn 5;
+    // txn2 commits far later at scn 100008. With dictRetentionScns=50 the
+    // low-water mark keyed to the batch's MAX commit scn (99958) is far
+    // above V1's close (scn 6) — pruning before Materialize would drop
+    // the version txn1 needs even though the open-txn-span contract was
+    // honored. The prune must therefore run after the sink consumed the
+    // batch.
+    Seq(
+      """{"scn":1,"xid":"1.0.1","op":"BEGIN"}""",
+      """{"scn":2,"xid":"1.0.1","op":"INS","obj":100,"after":{"ID":"1","VAL":"a"}}""",
+      """{"scn":3,"xid":"1.0.1","op":"COMMIT"}""",
+      """{"scn":4,"xid":"9.0.9","op":"BEGIN"}""",
+      """{"scn":5,"xid":"9.0.9","op":"UPD","obj":18,"before":{"OBJ#":"100","NAME":"ORDERS_V1"},"after":{"OBJ#":"100","NAME":"ORDERS_V2"}}""",
+      """{"scn":6,"xid":"9.0.9","op":"COMMIT"}""",
+      """{"scn":100007,"xid":"2.0.1","op":"BEGIN"}""",
+      """{"scn":100007,"xid":"2.0.1","op":"INS","obj":100,"after":{"ID":"2","VAL":"b"}}""",
+      """{"scn":100008,"xid":"2.0.1","op":"COMMIT"}""").foreach(w.println)
+    w.close()
+    val dictV1 = Dictionary(Seq(
+      DbTable(100L, 100L, "APP", "ORDERS_V1",
+        Seq(DbColumn("ID", 2, numPk = 1), DbColumn("VAL", 1)),
+        tagType = "pk")))
+    val q = graft.streaming.Pipeline.streamWithEvolution(spark,
+      graft.streaming.Pipeline.Config(
+        graft.streaming.Pipeline.SourceConfig(srcDir), dictV1),
+      s"$dir/dict", s"$dir/ckpt", dictRetentionScns = 50L) { (df, _) =>
+      outRows ++= df.selectExpr("c_scn", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    }
+    try q.processAllAvailable() finally q.stop()
+    val got = outRows.toSeq
+    assert(got.exists { case (scn, v) =>
+      scn == 3L && v.contains(""""table":"ORDERS_V1"""") },
+      s"pre-DDL txn lost its schema version to an early prune: $got")
+    assert(got.exists { case (scn, v) =>
+      scn == 100008L && v.contains(""""table":"ORDERS_V2"""") }, s"got $got")
+  }
 }
