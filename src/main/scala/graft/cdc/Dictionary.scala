@@ -168,13 +168,36 @@ case class TableSelector(ownerPattern: String, namePattern: String) {
     ownerRe.findFirstIn(owner).isDefined && nameRe.findFirstIn(name).isDefined
 }
 
+/** One LOB segment registration (the reference's LobCtx/Schema lob maps,
+  * SysLob.h + Schema.cpp addLob): `lobj` is the LOB segment object the
+  * redo addresses; it resolves to the owning table (`obj`) and column
+  * (`intCol`/`colName`). LOBFRAG$/LOBCOMPPART$ rows register EXTRA lobj
+  * aliases for the same owning column (partitioned LOBs write under the
+  * fragment/partition obj). */
+case class LobSegment(
+    lobj: Long,
+    obj: Long,
+    intCol: Int,
+    colName: String = "",
+    ts: Long = 0L)
+
 /** Immutable dictionary snapshot + scn-versioned lookup. `xmlCtx` carries
   * the XDB token tables when the schema has XMLTYPE columns (the reference
   * replicates XDB.X$xx%% like any other dictionary table and serializes
   * them in the checkpoint schema — SerializerJson.cpp xdbTtSet/XNm/XQn
-  * sections); None when the schema has none. */
+  * sections); None when the schema has none.
+  *
+  * `partitionOf` maps a partition/composite-partition/subpartition obj#
+  * (TABPART$/TABCOMPART$/TABSUBPART$ rows, resolved through BO#/POBJ# to
+  * the base table) to the base table's obj# — the reference registers
+  * every partition obj in its schema map so redo addressed to a
+  * partition resolves to the owning table's columns
+  * (Schema.cpp addTablePartition). `lobSegments` is the LobCtx
+  * equivalent for LOB segment objs. */
 class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
-    val xmlCtx: Option[XmlCtx] = None) {
+    val xmlCtx: Option[XmlCtx] = None,
+    val partitionOf: Map[Long, Long] = Map.empty,
+    val lobSegments: Seq[LobSegment] = Nil) {
 
   /** Tables passing the selection rules (union of rules). */
   lazy val selected: Seq[DbTable] =
@@ -184,13 +207,24 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
   private lazy val byObj: Map[Long, Seq[DbTable]] =
     selected.groupBy(_.obj)
 
-  /** obj# → table version valid at `scn` (J2 as-of semantics). */
+  /** Resolve a feed obj# through the partition map: redo addressed to a
+    * TABPART$/TABSUBPART$ obj carries the partition's obj#, but the
+    * schema (columns, keys, name) lives on the base table. */
+  def baseObj(obj: Long): Long = partitionOf.getOrElse(obj, obj)
+
+  /** obj# → table version valid at `scn` (J2 as-of semantics);
+    * partition objs resolve to their base table first. */
   def lookup(obj: Long, scn: Long): Option[DbTable] =
-    byObj.getOrElse(obj, Nil)
+    byObj.getOrElse(baseObj(obj), Nil)
       .find(t => scn >= t.validFromScn && scn < t.validToScn)
 
   def lookupLatest(obj: Long): Option[DbTable] =
-    byObj.getOrElse(obj, Nil).sortBy(_.validFromScn).lastOption
+    byObj.getOrElse(baseObj(obj), Nil).sortBy(_.validFromScn).lastOption
+
+  /** LOB segment obj# → owning (table obj#, column name), through any
+    * fragment/partition alias (LobCtx resolution). */
+  def lobOwner(lobj: Long): Option[(Long, String)] =
+    lobSegments.find(_.lobj == lobj).map(s => (s.obj, s.colName))
 
   /** Dictionary as a DataFrame for broadcast joins against the event
     * stream (owner, name, keys/tags resolved — the join is on obj + scn
@@ -198,7 +232,14 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
   def toDF(spark: SparkSession, showHidden: Boolean = false,
       showNested: Boolean = false, showUnused: Boolean = false): DataFrame = {
     import spark.implicits._
-    selected.map { t =>
+    // partition objs join the event stream under THEIR obj# but resolve
+    // to the base table's schema: emit one alias row per partition obj
+    // per base-table version (dimension-sized: #partitions × #versions,
+    // still ≪ the feed — the broadcast asymmetry is unchanged)
+    val aliasRows = partitionOf.toSeq.flatMap { case (pobj, bobj) =>
+      selected.filter(_.obj == bobj).map(t => t.copy(obj = pobj))
+    }
+    (selected ++ aliasRows).map { t =>
       val visible = t.visibleColumns(showHidden, showNested, showUnused)
         .map(_.name).toSet
       (t.obj, t.dataObj, t.owner, t.name,
@@ -242,11 +283,11 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
     * then applies to the synthesized entry like any other. */
   def withAdaptive(obj: Long, colNames: Seq[String],
       firstScn: Long = 0L): Dictionary =
-    if (tables.exists(_.obj == obj)) this
+    if (tables.exists(_.obj == obj) || partitionOf.contains(obj)) this
     else new Dictionary(
       tables :+ DbTable(obj, obj, "UNKNOWN", s"OBJ_$obj",
         colNames.map(n => DbColumn(n, 1)), validFromScn = firstScn),
-      selectors, xmlCtx)
+      selectors, xmlCtx, partitionOf, lobSegments)
 
   /** Retention: drop table versions no event can resolve against any
     * more — those whose validity window closed at or before `scn` (the
@@ -259,7 +300,7 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
   def pruneBefore(scn: Long): Dictionary = {
     val pruned = tables.filter(_.validToScn > scn)
     if (pruned.length == tables.length) this
-    else new Dictionary(pruned, selectors, xmlCtx)
+    else new Dictionary(pruned, selectors, xmlCtx, partitionOf, lobSegments)
   }
 
   def evolve(newVersion: DbTable, scn: Long): Dictionary = {
@@ -269,8 +310,16 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
       else t
     }
     new Dictionary(updated :+ newVersion.copy(validFromScn = scn), selectors,
-      xmlCtx)
+      xmlCtx, partitionOf, lobSegments)
   }
+
+  /** Storage registration (partition + LOB maps) — the post-bootstrap
+    * step the reference performs from its TABPART$/TABSUBPART$/
+    * TABCOMPART$/LOB$/LOBCOMPPART$/LOBFRAG$ reads. */
+  def withStorage(partitions: Map[Long, Long],
+      lobs: Seq[LobSegment]): Dictionary =
+    new Dictionary(tables, selectors, xmlCtx, partitionOf ++ partitions,
+      lobSegments ++ lobs)
 }
 
 object Dictionary {
@@ -294,7 +343,19 @@ object Dictionary {
     */
   def fromCatalog(objs: DataFrame, users: DataFrame, cols: DataFrame,
       pkCols: Option[DataFrame] = None,
-      selectors: Seq[TableSelector] = Nil): Dictionary = {
+      selectors: Seq[TableSelector] = Nil,
+      /** TABPART$ rows: obj, bo (partition obj → base table obj) */
+      tabParts: Option[DataFrame] = None,
+      /** TABCOMPART$ rows: obj, bo (composite partition → base table) */
+      tabCompParts: Option[DataFrame] = None,
+      /** TABSUBPART$ rows: obj, pobj (subpartition → parent comp-part) */
+      tabSubParts: Option[DataFrame] = None,
+      /** LOB$ rows: obj, intcol, lobj, ts (+ optional col_name) */
+      lobs: Option[DataFrame] = None,
+      /** LOBCOMPPART$ rows: partobj, lobj */
+      lobCompParts: Option[DataFrame] = None,
+      /** LOBFRAG$ rows: fragobj, parentobj */
+      lobFrags: Option[DataFrame] = None): Dictionary = {
     import org.apache.spark.sql.functions.col
     val userNames = users.select(col("user_id").cast("long"), col("name"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -336,7 +397,49 @@ object Dictionary {
           r.getString(3), columns,
           tagType = if (keys.nonEmpty) "pk" else "")
       }.toSeq
-    new Dictionary(tables, selectors)
+    // ---- storage maps (all dimension-sized: partition & LOB catalogs
+    // are schema metadata, ≪ driver memory, same asymmetry as above) ----
+    def lpairs(df: Option[DataFrame], a: String, b: String): Seq[(Long, Long)] =
+      df.map(_.select(col(a).cast("long"), col(b).cast("long")).collect()
+        .toSeq.map(r => (r.getLong(0), r.getLong(1)))).getOrElse(Nil)
+    val tp = lpairs(tabParts, "obj", "bo")
+    val tcp = lpairs(tabCompParts, "obj", "bo")
+    val tcpMap = tcp.toMap
+    // subpartitions chain through their composite parent to the base
+    val tsp = lpairs(tabSubParts, "obj", "pobj")
+      .map { case (o, p) => (o, tcpMap.getOrElse(p, p)) }
+    val partMap = (tp ++ tcp ++ tsp).toMap
+    // LOB roots: lobj → owning (obj, intcol); column name resolved from
+    // an explicit col_name column when present, else positionally via
+    // the cols frame (intcol ≙ col_no for non-nested tables)
+    val nameByObjCol: Map[(Long, Int), String] = cols
+      .select(col("obj").cast("long"), col("col_no").cast("int"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val lobRoots: Seq[LobSegment] = lobs.map { df =>
+      val hasName = df.columns.map(_.toLowerCase).contains("col_name")
+      val base = df.select(col("obj").cast("long"), col("intcol").cast("int"),
+        col("lobj").cast("long"), col("ts").cast("long"),
+        (if (hasName) col("col_name")
+         else org.apache.spark.sql.functions.lit(null
+           ).cast("string")).as("col_name"))
+      base.collect().toSeq.map { r =>
+        val o = r.getLong(0); val ic = r.getInt(1)
+        LobSegment(r.getLong(2), o, ic,
+          Option(r.getString(4))
+            .orElse(nameByObjCol.get((o, ic))).getOrElse(""),
+          if (r.isNullAt(3)) 0L else r.getLong(3))
+      }
+    }.getOrElse(Nil)
+    // composite LOB partitions alias the root's owner under PARTOBJ#
+    val byLobj = lobRoots.map(s => s.lobj -> s).toMap
+    val lcpSegs = lpairs(lobCompParts, "partobj", "lobj")
+      .flatMap { case (po, lj) => byLobj.get(lj).map(_.copy(lobj = po)) }
+    // fragments chain through a root lobj OR a comp-part partobj
+    val parentMap = (lobRoots ++ lcpSegs).map(s => s.lobj -> s).toMap
+    val fragSegs = lpairs(lobFrags, "fragobj", "parentobj")
+      .flatMap { case (fo, po) => parentMap.get(po).map(_.copy(lobj = fo)) }
+    new Dictionary(tables, selectors, None, partMap,
+      lobRoots ++ lcpSegs ++ fragSegs)
   }
 
   /** The reference's COMPLETE online-bootstrap catalog SQL, verbatim in
@@ -477,6 +580,163 @@ object Dictionary {
         s" FROM XDB.XDB$$TTSET AS OF SCN $scn T"))
   }
 
+  /** The `_OBJ` delta variants of the bootstrap catalog SQL
+    * (ReplicatorOnline.h:207-565): after the initial per-owner sweep, a
+    * mid-stream DDL refreshes ONE object's rows — the same SELECT lists,
+    * gated on the object id instead of the OBJ$ owner join
+    * (readSystemDictionariesDetails, ReplicatorOnline.cpp). Same
+    * provenance rule as [[oracleCatalogSql]]: transcriptions of the
+    * reference's catalog interface, parametrized. Note the reference's
+    * own key choices: ECOL$ gates on TABOBJ#, TABSUBPART$ on POBJ# (the
+    * parent partition), everything else on the table's OBJ#. */
+  def oracleCatalogSqlObj(asOfScn: Long, obj: Long): Map[String, String] = {
+    val m = "18446744073709551616"
+    def mod2(col: String, a1: String, a2: String) =
+      s"MOD($col, $m) AS $a1, MOD(TRUNC($col / $m), $m) AS $a2"
+    val scn = asOfScn
+    Map(
+      // ReplicatorOnline.h:207 SQL_GET_SYS_CCOL_OBJ
+      "ccol_obj" -> (s"SELECT L.ROWID, L.CON#, L.INTCOL#, L.OBJ#," +
+        s" ${mod2("L.SPARE1", "SPARE11", "SPARE12")}" +
+        s" FROM SYS.CCOL$$ AS OF SCN $scn L WHERE L.OBJ# = $obj"),
+      // ReplicatorOnline.h:231 SQL_GET_SYS_CDEF_OBJ
+      "cdef_obj" -> (s"SELECT D.ROWID, D.CON#, D.OBJ#, D.TYPE#" +
+        s" FROM SYS.CDEF$$ AS OF SCN $scn D WHERE D.OBJ# = $obj"),
+      // ReplicatorOnline.h:255 SQL_GET_SYS_COL_OBJ
+      "cols_obj" -> (s"SELECT C.ROWID, C.OBJ#, C.COL#, C.SEGCOL#," +
+        s" C.INTCOL#, C.NAME, C.TYPE#, C.LENGTH, C.PRECISION#, C.SCALE," +
+        s" C.CHARSETFORM, C.CHARSETID, C.NULL$$," +
+        s" ${mod2("C.PROPERTY", "PROPERTY1", "PROPERTY2")}" +
+        s" FROM SYS.COL$$ AS OF SCN $scn C WHERE C.OBJ# = $obj"),
+      // ReplicatorOnline.h:280 SQL_GET_SYS_DEFERRED_STG_OBJ
+      "deferred_stg_obj" -> (s"SELECT DS.ROWID, DS.OBJ#," +
+        s" ${mod2("DS.FLAGS_STG", "FLAGS_STG1", "FLAGS_STG2")}" +
+        s" FROM SYS.DEFERRED_STG$$ AS OF SCN $scn DS WHERE DS.OBJ# = $obj"),
+      // ReplicatorOnline.h:304 SQL_GET_SYS_ECOL_OBJ
+      "ecol_obj" -> (s"SELECT E.ROWID, E.TABOBJ#, E.COLNUM, E.GUARD_ID" +
+        s" FROM SYS.ECOL$$ AS OF SCN $scn E WHERE E.TABOBJ# = $obj"),
+      // ReplicatorOnline.h:327 SQL_GET_SYS_ECOL11_OBJ
+      "ecol11_obj" -> (s"SELECT E.ROWID, E.TABOBJ#, E.COLNUM, -1 AS GUARD_ID" +
+        s" FROM SYS.ECOL$$ AS OF SCN $scn E WHERE E.TABOBJ# = $obj"),
+      // ReplicatorOnline.h:350 SQL_GET_SYS_LOB_OBJ
+      "lobs_obj" -> (s"SELECT L.ROWID, L.OBJ#, L.COL#, L.INTCOL#, L.LOBJ#," +
+        s" L.TS# FROM SYS.LOB$$ AS OF SCN $scn L WHERE L.OBJ# = $obj"),
+      // ReplicatorOnline.h:376 SQL_GET_SYS_LOB_COMP_PART_OBJ
+      "lob_comp_part_obj" -> (s"SELECT LCP.ROWID, LCP.PARTOBJ#, LCP.LOBJ#" +
+        s" FROM SYS.LOB$$ AS OF SCN $scn L" +
+        s" JOIN SYS.LOBCOMPPART$$ AS OF SCN $scn LCP ON LCP.LOBJ# = L.LOBJ#" +
+        s" WHERE L.OBJ# = $obj"),
+      // ReplicatorOnline.h:421 SQL_GET_SYS_LOB_FRAG_OBJ
+      "lob_frag_obj" -> (s"SELECT LF.ROWID, LF.FRAGOBJ#, LF.PARENTOBJ#," +
+        s" LF.TS# FROM SYS.LOB$$ AS OF SCN $scn L" +
+        s" JOIN SYS.LOBCOMPPART$$ AS OF SCN $scn LCP ON LCP.LOBJ# = L.LOBJ#" +
+        s" JOIN SYS.LOBFRAG$$ AS OF SCN $scn LF ON LCP.PARTOBJ# = LF.PARENTOBJ#" +
+        s" WHERE L.OBJ# = $obj" +
+        s" UNION ALL" +
+        s" SELECT LF.ROWID, LF.FRAGOBJ#, LF.PARENTOBJ#, LF.TS#" +
+        s" FROM SYS.LOB$$ AS OF SCN $scn L" +
+        s" JOIN SYS.LOBFRAG$$ AS OF SCN $scn LF ON L.LOBJ# = LF.PARENTOBJ#" +
+        s" WHERE L.OBJ# = $obj"),
+      // ReplicatorOnline.h:484 SQL_GET_SYS_TAB_OBJ
+      "tabs_obj" -> (s"SELECT T.ROWID, T.OBJ#, T.DATAOBJ#, T.TS#, T.CLUCOLS," +
+        s" ${mod2("T.FLAGS", "FLAGS1", "FLAGS2")}," +
+        s" ${mod2("T.PROPERTY", "PROPERTY1", "PROPERTY2")}" +
+        s" FROM SYS.TAB$$ AS OF SCN $scn T WHERE T.OBJ# = $obj"),
+      // ReplicatorOnline.h:509 SQL_GET_SYS_TABCOMPART_OBJ
+      "tabcompart_obj" -> (s"SELECT TCP.ROWID, TCP.OBJ#, TCP.DATAOBJ#," +
+        s" TCP.BO# FROM SYS.TABCOMPART$$ AS OF SCN $scn TCP" +
+        s" WHERE TCP.OBJ# = $obj"),
+      // ReplicatorOnline.h:532 SQL_GET_SYS_TABPART_OBJ
+      "tabpart_obj" -> (s"SELECT TP.ROWID, TP.OBJ#, TP.DATAOBJ#, TP.BO#" +
+        s" FROM SYS.TABPART$$ AS OF SCN $scn TP WHERE TP.OBJ# = $obj"),
+      // ReplicatorOnline.h:555 SQL_GET_SYS_TABSUBPART_OBJ (parent gate)
+      "tabsubpart_obj" -> (s"SELECT TSP.ROWID, TSP.OBJ#, TSP.DATAOBJ#," +
+        s" TSP.POBJ# FROM SYS.TABSUBPART$$ AS OF SCN $scn TSP" +
+        s" WHERE TSP.POBJ# = $obj"))
+  }
+
+  /** The database/instance metadata SQL the reference issues around the
+    * catalog sweep (ReplicatorOnline.h:34-183, 592): archive-log
+    * discovery, supplemental-logging + endianness checks, incarnation
+    * chain, SCN/sequence positioning, parameter/property probes and the
+    * connection liveness ping. Bind markers (:i, :j) are kept exactly as
+    * the reference declares them — callers bind, not splice. (The
+    * SCN_FROM_TIME text reproduces the reference verbatim, including its
+    * unbalanced TO_DATE paren — this skeleton map pins the interface the
+    * reference ships, not a repaired one.) */
+  val oracleDatabaseSql: Map[String, String] = Map(
+    // ReplicatorOnline.h:34 SQL_GET_ARCHIVE_LOG_LIST
+    "archive_log_list" -> ("SELECT NAME, SEQUENCE#, FIRST_CHANGE#," +
+      " NEXT_CHANGE# FROM SYS.V_$ARCHIVED_LOG WHERE SEQUENCE# >= :i" +
+      " AND RESETLOGS_ID = :j AND NAME IS NOT NULL" +
+      " ORDER BY SEQUENCE#, DEST_ID, IS_RECOVERY_DEST_FILE DESC"),
+    // ReplicatorOnline.h:53 SQL_GET_DATABASE_INFORMATION
+    "database_information" -> ("SELECT" +
+      " DECODE(D.LOG_MODE, 'ARCHIVELOG', 1, 0)," +
+      " DECODE(D.SUPPLEMENTAL_LOG_DATA_MIN, 'NO', 0, 1)," +
+      " DECODE(D.SUPPLEMENTAL_LOG_DATA_PK, 'YES', 1, 0)," +
+      " DECODE(D.SUPPLEMENTAL_LOG_DATA_ALL, 'YES', 1, 0)," +
+      " DECODE(TP.ENDIAN_FORMAT, 'Big', 1, 0), VER.BANNER," +
+      " SYS_CONTEXT('USERENV','DB_NAME'), CURRENT_SCN, DBTIMEZONE" +
+      " FROM SYS.V_$DATABASE D" +
+      " JOIN SYS.V_$TRANSPORTABLE_PLATFORM TP ON" +
+      " TP.PLATFORM_NAME = D.PLATFORM_NAME" +
+      " JOIN SYS.V_$VERSION VER ON VER.BANNER LIKE '%Oracle%Database%'"),
+    // ReplicatorOnline.h:75 SQL_GET_DATABASE_INCARNATION
+    "database_incarnation" -> ("SELECT INCARNATION#, RESETLOGS_CHANGE#," +
+      " PRIOR_RESETLOGS_CHANGE#, STATUS, RESETLOGS_ID, PRIOR_INCARNATION#" +
+      " FROM SYS.V_$DATABASE_INCARNATION"),
+    // ReplicatorOnline.h:88 SQL_GET_DATABASE_ROLE
+    "database_role" -> "SELECT DATABASE_ROLE FROM SYS.V_$DATABASE",
+    // ReplicatorOnline.h:96 SQL_GET_DATABASE_SCN
+    "database_scn" -> "SELECT D.CURRENT_SCN FROM SYS.V_$DATABASE D",
+    // ReplicatorOnline.h:104 SQL_GET_CON_INFO
+    "con_info" -> ("SELECT SYS_CONTEXT('USERENV','CON_ID')," +
+      " SYS_CONTEXT('USERENV','CON_NAME')," +
+      " NVL(SYS_CONTEXT('USERENV','CDB_NAME')," +
+      " SYS_CONTEXT('USERENV','DB_NAME')) FROM DUAL"),
+    // ReplicatorOnline.h:114 SQL_GET_SCN_FROM_TIME (verbatim, see note)
+    "scn_from_time" ->
+      "SELECT TIMESTAMP_TO_SCN(TO_DATE('YYYY-MM-DD HH24:MI:SS', :i) FROM DUAL",
+    // ReplicatorOnline.h:117 SQL_GET_SCN_FROM_TIME_RELATIVE
+    "scn_from_time_relative" ->
+      "SELECT TIMESTAMP_TO_SCN(SYSDATE - (:i/24/3600)) FROM DUAL",
+    // ReplicatorOnline.h:120 SQL_GET_SEQUENCE_FROM_SCN
+    "sequence_from_scn" -> ("SELECT MAX(SEQUENCE#) FROM (" +
+      " SELECT SEQUENCE# FROM SYS.V_$LOG WHERE FIRST_CHANGE# - 1 <= :i" +
+      " UNION SELECT SEQUENCE# FROM SYS.V_$ARCHIVED_LOG" +
+      " WHERE FIRST_CHANGE# - 1 <= :i AND RESETLOGS_ID = :j)"),
+    // ReplicatorOnline.h:139 SQL_GET_SEQUENCE_FROM_SCN_STANDBY
+    "sequence_from_scn_standby" -> ("SELECT MAX(SEQUENCE#) FROM (" +
+      " SELECT SEQUENCE# FROM SYS.V_$STANDBY_LOG" +
+      " WHERE FIRST_CHANGE# - 1 <= :i" +
+      " UNION SELECT SEQUENCE# FROM SYS.V_$ARCHIVED_LOG" +
+      " WHERE FIRST_CHANGE# - 1 <= :i AND RESETLOGS_ID = :j)"),
+    // ReplicatorOnline.h:158 SQL_GET_LOGFILE_LIST
+    "logfile_list" -> ("SELECT LF.GROUP#, LF.MEMBER FROM SYS.V_$LOGFILE LF" +
+      " WHERE TYPE = :i ORDER BY LF.GROUP# ASC," +
+      " LF.IS_RECOVERY_DEST_FILE DESC, LF.MEMBER ASC"),
+    // ReplicatorOnline.h:173 SQL_GET_PARAMETER
+    "parameter" -> "SELECT VALUE FROM SYS.V_$PARAMETER WHERE NAME = :i",
+    // ReplicatorOnline.h:183 SQL_GET_PROPERTY
+    "property" -> ("SELECT PROPERTY_VALUE FROM DATABASE_PROPERTIES" +
+      " WHERE PROPERTY_NAME = :i"),
+    // ReplicatorOnline.h:592 SQL_CHECK_CONNECTION
+    "check_connection" -> "SELECT 1 FROM DUAL")
+
+  /** The per-token-set XDB reads (built inline in ReplicatorOnline.cpp
+    * readSystemDictionariesMetadata — the X$NM/X$PT/X$QN table names are
+    * synthesized from each XDB$TTSET row's TOKSUF). One map per tokSuf,
+    * flashback-pinned like the catalog sweep; the results load
+    * [[XmlCtx]] (xdbXNm/xdbXPt/xdbXQn packs). */
+  def oracleXdbSql(asOfScn: Long, tokSuf: String): Map[String, String] = Map(
+    "xdb_xnm" -> (s"SELECT T.ROWID, T.NMSPCURI, T.ID" +
+      s" FROM XDB.X$$NM$tokSuf AS OF SCN $asOfScn T"),
+    "xdb_xpt" -> (s"SELECT T.ROWID, T.PATH, T.ID" +
+      s" FROM XDB.X$$PT$tokSuf AS OF SCN $asOfScn T"),
+    "xdb_xqn" -> (s"SELECT T.ROWID, T.NMSPCID, T.LOCALNAME, T.FLAGS, T.ID" +
+      s" FROM XDB.X$$QN$tokSuf AS OF SCN $asOfScn T"))
+
   /** S2 online bootstrap over a live connection: issue the reference's
     * ~flashback catalog queries via `spark.read.jdbc` and feed
     * [[fromCatalog]]. Two dialects share one assembly:
@@ -540,7 +800,36 @@ object Dictionary {
       .join(colsRaw.select(col("OBJ"), col("INTCOL"), col("NAME")),
         Seq("OBJ", "INTCOL"))
       .select(col("OBJ").as("obj"), col("NAME").as("name"))
-    fromCatalog(objs, users, cols, Some(pkCols), selectors)
+    // storage catalog (partitions + LOB segments) — the rest of the
+    // reference's bootstrap sweep; all dimension-sized reads
+    val tabParts = read(s"SELECT TP.${q("OBJ#")} AS OBJ," +
+        s" TP.${q("BO#")} AS BO FROM ${tbl("TABPART$")} TP")
+      .select(col("OBJ").as("obj"), col("BO").as("bo"))
+    val tabCompParts = read(s"SELECT TCP.${q("OBJ#")} AS OBJ," +
+        s" TCP.${q("BO#")} AS BO FROM ${tbl("TABCOMPART$")} TCP")
+      .select(col("OBJ").as("obj"), col("BO").as("bo"))
+    val tabSubParts = read(s"SELECT TSP.${q("OBJ#")} AS OBJ," +
+        s" TSP.${q("POBJ#")} AS POBJ FROM ${tbl("TABSUBPART$")} TSP")
+      .select(col("OBJ").as("obj"), col("POBJ").as("pobj"))
+    // LOB column names resolve through COL$ INTCOL# (SysLob → SysCol),
+    // not positionally — nested/hidden columns shift col# vs intcol#
+    val lobSegs = read(s"SELECT L.${q("OBJ#")} AS OBJ," +
+        s" L.${q("INTCOL#")} AS INTCOL, L.${q("LOBJ#")} AS LOBJ," +
+        s" L.${q("TS#")} AS TS FROM ${tbl("LOB$")} L")
+      .join(colsRaw.select(col("OBJ"), col("INTCOL"), col("NAME")),
+        Seq("OBJ", "INTCOL"), "left")
+      .select(col("OBJ").as("obj"), col("INTCOL").as("intcol"),
+        col("LOBJ").as("lobj"), col("TS").as("ts"),
+        col("NAME").as("col_name"))
+    val lobCompParts = read(s"SELECT LCP.${q("PARTOBJ#")} AS PARTOBJ," +
+        s" LCP.${q("LOBJ#")} AS LOBJ FROM ${tbl("LOBCOMPPART$")} LCP")
+      .select(col("PARTOBJ").as("partobj"), col("LOBJ").as("lobj"))
+    val lobFrags = read(s"SELECT LF.${q("FRAGOBJ#")} AS FRAGOBJ," +
+        s" LF.${q("PARENTOBJ#")} AS PARENTOBJ FROM ${tbl("LOBFRAG$")} LF")
+      .select(col("FRAGOBJ").as("fragobj"), col("PARENTOBJ").as("parentobj"))
+    fromCatalog(objs, users, cols, Some(pkCols), selectors,
+      Some(tabParts), Some(tabCompParts), Some(tabSubParts),
+      Some(lobSegs), Some(lobCompParts), Some(lobFrags))
   }
 
   /** Checkpoint-schema JSON (de)serialization, shape-compatible with what
@@ -589,7 +878,23 @@ object Dictionary {
         .mkString("[", ",", "]")
       s""","xdbTtSet":$tt,"xdbXNm":$nm,"xdbXQn":$qn"""
     }.getOrElse("")
-    s"""{"tables":$ts,"selectors":$sels$xml}"""
+    // storage maps, present only when registered (partitioned / LOB
+    // schemas) — the SerializerJson sysTabPart/sysLob checkpoint sections
+    val storage = {
+      val parts =
+        if (dict.partitionOf.isEmpty) ""
+        else dict.partitionOf.toSeq.sorted.map { case (p, b) =>
+          s"""{"obj":$p,"bo":$b}""" }
+          .mkString(""","partitions":[""", ",", "]")
+      val lobs =
+        if (dict.lobSegments.isEmpty) ""
+        else dict.lobSegments.map(l =>
+          s"""{"lobj":${l.lobj},"obj":${l.obj},"intCol":${l.intCol},""" +
+            s""""col":"${esc(l.colName)}","ts":${l.ts}}""")
+          .mkString(""","lobs":[""", ",", "]")
+      parts + lobs
+    }
+    s"""{"tables":$ts,"selectors":$sels$xml$storage}"""
   }
 
   /** Inverse of [[toJson]] — restart path: checkpoint schema JSON → live
@@ -636,6 +941,17 @@ object Dictionary {
             q.get("localName").asText, q.get("nmSpcId").asText,
             q.get("flags").asText))))
       } else None
-    new Dictionary(tables, sels, xmlCtx)
+    // absent in pre-r11 checkpoints → empty defaults
+    val parts = Option(root.get("partitions"))
+      .map(_.elements().asScala.map(p =>
+        p.get("obj").asLong -> p.get("bo").asLong).toMap)
+      .getOrElse(Map.empty[Long, Long])
+    val lobs = Option(root.get("lobs"))
+      .map(_.elements().asScala.map(l =>
+        LobSegment(l.get("lobj").asLong, l.get("obj").asLong,
+          l.get("intCol").asInt, l.get("col").asText,
+          l.get("ts").asLong)).toSeq)
+      .getOrElse(Nil)
+    new Dictionary(tables, sels, xmlCtx, parts, lobs)
   }
 }

@@ -849,6 +849,44 @@ object CdcOps {
           element_at(col("after"), "txt").as("txt"))
     }),
 
+    // S2 partition-obj resolution (r11): redo addressed to a TABPART$/
+    // TABSUBPART$ object carries the PARTITION's obj#, not the table's —
+    // the reference registers every partition obj in its schema map
+    // (Schema.cpp addTablePartition) so the row resolves to the base
+    // table's columns/keys/name. Here the dictionary carries two base
+    // tables and four partition aliases (built exactly like
+    // Dictionary.fromJdbc's TABPART$/TABCOMPART$/TABSUBPART$ walk); the
+    // feed spreads events across base and partition obj#s and the
+    // enrich broadcast join must resolve ALL of them — partition objs
+    // included — to the owning table. Plan shape: identical to q06
+    // (broadcast dim join, alias rows only widen the dimension side by
+    // #partitions × #versions).
+    "q175_partition_resolve" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val orders = DbTable(100L, 100L, "APP", "ORDERS",
+        Seq(DbColumn("value", 1, numPk = 1)), tagType = "pk")
+      val docs = DbTable(200L, 0L, "APP", "DOCS",
+        Seq(DbColumn("value", 1, numPk = 1)), tagType = "pk")
+      val dict = Dictionary(Seq(orders, docs)).withStorage(
+        Map(111L -> 100L, 112L -> 100L, 113L -> 200L, 114L -> 200L),
+        Nil)
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op",
+          "element_at(array(100L, 200L, 111L, 112L, 113L, 114L)," +
+            " CAST(user_id % 6 AS INT) + 1) AS obj",
+          "'' AS rid", "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          "map('value', CAST(value AS STRING)) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset", "0L AS num")
+        .as[ChangeMessage]
+      Materialize.enrich(messages, dict)
+        .select(col("cScn").as("event_id"), col("obj"), col("table_name"))
+    }),
+
     // CLOB charset decode AFTER page reassembly (Builder.cpp:160-165:
     // parseLob passes column->charsetId; parseString's appendData/
     // hasPrev/hasNext args exist exactly for chunk continuation,
@@ -1228,6 +1266,15 @@ object CdcOps {
         |    WHEN 1 THEN '£§¡Ñ¿°ñç~'
         |    WHEN 2 THEN 'ÄÆØÅÜäæøåü'
         |    ELSE 'ÉÄÖÅÜéäöåü' END AS txt
+        |FROM events""".stripMargin,
+
+    "q175_partition_resolve" ->
+      """SELECT event_id,
+        |  CAST(CASE user_id % 6
+        |    WHEN 0 THEN 100 WHEN 1 THEN 200 WHEN 2 THEN 111
+        |    WHEN 3 THEN 112 WHEN 4 THEN 113 ELSE 114 END AS BIGINT) AS obj,
+        |  CASE WHEN user_id % 6 IN (0, 2, 3) THEN 'ORDERS'
+        |       ELSE 'DOCS' END AS table_name
         |FROM events""".stripMargin,
 
     "q96_experimental_types" ->

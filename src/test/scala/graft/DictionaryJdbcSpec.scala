@@ -52,6 +52,37 @@ class DictionaryJdbcSpec extends AnyFunSuite {
     st.execute("""INSERT INTO ORACAT."CDEF$" VALUES (7, 100, 2), (8, 100, 4)""")
     // con 7 is the PK (TYPE# 2) on INTCOL# 1 = ID; con 8 TYPE# 4 ignored
     st.execute("""INSERT INTO ORACAT."CCOL$" VALUES (7, 1, 100), (8, 2, 100)""")
+    // ---- storage catalog: a partitioned + LOB table (obj 110 APP.DOCS,
+    // DATAOBJ# NULL — partitioned objects carry no data segment) ----
+    st.execute("""CREATE TABLE ORACAT."TABPART$" ("OBJ#" BIGINT,
+      "DATAOBJ#" BIGINT, "BO#" BIGINT)""")
+    st.execute("""CREATE TABLE ORACAT."TABCOMPART$" ("OBJ#" BIGINT,
+      "DATAOBJ#" BIGINT, "BO#" BIGINT)""")
+    st.execute("""CREATE TABLE ORACAT."TABSUBPART$" ("OBJ#" BIGINT,
+      "DATAOBJ#" BIGINT, "POBJ#" BIGINT)""")
+    st.execute("""CREATE TABLE ORACAT."LOB$" ("OBJ#" BIGINT, "COL#" INT,
+      "INTCOL#" INT, "LOBJ#" BIGINT, "TS#" BIGINT)""")
+    st.execute("""CREATE TABLE ORACAT."LOBCOMPPART$" ("PARTOBJ#" BIGINT,
+      "LOBJ#" BIGINT)""")
+    st.execute("""CREATE TABLE ORACAT."LOBFRAG$" ("FRAGOBJ#" BIGINT,
+      "PARENTOBJ#" BIGINT, "TS#" BIGINT)""")
+    st.execute("""INSERT INTO ORACAT."OBJ$" VALUES (2, 110, NULL, 'DOCS', 2)""")
+    st.execute("""INSERT INTO ORACAT."COL$" VALUES
+      (110, 1, 1, 'ID', 2, 22, 10, 0, 1, 0, 0),
+      (110, 2, 2, 'BODY', 112, 4000, -1, -1, 0, 0, 0)""")
+    st.execute("""INSERT INTO ORACAT."CDEF$" VALUES (9, 110, 2)""")
+    st.execute("""INSERT INTO ORACAT."CCOL$" VALUES (9, 1, 110)""")
+    // two range partitions + one composite partition with a subpartition
+    st.execute("""INSERT INTO ORACAT."TABPART$" VALUES
+      (111, 1111, 110), (112, 1112, 110)""")
+    st.execute("""INSERT INTO ORACAT."TABCOMPART$" VALUES (113, NULL, 110)""")
+    st.execute("""INSERT INTO ORACAT."TABSUBPART$" VALUES (114, 1114, 113)""")
+    // the BODY CLOB: root segment 200, a composite-partition segment 201,
+    // and fragments chained through both parents
+    st.execute("""INSERT INTO ORACAT."LOB$" VALUES (110, 2, 2, 200, 5)""")
+    st.execute("""INSERT INTO ORACAT."LOBCOMPPART$" VALUES (201, 200)""")
+    st.execute("""INSERT INTO ORACAT."LOBFRAG$" VALUES
+      (202, 201, 5), (203, 200, 5)""")
     c.close()
   }
 
@@ -64,7 +95,8 @@ class DictionaryJdbcSpec extends AnyFunSuite {
 
   test("assembles tables, columns, keys, flags from a live JDBC catalog") {
     val d = load()
-    assert(d.tables.map(_.fullName).toSet == Set("APP.ORDERS", "SYS.AUD$"))
+    assert(d.tables.map(_.fullName).toSet ==
+      Set("APP.ORDERS", "APP.DOCS", "SYS.AUD$"))
     val t = d.tables.find(_.name == "ORDERS").get
     assert(t.obj == 100L && t.dataObj == 100L)
     assert(t.columns.map(_.name) == Seq("ID", "VAL", "HID"))
@@ -82,9 +114,37 @@ class DictionaryJdbcSpec extends AnyFunSuite {
 
   test("selectors filter the bootstrapped dictionary like any other") {
     val d = load(Seq(TableSelector("APP", ".*")))
-    assert(d.selected.map(_.fullName) == Seq("APP.ORDERS"))
+    assert(d.selected.map(_.fullName).toSet == Set("APP.ORDERS", "APP.DOCS"))
     assert(d.lookup(100L, 1L).isDefined)
     assert(d.lookup(102L, 1L).isEmpty) // selector-suppressed
+  }
+
+  test("partitioned + LOB table bootstraps end-to-end: partition objs " +
+      "resolve to the base table, LOB segments to the owning column") {
+    val d = load()
+    // TABPART$/TABCOMPART$ map directly; TABSUBPART$ chains through the
+    // composite parent (POBJ# 113 → BO# 110)
+    assert(d.partitionOf == Map(111L -> 110L, 112L -> 110L,
+      113L -> 110L, 114L -> 110L))
+    Seq(111L, 112L, 113L, 114L).foreach { p =>
+      assert(d.lookup(p, 1L).map(_.fullName).contains("APP.DOCS"),
+        s"partition obj $p did not resolve")
+    }
+    // LOB resolution: root lobj, comp-part segment, and both fragment
+    // chains (frag→comppart→root and frag→root) land on (110, BODY)
+    Seq(200L, 201L, 202L, 203L).foreach { lobj =>
+      assert(d.lobOwner(lobj).contains((110L, "BODY")),
+        s"lob segment $lobj did not resolve")
+    }
+    // the broadcast-join side carries the alias rows: an event addressed
+    // to a partition obj materializes against the base table's schema
+    val rows = d.toDF(spark)
+      .select("obj", "table_name", "key_cols")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getSeq[String](2))).toMap
+    Seq(110L, 111L, 112L, 113L, 114L).foreach { o =>
+      assert(rows.get(o).contains(("DOCS", Seq("ID"))), s"obj $o")
+    }
   }
 
   test("oracle dialect SQL matches the reference query shapes") {

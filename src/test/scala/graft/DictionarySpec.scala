@@ -24,6 +24,14 @@ class DictionarySpec extends AnyFunSuite {
       Seq(("APP.*", "ORD.*")))
     // roundtrip is a fixpoint
     assert(Dictionary.toJson(back) == Dictionary.toJson(dict))
+    // storage maps (partition aliases + LOB segments) survive the trip
+    val stored = dict.withStorage(Map(111L -> 100L, 112L -> 100L),
+      Seq(graft.cdc.LobSegment(200L, 100L, 2, "payload\"quoted", 5L)))
+    val back2 = Dictionary.fromJson(Dictionary.toJson(stored))
+    assert(back2.partitionOf == stored.partitionOf)
+    assert(back2.lobSegments == stored.lobSegments)
+    assert(back2.lookup(111L, 1000L).map(_.name).contains("ORDERS"))
+    assert(Dictionary.toJson(back2) == Dictionary.toJson(stored))
   }
 
   test("evolve closes the old version and opens the new at the scn") {

@@ -146,4 +146,120 @@ class OracleDialectSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- the _OBJ delta variants (ReplicatorOnline.h:207-565) ------------
+
+  private val objId = 4321L
+  private val objSql = Dictionary.oracleCatalogSqlObj(scn, objId)
+
+  test("every ReplicatorOnline.h SQL_* constant has a pinned skeleton " +
+      "(45 = 18 sweep + 13 _OBJ + 14 database)") {
+    assert(objSql.keySet == Set(
+      "ccol_obj", "cdef_obj", "cols_obj", "deferred_stg_obj", "ecol_obj",
+      "ecol11_obj", "lobs_obj", "lob_comp_part_obj", "lob_frag_obj",
+      "tabs_obj", "tabcompart_obj", "tabpart_obj", "tabsubpart_obj"))
+    assert(Dictionary.oracleDatabaseSql.keySet == Set(
+      "archive_log_list", "database_information", "database_incarnation",
+      "database_role", "database_scn", "con_info", "scn_from_time",
+      "scn_from_time_relative", "sequence_from_scn",
+      "sequence_from_scn_standby", "logfile_list", "parameter", "property",
+      "check_connection"))
+    assert(sql.size + objSql.size + Dictionary.oracleDatabaseSql.size == 45)
+  }
+
+  test("_OBJ variants: same SELECT lists as the sweep forms, gated on " +
+      "the object id instead of the OBJ$ owner join") {
+    def selectList(q: String): String =
+      q.substring("SELECT ".length, q.indexOf(" FROM "))
+    // the reference's _OBJ SELECT lists are byte-identical to the _USER
+    // ones; pin the correspondence instead of re-transcribing
+    val pairs = Seq("ccol" -> "ccol_obj", "cdef" -> "cdef_obj",
+      "cols" -> "cols_obj", "deferred_stg" -> "deferred_stg_obj",
+      "ecol" -> "ecol_obj", "ecol11" -> "ecol11_obj", "lobs" -> "lobs_obj",
+      "lob_comp_part" -> "lob_comp_part_obj", "lob_frag" -> "lob_frag_obj",
+      "tabs" -> "tabs_obj", "tabcompart" -> "tabcompart_obj",
+      "tabpart" -> "tabpart_obj", "tabsubpart" -> "tabsubpart_obj")
+    pairs.foreach { case (u, o) =>
+      assert(selectList(sql(u)) == selectList(objSql(o)),
+        s"$o SELECT list diverges from $u")
+    }
+    // no _OBJ variant joins OBJ$ (the delta refresh skips the owner walk)
+    objSql.foreach { case (k, q) =>
+      assert(!q.contains("SYS.OBJ$"), s"$k joins OBJ$$")
+      assert(!q.contains("OWNER#"), s"$k gates on owner")
+    }
+    // the reference's gate keys: TABOBJ# for ECOL$, POBJ# for TABSUBPART$,
+    // the LOB$ walk for the lob family, OBJ# for the rest
+    assert(objSql("ecol_obj").contains(s"WHERE E.TABOBJ# = $objId"))
+    assert(objSql("ecol11_obj").contains(s"WHERE E.TABOBJ# = $objId"))
+    assert(objSql("tabsubpart_obj").contains(s"WHERE TSP.POBJ# = $objId"))
+    assert(objSql("lobs_obj").contains(s"WHERE L.OBJ# = $objId"))
+    assert(objSql("lob_comp_part_obj").contains(s"WHERE L.OBJ# = $objId"))
+    assert(objSql("lob_frag_obj").contains(" UNION ALL "))
+    assert(raw"WHERE L\.OBJ# = 4321".r
+      .findAllIn(objSql("lob_frag_obj")).length == 2)
+    Seq("ccol_obj" -> "L", "cdef_obj" -> "D", "cols_obj" -> "C",
+      "deferred_stg_obj" -> "DS", "tabs_obj" -> "T",
+      "tabcompart_obj" -> "TCP", "tabpart_obj" -> "TP")
+      .foreach { case (k, a) =>
+        assert(objSql(k).contains(s"WHERE $a.OBJ# = $objId"), k)
+      }
+    // flashback on every catalog read, directly after the table name
+    val tableRef = raw"SYS\.[A-Z_]+\$$(?: AS OF SCN (\d+))?".r
+    objSql.foreach { case (k, q) =>
+      tableRef.findAllMatchIn(q).foreach { mm =>
+        assert(mm.group(1) == scn.toString, s"$k: flashback missing")
+      }
+    }
+  }
+
+  test("database/instance SQL matches the reference, binds kept") {
+    val db = Dictionary.oracleDatabaseSql
+    assert(db("check_connection") == "SELECT 1 FROM DUAL")
+    assert(db("database_scn") == "SELECT D.CURRENT_SCN FROM SYS.V_$DATABASE D")
+    assert(db("database_role") == "SELECT DATABASE_ROLE FROM SYS.V_$DATABASE")
+    assert(db("parameter") ==
+      "SELECT VALUE FROM SYS.V_$PARAMETER WHERE NAME = :i")
+    assert(db("property") ==
+      "SELECT PROPERTY_VALUE FROM DATABASE_PROPERTIES WHERE PROPERTY_NAME = :i")
+    // archive discovery: the sequence/resetlogs binds and the recovery-
+    // dest-preferring order the reference relies on for S3 ordering
+    assert(db("archive_log_list").contains("SEQUENCE# >= :i"))
+    assert(db("archive_log_list").contains("RESETLOGS_ID = :j"))
+    assert(db("archive_log_list").contains(
+      "ORDER BY SEQUENCE#, DEST_ID, IS_RECOVERY_DEST_FILE DESC"))
+    // supplemental-logging + endianness probes (DECODE shapes)
+    assert(db("database_information").contains(
+      "DECODE(D.SUPPLEMENTAL_LOG_DATA_MIN, 'NO', 0, 1)"))
+    assert(db("database_information").contains(
+      "DECODE(TP.ENDIAN_FORMAT, 'Big', 1, 0)"))
+    assert(db("database_information").contains(
+      "VER.BANNER LIKE '%Oracle%Database%'"))
+    // positioning: both sequence probes carry the UNION over V_$LOG /
+    // V_$STANDBY_LOG and V_$ARCHIVED_LOG with the same bind pair
+    Seq("sequence_from_scn", "sequence_from_scn_standby").foreach { k =>
+      assert(db(k).startsWith("SELECT MAX(SEQUENCE#) FROM ("), k)
+      assert(db(k).contains("FIRST_CHANGE# - 1 <= :i"), k)
+      assert(db(k).contains("RESETLOGS_ID = :j"), k)
+    }
+    assert(db("sequence_from_scn").contains("SYS.V_$LOG "))
+    assert(db("sequence_from_scn_standby").contains("SYS.V_$STANDBY_LOG"))
+    assert(db("logfile_list").contains("WHERE TYPE = :i"))
+    assert(db("scn_from_time_relative").contains("SYSDATE - (:i/24/3600)"))
+    // incarnation chain columns, reference order
+    assert(db("database_incarnation").startsWith(
+      "SELECT INCARNATION#, RESETLOGS_CHANGE#, PRIOR_RESETLOGS_CHANGE#," +
+        " STATUS, RESETLOGS_ID, PRIOR_INCARNATION#"))
+  }
+
+  test("XDB per-token-set reads splice TOKSUF and flashback-pin") {
+    val x = Dictionary.oracleXdbSql(scn, "A1B2")
+    assert(x("xdb_xnm") ==
+      s"SELECT T.ROWID, T.NMSPCURI, T.ID FROM XDB.X$$NMA1B2 AS OF SCN $scn T")
+    assert(x("xdb_xpt") ==
+      s"SELECT T.ROWID, T.PATH, T.ID FROM XDB.X$$PTA1B2 AS OF SCN $scn T")
+    assert(x("xdb_xqn") ==
+      s"SELECT T.ROWID, T.NMSPCID, T.LOCALNAME, T.FLAGS, T.ID" +
+        s" FROM XDB.X$$QNA1B2 AS OF SCN $scn T")
+  }
 }
