@@ -147,6 +147,26 @@ class DictionaryJdbcSpec extends AnyFunSuite {
     }
   }
 
+  test("an OLR-checkpoint-imported dictionary materializes the J2 " +
+      "broadcast join like a bootstrapped one (migration path)") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val (_, d) = graft.cdc.OlrCheckpoint.importJson(DictionarySpec.olrFixture)
+    val messages = Seq(
+      graft.cdc.ChangeMessage(10L, 0L, 10L, 1L, "1.0.1",
+        graft.cdc.MsgOp.Insert, 100L, "", null, Map("ID" -> "1"), null, null),
+      // partition obj from the checkpoint's sys-tabsubpart chain
+      graft.cdc.ChangeMessage(11L, 0L, 11L, 1L, "1.0.1",
+        graft.cdc.MsgOp.Insert, 312L, "", null, Map("ID" -> "2"), null, null))
+      .toDS()
+    val out = graft.cdc.Materialize.enrich(messages, d)
+      .select(col("obj"), col("table_name"),
+        element_at(col("key_cols"), 1).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSet == Set((100L, "ORDERS", "ID"), (312L, "DOCS", "ID")))
+  }
+
   test("oracle dialect SQL matches the reference query shapes") {
     val sql = Dictionary.oracleCatalogSql(asOfScn = 777L, ownerId = 2L)
     // flashback on every table read (ReplicatorOnline.h AS OF SCN :i)
