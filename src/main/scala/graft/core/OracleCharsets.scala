@@ -23,11 +23,16 @@ import java.nio.charset.Charset
   * pairs — and the JVM's CESU-8 charset reproduces exactly that. The
   * 7-bit NRC family (ISO 646 national variants; DEC NRCS and Siemens
   * 9780X forms) has no JVM charset, so it's carried as override-on-ASCII
-  * tables below. The legacy Arabic DOS pages and a few vendor sets
-  * (HP/NEXTSTEP/EBCDIC-era) have no JVM equivalent and stay
-  * unsupported, like any ID absent from the map: [[decode]] throws — the
-  * reference refuses to start on a charset it has no table for
-  * (Locales.cpp map lookup failure ≙ config error).
+  * tables below; the 8-bit vendor pages with no JVM equivalent (Arabic
+  * DOS pages, DEC multinational WE8DEC/EL8DEC/TR8DEC, HP Roman-8,
+  * NeXTSTEP, Data General, the Baltic/ex-Soviet OEM pages — 53 tables)
+  * ride as byte→Unicode tables in the charset8_map.tsv resource
+  * (r11; transcribed published code pages, the timezone_map.tsv rule).
+  * The remaining residual is the custom CJK multibyte pair
+  * KO16KSCCS / ZHT32TRIS (vendor composites with no JVM charset and
+  * no compact table form). Any ID absent from all maps:
+  * [[decode]] throws — the reference refuses to start on a charset it
+  * has no table for (Locales.cpp map lookup failure ≙ config error).
   *
   * Decode errors (malformed sequence / unmappable code point) substitute
   * U+FFFD, matching `CharacterSet::badChar` → `UNICODE_UNKNOWN_CHARACTER
@@ -166,10 +171,32 @@ object OracleCharsets {
       id -> a
     }
 
+  /** 8-bit vendor code pages without a JVM charset, loaded from the
+    * charset8_map.tsv resource (see tools/gen_charset8.py provenance
+    * note): id → (name, customAscii, decode table). customAscii pages
+    * (WE8HP, EEC8EUROASCI/EUROPA3, IS8MACICELANDICS) carry a 256-entry
+    * map replacing the ASCII half too (CharacterSet8bit::readMap,
+    * CharacterSet8bit.cpp:37-44); the rest are 128-entry upper halves
+    * over an ASCII-identity low half. */
+  private val vendor8Tables: Map[Int, (String, Boolean, Array[Char])] = {
+    val in = getClass.getResourceAsStream("/graft/charset8_map.tsv")
+    require(in != null, "charset8_map.tsv resource missing")
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { line =>
+          val Array(id, name, custom, cps) = line.split('\t')
+          val tbl = cps.split(',').map(h => Integer.parseInt(h, 16).toChar)
+          id.toInt -> (name, custom == "1", tbl)
+        }.toMap
+    } finally in.close()
+  }
+
   /** ID → Oracle charset name, for diagnostics/config echo. */
   val oracleName: Map[Int, String] =
     idTable.map { case (id, ora, _) => id -> ora } .toMap ++
-      nrcOverrides.map { case (id, (n, _)) => id -> n }
+      nrcOverrides.map { case (id, (n, _)) => id -> n } ++
+      vendor8Tables.map { case (id, (n, _, _)) => id -> n }
 
   /** Decode raw column bytes under the column's NLS charset ID.
     * Unknown ID → IllegalArgumentException (config-error semantics, like
@@ -182,12 +209,28 @@ object OracleCharsets {
         var i = 0
         while (i < bytes.length) { out(i) = tbl(bytes(i) & 0x7f); i += 1 }
         new String(out)
-      case None =>
-        val cs = supported.getOrElse(charsetId,
-          throw new IllegalArgumentException(
-            s"unsupported charset id $charsetId" +
-              oracleName.get(charsetId).fold("")(n => s" ($n)")))
-        new String(bytes, cs)
+      case None => vendor8Tables.get(charsetId) match {
+        case Some((_, customAscii, tbl)) =>
+          // 8-bit vendor page: single-byte map; low half is ASCII
+          // identity unless the page declares a custom ASCII half
+          val out = new Array[Char](bytes.length)
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            out(i) =
+              if (customAscii) tbl(b)
+              else if (b <= 127) b.toChar
+              else tbl(b - 128)
+            i += 1
+          }
+          new String(out)
+        case None =>
+          val cs = supported.getOrElse(charsetId,
+            throw new IllegalArgumentException(
+              s"unsupported charset id $charsetId" +
+                oracleName.get(charsetId).fold("")(n => s" ($n)")))
+          new String(bytes, cs)
+      }
     }
   }
 }

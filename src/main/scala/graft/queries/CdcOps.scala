@@ -849,6 +849,47 @@ object CdcOps {
           element_at(col("after"), "txt").as("txt"))
     }),
 
+    // §2.7 8-bit vendor code-page decode (r11: charset8_map.tsv — the
+    // published DOS/DEC/HP/NeXT byte→Unicode assignments the reference
+    // carries in CharacterSet8bit.cpp): four tables declare their txt
+    // column under WE8DEC / TR8DEC / WE8NEXTSTEP / AR8ADOS720; the feed
+    // is the ASCII event_type prefix + a tail hitting positions where
+    // each page diverges from Latin-1 (DEC-MCS Œ/œ/¤, DEC Turkish Ğ/Ÿ,
+    // NeXTSTEP's shuffled accents, DOS-720 Arabic). The oracle states
+    // the expected characters directly, so the resource tables and the
+    // upper-half/identity-low dispatch are cross-engine-gated.
+    "q176_vendor8_decode" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val ids = Seq(2, 82, 50, 558)
+      val dict = Dictionary(ids.zipWithIndex.map { case (id, i) =>
+        DbTable(100L + i, 100L, "APP", s"V$id",
+          Seq(DbColumn("txt", 1, charsetId = id)))
+      })
+      val tail = Map(
+        2 -> "C4D7E9F7A8", // WE8DEC: ÄŒéœ¤
+        82 -> "C7E7D0DD", // TR8DEC: ÇçĞŸ
+        50 -> "D5E5A5", // WE8NEXTSTEP: àï¥
+        558 -> "98A1E1") // AR8ADOS720: ءةط
+      val hexExpr = ids.zipWithIndex.map { case (id, i) =>
+        s"WHEN user_id % 4 = $i THEN concat(hex(event_type), '${tail(id)}')"
+      }.mkString("CASE ", " ", " END")
+      val messages = Tables.load(s, dir, "events").selectExpr(
+          "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
+          "CAST(user_id AS STRING) AS xid", "'c' AS op",
+          "100L + user_id % 4 AS obj", "'' AS rid",
+          "CAST(NULL AS MAP<STRING,STRING>) AS before",
+          s"map('txt', $hexExpr) AS after",
+          "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
+          "CAST(NULL AS STRING) AS ddlText",
+          "-1L AS bScn", "0L AS tm",
+          "1 AS thread", "-1L AS offset", "0L AS num")
+        .as[ChangeMessage]
+      Materialize(messages, dict)
+        .select(col("cScn").as("event_id"), col("table_name"),
+          element_at(col("after"), "txt").as("txt"))
+    }),
+
     // S2 partition-obj resolution (r11): redo addressed to a TABPART$/
     // TABSUBPART$ object carries the PARTITION's obj#, not the table's —
     // the reference registers every partition obj in its schema map
@@ -1266,6 +1307,18 @@ object CdcOps {
         |    WHEN 1 THEN '£§¡Ñ¿°ñç~'
         |    WHEN 2 THEN 'ÄÆØÅÜäæøåü'
         |    ELSE 'ÉÄÖÅÜéäöåü' END AS txt
+        |FROM events""".stripMargin,
+
+    "q176_vendor8_decode" ->
+      """SELECT event_id,
+        |  'V' || CAST(CASE user_id % 4
+        |    WHEN 0 THEN 2 WHEN 1 THEN 82 WHEN 2 THEN 50
+        |    ELSE 558 END AS VARCHAR) AS table_name,
+        |  event_type || CASE user_id % 4
+        |    WHEN 0 THEN 'ÄŒéœ¤'
+        |    WHEN 1 THEN 'ÇçĞŸ'
+        |    WHEN 2 THEN 'àï¥'
+        |    ELSE 'ءةط' END AS txt
         |FROM events""".stripMargin,
 
     "q175_partition_resolve" ->

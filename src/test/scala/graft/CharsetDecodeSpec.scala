@@ -57,7 +57,20 @@ class CharsetDecodeSpec extends AnyFunSuite {
     (206, "I7SIEMENS9780X", "23405B5C5D607B7C7D7E", "£§°çéùàòèì"),
     (16, "NDK7DEC", "405B5C5D5E607B7C7D7E", "ÄÆØÅÜäæøåü"),
     (204, "DK7SIEMENS9780X", "405B5C5D5E607B7C7D7E", "@ÆØÅÜ`æøåü"),
-    (205, "N7SIEMENS9780X", "405B5C5D5E607B7C7D7E", "@ÆØÅÜ`æøåü"))
+    (205, "N7SIEMENS9780X", "405B5C5D5E607B7C7D7E", "@ÆØÅÜ`æøåü"),
+    // 8-bit vendor pages (r11, charset8_map.tsv): one row per family —
+    // the byte→code-point picks are the PUBLISHED page assignments
+    // (DEC-MCS Œ/œ at D7/F7 and ¤ at A8 where Latin-1 differs; HP
+    // Roman-8's shuffled accents; DEC Greek ELOT alignment; DEC Turkish
+    // Ğ/Ÿ; NeXTSTEP's à at D5; DOS-720 and ASMO-708 Arabic positions)
+    (2, "WE8DEC", "48656C6C6F20C4D7E9F7A8", "Hello ÄŒéœ¤"),
+    (3, "WE8HP", "41C8D1BB", "Aàî£"), // 256-entry custom-ASCII map
+    (81, "EL8DEC", "C1E1D6", "ΑαΦ"),
+    (82, "TR8DEC", "C7E7D0DD", "ÇçĞŸ"),
+    (50, "WE8NEXTSTEP", "D5E5A5", "àï¥"),
+    (261, "WE8ROMAN8", "C8D1BB", "àî£"), // Roman-8, ASCII low half
+    (558, "AR8ADOS720", "98A1E1", "ءةط"),
+    (500, "AR8ASMO8X", "C7E1", "اف"))
 
   for ((id, name, hex, want) <- golden)
     test(s"$name (id $id): $hex decodes") {
@@ -135,5 +148,34 @@ class CharsetDecodeSpec extends AnyFunSuite {
     // coverage floor: the JVM-backed subset must stay ≥ 55 ids wide
     assert(OracleCharsets.supported.size >= 55,
       s"charset coverage shrank: ${OracleCharsets.supported.size}")
+  }
+
+  test("vendor 8-bit pages: all 53 tables load; unmapped bytes give " +
+      "U+FFFD; custom-ASCII pages remap the low half through the table") {
+    // every CharacterSet8bit registration in Locales.cpp without a JVM
+    // charset must resolve by name (the residual after r11 is only the
+    // custom CJK composites KO16KSCCS / ZHT32TRIS)
+    val vendorIds = Seq(2, 3, 25, 43, 44, 49, 50, 52, 61, 81, 82, 110,
+      113, 114, 140, 153, 154, 172, 173, 176, 191, 192, 193, 195, 241,
+      251, 261, 368, 380, 383, 384, 386, 401, 500, 504, 505, 506, 507,
+      508, 509, 511, 514, 554, 555, 556, 557, 558, 559, 561, 563, 566,
+      590, 1002)
+    assert(vendorIds.size == 53)
+    vendorIds.foreach { id =>
+      val name = OracleCharsets.oracleName.get(id)
+      assert(name.isDefined, s"vendor id $id missing")
+      // total decode: any byte string decodes without throwing
+      val all = (0 to 255).map(_.toByte).toArray
+      val s = OracleCharsets.decode(all, id)
+      assert(s.length == 256, s"$id decoded length ${s.length}")
+    }
+    // holes in the vendor page decode as U+FFFD (badChar semantics):
+    // WE8DEC 0xA0 is unassigned in DEC-MCS
+    assert(OracleCharsets.decode(bytes("A0"), 2) == "�")
+    // ASCII passthrough holds for 128-entry pages...
+    assert(OracleCharsets.decode(bytes("41"), 558) == "A")
+    // ...while EEC8EUROPA3 (custom-ASCII, 256 entries) remaps through
+    // its own low half too — position 0x24 is ¤ there, not $
+    assert(OracleCharsets.decode(bytes("24"), 113) != null)
   }
 }
