@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
   * payloads as opaque `binary` columns with typed metadata, plus the
   * decode / feature-extract / frame-sample plumbing.
   *
-  * The actual codec calls are STUBBED (`decodeStub`) — this container has no
-  * image/audio libraries — but everything Spark-side is real and tested:
-  * the schema contract, the `mapPartitions` batch shape (partition-at-a-time
-  * iteration so a real decoder amortizes model/codec init per partition, the
-  * same shape a Pandas-UDF batch would have in PySpark), partitioning, and
-  * the pure-Column metadata/frame-sampling paths.
+  * The image path is REAL (r11): `decodeFeatures` decodes PNG/JPEG/BMP/GIF
+  * payloads through `javax.imageio` (ships in the JDK — no external
+  * libraries) and emits true width/height plus a deterministic pixel sum;
+  * non-image payloads fall back to the deterministic `decodeStub` (the
+  * audio/video codec stand-in — those libs genuinely aren't in the JDK).
+  * Everything Spark-side is likewise real: the schema contract, the
+  * `mapPartitions` batch shape (partition-at-a-time iteration so codec
+  * init amortizes per partition, the same shape a Pandas-UDF batch would
+  * have in PySpark), partitioning, and the pure-Column metadata/frame-
+  * sampling paths (incl. a real PNG IHDR header parse in codegen'd
+  * Columns).
   *
   * At 100 TB: payload bytes never shuffle — metadata extraction projects
   * narrow columns before any exchange, and frame sampling explodes indices,
@@ -29,19 +34,25 @@ object MultiModal {
     StructField("height", IntegerType, nullable = false)))
 
   /** Pure-Column metadata extraction over a binary payload: cheap header
-    * fields only — no decode, codegen'd, pushdown-friendly. The "format"
-    * sniff mirrors magic-byte dispatch; width/height here read the first
-    * two payload bytes (a real container header parse slots in the same
-    * expressions).
+    * fields only — no decode, codegen'd, pushdown-friendly. PNG payloads
+    * get a REAL container header parse: the 8-byte magic gates the
+    * branch, then width/height read big-endian from the IHDR chunk
+    * (bytes 17-20 / 21-24 — the PNG spec's fixed first-chunk layout).
+    * Other payloads keep the first-two-bytes sniff (a JPEG SOF walk
+    * needs sequential chunk scanning — that's [[decodeFeatures]]' job).
     */
   def withMeta(df: DataFrame, payload: Column): DataFrame = {
     val b = (i: Int) =>
       conv(hex(substring(payload, i, 1)), 16, 10).cast("int")
+    val isPng = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
+    val be4 = (i: Int) => conv(hex(substring(payload, i, 4)), 16, 10)
+      .cast("int")
     df.withColumn("meta", struct(
       octet_length(payload).as("n_bytes"),
-      when(b(1) % 2 === 0, "img").otherwise("bin").as("format"),
-      (b(1) + lit(1)).as("width"),
-      (b(2) + lit(1)).as("height")))
+      when(isPng, "png")
+        .when(b(1) % 2 === 0, "img").otherwise("bin").as("format"),
+      when(isPng, be4(17)).otherwise(b(1) + lit(1)).as("width"),
+      when(isPng, be4(21)).otherwise(b(2) + lit(1)).as("height")))
   }
 
   /** STUB decoder — stands in for an image/audio codec. Deterministic pure
@@ -60,12 +71,67 @@ object MultiModal {
     }
   }
 
+  /** REAL image decode via the JDK's ImageIO: returns (width, height,
+    * pixel sum over every band of every pixel) for any format the JVM
+    * reads natively (PNG, JPEG, BMP, GIF, WBMP); None for payloads no
+    * reader accepts. The pixel sum is the deterministic "feature" —
+    * computing it requires actually inflating the pixel data, so a
+    * hash-gated oracle over it proves the codec ran, not just a header
+    * peek. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (payload == null || payload.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight,
+          raster.getNumBands)
+        var sum = 0L
+        val row = new Array[Int](w * bands)
+        var y = 0
+        while (y < h) {
+          raster.getPixels(0, y, w, 1, row)
+          var i = 0
+          while (i < row.length) { sum += row(i); i += 1 }
+          y += 1
+        }
+        Some((w, h, sum))
+      }
+    } catch { case _: Exception => None } // corrupt container → fallback
+  }
+
+  /** Deterministic PNG fixture encoder (JDK ImageIO writer): a width ×
+    * height truecolor image with every pixel at gray level `gray`. Used
+    * by the gated decode query and specs to manufacture REAL compressed
+    * PNG payloads whose decoded features are arithmetically predictable:
+    * pixel sum = width · height · 3 · gray. */
+  def encodePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Batched decode / feature-extraction over (id, payload) rows.
     *
     * `mapPartitions` so per-partition setup (codec contexts, feature
     * models) happens once per task, not per row — the Scala analogue of
     * `mapInPandas` batch processing. Output schema is fixed and narrow;
     * payloads are consumed inside the partition and never carried forward.
+    *
+    * Image payloads decode for REAL (ImageIO; width/height/pixel-sum);
+    * anything unreadable falls back to [[decodeStub]] so audio/video
+    * stand-ins and plain binaries keep their deterministic features.
     */
   /** Decoded-feature row: the narrow output of the batch decode stage. */
   case class Feature(id: Long, width: Int, height: Int, byte_sum: Long)
@@ -76,10 +142,16 @@ object MultiModal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder init would go here (once per task)
+        // per-partition decoder init (once per task): ImageIO's disk
+        // cache would add tmp-file I/O per payload — keep it in memory
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, payload) =>
-          val (w, h, sum) = decodeStub(payload)
-          Feature(id, w, h, sum)
+          decodeImage(payload) match {
+            case Some((w, h, pixelSum)) => Feature(id, w, h, pixelSum)
+            case None =>
+              val (w, h, sum) = decodeStub(payload)
+              Feature(id, w, h, sum)
+          }
         }
       }
       .toDF()

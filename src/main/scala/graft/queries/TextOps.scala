@@ -380,6 +380,33 @@ object TextOps {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // REAL image codec gate (r11): manufacture a real compressed PNG per
+    // document (JDK ImageIO writer; dims/gray level arithmetic in
+    // doc_id), then decode it back through the production decodeFeatures
+    // path. The oracle restates width/height/pixel-sum arithmetically —
+    // and the pixel sum requires actually INFLATING the PNG pixel data,
+    // so a header peek or the old stub cannot fake the hash. Scale
+    // shape: encode+decode both ride ONE mapPartitions pipeline each,
+    // zero exchanges, payload bytes never shuffle.
+    "q177_mm_png_decode" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val payloads = spread(t(s, dir, "documents"))
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // once per task
+          it.map { id =>
+            val w = (id % 16 + 1).toInt
+            val h = (id % 8 + 1).toInt
+            val g = (id % 256).toInt
+            (id, graft.functions.MultiModal.encodePng(w, h, g))
+          }
+        }.toDF("doc_id", "payload")
+      graft.functions.MultiModal.decodeFeatures(payloads, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("byte_sum").as("pixel_sum"))
+    }),
+
     // Frame sampling: explode sampled frame indices (never payload bytes).
     "q38_mm_frames" -> ((s, dir) => {
       graft.functions.MultiModal.sampleFrames(
@@ -1072,6 +1099,14 @@ object TextOps {
     "q38_mm_frames" ->
       """SELECT doc_id,
         |  unnest(range(0, CAST(length(text) % 7 AS INT), 2)) AS frame_no
+        |FROM documents""".stripMargin,
+
+    "q177_mm_png_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 16 + 1 AS INT) AS width,
+        |  CAST(doc_id % 8 + 1 AS INT) AS height,
+        |  CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) * 3 * (doc_id % 256)
+        |    AS BIGINT) AS pixel_sum
         |FROM documents""".stripMargin,
 
     "q55_tfidf_top_term" ->

@@ -50,6 +50,43 @@ class MultiModalSpec extends AnyFunSuite {
     assert(out(3L) == ((123, 123, 366L)))
   }
 
+  test("decodeImage decodes a REAL PNG: true dims + pixel sum require " +
+      "inflating the pixel data, not a header peek") {
+    val png = MultiModal.encodePng(width = 5, height = 3, gray = 100)
+    // a real compressed container: PNG magic + IHDR
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    assert(MultiModal.decodeImage(png).contains((5, 3, 5L * 3 * 3 * 100)))
+    // junk bytes are not an image → None (decodeFeatures falls back)
+    assert(MultiModal.decodeImage("not an image".getBytes).isEmpty)
+    assert(MultiModal.decodeImage(null).isEmpty)
+    // a truncated PNG (corrupt container) must not throw
+    assert(MultiModal.decodeImage(png.take(20)).isEmpty)
+  }
+
+  test("decodeFeatures uses the real codec for images, the stub for " +
+      "everything else — in one partition pass") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val png = MultiModal.encodePng(4, 2, 10)
+    val df = Seq((1L, png), (2L, "AB".getBytes)).toDF("id", "payload")
+    val out = MultiModal.decodeFeatures(df, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((4, 2, 4L * 2 * 3 * 10))) // real decode
+    assert(out(2L) == ((66, 67, 131L))) // stub fallback
+  }
+
+  test("withMeta parses the real PNG IHDR header in pure Columns") {
+    import spark.implicits._
+    val png = MultiModal.encodePng(300, 7, 1) // width > 255: multi-byte BE
+    val df = Seq((1L, png)).toDF("id", "payload")
+    val out = MultiModal.withMeta(df, col("payload"))
+      .select("meta.format", "meta.width", "meta.height").head()
+    assert(out.getString(0) == "png")
+    assert(out.getInt(1) == 300 && out.getInt(2) == 7)
+  }
+
   test("sampleFrames explodes strided indices, empty for zero frames") {
     import spark.implicits._
     val df = Seq((1L, 5), (2L, 0), (3L, 1)).toDF("id", "n_frames")
