@@ -71,6 +71,34 @@ object Metrics {
   def detach(spark: SparkSession, c: Collector): Unit =
     spark.streams.removeListener(c)
 
+  /** Logical change volume of a sink-ready (key, value) frame: the bytes
+    * a consumer actually receives — the quantity the reference's Speed
+    * yardstick divides by wall-clock. ONE narrow aggregation; call it
+    * per micro-batch, never per row. */
+  def logicalBytes(sinkFrame: DataFrame): Long = {
+    val r = sinkFrame.agg(sum(
+      coalesce(octet_length(col("value")), lit(0)) +
+        coalesce(octet_length(col("key").cast("binary")), lit(0))).cast("long"))
+      .head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** The reference-parity "Speed: X MB/s" figure for one micro-batch
+    * (≙ one archived log): change bytes over wall-clock, exactly the
+    * TRACE::PERFORMANCE line at Parser.cpp:1600-1633. Feeds the bytes
+    * into the `bytes_parsed` counter (Metrics.h:50) so a Prometheus
+    * scraper derives the same rate via rate(); the reference emits Speed
+    * itself ONLY as a trace log line, not a metric family, and
+    * [[Prometheus]]'s family set stays exactly Metrics.h — so the
+    * per-batch figure is returned (for logging / regression pinning)
+    * rather than registered as a new family. */
+  def speedMBs(p: graft.streaming.Prometheus, logicalBytes: Long,
+      wallMs: Long): Double = {
+    p.emitBytesParsed(logicalBytes)
+    if (wallMs <= 0) 0.0
+    else logicalBytes / 1048576.0 / (wallMs / 1000.0)
+  }
+
   /** Per-table DML counters over materialized messages (≙ Metrics.h
     * emitDmlOpsOut per-table counters): one aggregation, usable batch-side
     * or inside foreachBatch for a streaming side-channel. */

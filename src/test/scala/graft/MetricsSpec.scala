@@ -53,6 +53,27 @@ class MetricsSpec extends AnyFunSuite {
     } finally Metrics.detach(spark, collector)
   }
 
+  test("Speed MB/s yardstick: logical bytes over wall-clock, fed into " +
+      "the bytes_parsed counter (the Metrics.h rate source)") {
+    import spark.implicits._
+    val sink = Seq(("k1", "v" * 1048566), ("k2", "x" * 6))
+      .toDF("key", "value")
+    val bytes = Metrics.logicalBytes(sink)
+    assert(bytes == 1048566L + 6L + 2L + 2L) // values + keys = 1 MiB
+    val p = new graft.streaming.Prometheus()
+    val mbs = Metrics.speedMBs(p, bytes, wallMs = 2000L)
+    assert(math.abs(mbs - 0.5) < 1e-9) // exactly 1 MiB over 2 s
+    assert(Metrics.speedMBs(p, bytes, wallMs = 0L) == 0.0) // no div-by-0
+    // the emitted counter carries the bytes for scraper-side rate()
+    val line = p.render().linesIterator
+      .find(_.startsWith("bytes_parsed")).get
+    assert(line.endsWith(s" ${(2 * bytes).toDouble}") ||
+      line.endsWith(s" ${2 * bytes}"), line)
+    // null values (e.g. a frame of tombstones) don't NPE the measure
+    val withNull = Seq(("k", null: String)).toDF("key", "value")
+    assert(Metrics.logicalBytes(withNull) == 1L)
+  }
+
   test("soak-shape counters on RocksDB: state grows with open txns and drains at commit") {
     // miniature of tools.StreamSoak (whose 1M-event figures live in
     // SCALE.md §streaming-soak): cross-batch open transactions must be
