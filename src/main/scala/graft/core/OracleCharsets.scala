@@ -27,10 +27,13 @@ import java.nio.charset.Charset
   * DOS pages, DEC multinational WE8DEC/EL8DEC/TR8DEC, HP Roman-8,
   * NeXTSTEP, Data General, the Baltic/ex-Soviet OEM pages — 53 tables)
   * ride as byte→Unicode tables in the charset8_map.tsv resource
-  * (r11; transcribed published code pages, the timezone_map.tsv rule).
-  * The remaining residual is the custom CJK multibyte pair
-  * KO16KSCCS / ZHT32TRIS (vendor composites with no JVM charset and
-  * no compact table form). Any ID absent from all maps:
+  * (r11; transcribed published code pages, the timezone_map.tsv rule),
+  * and the custom CJK multibyte composites (DEC JA16VMS, Johab-layout
+  * KO16KSCCS, Taiwan ZHT16CCDC, 4-byte ZHT32TRIS) as charset16_map.tsv
+  * tables, with the JA16 YEN/TILDE variants riding the JVM base sets
+  * (decode-identical / single-code-point substitute respectively).
+  * Every id the reference's Locales.cpp registers now decodes. Any ID
+  * absent from all maps:
   * [[decode]] throws — the reference refuses to start on a charset it
   * has no table for (Locales.cpp map lookup failure ≙ config error).
   *
@@ -97,7 +100,12 @@ object OracleCharsets {
     (390, "CDN8PC863", "IBM863"),
     (560, "AR8MSWIN1256", "windows-1256"),
     (830, "JA16EUC", "EUC-JP"),
+    // the YEN variants decode identically to the base sets (the
+    // reference registers them on the same class + table,
+    // Locales.cpp:765,767 — YEN affects only the encode direction)
+    (831, "JA16EUCYEN", "EUC-JP"),
     (832, "JA16SJIS", "Shift_JIS"),
+    (834, "JA16SJISYEN", "Shift_JIS"),
     (840, "KO16KSC5601", "EUC-KR"),
     (846, "KO16MSWIN949", "x-windows-949"),
     (850, "ZHS16CGB231280", "GB2312"),
@@ -192,11 +200,114 @@ object OracleCharsets {
     } finally in.close()
   }
 
+  /** TILDE variants (JA16EUCTILDE/JA16SJISTILDE): identical to the base
+    * sets except the single wave-dash code point decodes to FULLWIDTH
+    * TILDE U+FF5E instead of WAVE DASH U+301C
+    * (CharacterSetJA16EUCTILDE.cpp:26-31 overrides exactly EUC 0xA1C1;
+    * CharacterSetJA16SJISTILDE.cpp:26-31 exactly SJIS 0x8160). The JVM
+    * base charsets produce U+301C for precisely those pairs and nothing
+    * else maps to U+301C, so decode-then-substitute is exact. */
+  private val tildeVariants: Map[Int, (String, String)] = Map(
+    837 -> ("JA16EUCTILDE", "EUC-JP"),
+    838 -> ("JA16SJISTILDE", "Shift_JIS"))
+
+  /** Custom multibyte vendor composites (charset16_map.tsv; see
+    * tools/gen_charset16.py provenance): DEC JA16VMS, the Johab-layout
+    * KO16KSCCS, Taiwan ZHT16CCDC (2-byte), and the 4-byte ZHT32TRIS
+    * plane. Decode consumption mirrors CharacterSet16bit::decode /
+    * CharacterSetZHT32TRIS::decode: ASCII low bytes pass through, an
+    * invalid lead or trail sequence yields ONE U+FFFD for the consumed
+    * bytes (badChar semantics). */
+  private case class MbTable(
+      name: String,
+      // 2b: (b1min,b1max,b2min,b2max); 4b adds the fixed lead + b3/b4
+      kind: String,
+      bounds: Array[Int],
+      // Int, not Char: ZHT16HKSCS31 maps into plane 2 (typeUnicode32,
+      // CharacterSetZHT16HKSCS31.h:34) — appendCodePoint handles pairs
+      tbl: Array[Int])
+
+  private val mbTables: Map[Int, MbTable] = {
+    val in = getClass.getResourceAsStream("/graft/charset16_map.tsv")
+    require(in != null, "charset16_map.tsv resource missing")
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { line =>
+          val p = line.split('\t')
+          val (id, name, kind) = (p(0).toInt, p(1), p(2))
+          val nBounds = if (kind == "2b") 4 else 7
+          val bounds = p.slice(3, 3 + nBounds)
+            .map(Integer.parseInt(_, 16))
+          val tbl = p(3 + nBounds).split(',')
+            .map(h => Integer.parseInt(h, 16))
+          id -> MbTable(name, kind, bounds, tbl)
+        }.toMap
+    } finally in.close()
+  }
+
+  private def decodeMb(bytes: Array[Byte], t: MbTable): String = {
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    if (t.kind == "2b") {
+      val Array(b1min, b1max, b2min, b2max) = t.bounds
+      val span2 = b2max - b2min + 1
+      while (i < bytes.length) {
+        val b1 = bytes(i) & 0xff; i += 1
+        if (b1 <= 0x7f) sb.append(b1.toChar)
+        else if (i >= bytes.length) sb.append('�') // truncated pair
+        else {
+          val b2 = bytes(i) & 0xff; i += 1
+          if (b1 < b1min || b1 > b1max || b2 < b2min || b2 > b2max)
+            sb.append('�')
+          else sb.appendCodePoint(t.tbl((b1 - b1min) * span2 + (b2 - b2min)))
+        }
+      }
+    } else { // 4b (ZHT32TRIS): fixed lead, then three ranged bytes
+      val Array(lead, b2min, b2max, b3min, b3max, b4min, b4max) = t.bounds
+      val span3 = b3max - b3min + 1
+      val span4 = b4max - b4min + 1
+      def take(): Int = { val b = bytes(i) & 0xff; i += 1; b }
+      while (i < bytes.length) {
+        val b1 = take()
+        if (b1 <= 0x7f) sb.append(b1.toChar)
+        else if (b1 != lead || i >= bytes.length) sb.append('�')
+        else {
+          val b2 = take()
+          if (b2 < b2min || b2 > b2max || i >= bytes.length)
+            sb.append('�')
+          else {
+            val b3 = take()
+            if (b3 < b3min || b3 > b3max || i >= bytes.length)
+              sb.append('�')
+            else {
+              val b4 = take()
+              if (b4 < b4min || b4 > b4max) sb.append('�')
+              else sb.appendCodePoint(t.tbl((b2 - b2min) * span3 * span4 +
+                (b3 - b3min) * span4 + (b4 - b4min)))
+            }
+          }
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** Every id [[decode]] accepts on this JVM — the union of the
+    * JVM-backed, NRC, vendor-8-bit, tilde-variant and custom-multibyte
+    * maps. On a full JDK this equals the reference's complete
+    * Locales.cpp registry (138 ids). */
+  lazy val decodableIds: Set[Int] =
+    supported.keySet ++ nrcTables.keySet ++ vendor8Tables.keySet ++
+      tildeVariants.keySet ++ mbTables.keySet
+
   /** ID → Oracle charset name, for diagnostics/config echo. */
   val oracleName: Map[Int, String] =
     idTable.map { case (id, ora, _) => id -> ora } .toMap ++
       nrcOverrides.map { case (id, (n, _)) => id -> n } ++
-      vendor8Tables.map { case (id, (n, _, _)) => id -> n }
+      vendor8Tables.map { case (id, (n, _, _)) => id -> n } ++
+      tildeVariants.map { case (id, (n, _)) => id -> n } ++
+      mbTables.map { case (id, t) => id -> t.name }
 
   /** Decode raw column bytes under the column's NLS charset ID.
     * Unknown ID → IllegalArgumentException (config-error semantics, like
@@ -209,6 +320,11 @@ object OracleCharsets {
         var i = 0
         while (i < bytes.length) { out(i) = tbl(bytes(i) & 0x7f); i += 1 }
         new String(out)
+      case None if mbTables.contains(charsetId) =>
+        decodeMb(bytes, mbTables(charsetId))
+      case None if tildeVariants.contains(charsetId) =>
+        new String(bytes, Charset.forName(tildeVariants(charsetId)._2))
+          .replace('〜', '～')
       case None => vendor8Tables.get(charsetId) match {
         case Some((_, customAscii, tbl)) =>
           // 8-bit vendor page: single-byte map; low half is ASCII

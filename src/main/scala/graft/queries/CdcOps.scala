@@ -861,7 +861,7 @@ object CdcOps {
     "q176_vendor8_decode" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       import spark.implicits._
-      val ids = Seq(2, 82, 50, 558)
+      val ids = Seq(2, 82, 50, 558, 845, 863)
       val dict = Dictionary(ids.zipWithIndex.map { case (id, i) =>
         DbTable(100L + i, 100L, "APP", s"V$id",
           Seq(DbColumn("txt", 1, charsetId = id)))
@@ -870,14 +870,16 @@ object CdcOps {
         2 -> "C4D7E9F7A8", // WE8DEC: ÄŒéœ¤
         82 -> "C7E7D0DD", // TR8DEC: ÇçĞŸ
         50 -> "D5E5A5", // WE8NEXTSTEP: àï¥
-        558 -> "98A1E1") // AR8ADOS720: ءةط
+        558 -> "98A1E1", // AR8ADOS720: ءةط
+        845 -> "88618862D065", // KO16KSCCS (Johab): 가각한
+        863 -> "8EA1C4A18EA1C4E3") // ZHT32TRIS (4-byte): 一中
       val hexExpr = ids.zipWithIndex.map { case (id, i) =>
-        s"WHEN user_id % 4 = $i THEN concat(hex(event_type), '${tail(id)}')"
+        s"WHEN user_id % 6 = $i THEN concat(hex(event_type), '${tail(id)}')"
       }.mkString("CASE ", " ", " END")
       val messages = Tables.load(s, dir, "events").selectExpr(
           "event_id AS cScn", "0L AS cIdx", "event_id AS scn", "1L AS seq",
           "CAST(user_id AS STRING) AS xid", "'c' AS op",
-          "100L + user_id % 4 AS obj", "'' AS rid",
+          "100L + user_id % 6 AS obj", "'' AS rid",
           "CAST(NULL AS MAP<STRING,STRING>) AS before",
           s"map('txt', $hexExpr) AS after",
           "CAST(NULL AS MAP<STRING,STRING>) AS attrs",
@@ -1311,14 +1313,17 @@ object CdcOps {
 
     "q176_vendor8_decode" ->
       """SELECT event_id,
-        |  'V' || CAST(CASE user_id % 4
+        |  'V' || CAST(CASE user_id % 6
         |    WHEN 0 THEN 2 WHEN 1 THEN 82 WHEN 2 THEN 50
-        |    ELSE 558 END AS VARCHAR) AS table_name,
-        |  event_type || CASE user_id % 4
+        |    WHEN 3 THEN 558 WHEN 4 THEN 845 ELSE 863 END AS VARCHAR)
+        |    AS table_name,
+        |  event_type || CASE user_id % 6
         |    WHEN 0 THEN 'ÄŒéœ¤'
         |    WHEN 1 THEN 'ÇçĞŸ'
         |    WHEN 2 THEN 'àï¥'
-        |    ELSE 'ءةط' END AS txt
+        |    WHEN 3 THEN 'ءةط'
+        |    WHEN 4 THEN '가각한'
+        |    ELSE '一中' END AS txt
         |FROM events""".stripMargin,
 
     "q175_partition_resolve" ->

@@ -70,7 +70,23 @@ class CharsetDecodeSpec extends AnyFunSuite {
     (50, "WE8NEXTSTEP", "D5E5A5", "àï¥"),
     (261, "WE8ROMAN8", "C8D1BB", "àî£"), // Roman-8, ASCII low half
     (558, "AR8ADOS720", "98A1E1", "ءةط"),
-    (500, "AR8ASMO8X", "C7E1", "اف"))
+    (500, "AR8ASMO8X", "C7E1", "اف"),
+    // custom CJK multibyte composites (r11, charset16_map.tsv) — picks
+    // cross-checked against the published encodings: JA16VMS is JIS
+    // X 0208 in EUC positions (亜 at B0A1), KO16KSCCS is the Johab
+    // layout (가 = 0x8861), HKSCS31's A140/A4A4 coincide with Big5 and
+    // 0x8845 is the published plane-2 U+2010C assignment
+    (829, "JA16VMS", "41A1A1A4A2B0A1", "A　あ亜"),
+    (845, "KO16KSCCS", "88618862D065", "가각한"),
+    (866, "ZHT16CCDC", "A1B7BAF0", "中文"),
+    (863, "ZHT32TRIS", "8EA1C4A18EA1C4E38EA1C5B2", "一中天"),
+    (992, "ZHT16HKSCS31", "A140A4A48845", "　中𠄌"),
+    // YEN variants decode identically to the base sets
+    (831, "JA16EUCYEN", "A4A2A4A4", "あい"),
+    (834, "JA16SJISYEN", "82A082A2", "あい"),
+    // TILDE variants: the single wave-dash point becomes U+FF5E
+    (837, "JA16EUCTILDE", "A1C1", "～"),
+    (838, "JA16SJISTILDE", "8160", "～"))
 
   for ((id, name, hex, want) <- golden)
     test(s"$name (id $id): $hex decodes") {
@@ -113,7 +129,9 @@ class CharsetDecodeSpec extends AnyFunSuite {
       "(U+FFFD substitution semantics, CharacterSet.h:32)") {
     val nrcIds = Seq(11, 13, 14, 15, 16, 17, 21, 202, 203, 204, 205, 206, 207)
     val rnd = new scala.util.Random(0xC5)
-    for (id <- OracleCharsets.supported.keys.toSeq ++ nrcIds; _ <- 0 until 5) {
+    // EVERY decodable id (JVM-backed, NRC, vendor 8-bit, tilde variants,
+    // custom multibyte) must substitute on junk, never throw
+    for (id <- OracleCharsets.decodableIds.toSeq; _ <- 0 until 5) {
       val junk = Array.fill(rnd.nextInt(64))(rnd.nextInt.toByte)
       val out = OracleCharsets.decode(junk, id) // must substitute, not throw
       assert(out != null)
@@ -148,19 +166,24 @@ class CharsetDecodeSpec extends AnyFunSuite {
     // coverage floor: the JVM-backed subset must stay ≥ 55 ids wide
     assert(OracleCharsets.supported.size >= 55,
       s"charset coverage shrank: ${OracleCharsets.supported.size}")
+    // r11: the COMPLETE Locales.cpp registry decodes — all 138 ids
+    // (Locales.cpp:648-800 characterMap registrations; the last
+    // residual, the custom CJK composites, landed as charset16_map.tsv)
+    assert(OracleCharsets.decodableIds.size == 138,
+      s"Locales.cpp registry coverage: ${OracleCharsets.decodableIds.size}/138")
   }
 
-  test("vendor 8-bit pages: all 53 tables load; unmapped bytes give " +
+  test("vendor 8-bit pages: all 56 tables load; unmapped bytes give " +
       "U+FFFD; custom-ASCII pages remap the low half through the table") {
     // every CharacterSet8bit registration in Locales.cpp without a JVM
-    // charset must resolve by name (the residual after r11 is only the
-    // custom CJK composites KO16KSCCS / ZHT32TRIS)
-    val vendorIds = Seq(2, 3, 25, 43, 44, 49, 50, 52, 61, 81, 82, 110,
-      113, 114, 140, 153, 154, 172, 173, 176, 191, 192, 193, 195, 241,
-      251, 261, 368, 380, 383, 384, 386, 401, 500, 504, 505, 506, 507,
-      508, 509, 511, 514, 554, 555, 556, 557, 558, 559, 561, 563, 566,
-      590, 1002)
-    assert(vendorIds.size == 53)
+    // charset on this JDK must resolve by name (incl. the three ids the
+    // headless JDK dropped from the JVM-backed map: 40/48/385)
+    val vendorIds = Seq(2, 3, 25, 40, 43, 44, 48, 49, 50, 52, 61, 81, 82,
+      110, 113, 114, 140, 153, 154, 172, 173, 176, 191, 192, 193, 195,
+      241, 251, 261, 368, 380, 383, 384, 385, 386, 401, 500, 504, 505,
+      506, 507, 508, 509, 511, 514, 554, 555, 556, 557, 558, 559, 561,
+      563, 566, 590, 1002)
+    assert(vendorIds.size == 56)
     vendorIds.foreach { id =>
       val name = OracleCharsets.oracleName.get(id)
       assert(name.isDefined, s"vendor id $id missing")

@@ -23,12 +23,16 @@ OUT = pathlib.Path(__file__).resolve().parent.parent / \
 # ids already decoded natively via JVM charsets or NRC override tables
 # (keep in sync with OracleCharsets.idTable / nrcOverrides)
 COVERED = {
-    1, 4, 10, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 45, 46, 47,
-    48, 51, 150, 152, 155, 156, 159, 160, 161, 162, 163, 164, 165, 166,
+    1, 4, 10, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 41, 45, 46, 47,
+    51, 150, 152, 155, 156, 159, 160, 161, 162, 163, 164, 165, 166,
     167, 170, 171, 174, 175, 177, 178, 179, 190, 196, 197, 352, 354, 382,
-    385, 390, 560, 830, 832, 840, 846, 850, 852, 854, 860, 865, 867, 868,
+    390, 560, 830, 832, 840, 846, 850, 852, 854, 860, 865, 867, 868,
     871, 873, 2000,
     11, 13, 14, 15, 16, 17, 21, 202, 203, 204, 205, 206, 207,
+    # NOT in this set (so their tables ARE emitted) although idTable maps
+    # them: 40 NE8ISO8859P10, 48 CEL8ISO8859P14, 385 EL8PC869 — the
+    # headless JDK in this container lacks ISO-8859-10/-14 and x-IBM869,
+    # so the reference tables back them up (decode prefers the table)
 }
 
 src = (REF / "CharacterSet8bit.cpp").read_text()
