@@ -317,9 +317,26 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
     * step the reference performs from its TABPART$/TABSUBPART$/
     * TABCOMPART$/LOB$/LOBCOMPPART$/LOBFRAG$ reads. */
   def withStorage(partitions: Map[Long, Long],
-      lobs: Seq[LobSegment]): Dictionary =
-    new Dictionary(tables, selectors, xmlCtx, partitionOf ++ partitions,
-      lobSegments ++ lobs)
+      lobs: Seq[LobSegment]): Dictionary = {
+    // idempotent on replay: re-adding present pairs/segments is a no-op
+    val newLobs = lobs.filterNot(lobSegments.contains)
+    if (partitions.forall(p => partitionOf.get(p._1).contains(p._2)) &&
+        newLobs.isEmpty) this
+    else new Dictionary(tables, selectors, xmlCtx, partitionOf ++ partitions,
+      lobSegments ++ newLobs)
+  }
+
+  /** Storage de-registration (partition/LOB segment DROP — the
+    * SystemTransaction delete path for the storage catalogs). */
+  def withoutPartitions(objs: Set[Long]): Dictionary =
+    if (!objs.exists(partitionOf.contains)) this
+    else new Dictionary(tables, selectors, xmlCtx, partitionOf -- objs,
+      lobSegments)
+
+  def withoutLobSegments(lobjs: Set[Long]): Dictionary =
+    if (!lobSegments.exists(s => lobjs(s.lobj))) this
+    else new Dictionary(tables, selectors, xmlCtx, partitionOf,
+      lobSegments.filterNot(s => lobjs(s.lobj)))
 }
 
 object Dictionary {

@@ -30,7 +30,20 @@ object SchemaEvolution {
     * name; OBJ$/COL$ are objects 18/21 in every Oracle database). */
   val ObjTab = 18L
   val ColTab = 21L
-  val SystemObjs: Set[Long] = Set(ObjTab, ColTab)
+  /** Storage-catalog ids (r11): the reference intercepts
+    * TABPART$/TABCOMPART$/TABSUBPART$ and the LOB$ family too
+    * (SystemTransaction.cpp:484,592,695 dispatch) — it resolves them by
+    * NAME from the bootstrapped schema; our pre-decoded feed addresses
+    * catalog tables by fixed ids like OBJ$/COL$, so these numbers are
+    * feed-contract constants (documented, not Oracle-universal). */
+  val TabPartTab = 582L
+  val TabCompPartTab = 583L
+  val TabSubPartTab = 584L
+  val LobTab = 585L
+  val LobCompPartTab = 586L
+  val LobFragTab = 587L
+  val SystemObjs: Set[Long] = Set(ObjTab, ColTab, TabPartTab,
+    TabCompPartTab, TabSubPartTab, LobTab, LobCompPartTab, LobFragTab)
 
   /** Catalog-row field names inside the system DML's after/before image
     * (the column names of OBJ$/COL$ as the redo feed renders them). */
@@ -38,6 +51,14 @@ object SchemaEvolution {
   private val FName = "NAME"
   private val FType = "TYPE#"
   private val FLength = "LENGTH"
+  private val FBo = "BO#"
+  private val FPObj = "POBJ#"
+  private val FIntCol = "INTCOL#"
+  private val FLObj = "LOBJ#"
+  private val FTs = "TS#"
+  private val FPartObj = "PARTOBJ#"
+  private val FFragObj = "FRAGOBJ#"
+  private val FParentObj = "PARENTOBJ#"
 
   def isSystem(obj: Long): Boolean = SystemObjs.contains(obj)
 
@@ -67,6 +88,70 @@ object SchemaEvolution {
   def applyMessage(dict: Dictionary, m: ChangeMessage): Dictionary = {
     val img = if (m.op == MsgOp.Delete) m.before else m.after
     if (img == null) return dict
+    def lv(f: String): Option[Long] = img.get(f).flatMap(_.toLongOption)
+    // ---- storage catalogs (r11): TABPART$/TABCOMPART$/TABSUBPART$ and
+    // the LOB$ family maintain the dictionary's partition/LOB maps, the
+    // same packs SystemTransaction updates (SystemTransaction.cpp:484,
+    // 592,695). These maps are CURRENT-STATE (no as-of history —
+    // partition identity carries no schema of its own; the base-table
+    // resolution it points at is what versions). Inserts and deletes
+    // are idempotent on replay: re-adding an existing pair or removing
+    // an absent one is a no-op, and full-history replay in commit order
+    // converges to the same maps.
+    m.obj match {
+      case TabPartTab | TabCompPartTab =>
+        return (m.op match {
+          case MsgOp.Insert => for (o <- lv(FObj); b <- lv(FBo))
+            yield dict.withStorage(Map(o -> b), Nil)
+          case MsgOp.Delete =>
+            lv(FObj).map(o => dict.withoutPartitions(Set(o)))
+          case _ => None
+        }).getOrElse(dict)
+      case TabSubPartTab =>
+        return (m.op match {
+          case MsgOp.Insert => for (o <- lv(FObj); p <- lv(FPObj))
+            // chain through the composite parent like the bootstrap walk
+            yield dict.withStorage(Map(o -> dict.baseObj(p)), Nil)
+          case MsgOp.Delete =>
+            lv(FObj).map(o => dict.withoutPartitions(Set(o)))
+          case _ => None
+        }).getOrElse(dict)
+      case LobTab =>
+        return (m.op match {
+          case MsgOp.Insert => for (o <- lv(FObj); lj <- lv(FLObj)) yield {
+            val ic = lv(FIntCol).getOrElse(0L).toInt
+            // positional column resolve (intcol ≙ ordinal for the
+            // non-nested tables this path serves)
+            val cn = dict.lookupLatest(o)
+              .flatMap(t => t.columns.lift(ic - 1)).map(_.name)
+              .getOrElse("")
+            dict.withStorage(Map.empty,
+              Seq(LobSegment(lj, o, ic, cn, lv(FTs).getOrElse(0L))))
+          }
+          case MsgOp.Delete =>
+            lv(FLObj).map(lj => dict.withoutLobSegments(Set(lj)))
+          case _ => None
+        }).getOrElse(dict)
+      case LobCompPartTab =>
+        return (m.op match {
+          case MsgOp.Insert => for (po <- lv(FPartObj); lj <- lv(FLObj);
+              root <- dict.lobSegments.find(_.lobj == lj))
+            yield dict.withStorage(Map.empty, Seq(root.copy(lobj = po)))
+          case MsgOp.Delete =>
+            lv(FPartObj).map(po => dict.withoutLobSegments(Set(po)))
+          case _ => None
+        }).getOrElse(dict)
+      case LobFragTab =>
+        return (m.op match {
+          case MsgOp.Insert => for (fo <- lv(FFragObj); po <- lv(FParentObj);
+              parent <- dict.lobSegments.find(_.lobj == po))
+            yield dict.withStorage(Map.empty, Seq(parent.copy(lobj = fo)))
+          case MsgOp.Delete =>
+            lv(FFragObj).map(fo => dict.withoutLobSegments(Set(fo)))
+          case _ => None
+        }).getOrElse(dict)
+      case _ => () // OBJ$/COL$ versioned flow below
+    }
     val target = img.get(FObj).flatMap(s => s.toLongOption).getOrElse(-1L)
     dict.lookupLatest(target) match {
       case None => dict

@@ -148,4 +148,63 @@ class SchemaEvolutionSpec extends AnyFunSuite {
         Map("OBJ#" -> "100", "NAME" -> "T0"), null)))
     assert(again.tables == dict.tables)
   }
+
+  test("storage-catalog DML maintains the partition map mid-stream " +
+      "(SystemTransaction TABPART$/TABCOMPART$/TABSUBPART$ paths)") {
+    import SchemaEvolution._
+    // ALTER TABLE ADD PARTITION ≙ TABPART$ insert
+    val d1 = applyMessages(base, Seq(
+      msg(TabPartTab, MsgOp.Insert, 10L, null,
+        Map("OBJ#" -> "111", "DATAOBJ#" -> "1111", "BO#" -> "100"))))
+    assert(d1.partitionOf == Map(111L -> 100L))
+    assert(d1.lookup(111L, 20L).map(_.name).contains("T0"))
+    // composite partition + subpartition chained through its parent
+    val d2 = applyMessages(d1, Seq(
+      msg(TabCompPartTab, MsgOp.Insert, 11L, null,
+        Map("OBJ#" -> "113", "BO#" -> "100")),
+      msg(TabSubPartTab, MsgOp.Insert, 12L, null,
+        Map("OBJ#" -> "114", "POBJ#" -> "113"))))
+    assert(d2.partitionOf(114L) == 100L)
+    // DROP PARTITION ≙ TABPART$ delete (before image carries the row)
+    val d3 = applyMessages(d2, Seq(
+      msg(TabPartTab, MsgOp.Delete, 13L,
+        Map("OBJ#" -> "111", "BO#" -> "100"), null)))
+    assert(!d3.partitionOf.contains(111L))
+    assert(d3.partitionOf(113L) == 100L) // others untouched
+    // replaying the whole history in order converges to the same maps
+    val replay = applyMessages(d3, Seq(
+      msg(TabPartTab, MsgOp.Insert, 10L, null,
+        Map("OBJ#" -> "111", "BO#" -> "100")),
+      msg(TabPartTab, MsgOp.Delete, 13L,
+        Map("OBJ#" -> "111", "BO#" -> "100"), null)))
+    assert(replay.partitionOf == d3.partitionOf)
+  }
+
+  test("storage-catalog DML maintains the LOB maps mid-stream " +
+      "(SystemTransaction LOB$/LOBCOMPPART$/LOBFRAG$ paths)") {
+    import SchemaEvolution._
+    val d1 = applyMessages(base, Seq(
+      // LOB column registration: VAL is ordinal 2 → colName resolves
+      msg(LobTab, MsgOp.Insert, 10L, null,
+        Map("OBJ#" -> "100", "INTCOL#" -> "2", "LOBJ#" -> "500",
+          "TS#" -> "4")),
+      // comp-part segment aliases the root's owner; fragment chains
+      msg(LobCompPartTab, MsgOp.Insert, 11L, null,
+        Map("PARTOBJ#" -> "501", "LOBJ#" -> "500")),
+      msg(LobFragTab, MsgOp.Insert, 12L, null,
+        Map("FRAGOBJ#" -> "502", "PARENTOBJ#" -> "501"))))
+    Seq(500L, 501L, 502L).foreach { lj =>
+      assert(d1.lobOwner(lj).contains((100L, "VAL")), s"lobj $lj")
+    }
+    // segment drop: only the dropped alias disappears
+    val d2 = applyMessages(d1, Seq(
+      msg(LobFragTab, MsgOp.Delete, 13L,
+        Map("FRAGOBJ#" -> "502", "PARENTOBJ#" -> "501"), null)))
+    assert(d2.lobOwner(502L).isEmpty && d2.lobOwner(501L).isDefined)
+    // an insert referencing an unknown parent is a no-op, not a crash
+    val d3 = applyMessages(d2, Seq(
+      msg(LobFragTab, MsgOp.Insert, 14L, null,
+        Map("FRAGOBJ#" -> "509", "PARENTOBJ#" -> "999"))))
+    assert(d3.lobOwner(509L).isEmpty)
+  }
 }
