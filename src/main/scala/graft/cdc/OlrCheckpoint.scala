@@ -38,10 +38,26 @@ object OlrCheckpoint {
       nlsNcharCharacterSet: String,
       schemaScn: Long)
 
-  /** Parse a reference checkpoint file: (positioning meta, dictionary). */
+  /** Parse a reference checkpoint file: (positioning meta, dictionary).
+    * Malformed input fails loudly (the reference's deserialize throws
+    * DataException on parse errors and missing tags,
+    * SerializerJson.cpp:544-594 checkJsonFields) — a checkpoint that
+    * parsed to an EMPTY schema would silently drop every event
+    * downstream, the worst failure mode for a migration tool. */
   def importJson(json: String): (Meta, Dictionary) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(json)
+    val root =
+      try mapper.readTree(json)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"not a checkpoint file - JSON parse error: ${e.getMessage}") }
+    require(root != null && root.isObject,
+      "not a checkpoint file - no JSON object")
+    // the schema sections the serializer always writes (documentChildNames)
+    val needed = Seq("scn", "sys-user", "sys-obj", "sys-col")
+    val missing = needed.filterNot(root.has)
+    require(missing.isEmpty,
+      s"checkpoint missing required fields: ${missing.mkString(", ")} - " +
+        "is this a reference schema checkpoint (SerializerJson layout)?")
 
     def arr(name: String): Seq[JsonNode] =
       Option(root.get(name)).map(_.elements().asScala.toSeq).getOrElse(Nil)

@@ -119,6 +119,15 @@ class DictionarySpec extends AnyFunSuite {
     assert(rt.tables == d.tables && rt.partitionOf == d.partitionOf &&
       rt.lobSegments == d.lobSegments)
   }
+
+  test("OLR checkpoint import fails loudly on non-checkpoint input " +
+      "(a silently-empty schema would drop every event downstream)") {
+    intercept[IllegalArgumentException](OlrCheckpoint.importJson("{not json"))
+    intercept[IllegalArgumentException](OlrCheckpoint.importJson("[]"))
+    val e = intercept[IllegalArgumentException](
+      OlrCheckpoint.importJson("""{"scn": 5}"""))
+    assert(e.getMessage.contains("sys-obj"))
+  }
 }
 
 object DictionarySpec {
