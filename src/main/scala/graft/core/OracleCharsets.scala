@@ -207,9 +207,9 @@ object OracleCharsets {
     * CharacterSetJA16SJISTILDE.cpp:26-31 exactly SJIS 0x8160). The JVM
     * base charsets produce U+301C for precisely those pairs and nothing
     * else maps to U+301C, so decode-then-substitute is exact. */
-  private val tildeVariants: Map[Int, (String, String)] = Map(
-    837 -> ("JA16EUCTILDE", "EUC-JP"),
-    838 -> ("JA16SJISTILDE", "Shift_JIS"))
+  private val tildeVariants: Map[Int, (String, Charset)] = Map(
+    837 -> ("JA16EUCTILDE", Charset.forName("EUC-JP")),
+    838 -> ("JA16SJISTILDE", Charset.forName("Shift_JIS")))
 
   /** Custom multibyte vendor composites (charset16_map.tsv; see
     * tools/gen_charset16.py provenance): DEC JA16VMS, the Johab-layout
@@ -323,7 +323,7 @@ object OracleCharsets {
       case None if mbTables.contains(charsetId) =>
         decodeMb(bytes, mbTables(charsetId))
       case None if tildeVariants.contains(charsetId) =>
-        new String(bytes, Charset.forName(tildeVariants(charsetId)._2))
+        new String(bytes, tildeVariants(charsetId)._2)
           .replace('〜', '～')
       case None => vendor8Tables.get(charsetId) match {
         case Some((_, customAscii, tbl)) =>
