@@ -209,8 +209,22 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
 
   /** Resolve a feed obj# through the partition map: redo addressed to a
     * TABPART$/TABSUBPART$ obj carries the partition's obj#, but the
-    * schema (columns, keys, name) lives on the base table. */
-  def baseObj(obj: Long): Long = partitionOf.getOrElse(obj, obj)
+    * schema (columns, keys, name) lives on the base table. TRANSITIVE
+    * (hop-capped): the map may hold raw child→parent links — e.g. a
+    * TABSUBPART$ insert folded before its TABCOMPART$ parent stores
+    * sub→comp; once comp→base registers, resolution walks the chain, so
+    * registration order can never wedge a mapping. */
+  def baseObj(obj: Long): Long = {
+    var o = obj
+    var hops = 0
+    while (hops < 4) {
+      partitionOf.get(o) match {
+        case Some(p) if p != o => o = p; hops += 1
+        case _ => return o
+      }
+    }
+    o
+  }
 
   /** obj# → table version valid at `scn` (J2 as-of semantics);
     * partition objs resolve to their base table first. */
@@ -236,8 +250,10 @@ class Dictionary(val tables: Seq[DbTable], val selectors: Seq[TableSelector],
     // to the base table's schema: emit one alias row per partition obj
     // per base-table version (dimension-sized: #partitions × #versions,
     // still ≪ the feed — the broadcast asymmetry is unchanged)
-    val aliasRows = partitionOf.toSeq.flatMap { case (pobj, bobj) =>
-      selected.filter(_.obj == bobj).map(t => t.copy(obj = pobj))
+    val aliasRows = partitionOf.keys.toSeq.flatMap { pobj =>
+      // resolve transitively: the map value may be a composite-partition
+      // obj, not the base table, when links were registered raw
+      selected.filter(_.obj == baseObj(pobj)).map(t => t.copy(obj = pobj))
     }
     (selected ++ aliasRows).map { t =>
       val visible = t.visibleColumns(showHidden, showNested, showUnused)
@@ -419,17 +435,11 @@ object Dictionary {
     def lpairs(df: Option[DataFrame], a: String, b: String): Seq[(Long, Long)] =
       df.map(_.select(col(a).cast("long"), col(b).cast("long")).collect()
         .toSeq.map(r => (r.getLong(0), r.getLong(1)))).getOrElse(Nil)
-    val tp = lpairs(tabParts, "obj", "bo")
-    val tcp = lpairs(tabCompParts, "obj", "bo")
-    val tcpMap = tcp.toMap
-    // subpartitions chain through their composite parent to the base
-    val tsp = lpairs(tabSubParts, "obj", "pobj")
-      .map { case (o, p) => (o, tcpMap.getOrElse(p, p)) }
-    val partMap = (tp ++ tcp ++ tsp).toMap
     // LOB roots: lobj → owning (obj, intcol); column name resolved from
     // an explicit col_name column when present, else positionally via
-    // the cols frame (intcol ≙ col_no for non-nested tables)
-    val nameByObjCol: Map[(Long, Int), String] = cols
+    // the cols frame (intcol ≙ col_no for non-nested tables) — that
+    // fallback re-reads cols ONLY when a name-less LOB frame needs it
+    lazy val nameByObjCol: Map[(Long, Int), String] = cols
       .select(col("obj").cast("long"), col("col_no").cast("int"), col("name"))
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
     val lobRoots: Seq[LobSegment] = lobs.map { df =>
@@ -447,16 +457,37 @@ object Dictionary {
           if (r.isNullAt(3)) 0L else r.getLong(3))
       }
     }.getOrElse(Nil)
-    // composite LOB partitions alias the root's owner under PARTOBJ#
+    val (partMap, lobSegs) = storageChains(
+      lpairs(tabParts, "obj", "bo"), lpairs(tabCompParts, "obj", "bo"),
+      lpairs(tabSubParts, "obj", "pobj"), lobRoots,
+      lpairs(lobCompParts, "partobj", "lobj"),
+      lpairs(lobFrags, "fragobj", "parentobj"))
+    new Dictionary(tables, selectors, None, partMap, lobSegs)
+  }
+
+  /** Shared storage-chain assembly (bootstrap + OLR checkpoint import):
+    * flatten partition links through composite parents and resolve LOB
+    * aliases (comp-part segments take the root's owner; fragments chain
+    * through root OR comp-part parents). All inputs are full catalog
+    * snapshots, so the fold is order-insensitive. */
+  private[cdc] def storageChains(
+      tabParts: Seq[(Long, Long)], // (obj, bo)
+      tabCompParts: Seq[(Long, Long)], // (obj, bo)
+      tabSubParts: Seq[(Long, Long)], // (obj, pobj)
+      lobRoots: Seq[LobSegment],
+      lobCompParts: Seq[(Long, Long)], // (partObj, lobj)
+      lobFrags: Seq[(Long, Long)] // (fragObj, parentObj)
+  ): (Map[Long, Long], Seq[LobSegment]) = {
+    val tcpMap = tabCompParts.toMap
+    val tsp = tabSubParts.map { case (o, p) => (o, tcpMap.getOrElse(p, p)) }
+    val partMap = (tabParts ++ tabCompParts ++ tsp).toMap
     val byLobj = lobRoots.map(s => s.lobj -> s).toMap
-    val lcpSegs = lpairs(lobCompParts, "partobj", "lobj")
+    val lcpSegs = lobCompParts
       .flatMap { case (po, lj) => byLobj.get(lj).map(_.copy(lobj = po)) }
-    // fragments chain through a root lobj OR a comp-part partobj
     val parentMap = (lobRoots ++ lcpSegs).map(s => s.lobj -> s).toMap
-    val fragSegs = lpairs(lobFrags, "fragobj", "parentobj")
+    val fragSegs = lobFrags
       .flatMap { case (fo, po) => parentMap.get(po).map(_.copy(lobj = fo)) }
-    new Dictionary(tables, selectors, None, partMap,
-      lobRoots ++ lcpSegs ++ fragSegs)
+    (partMap, lobRoots ++ lcpSegs ++ fragSegs)
   }
 
   /** The reference's COMPLETE online-bootstrap catalog SQL, verbatim in

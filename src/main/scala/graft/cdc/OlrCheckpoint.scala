@@ -67,10 +67,21 @@ object OlrCheckpoint {
       Option(n.get(f)).map(_.asInt).getOrElse(0)
     def s(n: JsonNode, f: String): String =
       Option(n.get(f)).map(_.asText).getOrElse("")
-    /** 128-bit NUMBER words (property/flags/spare1) are serialized as
-      * bare decimal integers possibly wider than 64 bits. */
+    /** 128-bit NUMBER words (property/flags/spare1/flags-stg): the
+      * serializer writes them as 2-element arrays `[low64, high64]`
+      * (IntX::toString, /root/reference/src/common/types/IntX.h:154;
+      * deserialize pins exactly that shape, SerializerJson.cpp:884-888
+      * "property should be an array with 2 elements"; data[0] is the
+      * LOW word — isSet64 masks it directly). A bare integer is also
+      * accepted for hand-authored fixtures. */
     def big(n: JsonNode, f: String): BigInt =
-      Option(n.get(f)).map(v => BigInt(v.asText)).getOrElse(BigInt(0))
+      Option(n.get(f)).map { v =>
+        if (v.isArray)
+          v.elements().asScala.zipWithIndex
+            .map { case (w, i) => BigInt(w.asText) << (64 * i) }
+            .foldLeft(BigInt(0))(_ + _)
+        else BigInt(v.asText)
+      }.getOrElse(BigInt(0))
 
     // checkpoint position: pre-min-tran files carry seq/offset at the
     // top level; newer ones nest them (SerializerJson.cpp:601-617)
@@ -157,13 +168,7 @@ object OlrCheckpoint {
           tagType = if (keys.nonEmpty) "pk" else "")
       }
 
-    // ---- storage maps (same chain as Dictionary.fromCatalog) ---------
-    val tp = arr("sys-tabpart").map(p => l(p, "obj") -> l(p, "bo"))
-    val tcp = arr("sys-tabcompart").map(p => l(p, "obj") -> l(p, "bo"))
-    val tcpMap = tcp.toMap
-    val tsp = arr("sys-tabsubpart")
-      .map(p => l(p, "obj") -> tcpMap.getOrElse(l(p, "p-obj"), l(p, "p-obj")))
-    val partMap = (tp ++ tcp ++ tsp).toMap
+    // ---- storage maps (the shared Dictionary.storageChains fold) -----
     val colName: Map[(Long, Long), String] = colsByObj.flatMap {
       case (o, cs) => cs.map(c => (o, l(c, "int-col")) -> s(c, "name"))
     }
@@ -172,14 +177,13 @@ object OlrCheckpoint {
       LobSegment(l(lb, "l-obj"), o, ic.toInt,
         colName.getOrElse((o, ic), ""), l(lb, "ts"))
     }
-    val byLobj = lobRoots.map(x => x.lobj -> x).toMap
-    val lcpSegs = arr("sys-lob-comp-part").flatMap { p =>
-      byLobj.get(l(p, "l-obj")).map(_.copy(lobj = l(p, "part-obj")))
-    }
-    val parentMap = (lobRoots ++ lcpSegs).map(x => x.lobj -> x).toMap
-    val fragSegs = arr("sys-lob-frag").flatMap { f =>
-      parentMap.get(l(f, "parent-obj")).map(_.copy(lobj = l(f, "frag-obj")))
-    }
+    val (partMap, lobSegs) = Dictionary.storageChains(
+      arr("sys-tabpart").map(p => l(p, "obj") -> l(p, "bo")),
+      arr("sys-tabcompart").map(p => l(p, "obj") -> l(p, "bo")),
+      arr("sys-tabsubpart").map(p => l(p, "obj") -> l(p, "p-obj")),
+      lobRoots,
+      arr("sys-lob-comp-part").map(p => l(p, "part-obj") -> l(p, "l-obj")),
+      arr("sys-lob-frag").map(f => l(f, "frag-obj") -> l(f, "parent-obj")))
 
     // ---- XDB token tables (per-suffix arrays) -------------------------
     val ttSet = arr("xdb-ttset").map(t => XdbTtSet(s(t, "guid"),
@@ -192,7 +196,6 @@ object OlrCheckpoint {
     val xmlCtx =
       if (ttSet.isEmpty) None else Some(XmlCtx(ttSet, xnm, xqn))
 
-    (meta, new Dictionary(tables, Nil, xmlCtx, partMap,
-      lobRoots ++ lcpSegs ++ fragSegs))
+    (meta, new Dictionary(tables, Nil, xmlCtx, partMap, lobSegs))
   }
 }

@@ -110,8 +110,12 @@ object SchemaEvolution {
       case TabSubPartTab =>
         return (m.op match {
           case MsgOp.Insert => for (o <- lv(FObj); p <- lv(FPObj))
-            // chain through the composite parent like the bootstrap walk
-            yield dict.withStorage(Map(o -> dict.baseObj(p)), Nil)
+            // store the RAW parent link: Dictionary.baseObj resolves the
+            // chain transitively at lookup, so a subpartition folded
+            // before its composite parent still heals once the parent
+            // registers (order-independence the bootstrap's full-set
+            // flatten gets for free)
+            yield dict.withStorage(Map(o -> p), Nil)
           case MsgOp.Delete =>
             lv(FObj).map(o => dict.withoutPartitions(Set(o)))
           case _ => None
@@ -133,6 +137,11 @@ object SchemaEvolution {
           case _ => None
         }).getOrElse(dict)
       case LobCompPartTab =>
+        // LOB alias inserts resolve against the CURRENT segments: DDL
+        // emits LOB$ before its comp-part/fragment rows in the same
+        // transaction, and applyMessages folds in (cScn, cIdx) order, so
+        // the parent is always registered first in a well-formed feed;
+        // an unknown parent (malformed feed) is a documented no-op.
         return (m.op match {
           case MsgOp.Insert => for (po <- lv(FPartObj); lj <- lv(FLObj);
               root <- dict.lobSegments.find(_.lobj == lj))

@@ -207,9 +207,14 @@ object OracleCharsets {
     * CharacterSetJA16SJISTILDE.cpp:26-31 exactly SJIS 0x8160). The JVM
     * base charsets produce U+301C for precisely those pairs and nothing
     * else maps to U+301C, so decode-then-substitute is exact. */
-  private val tildeVariants: Map[Int, (String, Charset)] = Map(
-    837 -> ("JA16EUCTILDE", Charset.forName("EUC-JP")),
-    838 -> ("JA16SJISTILDE", Charset.forName("Shift_JIS")))
+  private val tildeVariants: Map[Int, (String, Charset)] = Seq(
+    837 -> ("JA16EUCTILDE", "EUC-JP"),
+    838 -> ("JA16SJISTILDE", "Shift_JIS"))
+    // guarded like idTable: a JVM without jdk.charsets (jlink'd runtime)
+    // must drop these two ids, not kill the whole object's class init
+    .collect { case (id, (n, cs)) if Charset.isSupported(cs) =>
+      id -> (n, Charset.forName(cs))
+    }.toMap
 
   /** Custom multibyte vendor composites (charset16_map.tsv; see
     * tools/gen_charset16.py provenance): DEC JA16VMS, the Johab-layout

@@ -44,7 +44,11 @@ object MultiModal {
   def withMeta(df: DataFrame, payload: Column): DataFrame = {
     val b = (i: Int) =>
       conv(hex(substring(payload, i, 1)), 16, 10).cast("int")
-    val isPng = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
+    // the IHDR parse needs 24 bytes (8 magic + 8 chunk header + w/h);
+    // a truncated PNG falls back to the sniff branch instead of
+    // introducing NULL width/height into an otherwise non-null struct
+    val isPng = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A" &&
+      octet_length(payload) >= 24
     val be4 = (i: Int) => conv(hex(substring(payload, i, 4)), 16, 10)
       .cast("int")
     df.withColumn("meta", struct(

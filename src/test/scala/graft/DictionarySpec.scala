@@ -98,7 +98,7 @@ class DictionarySpec extends AnyFunSuite {
     assert(orders.columns.find(_.name == "VAL").get.guardSeg == 1)
     // charset-form 1 resolves to the database set (feed contract id 0)
     assert(orders.columns.find(_.name == "VAL").get.charsetId == 0)
-    // HIDDEN through a >64-bit property word (2^70 + 32)
+    // HIDDEN through the real [low,high] word encoding (high word set)
     assert(orders.columns.find(_.name == "HID").get.hidden)
     // the guard bitmap column itself: GUARD = property bit 39
     assert(orders.guardColName.contains("SYS_NC_G"))
@@ -133,8 +133,10 @@ class DictionarySpec extends AnyFunSuite {
 object DictionarySpec {
   /** Golden fixture hand-built to the reference serializer's exact field
     * set (SerializerJson.cpp:52-537): kebab-case keys, row-id strings,
-    * bare-integer 128-bit words (HID's property is 2^70 + 32 — hidden
-    * bit set in a value that overflows a Long), per-suffix xdb arrays. */
+    * [low64, high64] array-encoded 128-bit words exactly as IntX::toString
+    * emits them (HID's property is [32, 64] — hidden bit in the low
+    * word, nonzero HIGH word proving the word order), per-suffix xdb
+    * arrays; a bare integer stays accepted for hand-authored files. */
   val olrFixture: String =
     """{
       |"database":"ORCL","scn":123456,"resetlogs":88,"activation":99,
@@ -153,54 +155,54 @@ object DictionarySpec {
       |"min-tran":{"seq":42,"offset":8192,"xid":"0x0001.001.00000001"},
       |"schema-scn":123400,"schema-ref-scn":123400,
       |"sys-user":[{"row-id":"AAAAAAAABAAAAAAAAA","user":2,"name":"APP",
-      |  "spare1":0,"single":0}],
+      |  "spare1":[0,0],"single":0}],
       |"sys-obj":[
       |  {"row-id":"AAAAAAAABAAAAAAAAB","owner":2,"obj":100,"data-obj":100,
-      |   "name":"ORDERS","type":2,"flags":0,"single":0},
+      |   "name":"ORDERS","type":2,"flags":[0,0],"single":0},
       |  {"row-id":"AAAAAAAABAAAAAAAAC","owner":2,"obj":300,"data-obj":0,
-      |   "name":"DOCS","type":2,"flags":0,"single":0},
+      |   "name":"DOCS","type":2,"flags":[0,0],"single":0},
       |  {"row-id":"AAAAAAAABAAAAAAAAD","owner":2,"obj":101,"data-obj":101,
-      |   "name":"V_ORDERS","type":4,"flags":0,"single":0}],
+      |   "name":"V_ORDERS","type":4,"flags":[0,0],"single":0}],
       |"sys-tab":[
       |  {"row-id":"AAAAAAAABAAAAAAAAE","obj":100,"data-obj":100,"ts":4,
-      |   "clu-cols":0,"flags":0,"property":0},
+      |   "clu-cols":0,"flags":[0,0],"property":[0,0]},
       |  {"row-id":"AAAAAAAABAAAAAAAAF","obj":300,"data-obj":0,"ts":4,
-      |   "clu-cols":0,"flags":0,"property":32}],
+      |   "clu-cols":0,"flags":[0,0],"property":[32,0]}],
       |"sys-col":[
       |  {"row-id":"AAAAAAAABAAAAAAAAG","obj":100,"col":1,"seg-col":1,
       |   "int-col":1,"name":"ID","type":2,"length":22,"precision":10,
-      |   "scale":0,"charset-form":0,"charset-id":0,"null":1,"property":0},
+      |   "scale":0,"charset-form":0,"charset-id":0,"null":1,"property":[0,0]},
       |  {"row-id":"AAAAAAAABAAAAAAAAH","obj":100,"col":2,"seg-col":2,
       |   "int-col":2,"name":"VAL","type":1,"length":50,"precision":-1,
-      |   "scale":-1,"charset-form":1,"charset-id":873,"null":0,"property":0},
+      |   "scale":-1,"charset-form":1,"charset-id":873,"null":0,"property":[0,0]},
       |  {"row-id":"AAAAAAAABAAAAAAAAI","obj":100,"col":3,"seg-col":3,
       |   "int-col":3,"name":"HID","type":1,"length":30,"precision":-1,
       |   "scale":-1,"charset-form":0,"charset-id":0,"null":0,
-      |   "property":1180591620717411303456},
+      |   "property":[32,64]},
       |  {"row-id":"AAAAAAAABAAAAAAAAJ","obj":100,"col":0,"seg-col":0,
       |   "int-col":4,"name":"VIRT","type":1,"length":0,"precision":-1,
-      |   "scale":-1,"charset-form":0,"charset-id":0,"null":0,"property":0},
+      |   "scale":-1,"charset-form":0,"charset-id":0,"null":0,"property":[0,0]},
       |  {"row-id":"AAAAAAAABAAAAAAAAK","obj":100,"col":4,"seg-col":4,
       |   "int-col":5,"name":"SYS_NC_G","type":23,"length":16,
       |   "precision":-1,"scale":-1,"charset-form":0,"charset-id":0,
-      |   "null":0,"property":549755813888},
+      |   "null":0,"property":[549755813888,0]},
       |  {"row-id":"AAAAAAAABAAAAAAAAL","obj":300,"col":1,"seg-col":1,
       |   "int-col":1,"name":"ID","type":2,"length":22,"precision":10,
-      |   "scale":0,"charset-form":0,"charset-id":0,"null":1,"property":0},
+      |   "scale":0,"charset-form":0,"charset-id":0,"null":1,"property":[0,0]},
       |  {"row-id":"AAAAAAAABAAAAAAAAM","obj":300,"col":2,"seg-col":2,
       |   "int-col":2,"name":"BODY","type":112,"length":4000,
       |   "precision":-1,"scale":-1,"charset-form":1,"charset-id":873,
-      |   "null":0,"property":0}],
+      |   "null":0,"property":[0,0]}],
       |"sys-ccol":[
       |  {"row-id":"AAAAAAAABAAAAAAAAN","con":7,"int-col":1,"obj":100,
-      |   "spare1":0},
+      |   "spare1":[0,0]},
       |  {"row-id":"AAAAAAAABAAAAAAABD","con":8,"int-col":1,"obj":300,
-      |   "spare1":0}],
+      |   "spare1":[0,0]}],
       |"sys-cdef":[
       |  {"row-id":"AAAAAAAABAAAAAAAAO","con":7,"obj":100,"type":2},
       |  {"row-id":"AAAAAAAABAAAAAAABE","con":8,"obj":300,"type":2}],
       |"sys-deferredstg":[{"row-id":"AAAAAAAABAAAAAAAAP","obj":100,
-      |  "flags-stg":0}],
+      |  "flags-stg":[0,0]}],
       |"sys-ecol":[{"row-id":"AAAAAAAABAAAAAAAAQ","tab-obj":100,
       |  "col-num":2,"guard-id":1}],
       |"sys-lob":[{"row-id":"AAAAAAAABAAAAAAAAR","obj":300,"col":2,

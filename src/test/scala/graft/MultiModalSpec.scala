@@ -85,6 +85,13 @@ class MultiModalSpec extends AnyFunSuite {
       .select("meta.format", "meta.width", "meta.height").head()
     assert(out.getString(0) == "png")
     assert(out.getInt(1) == 300 && out.getInt(2) == 7)
+    // a truncated PNG (magic only) falls back to the sniff branch —
+    // meta fields stay NON-NULL
+    val trunc = Seq((1L, png.take(10))).toDF("id", "payload")
+    val t = MultiModal.withMeta(trunc, col("payload"))
+      .select("meta.format", "meta.width", "meta.height").head()
+    assert(!t.isNullAt(1) && !t.isNullAt(2))
+    assert(t.getString(0) != "png")
   }
 
   test("sampleFrames explodes strided indices, empty for zero frames") {

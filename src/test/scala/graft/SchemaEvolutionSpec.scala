@@ -164,7 +164,18 @@ class SchemaEvolutionSpec extends AnyFunSuite {
         Map("OBJ#" -> "113", "BO#" -> "100")),
       msg(TabSubPartTab, MsgOp.Insert, 12L, null,
         Map("OBJ#" -> "114", "POBJ#" -> "113"))))
-    assert(d2.partitionOf(114L) == 100L)
+    assert(d2.baseObj(114L) == 100L)
+    assert(d2.lookup(114L, 20L).map(_.name).contains("T0"))
+    // ORDER-INDEPENDENCE: a subpartition folded BEFORE its composite
+    // parent still heals once the parent registers (raw link + transitive
+    // baseObj), and the broadcast-join alias rows resolve it too
+    val ooo = applyMessages(base, Seq(
+      msg(TabSubPartTab, MsgOp.Insert, 10L, null,
+        Map("OBJ#" -> "214", "POBJ#" -> "213")),
+      msg(TabCompPartTab, MsgOp.Insert, 11L, null,
+        Map("OBJ#" -> "213", "BO#" -> "100"))))
+    assert(ooo.baseObj(214L) == 100L)
+    assert(ooo.lookup(214L, 20L).map(_.name).contains("T0"))
     // DROP PARTITION ≙ TABPART$ delete (before image carries the row)
     val d3 = applyMessages(d2, Seq(
       msg(TabPartTab, MsgOp.Delete, 13L,
