@@ -25,6 +25,8 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "and the LOB column-name resolve - all schema metadata, " +
         "#partitions + #lob-columns rows, never fact-sized)"),
     "examples/BatchReplay.scala" -> (1, "example printout, not an operator"),
+    "examples/MigrateFromOlr.scala" -> (1,
+      "example printout, not an operator"),
     "examples/ServeDemo.scala" -> (1,
       "demo feed materialized to drive the loopback servers, not an operator"),
     "queries/AnalyticsOps.scala" -> (1,
