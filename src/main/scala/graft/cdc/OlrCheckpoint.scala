@@ -198,4 +198,150 @@ object OlrCheckpoint {
 
     (meta, new Dictionary(tables, Nil, xmlCtx, partMap, lobSegs))
   }
+
+  /** Export a [[Dictionary]] AS a reference-format schema checkpoint —
+    * the reverse migration path: an engine running on this library can
+    * keep OLR-compatible checkpoints, so switching BACK (or pointing
+    * other OLR tooling at the schema) needs no re-bootstrap either.
+    * Field set and encodings mirror SerializerJson::serialize
+    * (SerializerJson.cpp:52-537): kebab-case keys, [low64, high64]
+    * 128-bit words, synthesized 18-char row-ids (the reference only
+    * uses them as map keys), one sys-obj/sys-tab/sys-col/... row per
+    * LATEST table version (the OLR schema is current-state; our full
+    * version history stays in [[Dictionary.toJson]] snapshots).
+    * `importJson(exportJson(m, d))` round-trips the schema (spec-gated:
+    * tables, keys, flags, partition map, LOB segments, XDB tables). */
+  def exportJson(meta: Meta, dict: Dictionary): String = {
+    val sb = new java.lang.StringBuilder(1 << 16)
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    var rowIdN = 0
+    def rowId(): String = { // 18-char synthetic id, base-26 counter tail
+      rowIdN += 1
+      val tail = java.lang.Long.toString(rowIdN.toLong, 26).toUpperCase
+      ("A" * (18 - tail.length)) + tail
+    }
+    def w2(v: BigInt): String = { // [low64, high64]
+      val m = BigInt(1) << 64
+      s"[${v % m},${v / m}]"
+    }
+    // current-state schema: the latest live version per obj
+    val live = dict.tables.groupBy(_.obj).values
+      .map(_.maxBy(_.validFromScn)).toSeq.sortBy(_.obj)
+    val owners = live.map(_.owner).distinct.sorted
+    val userId = owners.zipWithIndex.map { case (o, i) => o -> (i + 2L) }
+      .toMap
+
+    sb.append(s"""{"database":"${esc(meta.database)}"""")
+      .append(s""","scn":${meta.scn},"resetlogs":${meta.resetlogs}""")
+      .append(s""","activation":${meta.activation},"time":0""")
+      .append(s""","seq":${meta.seq},"offset":${meta.offset}""")
+      .append(s""","min-tran":{"seq":${meta.seq},"offset":${meta.offset},"xid":"0x0000.000.00000000"}""")
+      .append(s""","big-endian":${if (meta.bigEndian) 1 else 0}""")
+      .append(s""","context":"","con-id":${meta.conId}""")
+      .append(s""","con-name":"${esc(meta.conName)}"""")
+      .append(s""","db-timezone":"+00:00","db-recovery-file-dest":""""")
+      .append(s""","db-block-checksum":"TYPICAL","log-archive-dest":""""")
+      .append(s""","log-archive-format":"o1_mf_%t_%s_%h_.arc"""")
+      .append(s""","nls-character-set":"${esc(meta.nlsCharacterSet)}"""")
+      .append(s""","nls-nchar-character-set":"${esc(meta.nlsNcharCharacterSet)}"""")
+      .append(s""","supp-log-db-primary":1,"supp-log-db-all":0""")
+      .append(s""","online-redo":[],"incarnations":[]""")
+      .append(owners.map(o => s""""${esc(o)}"""")
+        .mkString(""","users":[""", ",", "]"))
+      .append(s""","schema-scn":${meta.schemaScn}""")
+
+    // SYS.USER$ / SYS.OBJ$ / SYS.TAB$
+    sb.append(owners.map(o =>
+        s"""{"row-id":"${rowId()}","user":${userId(o)},"name":"${esc(o)}","spare1":[0,0],"single":0}""")
+      .mkString(""","sys-user":[""", ",", "]"))
+    sb.append(live.map(t =>
+        s"""{"row-id":"${rowId()}","owner":${userId(t.owner)},"obj":${t.obj},"data-obj":${t.dataObj},"name":"${esc(t.name)}","type":2,"flags":[0,0],"single":0}""")
+      .mkString(""","sys-obj":[""", ",", "]"))
+    sb.append(live.map(t =>
+        s"""{"row-id":"${rowId()}","obj":${t.obj},"data-obj":${t.dataObj},"ts":0,"clu-cols":0,"flags":[0,0],"property":[0,0]}""")
+      .mkString(""","sys-tab":[""", ",", "]"))
+
+    // SYS.COL$ (property bits: hidden 2^5, nested 2^10, unused 2^15,
+    // guard 2^39 — SysCol.h PROPERTY)
+    val colRows = live.flatMap { t =>
+      t.columns.zipWithIndex.map { case (c, i) =>
+        val ord = i + 1
+        val prop = (if (c.hidden) BigInt(1) << 5 else BigInt(0)) |
+          (if (c.nested) BigInt(1) << 10 else BigInt(0)) |
+          (if (c.unused) BigInt(1) << 15 else BigInt(0)) |
+          (if (c.guard) BigInt(1) << 39 else BigInt(0))
+        s"""{"row-id":"${rowId()}","obj":${t.obj},"col":$ord,"seg-col":$ord,"int-col":$ord,"name":"${esc(c.name)}","type":${c.typeCode},"length":${c.length},"precision":${c.precision},"scale":${c.scale},"charset-form":0,"charset-id":${c.charsetId},"null":${if (c.nullable) 0 else 1},"property":${w2(prop)}}"""
+      }
+    }
+    sb.append(colRows.mkString(""","sys-col":[""", ",", "]"))
+
+    // PK constraints: one CDEF per keyed table, CCOL per key column
+    var con = 6L
+    val (cdefRows, ccolRows) = live.filter(_.keyColumns.nonEmpty)
+      .map { t =>
+        con += 1
+        val d =
+          s"""{"row-id":"${rowId()}","con":$con,"obj":${t.obj},"type":2}"""
+        val cs = t.keyColumns.map { kc =>
+          val ic = t.columns.indexWhere(_.name == kc.name) + 1
+          s"""{"row-id":"${rowId()}","con":$con,"int-col":$ic,"obj":${t.obj},"spare1":[0,0]}"""
+        }
+        (d, cs)
+      }.unzip
+    sb.append(ccolRows.flatten.mkString(""","sys-ccol":[""", ",", "]"))
+    sb.append(cdefRows.mkString(""","sys-cdef":[""", ",", "]"))
+    sb.append(live.map(t =>
+        s"""{"row-id":"${rowId()}","obj":${t.obj},"flags-stg":[0,0]}""")
+      .mkString(""","sys-deferredstg":[""", ",", "]"))
+
+    // guard segments (ECOL$): columns carrying guardSeg
+    val ecolRows = live.flatMap { t =>
+      t.columns.zipWithIndex.collect { case (c, i) if c.guardSeg >= 0 =>
+        s"""{"row-id":"${rowId()}","tab-obj":${t.obj},"col-num":${i + 1},"guard-id":${c.guardSeg}}"""
+      }
+    }
+    sb.append(ecolRows.mkString(""","sys-ecol":[""", ",", "]"))
+
+    // LOB segments: export EVERY lobj (roots and flattened aliases) as
+    // sys-lob rows — import registers each as a root with the same
+    // owner, which resolves identically (the root/comppart/frag split
+    // is not recoverable from the flattened model and not needed)
+    sb.append(dict.lobSegments.map(l =>
+        s"""{"row-id":"${rowId()}","obj":${l.obj},"col":${l.intCol},"int-col":${l.intCol},"l-obj":${l.lobj},"ts":${l.ts}}""")
+      .mkString(""","sys-lob":[""", ",", "]"))
+    sb.append(""","sys-lob-comp-part":[],"sys-lob-frag":[]""")
+
+    // partition map: raw links as sys-tabpart rows (import reproduces
+    // the exact map; transitive baseObj resolves chains either way)
+    sb.append(dict.partitionOf.toSeq.sorted.map { case (o, b) =>
+        s"""{"row-id":"${rowId()}","obj":$o,"data-obj":0,"bo":$b}"""
+      }.mkString(""","sys-tabpart":[""", ",", "]"))
+    sb.append(""","sys-tabcompart":[],"sys-tabsubpart":[]""")
+    sb.append(""","sys-ts":[]""")
+
+    // XDB token tables: pooled xnm/xqn emit under the first suffix (the
+    // import pools them right back; XmlCtx lookup is suffix-agnostic)
+    dict.xmlCtx match {
+      case Some(x) if x.ttSet.nonEmpty =>
+        sb.append(x.ttSet.map(t =>
+            s"""{"row-id":"${rowId()}","guid":"${esc(t.guid)}","toksuf":"${esc(t.tokSuf)}","flags":${t.flags},"obj":${t.obj}}""")
+          .mkString(""","xdb-ttset":[""", ",", "]"))
+        val suf = x.ttSet.head.tokSuf
+        sb.append(x.xnm.map(n =>
+            s"""{"row-id":"${rowId()}","nmspcuri":"${esc(n.nmSpcUri)}","id":"${esc(n.id)}"}""")
+          .mkString(s""","xdb-xnm$suf":[""", ",", "]"))
+        sb.append(s""","xdb-xpt$suf":[]""")
+        sb.append(x.xqn.map(q =>
+            s"""{"row-id":"${rowId()}","nmspcid":"${esc(q.nmSpcId)}","localname":"${esc(q.localName)}","flags":"${esc(q.flags)}","id":"${esc(q.id)}"}""")
+          .mkString(s""","xdb-xqn$suf":[""", ",", "]"))
+      case _ => sb.append(""","xdb-ttset":[]""")
+    }
+    sb.append("}")
+    sb.toString
+  }
 }

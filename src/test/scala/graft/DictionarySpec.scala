@@ -120,6 +120,20 @@ class DictionarySpec extends AnyFunSuite {
       rt.lobSegments == d.lobSegments)
   }
 
+  test("OLR checkpoint EXPORT round-trips through import (the reverse " +
+      "migration path: this engine's schema as an OLR checkpoint)") {
+    val (meta, d) = OlrCheckpoint.importJson(DictionarySpec.olrFixture)
+    val out = OlrCheckpoint.exportJson(meta, d)
+    val (meta2, d2) = OlrCheckpoint.importJson(out)
+    assert(meta2 == meta)
+    assert(d2.tables == d.tables)
+    assert(d2.partitionOf == d.partitionOf)
+    assert(d2.lobSegments == d.lobSegments)
+    assert(d2.xmlCtx == d.xmlCtx)
+    // export → import → export is a fixpoint (stable row synthesis)
+    assert(OlrCheckpoint.exportJson(meta2, d2) == out)
+  }
+
   test("OLR checkpoint import fails loudly on non-checkpoint input " +
       "(a silently-empty schema would drop every event downstream)") {
     intercept[IllegalArgumentException](OlrCheckpoint.importJson("{not json"))

@@ -460,6 +460,57 @@ class StreamingSpec extends AnyFunSuite {
       s"restart re-emitted committed transactions: $second")
   }
 
+  test("§1.2 storage-catalog DDL through the stream: ALTER TABLE ADD " +
+      "PARTITION mid-stream makes later partition-obj events resolve") {
+    val dir = Files.createTempDirectory("evoPart").toString
+    val srcDir = s"$dir/feed"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val outRows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def writeFeed(name: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(srcDir, name))
+      lines.foreach(w.println)
+      w.close()
+    }
+    val dict0 = Dictionary(Seq(
+      DbTable(100L, 100L, "APP", "ORDERS",
+        Seq(DbColumn("ID", 2, numPk = 1), DbColumn("VAL", 1)),
+        tagType = "pk")))
+    val part = graft.cdc.SchemaEvolution.TabPartTab
+    // batch 1: an event on the (not yet registered) partition obj 111
+    // drops; the system txn registers 111 -> 100
+    writeFeed("feed_001.jsonl",
+      """{"scn":1,"xid":"1.0.1","op":"BEGIN"}""",
+      """{"scn":2,"xid":"1.0.1","op":"INS","obj":111,"after":{"ID":"1","VAL":"a"}}""",
+      """{"scn":3,"xid":"1.0.1","op":"COMMIT"}""",
+      """{"scn":4,"xid":"9.0.9","op":"BEGIN"}""",
+      s"""{"scn":5,"xid":"9.0.9","op":"INS","obj":$part,"after":{"OBJ#":"111","DATAOBJ#":"1111","BO#":"100"}}""",
+      """{"scn":6,"xid":"9.0.9","op":"COMMIT"}""")
+    val q = graft.streaming.Pipeline.streamWithEvolution(spark,
+      graft.streaming.Pipeline.Config(
+        graft.streaming.Pipeline.SourceConfig(srcDir), dict0),
+      s"$dir/dict", s"$dir/ckpt") { (df, _) =>
+      outRows ++= df.selectExpr("c_scn", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    }
+    try {
+      q.processAllAvailable()
+      // batch 2: the SAME partition obj now resolves against ORDERS
+      writeFeed("feed_002.jsonl",
+        """{"scn":10,"xid":"2.0.1","op":"BEGIN"}""",
+        """{"scn":11,"xid":"2.0.1","op":"INS","obj":111,"after":{"ID":"2","VAL":"b"}}""",
+        """{"scn":12,"xid":"2.0.1","op":"COMMIT"}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = outRows.toSeq
+    assert(got.exists { case (scn, v) =>
+      scn == 12L && v.contains(""""table":"ORDERS"""") },
+      s"partition-obj event did not resolve after TABPART$$ DDL: $got")
+    // the system txn itself never reaches the sink (F5 suppression path:
+    // storage-catalog objs are filtered as system messages)
+    assert(!got.exists(_._2.contains("BO#")),
+      s"storage-catalog DML leaked into the output: $got")
+  }
+
   test("§1.2 retention prune runs AFTER the sink: a catch-up batch " +
       "spanning more scns than the retention still resolves its " +
       "earliest events against the version valid at THEIR scn") {
