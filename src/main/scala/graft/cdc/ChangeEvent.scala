@@ -29,7 +29,25 @@ case class ChangeEvent(
     ddlText: String,
     // wall-clock nanos of the redo record (the reference's per-record
     // Time, RedoLogRecord timestamp); 0 = feed carries no clock
-    tm: Long = 0L)
+    tm: Long = 0L) {
+
+  /** Approximate buffered size of this op in bytes — the accounting unit
+    * for the `transaction-max-mb` drop rule (the reference sums
+    * `redoLogRecord->size + ROW_HEADER_TOTAL` per buffered record,
+    * Parser.cpp:611-620; this engine buffers the decoded form, so the
+    * analogue is decoded payload chars + a fixed per-op header). */
+  def approxSize: Int = {
+    def m(x: Map[String, String]): Int =
+      if (x == null) 0
+      else x.iterator.map { case (k, v) =>
+        k.length + (if (v == null) 0 else v.length) + 8
+      }.sum
+    64 + xid.length + op.length +
+      (if (fb == null) 0 else fb.length) +
+      (if (ddlText == null) 0 else ddlText.length) +
+      m(before) + m(after) + m(suppBefore) + m(suppAfter) + m(attrs)
+  }
+}
 
 object ChangeEvent {
   /** Construct a minimal DML/control event (fixture helper). */

@@ -33,6 +33,12 @@ object TxnAssembly {
         * rendering is queryable at scale via [[dumpTrace]]. */
       dumpXids: Set[String] = Set.empty,
       maxOpsPerTxn: Int = 10000000,
+      /** T5 byte form of the drop rule — `transaction-max-mb` parity
+        * (Parser.cpp:611-620: `transaction->size + record size + header
+        * >= ctx->transactionSizeMax` → drop + skip-list; the reference
+        * docs say "split" but the code drops). Accumulated
+        * [[ChangeEvent.approxSize]] per open transaction; 0 = disabled. */
+      maxBytesPerTxn: Long = 0L,
       /** Batch replay: treat end-of-input as commit (for feeds that carry
         * only DML, e.g. relational adapters). OLR itself never does this. */
       commitAtEnd: Boolean = false,
@@ -45,7 +51,12 @@ object TxnAssembly {
       var attrs: Map[String, String],
       var beginScn: Long,
       var open: Boolean,
-      var oversized: Boolean)
+      var oversized: Boolean) {
+    /** Accumulated approx op bytes (the reference's transaction->size);
+      * derived from `ops`, so NOT part of the checkpointed state — thaw
+      * recomputes it. */
+    var bytes: Long = 0L
+  }
 
   object TxnState {
     def empty: TxnState = TxnState(ArrayBuffer.empty, Map.empty, -1L, false, false)
@@ -64,8 +75,11 @@ object TxnAssembly {
       beginScn: Long,
       open: Boolean,
       oversized: Boolean) {
-    def thaw: TxnState =
-      TxnState(ArrayBuffer.from(ops), attrs, beginScn, open, oversized)
+    def thaw: TxnState = {
+      val st = TxnState(ArrayBuffer.from(ops), attrs, beginScn, open, oversized)
+      st.bytes = ops.iterator.map(_.approxSize.toLong).sum
+      st
+    }
   }
 
   object TxnStateData {
@@ -94,7 +108,7 @@ object TxnAssembly {
             st.ops.lastIndexWhere(o =>
               o.obj == e.obj && o.bdba == e.bdba && o.slot == e.slot)
           else st.ops.lastIndexWhere(o => Op.dml.contains(o.op))
-        if (idx >= 0) st.ops.remove(idx)
+        if (idx >= 0) st.bytes -= st.ops.remove(idx).approxSize
         Nil
       case Op.Rollback =>
         reset(st)
@@ -107,8 +121,12 @@ object TxnAssembly {
         if (st.oversized) Nil
         else {
           st.ops += e
-          if (st.ops.length > cfg.maxOpsPerTxn) { // T5: drop + skip
+          st.bytes += e.approxSize
+          if (st.ops.length > cfg.maxOpsPerTxn ||
+              (cfg.maxBytesPerTxn > 0 && // transaction-max-mb byte rule
+                st.bytes >= cfg.maxBytesPerTxn)) { // T5: drop + skip
             st.ops.clear()
+            st.bytes = 0L
             st.oversized = true
           }
           Nil
@@ -119,6 +137,7 @@ object TxnAssembly {
 
   private def reset(st: TxnState): Unit = {
     st.ops.clear()
+    st.bytes = 0L
     st.attrs = Map.empty
     st.open = false
     st.beginScn = -1L

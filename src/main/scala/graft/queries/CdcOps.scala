@@ -930,6 +930,29 @@ object CdcOps {
         .select(col("cScn").as("event_id"), col("obj"), col("table_name"))
     }),
 
+    // Reader start position (2.reader.adoc start-scn): the bound travels
+    // the REAL config path — OpenLogReplicator.json → ConfigLoader →
+    // SourceConfig.startScn → Pipeline.fromStart — then the bounded feed
+    // runs the full assembly. A plain `scn >= bound` predicate at the
+    // source, so at scale it prunes at the scan (parquet row groups /
+    // DSv2 pushdown), not post-shuffle; the oracle restates the bound
+    // relationally.
+    "q178_start_position" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val loaded = graft.streaming.ConfigLoader.load(
+        """{"source": [{"alias": "S", "name": "D",
+          |  "reader": {"type": "batch", "redo-log": ["/feed"],
+          |    "start-scn": 250, "start-seq": 1},
+          |  "format": {"type": "json"}, "filter": {"table": []}}]}"""
+          .stripMargin, Dictionary(Nil))
+      val feed = graft.streaming.Pipeline.fromStart(
+        adapt(s, dir, "'INS'"), loaded.config.source)
+      TxnAssembly.assembleBatch(feed, TxnAssembly.Config(commitAtEnd = true))
+        .toDF()
+        .select(col("scn").as("event_id"),
+          col("xid").cast("long").as("user_id"))
+    }),
+
     // CLOB charset decode AFTER page reassembly (Builder.cpp:160-165:
     // parseLob passes column->charsetId; parseString's appendData/
     // hasPrev/hasNext args exist exactly for chunk continuation,
@@ -1334,6 +1357,10 @@ object CdcOps {
         |  CASE WHEN user_id % 6 IN (0, 2, 3) THEN 'ORDERS'
         |       ELSE 'DOCS' END AS table_name
         |FROM events""".stripMargin,
+
+    "q178_start_position" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE event_id >= 250""".stripMargin,
 
     "q96_experimental_types" ->
       """SELECT event_id,

@@ -343,6 +343,38 @@ object KafkaWire {
     out.write(b)
     out.flush()
   }
+
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** `max-message-mb` split rule (8.writer.adoc: "messages exceeding this
+    * size will be split; each split triggers a log warning"): greedily
+    * chunk a record sequence so each produced RecordBatch payload stays
+    * under `maxBytes`. A single record above the cap still ships alone
+    * (the broker enforces its own hard limit); 0 disables splitting. */
+  private[sinks] def chunkByBytes(records: Seq[Record],
+      maxBytes: Long): Seq[Seq[Record]] = {
+    if (maxBytes <= 0 || records.isEmpty) return Seq(records)
+    def sz(r: Record): Long =
+      (if (r.key == null) 0 else r.key.length).toLong +
+        (if (r.value == null) 0 else r.value.length) + 32L // record framing
+    val out = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Record])
+    var acc = 61L // RecordBatch v2 header
+    records.foreach { r =>
+      val s = sz(r)
+      if (acc + s > maxBytes && out.last.nonEmpty) {
+        out += scala.collection.mutable.ArrayBuffer.empty[Record]
+        acc = 61L
+      }
+      out.last += r
+      acc += s
+    }
+    if (out.length > 1)
+      log.warn(s"batch exceeds max message size $maxBytes: " +
+        s"split into ${out.length} produce requests")
+    out.map(_.toSeq).toSeq
+  }
 }
 
 /** Minimal producer over the wire protocol: batches one `send` into one
@@ -352,7 +384,10 @@ object KafkaWire {
 final class KafkaDirectWriter(host: String, port: Int, topic: String,
     numPartitions: Int = 1, acks: Short = -1,
     clientId: String = "graft-producer",
-    prom: Option[graft.streaming.Prometheus] = None) extends AutoCloseable {
+    prom: Option[graft.streaming.Prometheus] = None,
+    /** `max-message-mb` in bytes (reference default 100 MB): one produce
+      * payload stays under this; bigger sends split with a warning. */
+    maxMessageBytes: Long = 100L * 1024 * 1024) extends AutoCloseable {
   import KafkaWire._
 
   private val sock = new Socket(host, port)
@@ -370,24 +405,31 @@ final class KafkaDirectWriter(host: String, port: Int, topic: String,
     val partition =
       if (records.head._1 == null) 0
       else partitionFor(records.head._1, numPartitions)
-    val batch = encodeBatch(records.map { case (k, v) => Record(k, v) },
-      baseTimestamp = baseTimestamp)
-    correlation += 1
-    writeFrame(out, encodeProduce(correlation, clientId, topic, partition, batch, acks))
-    prom.foreach { p =>
-      p.emitMessagesSent(records.size.toLong)
-      p.emitBytesSent(batch.length.toLong)
+    // max-message-mb: oversized sends split into several produce
+    // requests (first chunk's base offset = the send's base offset)
+    val chunks = chunkByBytes(
+      records.map { case (k, v) => Record(k, v) }, maxMessageBytes)
+    var first = -1L
+    chunks.foreach { chunk =>
+      val batch = encodeBatch(chunk, baseTimestamp = baseTimestamp)
+      correlation += 1
+      writeFrame(out, encodeProduce(correlation, clientId, topic, partition, batch, acks))
+      prom.foreach { p =>
+        p.emitMessagesSent(chunk.size.toLong)
+        p.emitBytesSent(batch.length.toLong)
+      }
+      val resp = decodeProduceResponse(readFrame(in))
+      require(resp.correlationId == correlation,
+        s"correlation mismatch: ${resp.correlationId} != $correlation")
+      require(resp.errorCode == 0, s"produce failed: error ${resp.errorCode}")
+      // the produce ack is the delivery report (dr_msg_cb → confirmMessage)
+      prom.foreach { p =>
+        p.emitMessagesConfirmed(chunk.size.toLong)
+        p.emitBytesConfirmed(batch.length.toLong)
+      }
+      if (first < 0) first = resp.baseOffset
     }
-    val resp = decodeProduceResponse(readFrame(in))
-    require(resp.correlationId == correlation,
-      s"correlation mismatch: ${resp.correlationId} != $correlation")
-    require(resp.errorCode == 0, s"produce failed: error ${resp.errorCode}")
-    // the produce ack is the delivery report (dr_msg_cb → confirmMessage)
-    prom.foreach { p =>
-      p.emitMessagesConfirmed(records.size.toLong)
-      p.emitBytesConfirmed(batch.length.toLong)
-    }
-    resp.baseOffset
+    first
   }
 
   /** Group a mixed-key batch by murmur2 partition and produce one
@@ -415,6 +457,9 @@ final class MockKafkaBroker(
 
   /** (topic, partition, key, value) in append order. */
   val log = new ConcurrentLinkedQueue[(String, Int, Array[Byte], Array[Byte])]()
+  /** Produce requests served (one per RecordBatch on the wire — the
+    * observable for max-message-mb split assertions). */
+  val produceRequests = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var running = true
   private val server = new ServerSocket(0, 8,
     java.net.InetAddress.getLoopbackAddress)
@@ -480,6 +525,7 @@ final class MockKafkaBroker(
           val partition = req.getInt
           val setLen = req.getInt
           val batch = new Array[Byte](setLen); req.get(batch)
+          produceRequests.incrementAndGet()
           val resp =
             if (cluster.exists { case (c, self) =>
                 c.leaderOf(partition) != self })
@@ -561,7 +607,9 @@ final class MockKafkaCluster(numBrokers: Int,
 final class KafkaRoutedWriter(bootstrapHost: String, bootstrapPort: Int,
     topic: String, acks: Short = -1,
     clientId: String = "graft-producer",
-    prom: Option[graft.streaming.Prometheus] = None) extends AutoCloseable {
+    prom: Option[graft.streaming.Prometheus] = None,
+    /** `max-message-mb` in bytes (reference default 100 MB). */
+    maxMessageBytes: Long = 100L * 1024 * 1024) extends AutoCloseable {
   import KafkaWire._
 
   private final class Conn(val host: String, val port: Int) {
@@ -625,7 +673,16 @@ final class KafkaRoutedWriter(bootstrapHost: String, bootstrapPort: Int,
   /** Produce one single-partition batch to that partition's leader.
     * Returns the broker-assigned base offset. One leader-change retry:
     * NOT_LEADER / dead connection → refresh metadata → re-route. */
+  /** One produce per max-message-mb chunk; returns the first chunk's
+    * base offset (the send's base position). */
   private def produceTo(partition: Int,
+      records: Seq[Record], baseTimestamp: Long): Long = {
+    val offsets = chunkByBytes(records, maxMessageBytes)
+      .map(produceChunk(partition, _, baseTimestamp))
+    offsets.head
+  }
+
+  private def produceChunk(partition: Int,
       records: Seq[Record], baseTimestamp: Long): Long = {
     val batch = encodeBatch(records, baseTimestamp = baseTimestamp)
     var attempt = 0

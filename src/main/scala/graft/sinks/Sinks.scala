@@ -56,7 +56,17 @@ object Sinks {
   final class RotatingFileWriter(output: String, maxFileSize: Long = 0L,
       append: Boolean = true, newLine: String = "\n",
       clock: () => Long = () => System.currentTimeMillis(),
-      prom: Option[graft.streaming.Prometheus] = None) {
+      prom: Option[graft.streaming.Prometheus] = None,
+      /** `timestamp-format`: strftime pattern rendering `%t` (reference
+        * default `%F_%T`, 8.writer.adoc) — [[Strftime.format]] over the
+        * clock at switch time. */
+      timestampFormat: String = "%F_%T",
+      /** `write-buffer-flush-size` (8.writer.adoc, reference default
+        * 1 MiB): messages accumulate in memory and hit disk when this
+        * many bytes are buffered, on rotation, or on [[flush]]. 0 (the
+        * constructor default, matching the pre-knob behavior) = every
+        * message writes through immediately. */
+      flushSize: Long = 0L) {
     import java.nio.file.{Files, Paths, StandardOpenOption}
 
     private val (dir, mask) = {
@@ -107,16 +117,30 @@ object Sinks {
       case "num" =>
         val s = fileNum.toString
         prefix + ("0" * math.max(0, fill - s.length)) + s + suffix
-      case "timestamp" => prefix + clock().toString + suffix
+      case "timestamp" =>
+        prefix + Strftime.format(timestampFormat, clock()) + suffix
       case "sequence" => prefix + seq.toString + suffix
       case _ => prefix
     }
+
+    // write-buffer: bytes accepted but not yet on disk (counted in
+    // currentSize so rotation sees the true would-be file size)
+    private val buf = new java.io.ByteArrayOutputStream()
 
     private def open(seq: Long): java.nio.file.Path = {
       val np = Paths.get(dir, nameFor(seq))
       currentPath = Some(np)
       currentSize = if (Files.exists(np)) Files.size(np) else 0L
       np
+    }
+
+    /** Flush buffered bytes to the current file (also runs before every
+      * rotation and should run at end-of-batch from the foreachBatch
+      * caller when `flushSize` > 0). */
+    def flush(): Unit = if (buf.size() > 0) currentPath.foreach { p =>
+      Files.write(p, buf.toByteArray, StandardOpenOption.CREATE,
+        StandardOpenOption.APPEND)
+      buf.reset()
     }
 
     /** Append one message (rotating first if it would overflow — including
@@ -130,11 +154,16 @@ object Sinks {
       var p = currentPath.getOrElse(open(seq))
       if (rotatable && currentSize > 0 &&
           currentSize + bytes.length > maxFileSize) {
+        flush() // buffered tail of the outgoing file hits disk first
         if (mode == "num") fileNum += 1
         p = open(seq)
       }
-      Files.write(p, bytes, StandardOpenOption.CREATE,
-        StandardOpenOption.APPEND)
+      if (flushSize > 0) {
+        buf.write(bytes)
+        if (buf.size() >= flushSize) flush()
+      } else
+        Files.write(p, bytes, StandardOpenOption.CREATE,
+          StandardOpenOption.APPEND)
       currentSize += bytes.length
       // a file write is sent AND confirmed at once (the reference's
       // file writer calls confirmMessage right after the write)
@@ -147,7 +176,7 @@ object Sinks {
     /** Sequence mode: a new redo sequence switches the file (the
       * reference's per-log file). */
     def onSequence(seq: Long): Unit =
-      if (mode == "sequence") { currentPath = None; currentSize = 0 }
+      if (mode == "sequence") { flush(); currentPath = None; currentSize = 0 }
 
     def currentFile: Option[String] = currentPath.map(_.toString)
   }

@@ -25,15 +25,33 @@ object ConfigLoader {
   /** target.writer, for the caller to hand to [[graft.sinks.Sinks]]. */
   sealed trait WriterSpec
   case class FileWriterSpec(output: String, maxFileSize: Long,
-      newLine: Int, append: Boolean) extends WriterSpec
+      newLine: Int, append: Boolean,
+      /** strftime pattern rendering `%t` in `output` (8.writer.adoc,
+        * default `%F_%T`) — [[graft.sinks.Strftime]]. */
+      timestampFormat: String = "%F_%T",
+      /** file-writer flush threshold in bytes (default 1 MiB; 0 = flush
+        * after every message). */
+      writeBufferFlushSize: Long = 1048576L) extends WriterSpec {
+    /** new-line 0/1/2 → the bytes appended per message (8.writer.adoc). */
+    def newLineStr: String = newLine match {
+      case 1 => "\n"; case 2 => "\r\n"; case _ => ""
+    }
+  }
   case class KafkaWriterSpec(brokers: String, topic: String,
-      properties: Map[String, String]) extends WriterSpec
+      properties: Map[String, String],
+      /** `max-message-mb` (default 100, range 1..953): producer batches
+        * split so one Produce payload stays under this —
+        * [[graft.sinks.KafkaDirectWriter]] `maxMessageBytes`. */
+      maxMessageMb: Int = 100,
+      queueSize: Int = 65536,
+      pollIntervalUs: Long = 100000L) extends WriterSpec
   /** `transport` selects the wire framing ([[graft.sinks.Framing]]):
     * "network" = plain 4-byte length prefixes (StreamNetwork.cpp),
     * "zeromq" = ZMTP 3.0 PAIR (StreamZeroMQ.cpp,
     * OpenLogReplicator.cpp:1191-1205) — the same pull-protocol state
     * machine either way, matching the reference. */
-  case class NetworkWriterSpec(uri: String, transport: String = "network")
+  case class NetworkWriterSpec(uri: String, transport: String = "network",
+      queueSize: Int = 65536, pollIntervalUs: Long = 100000L)
       extends WriterSpec {
     def newFraming(): graft.sinks.Framing = transport match {
       case "zeromq" => new graft.sinks.ZmtpFraming("PAIR")
@@ -63,6 +81,36 @@ object ConfigLoader {
   case class DebugConf(stopLogSwitches: Long, stopCheckpoints: Long,
       stopTransactions: Long, owner: String, table: String)
 
+  /** reader start position (2.reader.adoc): raw knob values, validated
+    * per the reference's rules. The SCN/seq bounds also land on
+    * [[Pipeline.SourceConfig]] as pushdown filters; `time`/`timeRel`
+    * resolve to an epoch-nanos bound on the feed's record clock (the
+    * reference's TIMESTAMP_TO_SCN needs a live database session). */
+  case class StartPosition(scn: Option[Long] = None, seq: Option[Long] = None,
+      time: Option[String] = None, timeRel: Option[Long] = None)
+
+  /** `source.state` checkpoint element (11.state.adoc) with the
+    * reference's defaults. `keepCheckpoints` drives the dictionary-
+    * snapshot retention in [[Pipeline.streamWithEvolution]]; the interval
+    * triggers describe redo-byte/redo-time cadence the micro-batch
+    * boundary replaces (each batch checkpoints on schema change), so they
+    * ride through for operational visibility. */
+  case class StateConf(stateType: String = "disk", path: String = "checkpoint",
+      intervalMb: Long = 500L, intervalS: Long = 600L,
+      keepCheckpoints: Int = 100, schemaForceInterval: Int = 20)
+
+  /** `source.memory` element (9.memory.adoc) with the reference's
+    * defaults. These size the reference's own arena; in Spark the
+    * executor/driver memory config plays that role, so the values are
+    * surfaced (and validated against `transaction-max-mb`, the one
+    * cross-check the reference enforces at startup,
+    * OpenLogReplicator.cpp:600-605) rather than allocated. */
+  case class MemoryConf(minMb: Long = 32L, maxMb: Long = 2048L,
+      swapPath: String = "./tmp", swapMb: Long = 1536L,
+      readBufferMaxMb: Long = 128L, readBufferMinMb: Long = 4L,
+      writeBufferMaxMb: Long = 2048L, writeBufferMinMb: Long = 4L,
+      unswapBufferMinMb: Long = 4L)
+
   case class Loaded(
       alias: String,
       dbName: String,
@@ -86,7 +134,23 @@ object ConfigLoader {
       /** signed east-of-UTC seconds from reader.db-timezone (validated —
         * an unparseable zone throws, like the reference's startup). */
       dbTimezoneSec: Int,
-      pathMapping: Seq[(String, String)])
+      pathMapping: Seq[(String, String)],
+      /** reader.type: online | offline | batch (2.reader.adoc). */
+      readerMode: String = "batch",
+      /** reader.redo-log — the FULL list (batch mode processes them in
+        * order; `config.source.path` keeps the head for single-path
+        * callers). */
+      redoLogs: Seq[String] = Nil,
+      start: StartPosition = StartPosition(),
+      /** reader.host-timezone / log-timezone seconds east of UTC; None =
+        * the host default (the reference's fallback). */
+      hostTimezoneSec: Option[Int] = None,
+      logTimezoneSec: Option[Int] = None,
+      /** reader.disable-checks bitmask (capture-layer checks the
+        * pre-decoded feed replaces; surfaced, not silently dropped). */
+      disableChecks: Int = 0,
+      state: StateConf = StateConf(),
+      memory: MemoryConf = MemoryConf())
 
   private def jint(v: JValue, dflt: Int = 0): Int = v match {
     case JInt(n) => n.toInt
@@ -103,8 +167,21 @@ object ConfigLoader {
     case _ => dflt
   }
   private def bit(v: Int, b: Int): Boolean = (v & b) != 0
+  private def joptLong(v: JValue): Option[Long] = v match {
+    case JInt(n) => Some(n.toLong)
+    case JLong(n) => Some(n)
+    case _ => None
+  }
+  private def joptStr(v: JValue): Option[String] = v match {
+    case JString(s) if s.nonEmpty => Some(s)
+    case _ => None
+  }
+  private def cfgRequire(ok: Boolean, msg: => String): Unit =
+    if (!ok) throw new IllegalArgumentException(msg) // ConfigurationException
 
-  def load(json: String, dict: Dictionary): Loaded = {
+  /** `now` is injectable so `start-time-rel` resolution is testable. */
+  def load(json: String, dict: Dictionary,
+      now: () => Long = () => System.currentTimeMillis()): Loaded = {
     val root = JsonMethods.parse(json)
     val src = (root \ "source") match {
       case JArray(xs) if xs.nonEmpty => xs.head
@@ -124,11 +201,80 @@ object ConfigLoader {
       case _ => Nil
     }
     // batch readers name their input; online mode watches a directory
-    val srcPath = (reader \ "redo-log") match {
-      case JArray(xs) if xs.nonEmpty => jstr(xs.head)
-      case JString(s) => s
-      case _ => ""
+    val redoLogs = (reader \ "redo-log") match {
+      case JArray(xs) => xs.map(jstr(_)).filter(_.nonEmpty)
+      case JString(s) if s.nonEmpty => Seq(s)
+      case _ => Nil
     }
+    val srcPath = redoLogs.headOption.getOrElse("")
+    val readerMode = jstr(reader \ "type", "batch")
+    cfgRequire(Set("online", "offline", "batch")(readerMode),
+      s"""bad JSON, invalid "type" value: $readerMode""") // 30001
+    cfgRequire(redoLogs.isEmpty || readerMode == "batch",
+      """bad JSON, "redo-log" is only valid for "batch" type""") // 30001
+
+    // ---- start position (2.reader.adoc) ----------------------------------
+    val start = StartPosition(
+      scn = joptLong(reader \ "start-scn"),
+      seq = joptLong(reader \ "start-seq"),
+      time = joptStr(reader \ "start-time"),
+      timeRel = joptLong(reader \ "start-time-rel"))
+    // the reference's mutual-exclusion rules (ReplicatorOnline startup)
+    cfgRequire(start.timeRel.isEmpty || start.scn.isEmpty,
+      """bad JSON, "start-time-rel" is mutually exclusive with "start-scn"""")
+    cfgRequire(start.time.isEmpty || (start.scn.isEmpty && start.timeRel.isEmpty),
+      """bad JSON, "start-time" is mutually exclusive with "start-scn" and "start-time-rel"""")
+    // absolute "YYYY-MM-DD HH24:MI:SS" is wall time in the DB zone; the
+    // relative form counts back from now. Either resolves to epoch nanos
+    // against the feed's record clock (ChangeEvent.tm).
+    val startTmNanos: Option[Long] = start.time.map { t =>
+      val ldt = java.time.LocalDateTime.parse(t,
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      ldt.toEpochSecond(java.time.ZoneOffset.ofTotalSeconds(dbTzSec)) *
+        1000000000L
+    }.orElse(start.timeRel.map(rel => (now() / 1000L - rel) * 1000000000L))
+
+    // ---- timezones beyond db-timezone ------------------------------------
+    def tzOpt(key: String): Option[Int] = joptStr(reader \ key).map { z =>
+      OracleCodecs.parseTzOffset(z).getOrElse(
+        throw new IllegalArgumentException(s"unparseable $key: $z"))
+    }
+    val hostTzSec = tzOpt("host-timezone")
+    val logTzSec = tzOpt("log-timezone")
+    val disableChecks = jint(reader \ "disable-checks")
+
+    // ---- memory + transaction-max-mb (9.memory.adoc + 2.reader.adoc) -----
+    val memJ = src \ "memory"
+    val memMaxMb = jlong(memJ \ "max-mb", 2048L)
+    val memory = MemoryConf(
+      minMb = jlong(memJ \ "min-mb", 32L),
+      maxMb = memMaxMb,
+      swapPath = jstr(memJ \ "swap-path", "./tmp"),
+      swapMb = jlong(memJ \ "swap-mb", memMaxMb * 3L / 4L),
+      readBufferMaxMb =
+        jlong(memJ \ "read-buffer-max-mb", math.min(memMaxMb / 8L, 128L)),
+      readBufferMinMb = jlong(memJ \ "read-buffer-min-mb", 4L),
+      writeBufferMaxMb =
+        jlong(memJ \ "write-buffer-max-mb", math.min(memMaxMb, 2048L)),
+      writeBufferMinMb = jlong(memJ \ "write-buffer-min-mb", 4L),
+      unswapBufferMinMb = jlong(memJ \ "unswap-buffer-min-mb", 4L))
+    cfgRequire(memory.minMb <= memory.maxMb,
+      s"""bad JSON, invalid "min-mb" value: ${memory.minMb}, bigger than "max-mb"""")
+    val txnMaxMb = jlong(reader \ "transaction-max-mb")
+    cfgRequire(txnMaxMb <= memory.maxMb, // OpenLogReplicator.cpp:600-605
+      s"""bad JSON, invalid "transaction-max-mb" value: $txnMaxMb, bigger than "max-mb"""")
+
+    // ---- state element (11.state.adoc) -----------------------------------
+    val stJ = src \ "state"
+    val state = StateConf(
+      stateType = jstr(stJ \ "type", "disk"),
+      path = jstr(stJ \ "path", "checkpoint"),
+      intervalMb = jlong(stJ \ "interval-mb", 500L),
+      intervalS = jlong(stJ \ "interval-s", 600L),
+      keepCheckpoints = jint(stJ \ "keep-checkpoints", 100),
+      schemaForceInterval = jint(stJ \ "schema-force-interval", 20))
+    cfgRequire(state.stateType == "disk",
+      s"""bad JSON, invalid "type" value: ${state.stateType}""") // only disk
 
     // ----- filter / table rules -------------------------------------------
     val filter = src \ "filter"
@@ -240,19 +386,41 @@ object ConfigLoader {
       case _ => None
     }
     val writer = tgt.map(_ \ "writer").flatMap { w =>
+      val queueSize = jint(w \ "queue-size", 65536)
+      cfgRequire(queueSize >= 1 && queueSize <= 1000000,
+        s"""bad JSON, invalid "queue-size" value: $queueSize""")
+      val pollUs = jlong(w \ "poll-interval-us", 100000L)
+      cfgRequire(pollUs >= 100L && pollUs <= 3600000000L,
+        s"""bad JSON, invalid "poll-interval-us" value: $pollUs""")
       jstr(w \ "type") match {
-        case "file" => Some(FileWriterSpec(
-          jstr(w \ "output"), jlong(w \ "max-file-size"),
-          jint(w \ "new-line", 1), jint(w \ "append", 1) == 1))
-        case "kafka" => Some(KafkaWriterSpec(
-          jstr(w \ "brokers"), jstr(w \ "topic"),
-          (w \ "properties") match {
-            case JObject(fields) =>
-              fields.map { case (k, v) => k -> jstr(v, v.toString) }.toMap
-            case _ => Map.empty
-          }))
+        case "file" =>
+          val newLine = jint(w \ "new-line") // reference default: none (0)
+          cfgRequire(newLine >= 0 && newLine <= 2,
+            s"""bad JSON, invalid "new-line" value: $newLine""")
+          val flushSize = jlong(w \ "write-buffer-flush-size", 1048576L)
+          cfgRequire(flushSize >= 0L && flushSize <= 1048576L,
+            s"""bad JSON, invalid "write-buffer-flush-size" value: $flushSize""")
+          Some(FileWriterSpec(
+            jstr(w \ "output"), jlong(w \ "max-file-size"),
+            newLine, jint(w \ "append", 1) == 1,
+            timestampFormat = jstr(w \ "timestamp-format", "%F_%T"),
+            writeBufferFlushSize = flushSize))
+        case "kafka" =>
+          val maxMsgMb = jint(w \ "max-message-mb", 100)
+          cfgRequire(maxMsgMb >= 1 && maxMsgMb <= 953, // 8.writer.adoc range
+            s"""bad JSON, invalid "max-message-mb" value: $maxMsgMb""")
+          Some(KafkaWriterSpec(
+            jstr(w \ "brokers"), jstr(w \ "topic"),
+            (w \ "properties") match {
+              case JObject(fields) =>
+                fields.map { case (k, v) => k -> jstr(v, v.toString) }.toMap
+              case _ => Map.empty
+            },
+            maxMessageMb = maxMsgMb, queueSize = queueSize,
+            pollIntervalUs = pollUs))
         case t @ ("network" | "zeromq") =>
-          Some(NetworkWriterSpec(jstr(w \ "uri"), t))
+          Some(NetworkWriterSpec(jstr(w \ "uri"), t,
+            queueSize = queueSize, pollIntervalUs = pollUs))
         case "discard" => Some(DiscardWriterSpec)
         case _ => None
       }
@@ -285,14 +453,18 @@ object ConfigLoader {
       alias = alias,
       dbName = dbName,
       config = Pipeline.Config(
-        source = Pipeline.SourceConfig(path = srcPath),
+        source = Pipeline.SourceConfig(path = srcPath,
+          startScn = start.scn, startSeq = start.seq,
+          startTm = startTmNanos),
         dict = new Dictionary(tables, selectors),
         assembly = TxnAssembly.Config(
-          skipXids = skipXids, dumpXids = dumpXids),
+          skipXids = skipXids, dumpXids = dumpXids,
+          maxBytesPerTxn = txnMaxMb * 1024L * 1024L),
         materialize = materialize,
         envelope = envelope,
         wireFormat = if (fmtType == "protobuf") "proto" else "json",
-        messageFull = bit(msgV, 1)), // MESSAGE_FORMAT::FULL
+        messageFull = bit(msgV, 1), // MESSAGE_FORMAT::FULL
+        snapshotKeep = state.keepCheckpoints),
       writer = writer,
       metrics = metricsConf,
       debug = debugConf,
@@ -303,6 +475,14 @@ object ConfigLoader {
       intervalDts = jint(fmt \ "interval-dts"),
       intervalYtm = jint(fmt \ "interval-ytm"),
       dbTimezoneSec = dbTzSec,
-      pathMapping = pathMapping)
+      pathMapping = pathMapping,
+      readerMode = readerMode,
+      redoLogs = redoLogs,
+      start = start,
+      hostTimezoneSec = hostTzSec,
+      logTimezoneSec = logTzSec,
+      disableChecks = disableChecks,
+      state = state,
+      memory = memory)
   }
 }

@@ -14,7 +14,18 @@ object Pipeline {
   case class SourceConfig(
       path: String,
       format: String = "json", // json | parquet
-      maxFilesPerTrigger: Int = 100)
+      maxFilesPerTrigger: Int = 100,
+      /** reader start position (2.reader.adoc `start-scn`/`start-seq`/
+        * `start-time`): drop feed records below the bound before assembly
+        * (the reference starts reading redo at that position; for a
+        * pre-decoded feed the analogue is a pushdown-friendly filter —
+        * plain scn/seq/tm predicates reach the parquet/DSv2 scan).
+        * `startTm` is epoch NANOS matched against [[ChangeEvent.tm]]
+        * (the reference's TIMESTAMP_TO_SCN needs a live database; a feed
+        * carries the record clock instead). None = begin at the feed. */
+      startScn: Option[Long] = None,
+      startSeq: Option[Long] = None,
+      startTm: Option[Long] = None)
 
   case class Config(
       source: SourceConfig,
@@ -28,7 +39,24 @@ object Pipeline {
       wireFormat: String = "json",
       /** MESSAGE_FORMAT::FULL: one message per transaction with the DML
         * payload array ([[Envelope.toTxnMessages]]); json wire only. */
-      messageFull: Boolean = false)
+      messageFull: Boolean = false,
+      /** state element `keep-checkpoints` (11.state.adoc, default 100 —
+        * the reference's checkpoint-file retention): how many dictionary
+        * snapshots [[streamWithEvolution]] keeps on disk. */
+      snapshotKeep: Int = 100)
+
+  /** Apply the configured start position as a source-level filter (plain
+    * column predicates → pushed to the scan). Public seam: feed adapters
+    * outside this pipeline apply the same bound the same way. */
+  def fromStart(events: Dataset[ChangeEvent],
+      src: SourceConfig): Dataset[ChangeEvent] = {
+    import org.apache.spark.sql.functions.col
+    var ds = events
+    src.startScn.foreach(b => ds = ds.filter(col("scn") >= b))
+    src.startSeq.foreach(b => ds = ds.filter(col("seq") >= b))
+    src.startTm.foreach(b => ds = ds.filter(col("tm") >= b))
+    ds
+  }
 
   /** Batch replay (entry point B): deterministic input → deterministic
     * output; the golden-test mode. */
@@ -38,7 +66,7 @@ object Pipeline {
       case "parquet" => EventSource.batchParquet(spark, cfg.source.path)
       case _ => EventSource.batchJson(spark, cfg.source.path)
     }
-    run(events, cfg, streaming = false)
+    run(fromStart(events, cfg.source), cfg, streaming = false)
   }
 
   /** Continuous replication (entry point A). */
@@ -46,7 +74,7 @@ object Pipeline {
     implicit val s: SparkSession = spark
     val events = EventSource.streamJson(spark, cfg.source.path,
       cfg.source.maxFilesPerTrigger)
-    run(events, cfg, streaming = true)
+    run(fromStart(events, cfg.source), cfg, streaming = true)
   }
 
   /** §1.2 streaming control path: the SAME stream carries user DML and
@@ -77,7 +105,8 @@ object Pipeline {
       SchemaEvolution.restoreLatest(dictDir).getOrElse(cfg.dict)
     val events = EventSource.streamJson(spark, cfg.source.path,
       cfg.source.maxFilesPerTrigger)
-    val messages = TxnAssembly.assembleStream(events, cfg.assembly)
+    val messages =
+      TxnAssembly.assembleStream(fromStart(events, cfg.source), cfg.assembly)
     messages.writeStream
       .option("checkpointLocation", checkpointLocation)
       .outputMode("append")
@@ -93,7 +122,8 @@ object Pipeline {
         // batch 0 always snapshots so restore never falls back to a
         // possibly-stale cfg.dict once the stream has run
         if ((dict ne before) || batchId == 0L)
-          SchemaEvolution.checkpoint(dictDir, batchId, dict)
+          SchemaEvolution.checkpoint(dictDir, batchId, dict,
+            keep = cfg.snapshotKeep)
         val user = batch.filter(!col("obj").isin(sysObjs: _*))
         val enriched = Materialize(user, dict, cfg.materialize)
         sink(envelopeTail(enriched, cfg, streaming = true), batchId)

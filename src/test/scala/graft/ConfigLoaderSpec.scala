@@ -219,4 +219,138 @@ class ConfigLoaderSpec extends AnyFunSuite {
       ConfigLoader.load(json.replace("\"all\"", "\"bogus\""), dict)
     }
   }
+
+  // base document for the reader/state/memory knob tests
+  private def docWith(reader: String, extra: String = ""): String =
+    s"""{"source": [{"alias": "S", "name": "D",
+       |  "reader": {$reader},
+       |  "format": {"type": "json"}, "filter": {"table": []}$extra}]}"""
+      .stripMargin
+
+  test("reader start position: start-scn/start-seq land on the source " +
+      "config as pushdown bounds; start-time resolves in the db zone") {
+    val l = ConfigLoader.load(docWith(
+      """"type": "batch", "redo-log": ["/f"], "start-scn": 5000,
+        | "start-seq": 7""".stripMargin), dict)
+    assert(l.config.source.startScn.contains(5000L))
+    assert(l.config.source.startSeq.contains(7L))
+    assert(l.config.source.startTm.isEmpty)
+    // absolute start-time: wall time in db-timezone → epoch nanos
+    val lt = ConfigLoader.load(docWith(
+      """"type": "online", "db-timezone": "+02:00",
+        | "start-time": "2024-01-01 02:00:00"""".stripMargin), dict)
+    assert(lt.config.source.startTm.contains(
+      java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .getEpochSecond * 1000000000L))
+    // relative: now minus rel seconds (injectable clock)
+    val lr = ConfigLoader.load(docWith(
+      """"type": "online", "start-time-rel": 100"""),
+      dict, now = () => 1000000000L * 1000L) // epoch ms
+    assert(lr.config.source.startTm.contains(
+      (1000000000L - 100L) * 1000000000L))
+    // the reference's mutual exclusions (ReplicatorOnline startup checks)
+    intercept[IllegalArgumentException](ConfigLoader.load(docWith(
+      """"type": "online", "start-scn": 1, "start-time-rel": 5"""), dict))
+    intercept[IllegalArgumentException](ConfigLoader.load(docWith(
+      """"type": "online", "start-scn": 1,
+        | "start-time": "2024-01-01 00:00:00"""".stripMargin), dict))
+  }
+
+  test("reader validations: type whitelist, redo-log batch-only, " +
+      "host/log timezone parse, disable-checks surfaced") {
+    intercept[IllegalArgumentException](
+      ConfigLoader.load(docWith(""""type": "bogus""""), dict))
+    intercept[IllegalArgumentException](ConfigLoader.load(docWith(
+      """"type": "online", "redo-log": ["/f"]"""), dict))
+    val l = ConfigLoader.load(docWith(
+      """"type": "batch", "redo-log": ["/a", "/b"],
+        | "host-timezone": "+05:30", "log-timezone": "-03:00",
+        | "disable-checks": 12""".stripMargin), dict)
+    assert(l.readerMode == "batch" && l.redoLogs == Seq("/a", "/b") &&
+      l.config.source.path == "/a")
+    assert(l.hostTimezoneSec.contains(5 * 3600 + 30 * 60))
+    assert(l.logTimezoneSec.contains(-3 * 3600))
+    assert(l.disableChecks == 12)
+    intercept[IllegalArgumentException](ConfigLoader.load(docWith(
+      """"type": "batch", "redo-log": ["/f"], "host-timezone": "junk""""),
+      dict))
+  }
+
+  test("transaction-max-mb wires the byte drop rule and validates " +
+      "against memory.max-mb (OpenLogReplicator.cpp:600-605)") {
+    val l = ConfigLoader.load(docWith(
+      """"type": "batch", "redo-log": ["/f"], "transaction-max-mb": 64"""),
+      dict)
+    assert(l.config.assembly.maxBytesPerTxn == 64L * 1024 * 1024)
+    // over the memory arena cap → 30001
+    intercept[IllegalArgumentException](ConfigLoader.load(docWith(
+      """"type": "batch", "redo-log": ["/f"], "transaction-max-mb": 4096"""),
+      dict))
+    // explicit memory element raises the cap
+    val l2 = ConfigLoader.load(docWith(
+      """"type": "batch", "redo-log": ["/f"], "transaction-max-mb": 4096""",
+      extra = """, "memory": {"max-mb": 8192}"""), dict)
+    assert(l2.config.assembly.maxBytesPerTxn == 4096L * 1024 * 1024)
+    assert(l2.memory.maxMb == 8192L)
+    // derived memory defaults follow max-mb (9.memory.adoc formulas)
+    assert(l2.memory.swapMb == 8192L * 3 / 4 &&
+      l2.memory.readBufferMaxMb == 128L && l2.memory.writeBufferMaxMb == 2048L)
+    intercept[IllegalArgumentException](ConfigLoader.load(docWith(
+      """"type": "batch", "redo-log": ["/f"]""",
+      extra = """, "memory": {"max-mb": 64, "min-mb": 128}"""), dict))
+  }
+
+  test("state element: reference defaults, disk-only validation, " +
+      "keep-checkpoints drives the snapshot retention") {
+    val l = ConfigLoader.load(docWith(
+      """"type": "batch", "redo-log": ["/f"]"""), dict)
+    assert(l.state == ConfigLoader.StateConf()) // 11.state.adoc defaults
+    assert(l.config.snapshotKeep == 100)
+    val l2 = ConfigLoader.load(docWith(
+      """"type": "batch", "redo-log": ["/f"]""",
+      extra = """, "state": {"type": "disk", "path": "/ckpt",
+                |   "interval-mb": 100, "interval-s": 60,
+                |   "keep-checkpoints": 7, "schema-force-interval": 3}"""
+        .stripMargin), dict)
+    assert(l2.state == ConfigLoader.StateConf("disk", "/ckpt", 100L, 60L, 7, 3))
+    assert(l2.config.snapshotKeep == 7)
+    intercept[IllegalArgumentException](ConfigLoader.load(docWith(
+      """"type": "batch", "redo-log": ["/f"]""",
+      extra = """, "state": {"type": "s3"}"""), dict))
+  }
+
+  test("writer knobs: file timestamp-format/flush-size/new-line range, " +
+      "kafka max-message-mb/queue-size ranges") {
+    def doc(writer: String): String =
+      s"""{"source": [{"alias": "S", "name": "D",
+         |  "reader": {"type": "batch", "redo-log": ["/f"]},
+         |  "format": {"type": "json"}, "filter": {"table": []}}],
+         |  "target": [{"alias": "T", "source": "S", "writer": {$writer}}]}"""
+        .stripMargin
+    val f = ConfigLoader.load(doc(
+      """"type": "file", "output": "o-%t.json", "max-file-size": 100,
+        | "append": 0, "timestamp-format": "%Y%m%d",
+        | "write-buffer-flush-size": 4096""".stripMargin), dict)
+    assert(f.writer.contains(ConfigLoader.FileWriterSpec("o-%t.json", 100L,
+      0, append = false, timestampFormat = "%Y%m%d",
+      writeBufferFlushSize = 4096L)))
+    assert(f.writer.get.asInstanceOf[ConfigLoader.FileWriterSpec]
+      .newLineStr == "") // reference default new-line: none
+    intercept[IllegalArgumentException](ConfigLoader.load(doc(
+      """"type": "file", "output": "o.json", "new-line": 3"""), dict))
+    val k = ConfigLoader.load(doc(
+      """"type": "kafka", "brokers": "b:9092", "topic": "t",
+        | "max-message-mb": 10, "queue-size": 1000,
+        | "poll-interval-us": 50000""".stripMargin), dict)
+    assert(k.writer.contains(ConfigLoader.KafkaWriterSpec("b:9092", "t",
+      Map.empty, maxMessageMb = 10, queueSize = 1000,
+      pollIntervalUs = 50000L)))
+    intercept[IllegalArgumentException](ConfigLoader.load(doc(
+      """"type": "kafka", "brokers": "b", "topic": "t",
+        | "max-message-mb": 954""".stripMargin), dict))
+    intercept[IllegalArgumentException](ConfigLoader.load(doc(
+      """"type": "network", "uri": "h:9", "queue-size": 0"""), dict))
+    intercept[IllegalArgumentException](ConfigLoader.load(doc(
+      """"type": "network", "uri": "h:9", "poll-interval-us": 10"""), dict))
+  }
 }

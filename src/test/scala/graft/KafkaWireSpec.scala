@@ -86,6 +86,31 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("max-message-mb: a send over the cap splits into several produce " +
+      "requests (8.writer.adoc split rule); all records arrive in order") {
+    val broker = new MockKafkaBroker
+    try {
+      // ~47 bytes/record vs a 160-byte cap → 10 records need > 1 request
+      val w = new KafkaDirectWriter("127.0.0.1", broker.port, "events",
+        maxMessageBytes = 160L)
+      try {
+        val recs = (0 until 10).map(i =>
+          (s"k$i".getBytes(UTF_8), s"value-$i".getBytes(UTF_8)))
+        val base = w.send(recs)
+        assert(base == 0L) // first chunk's base offset = the send's base
+        assert(broker.produceRequests.get() > 1,
+          s"expected a split, got ${broker.produceRequests.get()} request")
+        assert(broker.records.map(r => new String(r._4, UTF_8)) ==
+          (0 until 10).map(i => s"value-$i"))
+        // under the cap: exactly one request
+        val before = broker.produceRequests.get()
+        val w2 = new KafkaDirectWriter("127.0.0.1", broker.port, "events")
+        try w2.send(recs) finally w2.close()
+        assert(broker.produceRequests.get() == before + 1)
+      } finally w.close()
+    } finally broker.close()
+  }
+
   test("malformed wire input: bad frame lengths refuse before allocation, " +
       "corrupt batches answer error 2, broker thread survives") {
     // negative / multi-GB frame length prefixes must throw BEFORE any

@@ -127,6 +127,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q175_partition_resolve"     -> 0, // q06 shape: scan -> broadcast dict join (alias rows only widen the dim side)
     "q176_vendor8_decode"        -> 0, // q174 shape: scan -> broadcast dict join -> in-row vendor-page decode
     "q177_mm_png_decode"         -> 0, // scan -> mapPartitions encode -> mapPartitions decode; payloads never shuffle
+    "q178_start_position"        -> 1, // start-scn filter prunes AT THE SCAN (pushed predicate), then the q10-shape xid assembly exchange
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
     "q136_curation_e2e"          -> 2, // sample top-k + manifest agg; exact-dedup/LSH/quality stages pinned by localCheckpoint at construction (q46 caveat)
     "q13_codecs"                 -> 0,

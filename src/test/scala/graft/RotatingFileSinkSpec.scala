@@ -65,7 +65,8 @@ class RotatingFileSinkSpec extends AnyFunSuite {
     assert(read(dir, "out.1.json") == "x\n")
   }
 
-  test("timestamp mode names files from the clock at switch time") {
+  test("timestamp mode names files from the clock at switch time, " +
+      "rendered by timestamp-format (reference default %F_%T)") {
     val dir = tmp()
     var now = 1000L
     val w = new RotatingFileWriter(s"$dir/log-%t.json", maxFileSize = 20,
@@ -73,7 +74,38 @@ class RotatingFileSinkSpec extends AnyFunSuite {
     w.write("mmmmmmmm1"); w.write("mmmmmmmm2")
     now = 2000L
     w.write("mmmmmmmm3") // overflow → new file at new timestamp
-    assert(names(dir) == Seq("log-1000.json", "log-2000.json"))
+    assert(names(dir) == Seq("log-1970-01-01_00:00:01.json",
+      "log-1970-01-01_00:00:02.json"))
+  }
+
+  test("timestamp-format: custom strftime pattern + %s epoch + unknown " +
+      "specifier passes through literally (glibc behavior)") {
+    val dir = tmp()
+    val w = new RotatingFileWriter(s"$dir/out-%t.json", maxFileSize = 1000,
+      clock = () => 86400000L, timestampFormat = "%Y%m%d-%H%M%S")
+    w.write("x")
+    assert(names(dir) == Seq("out-19700102-000000.json"))
+    assert(graft.sinks.Strftime.format("%s", 1500L) == "1")
+    assert(graft.sinks.Strftime.format("%q%%", 0L) == "%q%")
+    assert(graft.sinks.Strftime.format("%F_%T", 0L) == "1970-01-01_00:00:00")
+    assert(graft.sinks.Strftime.format("%y.%j.%e", 0L) == "70.001. 1")
+  }
+
+  test("write-buffer-flush-size: messages buffer until the threshold, " +
+      "rotation flushes the outgoing file's tail first") {
+    val dir = tmp()
+    val w = new RotatingFileWriter(s"$dir/b.%i.json", maxFileSize = 30,
+      flushSize = 15)
+    w.write("aaaa") // 5 bytes buffered, below threshold: not on disk yet
+    assert(new java.io.File(dir, "b.0.json").length() == 0L)
+    w.write("bbbbbbbbbb") // 11 more → 16 ≥ 15: flushes
+    assert(read(dir, "b.0.json") == "aaaa\nbbbbbbbbbb\n")
+    w.write("cccc") // buffered again
+    w.write("ddddddddddddd") // would overflow 30: rotate — the buffered
+    // "cccc" must land in the OLD file before the switch
+    assert(read(dir, "b.0.json") == "aaaa\nbbbbbbbbbb\ncccc\n")
+    w.flush() // end-of-batch flush drains the new file's buffer
+    assert(read(dir, "b.1.json") == "ddddddddddddd\n")
   }
 
   test("sequence mode switches files on redo-sequence change") {

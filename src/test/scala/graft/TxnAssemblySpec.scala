@@ -109,6 +109,31 @@ class TxnAssemblySpec extends AnyFunSuite {
     assert(run(events, Config(maxOpsPerTxn = 5)).size == 5)
   }
 
+  test("T5 byte form (transaction-max-mb, Parser.cpp:611-620): the " +
+      "accumulated-size rule drops + skips exactly like the op-count rule") {
+    val events = (1L to 5L).map(i => ev(i, Op.Ins)) :+ ev(6, Op.Commit)
+    val opSize = ev(1, Op.Ins).approxSize.toLong
+    // cap below 5 ops' bytes → dropped whole; at/above → all 5 emit
+    assert(run(events, Config(maxBytesPerTxn = 3 * opSize)).isEmpty)
+    assert(run(events, Config(maxBytesPerTxn = 5 * opSize + 1)).size == 5)
+    // partial rollback returns its op's bytes: 5 INS + 1 cancel fits a
+    // 5-op budget again (the freed op's size is reclaimed)
+    val withPr = (1L to 5L).map(i => ev(i, Op.Ins)) ++
+      Seq(ev(6, Op.PartialRollback), ev(7, Op.Ins), ev(8, Op.Commit))
+    assert(run(withPr, Config(maxBytesPerTxn = 5 * opSize + 1)).size == 5)
+    // a commit resets the budget: two small txns pass under a cap one
+    // combined txn would blow
+    val twoTxns = Seq(ev(1, Op.Ins), ev(2, Op.Ins), ev(3, Op.Commit),
+      ev(4, Op.Ins), ev(5, Op.Ins), ev(6, Op.Commit))
+    assert(run(twoTxns, Config(maxBytesPerTxn = 2 * opSize + 1)).size == 4)
+    // thaw recomputes bytes from ops (checkpoint round-trip keeps the rule)
+    val st = TxnState.empty
+    Seq(ev(1, Op.Ins), ev(2, Op.Ins)).foreach(e =>
+      TxnAssembly.onEvent(e.xid, e, st, Config()))
+    assert(TxnAssembly.TxnStateData.freeze(st).thaw.bytes == st.bytes &&
+      st.bytes == 2 * opSize)
+  }
+
   test("T8: skip-listed xid emits nothing") {
     val out = run(Seq(ev(1, Op.Ins), ev(2, Op.Commit)),
       Config(skipXids = Set("1.0.1")))
