@@ -74,6 +74,149 @@ object TextOps {
     * that forms the buckets. */
   private[graft] val DefaultBandCap = 64
 
+  /** Repeated-substring spans — the ExactSubstr dedup of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) re-expressed for Spark. The monolithic version
+    * builds one suffix array over the whole corpus; here the same
+    * "character run that appears more than once anywhere" signal comes
+    * from fixed-width windows at a stride: window content that occurs
+    * ≥2 times corpus-wide (cross-doc OR within-doc) marks its positions,
+    * and overlapping/adjacent marked windows merge into maximal
+    * duplicated spans per doc (classic interval-island merge via a
+    * running-max window function).
+    *
+    * Scale shape: one exchange keyed by window hash (corpus-wide
+    * occurrence count + the mark join reuse it) and one keyed by doc_id
+    * (span merge) — no pairwise join, nothing quadratic, and window
+    * payloads shuffle as 32-byte md5 hex, never text. Stride trades
+    * recall for cost linearly (stride=1 ≡ every start position, the
+    * paper's granularity); `w` is the minimum duplicated-run length
+    * detected, like the paper's 50-token threshold. */
+  private[graft] def substringSpanList(docs: DataFrame, w: Int,
+      stride: Int): DataFrame =
+    markAndMerge(w, docs
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.stridedWindows(
+          col("text"), w, stride)).as("win"))
+      .select(col("doc_id"), col("win.p").as("p"), col("win.h").as("h")))
+
+  /** Winnowed window starts (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS /
+    * content-defined-chunking idea): instead of a fixed stride grid, a
+    * position starts a window when the k-gram JUST BEFORE it hashes
+    * under a threshold. Anchors depend only on local content, so a
+    * substring shared at DIFFERENT offsets in two docs still yields the
+    * same relative anchor positions — the recall hole of stride
+    * sampling (duplicates at non-grid-aligned offsets are invisible)
+    * closes, at the same expected sampling rate (threshold "1a" ≈
+    * 26/256 ≈ 1/10 of positions ≈ stride 10). Position 1 is always an
+    * anchor so equal-offset duplicates keep q179's floor. The per-
+    * position md5 is the inherent winnowing scan cost — per-row CPU at
+    * the scan, nothing extra shuffles. Shape note: that cost lives in
+    * the one-pass [[graft.functions.TextNative.winnowedWindows]] kernel
+    * (reused digest, byte loops); the Column formulations (HOF `filter`
+    * lambda, and explode + codegen'd `md5(substr)` WHERE) allocate a
+    * digest + string copy per POSITION and measured 22× / 10× the
+    * oracle respectively — the kernel runs under it. `thresh` is two
+    * lowercase hex digits, compared against the first digest byte. */
+  private[graft] def winnowedSpanList(docs: DataFrame, w: Int, k: Int,
+      thresh: String): DataFrame =
+    markAndMerge(w, docs
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.winnowedWindows(
+          col("text"), w, k, Integer.parseInt(thresh, 16))).as("win"))
+      .select(col("doc_id"), col("win.p").as("p"), col("win.h").as("h")))
+
+  /** Shared tail of the ExactSubstr family: corpus-wide duplicate
+    * marking + per-doc interval-island merge into maximal spans, over a
+    * (doc_id, p, h) window table. */
+  private def markAndMerge(w: Int, wins: DataFrame): DataFrame = {
+    // corpus-wide occurrence count; ≥2 = duplicated content. count(*)
+    // (not countDistinct(doc_id)) so a run repeated WITHIN one doc also
+    // marks — the paper's semantics.
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select("h")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val prevMaxEnd = max(col("pe")).over(
+      byDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1))
+    wins.join(dup, Seq("h"))
+      .select(col("doc_id"), col("p"), (col("p") + (w - 1)).as("pe"))
+      // island break: this window starts past the furthest end seen so
+      // far +1 → a gap, new span
+      .withColumn("brk",
+        when(col("p") > coalesce(prevMaxEnd, lit(-1)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("g", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min("p").as("span_start"), max("pe").as("span_end"))
+  }
+
+  private def spanInventory(spanList: DataFrame): DataFrame =
+    spanList
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_chars"),
+        min("span_start").cast("long").as("first_span"))
+
+  /** q179's per-doc span inventory over [[substringSpanList]]. */
+  private[graft] def substringSpans(docs: DataFrame, w: Int,
+      stride: Int): DataFrame =
+    spanInventory(substringSpanList(docs, w, stride))
+
+  /** q181: the same inventory over winnowed (content-anchored) window
+    * starts — shift-robust where q179's stride grid is not. */
+  private[graft] def winnowedSpans(docs: DataFrame, w: Int, k: Int,
+      thresh: String): DataFrame =
+    spanInventory(winnowedSpanList(docs, w, k, thresh))
+
+  /** The CUT step of ExactSubstr dedup: remove every duplicated span from
+    * every doc (the paper drops one side of each duplicate pair; cutting
+    * all marked extents is the deterministic, order-free variant — no
+    * "which copy survives" coordination across executors, which is what
+    * makes this formulation cluster-safe). Kept text = the segments
+    * between spans, stitched per doc: each span contributes the gap
+    * before it (`lag(span_end)`-bounded substring), the tail rides from
+    * `max(span_end)`. Docs with no spans pass through on a left join.
+    * Spans arrive MERGED and disjoint from [[substringSpanList]], so
+    * segment arithmetic never overlaps; per-doc stitch order is pinned by
+    * `sort_array` over (span_start, seg) structs, not collect order. */
+  private[graft] def substringCut(docs: DataFrame, w: Int,
+      stride: Int): DataFrame = {
+    // spans fold into one sorted array per doc BEFORE touching text, so
+    // the heavy payload shuffles exactly once (the left join below);
+    // the groupBy rides the span list's existing doc_id partitioning.
+    val spanArr = substringSpanList(docs, w, stride)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("spans"))
+    // stitch = one in-row fold over the (few, merged, disjoint) spans:
+    // each span appends the gap before it, the finisher appends the
+    // tail. A higher-order aggregate (CodegenFallback) is the right
+    // trade here — rows carry ≤ spans-per-doc elements and the
+    // alternative costs a second corpus-wide text exchange.
+    val cutExpr = aggregate(
+      col("spans"),
+      struct(lit(1).as("pos"), lit("").as("acc")),
+      (st, sp) => struct(
+        (sp.getField("span_end") + 1).as("pos"),
+        concat(st.getField("acc"),
+          col("text").substr(st.getField("pos"),
+            sp.getField("span_start") - st.getField("pos"))).as("acc")),
+      st => concat(st.getField("acc"),
+        col("text").substr(st.getField("pos"), length(col("text")))))
+    docs.select(col("doc_id"), col("text"))
+      .join(spanArr, Seq("doc_id"), "left_outer")
+      .withColumn("clean_text",
+        when(col("spans").isNull, col("text")).otherwise(cutExpr))
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("text")) - length(col("clean_text"))).cast("long")
+          .as("removed_chars"))
+  }
+
   /** Verified near-dup pairs: LSH band-bucket join → candidates → exact
     * Jaccard ≥ 0.5 (shared by q29 and the q46 clustering on top of it). */
   private[graft] def lshVerifiedPairs(docs: DataFrame,
@@ -798,7 +941,32 @@ object TextOps {
             graft.functions.KmvMinima(
               lpad(col("doc_id").cast("string"), 19, "0"), 16),
             x => x.cast("long").cast("string")), ",").as("postings"))
-    })
+    }),
+
+    // Exact substring dedup (Lee et al. 2022): per-doc MAXIMAL duplicated
+    // character spans from 30-char windows at stride 10 — the actionable
+    // complement of q90's span-duplication RATE (q90 reports what
+    // fraction of a doc's token-spans repeat; this reports the merged
+    // [start, end] extents you'd actually cut, via positions + interval-
+    // island merge). See [[substringSpans]] for the scale shape
+    // (hash-shuffled windows, no suffix array, no pairwise join).
+    "q179_substring_spans" -> ((s, dir) =>
+      substringSpans(spread(t(s, dir, "documents")), w = 30, stride = 10)),
+
+    // ...and the CUT: the cleaned corpus with every duplicated span
+    // removed (q80 is to q46 what this is to q179). Same two key
+    // exchanges as q179 plus the doc_id stitch join — text shuffles
+    // exactly once, on doc_id.
+    "q180_substring_cut" -> ((s, dir) =>
+      substringCut(spread(t(s, dir, "documents")), w = 30, stride = 10)),
+
+    // Winnowed (content-anchored) spans: q179 with the stride grid
+    // replaced by Schleimer-et-al anchors, so duplicates at shifted
+    // offsets still align — see [[winnowedPositions]]. Same exchange
+    // shape as q179; the extra cost is per-position md5 AT THE SCAN.
+    "q181_winnowed_spans" -> ((s, dir) =>
+      winnowedSpans(spread(t(s, dir, "documents")), w = 30, k = 4,
+        thresh = "1a"))
   )
 
   // RE2-safe PII patterns, shared verbatim by the Spark plan and the
@@ -1301,6 +1469,107 @@ object TextOps {
          |  CAST(sum(tf) AS BIGINT) AS cf,
          |  array_to_string((list(doc_id ORDER BY doc_id))[1:16], ',')
          |    AS postings
-         |FROM tf GROUP BY tok""".stripMargin
+         |FROM tf GROUP BY tok""".stripMargin,
+
+    "q179_substring_spans" ->
+      """WITH wins AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p,
+        |    md5(substr(text, CAST(p AS INT), 30)) AS h
+        |  FROM documents,
+        |    LATERAL unnest(range(1, length(text) - 29 + 1, 10)) AS t(p)
+        |  WHERE length(text) >= 30),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |marked AS (
+        |  SELECT w.doc_id, w.p, w.p + 29 AS pe FROM wins w JOIN dup USING (h)),
+        |brk AS (
+        |  SELECT doc_id, p, pe,
+        |    CASE WHEN p > coalesce(max(pe) OVER (PARTITION BY doc_id
+        |        ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -1) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM marked),
+        |grps AS (
+        |  SELECT doc_id, p, pe,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM brk),
+        |spans AS (
+        |  SELECT doc_id, min(p) AS span_start, max(pe) AS span_end
+        |  FROM grps GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars,
+        |  CAST(min(span_start) AS BIGINT) AS first_span
+        |FROM spans GROUP BY doc_id""".stripMargin,
+
+    "q180_substring_cut" ->
+      """WITH wins AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p,
+        |    md5(substr(text, CAST(p AS INT), 30)) AS h
+        |  FROM documents,
+        |    LATERAL unnest(range(1, length(text) - 29 + 1, 10)) AS t(p)
+        |  WHERE length(text) >= 30),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |marked AS (
+        |  SELECT w.doc_id, w.p, w.p + 29 AS pe FROM wins w JOIN dup USING (h)),
+        |brk AS (
+        |  SELECT doc_id, p, pe,
+        |    CASE WHEN p > coalesce(max(pe) OVER (PARTITION BY doc_id
+        |        ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -1) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM marked),
+        |grps AS (
+        |  SELECT doc_id, p, pe,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM brk),
+        |spans AS (
+        |  SELECT doc_id, min(p) AS span_start, max(pe) AS span_end
+        |  FROM grps GROUP BY doc_id, g),
+        |segs AS (
+        |  SELECT s.doc_id, s.span_start, s.span_end,
+        |    substr(d.text, s.prev_end + 1, s.span_start - s.prev_end - 1)
+        |      AS seg
+        |  FROM (SELECT doc_id, span_start, span_end,
+        |          coalesce(lag(span_end) OVER (PARTITION BY doc_id
+        |            ORDER BY span_start), 0) AS prev_end
+        |        FROM spans) s JOIN documents d USING (doc_id)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY span_start) AS head,
+        |    max(span_end) AS last_end
+        |  FROM segs GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN a.last_end IS NULL THEN d.text
+        |       ELSE a.head || substr(d.text, a.last_end + 1) END
+        |    AS clean_text,
+        |  CAST(length(d.text) - length(
+        |    CASE WHEN a.last_end IS NULL THEN d.text
+        |         ELSE a.head || substr(d.text, a.last_end + 1) END)
+        |    AS BIGINT) AS removed_chars
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q181_winnowed_spans" ->
+      """WITH wins AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p,
+        |    md5(substr(text, CAST(p AS INT), 30)) AS h
+        |  FROM documents,
+        |    LATERAL unnest(list_filter(range(1, length(text) - 28),
+        |      p -> p = 1 OR (p > 4 AND
+        |        substr(md5(substr(text, p - 4, 4)), 1, 2) < '1a')))
+        |      AS t(p)
+        |  WHERE length(text) >= 30),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |marked AS (
+        |  SELECT w.doc_id, w.p, w.p + 29 AS pe FROM wins w JOIN dup USING (h)),
+        |brk AS (
+        |  SELECT doc_id, p, pe,
+        |    CASE WHEN p > coalesce(max(pe) OVER (PARTITION BY doc_id
+        |        ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -1) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM marked),
+        |grps AS (
+        |  SELECT doc_id, p, pe,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM brk),
+        |spans AS (
+        |  SELECT doc_id, min(p) AS span_start, max(pe) AS span_end
+        |  FROM grps GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars,
+        |  CAST(min(span_start) AS BIGINT) AS first_span
+        |FROM spans GROUP BY doc_id""".stripMargin
   )
 }

@@ -128,6 +128,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q176_vendor8_decode"        -> 0, // q174 shape: scan -> broadcast dict join -> in-row vendor-page decode
     "q177_mm_png_decode"         -> 0, // scan -> mapPartitions encode -> mapPartitions decode; payloads never shuffle
     "q178_start_position"        -> 1, // start-scn filter prunes AT THE SCAN (pushed predicate), then the q10-shape xid assembly exchange
+    "q179_substring_spans"       -> 2, // ONE exchange on the window hash (occurrence agg + mark join reuse it) + ONE on doc_id (span merge window; both tail groupBys ride that partitioning)
+    "q180_substring_cut"         -> 2, // q179's two + the stitch left-join rides them: spans pre-fold to one array/doc, text shuffles ONCE, cut is an in-row fold
+    "q181_winnowed_spans"        -> 2, // q179's shape; winnowed anchor selection is per-row CPU at the scan, adds nothing to the exchange count
     "q135_interval_join"         -> 2, // daily pre-agg + order agg; bounded daily side broadcasts (r7 replan)
     "q136_curation_e2e"          -> 2, // sample top-k + manifest agg; exact-dedup/LSH/quality stages pinned by localCheckpoint at construction (q46 caveat)
     "q13_codecs"                 -> 0,
