@@ -59,6 +59,24 @@ object SelectionOps {
   private val ResampleTau = 2.0
   private val ResampleK = 100
 
+  // ---- q182: interpolated Kneser–Ney bigram LM --------------------------
+  // The actual KenLM/CCNet quality-gate model (Kneser & Ney 1995; Chen &
+  // Goodman 1998 "An Empirical Study of Smoothing Techniques", §2.7
+  // interpolated form), upgrading q119's add-one baseline:
+  //   P(b|a) = (max(C(ab)−D, 0) + D·N1+(a·)·Pc(b)) / C(a·)   if C(a·) > 0
+  //          = Pc(b)                                          otherwise
+  //   Pc(b)  = (N1+(·b) + 1) / (N1+(··) + V)
+  // where C(ab) are bigram counts, C(a·)=Σ_b C(ab), N1+(a·) the distinct
+  // continuations of a, N1+(·b) the distinct left-contexts of b ("how many
+  // contexts has b completed" — the Kneser–Ney continuation count), and
+  // N1+(··) the distinct-bigram total. The continuation distribution is
+  // add-one smoothed over the V-token vocabulary so unseen words keep
+  // nonzero mass; with that, Σ_b P(b|a) = 1 exactly (Σ_b max(C(ab)−D,0) =
+  // C(a·) − D·N1+(a·) and Σ_b Pc(b) = 1). D = 0.75 — the standard absolute
+  // discount, chosen as a binary-exact double so the one fixed-shape float
+  // expression evaluates bit-identically on any engine.
+  private[graft] val KnD = 0.75
+
   // ---- q119: pruned-LM size cap ----------------------------------------
   // The bigram LM and first-token counts keep only the top-LmTopK entries
   // by (count desc, key asc) — fixed-size driver artifacts at any corpus
@@ -150,7 +168,65 @@ object SelectionOps {
 
     "q120_dsir_weight" -> dsirWeights,
 
-    "q125_importance_resample" -> ((s, dir) => gumbelTopKOf(dsirWeights(s, dir))))
+    "q125_importance_resample" -> ((s, dir) => gumbelTopKOf(dsirWeights(s, dir))),
+
+    // Interpolated Kneser–Ney bigram perplexity (see [[KnD]] for the
+    // model). Same artifact discipline as q119: ONE corpus pass builds the
+    // (bigram, count) table (localCheckpoint-pinned), the model prunes to
+    // the top-LmTopK bigrams, and EVERY derived statistic (C(a·), N1+(a·),
+    // N1+(·b), N1+(··)) folds driver-side from that one bounded array —
+    // so both engines score against literally the same pruned model, and
+    // the artifact stays fixed-size at any corpus. Scoring is an in-row
+    // position-ordered fold over the doc's bigram array: zero additional
+    // exchanges past the count agg — the broadcast-KenLM shape at cluster
+    // scale.
+    "q182_kn_perplexity" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), TextOps.tokensCol.as("t"))
+      val bigs = zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val withBigs = docs.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), bigs.as("bigs"))
+      val bgCounts = withBigs.select(explode(col("bigs")).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val pruned = prunedTopK(bgCounts, LmTopK)
+      // tokens are split on ' ' so a bigram key has exactly one space
+      val bgMap = pruned.toMap
+      val byFirst = pruned.groupBy(_._1.takeWhile(_ != ' '))
+      val caMap = byFirst.map { case (a, xs) => a -> xs.map(_._2).sum }
+      val n1aMap = byFirst.map { case (a, xs) => a -> xs.length.toLong }
+      val n1bMap = pruned.groupBy(_._1.dropWhile(_ != ' ').drop(1))
+        .map { case (b, xs) => b -> xs.length.toLong }
+      val bb = pruned.length.toLong
+      val vocab = docs.select(explode(col("t")).as("tok"))
+        .agg(countDistinct("tok")).collect().head.getLong(0)
+      val (mBg, mCa, mN1a, mN1b) =
+        (typedLit(bgMap), typedLit(caMap), typedLit(n1aMap), typedLit(n1bMap))
+      // ONE fixed-shape float expression, mirrored token-for-token in the
+      // oracle SQL so IEEE evaluation order matches bit-for-bit
+      val lp = (bg: Column) => {
+        val a = substring_index(bg, " ", 1)
+        val b = substring_index(bg, " ", -1)
+        val cab = coalesce(element_at(mBg, bg), lit(0L)).cast("double")
+        val ca = coalesce(element_at(mCa, a), lit(0L))
+        val n1a = coalesce(element_at(mN1a, a), lit(0L)).cast("double")
+        val pc = (coalesce(element_at(mN1b, b), lit(0L)) + 1L).cast("double") /
+          lit((bb + vocab).toDouble)
+        log(when(ca > 0L,
+          (greatest(cab - lit(KnD), lit(0.0)) + lit(KnD) * n1a * pc) /
+            ca.cast("double"))
+          .otherwise(pc))
+      }
+      withBigs
+        .select(col("doc_id"), size(col("bigs")).as("n_bigrams"),
+          aggregate(transform(col("bigs"), lp), lit(0.0),
+            (acc, x) => acc + x).as("ll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(-col("ll") / col("n_bigrams").cast("double"), 6).as("avg_nll"))
+    }))
 
   /** Gumbel top-k importance resample over a DSIR-weights frame
     * (doc_id, source, dsir_lr) — the q125 operator, parametrized so
@@ -306,6 +382,49 @@ object SelectionOps {
          |       CAST(coalesce(fc.c, 0) + v.v AS DOUBLE)) AS l
          |  FROM x LEFT JOIN fc ON string_split(x.bg, ' ')[1] = fc.a
          |    LEFT JOIN bc ON x.bg = bc.bg CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+         |  round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(l ORDER BY i)), (a, b) -> a + b) / count(*), 6) AS avg_nll
+         |FROM lr GROUP BY doc_id""".stripMargin,
+
+    // q182: interpolated Kneser–Ney — the pruned bigram table `bc` is the
+    // single model artifact; fc/sc/k derive from IT (not the raw counts),
+    // exactly like the Spark side folds its maps from the one prunedTopK
+    // array. The scoring expression mirrors the Spark Column shape
+    // token-for-token (same parenthesization → same IEEE result).
+    "q182_kn_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |p AS (SELECT doc_id, list_transform(
+         |    list_zip(t[1:len(t)-1], t[2:len(t)]),
+         |    q -> q[1] || ' ' || q[2]) AS bigs
+         |  FROM toks WHERE len(t) >= 2),
+         |x AS (SELECT doc_id, i, bigs[CAST(i + 1 AS INT)] AS bg
+         |  FROM (SELECT doc_id, bigs, unnest(range(len(bigs))) AS i FROM p)),
+         |bc AS (SELECT bg, c FROM (
+         |    SELECT bg, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1)
+         |  ORDER BY c DESC, bg LIMIT $LmTopK),
+         |fc AS (SELECT string_split(bg, ' ')[1] AS a,
+         |    CAST(sum(c) AS BIGINT) AS ca, CAST(count(*) AS BIGINT) AS n1a
+         |  FROM bc GROUP BY 1),
+         |sc AS (SELECT string_split(bg, ' ')[2] AS b,
+         |    CAST(count(*) AS BIGINT) AS n1b
+         |  FROM bc GROUP BY 1),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM bc),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM toks)),
+         |lr AS (SELECT x.doc_id, x.i,
+         |    ln(CASE WHEN coalesce(fc.ca, 0) > 0 THEN
+         |        (greatest(CAST(coalesce(bc.c, 0) AS DOUBLE) - $KnD, 0.0)
+         |         + $KnD * CAST(coalesce(fc.n1a, 0) AS DOUBLE)
+         |           * (CAST(coalesce(sc.n1b, 0) + 1 AS DOUBLE)
+         |              / CAST(k.bb + v.v AS DOUBLE)))
+         |        / CAST(fc.ca AS DOUBLE)
+         |      ELSE CAST(coalesce(sc.n1b, 0) + 1 AS DOUBLE)
+         |           / CAST(k.bb + v.v AS DOUBLE) END) AS l
+         |  FROM x LEFT JOIN bc ON x.bg = bc.bg
+         |    LEFT JOIN fc ON string_split(x.bg, ' ')[1] = fc.a
+         |    LEFT JOIN sc ON string_split(x.bg, ' ')[2] = sc.b
+         |    CROSS JOIN k CROSS JOIN v)
          |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
          |  round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |      list(l ORDER BY i)), (a, b) -> a + b) / count(*), 6) AS avg_nll

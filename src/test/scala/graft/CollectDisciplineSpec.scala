@@ -43,9 +43,10 @@ class CollectDisciplineSpec extends AnyFunSuite {
       "streamWithEvolution per-batch system-DML fold: committed " +
         "dictionary-table rows only (a DDL touches a handful of catalog " +
         "rows - schema-sized, the dictionary-bootstrap class)"),
-    "queries/SelectionOps.scala" -> (3,
+    "queries/SelectionOps.scala" -> (4,
       "q119 prunedTopK TakeOrdered collect (LmTopK-bounded at any " +
-        "corpus, skewed-fixture spec-pinned) + V scalar + DSIR " +
+        "corpus, skewed-fixture spec-pinned) + q119 V scalar + q182 V " +
+        "scalar (same 1-row agg; its KN maps reuse prunedTopK) + DSIR " +
         "256-bucket counts"),
     "queries/TextOps.scala" -> (3,
       "q101 KB-sized bloom-filter bytes (bounded by its 10k-item/80k-bit " +

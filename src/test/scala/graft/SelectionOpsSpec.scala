@@ -90,6 +90,87 @@ class SelectionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q182: matches a brute-force Kneser–Ney reference bit-for-bit") {
+    // independent reimplementation of the interpolated-KN model (driver-
+    // side Scala over the same corpus) — pins the MODEL, not just the
+    // DuckDB mirror: bigram counts, prune rule, C(a·)/N1+ stats and the
+    // exact float shape all have to agree for the 6-dp values to match
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "filter(split(text, ' '), x -> x != '') AS t")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val bigsOf = (t: Vector[String]) =>
+      t.zip(t.tail).map { case (a, b) => s"$a $b" }
+    val allBigs = docs.values.filter(_.length >= 2).toVector.flatMap(bigsOf)
+    val counts = allBigs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val pruned = counts.toVector
+      .sortBy { case (k, c) => (-c, k) }.take(SelectionOps.LmTopK)
+    val bg = pruned.toMap
+    val ca = pruned.groupBy(_._1.takeWhile(_ != ' '))
+      .map { case (a, xs) => a -> xs.map(_._2).sum }
+    val n1a = pruned.groupBy(_._1.takeWhile(_ != ' '))
+      .map { case (a, xs) => a -> xs.length.toLong }
+    val n1b = pruned.groupBy(_._1.dropWhile(_ != ' ').drop(1))
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val bb = pruned.length.toLong
+    val vocab = docs.values.flatten.toSet.size.toLong
+    val d = SelectionOps.KnD
+    def lp(big: String): Double = {
+      val a = big.takeWhile(_ != ' ')
+      val b = big.dropWhile(_ != ' ').drop(1)
+      val pc = (n1b.getOrElse(b, 0L) + 1).toDouble / (bb + vocab).toDouble
+      val caV = ca.getOrElse(a, 0L)
+      if (caV > 0)
+        math.log((math.max(bg.getOrElse(big, 0L).toDouble - d, 0.0)
+          + d * n1a.getOrElse(a, 0L).toDouble * pc) / caV.toDouble)
+      else math.log(pc)
+    }
+    val expect = docs.collect { case (id, t) if t.length >= 2 =>
+      val bs = bigsOf(t)
+      val nll = -bs.foldLeft(0.0)((acc, x) => acc + lp(x)) / bs.length
+      id -> (bs.length, math.rint(nll * 1e6) / 1e6)
+    }
+    val got = SelectionOps.defs("q182_kn_perplexity")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, (n, nll)) =>
+      assert(got(id)._1 == n, s"doc $id n_bigrams")
+      assert(math.abs(got(id)._2 - nll) < 1e-6, s"doc $id avg_nll")
+    }
+  }
+
+  test("q182: KN probabilities sum to 1 over the vocabulary per context") {
+    // the property that makes KN a proper LM (and that add-one q119 also
+    // has): for any seen context a, Σ_b P(b|a) over the V-token vocab = 1
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "filter(split(text, ' '), x -> x != '') AS t")
+      .collect().map(_.getSeq[String](1).toVector)
+    val allBigs = docs.filter(_.length >= 2)
+      .flatMap(t => t.zip(t.tail).map { case (a, b) => s"$a $b" })
+    val counts = allBigs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val vocabSet = docs.flatten.toSet
+    val bb = counts.size.toLong
+    val n1b = counts.keys.toVector.groupBy(_.dropWhile(_ != ' ').drop(1))
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val d = SelectionOps.KnD
+    // three contexts with different continuation breadths
+    val contexts = counts.keys.map(_.takeWhile(_ != ' ')).toVector.distinct.take(3)
+    contexts.foreach { a =>
+      val conts = counts.collect { case (k, c) if k.takeWhile(_ != ' ') == a =>
+        k.dropWhile(_ != ' ').drop(1) -> c }
+      val ca = conts.values.sum
+      val n1aV = conts.size.toLong
+      val mass = vocabSet.toVector.map { b =>
+        val pc = (n1b.getOrElse(b, 0L) + 1).toDouble / (bb + vocabSet.size).toDouble
+        (math.max(conts.getOrElse(b, 0L).toDouble - d, 0.0) + d * n1aV * pc) / ca
+      }.sum
+      // remaining mass sits on out-of-vocab continuations of Pc's add-one
+      // smoothing: Σ_vocab Pc = (Σ n1b + V)/(B + V) = 1 exactly since
+      // Σ_b N1+(·b) = B, so in-vocab mass must be 1
+      assert(math.abs(mass - 1.0) < 1e-9, s"context '$a' mass $mass")
+    }
+  }
+
   test("q120: target-slice docs average a higher importance score") {
     val rows = SelectionOps.defs("q120_dsir_weight")(spark, sf)
       .select(col("source"), col("dsir_lr"), col("n_tokens")).collect()
