@@ -345,6 +345,46 @@ object TextNative {
     new GenericArrayData(out)
   }
 
+  /** One-permutation MinHash (Li, Owen & Zhang 2012, "One Permutation
+    * Hashing") with rotation densification (Shrivastava & Li 2014,
+    * "Improved Densification of One Permutation Hashing"): ONE md5 per
+    * shingle instead of [[minhashSig]]'s nSig — the digest's leading hex
+    * digit mod nSig picks the signature slot, per-slot minima keep the
+    * usual lexicographic-min order, and an empty slot borrows from the
+    * cyclically-next non-empty one so every slot is defined (collision
+    * probability stays an unbiased Jaccard estimate per the densification
+    * papers). At a 100 TB corpus the digest is the whole signature cost,
+    * so this is the ~nSig× cheaper drop-in where 8 independent
+    * permutations aren't required. Value-identical to the Column
+    * reference in TextOps.ophSigRef (TextOpsNativeSpec); null on empty. */
+  def ophSig(shingles: ArrayData, nSig: Int): ArrayData = {
+    val m = shingles.numElements()
+    if (m == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    val prefix = "p|".getBytes
+    val mins = new Array[Array[Byte]](nSig)
+    var j = 0
+    while (j < m) {
+      val sh = shingles.getUTF8String(j).getBytes
+      md.reset()
+      md.update(prefix)
+      md.update(sh)
+      val h = md.digest()
+      val b = ((h(0) >> 4) & 0xf) % nSig
+      if (mins(b) == null || less(h, mins(b))) mins(b) = h
+      j += 1
+    }
+    val out = new Array[Any](nSig)
+    var i = 0
+    while (i < nSig) {
+      var k = 0
+      while (mins((i + k) % nSig) == null) k += 1 // ≥1 slot is non-empty
+      out(i) = toHex(mins((i + k) % nSig))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-document term frequencies in ONE pass over the raw UTF-8 bytes:
     * distinct tokens in first-occurrence order with their counts, as
     * (token, tf) structs. Token scan splits on 0x20 (never inside a
@@ -537,6 +577,29 @@ case class MinHashSig(child: Expression, nSig: Int, hash: String = "md5")
     copy(child = newChild)
 }
 
+/** shingles → densified one-permutation-hashing signature (nSig hex
+  * minima; ONE digest per shingle — see [[TextNative.ophSig]]). */
+case class OphSig(child: Expression, nSig: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${dt.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "oph_sig"
+  override def nullSafeEval(sh: Any): Any =
+    TextNative.ophSig(sh.asInstanceOf[ArrayData], nSig)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sh =>
+      s"""
+         |${ev.value} = graft.functions.TextNative.ophSig($sh, $nSig);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): OphSig =
+    copy(child = newChild)
+}
+
 /** text → (token, tf) structs, distinct tokens in first-occurrence order
   * (one-pass kernel — deletes q55's (doc_id, token) tf shuffle). */
 case class TokenTf(child: Expression) extends UnaryExpression {
@@ -594,6 +657,8 @@ object TextExpressions {
     Bridge.column(WindowHashes(Bridge.expression(text), w, stride, 0, -1))
   def minhashSig(shingles: Column, nSig: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), nSig, hashMode))
+  def ophSig(shingles: Column, nSig: Int): Column =
+    Bridge.column(OphSig(Bridge.expression(shingles), nSig))
   def tokenTf(text: Column): Column =
     Bridge.column(TokenTf(Bridge.expression(text)))
   def simhashBits(features: Column, nBits: Int): Column =

@@ -331,6 +331,21 @@ object TextOps {
       .withColumn("band1", md5(concat_ws("", col("mh4"), col("mh5"), col("mh6"), col("mh7"))))
   }
 
+  /** Column REFERENCE formulation of the densified one-permutation-hashing
+    * signature — the definition [[graft.functions.TextNative.ophSig]] is
+    * pinned against (TextOpsNativeSpec): one md5 per shingle, the leading
+    * hex digit mod n picks the slot, per-slot lexicographic minima,
+    * rotation densification (empty slot borrows from the cyclically-next
+    * non-empty one). Kept as the spec/oracle mirror; q183 runs the native
+    * one-pass kernel. */
+  private[graft] def ophSigRef(shingles: Column, n: Int): Column = {
+    val hd = transform(shingles, sh => md5(concat(lit("p|"), sh)))
+    val mins = (0 until n).map(b => array_min(filter(hd, h =>
+      conv(substring(h, 1, 1), 16, 10).cast("int") % n === b)))
+    array((0 until n).map(b =>
+      coalesce((0 until n).map(k => mins((b + k) % n)): _*)): _*)
+  }
+
   private val stopwords = Seq("the", "a")
 
   val defs: Map[String, Q] = Map(
@@ -483,6 +498,27 @@ object TextOps {
     // shuffle on band hash only, candidates ≪ n².
     "q29_minhash_pairs" -> ((s, dir) =>
       lshVerifiedPairs(t(s, dir, "documents"))),
+
+    // One-permutation MinHash signatures (Li et al. 2012) with rotation
+    // densification (Shrivastava & Li 2014): q28's output shape at ~1/nSig
+    // the digest cost — ONE md5 per shingle feeds all 8 signature slots
+    // instead of 8 independent permutations. The signature never shuffles
+    // (scan → project, PlanBudget 0); at 100 TB the digest IS the
+    // signature cost, so this is the production fingerprint kernel where
+    // strict permutation independence isn't required. Runs the native
+    // one-pass kernel; [[ophSigRef]] is the pinned Column/oracle mirror.
+    "q183_oph_minhash" -> ((s, dir) => {
+      val base = spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.shingles3(col("text")).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.ophSig(col("shingles"), nSig).as("sig"))
+      val sl = (i: Int) => element_at(col("sig"), i + 1)
+      base.select(col("doc_id"), sl(0).as("oph0"), sl(7).as("oph7"),
+        md5(concat(sl(0), sl(1), sl(2), sl(3))).as("band0"),
+        md5(concat(sl(4), sl(5), sl(6), sl(7))).as("band1"))
+    }),
 
     // Near-dup CLUSTERS: connected components over the verified LSH pairs —
     // the step a real corpus dedup needs after pairwise detection (keep one
@@ -1192,6 +1228,32 @@ object TextOps {
          |  md5(mh0 || mh1 || mh2 || mh3) AS band0,
          |  md5(mh4 || mh5 || mh6 || mh7) AS band1
          |FROM ($sqlBands)""".stripMargin,
+
+    "q183_oph_minhash" -> {
+      val ms = (0 until nSig).map(b =>
+        s"""list_min(list_filter(hs, h ->
+           |      (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % $nSig
+           |        = $b)) AS m$b""".stripMargin).mkString(",\n  ")
+      val ds = (0 until nSig).map(b =>
+        "coalesce(" + (0 until nSig).map(k => s"m${(b + k) % nSig}")
+          .mkString(", ") + s") AS d$b").mkString(",\n  ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${sqlShingles(sqlTokens)} AS shingles
+         |  FROM documents),
+         |s2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+         |hd AS (SELECT doc_id,
+         |    list_transform(shingles, s -> md5('p|' || s)) AS hs FROM s2),
+         |m AS (SELECT doc_id,
+         |  $ms
+         |  FROM hd),
+         |d AS (SELECT doc_id,
+         |  $ds
+         |  FROM m)
+         |SELECT doc_id, d0 AS oph0, d7 AS oph7,
+         |  md5(d0 || d1 || d2 || d3) AS band0,
+         |  md5(d4 || d5 || d6 || d7) AS band1
+         |FROM d""".stripMargin
+    },
 
     "q29_minhash_pairs" ->
       s"""WITH sig AS (

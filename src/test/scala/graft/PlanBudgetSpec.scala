@@ -75,6 +75,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q118_chunk_overlap"         -> 0, // in-row generator
     "q119_lm_perplexity"         -> 0, // LM is a collect artifact; scoring in-row
     "q182_kn_perplexity"         -> 0, // same artifact shape as q119; KN maps in-row
+    "q183_oph_minhash"           -> 0, // scan → one-pass OPH kernel → project
     "q11_explode_multirow"       -> 1,
     "q120_dsir_weight"           -> 0, // 256-bucket model collect; fold in-row
     "q121_train_order"           -> 1, // ONE hash exchange; per-shard local sort

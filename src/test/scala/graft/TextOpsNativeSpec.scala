@@ -57,6 +57,41 @@ class TextOpsNativeSpec extends AnyFunSuite {
     assert(mismatches.forall(_ == 0), s"per-seed mismatches: $mismatches")
   }
 
+  test("ophSig == densified one-permutation Column formulation") {
+    val base = docs.select(col("doc_id"),
+      TextOps.shinglesCol(TextOps.tokensCol).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val both = base.select(
+      TextExpressions.ophSig(col("sh"), TextOps.nSig).as("native"),
+      TextOps.ophSigRef(col("sh"), TextOps.nSig).as("reference"))
+    assert(both.filter(not(col("native") <=> col("reference"))).count() == 0)
+    assert(both.count() > 50) // non-trivial corpus
+  }
+
+  test("ophSig: densification fills every slot; identical docs agree") {
+    import spark.implicits._
+    // one shingle → one occupied slot, 7 borrowed: all 8 defined and equal
+    val one = Seq((1L, Seq("only one shingle"))).toDF("doc_id", "sh")
+      .select(TextExpressions.ophSig(col("sh"), 8).as("sig"))
+      .collect().head.getSeq[String](0)
+    assert(one.length == 8 && one.toSet.size == 1)
+    // same shingle set (any order) → same signature; disjoint → different
+    val sigs = Seq(
+      (1L, Seq("aa bb cc", "dd ee ff", "gg hh ii")),
+      (2L, Seq("gg hh ii", "aa bb cc", "dd ee ff")),
+      (3L, Seq("zz yy xx", "ww vv uu", "qq rr ss"))
+    ).toDF("doc_id", "sh")
+      .select(col("doc_id"), TextExpressions.ophSig(col("sh"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    // empty shingles → null signature (same contract as minhashSig)
+    val nul = Seq((1L, Seq.empty[String])).toDF("doc_id", "sh")
+      .select(TextExpressions.ophSig(col("sh"), 8).as("sig"))
+      .collect().head
+    assert(nul.isNullAt(0))
+  }
+
   test("simhashBits == md5-nibble majority Column formulation") {
     val base = docs
       .select(col("doc_id"), TextOps.shinglesCol(TextOps.tokensCol).as("sh"))
