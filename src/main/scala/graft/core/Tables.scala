@@ -80,6 +80,16 @@ object Tables {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append an increment to a bucketed table (same spec — Spark validates
+    * it against the catalog entry and writes bucket-aligned files, so
+    * index-side zero-exchange joins keep holding after appends). */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 32): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Configuration applied to every session we control (Bench/tests).
     * The driver's Verify builds its own session; queries must not depend on
     * these being set — they are performance, not correctness, knobs.

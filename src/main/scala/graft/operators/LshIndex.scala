@@ -57,6 +57,40 @@ object LshIndex {
       s"${name}_shingles", "doc_id", buckets)
   }
 
+  /** Append an increment's bands + shingles to an existing index — the
+    * streaming-ingest growth path (NearDupIngest): bucket specs are
+    * revalidated against the catalog entry, so the zero-exchange
+    * index-side joins of [[matchIncrement]] keep holding as the index
+    * grows. Compaction (many small bucket files → few) is [[write]]'s
+    * full refresh, run offline like any layout rewrite. */
+  def append(spark: SparkSession, docs: DataFrame, name: String): Unit = {
+    // the bucket count is the TABLE's property, not the caller's choice —
+    // read it from the catalog so appends can never fork the spec
+    def bucketsOf(tbl: String): Int = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"$tbl is not bucketed"))
+    val banded = TextOps.withBands(docs).localCheckpoint()
+    Tables.appendBucketed(
+      banded.select(col("doc_id"),
+        explode(array(col("band0"), col("band1"))).as("band")),
+      s"${name}_bands", "band", bucketsOf(s"${name}_bands"))
+    Tables.appendBucketed(banded.select("doc_id", "shingles"),
+      s"${name}_shingles", "doc_id", bucketsOf(s"${name}_shingles"))
+    // an insert invalidates the WRITING session's relation cache only;
+    // under foreachBatch the reader can be a different clone of the same
+    // SharedState (stale file listing → silently missing index rows —
+    // caught by NearDupIngestSpec's end-to-end test), so refresh here
+    Seq(s"${name}_bands", s"${name}_shingles")
+      .foreach(spark.catalog.refreshTable)
+  }
+
+  /** True iff the index tables exist in the session catalog. */
+  def exists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(s"${name}_bands") &&
+      spark.catalog.tableExists(s"${name}_shingles")
+
   /** Match an increment against the index: verified Jaccard ≥ `tau` pairs
     * (new_id, old_id, jaccard). Only the increment moves — both joins
     * read the index in bucket order. */

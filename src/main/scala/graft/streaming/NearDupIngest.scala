@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.{ConnectedComponents, LshIndex}
+import graft.queries.TextOps
+
+/** Streaming NEAR-duplicate ingest — the online companion to
+  * [[CorpusIngest]] (exact first-seen) and the streaming driver for the
+  * q108 incremental LSH index: documents arrive in micro-batches and only
+  * docs that are not near-duplicates of anything seen before survive.
+  *
+  * Contract (greedy first-seen, the standard crawl-dedup semantics):
+  *   - a doc is DROPPED if it is LSH-verified similar (band collision AND
+  *     exact Jaccard ≥ tau) to ANY doc from an earlier batch — kept or
+  *     dropped: a near-dup of a dropped doc is transitively redundant
+  *     with that doc's keeper, exactly like the batch q80 cluster rule;
+  *   - within a batch, survivors near-dup-cluster (verified pairs →
+  *     connected components) and each cluster keeps its min doc_id —
+  *     identical to the batch apply (q80), so a one-batch stream equals
+  *     the batch pipeline (spec-pinned);
+  *   - ALL batch docs (kept and dropped) index their bands + shingles,
+  *     so later arrivals match the full seen corpus.
+  *
+  * Scale shape: the per-batch work is [[LshIndex.matchIncrement]] — only
+  * the increment shuffles; the history side reads bucket-aligned files
+  * with zero Exchange and NEVER re-shuffles as the corpus grows (the
+  * LshIndexSpec plan assertion). In-batch clustering touches batch-sized
+  * frames only. Recall is the LSH family's: a near-dup pair is caught iff
+  * a band collides (the q29 tradeoff), with the same band cap dropping
+  * degenerate boilerplate buckets before any expansion.
+  *
+  * Restart safety: foreachBatch may replay a batch after a crash, so the
+  * batch commit is idempotent — a marker directory per batchId skips
+  * re-processing (output + index appends happen before the marker, so a
+  * crash mid-batch replays into the SAME deterministic writes: the output
+  * dir overwrites, and re-appended index rows are harmless duplicates for
+  * matching — distinct() in candidate generation absorbs them — removed
+  * by the next offline compaction ([[LshIndex.write]] refresh).
+  */
+object NearDupIngest {
+
+  /** Create empty index tables if absent (batch-0 bootstrap). */
+  def ensureIndex(spark: SparkSession, indexName: String,
+      buckets: Int = 32): Unit =
+    if (!LshIndex.exists(spark, indexName)) {
+      import spark.implicits._
+      LshIndex.write(spark,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), indexName, buckets)
+    }
+
+  /** Process one micro-batch of (doc_id, text): returns the kept docs
+    * after writing them to `outDir/batch=<id>` and appending the batch to
+    * the index. Skips (returning empty) if the batch is already
+    * committed. */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      indexName: String, outDir: String,
+      bandCap: Int = TextOps.DefaultBandCap, tau: Double = 0.5): Unit = {
+    val marker = new java.io.File(outDir, s"_committed/$batchId")
+    if (marker.exists()) return
+    val docs = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    if (docs.isEmpty) { marker.mkdirs(); return }
+    // 1. drop anything verified-similar to the seen corpus
+    val histDups = LshIndex
+      .matchIncrement(spark, docs, indexName, bandCap, tau)
+      .select(col("new_id").as("doc_id")).distinct()
+    val survivors = docs.join(histDups, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // 2. in-batch near-dup clusters keep min doc_id (the q80 rule)
+    implicit val s: SparkSession = spark
+    val pairs = TextOps.lshVerifiedPairs(survivors, bandCap)
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    val drops = ConnectedComponents.runPropagation(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    val kept = survivors.join(drops, Seq("doc_id"), "left_anti")
+    kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    // 3. index the WHOLE batch (kept + dropped) for later arrivals
+    LshIndex.append(spark, docs, indexName)
+    marker.mkdirs()
+  }
+
+  /** Wire a (doc_id, text) stream through [[processBatch]]. */
+  def start(stream: DataFrame, indexName: String, outDir: String,
+      checkpoint: String, bandCap: Int = TextOps.DefaultBandCap,
+      tau: Double = 0.5): StreamingQuery = {
+    val spark = stream.sparkSession
+    ensureIndex(spark, indexName)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        // use the micro-batch's OWN session (a clone sharing the outer
+        // SharedState): catalog reads and the append invalidation then
+        // agree on one relation cache
+        processBatch(df.sparkSession, df, id, indexName, outDir, bandCap, tau)
+      }
+      .start()
+  }
+}
