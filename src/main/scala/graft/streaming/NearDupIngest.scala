@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import graft.operators.{ConnectedComponents, LshIndex}
 import graft.queries.TextOps
 
@@ -79,6 +79,92 @@ object NearDupIngest {
     // 3. index the WHOLE batch (kept + dropped) for later arrivals
     LshIndex.append(spark, docs, indexName)
     marker.mkdirs()
+  }
+
+  // ---------------------------------------------------------------------
+  // Tier 2: state-store signature dedup — the HIGH-FREQUENCY tier.
+  //
+  // The foreachBatch tier above scans the index's band table once per
+  // micro-batch (zero Exchange, but O(index) IO) — right for macro-batch
+  // cadence (a crawl drop every few minutes/hours), wrong for per-second
+  // triggers on a 10B-doc history. This tier keeps per-BAND state in the
+  // streaming state store (RocksDB-able) instead: per batch the work is
+  // O(batch keys) point lookups, flat in history size.
+  //
+  // The state is ONE keeper per band — its docId and its full 8-slot
+  // MinHash signature (~300 B/band) — and "near-dup" is the SIGNATURE
+  // estimate (fraction of agreeing slots ≥ simTau), not the exact-Jaccard
+  // verify of the index tier. Two documented recall concessions buy the
+  // flat cost: (a) a band claimed by a verify-failing collider is not
+  // re-claimed (later dups of the FIRST keeper still catch; later dups of
+  // the collider only via their other band); (b) estimate-vs-exact —
+  // 8-slot agreement is the standard MinHash Jaccard estimator. Both
+  // disappear at the macro tier, which keeps full band membership.
+
+  /** One (doc × band) row: the doc's id, one of its band hashes, and its
+    * full signature for the agreement estimate. */
+  case class BandHit(docId: Long, band: String, sig: Seq[String])
+
+  /** Keeper of a band: first doc (min docId within its arrival batch) to
+    * claim it. */
+  case class BandKeeper(keeper: Long, sig: Seq[String])
+
+  /** A near-dup verdict: `docId` is signature-similar to earlier `dupOf`
+    * on `band`. Docs with NO verdict across their bands are kept. */
+  case class DupVerdict(docId: Long, band: String, dupOf: Long)
+
+  /** (doc_id, text) → per-band rows with signatures (docs with <3 tokens
+    * have no shingles and are out of the LSH contract, as in batch). */
+  def withSignatures(docs: DataFrame): Dataset[BandHit] = {
+    import docs.sparkSession.implicits._
+    val banded = TextOps.withBands(docs)
+    val sig = array((0 until 8).map(i => col(s"mh$i")): _*)
+    banded.select(col("doc_id").as("docId"),
+      explode(array(col("band0"), col("band1"))).as("band"), sig.as("sig"))
+      .as[BandHit]
+  }
+
+  /** Per-band first-seen + signature match, named for unit testing (the
+    * CorpusIngest.firstSeenHandler discipline). */
+  private[graft] def bandHandler(simTau: Double, ttl: Long)(
+      band: String, rows: Iterator[BandHit],
+      state: GroupState[BandKeeper]): Iterator[DupVerdict] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val docs = rows.toArray.sortBy(_.docId) // deterministic under retry
+    val out = Array.newBuilder[DupVerdict]
+    var st = state.getOption
+    docs.foreach { d =>
+      st match {
+        case None =>
+          st = Some(BandKeeper(d.docId, d.sig))
+        case Some(k) if d.docId != k.keeper =>
+          val agree = d.sig.zip(k.sig).count { case (a, b) => a == b }
+          if (agree.toDouble / k.sig.length >= simTau)
+            out += DupVerdict(d.docId, band, k.keeper)
+        case _ => ()
+      }
+    }
+    st.foreach { s =>
+      state.update(s)
+      if (ttl > 0) state.setTimeoutDuration(ttl)
+    }
+    out.result().iterator
+  }
+
+  /** The verdict stream: near-dup flags per (doc, band) against per-band
+    * keepers held in the state store. Combine per doc downstream (a doc
+    * is kept iff it has NO verdict — e.g. in foreachBatch:
+    * `batch.join(verdicts, "docId", "left_anti")`). `ttl` > 0 ages band
+    * keepers for bounded-horizon dedup, like CorpusIngest. */
+  def signatureVerdicts(hits: Dataset[BandHit], simTau: Double = 0.5,
+      ttl: Long = 0L): Dataset[DupVerdict] = {
+    import hits.sparkSession.implicits._
+    val timeout =
+      if (ttl > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    hits.groupByKey(_.band)
+      .flatMapGroupsWithState[BandKeeper, DupVerdict](
+        OutputMode.Append, timeout)(bandHandler(simTau, ttl))
   }
 
   /** Wire a (doc_id, text) stream through [[processBatch]]. */

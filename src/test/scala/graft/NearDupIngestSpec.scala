@@ -110,6 +110,61 @@ class NearDupIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/batch=0").count() == keptRows)
   }
 
+  test("signature tier: cross-batch and in-batch dups flagged, fresh docs silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = docs.orderBy(length(col("text")).desc).limit(2)
+      .collect().map(_.getString(1))
+    val in = MemoryStream[(Long, String)]
+    val q = NearDupIngest.signatureVerdicts(
+      NearDupIngest.withSignatures(in.toDS().toDF("doc_id", "text")))
+      .writeStream.format("memory").queryName("sigtier")
+      .outputMode("append").start()
+    try {
+      // batch 0: in-batch exact dup pair (20 dups 10) + a distinct doc
+      in.addData((20L, texts(0)), (10L, texts(0)), (30L, texts(1)))
+      q.processAllAvailable()
+      // batch 1: a later re-crawl of texts(0) + a fresh doc
+      val fresh = (1 to 40).map(i => s"sigfresh$i").mkString(" ")
+      in.addData((40L, texts(0)), (50L, fresh))
+      q.processAllAvailable()
+      val verdicts = spark.table("sigtier").collect()
+        .map(r => r.getAs[Long]("docId") -> r.getAs[Long]("dupOf")).toSet
+      // min docId keeps in-batch; both later dups resolve to keeper 10;
+      // 30 and 50 never flagged
+      assert(verdicts == Set(20L -> 10L, 40L -> 10L))
+    } finally q.stop()
+  }
+
+  test("signature tier: restart from checkpoint keeps band keepers") {
+    import spark.implicits._
+    // memory sinks can't recover a checkpoint → file source/sink, the
+    // CorpusIngestSpec restart pattern
+    val texts = docs.orderBy(length(col("text")).desc).limit(1)
+      .collect().map(_.getString(1))
+    val dir = Files.createTempDirectory("sig_restart").toString
+    val srcDir = s"$dir/docs"; val outDir = s"$dir/out"; val cp = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def writeBatch(n: Int, data: Seq[(Long, String)]): Unit =
+      data.toDF("doc_id", "text").coalesce(1).write.json(s"$srcDir/batch$n")
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema("doc_id LONG, text STRING").json(s"$srcDir/*")
+      val q = NearDupIngest.signatureVerdicts(NearDupIngest.withSignatures(in))
+        .writeStream.format("json").option("path", outDir)
+        .option("checkpointLocation", cp).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeBatch(1, Seq((10L, texts(0))))
+    runOnce()
+    writeBatch(2, Seq((77L, texts(0)))) // re-crawl after restart
+    runOnce()
+    val verdicts = spark.read.json(outDir).collect()
+      .map(r => r.getAs[Long]("docId") -> r.getAs[Long]("dupOf")).toSet
+    assert(verdicts == Set(77L -> 10L))
+  }
+
   test("end-to-end stream: a later micro-batch's near-dup drops, fresh doc survives") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
