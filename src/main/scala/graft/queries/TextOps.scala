@@ -346,6 +346,78 @@ object TextOps {
       coalesce((0 until n).map(k => mins((b + k) % n)): _*)): _*)
   }
 
+  /** Weighted MinHash via the classic multiset-expansion reduction: a
+    * token with term frequency k expands to instances "tok#1".."tok#k",
+    * and PLAIN MinHash over the expanded set estimates the WEIGHTED
+    * Jaccard J_w = Σ_t min(tf_a,tf_b) / Σ_t max(tf_a,tf_b) — because
+    * |A∩B| over instances = Σ min and |A∪B| = Σ max. tf-weighted
+    * near-dup detection (boilerplate at different lengths that
+    * set-Jaccard misses) WITHOUT ICWS's real-valued sampling: every
+    * statistic stays an integer (the float-determinism discipline), the
+    * existing native kernels do all the work (TokenTf in-row, MinHashSig
+    * over the expanded array), and the per-doc expansion cost is exactly
+    * the doc's token count. */
+  private[graft] def expandedInstances(text: Column): Column =
+    flatten(transform(graft.functions.TextExpressions.tokenTf(text),
+      s => transform(sequence(lit(1), s.getField("tf")),
+        k => concat(s.getField("token"), lit("#"), k.cast("string")))))
+
+  /** (doc_id, tfs, wmh0..wmh7, band0, band1) — the weighted-LSH front end
+    * mirroring [[withBands]]. */
+  private[graft] def withWeightedBands(docs: DataFrame): DataFrame = {
+    val base = spread(docs)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.tokenTf(col("text")).as("tfs"),
+        expandedInstances(col("text")).as("inst"))
+      .filter(size(col("inst")) > 0)
+      .withColumn("sig",
+        graft.functions.TextExpressions.minhashSig(col("inst"), nSig))
+    val mhs = (0 until nSig).map(i => element_at(col("sig"), i + 1).as(s"wmh$i"))
+    base.select((col("doc_id") +: col("tfs") +: mhs): _*)
+      .withColumn("band0", md5(concat_ws("", col("wmh0"), col("wmh1"), col("wmh2"), col("wmh3"))))
+      .withColumn("band1", md5(concat_ws("", col("wmh4"), col("wmh5"), col("wmh6"), col("wmh7"))))
+  }
+
+  /** Weighted near-dup pairs: q29's candidate discipline (single band
+    * aggregation, in-group expansion, count-prefiltered skew cap) with
+    * the EXACT integer weighted-Jaccard verify — Σ min(tf) and the token
+    * totals are longs; the one division is the only float. */
+  private[graft] def weightedVerifiedPairs(docs: DataFrame,
+      bandCap: Int = DefaultBandCap): DataFrame = {
+    val banded0 = withWeightedBands(docs).localCheckpoint()
+    val bandedAll = banded0.select(col("doc_id"),
+      explode(array(col("band0"), col("band1"))).as("band"))
+    val hot = bandedAll.groupBy(col("band")).count()
+      .filter(col("count") > bandCap).select(col("band"))
+    val cand = bandedAll.join(hot, Seq("band"), "left_anti")
+      .groupBy(col("band"))
+      .agg(collect_list(col("doc_id")).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ms, (a, i) ->
+          |  transform(slice(ms, i + 2, size(ms) - i - 1), b ->
+          |    struct(least(a, b) AS doc_id_a, greatest(a, b) AS doc_id_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_id_a"), col("p.doc_id_b"))
+      .distinct()
+    val tf = banded0.select(col("doc_id"), col("tfs"))
+    val tfSum = (c: Column) => aggregate(c, lit(0L),
+      (acc, s) => acc + s.getField("tf").cast("long"))
+    cand
+      .join(tf.select(col("doc_id").as("doc_id_a"), col("tfs").as("tf_a")), "doc_id_a")
+      .join(tf.select(col("doc_id").as("doc_id_b"), col("tfs").as("tf_b")), "doc_id_b")
+      .withColumn("mb", map_from_entries(col("tf_b")))
+      .withColumn("inter", aggregate(col("tf_a"), lit(0L), (acc, s) =>
+        acc + least(s.getField("tf").cast("long"),
+          coalesce(element_at(col("mb"), s.getField("token")), lit(0))
+            .cast("long"))))
+      .withColumn("n_union", tfSum(col("tf_a")) + tfSum(col("tf_b")) - col("inter"))
+      .withColumn("wjaccard",
+        col("inter").cast("double") / col("n_union").cast("double"))
+      .filter(col("wjaccard") >= 0.5)
+      .select("doc_id_a", "doc_id_b", "wjaccard")
+  }
+
   private val stopwords = Seq("the", "a")
 
   val defs: Map[String, Q] = Map(
@@ -498,6 +570,18 @@ object TextOps {
     // shuffle on band hash only, candidates ≪ n².
     "q29_minhash_pairs" -> ((s, dir) =>
       lshVerifiedPairs(t(s, dir, "documents"))),
+
+    // Weighted MinHash signatures: tf-weighted Jaccard via the multiset
+    // expansion (see [[expandedInstances]]) — q28's shape over instances.
+    "q184_weighted_minhash" -> ((s, dir) => {
+      withWeightedBands(t(s, dir, "documents"))
+        .select("doc_id", "wmh0", "wmh7", "band0", "band1")
+    }),
+
+    // Weighted near-dup pairs: band-bucket candidates + EXACT integer
+    // weighted-Jaccard verify (see [[weightedVerifiedPairs]]).
+    "q185_weighted_pairs" -> ((s, dir) =>
+      weightedVerifiedPairs(t(s, dir, "documents"))),
 
     // One-permutation MinHash signatures (Li et al. 2012) with rotation
     // densification (Shrivastava & Li 2014): q28's output shape at ~1/nSig
@@ -1023,6 +1107,24 @@ object TextOps {
   private def sqlMinhash(sh: String, i: Int) =
     s"list_min(list_transform($sh, s -> md5('$i|' || s)))"
 
+  // weighted-minhash building blocks (multiset expansion — see
+  // [[expandedInstances]]; instance format "tok#k" matches the Spark side)
+  private val sqlTf =
+    s"""SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest($sqlTokens) AS tok FROM documents)
+       |  GROUP BY doc_id, tok""".stripMargin
+  private def sqlWeightedBands: String = {
+    val mhs = (0 until nSig).map(i =>
+      s"${sqlMinhash("inst", i)} AS wmh$i").mkString(",\n  ")
+    s"""SELECT doc_id, $mhs
+       |FROM (SELECT doc_id,
+       |    flatten(list_transform(list(struct_pack(tok := tok, c := c)),
+       |      s -> list_transform(range(1, s.c + 1),
+       |        k -> s.tok || '#' || CAST(k AS VARCHAR)))) AS inst
+       |  FROM ($sqlTf) GROUP BY doc_id)
+       |WHERE len(inst) > 0""".stripMargin
+  }
+
   private def sqlBandsFrom(from: String): String = {
     val mhs = (0 until nSig).map(i => s"${sqlMinhash("shingles", i)} AS mh$i").mkString(",\n  ")
     s"""SELECT doc_id, shingles, $mhs
@@ -1228,6 +1330,40 @@ object TextOps {
          |  md5(mh0 || mh1 || mh2 || mh3) AS band0,
          |  md5(mh4 || mh5 || mh6 || mh7) AS band1
          |FROM ($sqlBands)""".stripMargin,
+
+    "q184_weighted_minhash" ->
+      s"""SELECT doc_id, wmh0, wmh7,
+         |  md5(wmh0 || wmh1 || wmh2 || wmh3) AS band0,
+         |  md5(wmh4 || wmh5 || wmh6 || wmh7) AS band1
+         |FROM ($sqlWeightedBands)""".stripMargin,
+
+    "q185_weighted_pairs" ->
+      s"""WITH tf AS ($sqlTf),
+         |sig AS (
+         |  SELECT doc_id,
+         |    md5(wmh0 || wmh1 || wmh2 || wmh3) AS band0,
+         |    md5(wmh4 || wmh5 || wmh6 || wmh7) AS band1
+         |  FROM ($sqlWeightedBands)),
+         |banded AS (
+         |  SELECT doc_id, unnest([band0, band1]) AS band FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+         |  FROM banded x JOIN banded y USING (band)
+         |  WHERE x.doc_id < y.doc_id),
+         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS s
+         |  FROM tf GROUP BY 1),
+         |i AS (SELECT cand.doc_id_a, cand.doc_id_b,
+         |    CAST(sum(least(ta.c, tb.c)) AS BIGINT) AS inter
+         |  FROM cand JOIN tf ta ON ta.doc_id = cand.doc_id_a
+         |    JOIN tf tb ON tb.doc_id = cand.doc_id_b AND tb.tok = ta.tok
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT i.doc_id_a, i.doc_id_b,
+         |    CAST(i.inter AS DOUBLE) / CAST(sa.s + sb.s - i.inter AS DOUBLE)
+         |      AS wjaccard
+         |  FROM i JOIN tot sa ON sa.doc_id = i.doc_id_a
+         |    JOIN tot sb ON sb.doc_id = i.doc_id_b)
+         |SELECT doc_id_a, doc_id_b, wjaccard FROM sc
+         |WHERE wjaccard >= 0.5""".stripMargin,
 
     "q183_oph_minhash" -> {
       val ms = (0 until nSig).map(b =>
