@@ -99,8 +99,15 @@ object LshIndex {
       tau: Double = 0.5): DataFrame = {
     val newBanded = TextOps.withBands(newDocs).localCheckpoint()
     val idx = spark.table(s"${name}_bands")
-    // exchange-free cap count: the groupBy key IS the bucket key
-    val hot = idx.groupBy("band").count()
+    // exchange-free cap count: the groupBy key IS the bucket key. Count
+    // DISTINCT doc_id, not rows — a crash-replayed append duplicates rows,
+    // and a raw count would falsely tip a healthy band near the cap into
+    // "hot" (silent recall loss until compaction). The distinct's dedup
+    // stage clusters on (band, doc_id), which HashPartitioning(band) from
+    // the bucketed read already satisfies, so this stays exchange-free
+    // (LshIndexSpec's plan assertion).
+    val hot = idx.groupBy("band")
+      .agg(countDistinct(col("doc_id")).as("count"))
       .filter(col("count") > bandCap).select("band")
     val cand = newBanded
       .select(col("doc_id").as("new_id"),

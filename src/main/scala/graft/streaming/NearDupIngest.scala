@@ -35,9 +35,12 @@ import graft.queries.TextOps
   * batch commit is idempotent — a marker directory per batchId skips
   * re-processing (output + index appends happen before the marker, so a
   * crash mid-batch replays into the SAME deterministic writes: the output
-  * dir overwrites, and re-appended index rows are harmless duplicates for
-  * matching — distinct() in candidate generation absorbs them — removed
-  * by the next offline compaction ([[LshIndex.write]] refresh).
+  * dir overwrites; a crash AFTER the index append replays with the
+  * batch's own rows already indexed, which the history match neutralizes
+  * by anti-joining old_id against the batch's ids; re-appended index rows
+  * are absorbed by distinct() in candidate generation and by the
+  * per-doc_id distinct band-cap count, and removed by the next offline
+  * compaction ([[LshIndex.write]] refresh).
   */
 object NearDupIngest {
 
@@ -61,9 +64,18 @@ object NearDupIngest {
     if (marker.exists()) return
     val docs = batch.select(col("doc_id"), col("text")).localCheckpoint()
     if (docs.isEmpty) { marker.mkdirs(); return }
-    // 1. drop anything verified-similar to the seen corpus
+    // 1. drop anything verified-similar to the seen corpus. The history
+    //    match is anti-joined against the batch's OWN ids: a crash between
+    //    the index append and the marker mkdir replays the batch with its
+    //    own docs already indexed, and without this guard every in-batch
+    //    near-dup pair (keeper included) would read as a history dup —
+    //    the replayed output would silently lose the q80 keepers. The
+    //    anti-join side is batch-sized, so the guard costs nothing at
+    //    scale; in-batch pairs are handled (once, correctly) by step 2.
     val histDups = LshIndex
       .matchIncrement(spark, docs, indexName, bandCap, tau)
+      .join(docs.select(col("doc_id").as("old_id")), Seq("old_id"),
+        "left_anti")
       .select(col("new_id").as("doc_id")).distinct()
     val survivors = docs.join(histDups, Seq("doc_id"), "left_anti")
       .localCheckpoint()

@@ -110,6 +110,36 @@ class NearDupIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/batch=0").count() == keptRows)
   }
 
+  test("crash between index append and marker: replay keeps the q80 keepers") {
+    // Simulate the worst replay window: the batch's rows are ALREADY in
+    // the index (append succeeded) but the marker never landed (crash
+    // before mkdirs). The replayed history match then sees the batch's own
+    // docs; without the old_id∉batch guard, BOTH members of every in-batch
+    // near-dup pair would flag as history dups and the keeper would be
+    // lost from the overwritten output.
+    freshIndex("ndi5")
+    NearDupIngest.ensureIndex(spark, "ndi5", buckets = 4)
+    val out = Files.createTempDirectory("ndi5_out").toString
+    NearDupIngest.processBatch(spark, docs, 0L, "ndi5", out)
+    val expect = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expect == batchKept(docs))
+    // crash: marker vanished, index retains the batch's rows
+    new java.io.File(out, "_committed/0").delete()
+    NearDupIngest.processBatch(spark, docs, 0L, "ndi5", out) // replay
+    val replayed = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replayed == expect,
+      "replay with the batch self-indexed must reproduce the kept set")
+    // and the duplicated index rows must not distort later matching: a
+    // fresh increment still matches (distinct cap count, distinct pairs)
+    val probe = docs.limit(1)
+    val m = LshIndex.matchIncrement(spark, probe.withColumn(
+      "doc_id", col("doc_id") + 100000L), "ndi5")
+    assert(m.filter(col("jaccard") === 1.0).count() >= 1,
+      "exact re-crawl must still match after a double append")
+  }
+
   test("signature tier: cross-batch and in-batch dups flagged, fresh docs silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
