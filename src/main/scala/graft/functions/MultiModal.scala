@@ -10,9 +10,12 @@ import org.apache.spark.sql.types._
   *
   * The image path is REAL (r11): `decodeFeatures` decodes PNG/JPEG/BMP/GIF
   * payloads through `javax.imageio` (ships in the JDK — no external
-  * libraries) and emits true width/height plus a deterministic pixel sum;
-  * non-image payloads fall back to the deterministic `decodeStub` (the
-  * audio/video codec stand-in — those libs genuinely aren't in the JDK).
+  * libraries) and emits true width/height plus a deterministic pixel sum.
+  * The audio path is REAL too (r12): WAV/AIFF/AU parse through
+  * `javax.sound.sampled.AudioSystem` (also JDK-shipped) — sample rate,
+  * channels, frame count, decoded-PCM byte sum. Only payloads neither
+  * stack reads fall back to the deterministic `decodeStub` (the video
+  * codec stand-in — ffmpeg-class libs genuinely aren't in the JDK).
   * Everything Spark-side is likewise real: the schema contract, the
   * `mapPartitions` batch shape (partition-at-a-time iteration so codec
   * init amortizes per partition, the same shape a Pandas-UDF batch would
@@ -106,6 +109,66 @@ object MultiModal {
     } catch { case _: Exception => None } // corrupt container → fallback
   }
 
+  /** Typed audio metadata + the decoded-stream feature. */
+  case class AudioMeta(sampleRate: Int, channels: Int, nFrames: Long,
+      pcmSum: Long)
+
+  /** REAL audio decode via the JDK's sampled-sound stack: parses any
+    * container `AudioSystem` ships readers for (WAV, AIFF, AU/SND) and
+    * returns sample rate, channel count, frame count, and the unsigned
+    * byte sum over the DECODED PCM stream — like [[decodeImage]]'s pixel
+    * sum, computing it requires actually reading the data chunk, so a
+    * hash-gated oracle over it proves the decoder ran, not a header peek.
+    * None for payloads no reader accepts (they keep the stub contract). */
+  def decodeAudio(payload: Array[Byte]): Option[AudioMeta] = {
+    if (payload == null || payload.length < 12) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        var sum = 0L
+        var read = 0L
+        val buf = new Array[Byte](8192)
+        var r = ais.read(buf)
+        while (r > 0) {
+          var i = 0
+          while (i < r) { sum += buf(i) & 0xff; i += 1 }
+          read += r
+          r = ais.read(buf)
+        }
+        val frames =
+          if (ais.getFrameLength >= 0) ais.getFrameLength
+          else if (fmt.getFrameSize > 0) read / fmt.getFrameSize
+          else 0L
+        Some(AudioMeta(fmt.getSampleRate.toInt, fmt.getChannels, frames, sum))
+      } finally ais.close()
+    } catch { case _: Exception => None } // not audio → fallback
+  }
+
+  /** Deterministic WAV fixture encoder (JDK AudioSystem writer): mono
+    * signed 16-bit little-endian PCM at `sampleRate`. Each sample is
+    * stored as its two's-complement LE byte pair, so the decoded-stream
+    * byte sum of sample list u (unsigned 16-bit values) is
+    * Σ (u%256 + u/256) — arithmetically restatable by an oracle. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // signed, little-endian
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic PNG fixture encoder (JDK ImageIO writer): a width ×
     * height truecolor image with every pixel at gray level `gray`. Used
     * by the gated decode query and specs to manufacture REAL compressed
@@ -133,9 +196,12 @@ object MultiModal {
     * `mapInPandas` batch processing. Output schema is fixed and narrow;
     * payloads are consumed inside the partition and never carried forward.
     *
-    * Image payloads decode for REAL (ImageIO; width/height/pixel-sum);
-    * anything unreadable falls back to [[decodeStub]] so audio/video
-    * stand-ins and plain binaries keep their deterministic features.
+    * Image payloads decode for REAL (ImageIO; width/height/pixel-sum) and
+    * audio payloads too (AudioSystem — WAV/AIFF/AU; the generic Feature
+    * slots carry channels/sample-rate/PCM-sum; [[decodeAudioFeatures]]
+    * keeps the full typed audio schema incl. frame count); only payloads
+    * NEITHER stack reads (video stand-ins, plain binaries) fall back to
+    * [[decodeStub]]'s deterministic features.
     */
   /** Decoded-feature row: the narrow output of the batch decode stage. */
   case class Feature(id: Long, width: Int, height: Int, byte_sum: Long)
@@ -152,9 +218,38 @@ object MultiModal {
         it.map { case (id, payload) =>
           decodeImage(payload) match {
             case Some((w, h, pixelSum)) => Feature(id, w, h, pixelSum)
-            case None =>
-              val (w, h, sum) = decodeStub(payload)
-              Feature(id, w, h, sum)
+            case None => decodeAudio(payload) match {
+              case Some(a) => Feature(id, a.channels, a.sampleRate, a.pcmSum)
+              case None =>
+                val (w, h, sum) = decodeStub(payload)
+                Feature(id, w, h, sum)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Typed audio-feature row (the audio twin of [[Feature]]). */
+  case class AudioFeature(id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, pcm_sum: Long)
+
+  /** Batched audio decode over (id, payload) rows: the full typed audio
+    * schema ([[AudioMeta]] per payload; unreadable payloads decode as
+    * all-zero rows so the batch stays total). Same scale shape as
+    * [[decodeFeatures]]: mapPartitions, narrow output, payload bytes
+    * never shuffle. */
+  def decodeAudioFeatures(df: DataFrame, idCol: String, payloadCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          decodeAudio(payload) match {
+            case Some(a) =>
+              AudioFeature(id, a.sampleRate, a.channels, a.nFrames, a.pcmSum)
+            case None => AudioFeature(id, 0, 0, 0L, 0L)
           }
         }
       }

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -420,6 +420,36 @@ object TextNative {
     new GenericArrayData(out)
   }
 
+  /** Σ_t min(tf_a(t), tf_b(t)) over two (token, tf) arrays — the exact
+    * integer numerator of the weighted Jaccard (q185 verify). One hash map
+    * over the SMALLER side, one probe pass over the larger: replaces the
+    * interpreted `map_from_entries` + `aggregate` HOF chain that evaluated
+    * a Catalyst lambda per token per candidate pair (measured 3.4s of
+    * q185's 4.6s at sf0.1; this kernel runs inside whole-stage codegen). */
+  def tfIntersect(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    if (n == 0) return 0L
+    val m = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      val e = small.getStruct(i, 2)
+      m.put(e.getUTF8String(0), Integer.valueOf(e.getInt(1)))
+      i += 1
+    }
+    var sum = 0L
+    val nl = large.numElements()
+    i = 0
+    while (i < nl) {
+      val e = large.getStruct(i, 2)
+      val tf = m.get(e.getUTF8String(0))
+      if (tf != null) sum += math.min(tf.intValue(), e.getInt(1))
+      i += 1
+    }
+    sum
+  }
+
   /** nSig minhash values: element i = min over shingles of
     * md5hex("i|" + shingle). One digest instance, min tracked on raw
     * bytes, hex only at the end. Empty input → null (no minimum). */
@@ -621,6 +651,30 @@ case class TokenTf(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Two (token, tf) arrays → Σ min(tf) over shared tokens, as a
+  * codegen-participating expression ([[TextNative.tfIntersect]]). */
+case class TfIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StructType, _), ArrayType(_: StructType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<struct<token,tf>> inputs, " +
+          s"got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "tf_intersect"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextNative.tfIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextNative.tfIntersect($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TfIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
 /** features → nBits-bit simhash as a long (majority md5-nibble votes). */
 case class SimHashBits(child: Expression, nBits: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -661,6 +715,8 @@ object TextExpressions {
     Bridge.column(OphSig(Bridge.expression(shingles), nSig))
   def tokenTf(text: Column): Column =
     Bridge.column(TokenTf(Bridge.expression(text)))
+  def tfIntersect(a: Column, b: Column): Column =
+    Bridge.column(TfIntersect(Bridge.expression(a), Bridge.expression(b)))
   def simhashBits(features: Column, nBits: Int): Column =
     Bridge.column(SimHashBits(Bridge.expression(features), nBits))
 }

@@ -362,8 +362,10 @@ object TextOps {
       s => transform(sequence(lit(1), s.getField("tf")),
         k => concat(s.getField("token"), lit("#"), k.cast("string")))))
 
-  /** (doc_id, tfs, wmh0..wmh7, band0, band1) — the weighted-LSH front end
-    * mirroring [[withBands]]. */
+  /** (doc_id, tfs, n_tok, wmh0..wmh7, band0, band1) — the weighted-LSH
+    * front end mirroring [[withBands]]. `n_tok` = Σ tf (the instance
+    * count) rides along so the verify's union denominator is a
+    * pre-computed scalar per DOC, not a per-PAIR array fold. */
   private[graft] def withWeightedBands(docs: DataFrame): DataFrame = {
     val base = spread(docs)
       .select(col("doc_id"),
@@ -373,15 +375,19 @@ object TextOps {
       .withColumn("sig",
         graft.functions.TextExpressions.minhashSig(col("inst"), nSig))
     val mhs = (0 until nSig).map(i => element_at(col("sig"), i + 1).as(s"wmh$i"))
-    base.select((col("doc_id") +: col("tfs") +: mhs): _*)
+    base.select((col("doc_id") +: col("tfs") +:
+        size(col("inst")).cast("long").as("n_tok") +: mhs): _*)
       .withColumn("band0", md5(concat_ws("", col("wmh0"), col("wmh1"), col("wmh2"), col("wmh3"))))
       .withColumn("band1", md5(concat_ws("", col("wmh4"), col("wmh5"), col("wmh6"), col("wmh7"))))
   }
 
   /** Weighted near-dup pairs: q29's candidate discipline (single band
     * aggregation, in-group expansion, count-prefiltered skew cap) with
-    * the EXACT integer weighted-Jaccard verify — Σ min(tf) and the token
-    * totals are longs; the one division is the only float. */
+    * the EXACT integer weighted-Jaccard verify — Σ min(tf) via the native
+    * [[graft.functions.TextNative.tfIntersect]] kernel (the interpreted
+    * map_from_entries + aggregate HOF chain it replaced cost 3.4s of the
+    * query's 4.6s at sf0.1) and the token totals pre-computed per doc;
+    * the one division is the only float. */
   private[graft] def weightedVerifiedPairs(docs: DataFrame,
       bandCap: Int = DefaultBandCap): DataFrame = {
     val banded0 = withWeightedBands(docs).localCheckpoint()
@@ -400,18 +406,15 @@ object TextOps {
           .stripMargin)).as("p"))
       .select(col("p.doc_id_a"), col("p.doc_id_b"))
       .distinct()
-    val tf = banded0.select(col("doc_id"), col("tfs"))
-    val tfSum = (c: Column) => aggregate(c, lit(0L),
-      (acc, s) => acc + s.getField("tf").cast("long"))
+    val tf = banded0.select(col("doc_id"), col("tfs"), col("n_tok"))
     cand
-      .join(tf.select(col("doc_id").as("doc_id_a"), col("tfs").as("tf_a")), "doc_id_a")
-      .join(tf.select(col("doc_id").as("doc_id_b"), col("tfs").as("tf_b")), "doc_id_b")
-      .withColumn("mb", map_from_entries(col("tf_b")))
-      .withColumn("inter", aggregate(col("tf_a"), lit(0L), (acc, s) =>
-        acc + least(s.getField("tf").cast("long"),
-          coalesce(element_at(col("mb"), s.getField("token")), lit(0))
-            .cast("long"))))
-      .withColumn("n_union", tfSum(col("tf_a")) + tfSum(col("tf_b")) - col("inter"))
+      .join(tf.select(col("doc_id").as("doc_id_a"), col("tfs").as("tf_a"),
+        col("n_tok").as("n_a")), "doc_id_a")
+      .join(tf.select(col("doc_id").as("doc_id_b"), col("tfs").as("tf_b"),
+        col("n_tok").as("n_b")), "doc_id_b")
+      .withColumn("inter",
+        graft.functions.TextExpressions.tfIntersect(col("tf_a"), col("tf_b")))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("inter"))
       .withColumn("wjaccard",
         col("inter").cast("double") / col("n_union").cast("double"))
       .filter(col("wjaccard") >= 0.5)
@@ -583,6 +586,23 @@ object TextOps {
     "q185_weighted_pairs" -> ((s, dir) =>
       weightedVerifiedPairs(t(s, dir, "documents"))),
 
+    // tf-weighted dedup END-TO-END (the q80 shape over the q185
+    // detector): weighted verified pairs → connected components → each
+    // cluster keeps its min doc_id, corpus anti-joins the drops. This is
+    // the query a training-data pipeline actually runs — the pair list
+    // (q185) is diagnostics; the cleaned corpus is the product.
+    "q186_weighted_dedup_apply" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val pairs = weightedVerifiedPairs(docs)
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      val drops = graft.operators.ConnectedComponents.runPropagation(pairs)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // One-permutation MinHash signatures (Li et al. 2012) with rotation
     // densification (Shrivastava & Li 2014): q28's output shape at ~1/nSig
     // the digest cost — ONE md5 per shingle feeds all 8 signature slots
@@ -668,6 +688,37 @@ object TextOps {
       graft.functions.MultiModal.decodeFeatures(payloads, "doc_id", "payload")
         .select(col("id").as("doc_id"), col("width"), col("height"),
           col("byte_sum").as("pixel_sum"))
+    }),
+
+    // REAL audio codec gate (r12, the q177 move for the audio half):
+    // manufacture a real RIFF/WAVE container per document (JDK
+    // AudioSystem writer; rate/frame-count/sample values arithmetic in
+    // doc_id), then decode it back through the production
+    // decodeAudioFeatures path. The oracle restates rate/channels/frames
+    // arithmetically — and the PCM byte sum requires actually READING
+    // the data chunk through the decoder, so a header peek or the old
+    // stub cannot fake the hash. Scale shape: encode+decode ride ONE
+    // mapPartitions pipeline each, zero exchanges, payloads never
+    // shuffle.
+    "q187_mm_wav_decode" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val payloads = spread(t(s, dir, "documents"))
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val rate = (8000 + (id % 8) * 1000).toInt
+            val n = (32 + id % 96).toInt
+            val samples = Array.tabulate(n) { k =>
+              (((id * 7919 + k.toLong * 104729) % 65536) & 0xffff).toShort
+            }
+            (id, graft.functions.MultiModal.encodeWav(rate, samples))
+          }
+        }.toDF("doc_id", "payload")
+      graft.functions.MultiModal
+        .decodeAudioFeatures(payloads, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("pcm_sum"))
     }),
 
     // Frame sampling: explode sampled frame indices (never payload bytes).
@@ -1125,6 +1176,37 @@ object TextOps {
        |WHERE len(inst) > 0""".stripMargin
   }
 
+  /** The weighted-LSH → exact-weighted-Jaccard CTE chain (tf…sc) shared
+    * by q185 (pair list) and q186 (dedup-apply closure); `sc` exposes
+    * (doc_id_a, doc_id_b, wjaccard) for ALL candidates — consumers apply
+    * the ≥ 0.5 threshold. ≙ [[weightedVerifiedPairs]] on the Spark side,
+    * same deliberate band-cap omission as [[sqlLshClusterChain]]. */
+  private def sqlWeightedPairChain: String =
+    s"""tf AS ($sqlTf),
+       |sig AS (
+       |  SELECT doc_id,
+       |    md5(wmh0 || wmh1 || wmh2 || wmh3) AS band0,
+       |    md5(wmh4 || wmh5 || wmh6 || wmh7) AS band1
+       |  FROM ($sqlWeightedBands)),
+       |banded AS (
+       |  SELECT doc_id, unnest([band0, band1]) AS band FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+       |  FROM banded x JOIN banded y USING (band)
+       |  WHERE x.doc_id < y.doc_id),
+       |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS s
+       |  FROM tf GROUP BY 1),
+       |i AS (SELECT cand.doc_id_a, cand.doc_id_b,
+       |    CAST(sum(least(ta.c, tb.c)) AS BIGINT) AS inter
+       |  FROM cand JOIN tf ta ON ta.doc_id = cand.doc_id_a
+       |    JOIN tf tb ON tb.doc_id = cand.doc_id_b AND tb.tok = ta.tok
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT i.doc_id_a, i.doc_id_b,
+       |    CAST(i.inter AS DOUBLE) / CAST(sa.s + sb.s - i.inter AS DOUBLE)
+       |      AS wjaccard
+       |  FROM i JOIN tot sa ON sa.doc_id = i.doc_id_a
+       |    JOIN tot sb ON sb.doc_id = i.doc_id_b)""".stripMargin
+
   private def sqlBandsFrom(from: String): String = {
     val mhs = (0 until nSig).map(i => s"${sqlMinhash("shingles", i)} AS mh$i").mkString(",\n  ")
     s"""SELECT doc_id, shingles, $mhs
@@ -1338,32 +1420,31 @@ object TextOps {
          |FROM ($sqlWeightedBands)""".stripMargin,
 
     "q185_weighted_pairs" ->
-      s"""WITH tf AS ($sqlTf),
-         |sig AS (
-         |  SELECT doc_id,
-         |    md5(wmh0 || wmh1 || wmh2 || wmh3) AS band0,
-         |    md5(wmh4 || wmh5 || wmh6 || wmh7) AS band1
-         |  FROM ($sqlWeightedBands)),
-         |banded AS (
-         |  SELECT doc_id, unnest([band0, band1]) AS band FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
-         |  FROM banded x JOIN banded y USING (band)
-         |  WHERE x.doc_id < y.doc_id),
-         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS s
-         |  FROM tf GROUP BY 1),
-         |i AS (SELECT cand.doc_id_a, cand.doc_id_b,
-         |    CAST(sum(least(ta.c, tb.c)) AS BIGINT) AS inter
-         |  FROM cand JOIN tf ta ON ta.doc_id = cand.doc_id_a
-         |    JOIN tf tb ON tb.doc_id = cand.doc_id_b AND tb.tok = ta.tok
-         |  GROUP BY 1, 2),
-         |sc AS (SELECT i.doc_id_a, i.doc_id_b,
-         |    CAST(i.inter AS DOUBLE) / CAST(sa.s + sb.s - i.inter AS DOUBLE)
-         |      AS wjaccard
-         |  FROM i JOIN tot sa ON sa.doc_id = i.doc_id_a
-         |    JOIN tot sb ON sb.doc_id = i.doc_id_b)
+      s"""WITH $sqlWeightedPairChain
          |SELECT doc_id_a, doc_id_b, wjaccard FROM sc
          |WHERE wjaccard >= 0.5""".stripMargin,
+
+    // the q80 closure over the weighted detector: same edges/walk/clus
+    // recursive chain, pairs from the weighted verify instead of the
+    // set-Jaccard one
+    "q186_weighted_dedup_apply" ->
+      s"""WITH RECURSIVE $sqlWeightedPairChain,
+         |wpairs AS (
+         |  SELECT doc_id_a, doc_id_b FROM sc WHERE wjaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_id_a AS node, doc_id_b AS nbr FROM wpairs
+         |  UNION SELECT doc_id_b, doc_id_a FROM wpairs),
+         |walk AS (
+         |  SELECT node, node AS lab FROM edges
+         |  UNION
+         |  SELECT e.node, w.lab FROM edges e JOIN walk w ON w.node = e.nbr),
+         |clus AS (
+         |  SELECT node AS doc_id, min(lab) AS cluster_id FROM walk
+         |  GROUP BY node)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d
+         |LEFT JOIN clus c ON c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id
+         |WHERE c.doc_id IS NULL""".stripMargin,
 
     "q183_oph_minhash" -> {
       val ms = (0 until nSig).map(b =>
@@ -1473,6 +1554,21 @@ object TextOps {
         |  CAST(doc_id % 8 + 1 AS INT) AS height,
         |  CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) * 3 * (doc_id % 256)
         |    AS BIGINT) AS pixel_sum
+        |FROM documents""".stripMargin,
+
+    // the WAV fixture stores each unsigned 16-bit sample u as its LE byte
+    // pair, so the decoded-stream byte sum is Σ (u%256 + u//256) — pure
+    // doc_id arithmetic, but only reproducible by actually inflating the
+    // data chunk on the Spark side
+    "q187_mm_wav_decode" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(32 + doc_id % 96 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(range(0, CAST(32 + doc_id % 96 AS BIGINT)),
+        |    k -> (doc_id * 7919 + k * 104729) % 65536 % 256 +
+        |         (doc_id * 7919 + k * 104729) % 65536 // 256))
+        |    AS BIGINT) AS pcm_sum
         |FROM documents""".stripMargin,
 
     "q55_tfidf_top_term" ->

@@ -101,4 +101,53 @@ class MultiModalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(out == Set((1L, 0), (1L, 2), (1L, 4), (3L, 0)))
   }
+
+  test("decodeAudio decodes a REAL WAV: rate/channels/frames + PCM byte " +
+      "sum require reading the data chunk") {
+    // samples chosen so the byte sum differs from any header arithmetic:
+    // u = {0x0102, 0x8000, 0xFFFF} → bytes 2+1, 0+128, 255+255
+    val samples = Array[Short](0x0102.toShort, 0x8000.toShort, 0xffff.toShort)
+    val wav = MultiModal.encodeWav(11025, samples)
+    // real RIFF/WAVE container
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val a = MultiModal.decodeAudio(wav).get
+    assert(a.sampleRate == 11025 && a.channels == 1 && a.nFrames == 3L)
+    assert(a.pcmSum == (2 + 1) + (0 + 128) + (255 + 255))
+    // ImageIO must NOT claim it; non-audio bytes must not decode
+    assert(MultiModal.decodeImage(wav).isEmpty)
+    assert(MultiModal.decodeAudio("FORM but not an AIFF".getBytes).isEmpty)
+    assert(MultiModal.decodeAudio(MultiModal.encodePng(2, 2, 7)).isEmpty)
+  }
+
+  test("decodeFeatures routes audio payloads through the real decoder, " +
+      "stub only for unknown payloads") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val wav = MultiModal.encodeWav(8000, Array[Short](100, 200))
+    val junk = Array[Byte](9, 4, 77)
+    val df = Seq((1L, wav), (2L, junk)).toDF("id", "payload")
+    val out = MultiModal.decodeFeatures(df, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    // audio row: (channels, sample_rate, pcm byte sum)
+    assert(out(1L) == ((1, 8000, (100 + 0) + (200 + 0))))
+    // junk keeps the stub contract
+    val (w, h, sum) = MultiModal.decodeStub(junk)
+    assert(out(2L) == ((w, h, sum)))
+  }
+
+  test("decodeAudioFeatures keeps the full typed schema; unreadable rows " +
+      "are all-zero") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val wav = MultiModal.encodeWav(16000, Array.tabulate(5)(i => i.toShort))
+    val df = Seq((7L, wav), (8L, Array[Byte](1, 2, 3)))
+      .toDF("id", "payload")
+    val out = MultiModal.decodeAudioFeatures(df, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(7L) == ((16000, 1, 5L, 0 + 1 + 2 + 3 + 4)))
+    assert(out(8L) == ((0, 0, 0L, 0L)))
+  }
 }

@@ -76,6 +76,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q119_lm_perplexity"         -> 0, // LM is a collect artifact; scoring in-row
     "q182_kn_perplexity"         -> 0, // same artifact shape as q119; KN maps in-row
     "q183_oph_minhash"           -> 0, // scan → one-pass OPH kernel → project
+    "q184_weighted_minhash"      -> 0, // scan → tf-weighted expansion + minhash in-row → project
+    "q185_weighted_pairs"        -> 3, // q29 shape: band explode + capped self-join + dedup
+    "q186_weighted_dedup_apply"  -> 2, // q80 shape: pairs + anti-join; propagation at construction (q46 caveat)
+    "q187_mm_wav_decode"         -> 0, // q177 shape: mapPartitions encode → mapPartitions decode; payloads never shuffle
     "q11_explode_multirow"       -> 1,
     "q120_dsir_weight"           -> 0, // 256-bucket model collect; fold in-row
     "q121_train_order"           -> 1, // ONE hash exchange; per-shard local sort

@@ -248,4 +248,29 @@ class TextOpsNativeSpec extends AnyFunSuite {
       .collect().head
     assert(r.isNullAt(0))
   }
+
+  test("tfIntersect == map_from_entries/aggregate HOF formulation") {
+    // every ordered doc pair from the edge-case head of the corpus plus a
+    // real-corpus sample: Σ min(tf) from the native kernel must equal the
+    // interpreted map-lookup fold it replaced in the q185 verify
+    val tf = docs.limit(40).select(col("doc_id"),
+      TextExpressions.tokenTf(col("text")).as("tfs"))
+    val pairs = tf.select(col("doc_id").as("a"), col("tfs").as("tf_a"))
+      .crossJoin(tf.select(col("doc_id").as("b"), col("tfs").as("tf_b")))
+      .filter(col("a") < col("b"))
+    val both = pairs
+      .withColumn("native",
+        TextExpressions.tfIntersect(col("tf_a"), col("tf_b")))
+      .withColumn("mb", map_from_entries(col("tf_b")))
+      .withColumn("reference", aggregate(col("tf_a"), lit(0L), (acc, s) =>
+        acc + least(s.getField("tf").cast("long"),
+          coalesce(element_at(col("mb"), s.getField("token")), lit(0))
+            .cast("long"))))
+    assert(both.filter(col("native") =!= col("reference")).count() == 0)
+    // non-trivial: some pairs actually share tokens, and asymmetric tf
+    // pairs exercise the min (not just presence)
+    assert(both.filter(col("native") > 0).count() > 5)
+    assert(both.filter(col("native") =!= least(size(col("tf_a")),
+      size(col("tf_b"))).cast("long")).filter(col("native") > 0).count() > 0)
+  }
 }
