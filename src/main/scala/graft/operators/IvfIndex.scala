@@ -29,6 +29,16 @@ object IvfIndex {
 
   private val cosine = graft.functions.Expressions.cosineSim _
 
+  /** Schema of the packed 1-row centroid table: cents = array of
+    * (cent_id, cent_emb), element type taken from the source embedding. */
+  private def centsSchema(embType: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("cents", ArrayType(StructType(Seq(
+      StructField("cent_id", LongType, nullable = false),
+      StructField("cent_emb", embType, nullable = false))),
+      containsNull = false), nullable = false)))
+  }
+
   /** The in-row argmax-cosine assignment (strict `>` over the
     * cent_id-ascending packed array — ties keep the lowest id, matching
     * the oracle's (cos desc, cent_id asc) order). */
@@ -58,16 +68,43 @@ object IvfIndex {
       }
       if (loc.exists()) rm(loc)
     }
-    val cents = vectors.orderBy("vec_id").limit(k)
-      .groupBy().agg(array_sort(collect_list(struct(
-        col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))))
-        .as("cents"))
-    cents.write.saveAsTable(s"${name}_cents")
-    val assigned = Tables.spread(vectors, col("vec_id"))
-      .crossJoin(broadcast(spark.table(s"${name}_cents")))
+    // the packed-centroid row is k·d values — fetch the k seed vectors
+    // with ONE TakeOrdered job (no shuffle, no agg stage), pack the row
+    // driver-side, and reuse the local 1-row frame for BOTH the persisted
+    // _cents table and the assignment broadcast: the previous formulation
+    // ran a sort+limit+agg pipeline TWICE (saveAsTable + the spark.table
+    // re-read behind the crossJoin), pure fixed cost on every build
+    // (q143's ratio was all catalog/re-job overhead, not assignment work)
+    val seeds = vectors.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(k).collect()
+    val packed = new org.apache.spark.sql.catalyst.expressions
+      .GenericRowWithSchema(Array[Any](seeds.sortBy(_.getLong(0)).map(r =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getSeq[Any](1))).toSeq),
+      centsSchema(vectors.schema("embedding").dataType))
+    val centsLocal = spark.createDataFrame(
+      java.util.Collections.singletonList(packed: org.apache.spark.sql.Row),
+      packed.schema)
+    // repartition on the BUCKET key: the bucket id is pmod(murmur3(cell),
+    // buckets) — the same hash family repartition uses — so each write
+    // task holds exactly one bucket's rows and emits exactly one file
+    // (the vec_id spread it replaces wrote up to tasks×buckets files and
+    // shuffled on a key the write immediately re-hashed away)
+    val assigned = vectors
+      .crossJoin(broadcast(centsLocal))
       .select(bestCell(col("embedding")).as("cell"), col("vec_id"),
         col("embedding"))
+      .repartition(buckets, col("cell"))
+    // the two table writes are independent (assignment broadcasts the
+    // LOCAL cents frame, not the table) — overlap them: the tiny cents
+    // write rides inside the cells write's scan+shuffle wall time instead
+    // of serializing another commit round in front of it
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val centsWrite = Future(
+      centsLocal.write.saveAsTable(s"${name}_cents"))
     Tables.writeBucketed(assigned, s"${name}_cells", "cell", buckets)
+    Await.result(centsWrite, Duration.Inf)
   }
 
   /** Match an ingest increment against the index: each new vector
@@ -77,7 +114,10 @@ object IvfIndex {
   def matchIncrement(spark: SparkSession, newVecs: DataFrame, name: String,
       topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = Tables.spread(newVecs, col("vec_id"))
+    // no spread here: assignment is in-row (parallel in the scan's own
+    // partitions) and the cell join immediately re-exchanges on cell —
+    // a vec_id repartition in front of it is a pure extra stage
+    val assigned = newVecs
       .crossJoin(broadcast(spark.table(s"${name}_cents")))
       .select(bestCell(col("embedding")).as("cell"),
         col("vec_id").as("new_id"), col("embedding").as("new_emb"))

@@ -56,7 +56,11 @@ class CollectDisciplineSpec extends AnyFunSuite {
       "q123 argmax 1-row + corpus-size scalar + q142 unigram vocab " +
         "(alphabet rows + a LIMIT-128 TakeOrdered — bounded by " +
         "construction at any corpus scale, unlike the q134 raw vocab)"),
-    "queries/VectorOps.scala" -> (1, "k-means packed-centroid codebook (k*d)")
+    "queries/VectorOps.scala" -> (1, "k-means packed-centroid codebook (k*d)"),
+    "operators/IvfIndex.scala" -> (1,
+      "IVF build seed fetch: k rows via TakeOrdered (k*d values — the " +
+        "same packed-centroid class as the k-means codebook), reused for " +
+        "both the _cents write and the assignment broadcast")
   )
 
   test("main-source .collect() sites stay on the bounded allowlist") {
