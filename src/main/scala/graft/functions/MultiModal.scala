@@ -122,6 +122,15 @@ object MultiModal {
     * None for payloads no reader accepts (they keep the stub contract). */
   def decodeAudio(payload: Array[Byte]): Option[AudioMeta] = {
     if (payload == null || payload.length < 12) return None
+    // container-magic sniff before the parser: RIFF/WAVE, FORM/AIFF-AIFC,
+    // or .snd (AU). Without it every non-audio payload pays an exception
+    // unwind through AudioSystem — measured 4x on q37's text-bytes feed.
+    val m0 = new String(payload, 0, 4, "US-ASCII")
+    val m8 = new String(payload, 8, 4, "US-ASCII")
+    val looksAudio = (m0 == "RIFF" && m8 == "WAVE") ||
+      (m0 == "FORM" && (m8 == "AIFF" || m8 == "AIFC")) ||
+      m0 == ".snd"
+    if (!looksAudio) return None
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))

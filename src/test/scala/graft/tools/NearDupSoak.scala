@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.NearDupIngest
 
-/** Throughput/state soak for the streaming near-dup tiers over a
-  * synthetic corpus with a controlled near-dup rate.
+/** Throughput/state soak + tier-accuracy measurement for the streaming
+  * near-dup tiers over a synthetic corpus with a controlled near-dup rate.
   *
   *   state tier (default): N docs in B micro-batches through
   *     `signatureVerdicts` on RocksDB state — the claim under test is
@@ -17,17 +17,66 @@ import graft.streaming.NearDupIngest
   *     the index (zero-Exchange scan, but O(index) IO), which is why this
   *     tier is for crawl-drop cadence, not per-second triggers.
   *
-  * Near-dups: 20% of docs copy an earlier doc's 40 tokens with 2
-  * replaced (exact-Jaccard ≈ 0.76, expected slot agreement ≈ 6/8).
+  *   recall mode (`recall` arg): BOTH tiers over the SAME corpus and
+  *     batch shape, scored against generator ground truth — the r11
+  *     verdict ask: the state tier's documented recall/precision
+  *     concessions as measured numbers, not prose. The corpus has three
+  *     classes: fresh (60%), true near-dups (20%: copy an earlier doc,
+  *     replace 2 of 40 tokens → shingle-Jaccard ≈ 0.73, MUST drop), and
+  *     borderline (20%: replace 5 of 40 → shingle-Jaccard ≈ 0.43, BELOW
+  *     the 0.5 tau — a correct exact-verify tier must KEEP these; the
+  *     state tier's signature estimate auto-passes once a band collides,
+  *     so any borderline it flags is a measured precision concession).
+  *
   * Seeded RNG → reproducible corpus.
   *
-  * Run: sbt "Test/runMain graft.tools.NearDupSoak [nDocs] [nBatches] [macro]"
+  * Run: sbt "Test/runMain graft.tools.NearDupSoak [nDocs] [nBatches] [mode]"
   */
 object NearDupSoak {
+
+  /** (docs, trueDupIds, borderlineIds): tokens from a 5k vocab, 40/doc. */
+  def corpus(nDocs: Int): (Array[(Long, String)], Set[Long], Set[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 5000).map(i => s"tok$i").toArray
+    val docs = new Array[(Long, String)](nDocs)
+    val dups = Set.newBuilder[Long]
+    val borderline = Set.newBuilder[Long]
+    def mutate(srcIdx: Int, nReplace: Int): String = {
+      val t = docs(srcIdx)._2.split(' ').clone()
+      rnd.shuffle((t.indices).toList).take(nReplace)
+        .foreach(p => t(p) = vocab(rnd.nextInt(vocab.length)))
+      t.mkString(" ")
+    }
+    (0 until nDocs).foreach { i =>
+      val roll = if (i == 0) 1.0 else rnd.nextDouble()
+      docs(i) =
+        if (roll < 0.2) { // true near-dup: j ≈ (38-6)/(38+6) ≈ 0.73
+          dups += i.toLong
+          (i.toLong, mutate(rnd.nextInt(i), 2))
+        } else if (roll < 0.4) { // borderline: j ≈ (38-15)/(38+15) ≈ 0.43
+          borderline += i.toLong
+          (i.toLong, mutate(rnd.nextInt(i), 5))
+        } else
+          (i.toLong, Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+            .mkString(" "))
+    }
+    (docs, dups.result(), borderline.result())
+  }
+
+  private def score(label: String, flagged: Set[Long], dups: Set[Long],
+      borderline: Set[Long], n: Long): String = {
+    val tp = (flagged & dups).size
+    val recall = tp.toDouble / dups.size
+    val precision = if (flagged.isEmpty) 1.0 else tp.toDouble / flagged.size
+    val bFlag = (flagged & borderline).size.toDouble / borderline.size
+    f""""$label":{"flagged":${flagged.size},"recall":$recall%.3f,""" +
+      f""""precision":$precision%.3f,"borderline_flag_rate":$bFlag%.3f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
-    val macroTier = args.lift(2).contains("macro")
+    val mode = args.lift(2).getOrElse("state")
     implicit val spark: SparkSession = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -41,25 +90,30 @@ object NearDupSoak {
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
 
-    val rnd = new scala.util.Random(42)
-    val vocab = (0 until 5000).map(i => s"tok$i").toArray
-    val docs = new Array[(Long, String)](nDocs)
-    (0 until nDocs).foreach { i =>
-      docs(i) =
-        if (i > 0 && rnd.nextDouble() < 0.2) {
-          // near-dup: copy an earlier doc, replace 2 of its 40 tokens
-          val src = docs(rnd.nextInt(i))._2.split(' ')
-          val t = src.clone()
-          t(rnd.nextInt(t.length)) = vocab(rnd.nextInt(vocab.length))
-          t(rnd.nextInt(t.length)) = vocab(rnd.nextInt(vocab.length))
-          (i.toLong, t.mkString(" "))
-        } else
-          (i.toLong, Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
-            .mkString(" "))
-    }
+    val (docs, dups, borderline) = corpus(nDocs)
     val perBatch = docs.grouped((nDocs + nBatches - 1) / nBatches).toArray
 
-    if (macroTier) {
+    /** state tier over perBatch → (flagged ids, per-batch seconds). */
+    def runState(): (Set[Long], Array[Double]) = {
+      val in = MemoryStream[(Long, String)]
+      val q = NearDupIngest.signatureVerdicts(
+        NearDupIngest.withSignatures(in.toDS().toDF("doc_id", "text")))
+        .writeStream.format("memory").queryName("ndsoak")
+        .outputMode("append").start()
+      val times = perBatch.map { b =>
+        val tb = System.nanoTime()
+        in.addData(b.toSeq)
+        q.processAllAvailable()
+        (System.nanoTime() - tb) / 1e9
+      }
+      val flagged = spark.table("ndsoak").select("docId").distinct()
+        .collect().map(_.getLong(0)).toSet
+      q.stop()
+      (flagged, times)
+    }
+
+    /** macro tier over perBatch → (dropped ids, per-batch seconds). */
+    def runMacro(): (Set[Long], Array[Double]) = {
       NearDupIngest.ensureIndex(spark, "soak_idx")
       val out = java.nio.file.Files.createTempDirectory("ndsoak_out").toString
       val times = perBatch.zipWithIndex.map { case (b, i) =>
@@ -68,33 +122,35 @@ object NearDupSoak {
           i.toLong, "soak_idx", out)
         (System.nanoTime() - t0) / 1e9
       }
-      val kept = spark.read.parquet(s"$out/batch=*").count()
-      println(f"""{"soak":"neardup-macro","docs":$nDocs,"batches":$nBatches,""" +
-        f""""kept":$kept,"total_s":${times.sum}%.1f,""" +
-        f""""docs_per_s":${nDocs / times.sum}%.0f,""" +
-        s""""batch_s":[${times.map(t => f"$t%.2f").mkString(",")}]}""")
-    } else {
-      val in = MemoryStream[(Long, String)]
-      val q = NearDupIngest.signatureVerdicts(
-        NearDupIngest.withSignatures(in.toDS().toDF("doc_id", "text")))
-        .writeStream.format("memory").queryName("ndsoak")
-        .outputMode("append").start()
-      val t0 = System.nanoTime()
-      val times = perBatch.map { b =>
-        val tb = System.nanoTime()
-        in.addData(b.toSeq)
-        q.processAllAvailable()
-        (System.nanoTime() - tb) / 1e9
-      }
-      val total = (System.nanoTime() - t0) / 1e9
-      val verdicts = spark.table("ndsoak").count()
-      val flagged = spark.table("ndsoak")
-        .select("docId").distinct().count()
-      q.stop()
-      println(f"""{"soak":"neardup-state","docs":$nDocs,"batches":$nBatches,""" +
-        f""""verdicts":$verdicts,"flagged_docs":$flagged,""" +
-        f""""total_s":$total%.1f,"docs_per_s":${nDocs / total}%.0f,""" +
-        s""""batch_s":[${times.map(t => f"$t%.2f").mkString(",")}]}""")
+      val kept = spark.read.parquet(s"$out/batch=*")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      (docs.map(_._1).toSet -- kept, times)
+    }
+
+    mode match {
+      case "macro" =>
+        val (dropped, times) = runMacro()
+        println(f"""{"soak":"neardup-macro","docs":$nDocs,"batches":$nBatches,""" +
+          f""""kept":${nDocs - dropped.size},"total_s":${times.sum}%.1f,""" +
+          f""""docs_per_s":${nDocs / times.sum}%.0f,""" +
+          s""""batch_s":[${times.map(t => f"$t%.2f").mkString(",")}]}""")
+      case "recall" =>
+        val (sFlag, sTimes) = runState()
+        val (mDrop, mTimes) = runMacro()
+        println(s"""{"soak":"neardup-recall","docs":$nDocs,""" +
+          s""""batches":$nBatches,"true_dups":${dups.size},""" +
+          s""""borderline":${borderline.size},""" +
+          score("state_tier", sFlag, dups, borderline, nDocs) + "," +
+          score("macro_tier", mDrop, dups, borderline, nDocs) + "," +
+          f""""state_total_s":${sTimes.sum}%.1f,""" +
+          f""""macro_total_s":${mTimes.sum}%.1f}""")
+      case _ =>
+        val (flagged, times) = runState()
+        val verdicts = spark.table("ndsoak").count()
+        println(f"""{"soak":"neardup-state","docs":$nDocs,"batches":$nBatches,""" +
+          f""""verdicts":$verdicts,"flagged_docs":${flagged.size},""" +
+          f""""total_s":${times.sum}%.1f,"docs_per_s":${nDocs / times.sum}%.0f,""" +
+          s""""batch_s":[${times.map(t => f"$t%.2f").mkString(",")}]}""")
     }
     spark.stop()
   }
