@@ -84,12 +84,29 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadBefore = loadavg()
+    // Block hygiene between queries: localCheckpoint-based operators
+    // (propagation rounds, the LSH/weighted banded frames) pin RDD blocks
+    // that only the ContextCleaner releases, and it needs a JVM GC to
+    // notice the dropped references. Left alone, a checkpoint-heavy query
+    // squeezes storage memory for every query that runs AFTER it —
+    // measured r12: q186 landing lexicographically before q19-q48 slowed
+    // that family 3-15x. A GC (not a blanket unpersist: deliberately
+    // memoized frames like the BPE vocab must keep their blocks — only
+    // UNREFERENCED checkpoints may go) lets the cleaner drain between
+    // queries, so each query is measured from the block state its solo
+    // run would see.
+    def releaseBlocks(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      Thread.sleep(200) // let the async ContextCleaner process the refs
+    }
     val timed = picked.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      releaseBlocks()
       val sorted = times.sorted
       // true median: even lengths average the two middle elements (an
       // upper-middle pick would record the MAX for iters=2, defeating the
