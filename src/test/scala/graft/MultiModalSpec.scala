@@ -120,6 +120,32 @@ class MultiModalSpec extends AnyFunSuite {
     assert(MultiModal.decodeAudio(MultiModal.encodePng(2, 2, 7)).isEmpty)
   }
 
+  test("decodeAudio reads AIFF and AU containers too (big-endian paths)") {
+    // same PCM, three JDK-writable containers: WAVE is LE, AIFF/AU are BE
+    // with different headers — frames and rate must agree across all three
+    val samples = Array[Short](1000, -2000, 3000, -4000)
+    val fmtBE = new javax.sound.sampled.AudioFormat(22050f, 16, 1, true, true)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = ((s >> 8) & 0xff).toByte
+      data(2 * i + 1) = (s & 0xff).toByte
+    }
+    Seq(javax.sound.sampled.AudioFileFormat.Type.AIFF,
+      javax.sound.sampled.AudioFileFormat.Type.AU).foreach { typ =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmtBE, samples.length.toLong),
+        typ, bos)
+      val a = MultiModal.decodeAudio(bos.toByteArray)
+        .getOrElse(fail(s"$typ did not decode"))
+      assert(a.sampleRate == 22050 && a.channels == 1 && a.nFrames == 4L,
+        s"$typ header fields")
+      // the decoded stream is the stored PCM — byte sum over the BE pairs
+      assert(a.pcmSum == data.map(_ & 0xff).sum.toLong, s"$typ pcm sum")
+    }
+  }
+
   test("decodeFeatures routes audio payloads through the real decoder, " +
       "stub only for unknown payloads") {
     import spark.implicits._

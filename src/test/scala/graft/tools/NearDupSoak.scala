@@ -30,7 +30,8 @@ import graft.streaming.NearDupIngest
   *
   * Seeded RNG → reproducible corpus.
   *
-  * Run: sbt "Test/runMain graft.tools.NearDupSoak [nDocs] [nBatches] [mode]"
+  * Run: sbt "Test/runMain graft.tools.NearDupSoak [nDocs] [nBatches] [mode] [simTau]"
+  * (simTau applies to the state tier in recall mode; default 0.5.)
   */
 object NearDupSoak {
 
@@ -77,6 +78,7 @@ object NearDupSoak {
     val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val mode = args.lift(2).getOrElse("state")
+    val simTau = args.lift(3).map(_.toDouble).getOrElse(0.5)
     implicit val spark: SparkSession = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -97,7 +99,8 @@ object NearDupSoak {
     def runState(): (Set[Long], Array[Double]) = {
       val in = MemoryStream[(Long, String)]
       val q = NearDupIngest.signatureVerdicts(
-        NearDupIngest.withSignatures(in.toDS().toDF("doc_id", "text")))
+        NearDupIngest.withSignatures(in.toDS().toDF("doc_id", "text")),
+        simTau)
         .writeStream.format("memory").queryName("ndsoak")
         .outputMode("append").start()
       val times = perBatch.map { b =>
@@ -138,7 +141,8 @@ object NearDupSoak {
         val (sFlag, sTimes) = runState()
         val (mDrop, mTimes) = runMacro()
         println(s"""{"soak":"neardup-recall","docs":$nDocs,""" +
-          s""""batches":$nBatches,"true_dups":${dups.size},""" +
+          s""""batches":$nBatches,"sim_tau":$simTau,""" +
+          s""""true_dups":${dups.size},""" +
           s""""borderline":${borderline.size},""" +
           score("state_tier", sFlag, dups, borderline, nDocs) + "," +
           score("macro_tier", mDrop, dups, borderline, nDocs) + "," +
