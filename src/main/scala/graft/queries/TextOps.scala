@@ -640,6 +640,38 @@ object TextOps {
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
     }),
 
+    // Leakage-safe train/val/test split: the assignment unit is the
+    // near-dup CLUSTER, not the document — a doc and its near-duplicates
+    // must land in the SAME split or eval leaks training data (the
+    // classic contamination path dedup alone doesn't close: dedup keeps
+    // one member, but a 98/1/1 split drawn per-DOC would still let a
+    // kept train doc's dropped twin... be gone — the real risk is docs
+    // kept as distinct-but-similar, i.e. every cluster member). Split =
+    // md5 of the cluster id into 100 integer buckets (98 train / 1 val /
+    // 1 test) — deterministic across engines, reshard-safe, rerun-safe,
+    // the q86 acceptance discipline. Singletons (never in a verified
+    // pair) are their own cluster. Scale shape: q46's pair+propagation
+    // cost plus ONE broadcast-ably small join back (cluster labels ≪
+    // corpus — only docs IN near-dup pairs carry a row) and an in-row
+    // md5; no new corpus-sized exchange.
+    "q188_leakage_split" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val pairs = lshVerifiedPairs(docs)
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      val clusters = graft.operators.ConnectedComponents.runPropagation(pairs)
+        .select(col("node").as("doc_id"), col("component").as("cid"))
+      val bucket = conv(substring(md5(concat(lit("split|"),
+        col("cluster_id").cast("string"))), 1, 4), 16, 10).cast("long") % 100
+      docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+        .withColumn("split",
+          when(bucket < 98, "train").when(bucket === 98, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata extraction
     // (here the "blob" is the text bytes; decode stays source-side).
     "q33_multimodal_meta" -> ((s, dir) => {
@@ -1150,6 +1182,17 @@ object TextOps {
 
   // DuckDB-side building blocks (kept in one place so Spark/SQL stay in sync)
   private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
+  // local copy of the 4-hex-char md5 fold (TrainOps/CurationOps have
+  // their own: referencing a sibling object from this initializer would
+  // deadlock the <clinit> cycle — TrainOps' init already reads our
+  // `oracles` map)
+  private val hexDigits = "0123456789abcdef"
+  private def sqlHex4(h: String): String =
+    s"""((strpos('$hexDigits', substr($h, 1, 1)) - 1) * 4096 +
+       | (strpos('$hexDigits', substr($h, 2, 1)) - 1) * 256 +
+       | (strpos('$hexDigits', substr($h, 3, 1)) - 1) * 16 +
+       | (strpos('$hexDigits', substr($h, 4, 1)) - 1))""".stripMargin
+
   private[graft] def sqlShingles(toks: String) =
     s"""list_distinct(CASE WHEN len($toks) >= 3
        | THEN list_transform(range(1, len($toks) - 1),
@@ -1555,6 +1598,25 @@ object TextOps {
         |  CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) * 3 * (doc_id % 256)
         |    AS BIGINT) AS pixel_sum
         |FROM documents""".stripMargin,
+
+    // split buckets re-derive from the same md5("split|" || cluster_id)
+    // 4-hex-char fold both engines compute identically; the cluster ids
+    // come from the recursive set-Jaccard chain (q46/q80's oracle)
+    "q188_leakage_split" ->
+      s"""WITH RECURSIVE ${sqlLshClusterChain("documents")},
+         |assigned AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, cluster_id,
+         |    ${sqlHex4("md5('split|' || CAST(cluster_id AS VARCHAR))")}
+         |      % 100 AS bkt
+         |  FROM assigned)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bkt < 98 THEN 'train' WHEN bkt = 98 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
 
     // the WAV fixture stores each unsigned 16-bit sample u as its LE byte
     // pair, so the decoded-stream byte sum is Σ (u%256 + u//256) — pure

@@ -80,6 +80,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q185_weighted_pairs"        -> 3, // q29 shape: band explode + capped self-join + dedup
     "q186_weighted_dedup_apply"  -> 2, // q80 shape: pairs + anti-join; propagation at construction (q46 caveat)
     "q187_mm_wav_decode"         -> 0, // q177 shape: mapPartitions encode → mapPartitions decode; payloads never shuffle
+    "q188_leakage_split"         -> 2, // q46 pairs at construction (q46 caveat) + cluster-label join back; split md5 is in-row
     "q11_explode_multirow"       -> 1,
     "q120_dsir_weight"           -> 0, // 256-bucket model collect; fold in-row
     "q121_train_order"           -> 1, // ONE hash exchange; per-shard local sort
