@@ -52,6 +52,12 @@ object IvfIndex {
           .otherwise(acc)
       }).getField("c")
 
+  /** Public in-row assignment column — composition surface for the
+    * streaming ingest's in-batch cell-local pairing (the caller supplies
+    * the broadcast `cents` row via crossJoin, exactly like the internal
+    * sites). */
+  def cellOf(emb: Column): Column = bestCell(emb)
+
   /** Build the index from `vectors` (vec_id, embedding): centroids =
     * the `k` lowest vec_ids (the q43/q91 deterministic seeding), every
     * vector assigned in-row, cells stored bucketed. Rewrite = full
@@ -107,12 +113,49 @@ object IvfIndex {
     Await.result(centsWrite, Duration.Inf)
   }
 
+  /** Append an increment's vectors to an existing index — the streaming
+    * growth path ([[graft.streaming.VecDupIngest]]), the vector twin of
+    * [[LshIndex.append]]: vectors assign in-row against the FROZEN
+    * centroid broadcast and append bucket-aligned, so the zero-exchange
+    * index-side reads of [[matchIncrement]] keep holding as the index
+    * grows. Compaction (many small bucket files → few, or a centroid
+    * re-seed) is [[write]]'s full refresh, run offline. */
+  def append(spark: SparkSession, vectors: DataFrame, name: String): Unit = {
+    // the bucket count is the TABLE's property — read it from the catalog
+    // so appends can never fork the spec (the LshIndex.append rule)
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_cells"))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"${name}_cells is not bucketed"))
+    val assigned = vectors
+      .crossJoin(broadcast(spark.table(s"${name}_cents")))
+      .select(bestCell(col("embedding")).as("cell"), col("vec_id"),
+        col("embedding"))
+      .repartition(buckets, col("cell"))
+    Tables.appendBucketed(assigned, s"${name}_cells", "cell", buckets)
+    // under foreachBatch the reader can be a different clone of the same
+    // SharedState (stale file listing — the LshIndex.append lesson), so
+    // refresh here
+    spark.catalog.refreshTable(s"${name}_cells")
+  }
+
+  /** True iff the index tables exist in the session catalog. */
+  def exists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(s"${name}_cells") &&
+      spark.catalog.tableExists(s"${name}_cents")
+
   /** Match an ingest increment against the index: each new vector
     * assigns in-row to its FROZEN centroid cell and meets that cell's
     * indexed members in bucket order — (new_id, old_id, rank, cos_sim),
-    * top-`topK` by cosine. Only the increment moves. */
+    * top-`topK` by cosine. Only the increment moves. `excludeIds`
+    * (vec_id), when given, removes those index members BEFORE the rank
+    * window — the streaming replay guard: a crash-replayed batch finds
+    * its own vectors in the index at cosine 1.0, and filtering after the
+    * window would let the self-row displace the genuine history match
+    * from rank 1. The exclusion side is batch-sized (broadcast anti). */
   def matchIncrement(spark: SparkSession, newVecs: DataFrame, name: String,
-      topK: Int = 3): DataFrame = {
+      topK: Int = 3, excludeIds: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // no spread here: assignment is in-row (parallel in the scan's own
     // partitions) and the cell join immediately re-exchanges on cell —
@@ -123,9 +166,13 @@ object IvfIndex {
         col("vec_id").as("new_id"), col("embedding").as("new_emb"))
     val w = Window.partitionBy("new_id")
       .orderBy(col("cos_sim").desc, col("old_id"))
-    spark.table(s"${name}_cells")
+    val idx0 = spark.table(s"${name}_cells")
       .select(col("cell"), col("vec_id").as("old_id"),
         col("embedding").as("old_emb"))
+    val idx = excludeIds.fold(idx0)(ex => idx0.join(
+      broadcast(ex.select(col("vec_id").as("old_id"))), Seq("old_id"),
+      "left_anti"))
+    idx
       .join(assigned, "cell")
       .withColumn("cos_sim", cosine(col("new_emb"), col("old_emb")))
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.IvfIndex
+import graft.streaming.VecDupIngest
+
+/** Streaming embedding near-dup ingest (the vector twin of
+  * NearDupIngestSpec): bootstrap batch seeds the frozen index and equals
+  * the cell-local batch rule, cross-batch near-dups of any earlier
+  * vector drop, replay is idempotent INCLUDING the crash window between
+  * index append and marker, and the index side stays exchange-free after
+  * appends. The real sf0.001 embeddings have no cosine-0.9 pairs (max
+  * pairwise 0.479), so near-dups are manufactured as exact copies of
+  * real vectors under fresh ids — which also makes ground truth exact. */
+class VecDupIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val wh = Files.createTempDirectory("vdi_wh").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.autoBroadcastJoinThreshold", (8L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def vecs = graft.core.Tables
+    .load(spark, "/root/testdata/sf0.001", "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  /** `n` exact copies of the lowest-id vectors, under ids base+i. */
+  private def copies(base: Long, n: Int): DataFrame =
+    vecs.orderBy("vec_id").limit(n)
+      .select((col("vec_id") + base).as("vec_id"), col("embedding"))
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).toSet
+
+  private def keptIds(out: String, b: Long): Set[Long] =
+    ids(spark.read.parquet(s"$out/batch=$b"))
+
+  private def fresh(name: String): Unit =
+    Seq(s"${name}_cells", s"${name}_cents").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf
+        .get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+
+  test("bootstrap batch: exact in-batch copy drops, min id kept, rest survive") {
+    fresh("vdi1")
+    val out = Files.createTempDirectory("vdi1_out").toString
+    val batch = vecs.union(copies(10000L, 2)) // copies of the 2 lowest ids
+    VecDupIngest.processBatch(spark, batch, 0L, "vdi1", out)
+    val kept = keptIds(out, 0L)
+    val all = ids(vecs)
+    assert(kept == all, "copies (higher ids) drop; every original survives")
+    // and the index holds the WHOLE batch (kept + dropped)
+    assert(spark.table("vdi1_cells").count() == batch.count())
+  }
+
+  test("cross-batch: a later copy of ANY earlier vector drops, fresh survive") {
+    fresh("vdi2")
+    val out = Files.createTempDirectory("vdi2_out").toString
+    val b0 = vecs.filter(col("vec_id") % 2 === 0)
+    val b1 = vecs.filter(col("vec_id") % 2 === 1)
+      .union(copies(20000L, 1)) // copy of vec 0 (an EVEN id: batch-0 member)
+    VecDupIngest.processBatch(spark, b0, 0L, "vdi2", out)
+    VecDupIngest.processBatch(spark, b1, 1L, "vdi2", out)
+    assert(keptIds(out, 0L) == ids(b0))
+    // odds have no 0.9-cosine pair among themselves or vs evens (real
+    // corpus: max pairwise 0.479) — only the manufactured copy drops
+    assert(keptIds(out, 1L) == ids(vecs.filter(col("vec_id") % 2 === 1)))
+  }
+
+  test("replay after the crash window (index appended, marker lost) is exact") {
+    // foreachBatch is SERIAL: only the LATEST batch can be uncommitted,
+    // so each crash window is exercised immediately after its batch —
+    // a marker can never vanish once a later batch has run
+    fresh("vdi3")
+    val out = Files.createTempDirectory("vdi3_out").toString
+    val b0 = vecs.filter(col("vec_id") < 400)
+    val b1 = vecs.filter(col("vec_id") >= 400).union(copies(30000L, 1))
+    // crash window on the BOOTSTRAP path: batch 0 seeded the index,
+    // marker gone — replay takes the append path, output unchanged
+    VecDupIngest.processBatch(spark, b0, 0L, "vdi3", out)
+    val kept0 = keptIds(out, 0L)
+    new java.io.File(out, "_committed/0").delete()
+    VecDupIngest.processBatch(spark, b0, 0L, "vdi3", out)
+    assert(keptIds(out, 0L) == kept0,
+      "bootstrap replay with the batch self-indexed must reproduce the kept set")
+    // crash window on the APPEND path: batch 1 in the index, marker gone
+    VecDupIngest.processBatch(spark, b1, 1L, "vdi3", out)
+    val kept1 = keptIds(out, 1L)
+    val cells = spark.table("vdi3_cells").count()
+    new java.io.File(out, "_committed/1").delete()
+    VecDupIngest.processBatch(spark, b1, 1L, "vdi3", out)
+    assert(keptIds(out, 1L) == kept1,
+      "append replay with the batch self-indexed must reproduce the kept set")
+    // duplicated index rows exist until compaction — decision unchanged,
+    // and a fresh exact re-crawl still matches
+    assert(spark.table("vdi3_cells").count() > cells)
+    val m = IvfIndex.matchIncrement(spark, copies(40000L, 1), "vdi3", topK = 1)
+    assert(m.filter(col("cos_sim") === 1.0).count() == 1)
+  }
+
+  test("after appends the match still reads the index without an Exchange") {
+    fresh("vdi4")
+    val out = Files.createTempDirectory("vdi4_out").toString
+    VecDupIngest.processBatch(spark, vecs.filter(col("vec_id") < 300), 0L,
+      "vdi4", out)
+    VecDupIngest.processBatch(spark,
+      vecs.filter(col("vec_id") >= 300 && col("vec_id") < 400), 1L,
+      "vdi4", out)
+    val plan = IvfIndex
+      .matchIncrement(spark, vecs.filter(col("vec_id") >= 400), "vdi4")
+      .queryExecution.executedPlan.toString
+    // exactly ONE shuffle Exchange (the increment's cell repartition);
+    // the appended bucketed index never re-shuffles
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected 1 increment-side exchange, got $n:\n$plan")
+  }
+
+  test("end-to-end stream: later micro-batch's copy drops, fresh vector survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    fresh("vdi5")
+    val out = Files.createTempDirectory("vdi5_out").toString
+    val cp = Files.createTempDirectory("vdi5_cp").toString
+    val rows = vecs.limit(50).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = VecDupIngest.start(
+      in.toDS().toDF("vec_id", "embedding"), "vdi5", out, cp)
+    try {
+      in.addData(rows.toSeq)
+      q.processAllAvailable()
+      // batch 1: an exact re-crawl of vector 0 under a new id + a fresh
+      // orthogonal-ish vector
+      val freshVec = (90001L, Seq.tabulate(rows.head._2.length)(i =>
+        if (i == 0) 1.0f else 0.0f))
+      in.addData(Seq((90000L, rows.head._2), freshVec))
+      q.processAllAvailable()
+      assert(keptIds(out, 1L) == Set(90001L))
+    } finally q.stop()
+  }
+}
