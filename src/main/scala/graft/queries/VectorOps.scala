@@ -296,6 +296,64 @@ object VectorOps {
         s, e.filter(col("vec_id") % 10 === 9), "q143_idx")
     }),
 
+    // The vec-dedup DECISION as an oracle-gated batch query (the rule
+    // VecDupIngest streams): a delta vector is a duplicate iff its
+    // IVF-pruned top-1 cosine within the frozen cell reaches tau. tau =
+    // 0.3 is CORPUS-CALIBRATED so both branches carry rows on the
+    // synthetic embeddings (their max pairwise cosine is ~0.48; real
+    // embedding deployments run 0.9+) — the gate pins the rule, the
+    // knob carries the semantics.
+    "q189_vecdup_batch" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.operators.IvfIndex.write(
+        s, e.filter(col("vec_id") % 10 =!= 9), "q189_idx")
+      val dups = graft.operators.IvfIndex.matchIncrement(
+          s, e.filter(col("vec_id") % 10 === 9), "q189_idx", topK = 1)
+        .filter(col("cos_sim") >= 0.3)
+        .select(col("new_id").as("vec_id"), lit(1L).as("d"))
+      e.filter(col("vec_id") % 10 === 9).select("vec_id")
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("d"), lit(0L)).as("is_dup"))
+    }),
+
+    // The q122 move applied to the dedup decision: how much does the
+    // IVF cell pruning COST against brute-force truth? Per delta vector:
+    // its cell-pruned top-1 cosine (q189's evidence) vs the brute-force
+    // top-1 over ALL history, and whether the pruned search found the
+    // true nearest (cell_hit). Scale shape: the brute side is the q31
+    // baseline — history scans once and never shuffles, the delta
+    // broadcasts, the top-1 is a max-struct aggregate (no window over
+    // the corpus); the IVF side is q189's plan.
+    "q190_vecdup_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val hist = e.filter(col("vec_id") % 10 =!= 9)
+      val delta = e.filter(col("vec_id") % 10 === 9)
+      graft.operators.IvfIndex.write(s, hist, "q190_idx")
+      val ivf = graft.operators.IvfIndex
+        .matchIncrement(s, delta, "q190_idx", topK = 1)
+        .select(col("new_id").as("vec_id"), col("cos_sim").as("ivf_cos"))
+      // brute top-1: max over (cos, -old_id) — ties keep the LOWEST old
+      // id, matching matchIncrement's (cos desc, old_id asc) order
+      val brute = hist
+        .crossJoin(broadcast(delta.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"))))
+        .select(col("q_id"), round(graft.functions.Expressions
+          .cosineSim(col("q_emb"), col("embedding")), 6).as("cos"),
+          col("vec_id").as("old_id"))
+        .groupBy(col("q_id"))
+        .agg(max(struct(col("cos"), (-col("old_id")).as("nid")))
+          .getField("cos").as("brute_cos"))
+        .select(col("q_id").as("vec_id"), col("brute_cos"))
+      delta.select("vec_id")
+        .join(ivf, Seq("vec_id"), "left")
+        .join(brute, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("ivf_cos"), lit(-1.0)).as("ivf_cos"),
+          coalesce(col("brute_cos"), lit(-1.0)).as("brute_cos"),
+          (coalesce(col("ivf_cos"), lit(-1.0)) ===
+            coalesce(col("brute_cos"), lit(-1.0))).cast("long").as("cell_hit"))
+    }),
+
     "q110_balanced_sample" -> balancedSample,
 
     // SemDeDup-shaped semantic dedup (Abbas et al. 2023): k-means first,
@@ -470,6 +528,34 @@ object VectorOps {
        |  list_transform(list_zip($a, $b),
        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
        |  (x, y) -> x + y)""".stripMargin
+  /** The hist/delta split + frozen-centroid assignment CTE chain shared
+    * by q143 (top-k match) and q189 (dedup decision): hist = 90% of the
+    * corpus, delta = the ingest increment, cents = the k lowest hist
+    * ids, hassign/dassign = argmax-cosine cell per vector. */
+  private def sqlIvfSplitChain: String =
+    s"""hist AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9),
+       |delta AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 9),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cent
+       |  FROM hist ORDER BY vec_id LIMIT 8),
+       |hassign AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT h.vec_id, h.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY h.vec_id
+       |        ORDER BY ${sqlCos("h.embedding", "c.cent")} DESC,
+       |                 c.cent_id) AS r
+       |    FROM hist h CROSS JOIN cents c)
+       |  WHERE r = 1),
+       |dassign AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT d.vec_id, d.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY d.vec_id
+       |        ORDER BY ${sqlCos("d.embedding", "c.cent")} DESC,
+       |                 c.cent_id) AS r
+       |    FROM delta d CROSS JOIN cents c)
+       |  WHERE r = 1)""".stripMargin
+
   private def sqlCos(a: String, b: String) =
     s"(${sqlDot(a, b)}) / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
@@ -517,28 +603,7 @@ object VectorOps {
          |WHERE rank <= 3""".stripMargin,
 
     "q143_ivf_increment" ->
-      s"""WITH hist AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9),
-         |delta AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 9),
-         |cents AS (SELECT vec_id AS cent_id, embedding AS cent
-         |  FROM hist ORDER BY vec_id LIMIT 8),
-         |hassign AS (
-         |  SELECT vec_id, embedding, cent_id AS cell FROM (
-         |    SELECT h.vec_id, h.embedding, c.cent_id,
-         |      row_number() OVER (PARTITION BY h.vec_id
-         |        ORDER BY ${sqlCos("h.embedding", "c.cent")} DESC,
-         |                 c.cent_id) AS r
-         |    FROM hist h CROSS JOIN cents c)
-         |  WHERE r = 1),
-         |dassign AS (
-         |  SELECT vec_id, embedding, cent_id AS cell FROM (
-         |    SELECT d.vec_id, d.embedding, c.cent_id,
-         |      row_number() OVER (PARTITION BY d.vec_id
-         |        ORDER BY ${sqlCos("d.embedding", "c.cent")} DESC,
-         |                 c.cent_id) AS r
-         |    FROM delta d CROSS JOIN cents c)
-         |  WHERE r = 1)
+      s"""WITH $sqlIvfSplitChain
          |SELECT new_id, old_id, rank, round(cs, 6) AS cos_sim FROM (
          |  SELECT d.vec_id AS new_id, h.vec_id AS old_id,
          |    ${sqlCos("d.embedding", "h.embedding")} AS cs,
@@ -547,6 +612,54 @@ object VectorOps {
          |               h.vec_id) AS rank
          |  FROM dassign d JOIN hassign h USING (cell))
          |WHERE rank <= 3""".stripMargin,
+
+    // pruning-cost gate: IVF top-1 (within-cell) vs brute top-1 (all
+    // history) per delta vector; -1 stands in for "no candidate"
+    "q190_vecdup_recall" ->
+      s"""WITH $sqlIvfSplitChain,
+         |ivf AS (
+         |  SELECT new_id, round(cs, 6) AS ivf_cos FROM (
+         |    SELECT d.vec_id AS new_id,
+         |      ${sqlCos("d.embedding", "h.embedding")} AS cs,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY ${sqlCos("d.embedding", "h.embedding")} DESC,
+         |                 h.vec_id) AS rank
+         |    FROM dassign d JOIN hassign h USING (cell))
+         |  WHERE rank = 1),
+         |brute AS (
+         |  SELECT new_id, round(cs, 6) AS brute_cos FROM (
+         |    SELECT d.vec_id AS new_id,
+         |      ${sqlCos("d.embedding", "h.embedding")} AS cs,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY ${sqlCos("d.embedding", "h.embedding")} DESC,
+         |                 h.vec_id) AS rank
+         |    FROM delta d CROSS JOIN hist h)
+         |  WHERE rank = 1)
+         |SELECT d.vec_id,
+         |  COALESCE(i.ivf_cos, -1.0) AS ivf_cos,
+         |  COALESCE(b.brute_cos, -1.0) AS brute_cos,
+         |  CAST(COALESCE(i.ivf_cos, -1.0) = COALESCE(b.brute_cos, -1.0)
+         |    AS BIGINT) AS cell_hit
+         |FROM delta d
+         |LEFT JOIN ivf i ON i.new_id = d.vec_id
+         |LEFT JOIN brute b ON b.new_id = d.vec_id""".stripMargin,
+
+    // the vec-dedup DECISION: top-1 within the cell vs the threshold;
+    // delta vectors with an empty cell carry no top1 row → is_dup 0
+    "q189_vecdup_batch" ->
+      s"""WITH $sqlIvfSplitChain,
+         |top1 AS (
+         |  SELECT new_id, round(cs, 6) AS cos FROM (
+         |    SELECT d.vec_id AS new_id,
+         |      ${sqlCos("d.embedding", "h.embedding")} AS cs,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY ${sqlCos("d.embedding", "h.embedding")} DESC,
+         |                 h.vec_id) AS rank
+         |    FROM dassign d JOIN hassign h USING (cell))
+         |  WHERE rank = 1)
+         |SELECT d.vec_id,
+         |  CAST(CASE WHEN t.cos >= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |FROM delta d LEFT JOIN top1 t ON t.new_id = d.vec_id""".stripMargin,
 
     "q43_ann_ivf" ->
       s"""WITH assigned AS (

@@ -117,7 +117,12 @@ class CollectDisciplineSpec extends AnyFunSuite {
   // hint anywhere fails the suite until its bound is written down here.
   private val broadcastAllowed: Map[String, (Int, String)] = Map(
     "cdc/Materialize.scala" -> (1, "dictionary dim (schema-sized)"),
-    "operators/IvfIndex.scala" -> (2, "IVF centroid codebook (k rows)"),
+    "operators/IvfIndex.scala" -> (4,
+      "IVF centroid codebook (k rows) at write/append/match sites + the " +
+        "matchIncrement excludeIds anti side (ingest-batch-sized: the " +
+        "replaying batch's own ids)"),
+    "streaming/VecDupIngest.scala" -> (1,
+      "the frozen centroid codebook (k rows) for in-batch cell pairing"),
     "queries/AnalyticsOps.scala" -> (13,
       "1-row scalars (nDocs x4, n, mx-class), 9-row bounds/med/mad dims, " +
         "count-min `counters` <= 4096 cells, q166/q169 frequent-token " +
@@ -134,10 +139,12 @@ class CollectDisciplineSpec extends AnyFunSuite {
       "<=10-doc query side (qterms/qdata), df of query terms only, " +
         "KB bloom fp sets x2, stopword-sized freq set"),
     "queries/TrainOps.scala" -> (1, "q122 approx side: <= 10 queries * k"),
-    "queries/VectorOps.scala" -> (12,
+    "queries/VectorOps.scala" -> (13,
       "query sets (vec_id < 10), packed codebooks (k*d), PQ codebooks, " +
         "k-means seeds, q143 delta assignments, q167 anchors (<= AnchorCap " +
-        "by construction: vec_id % 25 = 0 AND vec_id < 25*AnchorCap)")
+        "by construction: vec_id % 25 = 0 AND vec_id < 25*AnchorCap), " +
+        "q190 delta probe side (the 10% ingest increment — the q31 " +
+        "brute-force discipline: history scans, queries broadcast)")
   )
 
   test("every broadcast() hint in main source is a reviewed bounded frame") {

@@ -81,6 +81,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q186_weighted_dedup_apply"  -> 2, // q80 shape: pairs + anti-join; propagation at construction (q46 caveat)
     "q187_mm_wav_decode"         -> 0, // q177 shape: mapPartitions encode → mapPartitions decode; payloads never shuffle
     "q188_leakage_split"         -> 2, // q46 pairs at construction (q46 caveat) + cluster-label join back; split md5 is in-row
+    "q189_vecdup_batch"          -> 2, // q143's increment cell exchange + the is_dup join back; index side reads bucketed
+    "q190_vecdup_recall"         -> 3, // IVF side (1, q143 shape) + brute max-struct agg + verdict join; history scans once, never shuffles
     "q11_explode_multirow"       -> 1,
     "q120_dsir_weight"           -> 0, // 256-bucket model collect; fold in-row
     "q121_train_order"           -> 1, // ONE hash exchange; per-shard local sort
