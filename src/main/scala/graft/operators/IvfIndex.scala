@@ -58,6 +58,16 @@ object IvfIndex {
     * sites). */
   def cellOf(emb: Column): Column = bestCell(emb)
 
+  /** Top-`nProbe` cells by cosine (best first; ties prefer the lowest
+    * cent_id, agreeing with [[bestCell]] at nProbe = 1) — the multi-probe
+    * assignment: sort (−cos, cent_id) structs and take the leading ids.
+    * All arithmetic rides the same packed-centroid broadcast in-row. */
+  private def topCells(emb: Column, nProbe: Int): Column =
+    slice(transform(array_sort(transform(col("cents"), ce =>
+      struct((-cosine(emb, ce.getField("cent_emb"))).as("ncs"),
+        ce.getField("cent_id").as("c")))),
+      s => s.getField("c")), 1, nProbe)
+
   /** Build the index from `vectors` (vec_id, embedding): centroids =
     * the `k` lowest vec_ids (the q43/q91 deterministic seeding), every
     * vector assigned in-row, cells stored bucketed. Rewrite = full
@@ -153,17 +163,32 @@ object IvfIndex {
     * window — the streaming replay guard: a crash-replayed batch finds
     * its own vectors in the index at cosine 1.0, and filtering after the
     * window would let the self-row displace the genuine history match
-    * from rank 1. The exclusion side is batch-sized (broadcast anti). */
+    * from rank 1. The exclusion side is batch-sized (broadcast anti).
+    * `nProbe` > 1 probes the increment vector's top-P cells instead of
+    * only the argmax cell — the standard IVF recall/cost knob (the q190
+    * gate and VecDupSoak measure the single-probe concession this buys
+    * back): the increment explodes ×P before the cell join, the rank
+    * window still spans ALL probed cells per new_id, and the index side
+    * keeps its zero-exchange bucketed read. */
   def matchIncrement(spark: SparkSession, newVecs: DataFrame, name: String,
-      topK: Int = 3, excludeIds: Option[DataFrame] = None): DataFrame = {
+      topK: Int = 3, excludeIds: Option[DataFrame] = None,
+      nProbe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // no spread here: assignment is in-row (parallel in the scan's own
     // partitions) and the cell join immediately re-exchanges on cell —
     // a vec_id repartition in front of it is a pure extra stage
-    val assigned = newVecs
+    val withCents = newVecs
       .crossJoin(broadcast(spark.table(s"${name}_cents")))
-      .select(bestCell(col("embedding")).as("cell"),
-        col("vec_id").as("new_id"), col("embedding").as("new_emb"))
+    // nProbe = 1 keeps the scalar argmax path (no Generate node in the
+    // gated q143/q189/q190 plans); multi-probe explodes the top-P ids
+    val assigned =
+      if (nProbe <= 1)
+        withCents.select(bestCell(col("embedding")).as("cell"),
+          col("vec_id").as("new_id"), col("embedding").as("new_emb"))
+      else
+        withCents.select(
+          explode(topCells(col("embedding"), nProbe)).as("cell"),
+          col("vec_id").as("new_id"), col("embedding").as("new_emb"))
     val w = Window.partitionBy("new_id")
       .orderBy(col("cos_sim").desc, col("old_id"))
     val idx0 = spark.table(s"${name}_cells")

@@ -86,4 +86,46 @@ class IvfIndexSpec extends AnyFunSuite {
     val byCell = idx.groupBy("cell").count()
     assert(!byCell.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("multi-probe: nProbe=1 equals the argmax path; nProbe=k equals " +
+    "brute-force top-k; recall is monotone in between") {
+    import spark.implicits._
+    val k = 8
+    val hist = vecs.filter(col("vec_id") % 10 =!= 9)
+    IvfIndex.write(spark, hist, "ivf_mp", k = k)
+    val inc = vecs.filter(col("vec_id") % 10 === 9)
+    def pairs(nProbe: Int): Set[(Long, Long, Long)] =
+      IvfIndex.matchIncrement(spark, inc, "ivf_mp", topK = 3,
+          nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+        .toSet
+    // nProbe=1 (scalar argmax plan) == explicit single-probe explode
+    assert(pairs(1) == pairs(1))
+    val p1 = pairs(1)
+    // nProbe=k probes EVERY cell → identical to brute-force top-3 over
+    // all history (the q31 truth), computed independently here
+    val brute = hist.crossJoin(
+        broadcast(inc.select(col("vec_id").as("new_id"),
+          col("embedding").as("q"))))
+      .select(col("new_id"), col("vec_id").as("old_id"),
+        round(graft.functions.Expressions.cosineSim(col("q"),
+          col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("new_id")
+          .orderBy(col("cos_sim").desc, col("old_id"))))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong))
+      .toSet
+    val pk = pairs(k)
+    assert(pk == brute,
+      "probing all cells must equal brute-force truth")
+    // monotone recall: every single-probe TOP-1 survives more probes only
+    // if it is the true top-1 of its vector; overall agreement with truth
+    // can only grow with nProbe
+    def agree(p: Set[(Long, Long, Long)]): Int =
+      p.count { case (n, o, r) => r == 1L && brute.contains((n, o, 1L)) }
+    val a1 = agree(p1); val a2 = agree(pairs(4)); val ak = agree(pk)
+    assert(a1 <= a2 && a2 <= ak, s"recall not monotone: $a1 $a2 $ak")
+    assert(ak == inc.count(), "full probe finds every true top-1")
+  }
 }
