@@ -55,7 +55,8 @@ object VecDupIngest {
     * vectors to `outDir/batch=<id>` and indexes the whole batch. Skips
     * if the batch is already committed. */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      indexName: String, outDir: String, tau: Double = 0.9): Unit = {
+      indexName: String, outDir: String, tau: Double = 0.9,
+      nProbe: Int = 1): Unit = {
     val marker = new java.io.File(outDir, s"_committed/$batchId")
     if (marker.exists()) return
     val vecs = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
@@ -67,10 +68,12 @@ object VecDupIngest {
     }
     // 1. drop anything cosine-similar to the seen corpus (self-rows
     //    excluded on the index side — the replay guard; on a bootstrap
-    //    batch this leaves no candidates, the correct "no history" read)
+    //    batch this leaves no candidates, the correct "no history" read).
+    //    nProbe widens the history search to the top-P cells — the
+    //    measured recall/cost knob (VecDupSoak table in SCALE.md)
     val histDups = IvfIndex
       .matchIncrement(spark, vecs, indexName, topK = 1,
-        excludeIds = Some(vecs.select("vec_id")))
+        excludeIds = Some(vecs.select("vec_id")), nProbe = nProbe)
       .filter(col("cos_sim") >= tau)
       .select(col("new_id").as("vec_id")).distinct()
     val survivors = vecs.join(histDups, Seq("vec_id"), "left_anti")
@@ -98,13 +101,14 @@ object VecDupIngest {
 
   /** Wire a (vec_id, embedding) stream through [[processBatch]]. */
   def start(stream: DataFrame, indexName: String, outDir: String,
-      checkpoint: String, tau: Double = 0.9): StreamingQuery =
+      checkpoint: String, tau: Double = 0.9,
+      nProbe: Int = 1): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
         // micro-batch's own session clone: catalog reads and the append
         // invalidation agree on one relation cache (the NearDupIngest rule)
-        processBatch(df.sparkSession, df, id, indexName, outDir, tau)
+        processBatch(df.sparkSession, df, id, indexName, outDir, tau, nProbe)
       }
       .start()
 }

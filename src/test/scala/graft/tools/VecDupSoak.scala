@@ -15,13 +15,14 @@ import graft.streaming.VecDupIngest
   * single-probe IVF concession (a noised copy can argmax into a
   * different frozen cell), wall shows the honest O(index) growth.
   *
-  * Run: sbt "Test/runMain graft.tools.VecDupSoak [nVecs] [nBatches] [dim]"
+  * Run: sbt "Test/runMain graft.tools.VecDupSoak [nVecs] [nBatches] [dim] [nProbe]"
   */
 object VecDupSoak {
   def main(args: Array[String]): Unit = {
     val nVecs = args.headOption.map(_.toInt).getOrElse(50000)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val dim = args.lift(2).map(_.toInt).getOrElse(64)
+    val nProbe = args.lift(3).map(_.toInt).getOrElse(1)
     implicit val spark: SparkSession = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -56,7 +57,8 @@ object VecDupSoak {
     val times = perBatch.zipWithIndex.map { case (b, i) =>
       val t0 = System.nanoTime()
       VecDupIngest.processBatch(spark,
-        b.toSeq.toDF("vec_id", "embedding"), i.toLong, "vdsoak_idx", out)
+        b.toSeq.toDF("vec_id", "embedding"), i.toLong, "vdsoak_idx", out,
+        nProbe = nProbe)
       (System.nanoTime() - t0) / 1e9
     }
     val kept = spark.read.parquet(s"$out/batch=*")
@@ -66,7 +68,8 @@ object VecDupSoak {
     val recall = tp.toDouble / trueDups.size
     val precision = if (flagged.isEmpty) 1.0 else tp.toDouble / flagged.size
     println(f"""{"soak":"vecdup","vecs":$nVecs,"batches":$nBatches,""" +
-      f""""dim":$dim,"true_dups":${trueDups.size},"flagged":${flagged.size},""" +
+      f""""dim":$dim,"n_probe":$nProbe,""" +
+      f""""true_dups":${trueDups.size},"flagged":${flagged.size},""" +
       f""""recall":$recall%.3f,"precision":$precision%.3f,""" +
       f""""total_s":${times.sum}%.1f,"vecs_per_s":${nVecs / times.sum}%.0f,""" +
       s""""batch_s":[${times.map(t => f"$t%.2f").mkString(",")}]}""")
