@@ -90,6 +90,42 @@ object Tables {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Bucket-preserving compaction of a bucketed table: coalesce the
+    * per-append file accumulation (each [[appendBucketed]] writes
+    * `buckets` new files) down to one file per bucket and drop rows
+    * duplicated by crash-replayed appends, WITHOUT changing the bucket
+    * spec — downstream zero-exchange joins are untouched.
+    *
+    * Scale shape: the read is bucket-aligned (HashPartitioning(key)
+    * straight off the files), `dropDuplicates(dedupKeys)` clusters on a
+    * SUPERSET of the bucket key so it plans exchange-free, and the
+    * bucketed rewrite re-uses the same hash — the whole compaction is a
+    * read + in-place dedup + write with no shuffle at any scale. The
+    * rewrite lands in a side table first and swaps in via catalog RENAME
+    * (read-while-rewrite safe; a crash before the swap leaves the
+    * original intact). */
+  def compactBucketed(spark: SparkSession, table: String, key: String,
+      dedupKeys: Seq[String]): Unit = {
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"$table is not bucketed"))
+    val tmp = s"${table}__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val loc = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+    writeBucketed(spark.table(table).dropDuplicates(dedupKeys),
+      tmp, key, buckets)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.catalog.refreshTable(table)
+  }
+
   /** Configuration applied to every session we control (Bench/tests).
     * The driver's Verify builds its own session; queries must not depend on
     * these being set — they are performance, not correctness, knobs.

@@ -29,6 +29,46 @@ object IvfIndex {
 
   private val cosine = graft.functions.Expressions.cosineSim _
 
+  /** Per-warehouse cache of the packed 1-row centroid frame: the _cents
+    * table is a dimension artifact (k·d values) read by EVERY
+    * matchIncrement/append/cellOf composition — re-scanning it is a whole
+    * Spark job per call, pure fixed cost (q143's remaining floor was
+    * catalog-read + this scan). Keyed by warehouse dir + index name so
+    * session CLONES under foreachBatch share one entry; [[write]] is the
+    * only centroid mutation and replaces the entry, so staleness is
+    * impossible within the JVM ([[compact]] never touches centroids). */
+  private val centsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+
+  private def cacheKey(spark: SparkSession, name: String): String =
+    spark.conf.get("spark.sql.warehouse.dir") + "#" + name
+
+  /** The packed 1-row centroid frame for `name`, served from the JVM
+    * cache when [[write]] ran in this process, else read-through from the
+    * persisted `<name>_cents` table. Composition surface for callers that
+    * need the broadcast cents row (the streaming ingest's in-batch
+    * pairing). */
+  private[graft] def centsFrame(spark: SparkSession, name: String): DataFrame = {
+    val key = cacheKey(spark, name)
+    var row = centsCache.get(key)
+    if (row == null) {
+      row = spark.table(s"${name}_cents").collect().head
+      centsCache.put(key, row)
+    }
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row),
+      row.asInstanceOf[org.apache.spark.sql.catalyst.expressions
+        .GenericRowWithSchema].schema)
+  }
+
+  /** The k ≈ √N sizing rule: with k cells over N vectors, a probe scans
+    * ~N/k members and assignment compares k centroids — both ≈ √N at
+    * k = √N, the standard IVF balance (fixed k makes per-increment match
+    * cost grow LINEARLY with history; √N keeps it at √N). Floor of 8
+    * matches the gated queries' corpus-calibrated default. */
+  def autoK(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toInt)
+
   /** Schema of the packed 1-row centroid table: cents = array of
     * (cent_id, cent_emb), element type taken from the source embedding. */
   private def centsSchema(embType: org.apache.spark.sql.types.DataType) = {
@@ -62,7 +102,7 @@ object IvfIndex {
     * cent_id, agreeing with [[bestCell]] at nProbe = 1) — the multi-probe
     * assignment: sort (−cos, cent_id) structs and take the leading ids.
     * All arithmetic rides the same packed-centroid broadcast in-row. */
-  private def topCells(emb: Column, nProbe: Int): Column =
+  private[graft] def topCells(emb: Column, nProbe: Int): Column =
     slice(transform(array_sort(transform(col("cents"), ce =>
       struct((-cosine(emb, ce.getField("cent_emb"))).as("ncs"),
         ce.getField("cent_id").as("c")))),
@@ -71,9 +111,26 @@ object IvfIndex {
   /** Build the index from `vectors` (vec_id, embedding): centroids =
     * the `k` lowest vec_ids (the q43/q91 deterministic seeding), every
     * vector assigned in-row, cells stored bucketed. Rewrite = full
-    * refresh (overwrite), like layout-table compaction. */
+    * refresh (overwrite), like layout-table compaction.
+    *
+    * `refineIters` > 0 runs that many Lloyd rounds over the SEEDS before
+    * freezing — spherical k-means: assign by the same in-row argmax-cosine
+    * the index serves with, update each cell's centroid to its member
+    * mean (cosine is scale-invariant, so the unnormalized mean carries
+    * the mean DIRECTION exactly). The update is the q91 integer-exact
+    * discipline — members quantize to round(x·2^20) BIGINTs, per-(cell,
+    * pos) sums are exact, floor(sum/n) divides exactly — so refined
+    * centroids are bit-identical regardless of partitioning or run order
+    * (a float mean would make the frozen index nondeterministic). Each
+    * round is one distributed pass shuffling k·d partial-sum cells
+    * (corpus-size-free); a cell that attracts no members keeps its
+    * previous centroid. Refinement changes WHICH centroids freeze, never
+    * the ingest-path contract: cent ids stay the seed ids, assignment
+    * stays in-row against the packed broadcast. Measured effect
+    * (VecDupSoak, SCALE.md): the lowest-vec_id seeds leak recall at
+    * nProbe=1 that refined centroids buy back. */
   def write(spark: SparkSession, vectors: DataFrame, name: String,
-      k: Int = 8, buckets: Int = 16): Unit = {
+      k: Int = 8, buckets: Int = 16, refineIters: Int = 0): Unit = {
     Seq(s"${name}_cells", s"${name}_cents").foreach { tbl =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val loc = new java.io.File(new java.net.URI(
@@ -93,13 +150,57 @@ object IvfIndex {
     // (q143's ratio was all catalog/re-job overhead, not assignment work)
     val seeds = vectors.select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").limit(k).collect()
-    val packed = new org.apache.spark.sql.catalyst.expressions
-      .GenericRowWithSchema(Array[Any](seeds.sortBy(_.getLong(0)).map(r =>
-        org.apache.spark.sql.Row(r.getLong(0), r.getSeq[Any](1))).toSeq),
-      centsSchema(vectors.schema("embedding").dataType))
+    val embType = vectors.schema("embedding").dataType
+    val elemIsFloat = embType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    def packRow(cents: Seq[(Long, Seq[Any])]): org.apache.spark.sql
+        .catalyst.expressions.GenericRowWithSchema =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](cents.sortBy(_._1).map { case (id, emb) =>
+          org.apache.spark.sql.Row(id, emb) }),
+        centsSchema(embType))
+    var cents: Seq[(Long, Seq[Any])] = seeds.sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Any](1))).toSeq
+    // Lloyd rounds: one distributed pass each — in-row argmax assignment
+    // against the current packed broadcast, then exact integer mean per
+    // (cell, pos); only k·d partial-sum cells shuffle, and only k rows
+    // (a dimension artifact) reach the driver
+    var it = 0
+    while (it < refineIters) {
+      val cur = spark.createDataFrame(
+        java.util.Collections.singletonList(
+          packRow(cents): org.apache.spark.sql.Row), centsSchema(embType))
+      val updated = vectors
+        .crossJoin(broadcast(cur))
+        .select(bestCell(col("embedding")).as("cell"),
+          posexplode(transform(col("embedding"),
+            x => round(x.cast("double") * 1048576.0).cast("long")))
+            .as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(expr("(sum(v) - pmod(sum(v), count(*))) div count(*)")
+          .cast("long").as("cd"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cd")))),
+          x => x.getField("cd")).as("cent"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      cents = cents.map { case (id, old) =>
+        updated.get(id).fold((id, old)) { q =>
+          (id, if (elemIsFloat) q.map(v => (v / 1048576.0).toFloat)
+               else q.map(v => v / 1048576.0))
+        }
+      }
+      it += 1
+    }
+    val packed = packRow(cents)
     val centsLocal = spark.createDataFrame(
       java.util.Collections.singletonList(packed: org.apache.spark.sql.Row),
       packed.schema)
+    centsCache.put(cacheKey(spark, name), packed)
     // repartition on the BUCKET key: the bucket id is pmod(murmur3(cell),
     // buckets) — the same hash family repartition uses — so each write
     // task holds exactly one bucket's rows and emits exactly one file
@@ -139,7 +240,7 @@ object IvfIndex {
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(s"${name}_cells is not bucketed"))
     val assigned = vectors
-      .crossJoin(broadcast(spark.table(s"${name}_cents")))
+      .crossJoin(broadcast(centsFrame(spark, name)))
       .select(bestCell(col("embedding")).as("cell"), col("vec_id"),
         col("embedding"))
       .repartition(buckets, col("cell"))
@@ -178,7 +279,7 @@ object IvfIndex {
     // partitions) and the cell join immediately re-exchanges on cell —
     // a vec_id repartition in front of it is a pure extra stage
     val withCents = newVecs
-      .crossJoin(broadcast(spark.table(s"${name}_cents")))
+      .crossJoin(broadcast(centsFrame(spark, name)))
     // nProbe = 1 keeps the scalar argmax path (no Generate node in the
     // gated q143/q189/q190 plans); multi-probe explodes the top-P ids
     val assigned =
@@ -197,12 +298,40 @@ object IvfIndex {
     val idx = excludeIds.fold(idx0)(ex => idx0.join(
       broadcast(ex.select(col("vec_id").as("old_id"))), Seq("old_id"),
       "left_anti"))
-    idx
+    val scored = idx
       .join(assigned, "cell")
       .withColumn("cos_sim", cosine(col("new_emb"), col("old_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("new_id"), col("old_id"), col("rank"),
-        round(col("cos_sim"), 6).as("cos_sim"))
+    // topK = 1 (the dup-decision path: q189, VecDupIngest): a max-struct
+    // aggregate replaces the rank window — it partial-aggregates MAP-SIDE
+    // (each task reduces its cell's candidates to one row per new_id
+    // before the exchange, where the window shipped every candidate and
+    // sorted), same (cos desc, old_id asc) order via (cos, -old_id)
+    // struct comparison on the UNROUNDED cosine the window sorted on
+    if (topK == 1)
+      scored.groupBy(col("new_id"))
+        .agg(max(struct(col("cos_sim"), (-col("old_id")).as("nid")))
+          .as("best"))
+        .select(col("new_id"), (-col("best.nid")).as("old_id"),
+          lit(1).as("rank"), round(col("best.cos_sim"), 6).as("cos_sim"))
+    else
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("new_id"), col("old_id"), col("rank"),
+          round(col("cos_sim"), 6).as("cos_sim"))
   }
+
+  /** Bucket-preserving compaction: per-micro-batch [[append]]s write
+    * `buckets` files each (a per-minute stream accumulates ~23k files/day),
+    * and a crash between append and the caller's commit marker can leave
+    * REPLAY-DUPLICATED rows. Coalesce each bucket's files to one and drop
+    * duplicate (cell, vec_id) rows, WITHOUT touching the frozen `_cents`
+    * row or the bucket spec — zero-exchange probe reads and all match
+    * results are unchanged by construction (spec-pinned). Unlike
+    * [[write]]'s full refresh this never re-assigns: the rewrite reads
+    * bucket-aligned, dedups on the partitioning it already has, and
+    * writes bucket-aligned — no corpus shuffle at any scale. */
+  def compact(spark: SparkSession, name: String): Unit =
+    Tables.compactBucketed(spark, s"${name}_cells", "cell",
+      Seq("cell", "vec_id"))
 }

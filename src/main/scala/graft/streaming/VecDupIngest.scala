@@ -81,7 +81,7 @@ object VecDupIngest {
     // 2. in-batch: cell-local verified pairs → components → min vec_id
     implicit val s: SparkSession = spark
     val assigned = survivors
-      .crossJoin(broadcast(spark.table(s"${indexName}_cents")))
+      .crossJoin(broadcast(IvfIndex.centsFrame(spark, indexName)))
       .select(graft.operators.IvfIndex.cellOf(col("embedding")).as("cell"),
         col("vec_id"), col("embedding"))
     val pairs = assigned.as("a").join(assigned.as("b"), "cell")

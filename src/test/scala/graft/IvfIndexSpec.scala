@@ -99,8 +99,22 @@ class IvfIndexSpec extends AnyFunSuite {
           nProbe = nProbe)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
         .toSet
-    // nProbe=1 (scalar argmax plan) == explicit single-probe explode
-    assert(pairs(1) == pairs(1))
+    // nProbe=1 takes the scalar-argmax branch (no Generate in the plan);
+    // pin it against the explode path's machinery directly: for every
+    // increment vector, explode(topCells(emb, 1)) must yield exactly the
+    // argmax cell bestCell/cellOf picks — the equivalence matchIncrement's
+    // branch shortcut assumes
+    val withCents = inc.crossJoin(
+      broadcast(IvfIndex.centsFrame(spark, "ivf_mp")))
+    val viaArgmax = withCents
+      .select(col("vec_id"), IvfIndex.cellOf(col("embedding")).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaExplode = withCents
+      .select(col("vec_id"),
+        explode(IvfIndex.topCells(col("embedding"), 1)).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaArgmax == viaExplode,
+      "explode(topCells(_, 1)) must equal the scalar argmax cell")
     val p1 = pairs(1)
     // nProbe=k probes EVERY cell → identical to brute-force top-3 over
     // all history (the q31 truth), computed independently here
@@ -127,5 +141,115 @@ class IvfIndexSpec extends AnyFunSuite {
     val a1 = agree(p1); val a2 = agree(pairs(4)); val ak = agree(pk)
     assert(a1 <= a2 && a2 <= ak, s"recall not monotone: $a1 $a2 $ak")
     assert(ak == inc.count(), "full probe finds every true top-1")
+  }
+
+  test("topK=1 max-struct fast path equals the rank window's rank-1 rows") {
+    val hist = vecs.filter(col("vec_id") % 10 =!= 9)
+    IvfIndex.write(spark, hist, "ivf_t1", k = 8)
+    val inc = vecs.filter(col("vec_id") % 10 === 9)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val fast = rows(IvfIndex.matchIncrement(spark, inc, "ivf_t1", topK = 1))
+    val window = rows(IvfIndex.matchIncrement(spark, inc, "ivf_t1", topK = 2)
+      .filter(col("rank") === 1))
+    assert(fast == window, "agg argmax must reproduce the window's rank 1")
+    assert(fast.nonEmpty)
+  }
+
+  test("Lloyd refinement recovers recall a pathological seed loses, " +
+    "keeps the frozen-index contract, and is deterministic") {
+    import spark.implicits._
+    // 4 well-separated gaussian clusters in d=16; ids 0..7 (the default
+    // seeds) all inside ONE cluster — the worst case for lowest-id
+    // seeding: every unrefined cell boundary cuts through cluster 0
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)((rnd.nextGaussian() * 10).toFloat))
+    val all = (0 until 200).map { i =>
+      val c = if (i < 8) 0 else i % 4
+      (i.toLong, centers(c).map(x =>
+        (x + rnd.nextGaussian().toFloat * 0.5f)).toSeq)
+    }
+    val df = all.toDF("vec_id", "embedding")
+    val hist = df.filter(col("vec_id") % 10 =!= 9)
+    val inc = df.filter(col("vec_id") % 10 === 9)
+    // brute-force truth for the increment's top-1
+    val brute = hist.crossJoin(
+        broadcast(inc.select(col("vec_id").as("new_id"),
+          col("embedding").as("q"))))
+      .select(col("new_id"), col("vec_id").as("old_id"),
+        round(graft.functions.Expressions.cosineSim(col("q"),
+          col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("new_id")
+          .orderBy(col("cos_sim").desc, col("old_id"))))
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(name: String, refine: Int): Double = {
+      IvfIndex.write(spark, hist, name, k = 4, refineIters = refine)
+      val got = IvfIndex.matchIncrement(spark, inc, name, topK = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(brute.contains).toDouble / brute.size
+    }
+    val seeded = recall("ivf_seed", 0)
+    val refined = recall("ivf_ref", 3)
+    assert(refined >= seeded,
+      s"refined recall $refined must be >= seeded $seeded")
+    assert(refined > 0.9, s"refined centroids must track the true " +
+      s"clusters (recall $refined)")
+    // contract: cent ids are STILL the seed ids (stable labels), and a
+    // second refined build is bit-identical (integer-exact update)
+    val ids = spark.table("ivf_ref_cents")
+      .selectExpr("transform(cents, c -> c.cent_id) AS ids")
+      .collect().head.getSeq[Long](0)
+    assert(ids == Seq(0L, 1L, 2L, 3L))
+    val c1 = spark.table("ivf_ref_cents").collect().head.toString
+    IvfIndex.write(spark, hist, "ivf_ref2", k = 4, refineIters = 3)
+    val c2 = spark.table("ivf_ref2_cents").collect().head.toString
+    assert(c1 == c2, "refined centroids must be deterministic")
+  }
+
+  test("compact: coalesces append files, drops replay-duplicated rows, " +
+    "match results and zero-exchange reads unchanged") {
+    val hist = vecs.filter(col("vec_id") % 10 =!= 9)
+    val inc = vecs.filter(col("vec_id") % 10 === 9)
+    IvfIndex.write(spark, hist, "ivf_cp", k = 4, buckets = 4)
+    // a crash between append and the commit marker replays the append —
+    // simulate: same increment appended twice
+    IvfIndex.append(spark, inc, "ivf_cp")
+    IvfIndex.append(spark, inc, "ivf_cp")
+    val cells = () => spark.table("ivf_cp_cells")
+    assert(cells().count() > cells().dropDuplicates("cell", "vec_id").count(),
+      "setup must leave duplicated rows")
+    def nFiles: Int = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, "ivf_cp_cells")
+      Option(loc.listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = nFiles
+    val centsBefore = spark.table("ivf_cp_cents").collect().head.toString
+    val probe = vecs.filter(col("vec_id") < 20)
+    // expected = match against a CLEAN index built the same way
+    IvfIndex.write(spark, hist, "ivf_cl", k = 4, buckets = 4)
+    IvfIndex.append(spark, inc, "ivf_cl")
+    val expect = IvfIndex.matchIncrement(spark, probe, "ivf_cl", topK = 3)
+      .collect().map(_.toString).toSet
+    IvfIndex.compact(spark, "ivf_cp")
+    assert(nFiles < filesBefore, s"files must drop ($filesBefore -> $nFiles)")
+    assert(cells().count() ==
+      cells().dropDuplicates("cell", "vec_id").count())
+    assert(spark.table("ivf_cp_cents").collect().head.toString == centsBefore,
+      "compaction must not touch the frozen centroids")
+    // post-compact: the bucketed read still aggregates with no Exchange
+    val plan = cells().groupBy("cell").count()
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+    // and topK>1 ranks are REPAIRED: pre-compact a replay-duplicated
+    // old_id occupied ranks 1 and 2 (the documented crash-window caveat);
+    // post-compact results equal the clean index exactly
+    val got = IvfIndex.matchIncrement(spark, probe, "ivf_cp", topK = 3)
+      .collect().map(_.toString).toSet
+    assert(got == expect)
   }
 }
