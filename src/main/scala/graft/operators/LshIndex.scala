@@ -93,12 +93,26 @@ object LshIndex {
 
   /** Match an increment against the index: verified Jaccard ≥ `tau` pairs
     * (new_id, old_id, jaccard). Only the increment moves — both joins
-    * read the index in bucket order. */
+    * read the index in bucket order.
+    *
+    * `excludeIds` (doc_id), when given, removes those index members
+    * BEFORE the hot-band count and the candidate join — the streaming
+    * replay guard (the [[IvfIndex.matchIncrement]] rule): a crash between
+    * the index append and the commit marker replays a batch whose own
+    * docs are already indexed. Filtering only the RESULT pairs would
+    * leave the batch's own (distinct) doc_ids inflating band counts, so
+    * a band sitting near `bandCap` could tip hot only on replay and drop
+    * candidates the original run kept — replay must reproduce the kept
+    * set exactly. The exclusion side is batch-sized (broadcast anti) and
+    * preserves the bucketed read's partitioning, so the cap count stays
+    * exchange-free. */
   def matchIncrement(spark: SparkSession, newDocs: DataFrame, name: String,
       bandCap: Int = TextOps.DefaultBandCap,
-      tau: Double = 0.5): DataFrame = {
+      tau: Double = 0.5, excludeIds: Option[DataFrame] = None): DataFrame = {
     val newBanded = TextOps.withBands(newDocs).localCheckpoint()
-    val idx = spark.table(s"${name}_bands")
+    val idx0 = spark.table(s"${name}_bands")
+    val idx = excludeIds.fold(idx0)(ex => idx0.join(
+      broadcast(ex.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
     // exchange-free cap count: the groupBy key IS the bucket key. Count
     // DISTINCT doc_id, not rows — a crash-replayed append duplicates rows,
     // and a raw count would falsely tip a healthy band near the cap into
@@ -127,5 +141,113 @@ object LshIndex {
           .cast("double"))
       .filter(col("jaccard") >= tau)
       .select("new_id", "old_id", "jaccard")
+  }
+
+  // ---------------------------------------------------------------------
+  // Weighted tier: the tf-weighted detector (q184/q185/q186) as a
+  // persistent incremental index. Same architecture — `<name>_bands` is
+  // the WEIGHTED-MinHash band table (multiset-expanded token instances,
+  // so "the the the" separates from "the"), and the verify side stores
+  // per-doc term-frequency runs (`<name>_tfs`, bucketed by doc_id)
+  // instead of shingle sets; the verify is the exact integer weighted
+  // Jaccard Σmin/Σmax via the codegen'd TfIntersect kernel.
+
+  /** Index `docs` under weighted tables `<name>_bands` / `<name>_tfs`. */
+  def writeWeighted(spark: SparkSession, docs: DataFrame, name: String,
+      buckets: Int = 32): Unit = {
+    Seq(s"${name}_bands", s"${name}_tfs").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    val banded = TextOps.withWeightedBands(docs).localCheckpoint()
+    Tables.writeBucketed(
+      banded.select(col("doc_id"),
+        explode(array(col("band0"), col("band1"))).as("band")),
+      s"${name}_bands", "band", buckets)
+    Tables.writeBucketed(banded.select("doc_id", "tfs", "n_tok"),
+      s"${name}_tfs", "doc_id", buckets)
+  }
+
+  /** Append an increment to a weighted index (the [[append]] rules:
+    * bucket counts from the catalog, reader-cache refresh after). */
+  def appendWeighted(spark: SparkSession, docs: DataFrame,
+      name: String): Unit = {
+    def bucketsOf(tbl: String): Int = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"$tbl is not bucketed"))
+    val banded = TextOps.withWeightedBands(docs).localCheckpoint()
+    Tables.appendBucketed(
+      banded.select(col("doc_id"),
+        explode(array(col("band0"), col("band1"))).as("band")),
+      s"${name}_bands", "band", bucketsOf(s"${name}_bands"))
+    Tables.appendBucketed(banded.select("doc_id", "tfs", "n_tok"),
+      s"${name}_tfs", "doc_id", bucketsOf(s"${name}_tfs"))
+    Seq(s"${name}_bands", s"${name}_tfs")
+      .foreach(spark.catalog.refreshTable)
+  }
+
+  /** True iff the weighted index tables exist. */
+  def existsWeighted(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(s"${name}_bands") &&
+      spark.catalog.tableExists(s"${name}_tfs")
+
+  /** Weighted match: (new_id, old_id, wjaccard) with exact integer
+    * Σmin / (n_a + n_b − Σmin) ≥ `tau` — [[matchIncrement]]'s plan shape
+    * (increment-only shuffles, bucketed index reads, distinct-count band
+    * cap, broadcast `excludeIds` replay guard) over the weighted verify. */
+  def matchIncrementWeighted(spark: SparkSession, newDocs: DataFrame,
+      name: String, bandCap: Int = TextOps.DefaultBandCap,
+      tau: Double = 0.5, excludeIds: Option[DataFrame] = None): DataFrame = {
+    val newBanded = TextOps.withWeightedBands(newDocs).localCheckpoint()
+    val idx0 = spark.table(s"${name}_bands")
+    val idx = excludeIds.fold(idx0)(ex => idx0.join(
+      broadcast(ex.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
+    val hot = idx.groupBy("band")
+      .agg(countDistinct(col("doc_id")).as("count"))
+      .filter(col("count") > bandCap).select("band")
+    val cand = newBanded
+      .select(col("doc_id").as("new_id"),
+        explode(array(col("band0"), col("band1"))).as("band"))
+      .join(idx.join(hot, Seq("band"), "left_anti"), "band")
+      .select(col("new_id"), col("doc_id").as("old_id"))
+      .filter(col("new_id") =!= col("old_id"))
+      .distinct()
+    val oldTf = spark.table(s"${name}_tfs")
+      .select(col("doc_id").as("old_id"), col("tfs").as("tf_old"),
+        col("n_tok").as("n_old"))
+    cand.join(oldTf, "old_id")
+      .join(newBanded.select(col("doc_id").as("new_id"),
+        col("tfs").as("tf_new"), col("n_tok").as("n_new")), "new_id")
+      .withColumn("inter",
+        graft.functions.TextExpressions.tfIntersect(col("tf_new"), col("tf_old")))
+      .withColumn("wjaccard", col("inter").cast("double") /
+        (col("n_new") + col("n_old") - col("inter")).cast("double"))
+      .filter(col("wjaccard") >= tau)
+      .select("new_id", "old_id", "wjaccard")
+  }
+
+  /** Bucket-preserving compaction of an (unweighted or weighted) index:
+    * coalesce each bucket's per-append files and drop crash-replay-
+    * duplicated rows without changing band semantics or bucket specs —
+    * see [[graft.core.Tables.compactBucketed]]. The operational
+    * counterpart of [[write]]'s full refresh: run it on a file-count
+    * trigger; run `write` only to re-shingle or re-seed. */
+  def compact(spark: SparkSession, name: String): Unit = {
+    Tables.compactBucketed(spark, s"${name}_bands", "band",
+      Seq("band", "doc_id"))
+    if (spark.catalog.tableExists(s"${name}_shingles"))
+      Tables.compactBucketed(spark, s"${name}_shingles", "doc_id",
+        Seq("doc_id"))
+    if (spark.catalog.tableExists(s"${name}_tfs"))
+      Tables.compactBucketed(spark, s"${name}_tfs", "doc_id",
+        Seq("doc_id"))
   }
 }

@@ -389,7 +389,7 @@ object TextOps {
     * query's 4.6s at sf0.1) and the token totals pre-computed per doc;
     * the one division is the only float. */
   private[graft] def weightedVerifiedPairs(docs: DataFrame,
-      bandCap: Int = DefaultBandCap): DataFrame = {
+      bandCap: Int = DefaultBandCap, tau: Double = 0.5): DataFrame = {
     val banded0 = withWeightedBands(docs).localCheckpoint()
     val bandedAll = banded0.select(col("doc_id"),
       explode(array(col("band0"), col("band1"))).as("band"))
@@ -417,7 +417,7 @@ object TextOps {
       .withColumn("n_union", col("n_a") + col("n_b") - col("inter"))
       .withColumn("wjaccard",
         col("inter").cast("double") / col("n_union").cast("double"))
-      .filter(col("wjaccard") >= 0.5)
+      .filter(col("wjaccard") >= tau)
       .select("doc_id_a", "doc_id_b", "wjaccard")
   }
 
@@ -601,6 +601,22 @@ object TextOps {
         .select(col("node").as("doc_id"))
       docs.join(drops, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // The WEIGHTED incremental index (operators/LshIndex weighted tier,
+    // the q108 move for the q185 detector): history (90%) indexes once
+    // into weighted-band + tf tables, the increment (doc_id%10=7, the
+    // 10%) matches with the index side reading bucketed files and only
+    // the increment shuffling — the batch face of the streaming weighted
+    // NearDupIngest tier. Oracle = the q185 weighted-pair chain
+    // restricted to increment-vs-history pairs (same deliberate band-cap
+    // omission; the gate corpus has no over-cap band).
+    "q191_weighted_increment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val isNew = col("doc_id") % 10 === 7
+      graft.operators.LshIndex.writeWeighted(s, docs.filter(!isNew), "q191_widx")
+      graft.operators.LshIndex.matchIncrementWeighted(
+        s, docs.filter(isNew), "q191_widx")
     }),
 
     // One-permutation MinHash signatures (Li et al. 2012) with rotation
@@ -1466,6 +1482,19 @@ object TextOps {
       s"""WITH $sqlWeightedPairChain
          |SELECT doc_id_a, doc_id_b, wjaccard FROM sc
          |WHERE wjaccard >= 0.5""".stripMargin,
+
+    // increment-vs-history restriction of the q185 chain: exactly one
+    // side of the pair is in the delta (doc_id%10=7), reoriented so the
+    // delta side is new_id — ≙ matchIncrementWeighted's output
+    "q191_weighted_increment" ->
+      s"""WITH $sqlWeightedPairChain
+         |SELECT
+         |  CASE WHEN doc_id_a % 10 = 7 THEN doc_id_a ELSE doc_id_b END AS new_id,
+         |  CASE WHEN doc_id_a % 10 = 7 THEN doc_id_b ELSE doc_id_a END AS old_id,
+         |  wjaccard
+         |FROM sc
+         |WHERE wjaccard >= 0.5
+         |  AND ((doc_id_a % 10 = 7) <> (doc_id_b % 10 = 7))""".stripMargin,
 
     // the q80 closure over the weighted detector: same edges/walk/clus
     // recursive chain, pairs from the weighted verify instead of the

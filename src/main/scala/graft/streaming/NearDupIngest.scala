@@ -44,52 +44,76 @@ import graft.queries.TextOps
   */
 object NearDupIngest {
 
-  /** Create empty index tables if absent (batch-0 bootstrap). */
+  /** Create empty index tables if absent (batch-0 bootstrap). `weighted`
+    * selects the tf-weighted detector's table layout. */
   def ensureIndex(spark: SparkSession, indexName: String,
-      buckets: Int = 32): Unit =
-    if (!LshIndex.exists(spark, indexName)) {
-      import spark.implicits._
-      LshIndex.write(spark,
-        Seq.empty[(Long, String)].toDF("doc_id", "text"), indexName, buckets)
-    }
+      buckets: Int = 32, weighted: Boolean = false): Unit = {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    if (weighted) {
+      if (!LshIndex.existsWeighted(spark, indexName))
+        LshIndex.writeWeighted(spark, empty, indexName, buckets)
+    } else if (!LshIndex.exists(spark, indexName))
+      LshIndex.write(spark, empty, indexName, buckets)
+  }
 
   /** Process one micro-batch of (doc_id, text): returns the kept docs
     * after writing them to `outDir/batch=<id>` and appending the batch to
     * the index. Skips (returning empty) if the batch is already
-    * committed. */
+    * committed.
+    *
+    * `weighted = true` runs the TF-WEIGHTED tier (q184–q186 made
+    * streaming): weighted-MinHash bands for candidates, the exact integer
+    * Σmin/Σmax TfIntersect verify against `tau`, and the in-batch step is
+    * q186's weighted pair rule — so a one-batch stream reproduces the
+    * batch weighted-dedup apply exactly (spec-pinned). Same index
+    * architecture, same crash-replay guard, same scale shape. */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexName: String, outDir: String,
-      bandCap: Int = TextOps.DefaultBandCap, tau: Double = 0.5): Unit = {
+      bandCap: Int = TextOps.DefaultBandCap, tau: Double = 0.5,
+      weighted: Boolean = false): Unit = {
     val marker = new java.io.File(outDir, s"_committed/$batchId")
     if (marker.exists()) return
     val docs = batch.select(col("doc_id"), col("text")).localCheckpoint()
     if (docs.isEmpty) { marker.mkdirs(); return }
-    // 1. drop anything verified-similar to the seen corpus. The history
-    //    match is anti-joined against the batch's OWN ids: a crash between
-    //    the index append and the marker mkdir replays the batch with its
-    //    own docs already indexed, and without this guard every in-batch
-    //    near-dup pair (keeper included) would read as a history dup —
-    //    the replayed output would silently lose the q80 keepers. The
-    //    anti-join side is batch-sized, so the guard costs nothing at
-    //    scale; in-batch pairs are handled (once, correctly) by step 2.
-    val histDups = LshIndex
-      .matchIncrement(spark, docs, indexName, bandCap, tau)
-      .join(docs.select(col("doc_id").as("old_id")), Seq("old_id"),
-        "left_anti")
-      .select(col("new_id").as("doc_id")).distinct()
+    // 1. drop anything verified-similar to the seen corpus. The batch's
+    //    OWN ids are excluded from the INDEX side (`excludeIds`) before
+    //    the hot-band count and candidate join: a crash between the index
+    //    append and the marker mkdir replays the batch with its own docs
+    //    already indexed, and without this guard every in-batch near-dup
+    //    pair (keeper included) would read as a history dup — the
+    //    replayed output would silently lose the q80 keepers. Excluding
+    //    BEFORE the band-cap count (not filtering result pairs after)
+    //    also keeps the count itself replay-invariant: the batch's
+    //    distinct ids would otherwise inflate a near-cap band into "hot"
+    //    only on replay, dropping candidates the original run kept. The
+    //    exclusion side is batch-sized (broadcast anti) — free at scale;
+    //    in-batch pairs are handled (once, correctly) by step 2.
+    val own = Some(docs.select(col("doc_id")))
+    val histDups =
+      (if (weighted)
+        LshIndex.matchIncrementWeighted(spark, docs, indexName, bandCap,
+          tau, excludeIds = own)
+      else
+        LshIndex.matchIncrement(spark, docs, indexName, bandCap, tau,
+          excludeIds = own))
+        .select(col("new_id").as("doc_id")).distinct()
     val survivors = docs.join(histDups, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    // 2. in-batch near-dup clusters keep min doc_id (the q80 rule)
+    // 2. in-batch near-dup clusters keep min doc_id (the q80/q186 rule)
     implicit val s: SparkSession = spark
-    val pairs = TextOps.lshVerifiedPairs(survivors, bandCap)
-      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    val pairs =
+      (if (weighted) TextOps.weightedVerifiedPairs(survivors, bandCap, tau)
+       else TextOps.lshVerifiedPairs(survivors, bandCap))
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
     val drops = ConnectedComponents.runPropagation(pairs)
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
     val kept = survivors.join(drops, Seq("doc_id"), "left_anti")
     kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     // 3. index the WHOLE batch (kept + dropped) for later arrivals
-    LshIndex.append(spark, docs, indexName)
+    if (weighted) LshIndex.appendWeighted(spark, docs, indexName)
+    else LshIndex.append(spark, docs, indexName)
     marker.mkdirs()
   }
 
@@ -182,16 +206,17 @@ object NearDupIngest {
   /** Wire a (doc_id, text) stream through [[processBatch]]. */
   def start(stream: DataFrame, indexName: String, outDir: String,
       checkpoint: String, bandCap: Int = TextOps.DefaultBandCap,
-      tau: Double = 0.5): StreamingQuery = {
+      tau: Double = 0.5, weighted: Boolean = false): StreamingQuery = {
     val spark = stream.sparkSession
-    ensureIndex(spark, indexName)
+    ensureIndex(spark, indexName, weighted = weighted)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
         // use the micro-batch's OWN session (a clone sharing the outer
         // SharedState): catalog reads and the append invalidation then
         // agree on one relation cache
-        processBatch(df.sparkSession, df, id, indexName, outDir, bandCap, tau)
+        processBatch(df.sparkSession, df, id, indexName, outDir, bandCap,
+          tau, weighted)
       }
       .start()
   }

@@ -140,6 +140,70 @@ class NearDupIngestSpec extends AnyFunSuite {
       "exact re-crawl must still match after a double append")
   }
 
+  /** The batch q186 (weighted dedup apply) keep rule over any doc set. */
+  private def batchKeptWeighted(d: org.apache.spark.sql.DataFrame): Set[Long] = {
+    implicit val s: SparkSession = spark
+    val pairs = TextOps.weightedVerifiedPairs(d)
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    val drops = ConnectedComponents.runPropagation(pairs)
+      .filter(col("node") =!= col("component"))
+      .collect().map(_.getLong(0)).toSet
+    d.select("doc_id").collect().map(_.getLong(0)).toSet -- drops
+  }
+
+  test("weighted tier: one-batch stream == the batch q186 weighted-dedup rule") {
+    spark.sql("DROP TABLE IF EXISTS ndw1_bands")
+    spark.sql("DROP TABLE IF EXISTS ndw1_tfs")
+    NearDupIngest.ensureIndex(spark, "ndw1", buckets = 4, weighted = true)
+    val out = Files.createTempDirectory("ndw1_out").toString
+    NearDupIngest.processBatch(spark, docs, 0L, "ndw1", out, weighted = true)
+    val kept = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = batchKeptWeighted(docs)
+    assert(kept == expect)
+    assert(kept.size < docs.count(), "corpus must contain weighted near-dups")
+  }
+
+  test("weighted tier: cross-batch drops follow greedy first-seen; crash " +
+    "replay reproduces the kept set") {
+    spark.sql("DROP TABLE IF EXISTS ndw2_bands")
+    spark.sql("DROP TABLE IF EXISTS ndw2_tfs")
+    NearDupIngest.ensureIndex(spark, "ndw2", buckets = 4, weighted = true)
+    val out = Files.createTempDirectory("ndw2_out").toString
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    NearDupIngest.processBatch(spark, b0, 0L, "ndw2", out, weighted = true)
+    NearDupIngest.processBatch(spark, b1, 1L, "ndw2", out, weighted = true)
+    val kept0 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept1 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept0 == batchKeptWeighted(b0))
+    // reference for batch 1: drop docs weighted-paired into batch 0, then
+    // the weighted q186 rule on the survivors
+    val all = TextOps.weightedVerifiedPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val histDrop = all.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => a
+      case (a, b) if b % 2 == 1 && a % 2 == 0 => b
+    }
+    assert(histDrop.nonEmpty, "split must produce a cross-batch weighted dup")
+    val histDropDf = {
+      import spark.implicits._
+      histDrop.toSeq.toDF("doc_id")
+    }
+    assert(kept1 == batchKeptWeighted(
+      b1.join(histDropDf, Seq("doc_id"), "left_anti")))
+    // crash window: batch 1's rows are indexed but the marker vanished —
+    // the excludeIds guard must reproduce the kept set exactly
+    new java.io.File(out, "_committed/1").delete()
+    NearDupIngest.processBatch(spark, b1, 1L, "ndw2", out, weighted = true)
+    val replayed = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replayed == kept1,
+      "weighted replay with the batch self-indexed must reproduce the kept set")
+  }
+
   test("signature tier: cross-batch and in-batch dups flagged, fresh docs silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
