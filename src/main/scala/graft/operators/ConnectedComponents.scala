@@ -58,9 +58,22 @@ object ConnectedComponents {
   /** Min-label propagation: one (node,label) join per round, O(diameter)
     * rounds. FASTER than the star algorithm when components are shallow —
     * which LSH near-dup graphs are (hub-and-spokes around boilerplate
-    * docs; measured 2× faster at sf0.1). Prefer [[run]] when component
-    * diameter is unknown or adversarial (long chains). Same contract. */
-  def runPropagation(edges: DataFrame, maxRounds: Int = 200)(
+    * docs; measured 2× faster at sf0.1). Same contract as [[run]].
+    *
+    * Trip wire for adversarial depth: after `escalateAfter` unconverged
+    * rounds the graph is CONTRACTED by the current labels (every node
+    * collapses into its partial component's label-node) and the
+    * O(log n) star algorithm finishes on the contracted edges — so a
+    * long-chain graph costs `escalateAfter` cheap rounds plus the star's
+    * logarithmic tail instead of O(diameter) shuffles, and the shallow
+    * common case never pays the star's constant factor. Correctness of
+    * the composition: a partial component's min node always labels
+    * itself (labels only decrease toward the component min), so the
+    * contracted graph's star labels ARE the true component minima, and
+    * a label absent from the contracted edges (its partial component
+    * has no edge out) is already final. */
+  def runPropagation(edges: DataFrame, maxRounds: Int = 200,
+      escalateAfter: Int = 20)(
       implicit spark: SparkSession): DataFrame = {
     val sym = edges
       .select(col("src").cast("long").as("node"), col("dst").cast("long").as("nbr"))
@@ -73,6 +86,20 @@ object ConnectedComponents {
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
+      if (round == escalateAfter) {
+        // trip: contract by current labels, finish with the star variant
+        val labN = labels.select(col("node"), col("component").as("cu"))
+        val labB = labels.select(col("node").as("nbr"),
+          col("component").as("cv"))
+        val contracted = sym.join(labN, "node").join(labB, "nbr")
+          .select(col("cu").as("src"), col("cv").as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val star = run(contracted, maxRounds)
+          .select(col("node").as("lab"), col("component").as("final"))
+        return labels.join(star, labels("component") === star("lab"), "left")
+          .select(labels("node"),
+            coalesce(col("final"), labels("component")).as("component"))
+      }
       val nbrMin = sym
         .join(labels.withColumnRenamed("node", "nbr"), "nbr")
         .groupBy("node").agg(min("component").as("nbr_min"))

@@ -22,12 +22,24 @@ import graft.operators.{ConnectedComponents, IvfIndex}
   *     later arrivals match the full seen corpus.
   *
   * Bootstrap: an IVF index needs centroids, and the centroid row is
-  * FROZEN by design (assignment must never drift under ingest) — so the
-  * FIRST non-empty batch seeds the index via [[IvfIndex.write]]; a
-  * centroid re-seed is [[IvfIndex.write]]'s offline full refresh, like
-  * LSH compaction. An empty bootstrap would freeze an empty centroid
-  * set and degenerate every later assignment to one cell, which is why
-  * this tier has no `ensureIndex`.
+  * FROZEN by design (assignment must never drift under ingest) — so a
+  * bootstrap batch seeds the index via [[IvfIndex.write]]; a centroid
+  * re-seed is [[IvfIndex.write]]'s offline full refresh, like LSH
+  * compaction. An empty bootstrap would freeze an empty centroid set
+  * and degenerate every later assignment to one cell, which is why this
+  * tier has no `ensureIndex`. Because whatever seeds FREEZES, a tiny or
+  * skewed first micro-batch would degrade every later assignment —
+  * `minSeed` defers seeding until the seen corpus reaches that many
+  * vectors: early batches run the EXACT brute-force contract against
+  * the small pending corpus (staged under `outDir/_pending`; by
+  * definition < minSeed rows, so the crossJoin is a broadcast against a
+  * bounded dimension) and stage themselves, and the first batch that
+  * tips the total over minSeed seeds the index from pending ∪ batch —
+  * with `k = 0` sized by the [[IvfIndex.autoK]] √N rule and optionally
+  * Lloyd-refined (`refineIters`), the production centroid build. The
+  * deferral window is recall-SUPERIOR to the steady state (brute force
+  * has no cell-pruning concession), so a degenerate first batch can
+  * never lose a duplicate the healthy bootstrap would catch.
   *
   * Restart safety mirrors the text tier's r12 rule: a marker directory
   * per batchId makes the commit idempotent, and the history match
@@ -53,18 +65,54 @@ object VecDupIngest {
 
   /** Process one micro-batch of (vec_id, embedding): writes the kept
     * vectors to `outDir/batch=<id>` and indexes the whole batch. Skips
-    * if the batch is already committed. */
+    * if the batch is already committed. `minSeed` defers index seeding
+    * (see the bootstrap contract above; 0 = seed on the first non-empty
+    * batch); `k` sizes the centroid set at seed time (0 = the
+    * [[IvfIndex.autoK]] √N rule); `refineIters` Lloyd-refines the seed
+    * centroids before they freeze. */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexName: String, outDir: String, tau: Double = 0.9,
-      nProbe: Int = 1): Unit = {
+      nProbe: Int = 1, minSeed: Long = 0L, k: Int = 8,
+      refineIters: Int = 0): Unit = {
     val marker = new java.io.File(outDir, s"_committed/$batchId")
     if (marker.exists()) return
     val vecs = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
     if (vecs.isEmpty) { marker.mkdirs(); return }
-    val bootstrap = !IvfIndex.exists(spark, indexName)
-    if (bootstrap) {
-      // first non-empty batch seeds the frozen centroids + cells
-      IvfIndex.write(spark, vecs, indexName)
+    var bootstrap = false
+    if (!IvfIndex.exists(spark, indexName)) {
+      // pending = earlier bootstrap-window batches, EXCLUDING this
+      // batch's own staging dir (a crash after the stage write but
+      // before the marker must not let a replayed batch self-match)
+      val pendingDir = new java.io.File(outDir, "_pending")
+      val pendingPaths = Option(pendingDir.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName != s"batch=$batchId")
+        .map(_.getAbsolutePath)
+      val pending: Option[DataFrame] =
+        if (pendingPaths.isEmpty) None
+        else Some(spark.read.parquet(pendingPaths: _*).localCheckpoint())
+      val seen = pending.fold(0L)(_.count()) + vecs.count()
+      if (seen < minSeed) {
+        // deferral window: the exact brute-force contract against the
+        // (< minSeed, broadcast-sized) pending corpus, then stage
+        bruteBatch(spark, vecs, pending, batchId, outDir, tau)
+        vecs.write.mode("overwrite")
+          .parquet(s"$pendingDir/batch=$batchId")
+        marker.mkdirs()
+        return
+      }
+      // seed the frozen centroids + cells from the WHOLE seen corpus
+      IvfIndex.write(spark, pending.fold(vecs)(_.unionByName(vecs)),
+        indexName, k = if (k > 0) k else IvfIndex.autoK(seen),
+        refineIters = refineIters)
+      // staged batches are in the index now; drop the staging area (a
+      // crash here is safe: the replay sees the index and never reads
+      // _pending again)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      if (pendingDir.exists()) rm(pendingDir)
+      bootstrap = true
     }
     // 1. drop anything cosine-similar to the seen corpus (self-rows
     //    excluded on the index side — the replay guard; on a bootstrap
@@ -94,21 +142,60 @@ object VecDupIngest {
     val kept = survivors.join(drops, Seq("vec_id"), "left_anti")
     kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     // 3. index the WHOLE batch (kept + dropped) for later arrivals —
-    //    unless this batch just SEEDED the index (it is already in)
+    //    unless this batch just SEEDED the index (it is already in).
+    //    A crash between this append and the marker re-appends the batch
+    //    on replay: duplicate index rows, harmless for the topK=1 dup
+    //    DECISION (an existence test) but any topK>1 matchIncrement over
+    //    the same index returns the duplicated old_id at ranks 1 AND 2,
+    //    displacing the genuine second-nearest — [[IvfIndex.compact]]
+    //    drops the duplicates and repairs the ranks (spec-pinned).
     if (!bootstrap) IvfIndex.append(spark, vecs, indexName)
     marker.mkdirs()
+  }
+
+  /** The bootstrap-deferral window's exact batch step: brute-force
+    * history match against the pending corpus (broadcast — < minSeed
+    * rows by the deferral invariant), brute all-pairs in-batch
+    * clustering, min-id keeper. No index, no cell pruning: exact greedy
+    * semantics while the corpus is too small to seed good centroids. */
+  private def bruteBatch(spark: SparkSession, vecs: DataFrame,
+      pending: Option[DataFrame], batchId: Long, outDir: String,
+      tau: Double): Unit = {
+    val survivors = pending.fold(vecs) { p =>
+      val histDups = vecs
+        .crossJoin(broadcast(p.select(col("vec_id").as("old_id"),
+          col("embedding").as("old_emb"))))
+        .filter(round(cosine(col("embedding"), col("old_emb")), 6) >= tau)
+        .select("vec_id").distinct()
+      vecs.join(histDups, Seq("vec_id"), "left_anti")
+    }.localCheckpoint()
+    val pairs = survivors
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .crossJoin(broadcast(survivors
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(cosine(col("a_emb"), col("b_emb")), 6) >= tau)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    implicit val s: SparkSession = spark
+    val drops = ConnectedComponents.runPropagation(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("vec_id"))
+    survivors.join(drops, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
   }
 
   /** Wire a (vec_id, embedding) stream through [[processBatch]]. */
   def start(stream: DataFrame, indexName: String, outDir: String,
       checkpoint: String, tau: Double = 0.9,
-      nProbe: Int = 1): StreamingQuery =
+      nProbe: Int = 1, minSeed: Long = 0L, k: Int = 8,
+      refineIters: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
         // micro-batch's own session clone: catalog reads and the append
         // invalidation agree on one relation cache (the NearDupIngest rule)
-        processBatch(df.sparkSession, df, id, indexName, outDir, tau, nProbe)
+        processBatch(df.sparkSession, df, id, indexName, outDir, tau,
+          nProbe, minSeed, k, refineIters)
       }
       .start()
 }

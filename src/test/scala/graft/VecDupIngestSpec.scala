@@ -130,6 +130,66 @@ class VecDupIngestSpec extends AnyFunSuite {
     assert(n == 1, s"expected 1 increment-side exchange, got $n:\n$plan")
   }
 
+  test("deferred bootstrap: a 1-vector first batch loses nothing vs a " +
+    "healthy bootstrap; brute window is exact and replay-safe") {
+    // synthetic corpus with unambiguous decisions (copies at cos 1.0,
+    // fresh axis-aligned vectors pairwise-orthogonal): the flagged set is
+    // invariant to batching, so pathological-vs-healthy is comparable
+    import spark.implicits._
+    val dim = 8
+    def axis(i: Int): Seq[Float] = Seq.tabulate(dim)(j =>
+      if (j == i % dim) 1.0f else 0.0f)
+    // ids 0..7: fresh; 100..103: copies of 0..3; 200: fresh-ish mix
+    val fresh8 = (0 until 8).map(i => (i.toLong, axis(i)))
+    val cps = (0 until 4).map(i => ((100 + i).toLong, axis(i)))
+    val mix = Seq((200L, Seq.tabulate(dim)(j =>
+      (if (j < 2) 0.7071f else 0.0f))))
+    val all = fresh8 ++ cps ++ mix
+    val trueKept = fresh8.map(_._1).toSet + 200L
+    def run(name: String, batches: Seq[Seq[(Long, Seq[Float])]],
+        minSeed: Long): Set[Long] = {
+      fresh(name)
+      val out = Files.createTempDirectory(s"${name}_out").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        VecDupIngest.processBatch(spark, b.toDF("vec_id", "embedding"),
+          i.toLong, name, out, minSeed = minSeed, k = 0, refineIters = 1)
+      }
+      ids(spark.read.parquet(s"$out/batch=*"))
+    }
+    // healthy: one big first batch seeds immediately
+    val healthy = run("vdi6h", Seq(all.take(9), all.drop(9)), minSeed = 0L)
+    // pathological: 1-vector first batch; minSeed=6 defers across three
+    // tiny batches (1+2+3=6 tips the seed on the third)
+    val deferred = run("vdi6d",
+      Seq(all.take(1), all.slice(1, 3), all.slice(3, 6), all.slice(6, 9),
+        all.drop(9)), minSeed = 6L)
+    assert(healthy == trueKept)
+    assert(deferred == trueKept,
+      "deferred bootstrap must keep exactly what the healthy bootstrap keeps")
+    // replay the LAST brute-window batch (staged + output written, marker
+    // lost): the pending read must exclude the batch's own staging dir
+    fresh("vdi6r")
+    val out = Files.createTempDirectory("vdi6r_out").toString
+    VecDupIngest.processBatch(spark, all.take(1).toDF("vec_id", "embedding"),
+      0L, "vdi6r", out, minSeed = 6L)
+    VecDupIngest.processBatch(spark, all.slice(1, 3).toDF("vec_id", "embedding"),
+      1L, "vdi6r", out, minSeed = 6L)
+    val kept1 = keptIds(out, 1L)
+    new java.io.File(out, "_committed/1").delete()
+    VecDupIngest.processBatch(spark, all.slice(1, 3).toDF("vec_id", "embedding"),
+      1L, "vdi6r", out, minSeed = 6L)
+    assert(keptIds(out, 1L) == kept1,
+      "brute-window replay must not self-match against its own staged rows")
+    // and the seed, when it comes, uses the autoK rule over ALL seen rows
+    VecDupIngest.processBatch(spark, all.slice(3, 9).toDF("vec_id", "embedding"),
+      2L, "vdi6r", out, minSeed = 6L, k = 0)
+    val nCents = spark.table("vdi6r_cents")
+      .selectExpr("size(cents)").collect().head.getInt(0)
+    assert(nCents == IvfIndex.autoK(9L))
+    assert(!new java.io.File(out, "_pending").exists(),
+      "staging area must be dropped once the index seeds")
+  }
+
   test("end-to-end stream: later micro-batch's copy drops, fresh vector survives") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -15,7 +15,13 @@ import graft.streaming.VecDupIngest
   * single-probe IVF concession (a noised copy can argmax into a
   * different frozen cell), wall shows the honest O(index) growth.
   *
-  * Run: sbt "Test/runMain graft.tools.VecDupSoak [nVecs] [nBatches] [dim] [nProbe]"
+  * Centroid-quality columns (r13): `refineIters` Lloyd-refines the
+  * first-batch seed before it freezes and `k` sizes the centroid set
+  * (0 = the autoK √N rule over the seeding batch) — the soak matrix
+  * over (nProbe × refineIters) separates the multi-probe lever from the
+  * centroid-quality lever on the SAME corpus.
+  *
+  * Run: sbt "Test/runMain graft.tools.VecDupSoak [nVecs] [nBatches] [dim] [nProbe] [refineIters] [k] [minSeed]"
   */
 object VecDupSoak {
   def main(args: Array[String]): Unit = {
@@ -23,6 +29,9 @@ object VecDupSoak {
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val dim = args.lift(2).map(_.toInt).getOrElse(64)
     val nProbe = args.lift(3).map(_.toInt).getOrElse(1)
+    val refineIters = args.lift(4).map(_.toInt).getOrElse(0)
+    val k = args.lift(5).map(_.toInt).getOrElse(8)
+    val minSeed = args.lift(6).map(_.toLong).getOrElse(0L)
     implicit val spark: SparkSession = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -58,7 +67,7 @@ object VecDupSoak {
       val t0 = System.nanoTime()
       VecDupIngest.processBatch(spark,
         b.toSeq.toDF("vec_id", "embedding"), i.toLong, "vdsoak_idx", out,
-        nProbe = nProbe)
+        nProbe = nProbe, minSeed = minSeed, k = k, refineIters = refineIters)
       (System.nanoTime() - t0) / 1e9
     }
     val kept = spark.read.parquet(s"$out/batch=*")
@@ -68,7 +77,8 @@ object VecDupSoak {
     val recall = tp.toDouble / trueDups.size
     val precision = if (flagged.isEmpty) 1.0 else tp.toDouble / flagged.size
     println(f"""{"soak":"vecdup","vecs":$nVecs,"batches":$nBatches,""" +
-      f""""dim":$dim,"n_probe":$nProbe,""" +
+      f""""dim":$dim,"n_probe":$nProbe,"refine_iters":$refineIters,""" +
+      f""""k":$k,"min_seed":$minSeed,""" +
       f""""true_dups":${trueDups.size},"flagged":${flagged.size},""" +
       f""""recall":$recall%.3f,"precision":$precision%.3f,""" +
       f""""total_s":${times.sum}%.1f,"vecs_per_s":${nVecs / times.sum}%.0f,""" +
