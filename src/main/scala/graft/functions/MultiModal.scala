@@ -198,6 +198,120 @@ object MultiModal {
     bos.toByteArray
   }
 
+  /** Deterministic MP4 container fixture encoder: a REAL ISO-BMFF atom
+    * layout — `ftyp` (major brand), a variable-length `free` atom
+    * (`padLen` filler bytes, so `moov`'s byte offset differs per
+    * payload and a parser can only find it by WALKING atom sizes), and
+    * a `moov` container holding a full 108-byte version-0 `mvhd`
+    * (timescale, duration) plus `nTracks` empty `trak` atoms. Sizes and
+    * fields are big-endian per the spec (ISO/IEC 14496-12 §4.2/§8.2.2).
+    * No codec anywhere — the container METADATA is the deliverable, the
+    * exact video analogue of the PNG-IHDR move. */
+  def encodeMp4(brand: String, timescale: Int, duration: Int,
+      nTracks: Int, padLen: Int): Array[Byte] = {
+    val moovSz = 8 + 108 + nTracks * 8
+    val buf = java.nio.ByteBuffer.allocate(16 + 8 + padLen + moovSz)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"), 0, 4)
+    // ftyp: header + major_brand + minor_version
+    buf.putInt(16); fourcc("ftyp"); fourcc(brand); buf.putInt(0)
+    // free: id-dependent filler, so moov's offset varies per payload
+    buf.putInt(8 + padLen); fourcc("free")
+    var i = 0
+    while (i < padLen) { buf.put(((i * 31 + padLen) & 0xff).toByte); i += 1 }
+    // moov [ mvhd v0 (108 B) + nTracks empty trak ]
+    buf.putInt(moovSz); fourcc("moov")
+    buf.putInt(108); fourcc("mvhd")
+    buf.putInt(0)              // version 0 + flags
+    buf.putInt(0); buf.putInt(0) // creation/modification time
+    buf.putInt(timescale); buf.putInt(duration)
+    buf.putInt(0x00010000)     // rate 1.0
+    buf.putShort(0x0100.toShort) // volume 1.0
+    buf.put(new Array[Byte](10)) // reserved
+    // unity matrix
+    buf.putInt(0x00010000); buf.putInt(0); buf.putInt(0)
+    buf.putInt(0); buf.putInt(0x00010000); buf.putInt(0)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0x40000000)
+    buf.put(new Array[Byte](24)) // pre_defined
+    buf.putInt(nTracks + 1)    // next_track_ID
+    var t = 0
+    while (t < nTracks) { buf.putInt(8); fourcc("trak"); t += 1 }
+    buf.array()
+  }
+
+  /** Pure-Column MP4/ISO-BMFF container-metadata parse: walks the
+    * top-level atom chain (size-prefixed, big-endian) to find `ftyp`'s
+    * major brand and the `moov` atom wherever padding atoms put it, then
+    * walks `moov`'s children for the version-0 `mvhd` timescale/duration
+    * and the `trak` count. Entirely codegen-friendly Column arithmetic
+    * (bounded `aggregate` folds over substr/conv reads — the PNG-IHDR
+    * discipline extended to a chained walk), no codec, payload bytes
+    * never shuffle. Atom counts are bounded (`maxAtoms` top-level /
+    * 2·maxAtoms children); malformed sizes (< 8) stop the walk with
+    * whatever parsed so far; non-MP4 payloads yield ("", 0, 0, 0).
+    * Returns struct(brand, timescale, duration, n_tracks). */
+  def mp4Meta(payload: Column, maxAtoms: Int = 8): Column = {
+    val len = octet_length(payload).cast("long")
+    // a read past a truncated payload yields an empty substring → NULL
+    // from conv; degrade to 0 so the walk (and the output struct's
+    // non-null contract) survives malformed containers
+    def be4(pos: Column): Column = coalesce(
+      conv(hex(payload.substr(pos.cast("int"), lit(4))), 16, 10)
+        .cast("long"), lit(0L))
+    def fourcc(pos: Column): Column =
+      payload.substr(pos.cast("int"), lit(4)).cast("string")
+    // top-level walk (1-based offsets): find ftyp brand + moov extent
+    val top = aggregate(sequence(lit(1), lit(maxAtoms)),
+      struct(lit(1L).as("off"), lit("").as("brand"),
+        lit(0L).as("m_off"), lit(0L).as("m_sz")),
+      (st, _) => {
+        val off = st.getField("off")
+        val sz = be4(off)
+        val typ = fourcc(off + 4)
+        when(off + 8 > len + 1, st)       // past the end: done
+          .when(sz < 8, st.withField("off", len + 1)) // malformed: stop
+          .otherwise(struct(
+            (off + sz).as("off"),
+            when(typ === "ftyp", fourcc(off + 8))
+              .otherwise(st.getField("brand")).as("brand"),
+            when(typ === "moov", off)
+              .otherwise(st.getField("m_off")).as("m_off"),
+            when(typ === "moov", sz)
+              .otherwise(st.getField("m_sz")).as("m_sz")))
+      })
+    // moov-children walk: mvhd v0 fields + trak count. mvhd v0 layout:
+    // content = version/flags(4) ctime(4) mtime(4) timescale(4)
+    // duration(4), so timescale sits at atom_off+20, duration +24.
+    val mEnd = top.getField("m_off") + top.getField("m_sz")
+    val kids = aggregate(sequence(lit(1), lit(2 * maxAtoms)),
+      struct((top.getField("m_off") + 8).as("off"), lit(0L).as("ts"),
+        lit(0L).as("dur"), lit(0L).as("trak")),
+      (st, _) => {
+        val off = st.getField("off")
+        val sz = be4(off)
+        val typ = fourcc(off + 4)
+        when(top.getField("m_off") === 0L || off + 8 > mEnd ||
+            off + 8 > len + 1, st)
+          .when(sz < 8, st.withField("off", len + 1))
+          .otherwise(struct(
+            (off + sz).as("off"),
+            when(typ === "mvhd", be4(off + 20))
+              .otherwise(st.getField("ts")).as("ts"),
+            when(typ === "mvhd", be4(off + 24))
+              .otherwise(st.getField("dur")).as("dur"),
+            (st.getField("trak") +
+              when(typ === "trak", 1L).otherwise(0L)).as("trak")))
+      })
+    // only a payload that at least carries ftyp reports a brand; the
+    // empty-brand fallback keeps non-MP4 payloads at ("", 0, 0, 0)
+    when(len >= 16,
+      struct(top.getField("brand").as("brand"),
+        kids.getField("ts").as("timescale"),
+        kids.getField("dur").as("duration"),
+        kids.getField("trak").as("n_tracks")))
+      .otherwise(struct(lit("").as("brand"), lit(0L).as("timescale"),
+        lit(0L).as("duration"), lit(0L).as("n_tracks")))
+  }
+
   /** Batched decode / feature-extraction over (id, payload) rows.
     *
     * `mapPartitions` so per-partition setup (codec contexts, feature

@@ -769,6 +769,38 @@ object TextOps {
           col("n_frames"), col("pcm_sum"))
     }),
 
+    // REAL container-metadata gate for the video half (the q177/q187
+    // move minus the codec — no MP4 codec ships in the JDK, and the
+    // container METADATA is what a curation pipeline reads anyway):
+    // manufacture a real ISO-BMFF atom layout per document (ftyp brand /
+    // mvhd timescale+duration / trak count arithmetic in doc_id, plus an
+    // id-sized `free` atom so moov's offset VARIES per payload), then
+    // parse it back through the pure-Column mp4Meta atom walk — the
+    // fields can only be recovered by chaining big-endian atom sizes, so
+    // a fixed-offset peek cannot fake the hash. Scale shape: encode is
+    // one mapPartitions pass, the parse is in-row Column arithmetic,
+    // zero exchanges, payload bytes never shuffle.
+    "q192_mm_mp4_meta" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val payloads = spread(t(s, dir, "documents"))
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val brand = if (id % 2 == 0) "isom" else "mp42"
+            (id, graft.functions.MultiModal.encodeMp4(brand,
+              (600 + (id % 5) * 100).toInt, (1000 + (id % 7) * 37).toInt,
+              (1 + id % 3).toInt, (id % 32).toInt))
+          }
+        }.toDF("doc_id", "payload")
+      payloads
+        .withColumn("m", graft.functions.MultiModal.mp4Meta(col("payload")))
+        .select(col("doc_id"), col("m.brand").as("brand"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          col("m.n_tracks").as("n_tracks"))
+    }),
+
     // Frame sampling: explode sampled frame indices (never payload bytes).
     "q38_mm_frames" -> ((s, dir) => {
       graft.functions.MultiModal.sampleFrames(
@@ -1660,6 +1692,17 @@ object TextOps {
         |    k -> (doc_id * 7919 + k * 104729) % 65536 % 256 +
         |         (doc_id * 7919 + k * 104729) % 65536 // 256))
         |    AS BIGINT) AS pcm_sum
+        |FROM documents""".stripMargin,
+
+    // the MP4 fixture's container fields are doc_id arithmetic, but only
+    // recoverable Spark-side by walking the big-endian atom chain (the
+    // free-atom padding moves moov per payload)
+    "q192_mm_mp4_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(600 + (doc_id % 5) * 100 AS BIGINT) AS timescale,
+        |  CAST(1000 + (doc_id % 7) * 37 AS BIGINT) AS duration,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
         |FROM documents""".stripMargin,
 
     "q55_tfidf_top_term" ->

@@ -176,4 +176,31 @@ class MultiModalSpec extends AnyFunSuite {
     assert(out(7L) == ((16000, 1, 5L, 0 + 1 + 2 + 3 + 4)))
     assert(out(8L) == ((0, 0, 0L, 0L)))
   }
+
+  test("mp4Meta walks atoms wherever padding puts moov; malformed and " +
+      "non-MP4 payloads degrade cleanly") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.functions.col
+    val a = MultiModal.encodeMp4("isom", 600, 1234, 2, 0)    // no padding
+    val b = MultiModal.encodeMp4("mp42", 90000, 7, 3, 31)    // moov shifted
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    // truncated: cut b mid-moov — brand still parses, children walk stops
+    val trunc = b.take(16 + 8 + 31 + 8 + 20)
+    // malformed: a valid ftyp then an atom with size 3 (< header) — the
+    // walk must stop instead of looping or reading off the end
+    val bad = a.take(16) ++ Array[Byte](0, 0, 0, 3, 'f', 'r', 'e', 'e')
+    val out = Seq((1L, a), (2L, b), (3L, junk), (4L, trunc), (5L, bad))
+      .toDF("id", "payload")
+      .select(col("id"), MultiModal.mp4Meta(col("payload")).as("m"))
+      .select(col("id"), col("m.brand"), col("m.timescale"),
+        col("m.duration"), col("m.n_tracks"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("isom", 600L, 1234L, 2L)))
+    assert(out(2L) == (("mp42", 90000L, 7L, 3L)))
+    assert(out(3L) == (("", 0L, 0L, 0L)))
+    assert(out(4L)._1 == "mp42")
+    assert(out(5L) == (("isom", 0L, 0L, 0L)))
+  }
 }
