@@ -90,11 +90,13 @@ object Bench {
     // notice the dropped references. Left alone, a checkpoint-heavy query
     // squeezes storage memory for every query that runs AFTER it —
     // measured r12: q186 landing lexicographically before q19-q48 slowed
-    // that family 3-15x. A GC (not a blanket unpersist: deliberately
-    // memoized frames like the BPE vocab must keep their blocks — only
-    // UNREFERENCED checkpoints may go) lets the cleaner drain between
-    // queries, so each query is measured from the block state its solo
-    // run would see.
+    // that family 3-15x. NOTE clearCache() IS a blanket unpersist of
+    // every CacheManager entry (any cross-query .cache()/persist memo
+    // would be evicted between queries) — it only coexists with the BPE
+    // vocab memo because that memo uses localCheckpoint + a strong
+    // driver reference, which the CacheManager never tracks and the GC
+    // never collects. Any future cross-query memo must follow the same
+    // localCheckpoint discipline to survive this hygiene step.
     def releaseBlocks(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       System.gc()
@@ -114,13 +116,17 @@ object Bench {
       val median =
         if (sorted.length % 2 == 1) sorted(sorted.length / 2)
         else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+      // per-query loadavg AT measurement time: attributes an isolated
+      // slow number to a contention window without cross-referencing the
+      // whole-run before/after pair
       (name, times.min, median,
-        if (times.min > 0) times.max / times.min else 1.0)
+        if (times.min > 0) times.max / times.min else 1.0, loadavg())
     }
     val loadAfter = loadavg()
-    val results0 = timed.map { case (n, mn, _, _) => n -> mn }
-    val medians = timed.map { case (n, _, md, _) => n -> md }
-    val spreads = timed.map { case (n, _, _, sp) => n -> sp }
+    val results0 = timed.map { case (n, mn, _, _, _) => n -> mn }
+    val medians = timed.map { case (n, _, md, _, _) => n -> md }
+    val spreads = timed.map { case (n, _, _, sp, _) => n -> sp }
+    val loadQ = timed.map { case (n, _, _, _, la) => n -> la }
     // Per-query oracle ratios (the r7 verdict's #1 ask): when a DuckDB
     // timing artifact from tools/bench_oracle.py is present, fold it into
     // the durable BENCH_FULL.json as {"oracle_s", "ratio"} plus the
@@ -161,23 +167,38 @@ object Bench {
     // times so the artifact itself distinguishes "was noise" (recheck
     // clears the gate) from "really slow" (recheck confirms).
     val prelim = violationsOf(results0)
+    // Spread-triggered recheck (r12 verdict ask #5): a committed number
+    // with iteration spread > 2.0 was measured under live contention
+    // (r12's q158: best 3.4s against a 5.3s median under loadavg ~2.1)
+    // and several 1.3-1.6x apparent regressions were pure noise. Every
+    // such query gets time-separated extra iterations alongside the
+    // ratio violators, so BENCH_FULL commits either spread <= 2 or an
+    // explicit recheck entry - a regression claim is then always
+    // adjudicable from the artifact alone.
+    val noisy = spreads.collect { case (n, sp) if sp > 2.0 => n }
+    val toRecheck = (prelim ++ noisy).distinct
     val rechecked: Map[String, Double] =
-      if (prelim.isEmpty || nameFilter.nonEmpty) Map.empty
+      if (toRecheck.isEmpty || nameFilter.nonEmpty) Map.empty
       else {
         Thread.sleep(15000) // step out of a still-live contention window
         val fnByName = picked.toMap
-        prelim.map { name =>
+        toRecheck.map { name =>
           val fn = fnByName(name)
           val o = oracle.getOrElse(name, Double.MaxValue)
+          val prior = results0.toMap.getOrElse(name, Double.MaxValue)
           var best = Double.MaxValue
           var i = 0
+          // ratio violators iterate until the gate clears; spread-only
+          // entries until the re-measurement confirms the committed min
+          // (within 10%) - either way at most 2 extra runs
           while (i < 2 && !(best <= RatioGateMinSparkS ||
-              best / o <= RatioGateMax)) {
+              best / o <= RatioGateMax || best <= prior * 1.1)) {
             val t0 = System.nanoTime()
             try { fn(spark, sfDir).count() } catch { case _: Throwable => }
             best = math.min(best, (System.nanoTime() - t0) / 1e9)
             i += 1
           }
+          releaseBlocks()
           name -> best
         }.toMap
       }
@@ -194,7 +215,13 @@ object Bench {
     }.toMap
     val violations = violationsOf(results)
     val extra =
-      if (oracle.isEmpty) ""
+      if (oracle.isEmpty) {
+        // no oracle artifact: spread-triggered recheck entries still
+        // belong in the durable record
+        if (rechecked.isEmpty) ""
+        else s""","rechecked":${rechecked.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + f"""":$v%.4f""" }.mkString("{", ",", "}")}"""
+      }
       else {
         val os = results.flatMap { case (k, _) =>
           oracle.get(k).map(o => "\"" + k + f"""":$o%.4f""") }
@@ -219,9 +246,11 @@ object Bench {
     // change, min << median across the board is contention.
     val mds = medians.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
       .mkString("{", ",", "}")
+    val lqs = loadQ.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }
+      .mkString("{", ",", "}")
     val conditions =
       f""","loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f""" +
-        s""","iters":$iters,"spread":$sps,"median":$mds"""
+        s""","iters":$iters,"spread":$sps,"median":$mds,"loadavg_q":$lqs"""
     val outFile = new java.io.File("BENCH_FULL.json").getAbsoluteFile
     val line =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","file":"$outFile""""
