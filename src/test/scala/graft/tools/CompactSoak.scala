@@ -26,11 +26,15 @@ object CompactSoak {
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
-    val rnd = new scala.util.Random(11)
     val dim = 32
-    def batch(b: Int) = (0 until batchSize).map(i =>
-      ((b.toLong * batchSize + i), Seq.fill(dim)(rnd.nextGaussian().toFloat)))
-      .toDF("vec_id", "embedding")
+    // per-batch seed: a "replayed" batch regenerates BIT-IDENTICAL rows,
+    // like a real foreachBatch replay of the same micro-batch
+    def batch(b: Int) = {
+      val rnd = new scala.util.Random(1000 + b)
+      (0 until batchSize).map(i =>
+        ((b.toLong * batchSize + i), Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+    }
     IvfIndex.write(spark, batch(0), "cps", k = 8, buckets = buckets)
     val tApp0 = System.nanoTime()
     (1 until nBatches).foreach(b => IvfIndex.append(spark, batch(b), "cps"))
