@@ -316,6 +316,25 @@ object VectorOps {
         .select(col("vec_id"), coalesce(col("d"), lit(0L)).as("is_dup"))
     }),
 
+    // The REFINED centroid build gated end-to-end (r13): one Lloyd round
+    // over the lowest-id seeds (spherical k-means — cosine argmax
+    // assignment, integer-exact 2^20-quantized mean, floor division,
+    // dequantized back to float) before the index freezes, then the
+    // topK=1 decision match over the refined cells. The oracle restates
+    // seed → assign → integer mean → dequantize → reassign → in-cell
+    // top-1 relationally, so BOTH the refinement arithmetic (bit-exact
+    // float dequantization included) and the max-struct fast path are
+    // under the hash gate. Scale: the Lloyd round shuffles k·d partial
+    // sums (corpus-size-free); everything else is q143's plan.
+    "q193_ivf_refined" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.operators.IvfIndex.write(
+        s, e.filter(col("vec_id") % 10 =!= 9), "q193_idx",
+        k = 8, refineIters = 1)
+      graft.operators.IvfIndex.matchIncrement(
+        s, e.filter(col("vec_id") % 10 === 9), "q193_idx", topK = 1)
+    }),
+
     // The q122 move applied to the dedup decision: how much does the
     // IVF cell pruning COST against brute-force truth? Per delta vector:
     // its cell-pruned top-1 cosine (q189's evidence) vs the brute-force
@@ -612,6 +631,68 @@ object VectorOps {
          |               h.vec_id) AS rank
          |  FROM dassign d JOIN hassign h USING (cell))
          |WHERE rank <= 3""".stripMargin,
+
+    // the refined-centroid chain: seeds → cosine-argmax assignment →
+    // integer-exact quantized mean (the q91 floor-division discipline) →
+    // REAL dequantization (bit-matching Spark's (cd/2^20).toFloat) →
+    // reassign both sides → in-cell top-1. Empty cells keep their seed
+    // (the LEFT JOIN / COALESCE), mirroring IvfIndex.write.
+    "q193_ivf_refined" ->
+      s"""WITH hist AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9),
+         |delta AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 9),
+         |cents0 AS (SELECT vec_id AS cent_id, embedding AS cent
+         |  FROM hist ORDER BY vec_id LIMIT 8),
+         |a0 AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT h.vec_id, h.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY h.vec_id
+         |        ORDER BY ${sqlCos("h.embedding", "c.cent")} DESC,
+         |                 c.cent_id) AS r
+         |    FROM hist h CROSS JOIN cents0 c)
+         |  WHERE r = 1),
+         |qh AS (
+         |  SELECT cell, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+         |  FROM a0),
+         |u AS (
+         |  SELECT cell, pos,
+         |    CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
+         |      // count(*) AS BIGINT) AS cd
+         |  FROM (SELECT cell, unnest(q) AS v,
+         |          generate_subscripts(q, 1) AS pos FROM qh)
+         |  GROUP BY cell, pos),
+         |c1 AS (SELECT cell, list(cd ORDER BY pos) AS qc FROM u GROUP BY cell),
+         |refined AS (
+         |  SELECT c0.cent_id, COALESCE(list_transform(c1.qc,
+         |      v -> CAST(CAST(v AS DOUBLE) / 1048576.0 AS REAL)), c0.cent)
+         |    AS cent
+         |  FROM cents0 c0 LEFT JOIN c1 ON c1.cell = c0.cent_id),
+         |h2 AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT h.vec_id, h.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY h.vec_id
+         |        ORDER BY ${sqlCos("h.embedding", "c.cent")} DESC,
+         |                 c.cent_id) AS r
+         |    FROM hist h CROSS JOIN refined c)
+         |  WHERE r = 1),
+         |d2 AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT d.vec_id, d.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY ${sqlCos("d.embedding", "c.cent")} DESC,
+         |                 c.cent_id) AS r
+         |    FROM delta d CROSS JOIN refined c)
+         |  WHERE r = 1)
+         |SELECT new_id, old_id, rank, round(cs, 6) AS cos_sim FROM (
+         |  SELECT d.vec_id AS new_id, h.vec_id AS old_id,
+         |    ${sqlCos("d.embedding", "h.embedding")} AS cs,
+         |    row_number() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${sqlCos("d.embedding", "h.embedding")} DESC,
+         |               h.vec_id) AS rank
+         |  FROM d2 d JOIN h2 h USING (cell))
+         |WHERE rank = 1""".stripMargin,
 
     // pruning-cost gate: IVF top-1 (within-cell) vs brute top-1 (all
     // history) per delta vector; -1 stands in for "no candidate"

@@ -57,10 +57,14 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "(alphabet rows + a LIMIT-128 TakeOrdered — bounded by " +
         "construction at any corpus scale, unlike the q134 raw vocab)"),
     "queries/VectorOps.scala" -> (1, "k-means packed-centroid codebook (k*d)"),
-    "operators/IvfIndex.scala" -> (1,
+    "operators/IvfIndex.scala" -> (3,
       "IVF build seed fetch: k rows via TakeOrdered (k*d values — the " +
         "same packed-centroid class as the k-means codebook), reused for " +
-        "both the _cents write and the assignment broadcast")
+        "both the _cents write and the assignment broadcast; the Lloyd " +
+        "refinement round's updated-centroid fetch (k rows of k*d cells " +
+        "— the distributed agg reduces the corpus BEFORE the collect); " +
+        "and centsFrame's read-through of the persisted 1-row _cents " +
+        "packed table")
   )
 
   test("main-source .collect() sites stay on the bounded allowlist") {
@@ -117,12 +121,18 @@ class CollectDisciplineSpec extends AnyFunSuite {
   // hint anywhere fails the suite until its bound is written down here.
   private val broadcastAllowed: Map[String, (Int, String)] = Map(
     "cdc/Materialize.scala" -> (1, "dictionary dim (schema-sized)"),
-    "operators/IvfIndex.scala" -> (4,
-      "IVF centroid codebook (k rows) at write/append/match sites + the " +
-        "matchIncrement excludeIds anti side (ingest-batch-sized: the " +
-        "replaying batch's own ids)"),
-    "streaming/VecDupIngest.scala" -> (1,
-      "the frozen centroid codebook (k rows) for in-batch cell pairing"),
+    "operators/IvfIndex.scala" -> (5,
+      "IVF centroid codebook (k rows) at write/append/match sites, the " +
+        "Lloyd-round assignment codebook (same k-row frame per " +
+        "refinement pass), and the matchIncrement excludeIds anti side " +
+        "(ingest-batch-sized: the replaying batch's own ids)"),
+    "operators/LshIndex.scala" -> (2,
+      "the excludeIds anti sides of matchIncrement/matchIncrementWeighted " +
+        "(ingest-batch-sized: the replaying batch's own doc_ids)"),
+    "streaming/VecDupIngest.scala" -> (3,
+      "the frozen centroid codebook (k rows) for in-batch cell pairing + " +
+        "the bootstrap-deferral window's pending corpus and in-batch " +
+        "all-pairs side (both < minSeed rows by the deferral invariant)"),
     "queries/AnalyticsOps.scala" -> (13,
       "1-row scalars (nDocs x4, n, mx-class), 9-row bounds/med/mad dims, " +
         "count-min `counters` <= 4096 cells, q166/q169 frequent-token " +
