@@ -48,13 +48,31 @@ object LshIndex {
       }
       if (loc.exists()) rm(loc)
     }
-    val banded = TextOps.withBands(docs).localCheckpoint()
+    // project the checkpoint to the columns the writes consume — the 8
+    // per-doc minhash strings exist only to derive band0/band1 and would
+    // otherwise be materialized into block storage for nothing
+    val banded = TextOps.withBands(docs)
+      .select("doc_id", "band0", "band1", "shingles").localCheckpoint()
+    // bucket-key repartition before each write (the IvfIndex.write rule):
+    // each task then holds exactly one bucket and emits one file — the
+    // unpartitioned spread wrote up to tasks×buckets files, and the file
+    // open/commit overhead was the dominant fixed cost of an index build
+    // inside a timed query. The two table writes are independent (both
+    // read the checkpointed banded frame) — overlap them so the smaller
+    // commit rides inside the larger one's wall time.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val shWrite = Future(Tables.writeBucketed(
+      banded.select("doc_id", "shingles")
+        .repartition(buckets, col("doc_id")),
+      s"${name}_shingles", "doc_id", buckets))
     Tables.writeBucketed(
       banded.select(col("doc_id"),
-        explode(array(col("band0"), col("band1"))).as("band")),
+        explode(array(col("band0"), col("band1"))).as("band"))
+        .repartition(buckets, col("band")),
       s"${name}_bands", "band", buckets)
-    Tables.writeBucketed(banded.select("doc_id", "shingles"),
-      s"${name}_shingles", "doc_id", buckets)
+    Await.result(shWrite, Duration.Inf)
   }
 
   /** Append an increment's bands + shingles to an existing index — the
@@ -71,13 +89,19 @@ object LshIndex {
         org.apache.spark.sql.catalyst.TableIdentifier(tbl))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(s"$tbl is not bucketed"))
-    val banded = TextOps.withBands(docs).localCheckpoint()
+    val banded = TextOps.withBands(docs)
+      .select("doc_id", "band0", "band1", "shingles").localCheckpoint()
+    val bandB = bucketsOf(s"${name}_bands")
+    val shB = bucketsOf(s"${name}_shingles")
     Tables.appendBucketed(
       banded.select(col("doc_id"),
-        explode(array(col("band0"), col("band1"))).as("band")),
-      s"${name}_bands", "band", bucketsOf(s"${name}_bands"))
-    Tables.appendBucketed(banded.select("doc_id", "shingles"),
-      s"${name}_shingles", "doc_id", bucketsOf(s"${name}_shingles"))
+        explode(array(col("band0"), col("band1"))).as("band"))
+        .repartition(bandB, col("band")),
+      s"${name}_bands", "band", bandB)
+    Tables.appendBucketed(
+      banded.select("doc_id", "shingles")
+        .repartition(shB, col("doc_id")),
+      s"${name}_shingles", "doc_id", shB)
     // an insert invalidates the WRITING session's relation cache only;
     // under foreachBatch the reader can be a different clone of the same
     // SharedState (stale file listing → silently missing index rows —
@@ -109,7 +133,8 @@ object LshIndex {
   def matchIncrement(spark: SparkSession, newDocs: DataFrame, name: String,
       bandCap: Int = TextOps.DefaultBandCap,
       tau: Double = 0.5, excludeIds: Option[DataFrame] = None): DataFrame = {
-    val newBanded = TextOps.withBands(newDocs).localCheckpoint()
+    val newBanded = TextOps.withBands(newDocs)
+      .select("doc_id", "band0", "band1", "shingles").localCheckpoint()
     val idx0 = spark.table(s"${name}_bands")
     val idx = excludeIds.fold(idx0)(ex => idx0.join(
       broadcast(ex.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
@@ -165,13 +190,22 @@ object LshIndex {
       }
       if (loc.exists()) rm(loc)
     }
-    val banded = TextOps.withWeightedBands(docs).localCheckpoint()
+    val banded = TextOps.withWeightedBands(docs)
+      .select("doc_id", "band0", "band1", "tfs", "n_tok").localCheckpoint()
+    // bucket-key repartition + overlapped commits — see [[write]]
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val tfWrite = Future(Tables.writeBucketed(
+      banded.select("doc_id", "tfs", "n_tok")
+        .repartition(buckets, col("doc_id")),
+      s"${name}_tfs", "doc_id", buckets))
     Tables.writeBucketed(
       banded.select(col("doc_id"),
-        explode(array(col("band0"), col("band1"))).as("band")),
+        explode(array(col("band0"), col("band1"))).as("band"))
+        .repartition(buckets, col("band")),
       s"${name}_bands", "band", buckets)
-    Tables.writeBucketed(banded.select("doc_id", "tfs", "n_tok"),
-      s"${name}_tfs", "doc_id", buckets)
+    Await.result(tfWrite, Duration.Inf)
   }
 
   /** Append an increment to a weighted index (the [[append]] rules:
@@ -183,13 +217,19 @@ object LshIndex {
         org.apache.spark.sql.catalyst.TableIdentifier(tbl))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(s"$tbl is not bucketed"))
-    val banded = TextOps.withWeightedBands(docs).localCheckpoint()
+    val banded = TextOps.withWeightedBands(docs)
+      .select("doc_id", "band0", "band1", "tfs", "n_tok").localCheckpoint()
+    val bandB = bucketsOf(s"${name}_bands")
+    val tfB = bucketsOf(s"${name}_tfs")
     Tables.appendBucketed(
       banded.select(col("doc_id"),
-        explode(array(col("band0"), col("band1"))).as("band")),
-      s"${name}_bands", "band", bucketsOf(s"${name}_bands"))
-    Tables.appendBucketed(banded.select("doc_id", "tfs", "n_tok"),
-      s"${name}_tfs", "doc_id", bucketsOf(s"${name}_tfs"))
+        explode(array(col("band0"), col("band1"))).as("band"))
+        .repartition(bandB, col("band")),
+      s"${name}_bands", "band", bandB)
+    Tables.appendBucketed(
+      banded.select("doc_id", "tfs", "n_tok")
+        .repartition(tfB, col("doc_id")),
+      s"${name}_tfs", "doc_id", tfB)
     Seq(s"${name}_bands", s"${name}_tfs")
       .foreach(spark.catalog.refreshTable)
   }
@@ -206,7 +246,8 @@ object LshIndex {
   def matchIncrementWeighted(spark: SparkSession, newDocs: DataFrame,
       name: String, bandCap: Int = TextOps.DefaultBandCap,
       tau: Double = 0.5, excludeIds: Option[DataFrame] = None): DataFrame = {
-    val newBanded = TextOps.withWeightedBands(newDocs).localCheckpoint()
+    val newBanded = TextOps.withWeightedBands(newDocs)
+      .select("doc_id", "band0", "band1", "tfs", "n_tok").localCheckpoint()
     val idx0 = spark.table(s"${name}_bands")
     val idx = excludeIds.fold(idx0)(ex => idx0.join(
       broadcast(ex.select(col("doc_id"))), Seq("doc_id"), "left_anti"))

@@ -36,6 +36,16 @@ object WeightedProbe {
       val full = time("full_query")(
         graft.queries.TextOps.weightedVerifiedPairs(docs).count())
       println(s"PROBE full_rows $full")
+      // q191 split: index BUILD (one-time ingest cost) vs the steady-state
+      // incremental MATCH the index exists to serve
+      val d2 = docs.select(col("doc_id"), col("text"))
+      val isNew = col("doc_id") % 10 === 7
+      time("q191_build")(graft.operators.LshIndex.writeWeighted(
+        spark, d2.filter(!isNew), "probe_widx"))
+      val m = time("q191_match")(graft.operators.LshIndex
+        .matchIncrementWeighted(spark, d2.filter(isNew), "probe_widx")
+        .count())
+      println(s"PROBE match_rows $m")
     }
     spark.stop()
   }
