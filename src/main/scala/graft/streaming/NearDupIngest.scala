@@ -71,7 +71,7 @@ object NearDupIngest {
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexName: String, outDir: String,
       bandCap: Int = TextOps.DefaultBandCap, tau: Double = 0.5,
-      weighted: Boolean = false): Unit = {
+      weighted: Boolean = false, compactEvery: Int = 0): Unit = {
     val marker = new java.io.File(outDir, s"_committed/$batchId")
     if (marker.exists()) return
     val docs = batch.select(col("doc_id"), col("text")).localCheckpoint()
@@ -115,6 +115,11 @@ object NearDupIngest {
     if (weighted) LshIndex.appendWeighted(spark, docs, indexName)
     else LshIndex.append(spark, docs, indexName)
     marker.mkdirs()
+    // operational compaction cadence (the VecDupIngest rule): after the
+    // marker, semantics-free, crash-safe — a crash mid-compact leaves it
+    // for the next trigger without re-running the batch
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      LshIndex.compact(spark, indexName)
   }
 
   // ---------------------------------------------------------------------
@@ -206,7 +211,8 @@ object NearDupIngest {
   /** Wire a (doc_id, text) stream through [[processBatch]]. */
   def start(stream: DataFrame, indexName: String, outDir: String,
       checkpoint: String, bandCap: Int = TextOps.DefaultBandCap,
-      tau: Double = 0.5, weighted: Boolean = false): StreamingQuery = {
+      tau: Double = 0.5, weighted: Boolean = false,
+      compactEvery: Int = 0): StreamingQuery = {
     val spark = stream.sparkSession
     ensureIndex(spark, indexName, weighted = weighted)
     stream.writeStream
@@ -216,7 +222,7 @@ object NearDupIngest {
         // SharedState): catalog reads and the append invalidation then
         // agree on one relation cache
         processBatch(df.sparkSession, df, id, indexName, outDir, bandCap,
-          tau, weighted)
+          tau, weighted, compactEvery)
       }
       .start()
   }

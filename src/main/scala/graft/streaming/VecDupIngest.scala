@@ -73,7 +73,7 @@ object VecDupIngest {
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexName: String, outDir: String, tau: Double = 0.9,
       nProbe: Int = 1, minSeed: Long = 0L, k: Int = 8,
-      refineIters: Int = 0): Unit = {
+      refineIters: Int = 0, compactEvery: Int = 0): Unit = {
     val marker = new java.io.File(outDir, s"_committed/$batchId")
     if (marker.exists()) return
     val vecs = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
@@ -151,6 +151,14 @@ object VecDupIngest {
     //    drops the duplicates and repairs the ranks (spec-pinned).
     if (!bootstrap) IvfIndex.append(spark, vecs, indexName)
     marker.mkdirs()
+    // operational compaction cadence: every `compactEvery` committed
+    // batches, coalesce the per-append file accumulation and drop any
+    // crash-replay duplicates. AFTER the marker: compaction is
+    // semantics-free (results hash-identical, spec-pinned), so a crash
+    // mid-compact just leaves it for the next trigger — it never
+    // re-runs the batch.
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      IvfIndex.compact(spark, indexName)
   }
 
   /** The bootstrap-deferral window's exact batch step: brute-force
@@ -188,14 +196,14 @@ object VecDupIngest {
   def start(stream: DataFrame, indexName: String, outDir: String,
       checkpoint: String, tau: Double = 0.9,
       nProbe: Int = 1, minSeed: Long = 0L, k: Int = 8,
-      refineIters: Int = 0): StreamingQuery =
+      refineIters: Int = 0, compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
         // micro-batch's own session clone: catalog reads and the append
         // invalidation agree on one relation cache (the NearDupIngest rule)
         processBatch(df.sparkSession, df, id, indexName, outDir, tau,
-          nProbe, minSeed, k, refineIters)
+          nProbe, minSeed, k, refineIters, compactEvery)
       }
       .start()
 }

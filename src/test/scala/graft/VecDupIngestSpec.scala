@@ -190,6 +190,31 @@ class VecDupIngestSpec extends AnyFunSuite {
       "staging area must be dropped once the index seeds")
   }
 
+  test("compactEvery cadence: kept sets identical, index files fewer, " +
+    "dup rows gone") {
+    def run(name: String, every: Int): (Set[Long], Int, Long) = {
+      fresh(name)
+      val out = Files.createTempDirectory(s"${name}_out").toString
+      (0 until 4).foreach { i =>
+        VecDupIngest.processBatch(spark,
+          vecs.filter(col("vec_id") % 4 === i), i.toLong, name, out,
+          compactEvery = every)
+      }
+      val loc = new java.io.File(spark.conf
+        .get("spark.sql.warehouse.dir").stripPrefix("file:"), s"${name}_cells")
+      val files = Option(loc.listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+      (ids(spark.read.parquet(s"$out/batch=*")), files,
+        spark.table(s"${name}_cells").count())
+    }
+    val (keptPlain, filesPlain, rowsPlain) = run("vdi7p", 0)
+    val (keptComp, filesComp, rowsComp) = run("vdi7c", 2)
+    assert(keptComp == keptPlain, "compaction must not change decisions")
+    assert(filesComp < filesPlain,
+      s"compaction must shrink the file count ($filesPlain -> $filesComp)")
+    assert(rowsComp == rowsPlain, "no dup rows to drop in a crash-free run")
+  }
+
   test("end-to-end stream: later micro-batch's copy drops, fresh vector survives") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
