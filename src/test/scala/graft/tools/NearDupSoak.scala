@@ -74,6 +74,54 @@ object NearDupSoak {
       f""""precision":$precision%.3f,"borderline_flag_rate":$bFlag%.3f}"""
   }
 
+  /** Corpus for the WEIGHTED-vs-shingle tier comparison (`weighted`
+    * mode). Classes chosen to separate the two tiers' FEATURE SPACES —
+    * token multiset (weighted) vs 3-gram shingle set (unweighted):
+    *   - fresh (50%);
+    *   - near-dup (20%): 2 of 40 tokens replaced — BOTH tiers must flag
+    *     (weighted wj ≈ 38/42 ≈ 0.90; shingle j ≈ 0.73);
+    *   - reorder (15%): same tokens, shuffled — the weighted tier's
+    *     catch (wj = 1.0); shingles scatter (j ≈ 0) so the shingle tier
+    *     structurally misses it;
+    *   - tf-inflate (15%): copy + 10 tokens repeated ×6 (50 extra
+    *     instances) — BOTH tiers must keep: weighted because
+    *     wj = 40/90 ≈ 0.44 < 0.5 (the Σmin/Σmax robustness a set-of-
+    *     tokens detector would not have), shingle because the appended
+    *     runs break the 3-gram set. */
+  def corpusW(nDocs: Int): (Array[(Long, String)], Set[Long], Set[Long],
+      Set[Long]) = {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 5000).map(i => s"tok$i").toArray
+    val docs = new Array[(Long, String)](nDocs)
+    val dups = Set.newBuilder[Long]
+    val reorders = Set.newBuilder[Long]
+    val inflates = Set.newBuilder[Long]
+    (0 until nDocs).foreach { i =>
+      val roll = if (i == 0) 1.0 else rnd.nextDouble()
+      def src = docs(rnd.nextInt(i))._2.split(' ')
+      docs(i) =
+        if (roll < 0.2) {
+          dups += i.toLong
+          val t = src.clone()
+          rnd.shuffle(t.indices.toList).take(2)
+            .foreach(p => t(p) = vocab(rnd.nextInt(vocab.length)))
+          (i.toLong, t.mkString(" "))
+        } else if (roll < 0.35) {
+          reorders += i.toLong
+          (i.toLong, rnd.shuffle(src.toList).mkString(" "))
+        } else if (roll < 0.5) {
+          inflates += i.toLong
+          val t = src
+          val extra = rnd.shuffle(t.toList).take(10)
+            .flatMap(tok => Seq.fill(5)(tok))
+          (i.toLong, (t ++ extra).mkString(" "))
+        } else
+          (i.toLong, Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+            .mkString(" "))
+    }
+    (docs, dups.result(), reorders.result(), inflates.result())
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
@@ -131,6 +179,44 @@ object NearDupSoak {
     }
 
     mode match {
+      case "weighted" =>
+        // weighted vs shingle macro tier over the SAME tf-discriminating
+        // corpus (corpusW classes — see its doc)
+        val (docsW, dupsW, reorders, inflates) = corpusW(nDocs)
+        val perBatchW = docsW.grouped((nDocs + nBatches - 1) / nBatches)
+          .toArray
+        def runTier(weighted: Boolean): (Set[Long], Array[Double]) = {
+          val name = if (weighted) "soakw_idx" else "soaku_idx"
+          NearDupIngest.ensureIndex(spark, name, weighted = weighted)
+          val out = java.nio.file.Files
+            .createTempDirectory(s"ndsoak_${name}_out").toString
+          val times = perBatchW.zipWithIndex.map { case (b, i) =>
+            val t0 = System.nanoTime()
+            NearDupIngest.processBatch(spark, b.toSeq.toDF("doc_id", "text"),
+              i.toLong, name, out, weighted = weighted)
+            (System.nanoTime() - t0) / 1e9
+          }
+          val kept = spark.read.parquet(s"$out/batch=*")
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+          (docsW.map(_._1).toSet -- kept, times)
+        }
+        def scoreW(label: String, flagged: Set[Long],
+            times: Array[Double]): String = {
+          val recall = (flagged & dupsW).size.toDouble / dupsW.size
+          val reorderRate = (flagged & reorders).size.toDouble / reorders.size
+          val inflateRate = (flagged & inflates).size.toDouble / inflates.size
+          f""""$label":{"flagged":${flagged.size},"dup_recall":$recall%.3f,""" +
+            f""""reorder_flag_rate":$reorderRate%.3f,""" +
+            f""""inflate_flag_rate":$inflateRate%.3f,""" +
+            f""""total_s":${times.sum}%.1f}"""
+        }
+        val (wFlag, wTimes) = runTier(weighted = true)
+        val (uFlag, uTimes) = runTier(weighted = false)
+        println(s"""{"soak":"neardup-weighted","docs":$nDocs,""" +
+          s""""batches":$nBatches,"true_dups":${dupsW.size},""" +
+          s""""reorders":${reorders.size},"inflates":${inflates.size},""" +
+          scoreW("weighted_tier", wFlag, wTimes) + "," +
+          scoreW("shingle_tier", uFlag, uTimes) + "}")
       case "macro" =>
         val (dropped, times) = runMacro()
         println(f"""{"soak":"neardup-macro","docs":$nDocs,"batches":$nBatches,""" +
