@@ -334,4 +334,38 @@ object IvfIndex {
   def compact(spark: SparkSession, name: String): Unit =
     Tables.compactBucketed(spark, s"${name}_cells", "cell",
       Seq("cell", "vec_id"))
+
+  /** Offline re-seed at the CURRENT corpus size — the periodic
+    * counterpart of [[compact]] for a long-running ingest: compact fixes
+    * FILES, rebuild fixes the k-vs-N balance. A frozen k makes
+    * [[matchIncrement]]'s per-increment cost grow ~N/k as history grows;
+    * re-seeding with `k = 0` (the [[autoK]] √N rule) restores the √N
+    * shape, optionally Lloyd-refined. Rebuilds from the index's OWN
+    * stored vectors via an on-disk staging copy (never a driver or
+    * block-manager materialization — scale-safe), deduping crash-replay
+    * rows on the way. Downstream dup DECISIONS are unchanged in kind
+    * (greedy-vs-history stays an existence test); recall follows the new
+    * centroids, measured in VecDupSoak. Run it offline on a corpus-growth
+    * trigger (e.g. N > 4·k²), like any layout rewrite. */
+  def rebuild(spark: SparkSession, name: String, k: Int = 0,
+      refineIters: Int = 0): Unit = {
+    val tmp = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      s"${name}__rebuild_src")
+    spark.table(s"${name}_cells").select("vec_id", "embedding")
+      .dropDuplicates("vec_id")
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val data = spark.read.parquet(tmp.getAbsolutePath)
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_cells"))
+      .bucketSpec.map(_.numBuckets).getOrElse(16)
+    val kk = if (k > 0) k else autoK(data.count())
+    write(spark, data, name, kk, buckets, refineIters)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(tmp)
+  }
 }

@@ -252,4 +252,33 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(_.toString).toSet
     assert(got == expect)
   }
+
+  test("rebuild re-seeds at autoK over the grown corpus, dedupes replay " +
+    "rows, equals a fresh build of the same vectors") {
+    val hist = vecs.filter(col("vec_id") % 10 =!= 9)
+    val inc = vecs.filter(col("vec_id") % 10 === 9)
+    IvfIndex.write(spark, hist, "ivf_rb", k = 4, buckets = 4)
+    IvfIndex.append(spark, inc, "ivf_rb")
+    IvfIndex.append(spark, inc, "ivf_rb") // crash-replay duplicates
+    val n = vecs.count()
+    IvfIndex.rebuild(spark, "ivf_rb", k = 0, refineIters = 1)
+    val nCents = spark.table("ivf_rb_cents")
+      .selectExpr("size(cents)").collect().head.getInt(0)
+    assert(nCents == IvfIndex.autoK(n), s"k must follow autoK($n)")
+    assert(spark.table("ivf_rb_cells").count() == n,
+      "rebuild must dedupe the replay rows")
+    // reference: a fresh build of the SAME vector set at the same knobs
+    IvfIndex.write(spark, vecs, "ivf_rb2", k = IvfIndex.autoK(n),
+      buckets = 4, refineIters = 1)
+    val probe = vecs.filter(col("vec_id") < 15)
+    def m(idx: String) = IvfIndex.matchIncrement(spark, probe, idx,
+        topK = 2, excludeIds = Some(probe.select("vec_id")))
+      .collect().map(_.toString).toSet
+    assert(m("ivf_rb") == m("ivf_rb2"),
+      "rebuilt index must match a fresh build bit-for-bit")
+    // bucketed reads stay exchange-free after the rebuild
+    val plan = spark.table("ivf_rb_cells").groupBy("cell").count()
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(300))
+  }
 }
