@@ -462,6 +462,49 @@ object TextOps {
             .otherwise(lit("xx")).as("lang_guess"))
     }),
 
+    // REAL n-gram language ID (the upgrade q24's heuristic row promised):
+    // a Cavnar–Trenkle-style character-trigram frequency profile per
+    // language, TRAINED from the corpus's labeled rows and applied back —
+    // profile = top-256 trigrams by count (ties → trigram asc), weight =
+    // (10^6·c) div N_l in exact integer arithmetic, doc score = Σ weights
+    // over its trigram INSTANCES, argmax language (ties → lang asc).
+    // Scale shape: trigram extraction is in-row; the (doc, tri) stream
+    // map-side-combines into ≤|langs| partial rows per doc before the
+    // exchange (the q55 rule — the raw token stream never shuffles
+    // whole); the model is top-256·|langs| rows, a BOUNDED dimension
+    // joined hint-free (AQE broadcasts it); all arithmetic integer-exact
+    // so any partitioning agrees bit-for-bit.
+    "q194_langid_trigram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= 3)
+      val tris = Tables.spread(docs, col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), length(col("t")) - 2),
+            i => col("t").substr(i, lit(3)))).as("tri"))
+      val counts = tris.groupBy("lang", "tri")
+        .agg(count(lit(1)).as("c"))
+      val wTop = Window.partitionBy("lang")
+        .orderBy(col("c").desc, col("tri"))
+      val model = counts
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 256)
+        .withColumn("nl", sum("c").over(Window.partitionBy("lang")))
+        .select(col("lang").as("m_lang"), col("tri").as("m_tri"),
+          expr("(1000000 * c) div nl").as("w"))
+      val scored = tris.join(model, col("tri") === col("m_tri"))
+        .groupBy(col("doc_id"), col("m_lang"))
+        .agg(sum("w").as("score"))
+      val best = scored.groupBy("doc_id")
+        .agg(min(struct((-col("score")).as("ns"), col("m_lang").as("l")))
+          .as("b"))
+        .select(col("doc_id"), col("b.l").as("pl"), (-col("b.ns")).as("sc"))
+      docs.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("pl"), lit("und")).as("pred_lang"),
+          coalesce(col("sc"), lit(0L)).as("score"))
+    }),
+
     // Exact dedup: canonical row per normalized-text hash.
     // Bloom-prefiltered incremental dedup — the 100 TB "seen before?"
     // shape: a new batch (source = src0) screens against the EXISTING
@@ -1693,6 +1736,41 @@ object TextOps {
         |         (doc_id * 7919 + k * 104729) % 65536 // 256))
         |    AS BIGINT) AS pcm_sum
         |FROM documents""".stripMargin,
+
+    // the trigram language-ID chain restated relationally: same top-256
+    // profile (ties trigram asc), same integer weights, same argmax
+    "q194_langid_trigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, lower(text) AS t FROM documents
+        |  WHERE length(lower(text)) >= 3),
+        |tri AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, length(t) - 1),
+        |      i -> substr(t, CAST(i AS INT), 3))) AS tri
+        |  FROM d),
+        |cnt AS (
+        |  SELECT lang, tri, CAST(count(*) AS BIGINT) AS c
+        |  FROM tri GROUP BY 1, 2),
+        |top AS (
+        |  SELECT lang, tri, c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY c DESC, tri) AS rk FROM cnt)
+        |  WHERE rk <= 256),
+        |model AS (
+        |  SELECT lang AS m_lang, tri, (1000000 * c) // nl AS w FROM (
+        |    SELECT *, sum(c) OVER (PARTITION BY lang) AS nl FROM top)),
+        |sc AS (
+        |  SELECT t.doc_id, m.m_lang, CAST(sum(m.w) AS BIGINT) AS score
+        |  FROM tri t JOIN model m ON m.tri = t.tri GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, m_lang, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, m_lang) AS rk FROM sc)
+        |  WHERE rk = 1)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(b.m_lang, 'und') AS pred_lang,
+        |  CAST(COALESCE(b.score, 0) AS BIGINT) AS score
+        |FROM d LEFT JOIN best b USING (doc_id)""".stripMargin,
 
     // the MP4 fixture's container fields are doc_id arithmetic, but only
     // recoverable Spark-side by walking the big-endian atom chain (the
