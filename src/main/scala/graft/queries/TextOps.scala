@@ -462,6 +462,48 @@ object TextOps {
             .otherwise(lit("xx")).as("lang_guess"))
     }),
 
+    // Corpus-health diagnostics: Zipf slope + Heaps exponent — the
+    // sanity numbers a 100 TB crawl is screened by before training
+    // (a slope far from −1 or a collapsed vocab growth flags boilerplate
+    // floods / generator loops). OLS fit of ln(freq) on ln(rank) over
+    // the top-256 vocabulary: per-point logs are 6-dp-rounded into
+    // BIGINTs (the q55 ln-ulp guard), every SUM is integer-exact (the
+    // q162 sufficient-statistics discipline), and the only float math is
+    // one fixed-shape final expression — bit-deterministic under any
+    // partitioning. Scale shape: token instances fold in-row (TokenTf),
+    // ONE map-side-combined vocab exchange, top-256 via TakeOrdered
+    // (never a full sort), everything after is 256-row arithmetic.
+    "q195_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = Tables.spread(t(s, dir, "documents"), col("doc_id"))
+        .select(explode(
+          graft.functions.TextExpressions.tokenTf(col("text"))).as("e"))
+        .select(col("e.token").as("token"), col("e.tf").cast("long").as("tf"))
+        .groupBy("token").agg(sum("tf").as("freq"))
+      val top = vocab.orderBy(col("freq").desc, col("token")).limit(256)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("token"))))
+        .select(
+          expr("cast(round(ln(cast(rank as double)) * 1000000) as bigint)")
+            .as("x"),
+          expr("cast(round(ln(cast(freq as double)) * 1000000) as bigint)")
+            .as("y"))
+      val fit = top.agg(count(lit(1)).as("k"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      val tot = vocab.agg(count(lit(1)).as("vocab_size"),
+        sum("freq").as("n_total"))
+      fit.crossJoin(tot).select(
+        col("vocab_size"), col("n_total"),
+        round((col("k").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("k").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"),
+        round(expr("ln(cast(vocab_size as double)) /" +
+          " ln(cast(n_total as double))"), 6).as("heaps_beta"))
+    }),
+
     // REAL n-gram language ID (the upgrade q24's heuristic row promised):
     // a Cavnar–Trenkle-style character-trigram frequency profile per
     // language, TRAINED from the corpus's labeled rows and applied back —
@@ -1736,6 +1778,37 @@ object TextOps {
         |         (doc_id * 7919 + k * 104729) % 65536 // 256))
         |    AS BIGINT) AS pcm_sum
         |FROM documents""".stripMargin,
+
+    // the Zipf/Heaps chain: same top-256 profile, same 6-dp-rounded
+    // integer logs, same fixed-shape slope expression
+    "q195_zipf_fit" ->
+      s"""WITH vocab AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($sqlTokens) AS tok FROM documents)
+         |  GROUP BY tok),
+         |top AS (
+         |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+         |  FROM (
+         |    SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+         |    FROM vocab ORDER BY freq DESC, tok LIMIT 256)),
+         |fit AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM top),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+         |    CAST(sum(freq) AS BIGINT) AS n_total FROM vocab)
+         |SELECT vocab_size, n_total,
+         |  round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+         |  round(ln(CAST(vocab_size AS DOUBLE)) /
+         |    ln(CAST(n_total AS DOUBLE)), 6) AS heaps_beta
+         |FROM fit CROSS JOIN tot""".stripMargin,
 
     // the trigram language-ID chain restated relationally: same top-256
     // profile (ties trigram asc), same integer weights, same argmax

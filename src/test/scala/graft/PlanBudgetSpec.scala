@@ -82,6 +82,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q191_weighted_increment"    -> 1, // increment band explode + candidate dedup; weighted index side reads bucketed
     "q193_ivf_refined"           -> 1, // q143 shape (increment cell exchange); the Lloyd round runs at build time, k·d cells
     "q194_langid_trigram"        -> 4, // profile train: (lang,tri) agg + lang window (model rows are top-256·|langs| bounded); apply: map-side-combined (doc,lang) partials + doc argmax
+    "q195_zipf_fit"              -> 3, // one map-side-combined vocab agg + the 256-row window's single-partition gather + the 1-row fit/tot scalars
     "q187_mm_wav_decode"         -> 0, // q177 shape: mapPartitions encode → mapPartitions decode; payloads never shuffle
     "q192_mm_mp4_meta"           -> 0, // mapPartitions encode → in-row Column atom walk; payloads never shuffle
     "q188_leakage_split"         -> 2, // q46 pairs at construction (q46 caveat) + cluster-label join back; split md5 is in-row

@@ -34,6 +34,10 @@ object InvarianceAudit {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val parts = args.lift(1).getOrElse("5,32").split(",").map(_.trim.toInt)
+    // optional 3rd arg: regex over query names (driver calls with <=2 args
+    // -> full audit; the filter is for iterating on one query locally)
+    val nameFilter = args.lift(2).map(_.r)
+    def keep(n: String) = nameFilter.forall(_.findFirstIn(n).isDefined)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", parts.head.toString)
@@ -44,7 +48,9 @@ object InvarianceAudit {
     spark.sparkContext.setLogLevel("ERROR")
     graft.queries.CdcOps.ensureDsv2Feed(spark, sf)
     var bad = 0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val audited = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => keep(kv._1))
+    audited.foreach { case (name, fn) =>
       try {
         val hashes = parts.map { p =>
           spark.conf.set("spark.sql.shuffle.partitions", p.toString)
@@ -59,7 +65,7 @@ object InvarianceAudit {
           println(s"INV $name ERR ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    println(s"INVARIANCE total=${graft.SparkEntry.queries.size} violations=$bad")
+    println(s"INVARIANCE total=${audited.size} violations=$bad")
     spark.stop()
     if (bad > 0) sys.exit(1)
   }
