@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CharsetDecode, CosineSimilarity, KmvMinima, MinHashSig, MojibakeFix, Shingles3, SpanHashes, UrlCanon}
+import graft.functions.{CharsetDecode, CosineSimilarity, KmvMinima, MinHashSig, MojibakeFix, NfcNormalize, Shingles3, SpanHashes, StripAccents, UrlCanon}
 
 /** SQL function surface (SURVEY.md §2.10): the engine's native expressions
   * registered by name, so `spark.sql("SELECT minhash_sig(shingles3(text), 8)
@@ -81,6 +81,15 @@ object GraftExtensions {
       info("mojibake_fix",
         "mojibake_fix(text) - repair cp1252-mojibake UTF-8 sequences"),
       (args: Seq[Expression]) => MojibakeFix(args.head)),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(text) - Unicode NFC canonical composition (UAX #15)"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)),
+    (FunctionIdentifier("strip_accents"),
+      info("strip_accents",
+        "strip_accents(text) - NFD-decompose then drop non-spacing marks " +
+          "(diacritic fold)"),
+      (args: Seq[Expression]) => StripAccents(args.head)),
     (FunctionIdentifier("ora_charset_decode"),
       info("ora_charset_decode",
         "ora_charset_decode(bin, charset_id) - decode raw column bytes " +

@@ -105,6 +105,50 @@ object CurationNative {
   private val mojiPatterns = MojibakeMap.map(_._1).toArray
   private val mojiRepl = MojibakeMap.map(_._2).toArray
 
+  /** Unicode NFC normalization — the canonical-composition pass every
+    * dedup/hash step upstream assumes (the same logical text can arrive
+    * precomposed 'é' or decomposed 'e'+U+0301 from different crawls; NFC
+    * makes the byte streams — and therefore every MinHash/SimHash/md5 in
+    * this engine — agree). Fast path: `Normalizer.isNormalized` is a
+    * quick-check scan with zero allocation, and real web corpora are
+    * overwhelmingly already-NFC ASCII, so at 100 TB the kernel is a
+    * read-only pass for almost every row. Contract restated by DuckDB's
+    * `nfc_normalize` (both sides implement UAX #15).
+    */
+  def nfcNormalize(t: UTF8String): UTF8String = {
+    val s = t.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) t
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Accent/diacritic strip: NFD-decompose, then drop non-spacing marks
+    * (Unicode category Mn) — 'é'→'e', 'ü'→'u', combining sequences
+    * collapse to their base letters; characters with no decomposition
+    * ('ß', CJK, emoji) pass through untouched. This is the fold applied
+    * before fuzzy matching / language-agnostic fingerprints so "café" and
+    * "cafe" collide. Contract restated by DuckDB's `strip_accents`
+    * (utf8proc does the same decompose-and-drop-Mn walk for Latin).
+    * ASCII fast path: no char ≥ 0x80 → return the input buffer as-is.
+    */
+  def stripAccents(t: UTF8String): UTF8String = {
+    val s = t.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return t
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    i = 0
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** One-pass mojibake repair over the pattern table above. */
   def mojibakeFix(t: UTF8String): UTF8String = {
     val s = t.toString
@@ -158,10 +202,48 @@ case class MojibakeFix(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text → NFC-normalized text ([[CurationNative.nfcNormalize]]). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${dt.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def nullSafeEval(t: Any): Any =
+    CurationNative.nfcNormalize(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.CurationNative.nfcNormalize($t)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** text → diacritic-stripped text ([[CurationNative.stripAccents]]). */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${dt.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+  override def nullSafeEval(t: Any): Any =
+    CurationNative.stripAccents(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.CurationNative.stripAccents($t)")
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+
 /** Column-API facade (mirrors [[TextExpressions]]). */
 object CurationExpressions {
   def urlCanon(url: Column): Column =
     Bridge.column(UrlCanon(Bridge.expression(url)))
   def mojibakeFix(text: Column): Column =
     Bridge.column(MojibakeFix(Bridge.expression(text)))
+  def nfcNormalize(text: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(text)))
+  def stripAccents(text: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(text)))
 }

@@ -40,6 +40,40 @@ object AnalyticsOps {
 
   private val WeekNs = 604800000000000L // 7 * 86400e9, ts is epoch-nanos
 
+  // q196/q198 PageRank knobs: total integer mass and fixed iteration
+  // count. S=1e9 keeps per-edge r·w products inside long headroom to
+  // ~9e9 transitions per edge; 10 damped iterations is past practical
+  // convergence for domain-transition graphs (damping 0.85 contracts
+  // error ~0.85^k) and, being FIXED, keeps both engines' fixpoints
+  // identical by construction rather than by epsilon.
+  private[graft] val PrMass = 1000000000L
+  private[graft] val PrIters = 10
+
+  // q198 TrustRank trusted-seed set: teleport mass flows ONLY to these
+  // nodes (the curated "known-good domains" list of the web-spam
+  // recipe); everything else earns trust exclusively through in-links.
+  private[graft] val TrustSeeds = Seq("signup", "purchase")
+
+  private def sqlTrustSeeds: String =
+    TrustSeeds.map(s0 => s"'$s0'").mkString(", ")
+
+  /** The q149/q196/q198 transition graph: consecutive event-type pairs
+    * per user (ts, event_id order), aggregated to weighted edges with
+    * the source's total out-weight riding each row. ONE user-partitioned
+    * window + ONE map-side-combined (src,dst) agg; output is
+    * |domains|²-sparse-bounded, never event-sized. */
+  private def transitionEdges(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(wu))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outw = trans.groupBy("src").agg(sum("w").as("ow"))
+    trans.join(outw, "src").select(col("src"), col("dst"), col("w"), col("ow"))
+  }
+
   /** Funnel stage chain, first-qualifying-timestamp semantics. */
   private val FunnelStages = Seq("signup", "view", "click", "purchase")
 
@@ -117,6 +151,88 @@ object AnalyticsOps {
         .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
         .withColumn("p",
           round(col("n").cast("double") / sum("n").over(wp).cast("double"), 6))
+    }),
+
+    // Weighted PageRank over q149's transition graph — the importance
+    // score crawl-curation pipelines weight domains by (the CommonCrawl
+    // harmonic-centrality move) expressed as Spark's iterative fixed
+    // point. ALL arithmetic is integer (mass scale S=1e9, per-edge
+    // contribution floor((r·w)/ow), teleport (r0·15 + 85·Σc) div 100), so
+    // every iteration is order-free exact and the result bit-matches the
+    // oracle's recursive CTE under any partitioning. Scale shape: the
+    // graph builds from ONE user-partitioned lead window + a (src,dst)
+    // agg whose output is |domains|²-sparse-bounded; each of the 10
+    // iterations is ONE join + ONE map-side-combined agg (the zero-weight
+    // self-edge per node carries the teleport term, so nodes without
+    // in-edges need no second pass). Unlike q46's propagation, the
+    // iteration count is FIXED — no per-round driver decision — so the
+    // whole fixpoint stays ONE declarative plan over the checkpointed
+    // edge set (linear 10-join chain, not a materialize-per-round driver
+    // loop): one job instead of ten, and the edges localCheckpoint is
+    // the only materialization. ranks/edges key on the node — at 100 TB
+    // both sides pre-bucket on it and the join co-locates.
+    // Long headroom: r ≤ S=1e9, so r·w overflows only past w ~9e9
+    // transitions on ONE edge; at that scale drop S to 1e6 (the comment
+    // is the knob doc).
+    "q196_pagerank" -> ((s, dir) => {
+      val trans = transitionEdges(s, dir)
+      val nodes = trans.select(col("src").as("node"))
+        .union(trans.select(col("dst"))).distinct()
+      val edges = trans
+        .union(nodes.select(col("node").as("src"), col("node").as("dst"),
+          lit(0L).as("w"), lit(1L).as("ow")))
+        .localCheckpoint(true)
+      val n = edges.filter(col("w") === 0L).count() // |nodes|, one scalar job
+      val r0 = PrMass / n
+      var ranks = edges.filter(col("w") === 0L)
+        .select(col("src").as("node"), lit(r0).as("r"))
+      for (_ <- 1 to PrIters) {
+        ranks = edges.join(ranks, edges("src") === ranks("node"))
+          .select(edges("dst"), expr("(r * w) div ow").as("c"))
+          .groupBy("dst").agg(sum("c").as("sc"))
+          .select(col("dst").as("node"),
+            expr(s"(${r0}L * 15 + 85 * sc) div 100").as("r"))
+      }
+      ranks.select(col("node"), col("r").as("rank_mass"))
+    }),
+
+    // TrustRank — q196's fixpoint with the teleport mass concentrated on
+    // a trusted-seed set (the web-spam-detection recipe: seed known-good
+    // domains, propagate trust along links, low-trust high-traffic nodes
+    // are the spam candidates a curation pipeline down-weights). The
+    // per-node teleport rides the zero-weight self-edges as a `tel`
+    // column (S div |seeds present| on seed self-edges, 0 elsewhere), so
+    // each iteration STAYS one join + one agg: sum(tel) recovers the
+    // node's teleport exactly (the self-edge is unique per node and real
+    // edges carry tel=0). r0 = tel — trust starts at the seeds, exactly
+    // the TrustRank initialization. Same integer arithmetic, single
+    // declarative plan, and scale shape as q196.
+    "q198_trustrank" -> ((s, dir) => {
+      // checkpoint the graph FIRST: the seed count and the augmented
+      // edge build both derive from it, so the events window runs once
+      val trans = transitionEdges(s, dir).localCheckpoint(true)
+      val nodes = trans.select(col("src").as("node"))
+        .union(trans.select(col("dst"))).distinct()
+      val nSeeds = nodes
+        .filter(col("node").isin(TrustSeeds: _*)).count() // scalar job
+      val seedMass = PrMass / math.max(nSeeds, 1L)
+      val edges = trans.withColumn("tel", lit(0L))
+        .union(nodes.select(col("node").as("src"), col("node").as("dst"),
+          lit(0L).as("w"), lit(1L).as("ow"),
+          when(col("node").isin(TrustSeeds: _*), lit(seedMass))
+            .otherwise(lit(0L)).as("tel")))
+        .localCheckpoint(true)
+      var ranks = edges.filter(col("w") === 0L)
+        .select(col("src").as("node"), col("tel").as("r"))
+      for (_ <- 1 to PrIters) {
+        ranks = edges.join(ranks, edges("src") === ranks("node"))
+          .select(edges("dst"), col("tel"),
+            expr("(r * w) div ow").as("c"))
+          .groupBy("dst").agg(sum("tel").as("stel"), sum("c").as("sc"))
+          .select(col("dst").as("node"),
+            expr("(15 * stel + 85 * sc) div 100").as("r"))
+      }
+      ranks.select(col("node"), col("r").as("trust_mass"))
     }),
 
     // 3-sigma outliers on value, per event_type. |x−μ|/σ > 3 is rearranged
@@ -744,6 +860,66 @@ object AnalyticsOps {
         |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         |        FROM events)
         |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+
+    // q196's oracle: the identical integer fixpoint as a recursive CTE —
+    // same augmented edge set (zero-weight self-edges carry teleport),
+    // same floor divisions, same fixed 10 iterations.
+    "q196_pagerank" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT event_type AS src, lead(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events),
+         |tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM base WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM tr GROUP BY 1),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM tr UNION ALL SELECT dst FROM tr)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |edges AS (
+         |  SELECT tr.src, tr.dst, tr.w, o.ow FROM tr JOIN outw o ON tr.src = o.src
+         |  UNION ALL SELECT node, node, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+         |  FROM nodes),
+         |pr(i, node, r) AS (
+         |  SELECT 0, node, CAST((SELECT $PrMass // n FROM nn) AS BIGINT)
+         |  FROM nodes
+         |  UNION ALL
+         |  SELECT i + 1, e.dst,
+         |    CAST(((SELECT $PrMass // n FROM nn) * 15 +
+         |      85 * sum((pr.r * e.w) // e.ow)) // 100 AS BIGINT)
+         |  FROM pr JOIN edges e ON pr.node = e.src
+         |  WHERE pr.i < $PrIters
+         |  GROUP BY pr.i, e.dst)
+         |SELECT node, r AS rank_mass FROM pr WHERE i = $PrIters""".stripMargin,
+
+    // q198's oracle: the q196 CTE with the tel column on self-edges and
+    // r0 = tel (seed-concentrated start) — same integer fixpoint.
+    "q198_trustrank" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT event_type AS src, lead(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events),
+         |tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM base WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM tr GROUP BY 1),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM tr UNION ALL SELECT dst FROM tr)),
+         |ns AS (SELECT CAST(greatest(count(*), 1) AS BIGINT) AS n
+         |  FROM nodes WHERE node IN ($sqlTrustSeeds)),
+         |edges AS (
+         |  SELECT tr.src, tr.dst, tr.w, o.ow, CAST(0 AS BIGINT) AS tel
+         |  FROM tr JOIN outw o ON tr.src = o.src
+         |  UNION ALL SELECT node, node, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         |    CASE WHEN node IN ($sqlTrustSeeds)
+         |      THEN (SELECT $PrMass // n FROM ns) ELSE CAST(0 AS BIGINT) END
+         |  FROM nodes),
+         |pr(i, node, r) AS (
+         |  SELECT 0, src, tel FROM edges WHERE w = 0
+         |  UNION ALL
+         |  SELECT i + 1, e.dst,
+         |    CAST((15 * sum(e.tel) + 85 * sum((pr.r * e.w) // e.ow)) // 100
+         |      AS BIGINT)
+         |  FROM pr JOIN edges e ON pr.node = e.src
+         |  WHERE pr.i < $PrIters
+         |  GROUP BY pr.i, e.dst)
+         |SELECT node, r AS trust_mass FROM pr WHERE i = $PrIters""".stripMargin,
 
     "q150_value_anomalies" ->
       """WITH c AS (SELECT event_id, event_type, value,

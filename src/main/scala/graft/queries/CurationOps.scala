@@ -228,6 +228,28 @@ object CurationOps {
         .selectExpr("doc_id", s"($hostSynth) AS host")
         .filter(!arrays_overlap(sfx, typedLit(Blocklist)))
         .select("doc_id", "host")
+    }),
+
+    // Unicode NFC + diacritic fold — the normalization pass that makes
+    // byte-level dedup/hashing agree when the same logical text arrives
+    // precomposed from one crawl and decomposed (base + combining mark)
+    // from another. Both kernels are codegen'd native Expressions
+    // (CurationNative.nfcNormalize / stripAccents) with already-normalized
+    // /ASCII fast paths that return the input buffer untouched — at 100 TB
+    // this is a zero-exchange narrow map that allocates only on the rare
+    // non-NFC row. The synth plants decomposed sequences (combining acute/
+    // diaeresis/ring) next to precomposed ones so the gate pins real
+    // composition work, not an identity pass; doc_id rotates the base
+    // vowel so every row differs.
+    "q197_unicode_norm" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", s"($accentSynth) AS raw")
+        .select(col("doc_id"),
+          length(col("raw")).cast("int").as("len_raw"),
+          CurationExpressions.nfcNormalize(col("raw")).as("nfc"))
+        .select(col("doc_id"), col("len_raw"),
+          length(col("nfc")).cast("int").as("len_nfc"), col("nfc"),
+          CurationExpressions.stripAccents(col("nfc")).as("folded"))
     }))
 
   /** DuckDB has no conv(hex): decode 4 hex chars positionally. */
@@ -238,6 +260,17 @@ object CurationOps {
        | (strpos('$hexDigits', substr($h, 4, 1)) - 1))""".stripMargin
 
   private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  // q197's raw-text synth, shared verbatim with the oracle (the q113
+  // convention): decomposed base+combining-mark sequences (U+0301 acute,
+  // U+0308 diaeresis, U+030A ring) interleaved with precomposed chars
+  // (U+00E9, U+00E7), the combining vowel rotated by doc_id so rows
+  // differ. Escapes keep the .scala source ASCII-clean; the SQL string
+  // itself carries the real codepoints in both engines.
+  private val accentSynth =
+    "concat('Cafe', '\u0301', ' na', substr('aeiou', " +
+      "1 + CAST(doc_id % 5 AS INT), 1), '\u0308', 've fac\u0327ade ', " +
+      "'Zu\u0308rich A\u030A', ' d\u00E9ja\u0300 gar\u00E7on ', text)"
 
   val oracles: Map[String, String] = Map(
 
@@ -321,6 +354,14 @@ object CurationOps {
          |  CAST(length($mojiFixSql) AS INT) AS len_after,
          |  $mojiFixSql AS fixed
          |FROM (SELECT doc_id, ($mojiSynth) AS corrupt FROM documents)"""
+        .stripMargin,
+
+    "q197_unicode_norm" ->
+      s"""SELECT doc_id, CAST(length(raw) AS INT) AS len_raw,
+         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
+         |  nfc_normalize(raw) AS nfc,
+         |  strip_accents(nfc_normalize(raw)) AS folded
+         |FROM (SELECT doc_id, ($accentSynth) AS raw FROM documents)"""
         .stripMargin,
 
     "q114_boilerplate_strip" ->

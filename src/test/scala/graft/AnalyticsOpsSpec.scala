@@ -414,4 +414,70 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     assert(run("1") == pairs && run("7") == pairs)
   }
+
+  test("q196: distributed PageRank equals a single-threaded reference " +
+    "fixpoint over the same integer formula") {
+    // build the identical transition graph driver-side (tiny at sf0.001),
+    // run the reference iteration in plain Scala longs, compare exactly —
+    // a full re-derivation, not a plan identity
+    val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = graft.core.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(wu))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val ow = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).sum }
+    val r0 = AnalyticsOps.PrMass / nodes.length
+    var ranks = nodes.map(_ -> r0).toMap
+    for (_ <- 1 to AnalyticsOps.PrIters) {
+      val contrib = edges
+        .map { case (s0, d, w) => d -> (ranks(s0) * w) / ow(s0) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      ranks = nodes.map(n0 =>
+        n0 -> (r0 * 15 + 85 * contrib.getOrElse(n0, 0L)) / 100).toMap
+    }
+    val got = AnalyticsOps.defs("q196_pagerank")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == ranks)
+    // sanity: mass stays within the floor-loss envelope of the teleport sum
+    val total = got.values.sum
+    assert(total > AnalyticsOps.PrMass * 9 / 10 &&
+      total <= AnalyticsOps.PrMass)
+  }
+
+  test("q198: TrustRank equals the single-threaded reference with " +
+    "seed-concentrated teleport; non-seed trust is in-link-earned only") {
+    val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = graft.core.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(wu))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val ow = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).sum }
+    val seeds = nodes.filter(AnalyticsOps.TrustSeeds.contains)
+    val seedMass = AnalyticsOps.PrMass / math.max(seeds.length, 1)
+    val tel = nodes.map(n0 =>
+      n0 -> (if (seeds.contains(n0)) seedMass else 0L)).toMap
+    var ranks = tel
+    for (_ <- 1 to AnalyticsOps.PrIters) {
+      val contrib = edges
+        .map { case (s0, d, w) => d -> (ranks(s0) * w) / ow(s0) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      ranks = nodes.map(n0 =>
+        n0 -> (15 * tel(n0) + 85 * contrib.getOrElse(n0, 0L)) / 100).toMap
+    }
+    val got = AnalyticsOps.defs("q198_trustrank")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == ranks)
+    // every node reachable from a seed earns nonzero trust; total mass
+    // stays under the injected seed mass
+    assert(got.values.sum <= AnalyticsOps.PrMass)
+    seeds.foreach(s0 => assert(got(s0) > 0L))
+  }
 }

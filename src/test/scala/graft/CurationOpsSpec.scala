@@ -74,13 +74,66 @@ class CurationOpsSpec extends AnyFunSuite {
       .toString == fixedOnce)
   }
 
-  test("url_canon and mojibake_fix are SQL-registered") {
+  private def u8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  test("nfc_normalize composes decomposed sequences; NFC input returns " +
+    "the SAME buffer (the 100 TB fast path)") {
+    // e + combining acute -> precomposed e-acute; A + ring -> Angstrom A
+    assert(CurationNative.nfcNormalize(u8("Cafe\u0301")).toString ==
+      "Caf\u00E9")
+    assert(CurationNative.nfcNormalize(u8("A\u030A")).toString == "\u00C5")
+    assert(CurationNative.nfcNormalize(u8("nai\u0308ve")).toString ==
+      "na\u00EFve")
+    // already-NFC (incl. pure ASCII) is identity AND allocation-free:
+    // the kernel must return the input reference itself
+    val ascii = u8("plain ascii text")
+    assert(CurationNative.nfcNormalize(ascii) eq ascii)
+    val nfc = u8("d\u00E9j\u00E0 vu")
+    assert(CurationNative.nfcNormalize(nfc) eq nfc)
+  }
+
+  test("strip_accents folds precomposed AND decomposed marks; " +
+    "non-accent codepoints pass through") {
+    assert(CurationNative.stripAccents(u8("d\u00E9j\u00E0 vu")).toString ==
+      "deja vu")
+    assert(CurationNative.stripAccents(u8("Cafe\u0301 Zu\u0308rich"))
+      .toString == "Cafe Zurich")
+    assert(CurationNative.stripAccents(u8("gar\u00E7on")).toString ==
+      "garcon")
+    // no decomposition: sharp-s, CJK, and symbols are untouched
+    assert(CurationNative.stripAccents(u8("stra\u00DFe \u4E2D\u6587 \u00B0"))
+      .toString == "stra\u00DFe \u4E2D\u6587 \u00B0")
+    // ASCII fast path returns the input buffer itself
+    val ascii = u8("no accents here")
+    assert(CurationNative.stripAccents(ascii) eq ascii)
+  }
+
+  test("unicode kernels match the q197 synth shapes end to end") {
+    // the exact decomposed/precomposed mix the q197 oracle feeds DuckDB -
+    // pinned here so a kernel change that breaks engine parity fails in
+    // the suite, not in the driver gate
+    val raw = "Cafe\u0301 nae\u0308ve fac\u0327ade " +
+      "Zu\u0308rich A\u030A d\u00E9ja\u0300 gar\u00E7on"
+    val nfc = CurationNative.nfcNormalize(u8(raw)).toString
+    assert(nfc == "Caf\u00E9 na\u00EBve fa\u00E7ade " +
+      "Z\u00FCrich \u00C5 d\u00E9j\u00E0 gar\u00E7on")
+    assert(CurationNative.stripAccents(u8(nfc)).toString ==
+      "Cafe naeve facade Zurich A deja garcon")
+  }
+
+  test("url_canon / mojibake_fix / nfc_normalize / strip_accents are " +
+    "SQL-registered") {
     GraftExtensions.register(spark)
     val r = spark.sql(
       "SELECT url_canon('HTTP://WWW.A.com:80/x/?b=1&utm_s=1') AS u, " +
-        "mojibake_fix('dÃ¡ta') AS m").collect()(0)
+        "mojibake_fix('dÃ¡ta') AS m, " +
+        "nfc_normalize('Cafe\u0301') AS n, " +
+        "strip_accents('d\u00E9j\u00E0 vu') AS a").collect()(0)
     assert(r.getString(0) == "http://a.com/x?b=1")
     assert(r.getString(1) == "dáta")
+    assert(r.getString(2) == "Caf\u00E9")
+    assert(r.getString(3) == "deja vu")
   }
 
   test("paragraph dedup removes frequent FULL chunks only, preserves order") {

@@ -83,6 +83,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q193_ivf_refined"           -> 1, // q143 shape (increment cell exchange); the Lloyd round runs at build time, k·d cells
     "q194_langid_trigram"        -> 4, // profile train: (lang,tri) agg + lang window (model rows are top-256·|langs| bounded); apply: map-side-combined (doc,lang) partials + doc argmax
     "q195_zipf_fit"              -> 3, // one map-side-combined vocab agg + the 256-row window's single-partition gather + the 1-row fit/tot scalars
+    "q196_pagerank"              -> 10, // the PageRank floor: ONE map-side-combined agg exchange per fixed iteration; the checkpointed edge set broadcasts/reuses across all 10 joins, and the graph build runs at construction
+    "q197_unicode_norm"          -> 0, // codegen'd NFC/fold kernels: a narrow map on the scan
+    "q198_trustrank"             -> 10, // q196's shape: one agg exchange per fixed iteration; teleport rides the self-edges' tel column
     "q187_mm_wav_decode"         -> 0, // q177 shape: mapPartitions encode → mapPartitions decode; payloads never shuffle
     "q192_mm_mp4_meta"           -> 0, // mapPartitions encode → in-row Column atom walk; payloads never shuffle
     "q188_leakage_split"         -> 2, // q46 pairs at construction (q46 caveat) + cluster-label join back; split md5 is in-row
