@@ -67,10 +67,20 @@ object CorpusIngest {
       .select(col("hash"), col("w.docId").as("docId"),
         col("w.text").as("text"))
 
-  /** Convenience: md5 content hash over a (doc_id, text) frame. */
-  def withHash(spark: SparkSession, df: DataFrame): Dataset[Doc] = {
+  /** Convenience: md5 content hash over a (doc_id, text) frame.
+    * `nfcNormalize = true` hashes the NFC form (the q197 kernel) so the
+    * same logical text arriving precomposed from one crawl and
+    * decomposed from another dedups as ONE document — byte-identity
+    * alone silently keeps both. The emitted text stays the original
+    * bytes (normalization is a dedup-key decision, not a rewrite). */
+  def withHash(spark: SparkSession, df: DataFrame,
+      nfcNormalize: Boolean = false): Dataset[Doc] = {
     import spark.implicits._
+    val keyed =
+      if (nfcNormalize)
+        graft.functions.CurationExpressions.nfcNormalize(col("text"))
+      else col("text")
     df.select(col("doc_id").cast("long").as("docId"),
-      md5(col("text")).as("hash"), col("text")).as[Doc]
+      md5(keyed).as("hash"), col("text")).as[Doc]
   }
 }

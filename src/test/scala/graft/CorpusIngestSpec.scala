@@ -164,4 +164,69 @@ class CorpusIngestSpec extends AnyFunSuite {
       2100L, org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
     assert(h("h1", Iterator(doc(11, "alpha")), s4).map(_.docId).toSeq == Seq(11L))
   }
+
+  test("withHash(nfcNormalize): precomposed and decomposed forms of the " +
+    "same text dedup to one document; raw hashing keeps both") {
+    import spark.implicits._
+    // same logical string, NFC vs NFD byte forms
+    val rows = Seq(
+      (1L, "Caf\u00E9 menu"),          // precomposed e-acute
+      (2L, "Cafe\u0301 menu")          // e + combining acute
+    ).toDF("doc_id", "text")
+    val raw = CorpusIngest.firstSeenBatch(
+      CorpusIngest.withHash(spark, rows).toDF())
+    assert(raw.count() == 2) // byte identity alone keeps both
+    val norm = CorpusIngest.firstSeenBatch(
+      CorpusIngest.withHash(spark, rows, nfcNormalize = true).toDF())
+    val kept = norm.collect()
+    assert(kept.length == 1 && kept(0).getAs[Long]("docId") == 1L)
+    // emitted text is the ORIGINAL bytes, not the normalized form
+    assert(kept(0).getAs[String]("text") == "Caf\u00E9 menu")
+  }
+
+  test("CorpusHealth.snapshot matches the gated q195 fit on the same " +
+    "corpus and guards the degenerate batch") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "text")
+    val snap = graft.streaming.CorpusHealth.snapshot(docs).collect()(0)
+    val q195 = graft.queries.TextOps.defs("q195_zipf_fit")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(snap.getAs[Long]("vocab_size") == q195.getAs[Long]("vocab_size"))
+    assert(snap.getAs[Long]("n_tokens") == q195.getAs[Long]("n_total"))
+    assert(snap.getAs[Double]("zipf_slope") == q195.getAs[Double]("zipf_slope"))
+    assert(snap.getAs[Double]("heaps_beta") == q195.getAs[Double]("heaps_beta"))
+    assert(snap.getAs[Long]("n_docs") == docs.count())
+    // degenerate micro-batch: one doc, one token -> NULL fits, no inf/NaN
+    val tiny = graft.streaming.CorpusHealth.snapshot(
+      Seq((1L, "solo")).toDF("doc_id", "text")).collect()(0)
+    assert(tiny.getAs[Long]("vocab_size") == 1L)
+    assert(tiny.isNullAt(tiny.fieldIndex("zipf_slope")))
+    assert(tiny.isNullAt(tiny.fieldIndex("heaps_beta")))
+  }
+
+  test("CorpusHealth.attach: per-micro-batch snapshots equal batch-side " +
+    "snapshots of the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Map[Long, org.apache.spark.sql.Row]()
+    val q = graft.streaming.CorpusHealth.attach(
+      in.toDS().toDF("doc_id", "text")) {
+      (id, row) => seen.synchronized { seen(id) = row }
+    }.start()
+    try {
+      in.addData((1L, "a b b c"), (2L, "a a d"))
+      q.processAllAvailable()
+      in.addData((3L, "x y"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.size == 2)
+    val b0 = graft.streaming.CorpusHealth.snapshot(
+      Seq((1L, "a b b c"), (2L, "a a d")).toDF("doc_id", "text")).collect()(0)
+    assert(seen(0L) == b0)
+    val b1 = graft.streaming.CorpusHealth.snapshot(
+      Seq((3L, "x y")).toDF("doc_id", "text")).collect()(0)
+    assert(seen(1L) == b1)
+  }
 }
