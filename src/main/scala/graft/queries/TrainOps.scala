@@ -196,7 +196,79 @@ object TrainOps {
        |      md5('$OrderSalt' || CAST(doc_id AS VARCHAR)) AS h
        |    FROM $rel))""".stripMargin
 
+  // ---- q199: in-engine classifier training ------------------------------
+  // Quasi-logistic regression trained BY the engine with gradient descent
+  // whose every operation is integer arithmetic: the sigmoid is the
+  // rational "fast sigmoid" p = Q/2 + z·Q/(2(Q+|z|)) in micro-units
+  // (Q=1e6), so per-row probabilities, residuals, and gradient
+  // contributions are exact integers and their SUMS are order-free exact
+  // — a float exp() would make 25 iterations × 3 sums a last-ulp lottery
+  // across engines and partitionings (the q150/q162 discipline applied to
+  // TRAINING, not just scoring). Integer division truncates toward zero
+  // identically in Spark (`div`, Java semantics) and DuckDB (`//`) —
+  // negatives included — so the whole trajectory is bit-deterministic.
+  private[graft] val LrQ = 1000000L     // micro-unit probability scale
+  private[graft] val LrIters = 25       // fixed rounds (defined output)
+  private[graft] val LrStepDiv = 500L   // step = Σgrad div (n · this)
+
+  /** One GD round / final scoring pass share these fixed-shape exprs. */
+  private val lrZ = "(b0 * x0 + b1 * x1 + b2 * x2) div 1000"
+  private val lrP =
+    s"500000 + (($lrZ) * 1000000) div (2 * (1000000 + abs($lrZ)))"
+
+  /** Train on a (y, x0, x1, x2) integer feature frame for `iters` rounds;
+    * returns 1 row (b0, b1, b2, n_correct, n_docs). The loop UNROLLS into
+    * one declarative plan (the q196 move): each round is the feature
+    * scan + ONE map-side-combined 1-row aggregate, β rides a broadcast
+    * crossJoin — no driver materialization per round. Long headroom:
+    * Σ r·x ≤ Q·max|x|·n ≈ 8e9·n — exact to ~1e9 rows; past that scale Q
+    * down or pre-average per partition. */
+  private[graft] def lrTrain(feats: DataFrame, n: Long,
+      iters: Int = LrIters): DataFrame = {
+    val s = feats.sparkSession
+    var beta = s.range(1).select(lit(0L).as("b0"), lit(0L).as("b1"),
+      lit(0L).as("b2"))
+    for (_ <- 1 to iters) {
+      beta = feats.crossJoin(broadcast(beta))
+        .withColumn("r", expr(s"y * 1000000 - ($lrP)"))
+        .agg(max("b0").as("b0"), max("b1").as("b1"), max("b2").as("b2"),
+          sum(expr("r * x0")).as("s0"), sum(expr("r * x1")).as("s1"),
+          sum(expr("r * x2")).as("s2"))
+        .select(
+          expr(s"b0 + s0 div (${n}L * $LrStepDiv)").as("b0"),
+          expr(s"b1 + s1 div (${n}L * $LrStepDiv)").as("b1"),
+          expr(s"b2 + s2 div (${n}L * $LrStepDiv)").as("b2"))
+    }
+    feats.crossJoin(broadcast(beta))
+      .withColumn("p", expr(lrP))
+      .agg(max("b0").as("b0"), max("b1").as("b1"), max("b2").as("b2"),
+        sum(when(expr("(p >= 500000) = (y = 1)"), lit(1L))
+          .otherwise(lit(0L))).as("n_correct"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** The q199 feature extraction: label = (lang = 'en'); integer
+    * in-row features x0 = 1000 (intercept), x1 = type-token ratio
+    * per-mille, x2 = mean token length in milli-chars, centered. */
+  private[graft] def lrFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), graft.queries.TextOps.tokensOf(col("text"))
+        .as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"),
+        lit(1000L).as("x0"),
+        expr("(1000 * size(array_distinct(tk))) div size(tk)").as("x1"),
+        expr("(1000 * aggregate(tk, cast(0 as bigint), " +
+          "(a, x) -> a + length(x))) div size(tk) - 3500").as("x2"))
+
   val defs: Map[String, Q] = Map(
+
+    "q199_quality_lr" -> ((s, dir) => {
+      // checkpoint the NARROW feature projection once (4 longs/doc);
+      // the 25 unrolled rounds re-scan only that
+      val feats = lrFeatures(t(s, dir, "documents")).localCheckpoint(true)
+      lrTrain(feats, feats.count())
+    }),
 
     "q121_train_order" -> ((s, dir) => trainOrderOf(t(s, dir, "documents"))),
 
@@ -534,6 +606,55 @@ object TrainOps {
        |${sqlBpeRound(3)}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // q199's oracle: the identical integer GD trajectory as a recursive
+    // CTE — same fast-sigmoid rational, same truncating divisions, same
+    // 25 rounds; the β row recurses, the feature CTE re-joins each round.
+    "q199_quality_lr" ->
+      s"""WITH RECURSIVE f AS (
+         |  SELECT CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |           ELSE CAST(0 AS BIGINT) END AS y,
+         |    CAST(1000 AS BIGINT) AS x0,
+         |    CAST((1000 * len(list_distinct(tk))) // len(tk) AS BIGINT) AS x1,
+         |    CAST((1000 * list_aggregate(list_transform(tk,
+         |      x -> length(x)), 'sum')) // len(tk) - 3500 AS BIGINT) AS x2
+         |  FROM (SELECT lang,
+         |      list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |    FROM documents)
+         |  WHERE len(tk) > 0),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         |gd(i, b0, b1, b2) AS (
+         |  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT g.i + 1,
+         |    g.b0 + g.s0 // (nn.n * $LrStepDiv),
+         |    g.b1 + g.s1 // (nn.n * $LrStepDiv),
+         |    g.b2 + g.s2 // (nn.n * $LrStepDiv)
+         |  FROM (
+         |    SELECT i, b0, b1, b2,
+         |      CAST(sum(r * x0) AS BIGINT) AS s0,
+         |      CAST(sum(r * x1) AS BIGINT) AS s1,
+         |      CAST(sum(r * x2) AS BIGINT) AS s2
+         |    FROM (
+         |      SELECT gd.i, gd.b0, gd.b1, gd.b2, f.x0, f.x1, f.x2,
+         |        f.y * 1000000 - (500000 +
+         |          (((gd.b0*f.x0 + gd.b1*f.x1 + gd.b2*f.x2) // 1000) * 1000000)
+         |          // (2 * (1000000 +
+         |            abs((gd.b0*f.x0 + gd.b1*f.x1 + gd.b2*f.x2) // 1000)))) AS r
+         |      FROM gd, f WHERE gd.i < $LrIters)
+         |    GROUP BY 1, 2, 3, 4) g, nn)
+         |SELECT b0, b1, b2,
+         |  CAST(sum(CASE WHEN (p >= 500000) = (y = 1)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM (
+         |  SELECT gd.b0, gd.b1, gd.b2, f.y,
+         |    500000 + (((gd.b0*f.x0 + gd.b1*f.x1 + gd.b2*f.x2) // 1000)
+         |        * 1000000)
+         |      // (2 * (1000000 +
+         |        abs((gd.b0*f.x0 + gd.b1*f.x1 + gd.b2*f.x2) // 1000))) AS p
+         |  FROM gd, f WHERE gd.i = $LrIters)
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q121_train_order" -> sqlTrainOrderFrom("documents"),
 

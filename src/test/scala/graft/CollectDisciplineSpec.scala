@@ -57,6 +57,9 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "(alphabet rows + a LIMIT-128 TakeOrdered — bounded by " +
         "construction at any corpus scale, unlike the q134 raw vocab)"),
     "queries/VectorOps.scala" -> (1, "k-means packed-centroid codebook (k*d)"),
+    "streaming/CorpusHealth.scala" -> (1,
+      "per-micro-batch health snapshot handed to the driver callback: " +
+        "ONE row of 5 scalars (the metrics-sink class), never corpus-sized"),
     "operators/IvfIndex.scala" -> (3,
       "IVF build seed fetch: k rows via TakeOrdered (k*d values — the " +
         "same packed-centroid class as the k-means codebook), reused for " +
@@ -148,7 +151,9 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "queries/TextOps.scala" -> (6,
       "<=10-doc query side (qterms/qdata), df of query terms only, " +
         "KB bloom fp sets x2, stopword-sized freq set"),
-    "queries/TrainOps.scala" -> (1, "q122 approx side: <= 10 queries * k"),
+    "queries/TrainOps.scala" -> (3,
+      "q122 approx side: <= 10 queries * k; q199 lrTrain's per-round and " +
+        "final-scoring beta frames: 1 row of 3 longs each"),
     "queries/VectorOps.scala" -> (13,
       "query sets (vec_id < 10), packed codebooks (k*d), PQ codebooks, " +
         "k-means seeds, q143 delta assignments, q167 anchors (<= AnchorCap " +

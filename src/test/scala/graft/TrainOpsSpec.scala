@@ -219,4 +219,45 @@ class TrainOpsSpec extends AnyFunSuite {
     // all three splits are populated at this SF (8/1/1 over ~25 domains)
     assert(rows.map(_._2).distinct.toSet == Set("train", "val", "test"))
   }
+
+  test("q199: integer GD learns a separable concept (acc > 0.95) and the " +
+    "distributed trajectory equals a single-threaded reference") {
+    import spark.implicits._
+    // planted signal: y = 1 iff x1 > 500; x2 is noise
+    val rows = (0 until 200).map { i =>
+      val x1 = if (i % 2 == 0) 100L + (i * 7) % 400 else 600L + (i * 11) % 350
+      (if (x1 > 500) 1L else 0L, 1000L, x1, -500L + (i * 13) % 1000)
+    }
+    val feats = rows.toDF("y", "x0", "x1", "x2").repartition(7)
+      .localCheckpoint(true)
+    val out = TrainOps.lrTrain(feats, rows.length.toLong).collect()(0)
+    val acc = out.getAs[Long]("n_correct").toDouble /
+      out.getAs[Long]("n_docs")
+    assert(acc > 0.95, s"trained accuracy $acc")
+
+    // single-threaded reference: identical integer trajectory
+    val Q = TrainOps.LrQ
+    def trunc(a: BigInt, b: BigInt): Long = (a / b).toLong // BigInt / truncates
+    var b = Array(0L, 0L, 0L)
+    for (_ <- 1 to TrainOps.LrIters) {
+      val ss = Array(0L, 0L, 0L)
+      rows.foreach { case (y, x0, x1, x2) =>
+        val z = trunc(BigInt(b(0)) * x0 + BigInt(b(1)) * x1 +
+          BigInt(b(2)) * x2, 1000)
+        val p = 500000L + trunc(BigInt(z) * Q, 2L * (Q + math.abs(z)))
+        val r = y * Q - p
+        ss(0) += r * x0; ss(1) += r * x1; ss(2) += r * x2
+      }
+      for (j <- 0 to 2)
+        b(j) += trunc(BigInt(ss(j)),
+          rows.length.toLong * TrainOps.LrStepDiv)
+    }
+    assert(out.getAs[Long]("b0") == b(0) && out.getAs[Long]("b1") == b(1) &&
+      out.getAs[Long]("b2") == b(2))
+
+    // Spark `div` truncates toward zero on negatives (the DuckDB `//`
+    // parity every negative residual sum relies on)
+    val d = spark.sql("SELECT -7 div 2 AS a, 7 div 2 AS b").collect()(0)
+    assert(d.getLong(0) == -3L && d.getLong(1) == 3L)
+  }
 }
