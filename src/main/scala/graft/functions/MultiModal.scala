@@ -198,6 +198,105 @@ object MultiModal {
     bos.toByteArray
   }
 
+  /** Per-pixel-pattern PNG fixture encoder (the q200/q201 dHash gate
+    * input): gray(y, x) = ((id+7)(y+3)(x+5) + id·31 + (id div 256)·
+    * (y·11 + x·17 + 1)) mod 256 — every pixel a known pure function of
+    * (id, y, x), losslessly round-tripped by PNG, so the perceptual hash
+    * of the DECODED image is restatable arithmetically by a SQL oracle.
+    * The multiplicative mix + the high-order (id div 256) term give the
+    * corpus near-unique fingerprints (4943 distinct over 5000 ids) — a
+    * purely linear ramp collapses to ≤256 classes (any pattern of
+    * id mod 256 alone must) and made the near-dup join quadratic. */
+  def encodePngPattern(width: Int, height: Int, id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = (((id + 7) * (y + 3) * (x + 5) + id * 31 +
+          (id / 256) * (y * 11 + x * 17 + 1)) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Difference-hash (dHash) — the standard perceptual fingerprint for
+    * image near-dup dedup: sample the image on a 9×8 grid, compare each
+    * horizontally adjacent pair, pack the 64 booleans into 8 row bytes
+    * (bit x of row y = lum(y,x) < lum(y,x+1)). Near-dup images differ in
+    * a few bits → hamming-threshold pairing downstream is exactly the
+    * q27/q59 SimHash band-join shape.
+    *
+    * Determinism over convenience, deliberately: sampling is integer
+    * nearest-neighbor (sx = x·w div 9, sy = y·h div 8) and luminance is
+    * the integer ITU weighting (299r + 587g + 114b) div 1000 — no
+    * Graphics2D rescale, whose interpolation is JDK-version-dependent
+    * and would make the fingerprint non-portable between executors on
+    * mixed-JDK clusters (the engine-wide bit-determinism discipline).
+    * Exactly scale-invariant for block-replicated upscales (spec-pinned).
+    */
+  def dHash(img: java.awt.image.BufferedImage): Array[Int] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    def lum(sx: Int, sy: Int): Int = {
+      val rgb = img.getRGB(sx, sy)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+    }
+    Array.tabulate(8) { y =>
+      val sy = y * h / 8
+      var byte = 0
+      var x = 0
+      while (x < 8) {
+        if (lum(x * w / 9, sy) < lum((x + 1) * w / 9, sy)) byte |= 1 << x
+        x += 1
+      }
+      byte
+    }
+  }
+
+  /** dHash as a 16-hex-char string (row 0 first) — the join/display key. */
+  def dHashHex(img: java.awt.image.BufferedImage): String =
+    dHash(img).map(b => f"$b%02x").mkString
+
+  /** Typed perceptual-hash row (the dedup twin of [[Feature]]). */
+  case class DHashFeature(id: Long, width: Int, height: Int,
+      dhash: String, n_bits: Long)
+
+  /** Batched perceptual hashing over (id, payload) rows: decode +
+    * 9×8 sample + pack, one mapPartitions pass (zero exchange, payload
+    * bytes never shuffle); non-image payloads yield a null hash rather
+    * than poisoning the batch. */
+  def dhashFeatures(df: DataFrame, idCol: String, payloadCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload)))
+            catch { case _: java.io.IOException => None }
+          img match {
+            case Some(i) =>
+              val rows = dHash(i)
+              DHashFeature(id, i.getWidth, i.getHeight,
+                rows.map(b => f"$b%02x").mkString,
+                rows.map(Integer.bitCount(_).toLong).sum)
+            case None => DHashFeature(id, 0, 0, null, 0L)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Deterministic MP4 container fixture encoder: a REAL ISO-BMFF atom
     * layout — `ftyp` (major brand), a variable-length `free` atom
     * (`padLen` filler bytes, so `moov`'s byte offset differs per

@@ -823,6 +823,82 @@ object TextOps {
           col("byte_sum").as("pixel_sum"))
     }),
 
+    // Perceptual image hash (dHash) — the image-dedup fingerprint: 9×8
+    // sample grid, 64 adjacent-luminance comparisons packed into 8 row
+    // bytes; near-dup images differ in a few bits, so downstream pairing
+    // is the q27/q59 SimHash hamming-band shape unchanged. The q177
+    // move: manufacture a REAL per-pixel-pattern PNG per document
+    // (gray(y,x) = (id·31 + y·53 + x·169) mod 256), decode + hash through
+    // the production dhashFeatures path, and let the oracle restate all
+    // 64 comparisons arithmetically — the hash can only match if the
+    // codec really inflated the pixels AND the sampler/packer walked
+    // them in the contract order. Integer nearest-neighbor sampling and
+    // integer ITU luminance keep the fingerprint bit-portable across
+    // JDKs (no Graphics2D interpolation). Zero exchange; payloads never
+    // shuffle.
+    "q200_image_dhash" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val payloads = spread(t(s, dir, "documents"))
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          // every 97th document re-crawls the previous one's image: the
+          // planted duplicates the near-dup join (q201) must find
+          it.map { id =>
+            val base = if (id % 97 == 0 && id > 0) id - 1 else id
+            (id, graft.functions.MultiModal.encodePngPattern(9, 8, base))
+          }
+        }.toDF("doc_id", "payload")
+      graft.functions.MultiModal.dhashFeatures(payloads, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("dhash"), col("n_bits"))
+    }),
+
+    // Image NEAR-dup pairing — q200's fingerprint driven through the
+    // q27/q59 hamming-band shape: split the 8 row bytes into 4 two-byte
+    // bands, docs sharing any band bucket become candidates (a hamming≤2
+    // pair always agrees on ≥2 of 4 bands — pigeonhole), verify exact
+    // hamming over the two 32-bit halves with bit_count(xor). The
+    // payload-sized work (decode+hash) happened in the zero-exchange
+    // q200 pass; only 16-char keys shuffle here, and bucket sizes are
+    // bounded by fingerprint collision classes, never corpus-quadratic.
+    "q201_image_neardup" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val payloads = spread(t(s, dir, "documents"))
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val base = if (id % 97 == 0 && id > 0) id - 1 else id
+            (id, graft.functions.MultiModal.encodePngPattern(9, 8, base))
+          }
+        }.toDF("doc_id", "payload")
+      // materialize the fingerprints once (16 chars + 2 longs per doc):
+      // the band self-join reads BOTH sides from this, so the payload
+      // decode+hash pass runs once, not once per join side
+      val hashed = graft.functions.MultiModal
+        .dhashFeatures(payloads, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("dhash"),
+          expr("cast(conv(substring(dhash, 1, 8), 16, 10) as bigint)")
+            .as("h1"),
+          expr("cast(conv(substring(dhash, 9, 8), 16, 10) as bigint)")
+            .as("h2"))
+        .localCheckpoint(true)
+      val bands = hashed.select(col("doc_id"), col("h1"), col("h2"),
+        posexplode(array((0 to 3).map(k =>
+          substring(col("dhash"), k * 4 + 1, 4)): _*)).as(Seq("band", "key")))
+      bands.as("l").join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          (bit_count(expr("l.h1 ^ r.h1")) + bit_count(expr("l.h2 ^ r.h2")))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 2)
+        .distinct()
+    }),
+
     // REAL audio codec gate (r12, the q177 move for the audio half):
     // manufacture a real RIFF/WAVE container per document (JDK
     // AudioSystem writer; rate/frame-count/sample values arithmetic in
@@ -1768,6 +1844,70 @@ object TextOps {
     // pair, so the decoded-stream byte sum is Σ (u%256 + u//256) — pure
     // doc_id arithmetic, but only reproducible by actually inflating the
     // data chunk on the Spark side
+    // q201's oracle: the same arithmetic row bytes, halves as integers,
+    // band agreement as an OR of the 4 two-byte-band equalities (the set
+    // the band self-join produces), exact hamming via bit_count(xor)
+    "q201_image_neardup" ->
+      """WITH bits AS (
+        |  SELECT doc_id, y,
+        |    CAST(sum(CASE WHEN g < gn THEN (1 << x) ELSE 0 END)
+        |      AS BIGINT) AS rb
+        |  FROM (
+        |    SELECT doc_id, y.range, x.range,
+        |      ((b+7)*(y.range+3)*(x.range+5) + b*31 +
+        |        (b // 256)*(y.range*11 + x.range*17 + 1)) % 256 AS g,
+        |      ((b+7)*(y.range+3)*(x.range+6) + b*31 +
+        |        (b // 256)*(y.range*11 + (x.range+1)*17 + 1)) % 256 AS gn
+        |    FROM (SELECT doc_id, CASE WHEN doc_id % 97 = 0 AND doc_id > 0
+        |        THEN doc_id - 1 ELSE doc_id END AS b FROM documents),
+        |      range(8) y, range(8) x) px(doc_id, y, x, g, gn)
+        |  GROUP BY 1, 2),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN y < 4 THEN rb * power(256, 3 - y) ELSE 0 END)
+        |      AS BIGINT) AS h1,
+        |    CAST(sum(CASE WHEN y >= 4 THEN rb * power(256, 7 - y) ELSE 0 END)
+        |      AS BIGINT) AS h2,
+        |    CAST(sum(CASE WHEN y < 2 THEN rb * power(256, 1 - (y % 2))
+        |      ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(sum(CASE WHEN y >= 2 AND y < 4 THEN rb * power(256, 1 - (y % 2))
+        |      ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(sum(CASE WHEN y >= 4 AND y < 6 THEN rb * power(256, 1 - (y % 2))
+        |      ELSE 0 END) AS BIGINT) AS b2,
+        |    CAST(sum(CASE WHEN y >= 6 THEN rb * power(256, 1 - (y % 2))
+        |      ELSE 0 END) AS BIGINT) AS b3
+        |  FROM bits GROUP BY 1)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |  CAST(bit_count(xor(l.h1, r.h1)) + bit_count(xor(l.h2, r.h2))
+        |    AS BIGINT) AS hamming
+        |FROM h l JOIN h r ON l.doc_id < r.doc_id
+        |  AND (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)
+        |WHERE bit_count(xor(l.h1, r.h1)) + bit_count(xor(l.h2, r.h2)) <= 2"""
+        .stripMargin,
+
+    // q200's oracle: all 64 adjacent-pixel comparisons of the pattern
+    // restated arithmetically — row bytes from bit sums, hex via to_hex
+    "q200_image_dhash" ->
+      """WITH bits AS (
+        |  SELECT doc_id, y,
+        |    CAST(sum(CASE WHEN g < gn THEN (1 << x) ELSE 0 END)
+        |      AS BIGINT) AS rb,
+        |    CAST(sum(CASE WHEN g < gn THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM (
+        |    SELECT doc_id, y.range, x.range,
+        |      ((b+7)*(y.range+3)*(x.range+5) + b*31 +
+        |        (b // 256)*(y.range*11 + x.range*17 + 1)) % 256 AS g,
+        |      ((b+7)*(y.range+3)*(x.range+6) + b*31 +
+        |        (b // 256)*(y.range*11 + (x.range+1)*17 + 1)) % 256 AS gn
+        |    FROM (SELECT doc_id, CASE WHEN doc_id % 97 = 0 AND doc_id > 0
+        |        THEN doc_id - 1 ELSE doc_id END AS b FROM documents),
+        |      range(8) y, range(8) x) px(doc_id, y, x, g, gn)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  string_agg(lpad(lower(to_hex(rb)), 2, '0'), '' ORDER BY y) AS dhash,
+        |  CAST(sum(nb) AS BIGINT) AS n_bits
+        |FROM bits GROUP BY 1""".stripMargin,
+
     "q187_mm_wav_decode" ->
       """SELECT doc_id,
         |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,

@@ -203,4 +203,52 @@ class MultiModalSpec extends AnyFunSuite {
     assert(out(4L)._1 == "mp42")
     assert(out(5L) == (("isom", 0L, 0L, 0L)))
   }
+
+  test("dHash: hand-computed tiny case, block-upscale invariance, and " +
+    "near-dup locality") {
+    import java.awt.image.BufferedImage
+    // 9x8 two-tone: left half dark, right half bright -> within a row the
+    // only rising comparison is the one crossing the boundary (x=3:
+    // sample cols 3 vs 4), every other pair is flat (not strictly less)
+    def twoTone(w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w * 4 / 9) 0x202020 else 0xd0d0d0)
+      img
+    }
+    assert(MultiModal.dHashHex(twoTone(9, 8)) == "08" * 8) // bit 3 per row
+    // exact invariance under block-replicated upscales (nearest-neighbor
+    // integer sampling hits the same source pixels)
+    assert(MultiModal.dHashHex(twoTone(18, 16)) ==
+      MultiModal.dHashHex(twoTone(9, 8)))
+    assert(MultiModal.dHashHex(twoTone(36, 32)) ==
+      MultiModal.dHashHex(twoTone(9, 8)))
+    // near-dup locality: flipping one sampled pixel changes few bits
+    val a = twoTone(9, 8)
+    val b = twoTone(9, 8)
+    b.setRGB(7, 3, 0x101010) // one bright pixel darkened
+    val ha = MultiModal.dHash(a)
+    val hb = MultiModal.dHash(b)
+    val hamming = ha.zip(hb).map { case (x, y) =>
+      Integer.bitCount(x ^ y) }.sum
+    assert(hamming >= 1 && hamming <= 2, s"hamming $hamming")
+  }
+
+  test("dhashFeatures: real PNG round trip matches the in-memory hash; " +
+    "non-image payloads yield null, not a crash") {
+    implicit val s = spark
+    import spark.implicits._
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      MultiModal.encodePngPattern(9, 8, 42L)))
+    val expected = MultiModal.dHashHex(img)
+    val rows = Seq(
+      (42L, MultiModal.encodePngPattern(9, 8, 42L)),
+      (7L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = MultiModal.dhashFeatures(rows, "id", "payload")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("dhash"))).toMap
+    assert(out(42L).contains(expected))
+    assert(out(7L).isEmpty)
+  }
 }
