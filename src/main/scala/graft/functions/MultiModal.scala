@@ -452,6 +452,83 @@ object MultiModal {
       .toDF()
   }
 
+  /** Energy-delta audio fingerprint — the audio twin of [[dHash]] for
+    * near-dup dedup: decode to signed 16-bit PCM, split into windows of
+    * 4 samples (partial tail dropped), window energy = Σ s² as exact
+    * longs, bit w = (e_w < e_{w+1}), packed 8 bits/byte into a hex
+    * string. Re-encoded/resampled-but-same-content clips keep most bits
+    * (energy envelope is codec-robust); all arithmetic is integer so the
+    * fingerprint is bit-deterministic across executors and restatable by
+    * a SQL oracle. Returns (n_samples, n_windows, fp) or None for
+    * non-audio payloads. */
+  def audioFingerprint(payload: Array[Byte]): Option[(Long, Long, String)] = {
+    if (payload == null || payload.length < 12) return None
+    val m0 = new String(payload, 0, 4, "US-ASCII")
+    val m8 = new String(payload, 8, 4, "US-ASCII")
+    val looksAudio = (m0 == "RIFF" && m8 == "WAVE") ||
+      (m0 == "FORM" && (m8 == "AIFF" || m8 == "AIFC")) || m0 == ".snd"
+    if (!looksAudio) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+          return None
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var r = ais.read(buf)
+        while (r > 0) { bos.write(buf, 0, r); r = ais.read(buf) }
+        val bytes = bos.toByteArray
+        val n = bytes.length / 2
+        val bigEndian = fmt.isBigEndian
+        def sample(k: Int): Int = {
+          val (lo, hi) = if (bigEndian) (bytes(2 * k + 1), bytes(2 * k))
+                         else (bytes(2 * k), bytes(2 * k + 1))
+          ((hi << 8) | (lo & 0xff)).toShort.toInt
+        }
+        val nw = n / 4
+        val energies = Array.tabulate(nw) { w =>
+          var e = 0L
+          var j = 0
+          while (j < 4) {
+            val s = sample(4 * w + j).toLong; e += s * s; j += 1
+          }
+          e
+        }
+        val nBits = math.max(nw - 1, 0)
+        val bytesOut = new Array[Int]((nBits + 7) / 8)
+        var w = 0
+        while (w < nBits) {
+          if (energies(w) < energies(w + 1)) bytesOut(w / 8) |= 1 << (w % 8)
+          w += 1
+        }
+        Some((n.toLong, nw.toLong, bytesOut.map(b => f"$b%02x").mkString))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Typed audio-fingerprint row. */
+  case class AudioPrint(id: Long, n_samples: Long, n_windows: Long,
+      fp: String)
+
+  /** Batched audio fingerprinting over (id, payload) rows — one
+    * mapPartitions pass, zero exchange, payloads never shuffle;
+    * non-audio payloads yield a null fingerprint. */
+  def audioPrintFeatures(df: DataFrame, idCol: String, payloadCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        audioFingerprint(payload) match {
+          case Some((n, nw, fp)) => AudioPrint(id, n, nw, fp)
+          case None => AudioPrint(id, 0L, 0L, null)
+        }
+      })
+      .toDF()
+  }
+
   /** Typed audio-feature row (the audio twin of [[Feature]]). */
   case class AudioFeature(id: Long, sample_rate: Int, channels: Int,
       n_frames: Long, pcm_sum: Long)

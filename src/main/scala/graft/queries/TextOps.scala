@@ -899,6 +899,36 @@ object TextOps {
         .distinct()
     }),
 
+    // Audio near-dup fingerprint — the q200 move for the audio half:
+    // energy-delta hash over the REAL decoded PCM (windows of 4 samples,
+    // exact Σs² longs, bit = rising energy, packed hex). q187's WAV
+    // fixtures make every sample a known formula of (doc_id, k), so the
+    // oracle restates all window energies and comparisons arithmetically
+    // — matching requires actually inflating the data chunk AND walking
+    // samples in contract order. Integer-only → bit-deterministic;
+    // zero exchange, payloads never shuffle; downstream pairing is the
+    // q201 hamming band join over the fp key.
+    "q202_audio_fingerprint" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val payloads = spread(t(s, dir, "documents"))
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val rate = (8000 + (id % 8) * 1000).toInt
+            val n = (32 + id % 96).toInt
+            val samples = Array.tabulate(n) { k =>
+              (((id * 7919 + k.toLong * 104729) % 65536) & 0xffff).toShort
+            }
+            (id, graft.functions.MultiModal.encodeWav(rate, samples))
+          }
+        }.toDF("doc_id", "payload")
+      graft.functions.MultiModal
+        .audioPrintFeatures(payloads, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("n_samples"),
+          col("n_windows"), col("fp"))
+    }),
+
     // REAL audio codec gate (r12, the q177 move for the audio half):
     // manufacture a real RIFF/WAVE container per document (JDK
     // AudioSystem writer; rate/frame-count/sample values arithmetic in
@@ -1844,6 +1874,35 @@ object TextOps {
     // pair, so the decoded-stream byte sum is Σ (u%256 + u//256) — pure
     // doc_id arithmetic, but only reproducible by actually inflating the
     // data chunk on the Spark side
+    // q202's oracle: window energies and rising-energy bits restated
+    // from the known sample formula (signed 16-bit reconstruction
+    // included), packed into the identical hex layout
+    "q202_audio_fingerprint" ->
+      """WITH p AS (SELECT doc_id, 32 + doc_id % 96 AS n FROM documents),
+        |sv AS (
+        |  SELECT doc_id, n, k,
+        |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+        |  FROM (
+        |    SELECT doc_id, n, unnest(range(n)) AS k,
+        |      (doc_id*7919 + unnest(range(n))*104729) % 65536 AS v
+        |    FROM p)),
+        |e AS (
+        |  SELECT doc_id, n, k // 4 AS w, CAST(sum(s*s) AS BIGINT) AS e
+        |  FROM sv WHERE k < 4 * (n // 4) GROUP BY 1, 2, 3),
+        |b AS (
+        |  SELECT a.doc_id, a.n, a.w AS bit,
+        |    CASE WHEN a.e < c.e THEN 1 ELSE 0 END AS bv
+        |  FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.w = a.w + 1),
+        |byt AS (
+        |  SELECT doc_id, n, bit // 8 AS byte_i,
+        |    CAST(sum(bv * (1 << (bit % 8))) AS BIGINT) AS byte_v
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n // 4 AS BIGINT) AS n_windows,
+        |  string_agg(lpad(lower(to_hex(byte_v)), 2, '0'), '' ORDER BY byte_i)
+        |    AS fp
+        |FROM byt GROUP BY 1, 2, 3""".stripMargin,
+
     // q201's oracle: the same arithmetic row bytes, halves as integers,
     // band agreement as an OR of the 4 two-byte-band equalities (the set
     // the band self-join produces), exact hamming via bit_count(xor)

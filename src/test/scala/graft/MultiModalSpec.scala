@@ -251,4 +251,28 @@ class MultiModalSpec extends AnyFunSuite {
     assert(out(42L).contains(expected))
     assert(out(7L).isEmpty)
   }
+
+  test("audioFingerprint: hand-computed energies, rate-invariance, and " +
+    "non-audio null") {
+    // 8 samples -> 2 windows -> 1 bit: energies 4*(100^2) vs 4*(200^2),
+    // rising -> bit 0 set -> fp "01"
+    val rising = Array[Short](100, 100, 100, 100, 200, 200, 200, 200)
+    val Some((n1, w1, fp1)) =
+      MultiModal.audioFingerprint(MultiModal.encodeWav(8000, rising))
+    assert(n1 == 8L && w1 == 2L && fp1 == "01")
+    // falling -> bit clear
+    val Some((_, _, fp2)) =
+      MultiModal.audioFingerprint(MultiModal.encodeWav(8000, rising.reverse))
+    assert(fp2 == "00")
+    // the fingerprint hears CONTENT, not container settings: the same
+    // samples at a different rate produce the identical fp
+    val Some((_, _, fp3)) =
+      MultiModal.audioFingerprint(MultiModal.encodeWav(44100, rising))
+    assert(fp3 == fp1)
+    // partial tail window is dropped: 11 samples -> 2 windows
+    val Some((n4, w4, _)) = MultiModal.audioFingerprint(
+      MultiModal.encodeWav(8000, Array.tabulate[Short](11)(i => i.toShort)))
+    assert(n4 == 11L && w4 == 2L)
+    assert(MultiModal.audioFingerprint("not audio at all".getBytes).isEmpty)
+  }
 }

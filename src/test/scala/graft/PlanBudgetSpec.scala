@@ -89,6 +89,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q199_quality_lr"            -> 26, // one 1-row gradient-aggregate exchange per GD round (25) + the final scoring agg; each partial is 6 longs, map-side combined
     "q200_image_dhash"           -> 0, // encode + decode + hash ride one mapPartitions pipeline each; payloads never shuffle
     "q201_image_neardup"         -> 1, // ONE exchange of 16-char band keys for the self-join; decode+hash stays in the zero-exchange map
+    "q202_audio_fingerprint"     -> 0, // encode + decode + energy hash ride one mapPartitions pipeline each; payloads never shuffle
     "q187_mm_wav_decode"         -> 0, // q177 shape: mapPartitions encode → mapPartitions decode; payloads never shuffle
     "q192_mm_mp4_meta"           -> 0, // mapPartitions encode → in-row Column atom walk; payloads never shuffle
     "q188_leakage_split"         -> 2, // q46 pairs at construction (q46 caveat) + cluster-label join back; split md5 is in-row
