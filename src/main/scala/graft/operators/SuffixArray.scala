@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array construction by prefix doubling.
+  *
+  * The ExactSubstr dedup of Lee et al. 2022 (arXiv:2107.06499) builds ONE
+  * suffix array over the whole tokenized corpus and reads duplicated
+  * spans off adjacent-suffix LCPs. The windowed q179/q181 family
+  * approximates that signal without the array; this operator IS the
+  * array, re-expressed for Spark: the classic prefix-doubling algorithm
+  * (Manber–Myers 1990) as O(log run-length) declarative rounds. Each
+  * round costs exactly three keyed exchanges over 24-byte
+  * (doc_id, p, rank) triples — suffix TEXT never shuffles after the
+  * seed round:
+  *
+  *   1. `lead(rank, h)` over a per-document window (keyed by doc_id,
+  *      group size = document length) replaces the textbook
+  *      rank-at-p+h self-join — no join, no second copy of the table;
+  *   2. the (rank, rank@p+h) pairs are re-ranked IN PLACE by
+  *      [[denseRankInPlace]]: range repartition (global order across
+  *      partitions, equal keys never split), a per-partition
+  *      pair-change flag + running sum, and numPartitions prefix
+  *      offsets collected to the driver (a bounded artifact) — no
+  *      distinct, no global window, no join-back.
+  *
+  * The seed round ranks 4-token slices (built in-row BEFORE the
+  * position explode, so each exploded row carries 4 tokens, not the
+  * whole document), starting the doubling at h=4 — two rounds cheaper
+  * than single-token seeding.
+  *
+  * Scale notes (100 TB):
+  *   - suffixes are TOKEN-level (the granularity the paper dedups at),
+  *     so N = corpus token count, not char count;
+  *   - every round's rank table is localCheckpointed: O(1) plan depth
+  *     (the q196 discipline), and the checkpoint doubles as the stable
+  *     snapshot the offsets pass and the next round both read;
+  *   - convergence is detected by rank-class splitting: prefix-doubling
+  *     classes only ever split, so an unchanged distinct-rank count is
+  *     the fixpoint (positions still tied then have IDENTICAL suffixes
+  *     to the end — exactly dense-rank semantics). Natural corpora
+  *     converge in ~log2(longest repeated run) rounds;
+  *   - nothing is ever corpus-pairwise and no step funnels through one
+  *     partition.
+  */
+object SuffixArray {
+
+  /** Dense-rank `df` by `keys` without a single-partition window and
+    * without a distinct+join-back round trip: range-repartition (equal
+    * tuples land in one partition, partition index = global key order),
+    * flag rows whose key differs from the previous row in the
+    * partition-local sort, running-sum the flags, then add per-partition
+    * prefix offsets (one ≤numShufflePartitions-sized collect). Returns
+    * the ranked frame (localCheckpointed — both the offsets pass and the
+    * caller read one materialized snapshot, so partition ids cannot
+    * drift) and the total number of rank classes.
+    */
+  /** The pre-checkpoint flag plan of [[denseRankInPlace]] — exposed so
+    * SuffixArraySpec can pin its per-round exchange count (2: the range
+    * repartition + the pid-window hash). */
+  private[graft] def flagPlan(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val kcols = keys.map(col)
+    val wsort = Window.partitionBy("_pid").orderBy(kcols: _*)
+    df.repartitionByRange(kcols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_new",
+        (!(struct(kcols: _*) <=> lag(struct(kcols: _*), 1).over(wsort)))
+          .cast("long"))
+      .withColumn("_run", sum("_new").over(
+        wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private[graft] def denseRankInPlace(df: DataFrame, keys: Seq[String],
+      out: String): (DataFrame, Long) = {
+    val flagged = flagPlan(df, keys).localCheckpoint(true)
+    val perPart = flagged.groupBy("_pid").agg(max("_run").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      perPart.map { case (pid, n) => val o = pid -> acc; acc += n; o }.toMap
+    }
+    val total = perPart.map(_._2).sum
+    val ranked = flagged
+      .withColumn(out,
+        col("_run") + element_at(typedLit(offsets), col("_pid")))
+      .drop("_pid", "_new", "_run")
+    (ranked, total)
+  }
+
+  /** Token-level suffix ranks for a corpus: one row per (doc_id, p) with
+    * `srank` = dense rank of the token suffix `toks[p..]` in the global
+    * lexicographic order of ALL suffixes of ALL documents (suffixes never
+    * cross document boundaries). Ties (srank shared by >1 position) are
+    * positions whose remaining suffixes are IDENTICAL.
+    *
+    * `docs` must have `doc_id`; `tokens` is the token-array column.
+    */
+  def tokenSuffixRanks(docs: DataFrame, tokens: Column): DataFrame = {
+    // the doubling can stop once h covers the longest suffix: every
+    // comparison past that depth sees only the end-sentinel, so the
+    // round cannot split a class (one cheap agg, saves the final no-op
+    // round whenever repeats run long enough that classes still split
+    // at h = maxLen/2)
+    val maxLen = docs.agg(max(size(tokens))).head().getInt(0).toLong
+    // seed: per-position 4-token slices, built in-row before the explode
+    val seeded = docs
+      .select(col("doc_id"), tokens.as("_toks"))
+      .select(col("doc_id"), posexplode(
+        transform(col("_toks"),
+          (_, i) => slice(col("_toks"), i + 1, lit(4))))
+        .as(Seq("_p0", "_k")))
+      .select(col("doc_id"), (col("_p0") + 1).cast("long").as("p"),
+        col("_k"))
+    var (r, classes) =
+      denseRankInPlace(seeded, Seq("_k"), "rank")
+    r = r.select(col("doc_id"), col("p"), col("rank"))
+    var prevClasses = -1L
+    var h = 4L
+    // each round extends the compared prefix from h to 2h tokens; stop
+    // when no rank class split (the suffix-equivalence fixpoint)
+    while (classes != prevClasses && h < maxLen) {
+      val wdoc = Window.partitionBy("doc_id").orderBy("p")
+      val paired = r.select(col("doc_id"), col("p"),
+        col("rank").as("_r1"),
+        coalesce(lead("rank", h.toInt).over(wdoc), lit(0L)).as("_r2"))
+      // _r2 = 0 marks a suffix that ends before p+h: sorts first, like
+      // the shorter string in a prefix comparison
+      val (ranked, n) = denseRankInPlace(paired, Seq("_r1", "_r2"), "rank")
+      r = ranked.select(col("doc_id"), col("p"), col("rank"))
+      prevClasses = classes
+      classes = n
+      h *= 2
+    }
+    r.withColumnRenamed("rank", "srank")
+  }
+}

@@ -1408,7 +1408,65 @@ object TextOps {
     // shape as q179; the extra cost is per-position md5 AT THE SCAN.
     "q181_winnowed_spans" -> ((s, dir) =>
       winnowedSpans(spread(t(s, dir, "documents")), w = 30, k = 4,
-        thresh = "1a"))
+        thresh = "1a")),
+
+    // The REAL suffix array the q179 windowed family approximates — Lee
+    // et al.'s monolithic structure built distributively: token-level
+    // suffix ranks by prefix doubling (Manber–Myers), O(log run-length)
+    // rounds of (self-join on (doc_id,p)) + (distributed dense rank on
+    // the rank pair). No single-partition window anywhere — the rank
+    // assignment range-partitions the distinct pairs, ranks each range
+    // independently, and stitches with numPartitions prefix offsets
+    // (operators/SuffixArray.denseRank). After the seed round only
+    // 24-byte (doc_id,p,rank) triples shuffle, never text.
+    "q203_suffix_rank" -> ((s, dir) =>
+      graft.operators.SuffixArray.tokenSuffixRanks(
+        spread(t(s, dir, "documents")), tokensCol)
+        .select(col("doc_id"), col("p"), col("srank"))),
+
+    // Duplicated-span detection read straight off the suffix array (the
+    // paper's actual method): positions adjacent in suffix order share
+    // their longest prefixes, so the neighbor-LCP table IS the repeated-
+    // substring inventory. One representative per rank class (class
+    // members are fully identical suffixes — q25's territory), successor
+    // pairing is a shuffle join on srank+1 (dense ranks are consecutive),
+    // and the LCP probe compares 32-token SLICES exploded per offset —
+    // bounded work per pair, payload never corpus-quadratic. Pairs with
+    // lcp ≥ 4 tokens are the dedup cut candidates.
+    "q204_suffix_lcp" -> ((s, dir) => {
+      val cap = 32
+      val docs = spread(t(s, dir, "documents"))
+      val ranks = graft.operators.SuffixArray
+        .tokenSuffixRanks(docs, tokensCol)
+      val reps = ranks.groupBy("srank")
+        .agg(min(struct(col("doc_id"), col("p"))).as("rep"))
+        .select(col("srank"), col("rep.doc_id").as("doc_id"),
+          col("rep.p").as("p"))
+        .join(docs.select(col("doc_id"), tokensCol.as("toks")), "doc_id")
+        .select(col("srank"), col("doc_id"), col("p"),
+          slice(col("toks"), col("p").cast("int"), lit(cap)).as("sl"))
+      // LCP stays IN-ROW over the two 32-token slices (zip_with mismatch
+      // bitmap + first-1 position): no per-offset explode, so the pair
+      // frame never multiplies ×cap into a corpus-sized re-aggregation.
+      // zip_with pads the shorter slice with nulls → null <=> token is
+      // false → the length difference itself is the mismatch, exactly
+      // prefix-comparison semantics. array_position returns 0 (not null)
+      // when the bitmap has no 1 at all — that is the "identical through
+      // the whole slice" case (different classes CAN share all `cap`
+      // leading tokens when both suffixes run past it), reported as the
+      // capped lcp, like the oracle's coalesce default.
+      reps.as("l")
+        .join(reps.as("r"), col("l.srank") + 1 === col("r.srank"))
+        .select(col("l.srank").as("srank"),
+          col("l.doc_id").as("d1"), col("l.p").as("p1"),
+          col("r.doc_id").as("d2"), col("r.p").as("p2"),
+          array_position(zip_with(col("l.sl"), col("r.sl"),
+            (a, b) => when(a <=> b, 0).otherwise(1)), 1).as("m1"))
+        .select(col("srank"), col("d1"), col("p1"), col("d2"), col("p2"),
+          least(when(col("m1") > 0, col("m1") - 1).otherwise(lit(cap)),
+            lit(cap)).cast("long").as("lcp"))
+        .filter(col("lcp") >= 4)
+    })
   )
 
   // RE2-safe PII patterns, shared verbatim by the Spark plan and the
@@ -2348,6 +2406,42 @@ object TextOps {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
         |  CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars,
         |  CAST(min(span_start) AS BIGINT) AS first_span
-        |FROM spans GROUP BY doc_id""".stripMargin
+        |FROM spans GROUP BY doc_id""".stripMargin,
+
+    // DuckDB sorts the materialized suffix LISTS directly (its list
+    // comparison is elementwise-lexicographic = the prefix-doubling
+    // order, shorter-prefix-first = the rank-0 sentinel)
+    "q203_suffix_rank" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |pos AS (SELECT doc_id, toks,
+         |  unnest(range(1, CAST(len(toks) AS BIGINT) + 1)) AS p FROM tk)
+         |SELECT doc_id, CAST(p AS BIGINT) AS p,
+         |  CAST(dense_rank() OVER (ORDER BY toks[CAST(p AS INT):])
+         |    AS BIGINT) AS srank
+         |FROM pos""".stripMargin,
+
+    "q204_suffix_lcp" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |pos AS (SELECT doc_id, toks,
+         |  unnest(range(1, CAST(len(toks) AS BIGINT) + 1)) AS p FROM tk),
+         |rk AS (SELECT doc_id, CAST(p AS BIGINT) AS p, toks,
+         |  CAST(dense_rank() OVER (ORDER BY toks[CAST(p AS INT):])
+         |    AS BIGINT) AS srank FROM pos),
+         |rep AS (SELECT srank, doc_id, p,
+         |    toks[CAST(p AS INT):CAST(p AS INT) + 31] AS sl
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY srank
+         |      ORDER BY doc_id, p) AS rn FROM rk) WHERE rn = 1),
+         |pr AS (SELECT l.srank AS srank, l.doc_id AS d1, l.p AS p1,
+         |    r.doc_id AS d2, r.p AS p2, l.sl AS s1, r.sl AS s2
+         |  FROM rep l JOIN rep r ON l.srank + 1 = r.srank),
+         |ex AS (SELECT srank, d1, p1, d2, p2, s1, s2,
+         |  unnest(range(1, 33)) AS i FROM pr)
+         |SELECT * FROM (
+         |  SELECT srank, d1, p1, d2, p2,
+         |    CAST(least(coalesce(min(CASE WHEN s1[CAST(i AS INT)]
+         |        IS DISTINCT FROM s2[CAST(i AS INT)] THEN i END) - 1, 32),
+         |      32) AS BIGINT) AS lcp
+         |  FROM ex GROUP BY srank, d1, p1, d2, p2)
+         |WHERE lcp >= 4""".stripMargin
   )
 }

@@ -431,6 +431,67 @@ object VectorOps {
         .filter(col("rv") === 1)
         .select(col("vec_id"), col("s_label").as("pred_label"),
           col("n_votes"))
+    }),
+
+    // PCA top principal component by integer-exact power iteration — the
+    // dimensionality-reduction primitive an embedding pipeline runs
+    // before coarse indexing/visualization. Distribution shape: the
+    // covariance is ONE map-side-combined agg over in-row outer products
+    // (each scanned row emits its 64×64 cell array; the exchange carries
+    // ≤ d² partial cells per partition, never vectors), the 12-step
+    // eigensolve runs on the collected d×d matrix (4096 cells — a
+    // bounded model artifact, the codebook class), and the projection is
+    // a second corpus scan folding against the broadcast-literal
+    // loading vector in-row. ALL arithmetic is BIGINT-exact: 2^20
+    // quantization, pmod floor-div for the mean/covariance scaling, and
+    // a max-abs renormalization per iteration as floor(w / (s//2^20+1))
+    // — so the driver loop and the oracle's unrolled recursive CTEs
+    // follow bit-identical trajectories (a float norm would make the
+    // 12th iterate a last-ulp lottery across engines).
+    "q205_pca_power" -> ((s, dir) => {
+      val d = 64
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), quant(col("embedding")).as("q"))
+      // ONE corpus pass gathers every sufficient statistic: the flat
+      // cell array is [q (the d per-dim sums), upper-triangle products]
+      // built in-row, so the exchange carries ≤ d(d+3)/2 partial cells
+      // per partition. Centering never touches the corpus — the exact
+      // integer identity Σ(x-m)(x-m)ᵀ = Σxxᵀ - m·sᵀ - s·mᵀ + n·m·mᵀ
+      // (with m = floor(s/n)) reconstructs the centered covariance on
+      // the driver from these raw moments.
+      val stats = Tables.spread(e, col("vec_id"))
+        .select(posexplode(concat(col("q"),
+          flatten(transform(col("q"), (vi, i) =>
+            transform(slice(col("q"), i + 1, lit(d)),
+              (vj, _) => vi * vj))))).as(Seq("k", "p")))
+        .groupBy("k").agg(sum("p").as("sp"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = e.count()
+      val sums = Array.tabulate(d)(i => stats(i))
+      val ms = sums.map(Math.floorDiv(_, n))
+      val cs = new Array[Long](d * d)
+      var k = d
+      for (i <- 0 until d; j <- i until d) {
+        val cov = stats(k) - ms(i) * sums(j) - ms(j) * sums(i) +
+          n * ms(i) * ms(j)
+        val c = Math.floorDiv(cov, 1048576L)
+        cs(i * d + j) = c; cs(j * d + i) = c
+        k += 1
+      }
+      var v = Array.fill(d)(1048576L)
+      for (_ <- 1 to 12) {
+        val w = Array.tabulate(d)(i =>
+          (0 until d).map(j => cs(i * d + j) * v(j)).sum)
+        val dd = w.map(math.abs).max / 1048576L + 1
+        v = w.map(Math.floorDiv(_, dd))
+      }
+      // projection = Σ(q-m)·v = Σq·v - Σm·v: one in-row fold against the
+      // literal loading vector minus a driver constant — the final plan
+      // is a bare scan, zero exchanges
+      val mv = (0 until d).map(i => ms(i) * v(i)).sum
+      e.select(col("vec_id"),
+        (aggregate(zip_with(col("q"), typedLit(v.toSeq), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x) - lit(mv)).as("proj"))
     })
   )
 
@@ -870,8 +931,48 @@ object VectorOps {
          |SELECT vec_id, s_label AS pred_label, n_votes FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY n_votes DESC, s_label) AS rv FROM votes)
-         |WHERE rv = 1""".stripMargin
+         |WHERE rv = 1""".stripMargin,
+
+    "q205_pca_power" -> sqlPca
   )
+
+  /** DuckDB mirror of q205: the same integer trajectory, with the 12
+    * power iterations unrolled as (w_k, s_k, v_k) CTE triples. */
+  private lazy val sqlPca: String = {
+    // exact floor division via the pmod trick — `//` truncates in DuckDB,
+    // but on the exact multiple it equals floor, same as Spark's `div`
+    def fd(x: String, d: String) = s"($x - ((($x % $d) + $d) % $d)) // $d"
+    // AS MATERIALIZED: each v_k references w_k twice and w_k references
+    // v_{k-1} — inlined, the 12-step chain expands 2^12 copies of the
+    // base scan (observed as an fd-exhaustion in DuckDB); materializing
+    // pins each 64-row iterate to one evaluation
+    val its = (1 to 12).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT c.i AS i, sum(c.cs * v.v) AS w
+         |  FROM cells c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i),
+         |s$k AS MATERIALIZED (
+         |  SELECT max(abs(w)) // 1048576 + 1 AS dd FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, ${fd("w", "dd")} AS v FROM w$k, s$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, CAST(i AS INT) AS i, q[CAST(i AS INT)] AS v
+       |  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS i FROM q)),
+       |m AS (SELECT i, ${fd("sum(v)", "count(*)")} AS mv
+       |  FROM ex GROUP BY i),
+       |cen AS (SELECT vec_id, ex.i AS i, ex.v - m.mv AS c
+       |  FROM ex JOIN m USING (i)),
+       |cells AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+       |    ${fd("sum(a.c * b.c)", "1048576")} AS cs
+       |  FROM cen a JOIN cen b USING (vec_id) GROUP BY a.i, b.i),
+       |v0 AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i,
+       |  CAST(1048576 AS BIGINT) AS v),
+       |$its
+       |SELECT cen.vec_id, CAST(sum(cen.c * v12.v) AS BIGINT) AS proj
+       |FROM cen JOIN v12 ON cen.i = v12.i GROUP BY cen.vec_id""".stripMargin
+  }
 
   /** DuckDB mirror of [[kmeansAssign]] (q91/q92 share it). */
   private lazy val sqlKmeans: String =

@@ -56,10 +56,17 @@ class CollectDisciplineSpec extends AnyFunSuite {
       "q123 argmax 1-row + corpus-size scalar + q142 unigram vocab " +
         "(alphabet rows + a LIMIT-128 TakeOrdered — bounded by " +
         "construction at any corpus scale, unlike the q134 raw vocab)"),
-    "queries/VectorOps.scala" -> (1, "k-means packed-centroid codebook (k*d)"),
+    "queries/VectorOps.scala" -> (2,
+      "k-means packed-centroid codebook (k*d) + q205 raw-moment cells " +
+        "(d(d+3)/2 = 2144 rows, the distributed agg reduces the corpus " +
+        "BEFORE the collect — a fixed-size model artifact)"),
     "streaming/CorpusHealth.scala" -> (1,
       "per-micro-batch health snapshot handed to the driver callback: " +
         "ONE row of 5 scalars (the metrics-sink class), never corpus-sized"),
+    "operators/SuffixArray.scala" -> (1,
+      "denseRankInPlace per-partition rank-class counts: <= " +
+        "spark.sql.shuffle.partitions rows (the q151 distributed " +
+        "prefix-sum offsets class, never corpus-sized)"),
     "operators/IvfIndex.scala" -> (3,
       "IVF build seed fetch: k rows via TakeOrdered (k*d values — the " +
         "same packed-centroid class as the k-means codebook), reused for " +
