@@ -1466,6 +1466,56 @@ object TextOps {
           least(when(col("m1") > 0, col("m1") - 1).otherwise(lit(cap)),
             lit(cap)).cast("long").as("lcp"))
         .filter(col("lcp") >= 4)
+    }),
+
+    // Audio NEAR-dup pairing — closes the loop q202 opened: every 89th
+    // document "re-records" the previous one's clip with a single
+    // perturbed sample (+4096 on sample 5 — one energy window moves, so
+    // the fingerprints differ in ≤2 bits), and the q201 band join finds
+    // the pairs: fixed 128-sample clips → 31-bit energy-delta fp →
+    // 4 one-byte bands (pigeonhole: hamming≤3 always shares a band) →
+    // exact hamming via bit_count(xor) on the conv'd fp. The decode+
+    // fingerprint pass rides ONE zero-exchange mapPartitions pipeline
+    // through the production audioPrintFeatures path; only 2-char band
+    // keys and one long shuffle into the join.
+    "q207_audio_neardup" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      val payloads = spread(t(s, dir, "documents"))
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val base = if (id % 89 == 0 && id > 0) id - 1 else id
+            // the base*k²·31 term decorrelates clips ACROSS documents (a
+            // purely linear formula gives every doc the same energy
+            // SHAPE shifted by base — measured 13.7k accidental
+            // hamming≤3 pairs at sf0.01, quadratic blowup at sf0.1; the
+            // quadratic term leaves 2 accidental + 5 planted)
+            val samples = Array.tabulate(128) { k =>
+              val raw = base * 7919 + k.toLong * 104729 +
+                base * k.toLong * k * 31 +
+                (if (id != base && k == 5) 4096L else 0L)
+              ((raw % 65536) & 0xffff).toShort
+            }
+            (id, graft.functions.MultiModal.encodeWav(
+              8000 + (base % 8).toInt * 1000, samples))
+          }
+        }.toDF("doc_id", "payload")
+      val fps = graft.functions.MultiModal
+        .audioPrintFeatures(payloads, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("fp"),
+          expr("cast(conv(fp, 16, 10) as bigint)").as("h"))
+        .localCheckpoint(true)
+      val bands = fps.select(col("doc_id"), col("h"),
+        posexplode(array((0 to 3).map(k =>
+          substring(col("fp"), k * 2 + 1, 2)): _*)).as(Seq("band", "key")))
+      bands.as("l").join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          bit_count(expr("l.h ^ r.h")).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
     })
   )
 
@@ -2442,6 +2492,43 @@ object TextOps {
          |        IS DISTINCT FROM s2[CAST(i AS INT)] THEN i END) - 1, 32),
          |      32) AS BIGINT) AS lcp
          |  FROM ex GROUP BY srank, d1, p1, d2, p2)
-         |WHERE lcp >= 4""".stripMargin
+         |WHERE lcp >= 4""".stripMargin,
+
+    // the q202 arithmetic restatement, extended with the replica
+    // perturbation, the byte-level band join (one byte ≡ one 2-hex-char
+    // band), and a relational hamming (count of differing bits) — no
+    // bit_count needed on the oracle side
+    "q207_audio_neardup" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 89 = 0 AND doc_id > 0
+         |      THEN doc_id - 1 ELSE doc_id END AS base
+         |  FROM documents),
+         |pos AS (SELECT doc_id, base, unnest(range(128)) AS k FROM p),
+         |sv AS (SELECT doc_id, k,
+         |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+         |  FROM (SELECT doc_id, k,
+         |      (base*7919 + k*104729 + base*k*k*31 +
+         |       CASE WHEN base <> doc_id AND k = 5
+         |         THEN 4096 ELSE 0 END) % 65536 AS v
+         |    FROM pos)),
+         |e AS (SELECT doc_id, k // 4 AS w, CAST(sum(s*s) AS BIGINT) AS e
+         |  FROM sv GROUP BY 1, 2),
+         |b AS (SELECT a.doc_id, a.w AS bit,
+         |    CASE WHEN a.e < c.e THEN 1 ELSE 0 END AS bv
+         |  FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.w = a.w + 1),
+         |byt AS (SELECT doc_id, bit // 8 AS byte_i,
+         |    CAST(sum(bv * (1 << (bit % 8))) AS BIGINT) AS byte_v
+         |  FROM b GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM byt l JOIN byt r ON l.byte_i = r.byte_i
+         |    AND l.byte_v = r.byte_v AND l.doc_id < r.doc_id)
+         |SELECT c.a, c.b,
+         |  CAST(sum(CASE WHEN x.bv <> y.bv THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hamming
+         |FROM cand c JOIN b x ON x.doc_id = c.a
+         |  JOIN b y ON y.doc_id = c.b AND y.bit = x.bit
+         |GROUP BY c.a, c.b
+         |HAVING sum(CASE WHEN x.bv <> y.bv THEN 1 ELSE 0 END) <= 3"""
+        .stripMargin
   )
 }

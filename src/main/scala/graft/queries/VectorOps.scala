@@ -492,6 +492,43 @@ object VectorOps {
       e.select(col("vec_id"),
         (aggregate(zip_with(col("q"), typedLit(v.toSeq), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x) - lit(mv)).as("proj"))
+    }),
+
+    // Sign-random-projection fingerprint (Charikar'02 SimHash for DENSE
+    // vectors — the embedding-side sibling of q27's text SimHash): bit b
+    // = sign of the projection onto a ±1 hyperplane, 64 bits packed into
+    // two 32-bit halves ready for the q201 hamming band join. The
+    // hyperplanes are md5-derived (+1 iff the first hex digit of
+    // md5('srp|b|j') is 0-7), so BOTH engines regenerate the same matrix
+    // from nothing — no side-channel model file — and the BIGINT dot
+    // products make every bit deterministic. Shape: the matrix is a
+    // 64×64 literal folded in-row against each scanned vector; the plan
+    // is a bare scan, zero exchanges, nothing corpus-sized moves. At
+    // index time the two halves band into 4×16-bit keys (pigeonhole:
+    // any hamming≤3 pair shares a band) — the q201 join, unchanged.
+    "q206_srp_fingerprint" -> ((s, dir) => {
+      val d = 64
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def sign(b: Int, j: Int): Long = {
+        val h = md.digest(s"srp|$b|$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+      }
+      val planes: Seq[Seq[Long]] =
+        (0 until d).map(b => (0 until d).map(j => sign(b, j)))
+      val pw = (0 until 32).map(i => 1L << (31 - i))
+      val bits = transform(sequence(lit(0), lit(d - 1)), b =>
+        when(aggregate(
+          zip_with(col("q"), element_at(typedLit(planes), b + 1),
+            (x, sg) => x * sg),
+          lit(0L), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), quant(col("embedding")).as("q"))
+      def half(bs: Column, off: Int): Column =
+        aggregate(zip_with(slice(bs, off + 1, 32), typedLit(pw),
+          (bit, w) => bit * w), lit(0L), (acc, x) => acc + x)
+      e.select(col("vec_id"), bits.as("bits"))
+        .select(col("vec_id"), half(col("bits"), 0).as("h1"),
+          half(col("bits"), 32).as("h2"))
     })
   )
 
@@ -933,7 +970,33 @@ object VectorOps {
          |    ORDER BY n_votes DESC, s_label) AS rv FROM votes)
          |WHERE rv = 1""".stripMargin,
 
-    "q205_pca_power" -> sqlPca
+    "q205_pca_power" -> sqlPca,
+
+    // the ±1 matrix regenerates from md5 in SQL exactly as the Spark
+    // side regenerates it from MessageDigest — same strings, same hash
+    "q206_srp_fingerprint" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |ex AS (SELECT vec_id, CAST(j AS INT) AS j, q[CAST(j AS INT)] AS v
+         |  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS j FROM q)),
+         |signs AS (SELECT bb.b AS b, jj.j AS j,
+         |    CASE WHEN substr(md5('srp|' || CAST(bb.b AS VARCHAR) || '|'
+         |        || CAST(jj.j AS VARCHAR)), 1, 1) BETWEEN '0' AND '7'
+         |      THEN 1 ELSE -1 END AS sg
+         |  FROM (SELECT CAST(unnest(range(0, 64)) AS INT) AS b) bb
+         |  CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INT) AS j) jj),
+         |bits AS (SELECT vec_id, b,
+         |    CASE WHEN sum(sg * v) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM ex JOIN signs s ON ex.j = s.j + 1 GROUP BY vec_id, b)
+         |SELECT vec_id,
+         |  CAST(sum(CASE WHEN b < 32
+         |    THEN bit * (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END)
+         |    AS BIGINT) AS h1,
+         |  CAST(sum(CASE WHEN b >= 32
+         |    THEN bit * (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END)
+         |    AS BIGINT) AS h2
+         |FROM bits GROUP BY vec_id""".stripMargin
   )
 
   /** DuckDB mirror of q205: the same integer trajectory, with the 12
