@@ -105,7 +105,8 @@ object Tables {
     * (read-while-rewrite safe; a crash before the swap leaves the
     * original intact). */
   def compactBucketed(spark: SparkSession, table: String, key: String,
-      dedupKeys: Seq[String]): Unit = {
+      dedupKeys: Seq[String],
+      rewrite: DataFrame => DataFrame = identity): Unit = {
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets)
@@ -119,7 +120,7 @@ object Tables {
       f.delete()
     }
     if (loc.exists()) rm(loc)
-    writeBucketed(spark.table(table).dropDuplicates(dedupKeys),
+    writeBucketed(rewrite(spark.table(table).dropDuplicates(dedupKeys)),
       tmp, key, buckets)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")

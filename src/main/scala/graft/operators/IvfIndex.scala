@@ -335,6 +335,19 @@ object IvfIndex {
     Tables.compactBucketed(spark, s"${name}_cells", "cell",
       Seq("cell", "vec_id"))
 
+  /** Delete vectors from the index — the [[graft.operators.LshIndex
+    * .remove]] move for the vector side: the bucket-preserving compact
+    * rewrite with an anti-join against the deletion set folded in. The
+    * frozen `_cents` row is untouched (removed vectors simply vanish
+    * from their cells), so assignment semantics, bucket specs, and the
+    * zero-exchange probe reads all hold by construction. Idempotent. */
+  def remove(spark: SparkSession, name: String, ids: DataFrame): Unit = {
+    val del = ids.select(col("vec_id")).distinct().localCheckpoint(true)
+    Tables.compactBucketed(spark, s"${name}_cells", "cell",
+      Seq("cell", "vec_id"),
+      df => df.join(del, Seq("vec_id"), "left_anti"))
+  }
+
   /** Offline re-seed at the CURRENT corpus size — the periodic
     * counterpart of [[compact]] for a long-running ingest: compact fixes
     * FILES, rebuild fixes the k-vs-N balance. A frozen k makes

@@ -291,4 +291,31 @@ object LshIndex {
       Tables.compactBucketed(spark, s"${name}_tfs", "doc_id",
         Seq("doc_id"))
   }
+
+  /** Delete documents from a persistent index — the right-to-be-
+    * forgotten path a production dedup index needs (a takedown or
+    * privacy delete must stop matching FUTURE increments, not wait for
+    * the next full rebuild). Implemented as [[compact]]'s bucket-
+    * preserving rewrite with an anti-join against the deletion set
+    * folded into the same one-pass rewrite: bucket specs, band
+    * semantics, and the zero-exchange probe reads are untouched; every
+    * index table (bands + shingles + tfs where present) drops the ids
+    * atomically per table via the same tmp-swap. The deletion set is
+    * takedown-sized in practice; no broadcast hint, so AQE broadcasts
+    * it while small and degrades to a shuffle anti-join — not an OOM —
+    * if a mass delete outgrows it. Idempotent: re-removing absent ids
+    * is a no-op rewrite. */
+  def remove(spark: SparkSession, name: String, ids: DataFrame): Unit = {
+    val del = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    def anti(df: DataFrame): DataFrame =
+      df.join(del, Seq("doc_id"), "left_anti")
+    Tables.compactBucketed(spark, s"${name}_bands", "band",
+      Seq("band", "doc_id"), anti)
+    if (spark.catalog.tableExists(s"${name}_shingles"))
+      Tables.compactBucketed(spark, s"${name}_shingles", "doc_id",
+        Seq("doc_id"), anti)
+    if (spark.catalog.tableExists(s"${name}_tfs"))
+      Tables.compactBucketed(spark, s"${name}_tfs", "doc_id",
+        Seq("doc_id"), anti)
+  }
 }

@@ -263,6 +263,71 @@ object TrainOps {
 
   val defs: Map[String, Q] = Map(
 
+    // WordPiece-style greedy longest-match-first tokenization (the
+    // runtime algorithm of Song et al., "Fast WordPiece Tokenization",
+    // EMNLP'21) — the third tokenizer family next to BPE merge-order
+    // (q126) and Unigram-LM Viterbi (q142), and the one BERT-lineage
+    // pipelines deploy. Piece inventory: the top-64 2/3-char substrings
+    // of the token stream by instance frequency (ties to the
+    // lexicographically lowest piece), single chars as the implicit
+    // fallback. Encode runs on DISTINCT tokens only — vocabulary-sized
+    // work, Heaps-bounded, never corpus-sized — as 8 unrolled greedy
+    // steps (tokens are ≤8 chars; each step consumes the longest piece
+    // matching at the cursor), then joins back onto the corpus: the
+    // q126 shape, same two exchanges (token agg at the vocab build,
+    // per-doc agg at the end), the piece inventory a collected model
+    // artifact like the BPE codebook.
+    "q208_wordpiece_encode" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val inst = docs.select(
+        explode(graft.queries.TextOps.tokensCol).as("tok"))
+      def subs(n: Int) = inst
+        .filter(length(col("tok")) >= n)
+        .select(explode(transform(
+          sequence(lit(1), length(col("tok")) - (n - 1)),
+          i => col("tok").substr(i, lit(n)))).as("piece"))
+      val pieces = subs(2).unionAll(subs(3))
+        .groupBy("piece").agg(count(lit(1)).as("c"))
+        .sort(col("c").desc, col("piece"))
+        .limit(64)
+        .select("piece").collect().map(_.getString(0)).toSeq
+      val p3 = pieces.filter(_.length == 3)
+      val p2 = pieces.filter(_.length == 2)
+      val tok = col("tok")
+      val len = length(tok)
+      // the greedy cursor walk is ONE aggregate-HOF fold with a (pos,
+      // np) struct accumulator — an unrolled 8-step expression inlines
+      // each step's tree into the next (×3 per step, ~3^8 nodes) and
+      // spent the minute-class bench cost in ANALYSIS, not execution
+      val np = aggregate(
+        sequence(lit(1), lit(8)),
+        struct(lit(1).as("pos"), lit(0).as("np")),
+        (acc, _) => {
+          val pos = acc.getField("pos")
+          val cnt = acc.getField("np")
+          val step = when(pos > len, 0)
+            .when(array_contains(typedLit(p3), tok.substr(pos, lit(3))) &&
+              pos + 2 <= len, 3)
+            .when(array_contains(typedLit(p2), tok.substr(pos, lit(2))) &&
+              pos + 1 <= len, 2)
+            .otherwise(1)
+          struct((pos + step).as("pos"),
+            (cnt + when(pos <= len, 1).otherwise(0)).as("np"))
+        },
+        acc => acc.getField("np"))
+      val enc = inst.select(col("tok")).distinct()
+        .select(col("tok"), np.cast("long").as("np"))
+      docs.select(col("doc_id"),
+          explode(graft.queries.TextOps.tokensCol).as("tok"))
+        .join(enc, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum("np").cast("long").as("n_pieces"))
+        .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_tokens"), 6)
+            .as("pieces_per_token"))
+    }),
+
     "q199_quality_lr" -> ((s, dir) => {
       // checkpoint the NARROW feature projection once (4 longs/doc);
       // the 25 unrolled rounds re-scan only that
@@ -593,6 +658,49 @@ object TrainOps {
        |    AS ns FROM s$r)""".stripMargin
   }
 
+  /** DuckDB mirror of q208: same piece inventory (top-64 2/3-char
+    * substrings by instance frequency, ties lexicographic), same 8
+    * unrolled greedy steps over distinct tokens. The pieces CTE is
+    * MATERIALIZED — 16 IN-subqueries would otherwise re-derive it from
+    * the corpus-positions frame each time. */
+  private lazy val sqlWordPiece: String = {
+    val steps = (1 to 8).map { k =>
+      val (p, n) = (s"pos${k - 1}", s"np${k - 1}")
+      s"""s$k AS (SELECT tok, $p + CASE WHEN $p > len(tok) THEN 0
+         |    WHEN $p + 2 <= len(tok) AND substr(tok, CAST($p AS INT), 3)
+         |      IN (SELECT piece FROM pieces) THEN 3
+         |    WHEN $p + 1 <= len(tok) AND substr(tok, CAST($p AS INT), 2)
+         |      IN (SELECT piece FROM pieces) THEN 2
+         |    ELSE 1 END AS pos$k,
+         |  $n + CASE WHEN $p > len(tok) THEN 0 ELSE 1 END AS np$k
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, unnest($sqlTokens) AS tok
+       |  FROM documents),
+       |sub AS (
+       |  SELECT substr(tok, CAST(i AS INT), 2) AS piece
+       |  FROM (SELECT tok, unnest(range(1, CAST(len(tok) AS BIGINT))) AS i
+       |    FROM toks WHERE len(tok) >= 2)
+       |  UNION ALL
+       |  SELECT substr(tok, CAST(i AS INT), 3)
+       |  FROM (SELECT tok,
+       |      unnest(range(1, CAST(len(tok) AS BIGINT) - 1)) AS i
+       |    FROM toks WHERE len(tok) >= 3)),
+       |pieces AS MATERIALIZED (SELECT piece FROM (
+       |  SELECT piece, row_number() OVER (ORDER BY count(*) DESC, piece)
+       |    AS rk
+       |  FROM sub GROUP BY piece) WHERE rk <= 64),
+       |dt AS (SELECT DISTINCT tok FROM toks),
+       |s0 AS (SELECT tok, CAST(1 AS BIGINT) AS pos0,
+       |  CAST(0 AS BIGINT) AS np0 FROM dt),
+       |$steps,
+       |enc AS (SELECT tok, np8 AS np FROM s8)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(e.np) AS BIGINT) AS n_pieces,
+       |  round(sum(e.np) / CAST(count(*) AS DOUBLE), 6) AS pieces_per_token
+       |FROM toks t JOIN enc e USING (tok) GROUP BY t.doc_id""".stripMargin
+  }
+
   /** The full learning chain v → s0 → (p/m/s/n)×3, shared by q123/q126. */
   private def sqlBpeChain: String =
     s"""v AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
@@ -606,6 +714,8 @@ object TrainOps {
        |${sqlBpeRound(3)}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q208_wordpiece_encode" -> sqlWordPiece,
 
     // q199's oracle: the identical integer GD trajectory as a recursive
     // CTE — same fast-sigmoid rational, same truncating divisions, same

@@ -52,10 +52,12 @@ class CollectDisciplineSpec extends AnyFunSuite {
       "q101 KB-sized bloom-filter bytes (bounded by its 10k-item/80k-bit " +
         "build args) + q109 1-row N/avgdl scalar + q109 query-term df " +
         "rows (semi-joined to the <=10 query docs BEFORE collect)"),
-    "queries/TrainOps.scala" -> (4,
+    "queries/TrainOps.scala" -> (5,
       "q123 argmax 1-row + corpus-size scalar + q142 unigram vocab " +
         "(alphabet rows + a LIMIT-128 TakeOrdered — bounded by " +
-        "construction at any corpus scale, unlike the q134 raw vocab)"),
+        "construction at any corpus scale, unlike the q134 raw vocab) " +
+        "+ q208 piece inventory (LIMIT-64 TakeOrdered, the BPE-codebook " +
+        "class)"),
     "queries/VectorOps.scala" -> (2,
       "k-means packed-centroid codebook (k*d) + q205 raw-moment cells " +
         "(d(d+3)/2 = 2144 rows, the distributed agg reduces the corpus " +
