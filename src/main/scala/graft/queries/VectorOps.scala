@@ -506,31 +506,70 @@ object VectorOps {
     // is a bare scan, zero exchanges, nothing corpus-sized moves. At
     // index time the two halves band into 4×16-bit keys (pigeonhole:
     // any hamming≤3 pair shares a band) — the q201 join, unchanged.
-    "q206_srp_fingerprint" -> ((s, dir) => {
-      val d = 64
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def sign(b: Int, j: Int): Long = {
-        val h = md.digest(s"srp|$b|$j".getBytes("UTF-8"))
-        if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
-      }
-      val planes: Seq[Seq[Long]] =
-        (0 until d).map(b => (0 until d).map(j => sign(b, j)))
-      val pw = (0 until 32).map(i => 1L << (31 - i))
-      val bits = transform(sequence(lit(0), lit(d - 1)), b =>
-        when(aggregate(
-          zip_with(col("q"), element_at(typedLit(planes), b + 1),
-            (x, sg) => x * sg),
-          lit(0L), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), quant(col("embedding")).as("q"))
-      def half(bs: Column, off: Int): Column =
-        aggregate(zip_with(slice(bs, off + 1, 32), typedLit(pw),
-          (bit, w) => bit * w), lit(0L), (acc, x) => acc + x)
-      e.select(col("vec_id"), bits.as("bits"))
-        .select(col("vec_id"), half(col("bits"), 0).as("h1"),
-          half(col("bits"), 32).as("h2"))
+    "q206_srp_fingerprint" -> ((s, dir) =>
+      srpHalves(t(s, dir, "embeddings"))),
+
+    // Index-quality gate for the SRP fingerprint — the q122 move applied
+    // to q206 (every index here ships with its measured recall): top-3
+    // by fingerprint hamming (64 bits, two bit_count(xor) longs, ties to
+    // the lowest c_id) against brute-force cosine top-3 truth. Both
+    // sides crossJoin a broadcast 10-query probe frame; the payload
+    // compared per candidate is 16 BYTES (the two halves) instead of the
+    // 64-float vector — the 100 TB argument for fingerprint-first
+    // retrieval, here with its accuracy cost pinned by the oracle.
+    "q209_srp_recall" -> ((s, dir) => {
+      val fps = srpHalves(t(s, dir, "embeddings"))
+      val qf = fps.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("h1").as("qh1"),
+          col("h2").as("qh2"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("hamming"), col("c_id"))
+      val approx = Tables.spread(fps, col("vec_id"))
+        .select(col("vec_id").as("c_id"), col("h1"), col("h2"))
+        .crossJoin(broadcast(qf))
+        .filter(col("c_id") =!= col("q_id"))
+        .withColumn("hamming",
+          bit_count(expr("h1 ^ qh1")) + bit_count(expr("h2 ^ qh2")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= 3)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      defs("q31_ann_topk")(s, dir).filter(col("rank") <= 3)
+        .join(broadcast(approx), Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("int").as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          round(col("n_hit") / 3.0, 6).as("recall"))
     })
   )
+
+  /** q206/q209 shared kernel: 64-bit sign-random-projection fingerprint
+    * as two band-ready 32-bit halves. The ±1 hyperplanes are md5-derived
+    * (+1 iff the first hex digit of md5('srp|b|j') is 0-7) so both
+    * engines regenerate the same matrix from nothing; dot products and
+    * bit packing are BIGINT-exact in-row folds — a bare scan. */
+  private[graft] def srpHalves(emb: DataFrame): DataFrame = {
+    val d = 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(b: Int, j: Int): Long = {
+      val h = md.digest(s"srp|$b|$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
+    val planes: Seq[Seq[Long]] =
+      (0 until d).map(b => (0 until d).map(j => sign(b, j)))
+    val pw = (0 until 32).map(i => 1L << (31 - i))
+    val bits = transform(sequence(lit(0), lit(d - 1)), b =>
+      when(aggregate(
+        zip_with(col("q"), element_at(typedLit(planes), b + 1),
+          (x, sg) => x * sg),
+        lit(0L), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+    def half(bs: Column, off: Int): Column =
+      aggregate(zip_with(slice(bs, off + 1, 32), typedLit(pw),
+        (bit, w) => bit * w), lit(0L), (acc, x) => acc + x)
+    emb.select(col("vec_id"), quant(col("embedding")).as("q"))
+      .select(col("vec_id"), bits.as("bits"))
+      .select(col("vec_id"), half(col("bits"), 0).as("h1"),
+        half(col("bits"), 32).as("h2"))
+  }
 
   /** Cluster-balanced sampling — the curation step after q91/q92: cap
     * each k-means cluster at 40 members so no dense region dominates the
@@ -699,14 +738,7 @@ object VectorOps {
          |    AND c.label <> a.label)
          |WHERE rk = 1""".stripMargin,
 
-    "q31_ann_topk" ->
-      s"""SELECT q_id, c_id, rank FROM (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
-         |  FROM embeddings q CROSS JOIN embeddings c
-         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-         |WHERE rank <= 5""".stripMargin,
+    "q31_ann_topk" -> sqlAnnTopk,
 
     "q32_ann_bucketed" ->
       s"""WITH bucketed AS (
@@ -975,20 +1007,7 @@ object VectorOps {
     // the ±1 matrix regenerates from md5 in SQL exactly as the Spark
     // side regenerates it from MessageDigest — same strings, same hash
     "q206_srp_fingerprint" ->
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |ex AS (SELECT vec_id, CAST(j AS INT) AS j, q[CAST(j AS INT)] AS v
-         |  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS j FROM q)),
-         |signs AS (SELECT bb.b AS b, jj.j AS j,
-         |    CASE WHEN substr(md5('srp|' || CAST(bb.b AS VARCHAR) || '|'
-         |        || CAST(jj.j AS VARCHAR)), 1, 1) BETWEEN '0' AND '7'
-         |      THEN 1 ELSE -1 END AS sg
-         |  FROM (SELECT CAST(unnest(range(0, 64)) AS INT) AS b) bb
-         |  CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INT) AS j) jj),
-         |bits AS (SELECT vec_id, b,
-         |    CASE WHEN sum(sg * v) > 0 THEN 1 ELSE 0 END AS bit
-         |  FROM ex JOIN signs s ON ex.j = s.j + 1 GROUP BY vec_id, b)
+      s"""WITH $sqlSrpBits
          |SELECT vec_id,
          |  CAST(sum(CASE WHEN b < 32
          |    THEN bit * (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END)
@@ -996,8 +1015,65 @@ object VectorOps {
          |  CAST(sum(CASE WHEN b >= 32
          |    THEN bit * (CAST(1 AS BIGINT) << (63 - b)) ELSE 0 END)
          |    AS BIGINT) AS h2
-         |FROM bits GROUP BY vec_id""".stripMargin
+         |FROM bits GROUP BY vec_id""".stripMargin,
+
+    // hamming stays at the BIT level relationally (no bit_count needed):
+    // 64 aligned bit rows per (query, candidate) pair sum their diffs
+    "q209_srp_recall" ->
+      s"""WITH exact AS (SELECT q_id, c_id FROM (
+         |    ${oraclesAnnTopk}) WHERE rank <= 3),
+         |$sqlSrpBits,
+         |qb AS (SELECT vec_id AS q_id, b, bit FROM bits
+         |  WHERE vec_id < 10),
+         |ham AS (SELECT qb.q_id, c.vec_id AS c_id,
+         |    CAST(sum(CASE WHEN qb.bit <> c.bit THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS h
+         |  FROM qb JOIN bits c ON qb.b = c.b AND c.vec_id <> qb.q_id
+         |  GROUP BY 1, 2),
+         |approx AS (SELECT q_id, c_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY h, c_id) AS r FROM ham) WHERE r <= 3)
+         |SELECT e.q_id, CAST(count(a.c_id) AS INT) AS n_hit,
+         |  round(count(a.c_id) / 3.0, 6) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.q_id = a.q_id AND e.c_id = a.c_id
+         |GROUP BY e.q_id""".stripMargin
   )
+
+  /** Shared CTE chain for q206/q209: quantized vectors → exploded dims →
+    * md5-derived ±1 signs → per-(vec, plane) bit. MATERIALIZED where
+    * referenced twice. Every line is FLUSH-LEFT: this string interpolates
+    * into stripMargin callers, and an indented line containing a '|'
+    * (the md5 seed separator) would be re-stripped up to that '|'. */
+  private lazy val sqlSrpBits: String =
+    s"""q AS (SELECT vec_id, list_transform(embedding,
+       |x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+       |FROM embeddings),
+       |ex AS (SELECT vec_id, CAST(j AS INT) AS j, q[CAST(j AS INT)] AS v
+       |FROM (SELECT vec_id, q, unnest(range(1, 65)) AS j FROM q)),
+       |signs AS (SELECT bb.b AS b, jj.j AS j,
+       |CASE WHEN substr(md5('srp|' || CAST(bb.b AS VARCHAR) || '|' ||
+       |CAST(jj.j AS VARCHAR)), 1, 1) BETWEEN '0' AND '7'
+       |THEN 1 ELSE -1 END AS sg
+       |FROM (SELECT CAST(unnest(range(0, 64)) AS INT) AS b) bb
+       |CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INT) AS j) jj),
+       |bits AS MATERIALIZED (SELECT vec_id, b,
+       |CASE WHEN sum(sg * v) > 0 THEN 1 ELSE 0 END AS bit
+       |FROM ex JOIN signs s ON ex.j = s.j + 1 GROUP BY vec_id, b)"""
+      .stripMargin
+
+  /** q31's oracle text, shared with q209 (a map self-reference at
+    * initialization would be circular). */
+  private lazy val sqlAnnTopk: String =
+    s"""SELECT q_id, c_id, rank FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+       |  FROM embeddings q CROSS JOIN embeddings c
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |WHERE rank <= 5""".stripMargin
+
+  private def oraclesAnnTopk: String = sqlAnnTopk
 
   /** DuckDB mirror of q205: the same integer trajectory, with the 12
     * power iterations unrolled as (w_k, s_k, v_k) CTE triples. */
