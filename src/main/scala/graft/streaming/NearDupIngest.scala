@@ -122,6 +122,26 @@ object NearDupIngest {
       LshIndex.compact(spark, indexName)
   }
 
+  /** Right-to-be-forgotten for the streaming tier: purge `ids` from
+    * every index table ([[LshIndex.remove]]'s bucket-preserving rewrite)
+    * so FUTURE batches stop being suppressed by them. Batch outputs
+    * already written are history — the keep/drop decisions they recorded
+    * stand; a takedown changes what the seen-corpus can match from now
+    * on, which is exactly the privacy obligation (the removed text no
+    * longer exists anywhere in the index storage). Remember the
+    * indexes-everything contract when issuing deletes: a doc's DROPPED
+    * near-dups also indexed, so forgetting a document means deleting its
+    * whole recorded cluster, or its dups keep suppressing new arrivals.
+    * Idempotent per deleteId via the batch marker discipline (and
+    * [[LshIndex.remove]] is itself idempotent under replay). */
+  def processDeletes(spark: SparkSession, ids: DataFrame, deleteId: Long,
+      indexName: String, outDir: String): Unit = {
+    val marker = new java.io.File(outDir, s"_deleted/$deleteId")
+    if (marker.exists()) return
+    LshIndex.remove(spark, indexName, ids)
+    marker.mkdirs()
+  }
+
   // ---------------------------------------------------------------------
   // Tier 2: state-store signature dedup — the HIGH-FREQUENCY tier.
   //

@@ -161,6 +161,33 @@ object VecDupIngest {
       IvfIndex.compact(spark, indexName)
   }
 
+  /** Right-to-be-forgotten for the vector tier (the [[NearDupIngest
+    * .processDeletes]] move): purge `ids` from the cells table via
+    * [[IvfIndex.remove]]'s bucket-preserving rewrite — removed vectors
+    * stop suppressing FUTURE arrivals; written batch decisions stand;
+    * the frozen centroids are untouched. If the deletion lands during
+    * the bootstrap-deferral window (no index yet), the pending staging
+    * area is filtered instead — the broadcast-sized brute path then
+    * never sees the ids either. Idempotent per deleteId. */
+  def processDeletes(spark: SparkSession, ids: DataFrame, deleteId: Long,
+      indexName: String, outDir: String): Unit = {
+    val marker = new java.io.File(outDir, s"_deleted/$deleteId")
+    if (marker.exists()) return
+    if (IvfIndex.exists(spark, indexName))
+      IvfIndex.remove(spark, indexName, ids)
+    val pendingDir = new java.io.File(outDir, "_pending")
+    if (pendingDir.isDirectory) {
+      val del = ids.select(col("vec_id")).distinct().localCheckpoint(true)
+      Option(pendingDir.listFiles()).foreach(_.filter(_.isDirectory)
+        .foreach { b =>
+          val kept = spark.read.parquet(b.getAbsolutePath)
+            .join(del, Seq("vec_id"), "left_anti").localCheckpoint(true)
+          kept.write.mode("overwrite").parquet(b.getAbsolutePath)
+        })
+    }
+    marker.mkdirs()
+  }
+
   /** The bootstrap-deferral window's exact batch step: brute-force
     * history match against the pending corpus (broadcast — < minSeed
     * rows by the deferral invariant), brute all-pairs in-batch

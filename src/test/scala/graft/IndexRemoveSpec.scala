@@ -60,6 +60,53 @@ class IndexRemoveSpec extends AnyFunSuite {
     assert(again == after)
   }
 
+  test("streaming: a takedown between batches un-suppresses future " +
+    "near-dups (forget everything -> next batch follows pure q80)") {
+    import graft.streaming.NearDupIngest
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    Seq("rms_idx_bands", "rms_idx_shingles").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    NearDupIngest.ensureIndex(spark, "rms_idx", buckets = 4)
+    val out = Files.createTempDirectory("rms_out").toString
+    NearDupIngest.processBatch(spark, docs, 0L, "rms_idx", out)
+    val kept0 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept0.size < docs.count(), "corpus must contain near-dups")
+    // re-ingesting the same corpus under shifted ids: with history
+    // intact EVERYTHING is a history dup
+    val shifted = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      col("text"))
+    NearDupIngest.processBatch(spark, shifted, 1L, "rms_idx", out)
+    assert(spark.read.parquet(s"$out/batch=1").count() == 0)
+    // takedown of the WHOLE recorded corpus (kept + dropped — the
+    // indexes-everything contract means forgetting a cluster, not a doc)
+    NearDupIngest.processDeletes(spark,
+      docs.select("doc_id").unionAll(shifted.select("doc_id")),
+      0L, "rms_idx", out)
+    // the same content arrives again: nothing suppresses it — the batch
+    // keep set is exactly the pure in-batch q80 rule
+    val again = docs.select((col("doc_id") + 200000L).as("doc_id"),
+      col("text"))
+    NearDupIngest.processBatch(spark, again, 2L, "rms_idx", out)
+    val kept2 = spark.read.parquet(s"$out/batch=2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == batchKeptIds(again))
+    assert(kept2.nonEmpty)
+  }
+
+  /** The batch q80 keep rule (the NearDupIngestSpec reference). */
+  private def batchKeptIds(d: org.apache.spark.sql.DataFrame): Set[Long] = {
+    implicit val s: SparkSession = spark
+    val pairs = graft.queries.TextOps.lshVerifiedPairs(d)
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    val drops = graft.operators.ConnectedComponents.runPropagation(pairs)
+      .filter(col("node") =!= col("component"))
+      .collect().map(_.getLong(0)).toSet
+    d.select("doc_id").collect().map(_.getLong(0)).toSet -- drops
+  }
+
   test("IVF: removed vec_ids stop matching, _cents frozen, idempotent") {
     val vecs = graft.core.Tables
       .load(spark, "/root/testdata/sf0.001", "embeddings")
