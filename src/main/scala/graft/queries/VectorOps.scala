@@ -449,49 +449,57 @@ object VectorOps {
     // follow bit-identical trajectories (a float norm would make the
     // 12th iterate a last-ulp lottery across engines).
     "q205_pca_power" -> ((s, dir) => {
-      val d = 64
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), quant(col("embedding")).as("q"))
-      // ONE corpus pass gathers every sufficient statistic: the flat
-      // cell array is [q (the d per-dim sums), upper-triangle products]
-      // built in-row, so the exchange carries ≤ d(d+3)/2 partial cells
-      // per partition. Centering never touches the corpus — the exact
-      // integer identity Σ(x-m)(x-m)ᵀ = Σxxᵀ - m·sᵀ - s·mᵀ + n·m·mᵀ
-      // (with m = floor(s/n)) reconstructs the centered covariance on
-      // the driver from these raw moments.
-      val stats = Tables.spread(e, col("vec_id"))
-        .select(posexplode(concat(col("q"),
-          flatten(transform(col("q"), (vi, i) =>
-            transform(slice(col("q"), i + 1, lit(d)),
-              (vj, _) => vi * vj))))).as(Seq("k", "p")))
-        .groupBy("k").agg(sum("p").as("sp"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val n = e.count()
-      val sums = Array.tabulate(d)(i => stats(i))
-      val ms = sums.map(Math.floorDiv(_, n))
-      val cs = new Array[Long](d * d)
-      var k = d
-      for (i <- 0 until d; j <- i until d) {
-        val cov = stats(k) - ms(i) * sums(j) - ms(j) * sums(i) +
-          n * ms(i) * ms(j)
-        val c = Math.floorDiv(cov, 1048576L)
-        cs(i * d + j) = c; cs(j * d + i) = c
-        k += 1
-      }
-      var v = Array.fill(d)(1048576L)
-      for (_ <- 1 to 12) {
-        val w = Array.tabulate(d)(i =>
-          (0 until d).map(j => cs(i * d + j) * v(j)).sum)
-        val dd = w.map(math.abs).max / 1048576L + 1
-        v = w.map(Math.floorDiv(_, dd))
-      }
+      val (ms, v) = pcaLoadings(e)
       // projection = Σ(q-m)·v = Σq·v - Σm·v: one in-row fold against the
       // literal loading vector minus a driver constant — the final plan
       // is a bare scan, zero exchanges
-      val mv = (0 until d).map(i => ms(i) * v(i)).sum
+      val mv = ms.indices.map(i => ms(i) * v(i)).sum
       e.select(col("vec_id"),
         (aggregate(zip_with(col("q"), typedLit(v.toSeq), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x) - lit(mv)).as("proj"))
+    }),
+
+    // Embedding-distribution DRIFT detection — the corpus-health gate
+    // for the vector side (a new crawl/encoder rev whose embeddings
+    // moved will poison dedup thresholds and index recall before anyone
+    // looks at a query): fit the principal axis on the REFERENCE slice
+    // only, project BOTH slices onto it, histogram into 16 integer
+    // equi-width bins sized on the reference range, and report per-bin
+    // rates + absolute drift. All binning is BIGINT arithmetic (clamped
+    // truncating division — identical post-clamp in both engines); the
+    // only float math is the fixed-shape per-row rate rounding (the
+    // q195 discipline). Shape: the q205 moment pass on the ref slice +
+    // one projection scan + a 16-key agg — nothing corpus-quadratic.
+    "q210_embedding_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), quant(col("embedding")).as("q"))
+      val isNew = col("vec_id") % 5 === 0
+      val (ms, v) = pcaLoadings(e.filter(!isNew))
+      val mv = ms.indices.map(i => ms(i) * v(i)).sum
+      val proj = e.select(col("vec_id"), isNew.as("is_new"),
+        (aggregate(zip_with(col("q"), typedLit(v.toSeq), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x) - lit(mv)).as("proj"))
+      val bounds = proj.filter(!col("is_new"))
+        .agg(min("proj").as("lo"), max("proj").as("hi"))
+      proj.crossJoin(broadcast(bounds))
+        .select(col("is_new"),
+          greatest(lit(0L), least(lit(15L),
+            expr("((proj - lo) * 16) div (hi - lo + 1)"))).as("bin"))
+        .groupBy("bin")
+        .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+        .crossJoin(broadcast(proj.groupBy()
+          .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).as("t_ref"),
+            sum(when(col("is_new"), 1L).otherwise(0L)).as("t_new"))))
+        .select(col("bin"), col("n_ref"), col("n_new"),
+          round(col("n_ref").cast("double") / col("t_ref"), 6)
+            .as("ref_rate"),
+          round(col("n_new").cast("double") / col("t_new"), 6)
+            .as("new_rate"),
+          round(abs(col("n_new").cast("double") / col("t_new") -
+            col("n_ref").cast("double") / col("t_ref")), 6).as("drift"))
     }),
 
     // Sign-random-projection fingerprint (Charikar'02 SimHash for DENSE
@@ -541,6 +549,48 @@ object VectorOps {
           round(col("n_hit") / 3.0, 6).as("recall"))
     })
   )
+
+  /** q205/q210 shared kernel: integer-exact top principal component.
+    * ONE pass over `(vec_id, q)` gathers every sufficient statistic (the
+    * flat cell array is [q (the d per-dim sums), upper-triangle
+    * products] built in-row, so the exchange carries ≤ d(d+3)/2 partial
+    * cells per partition); centering never touches the corpus — the
+    * exact integer identity Σ(x-m)(x-m)ᵀ = Σxxᵀ - m·sᵀ - s·mᵀ + n·m·mᵀ
+    * (with m = floor(s/n)) reconstructs the centered covariance on the
+    * driver from the raw moments (d(d+3)/2 collected cells — a bounded
+    * model artifact); 12 all-BIGINT power iterations with the
+    * floor(w/(s//2^20+1)) max-abs renorm give a bit-deterministic
+    * loading vector. Returns (means, loadings). */
+  private[graft] def pcaLoadings(e: DataFrame): (Array[Long], Array[Long]) = {
+    val d = 64
+    val stats = Tables.spread(e, col("vec_id"))
+      .select(posexplode(concat(col("q"),
+        flatten(transform(col("q"), (vi, i) =>
+          transform(slice(col("q"), i + 1, lit(d)),
+            (vj, _) => vi * vj))))).as(Seq("k", "p")))
+      .groupBy("k").agg(sum("p").as("sp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = e.count()
+    val sums = Array.tabulate(d)(i => stats(i))
+    val ms = sums.map(Math.floorDiv(_, n))
+    val cs = new Array[Long](d * d)
+    var k = d
+    for (i <- 0 until d; j <- i until d) {
+      val cov = stats(k) - ms(i) * sums(j) - ms(j) * sums(i) +
+        n * ms(i) * ms(j)
+      val c = Math.floorDiv(cov, 1048576L)
+      cs(i * d + j) = c; cs(j * d + i) = c
+      k += 1
+    }
+    var v = Array.fill(d)(1048576L)
+    for (_ <- 1 to 12) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cs(i * d + j) * v(j)).sum)
+      val dd = w.map(math.abs).max / 1048576L + 1
+      v = w.map(Math.floorDiv(_, dd))
+    }
+    (ms, v)
+  }
 
   /** q206/q209 shared kernel: 64-bit sign-random-projection fingerprint
     * as two band-ready 32-bit halves. The ±1 hyperplanes are md5-derived
@@ -1002,7 +1052,44 @@ object VectorOps {
          |    ORDER BY n_votes DESC, s_label) AS rv FROM votes)
          |WHERE rv = 1""".stripMargin,
 
-    "q205_pca_power" -> sqlPca,
+    "q205_pca_power" ->
+      s"""WITH ${sqlPcaChain("")}
+         |SELECT cen.vec_id, CAST(sum(cen.c * v12.v) AS BIGINT) AS proj
+         |FROM cen JOIN v12 ON cen.i = v12.i GROUP BY cen.vec_id"""
+        .stripMargin,
+
+    // the q205 chain fitted on the REFERENCE slice only, then projection
+    // + integer binning of BOTH slices
+    "q210_embedding_drift" ->
+      s"""WITH ${sqlPcaChain(" WHERE vec_id % 5 <> 0")},
+         |qa AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |exa AS (SELECT vec_id, CAST(i AS INT) AS i, q[CAST(i AS INT)] AS v
+         |  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS i FROM qa)),
+         |cena AS (SELECT vec_id, exa.i AS i, exa.v - m.mv AS c
+         |  FROM exa JOIN m USING (i)),
+         |proj AS MATERIALIZED (SELECT cena.vec_id,
+         |    cena.vec_id % 5 = 0 AS is_new,
+         |    CAST(sum(cena.c * v12.v) AS BIGINT) AS proj
+         |  FROM cena JOIN v12 ON cena.i = v12.i GROUP BY cena.vec_id),
+         |bounds AS (SELECT min(proj) AS lo, max(proj) AS hi
+         |  FROM proj WHERE NOT is_new),
+         |binned AS (SELECT is_new, greatest(0, least(15,
+         |    ((proj - lo) * 16) // (hi - lo + 1))) AS bin
+         |  FROM proj, bounds),
+         |cnts AS MATERIALIZED (SELECT bin,
+         |    sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS n_ref,
+         |    sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_new
+         |  FROM binned GROUP BY bin),
+         |tot AS (SELECT sum(n_ref) AS t_ref, sum(n_new) AS t_new FROM cnts)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+         |  CAST(n_new AS BIGINT) AS n_new,
+         |  round(n_ref / CAST(t_ref AS DOUBLE), 6) AS ref_rate,
+         |  round(n_new / CAST(t_new AS DOUBLE), 6) AS new_rate,
+         |  round(abs(n_new / CAST(t_new AS DOUBLE) -
+         |    n_ref / CAST(t_ref AS DOUBLE)), 6) AS drift
+         |FROM cnts, tot""".stripMargin,
 
     // the ±1 matrix regenerates from md5 in SQL exactly as the Spark
     // side regenerates it from MessageDigest — same strings, same hash
@@ -1075,9 +1162,12 @@ object VectorOps {
 
   private def oraclesAnnTopk: String = sqlAnnTopk
 
-  /** DuckDB mirror of q205: the same integer trajectory, with the 12
-    * power iterations unrolled as (w_k, s_k, v_k) CTE triples. */
-  private lazy val sqlPca: String = {
+  /** DuckDB mirror of [[pcaLoadings]] as a CTE chain: the same integer
+    * trajectory, the 12 power iterations unrolled as (w_k, s_k, v_k)
+    * triples, fitted on `embeddings$where`. Ends with `cen` (the fitted
+    * slice's centered values), `m` (means) and `v12` (loadings) in
+    * scope for the caller's final SELECT. */
+  private def sqlPcaChain(where: String): String = {
     // exact floor division via the pmod trick — `//` truncates in DuckDB,
     // but on the exact multiple it equals floor, same as Spark's `div`
     def fd(x: String, d: String) = s"($x - ((($x % $d) + $d) % $d)) // $d"
@@ -1094,12 +1184,12 @@ object VectorOps {
          |  SELECT i, ${fd("w", "dd")} AS v FROM w$k, s$k)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+    s"""qf AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
-       |  FROM embeddings),
+       |  FROM embeddings$where),
        |ex AS (SELECT vec_id, CAST(i AS INT) AS i, q[CAST(i AS INT)] AS v
-       |  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS i FROM q)),
-       |m AS (SELECT i, ${fd("sum(v)", "count(*)")} AS mv
+       |  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS i FROM qf)),
+       |m AS MATERIALIZED (SELECT i, ${fd("sum(v)", "count(*)")} AS mv
        |  FROM ex GROUP BY i),
        |cen AS (SELECT vec_id, ex.i AS i, ex.v - m.mv AS c
        |  FROM ex JOIN m USING (i)),
@@ -1108,9 +1198,7 @@ object VectorOps {
        |  FROM cen a JOIN cen b USING (vec_id) GROUP BY a.i, b.i),
        |v0 AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i,
        |  CAST(1048576 AS BIGINT) AS v),
-       |$its
-       |SELECT cen.vec_id, CAST(sum(cen.c * v12.v) AS BIGINT) AS proj
-       |FROM cen JOIN v12 ON cen.i = v12.i GROUP BY cen.vec_id""".stripMargin
+       |$its""".stripMargin
   }
 
   /** DuckDB mirror of [[kmeansAssign]] (q91/q92 share it). */
