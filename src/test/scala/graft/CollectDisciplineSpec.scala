@@ -62,6 +62,9 @@ class CollectDisciplineSpec extends AnyFunSuite {
       "k-means packed-centroid codebook (k*d) + q205 raw-moment cells " +
         "(d(d+3)/2 = 2144 rows, the distributed agg reduces the corpus " +
         "BEFORE the collect — a fixed-size model artifact)"),
+    "streaming/VecHealth.scala" -> (2,
+      "fit's 1-row projection bounds + the <=16-row bin histogram " +
+        "(binCounts — the metrics-model class, never corpus-sized)"),
     "streaming/CorpusHealth.scala" -> (1,
       "per-micro-batch health snapshot handed to the driver callback: " +
         "ONE row of 5 scalars (the metrics-sink class), never corpus-sized"),
