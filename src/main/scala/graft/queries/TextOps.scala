@@ -1468,6 +1468,33 @@ object TextOps {
         .filter(col("lcp") >= 4)
     }),
 
+    // Quality-priority dedup apply — q80 with the keeper a pipeline
+    // actually wants: production dedup keeps the BEST copy of a near-dup
+    // cluster (the boilerplate-stripped or untruncated one), not the
+    // lowest-id arrival. Keeper = argmax (n_chars, doc_id) per cluster
+    // via one max-struct aggregate (partial-aggregates map-side, the
+    // q189 rule — no rank window); singleton docs are their own cluster
+    // through the coalesce, so the left join adds no corpus re-shuffle
+    // beyond q80's own component join. Same pair/propagation machinery
+    // and scale shape as q46/q80.
+    "q211_priority_dedup" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val pairs = lshVerifiedPairs(docs)
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      val comp = graft.operators.ConnectedComponents.runPropagation(pairs)
+        .select(col("node").as("doc_id"), col("component"))
+      val lab = docs.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"),
+          col("n_chars"))
+      val keep = lab.groupBy("cluster")
+        .agg(max(struct(col("n_chars"), col("doc_id"))).as("k"))
+        .select(col("cluster"), col("k.doc_id").as("doc_id"))
+      lab.join(keep, Seq("cluster", "doc_id"))
+        .select(col("doc_id"), col("cluster"), col("n_chars"))
+    }),
+
     // Audio NEAR-dup pairing — closes the loop q202 opened: every 89th
     // document "re-records" the previous one's clip with a single
     // perturbed sample (+4096 on sample 5 — one energy window moves, so
@@ -2493,6 +2520,19 @@ object TextOps {
          |      32) AS BIGINT) AS lcp
          |  FROM ex GROUP BY srank, d1, p1, d2, p2)
          |WHERE lcp >= 4""".stripMargin,
+
+    "q211_priority_dedup" ->
+      s"""WITH RECURSIVE ${sqlLshClusterChain("documents")},
+         |lab AS (SELECT d.doc_id,
+         |    coalesce(c.cluster_id, d.doc_id) AS cluster, d.n_chars
+         |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+         |keep AS (SELECT cluster, doc_id AS keeper FROM (
+         |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_chars DESC, doc_id DESC) AS rn FROM lab)
+         |  WHERE rn = 1)
+         |SELECT l.doc_id, l.cluster, CAST(l.n_chars AS BIGINT) AS n_chars
+         |FROM lab l JOIN keep k
+         |  ON l.cluster = k.cluster AND l.doc_id = k.keeper""".stripMargin,
 
     // the q202 arithmetic restatement, extended with the replica
     // perturbation, the byte-level band join (one byte ≡ one 2-hex-char

@@ -245,6 +245,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q208_wordpiece_encode"      -> 2, // q126's shape: distinct-token agg + per-doc agg; the greedy fold is in-row, pieces a collected model artifact (caveat a)
     "q209_srp_recall"            -> 2, // q122's shape: exact side carries q31's window exchange; approx side broadcasts the 10-query probe + 10-row groupBy
     "q210_embedding_drift"       -> 3, // ref-slice moments at construction (caveat a); final plan = projection scan + 16-key bin agg + 1-row totals agg, bounds/totals broadcast
+    "q211_priority_dedup"        -> 7, // q80's pair/propagation shape (construction-checkpointed components) + cluster label join + max-struct keeper agg + keeper join
     "q97_collapse_repeats"       -> 0,
     "q98_vocab_topk"             -> 2,
     "q99_quality_filter"         -> 0
