@@ -304,7 +304,17 @@ object LshIndex {
     * takedown-sized in practice; no broadcast hint, so AQE broadcasts
     * it while small and degrades to a shuffle anti-join — not an OOM —
     * if a mass delete outgrows it. Idempotent: re-removing absent ids
-    * is a no-op rewrite. */
+    * is a no-op rewrite.
+    *
+    * Atomicity contract: the tmp-swap is per TABLE, not per index — a
+    * crash between the bands and shingles rewrites leaves ids purged
+    * from one table but present in another. MATCHING is already safe
+    * then (candidates require a bands hit, rewritten first), but the
+    * storage-purge guarantee holds only after a completed call: callers
+    * owning a privacy deadline must retry to completion on failure
+    * (idempotency makes the retry converge), as
+    * [[graft.streaming.NearDupIngest.processDeletes]] does via its
+    * _deleted marker discipline. */
   def remove(spark: SparkSession, name: String, ids: DataFrame): Unit = {
     val del = ids.select(col("doc_id")).distinct().localCheckpoint(true)
     def anti(df: DataFrame): DataFrame =

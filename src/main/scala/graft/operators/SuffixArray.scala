@@ -72,21 +72,28 @@ object SuffixArray {
         wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Returns (ranked frame, rank-class count, row count) — the row count
+    * rides the same per-partition agg, so the all-classes-singleton
+    * early exit in [[tokenSuffixRanks]] costs no extra job. */
   private[graft] def denseRankInPlace(df: DataFrame, keys: Seq[String],
-      out: String): (DataFrame, Long) = {
+      out: String): (DataFrame, Long, Long) = {
     val flagged = flagPlan(df, keys).localCheckpoint(true)
-    val perPart = flagged.groupBy("_pid").agg(max("_run").as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val perPart = flagged.groupBy("_pid")
+      .agg(max("_run").as("n"), count(lit(1)).as("rows"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
     val offsets: Map[Int, Long] = {
       var acc = 0L
-      perPart.map { case (pid, n) => val o = pid -> acc; acc += n; o }.toMap
+      perPart.map { case (pid, n, _) =>
+        val o = pid -> acc; acc += n; o }.toMap
     }
     val total = perPart.map(_._2).sum
+    val rows = perPart.map(_._3).sum
     val ranked = flagged
       .withColumn(out,
         col("_run") + element_at(typedLit(offsets), col("_pid")))
       .drop("_pid", "_new", "_run")
-    (ranked, total)
+    (ranked, total, rows)
   }
 
   /** Token-level suffix ranks for a corpus: one row per (doc_id, p) with
@@ -97,40 +104,50 @@ object SuffixArray {
     *
     * `docs` must have `doc_id`; `tokens` is the token-array column.
     */
-  def tokenSuffixRanks(docs: DataFrame, tokens: Column): DataFrame = {
+  def tokenSuffixRanks(docs: DataFrame, tokens: Column,
+      seedWidth: Int = 8): DataFrame = {
     // the doubling can stop once h covers the longest suffix: every
     // comparison past that depth sees only the end-sentinel, so the
     // round cannot split a class (one cheap agg, saves the final no-op
     // round whenever repeats run long enough that classes still split
     // at h = maxLen/2)
-    val maxLen = docs.agg(max(size(tokens))).head().getInt(0).toLong
-    // seed: per-position 8-token slices, built in-row before the explode
-    // (the seed round's one range-sort compares 8 tokens at once, so the
-    // doubling starts at h=8 — each seed token doubles the seed-round
-    // payload but saves a full 3-exchange round, a measured win)
+    // empty-corpus guard: max over zero rows is null — rank an empty
+    // seed frame (one cheap pass) instead of NPEing on getInt
+    val mxRow = docs.agg(max(size(tokens))).head()
+    val maxLen = if (mxRow.isNullAt(0)) 0L else mxRow.getInt(0).toLong
+    // seed: per-position seedWidth-token slices, built in-row before the
+    // explode (the seed round's one range-sort compares seedWidth tokens
+    // at once, so the doubling starts at h=seedWidth — each doubling of
+    // the seed multiplies the seed-round payload but deletes a full
+    // 3-exchange doubling round; 8→32 measured 13.1→10.6 s on q203+q204
+    // at sf0.1, where maxLen=100 makes 32 cut the round count 4→2)
     val seeded = docs
       .select(col("doc_id"), tokens.as("_toks"))
       .select(col("doc_id"), posexplode(
         transform(col("_toks"),
-          (_, i) => slice(col("_toks"), i + 1, lit(8))))
+          (_, i) => slice(col("_toks"), i + 1, lit(seedWidth))))
         .as(Seq("_p0", "_k")))
       .select(col("doc_id"), (col("_p0") + 1).cast("long").as("p"),
         col("_k"))
-    var (r, classes) =
+    var (r, classes, rows) =
       denseRankInPlace(seeded, Seq("_k"), "rank")
     r = r.select(col("doc_id"), col("p"), col("rank"))
     var prevClasses = -1L
-    var h = 8L
+    var h = seedWidth.toLong
     // each round extends the compared prefix from h to 2h tokens; stop
-    // when no rank class split (the suffix-equivalence fixpoint)
-    while (classes != prevClasses && h < maxLen) {
+    // when no rank class split (the suffix-equivalence fixpoint) OR when
+    // every class is already a singleton (classes == rows: the next
+    // round provably cannot split anything — on natural corpora, where
+    // all suffixes usually become distinct, this skips one full
+    // 3-exchange dead round the fixpoint test alone would pay)
+    while (classes != prevClasses && classes != rows && h < maxLen) {
       val wdoc = Window.partitionBy("doc_id").orderBy("p")
       val paired = r.select(col("doc_id"), col("p"),
         col("rank").as("_r1"),
         coalesce(lead("rank", h.toInt).over(wdoc), lit(0L)).as("_r2"))
       // _r2 = 0 marks a suffix that ends before p+h: sorts first, like
       // the shorter string in a prefix comparison
-      val (ranked, n) = denseRankInPlace(paired, Seq("_r1", "_r2"), "rank")
+      val (ranked, n, _) = denseRankInPlace(paired, Seq("_r1", "_r2"), "rank")
       r = ranked.select(col("doc_id"), col("p"), col("rank"))
       prevClasses = classes
       classes = n

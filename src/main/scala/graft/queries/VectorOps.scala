@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
+import graft.functions.VecMoments
 
 /** Embedding similarity pack over the `embeddings` table (64-dim float vecs).
   *
@@ -436,22 +437,25 @@ object VectorOps {
     // PCA top principal component by integer-exact power iteration — the
     // dimensionality-reduction primitive an embedding pipeline runs
     // before coarse indexing/visualization. Distribution shape: the
-    // covariance is ONE map-side-combined agg over in-row outer products
-    // (each scanned row emits its 64×64 cell array; the exchange carries
-    // ≤ d² partial cells per partition, never vectors), the 12-step
-    // eigensolve runs on the collected d×d matrix (4096 cells — a
+    // sufficient statistics are ONE native vec_moments aggregate over
+    // the scan (fixed 2,145-Long state per partition, no row
+    // multiplication — the r13 posexplode plan turned 2,000 vectors
+    // into 4.2M rows and tripped the ratio gate), the 12-step
+    // eigensolve runs on the driver's d×d matrix (4096 cells — a
     // bounded model artifact, the codebook class), and the projection is
     // a second corpus scan folding against the broadcast-literal
-    // loading vector in-row. ALL arithmetic is BIGINT-exact: 2^20
-    // quantization, pmod floor-div for the mean/covariance scaling, and
-    // a max-abs renormalization per iteration as floor(w / (s//2^20+1))
+    // loading vector in-row. ALL arithmetic is BIGINT-exact:
+    // row-count-selected quantization (pcaScale — 2^20 at gate SFs,
+    // oracle-mirrored), pmod floor-div for the mean/covariance scaling,
+    // and a max-abs renormalization per iteration as floor(w/(s//sc+1))
     // — so the driver loop and the oracle's unrolled recursive CTEs
     // follow bit-identical trajectories (a float norm would make the
     // 12th iterate a last-ulp lottery across engines).
     "q205_pca_power" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), quant(col("embedding")).as("q"))
-      val (ms, v) = pcaLoadings(e)
+      val raw = t(s, dir, "embeddings")
+      val sc = pcaScale(raw.count())
+      val e = raw.select(col("vec_id"), quantAt(col("embedding"), sc).as("q"))
+      val (ms, v) = pcaLoadings(e, sc)
       // projection = Σ(q-m)·v = Σq·v - Σm·v: one in-row fold against the
       // literal loading vector minus a driver constant — the final plan
       // is a bare scan, zero exchanges
@@ -473,10 +477,15 @@ object VectorOps {
     // q195 discipline). Shape: the q205 moment pass on the ref slice +
     // one projection scan + a 16-key agg — nothing corpus-quadratic.
     "q210_embedding_drift" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), quant(col("embedding")).as("q"))
+      val raw = t(s, dir, "embeddings")
+      val isNewRaw = col("vec_id") % 5 === 0
+      // scale from the FIT slice's row count (the reference corpus sizes
+      // the arithmetic); both slices quantize at the same scale so the
+      // projection is comparable
+      val sc = pcaScale(raw.filter(!isNewRaw).count())
+      val e = raw.select(col("vec_id"), quantAt(col("embedding"), sc).as("q"))
       val isNew = col("vec_id") % 5 === 0
-      val (ms, v) = pcaLoadings(e.filter(!isNew))
+      val (ms, v) = pcaLoadings(e.filter(!isNew), sc)
       val mv = ms.indices.map(i => ms(i) * v(i)).sum
       val proj = e.select(col("vec_id"), isNew.as("is_new"),
         (aggregate(zip_with(col("q"), typedLit(v.toSeq), (a, b) => a * b),
@@ -550,56 +559,79 @@ object VectorOps {
     })
   )
 
+  /** Largest corpus for which the moment pass is overflow-free at the
+    * full 2^20 quantization: Σqᵢqⱼ sums n products of two |q| ≤ X·2^20
+    * cells, so with the |x| ≤ 2 data envelope n·(2·2^20)² must stay
+    * under 2^63 ⇒ n ≤ 2^21 ≈ 2.1e6. */
+  private[graft] val PcaTier1MaxRows = 2000000L
+
+  /** Row-count-selected quantization scale for the PCA kernel (the r13
+    * overflow headroom, now code instead of a SCALE.md comment). Tier 1
+    * (2^20) is the oracle-pinned gate arithmetic; tier 2 (2^14) keeps
+    * the BIGINT second moments exact to n·(2·2^14)² < 2^63 ⇒ n < 2^33 ≈
+    * 8.6e9 rows — past any plausible embedding corpus. The DuckDB
+    * oracle mirrors the same CASE on count(*) (sqlPcaChain), so the two
+    * engines switch tiers together. */
+  private[graft] def pcaScale(n: Long): Long =
+    if (n <= PcaTier1MaxRows) 1048576L else 16384L
+
   /** q205/q210 shared kernel: integer-exact top principal component.
-    * ONE pass over `(vec_id, q)` gathers every sufficient statistic (the
-    * flat cell array is [q (the d per-dim sums), upper-triangle
-    * products] built in-row, so the exchange carries ≤ d(d+3)/2 partial
-    * cells per partition); centering never touches the corpus — the
-    * exact integer identity Σ(x-m)(x-m)ᵀ = Σxxᵀ - m·sᵀ - s·mᵀ + n·m·mᵀ
-    * (with m = floor(s/n)) reconstructs the centered covariance on the
-    * driver from the raw moments (d(d+3)/2 collected cells — a bounded
-    * model artifact); 12 all-BIGINT power iterations with the
-    * floor(w/(s//2^20+1)) max-abs renorm give a bit-deterministic
-    * loading vector. Returns (means, loadings). */
-  private[graft] def pcaLoadings(e: DataFrame): (Array[Long], Array[Long]) = {
+    * ONE native `vec_moments` aggregate over `(vec_id, q)` gathers every
+    * sufficient statistic — count, per-dim sums, upper-triangle Σqᵢqⱼ —
+    * in a fixed 2,145-Long state per partition (map-side mergeable, no
+    * row multiplication; the r13 posexplode formulation at ×2,081
+    * rows/vector was the round's ratio violation). Centering never
+    * touches the corpus — the exact integer identity
+    * Σ(x-m)(x-m)ᵀ = Σxxᵀ - m·sᵀ - s·mᵀ + n·m·mᵀ (with m = floor(s/n))
+    * reconstructs the centered covariance on the driver from the raw
+    * moments (d(d+3)/2 collected cells — a bounded model artifact); 12
+    * all-BIGINT power iterations with the floor(w/(max|w|//sc+1))
+    * max-abs renorm give a bit-deterministic loading vector. The power
+    * pass carries its own exact overflow guard: renorm bounds |v| ≤ sc,
+    * so |w| ≤ d·max|cs|·sc is driver-checkable before iterating — when
+    * the bound nears 2^63 the covariance is pre-shrunk by a power of
+    * two (direction-preserving; never fires at oracle-gated SFs, where
+    * the trajectory stays bit-identical to DuckDB's).
+    * Returns (means, loadings). */
+  private[graft] def pcaLoadings(
+      e: DataFrame, sc: Long = 1048576L): (Array[Long], Array[Long]) = {
     val d = 64
-    // one flat transform over literal (i,j) index maps — the nested
-    // transform+flatten+concat formulation allocated 64 sub-arrays plus
-    // two copies per row and measured ~35% slower; cell 0 carries the
-    // row count so n rides the same pass (no separate count job).
-    // Layout: [1 (count), q (d sums), upper-triangle products]
-    val tri = (0 until d).flatMap(i => (i until d).map(j => (i, j)))
-    val ii = tri.map(_._1 + 1)
-    val jj = tri.map(_._2 + 1)
-    val cells = concat(array(lit(1L)), col("q"),
-      transform(sequence(lit(0), lit(tri.size - 1)), k =>
-        element_at(col("q"), element_at(typedLit(ii), k + 1)) *
-          element_at(col("q"), element_at(typedLit(jj), k + 1))))
-    val stats0 = Tables.spread(e, col("vec_id"))
-      .select(posexplode(cells).as(Seq("k", "p")))
-      .groupBy("k").agg(sum("p").as("sp"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = stats0(0)
-    val stats = stats0.map { case (k, v) => (k - 1) -> v }
-    val sums = Array.tabulate(d)(i => stats(i))
+    val stats = e.agg(VecMoments(col("q"), d).as("m"))
+      .head().getSeq[Long](0).toArray
+    val n = stats(0)
+    if (n == 0L) return (new Array[Long](d), Array.fill(d)(sc))
+    val sums = Array.tabulate(d)(i => stats(1 + i))
     val ms = sums.map(Math.floorDiv(_, n))
     val cs = new Array[Long](d * d)
-    var k = d
+    var k = 1 + d
     for (i <- 0 until d; j <- i until d) {
       val cov = stats(k) - ms(i) * sums(j) - ms(j) * sums(i) +
         n * ms(i) * ms(j)
-      val c = Math.floorDiv(cov, 1048576L)
+      val c = Math.floorDiv(cov, sc)
       cs(i * d + j) = c; cs(j * d + i) = c
       k += 1
     }
-    var v = Array.fill(d)(1048576L)
+    val (ms2, v) = (ms, powerIterate(cs, d, sc))
+    (ms2, v)
+  }
+
+  /** Driver-side integer power iteration with an exact overflow guard
+    * (see [[pcaLoadings]]). Exposed for the overflow-boundary spec. */
+  private[graft] def powerIterate(
+      cs: Array[Long], d: Int, sc: Long): Array[Long] = {
+    val maxCs = math.max(cs.map(math.abs).max, 1L)
+    val safeCs = Long.MaxValue / (2L * d * sc)
+    var g = 1L
+    while (maxCs / g > safeCs) g *= 2L
+    val csg = if (g == 1L) cs else cs.map(Math.floorDiv(_, g))
+    var v = Array.fill(d)(sc)
     for (_ <- 1 to 12) {
       val w = Array.tabulate(d)(i =>
-        (0 until d).map(j => cs(i * d + j) * v(j)).sum)
-      val dd = w.map(math.abs).max / 1048576L + 1
+        (0 until d).map(j => csg(i * d + j) * v(j)).sum)
+      val dd = w.map(math.abs).max / sc + 1
       v = w.map(Math.floorDiv(_, dd))
     }
-    (ms, v)
+    v
   }
 
   /** q206/q209 shared kernel: 64-bit sign-random-projection fingerprint
@@ -681,8 +713,11 @@ object VectorOps {
   }
 
   /** round(x·2^20) as BIGINT — integer-exact embedding quantization. */
-  private def quant(e: Column): Column =
-    transform(e, x => round(x.cast("double") * 1048576.0).cast("long"))
+  private def quant(e: Column): Column = quantAt(e, 1048576L)
+
+  /** round(x·sc) as BIGINT at a row-count-selected scale ([[pcaScale]]). */
+  private def quantAt(e: Column, sc: Long): Column =
+    transform(e, x => round(x.cast("double") * sc.toDouble).cast("long"))
 
   /** Integer squared-L2 between two quantized vectors (BIGINT fold). */
   private def qdist2(a: Column, b: Column): Column =
@@ -1072,11 +1107,11 @@ object VectorOps {
     // + integer binning of BOTH slices
     "q210_embedding_drift" ->
       s"""WITH ${sqlPcaChain(" WHERE vec_id % 5 <> 0")},
-         |qa AS (SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |exa AS (SELECT vec_id, CAST(i AS INT) AS i, q[CAST(i AS INT)] AS v
-         |  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS i FROM qa)),
+         |exa AS (SELECT vec_id, CAST(i AS INT) AS i,
+         |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+         |      (SELECT sc FROM scq)) AS BIGINT) AS v
+         |  FROM (SELECT vec_id, embedding, unnest(range(1, 65)) AS i
+         |        FROM embeddings)),
          |cena AS (SELECT vec_id, exa.i AS i, exa.v - m.mv AS c
          |  FROM exa JOIN m USING (i)),
          |proj AS MATERIALIZED (SELECT cena.vec_id,
@@ -1185,29 +1220,36 @@ object VectorOps {
     // v_{k-1} — inlined, the 12-step chain expands 2^12 copies of the
     // base scan (observed as an fd-exhaustion in DuckDB); materializing
     // pins each 64-row iterate to one evaluation
+    // row-count-selected quantization (the pcaScale mirror): tier 1
+    // (2^20) at gate SFs, tier 2 (2^14) past 2e6 fit rows — same CASE,
+    // same threshold, so both engines switch together
+    val sc = "(SELECT sc FROM scq)"
     val its = (1 to 12).map { k =>
       s"""w$k AS MATERIALIZED (SELECT c.i AS i, sum(c.cs * v.v) AS w
          |  FROM cells c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i),
          |s$k AS MATERIALIZED (
-         |  SELECT max(abs(w)) // 1048576 + 1 AS dd FROM w$k),
+         |  SELECT max(abs(w)) // $sc + 1 AS dd FROM w$k),
          |v$k AS MATERIALIZED (
          |  SELECT i, ${fd("w", "dd")} AS v FROM w$k, s$k)"""
         .stripMargin
     }.mkString(",\n")
-    s"""qf AS (SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
-       |  FROM embeddings$where),
-       |ex AS (SELECT vec_id, CAST(i AS INT) AS i, q[CAST(i AS INT)] AS v
-       |  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS i FROM qf)),
+    s"""scq AS MATERIALIZED (SELECT CASE WHEN count(*) <= 2000000
+       |    THEN CAST(1048576 AS BIGINT) ELSE CAST(16384 AS BIGINT) END
+       |    AS sc FROM embeddings$where),
+       |ex AS (SELECT vec_id, CAST(i AS INT) AS i,
+       |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * $sc)
+       |      AS BIGINT) AS v
+       |  FROM (SELECT vec_id, embedding, unnest(range(1, 65)) AS i
+       |        FROM embeddings$where)),
        |m AS MATERIALIZED (SELECT i, ${fd("sum(v)", "count(*)")} AS mv
        |  FROM ex GROUP BY i),
        |cen AS (SELECT vec_id, ex.i AS i, ex.v - m.mv AS c
        |  FROM ex JOIN m USING (i)),
        |cells AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
-       |    ${fd("sum(a.c * b.c)", "1048576")} AS cs
+       |    ${fd("sum(a.c * b.c)", sc)} AS cs
        |  FROM cen a JOIN cen b USING (vec_id) GROUP BY a.i, b.i),
        |v0 AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i,
-       |  CAST(1048576 AS BIGINT) AS v),
+       |  $sc AS v),
        |$its""".stripMargin
   }
 

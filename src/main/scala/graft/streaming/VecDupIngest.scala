@@ -85,7 +85,8 @@ object VecDupIngest {
       // before the marker must not let a replayed batch self-match)
       val pendingDir = new java.io.File(outDir, "_pending")
       val pendingPaths = Option(pendingDir.listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName != s"batch=$batchId")
+        .filter(f => f.isDirectory && f.getName != s"batch=$batchId" &&
+          !f.getName.startsWith(TmpPrefix))
         .map(_.getAbsolutePath)
       val pending: Option[DataFrame] =
         if (pendingPaths.isEmpty) None
@@ -168,7 +169,16 @@ object VecDupIngest {
     * the frozen centroids are untouched. If the deletion lands during
     * the bootstrap-deferral window (no index yet), the pending staging
     * area is filtered instead — the broadcast-sized brute path then
-    * never sees the ids either. Idempotent per deleteId. */
+    * never sees the ids either. Idempotent per deleteId.
+    *
+    * Crash safety on the pending rewrite (the compactBucketed
+    * tmp-then-swap discipline): each staging dir is rewritten to a
+    * sibling `_tmp_` dir FIRST (complete iff parquet's _SUCCESS marker
+    * landed), then the original is dropped and the tmp renamed over it.
+    * Every crash window replays cleanly: tmp+original ⇒ tmp is
+    * stale/partial, discarded and redone; complete tmp alone ⇒ the
+    * rename is finished on the next call. Pending vectors are never
+    * lost to a half-written overwrite. */
   def processDeletes(spark: SparkSession, ids: DataFrame, deleteId: Long,
       indexName: String, outDir: String): Unit = {
     val marker = new java.io.File(outDir, s"_deleted/$deleteId")
@@ -178,15 +188,34 @@ object VecDupIngest {
     val pendingDir = new java.io.File(outDir, "_pending")
     if (pendingDir.isDirectory) {
       val del = ids.select(col("vec_id")).distinct().localCheckpoint(true)
-      Option(pendingDir.listFiles()).foreach(_.filter(_.isDirectory)
-        .foreach { b =>
-          val kept = spark.read.parquet(b.getAbsolutePath)
-            .join(del, Seq("vec_id"), "left_anti").localCheckpoint(true)
-          kept.write.mode("overwrite").parquet(b.getAbsolutePath)
-        })
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      // recover any swap a prior crash left half-done
+      Option(pendingDir.listFiles()).foreach(_.filter(f =>
+        f.isDirectory && f.getName.startsWith(TmpPrefix)).foreach { t =>
+        val orig = new java.io.File(pendingDir,
+          t.getName.stripPrefix(TmpPrefix))
+        if (!orig.exists() && new java.io.File(t, "_SUCCESS").exists())
+          t.renameTo(orig)
+        else rm(t)
+      })
+      Option(pendingDir.listFiles()).foreach(_.filter(f =>
+        f.isDirectory && !f.getName.startsWith(TmpPrefix)).foreach { b =>
+        val tmp = new java.io.File(pendingDir, TmpPrefix + b.getName)
+        spark.read.parquet(b.getAbsolutePath)
+          .join(del, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        rm(b)
+        tmp.renameTo(b)
+      })
     }
     marker.mkdirs()
   }
+
+  /** Staging-dir swap prefix — pending readers skip these. */
+  private val TmpPrefix = "_tmp_"
 
   /** The bootstrap-deferral window's exact batch step: brute-force
     * history match against the pending corpus (broadcast — < minSeed

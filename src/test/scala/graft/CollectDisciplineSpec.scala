@@ -58,10 +58,10 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "construction at any corpus scale, unlike the q134 raw vocab) " +
         "+ q208 piece inventory (LIMIT-64 TakeOrdered, the BPE-codebook " +
         "class)"),
-    "queries/VectorOps.scala" -> (2,
-      "k-means packed-centroid codebook (k*d) + q205 raw-moment cells " +
-        "(d(d+3)/2 = 2144 rows, the distributed agg reduces the corpus " +
-        "BEFORE the collect — a fixed-size model artifact)"),
+    "queries/VectorOps.scala" -> (1,
+      "k-means packed-centroid codebook (k*d); the q205 moment pass is " +
+        "now a 1-row head() over the native vec_moments aggregate (2,145 " +
+        "Long cells — a fixed-size model artifact, reduced distributed)"),
     "streaming/VecHealth.scala" -> (2,
       "fit's 1-row projection bounds + the <=16-row bin histogram " +
         "(binCounts — the metrics-model class, never corpus-sized)"),

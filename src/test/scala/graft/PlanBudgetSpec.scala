@@ -237,8 +237,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q94_db_timezone"            -> 0,
     "q95_guard_columns"          -> 0,
     "q96_experimental_types"     -> 0,
-    "q203_suffix_rank"           -> 0, // prefix-doubling rounds run at construction behind localCheckpoints (caveat b); per-round exchanges (3: doc-window lead + range repartition + pid window) pinned by SuffixArraySpec
-    "q205_pca_power"             -> 0, // raw-moment agg runs at construction (caveat a, 2144-cell model artifact); final plan = bare scan + in-row fold vs the literal loading vector
+    "q203_suffix_rank"           -> 0, // prefix-doubling rounds run ONCE per (session, corpus) at construction behind localCheckpoints (suffixRanks memo, the q123 discipline; caveat b); per-round exchanges (3: doc-window lead + range repartition + pid window) pinned by SuffixArraySpec
+    "q205_pca_power"             -> 0, // native vec_moments agg runs at construction (caveat a, 2145-cell model artifact, no row multiplication); final plan = bare scan + in-row fold vs the literal loading vector
     "q204_suffix_lcp"            -> 4, // over the checkpointed rank table: rep groupBy + toks join + srank+1 self-join; LCP is in-row
     "q206_srp_fingerprint"       -> 0, // bare scan: the ±1 plane matrix is a 64x64 literal folded in-row; bits pack in-row
     "q207_audio_neardup"         -> 1, // decode+fp at construction (zero-exchange mapPartitions, checkpointed); band self-join is the one exchange

@@ -76,6 +76,19 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(sparkRanks(docs) == bruteRanks(docs))
   }
 
+  test("empty corpus: returns an empty rank frame, no NPE") {
+    assert(sparkRanks(Seq.empty).isEmpty)
+  }
+
+  test("all-distinct corpus: singleton-class early exit preserves ranks") {
+    // every suffix unique after the 8-token seed — the classes == rows
+    // exit fires before any doubling round, and must not change results
+    val docs = Seq(
+      1L -> (1 to 20).map(i => s"t$i"),
+      2L -> (30 to 45).map(i => s"u$i"))
+    assert(sparkRanks(docs) == bruteRanks(docs))
+  }
+
   test("denseRankInPlace = reference dense rank, ties intact, " +
     "invariant across partition counts") {
     implicit val s: SparkSession = spark
@@ -91,11 +104,12 @@ class SuffixArraySpec extends AnyFunSuite {
     for (parts <- Seq("2", "7")) {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       try {
-        val (ranked, classes) = SuffixArray.denseRankInPlace(
+        val (ranked, classes, nRows) = SuffixArray.denseRankInPlace(
           rows.toDF("a", "b"), Seq("a", "b"), "rk")
         val got = ranked.collect()
           .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toSet
         assert(classes == rows.distinct.size.toLong, s"parts=$parts")
+        assert(nRows == rows.size.toLong, s"parts=$parts")
         assert(got == want, s"parts=$parts")
       } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
     }

@@ -241,4 +241,118 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got.size == all.length - seeds.length)
     got.foreach { case (_, _, v) => assert(v >= 1 && v <= 3) }
   }
+
+  // ---- q205 moment pass: the native vec_moments aggregate ----------------
+
+  /** Quantized (vec_id, q) frame from the fixture embeddings. */
+  private def quantized(parts: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.load(spark, sf, "embeddings")
+      .repartition(parts)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1048576.0).cast("long")).as("q"))
+  }
+
+  test("vec_moments: equals driver-computed sums, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val rows = quantized(1).collect()
+      .map(r => r.getSeq[Long](1).toArray)
+    val d = 64
+    val expect = new Array[Long](1 + d + d * (d + 1) / 2)
+    rows.foreach { q =>
+      expect(0) += 1
+      var k = 1 + d
+      for (i <- 0 until d) {
+        expect(1 + i) += q(i)
+        for (j <- i until d) { expect(k) += q(i) * q(j); k += 1 }
+      }
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = quantized(parts)
+        .agg(graft.functions.VecMoments(col("q"), d).as("m"))
+        .head().getSeq[Long](0).toArray
+      assert(got.sameElements(expect), s"parts=$parts")
+    }
+  }
+
+  test("pcaLoadings: empty frame returns zero means without NPE") {
+    val empty = quantized(1).filter("vec_id < 0")
+    val (ms, v) = VectorOps.pcaLoadings(empty)
+    assert(ms.forall(_ == 0L) && v.forall(_ == 1048576L))
+  }
+
+  test("pcaScale: tier switch at the 2e6 moment-exactness boundary") {
+    assert(VectorOps.pcaScale(0L) == 1048576L)
+    assert(VectorOps.pcaScale(VectorOps.PcaTier1MaxRows) == 1048576L)
+    assert(VectorOps.pcaScale(VectorOps.PcaTier1MaxRows + 1) == 16384L)
+    // the boundary is arithmetic, not empirical: at 2^20 quantization and
+    // the |x| <= 2 envelope, one second-moment cell sums n products each
+    // <= (2*2^20)^2, so n just past the tier-1 threshold could exceed 2^63
+    val cellBound = BigInt(VectorOps.PcaTier1MaxRows) *
+      BigInt(2L * 1048576L).pow(2)
+    assert(cellBound <= BigInt(Long.MaxValue),
+      "tier-1 threshold must keep the worst-case cell in range")
+    assert(cellBound * 4 > BigInt(Long.MaxValue),
+      "threshold is within 4x of the exact envelope bound (not slack)")
+    // tier 2 keeps the same envelope exact to n < 2^33 ≈ 8.59e9 rows
+    assert((BigInt(2).pow(33) - 1) * BigInt(2L * 16384L).pow(2) <=
+      BigInt(Long.MaxValue))
+  }
+
+  test("powerIterate: tier-1 path (g=1) is the exact unguarded loop") {
+    val d = 64
+    val sc = 1048576L
+    val rnd = new scala.util.Random(42)
+    // small symmetric matrix: guard must not engage
+    val cs = new Array[Long](d * d)
+    for (i <- 0 until d; j <- i until d) {
+      val c = rnd.nextInt(1 << 20).toLong - (1 << 19)
+      cs(i * d + j) = c; cs(j * d + i) = c
+    }
+    var v = Array.fill(d)(sc)
+    for (_ <- 1 to 12) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cs(i * d + j) * v(j)).sum)
+      val dd = w.map(math.abs).max / sc + 1
+      v = w.map(Math.floorDiv(_, dd))
+    }
+    assert(VectorOps.powerIterate(cs, d, sc).sameElements(v))
+  }
+
+  test("powerIterate: overflow guard keeps a near-MaxValue matrix exact") {
+    val d = 64
+    val sc = 1048576L
+    val rnd = new scala.util.Random(7)
+    // covariance entries near Long.MaxValue/2: d*max|cs|*sc would wrap
+    // a Long by ~2^26 — the guard must pre-shrink
+    val base = Long.MaxValue / 2
+    val cs = new Array[Long](d * d)
+    for (i <- 0 until d; j <- i until d) {
+      val c = base - rnd.nextLong(base / 4)
+      cs(i * d + j) = c; cs(j * d + i) = c
+    }
+    val got = VectorOps.powerIterate(cs, d, sc)
+    // BigInt reference of the same renorm loop on the UNSCALED matrix —
+    // cannot wrap; the guarded Long result must point the same way
+    var v = Array.fill(d)(BigInt(sc))
+    for (_ <- 1 to 12) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => BigInt(cs(i * d + j)) * v(j)).sum)
+      val dd = w.map(_.abs).max / sc + 1
+      v = w.map(x => (x - (((x % dd) + dd) % dd)) / dd)
+    }
+    def cosB(a: Array[Long], b: Array[BigInt]): Double = {
+      val dot = (0 until d).map(i => BigInt(a(i)) * b(i)).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot.toDouble / (na * nb)
+    }
+    assert(cosB(got, v) > 0.9999,
+      s"guarded direction diverged: cos=${cosB(got, v)}")
+    // and the UNGUARDED Long loop demonstrably wraps on this input
+    var vu = Array.fill(d)(sc)
+    val w1 = Array.tabulate(d)(i =>
+      (0 until d).map(j => cs(i * d + j) * vu(j)).sum)
+    assert(w1.exists(_ < 0L), "fixture must actually overflow unguarded")
+  }
 }
