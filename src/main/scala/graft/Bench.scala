@@ -287,18 +287,10 @@ object Bench {
         "structurally ~100x regardless of speed; quiet-host spark time " +
         "is ~0.8s (under the absolute clause) but any >2.5s-noise host " +
         "trips the gate. No scale-killer in the plan: cutoff broadcasts " +
-        "BEFORE assembly, keyed window, no global sort."),
-    "q191_weighted_increment" ->
-      ("builds the PERSISTENT weighted LSH index from scratch inside " +
-        "the query - expanded-instance weighted-MinHash signatures over " +
-        "the full corpus plus two bucketed table commits - then runs the " +
-        "increment match; the DuckDB oracle (0.55s) computes the same " +
-        "answer with no index persistence at all. Spark time straddles " +
-        "the 2s absolute clause (1.5-2.2s across r13 runs, host-state " +
-        "dependent) at ratio ~3.8, and the 10x data step is x1.66 " +
-        "(SCALE.md) - fixed build cost, not a scale term. Real " +
-        "deployments amortize the build across appendWeighted " +
-        "increments; the match-only path is gated un-exempted via the " +
-        "same machinery in q108/q185/q186.")
+        "BEFORE assembly, keyed window, no global sort.")
+    // q191's r13 exemption is retired structurally: the weighted index
+    // BUILD is its own gated query (q212, fixed-cost ingest class) and
+    // q191 gates the match-over-existing-index path — both under the
+    // absolute clause on a quiet host.
   )
 }

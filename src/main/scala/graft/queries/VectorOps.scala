@@ -336,6 +336,31 @@ object VectorOps {
         s, e.filter(col("vec_id") % 10 === 9), "q193_idx", topK = 1)
     }),
 
+    // The RTBF (right-to-be-forgotten) read-back gate — the r13 ask:
+    // compact/remove were spec-gated only, so the driver's oracle never
+    // covered the index REWRITE path. This is the full operational loop
+    // under the hash gate: build on 80% of history, append the rest
+    // (multi-file bucket state), REMOVE a takedown set (%20=14), compact
+    // the post-delete layout, then run the q189-shape top-1 match over
+    // the rewritten index. The oracle restates it as the q143 chain with
+    // the candidate side anti-filtered — if remove purged too much, too
+    // little, or broke bucket reads, the match hashes differ. Centroids
+    // stay frozen through removal (geometry, not storage — the
+    // [[graft.operators.IvfIndex.remove]] contract).
+    "q213_rtbf_match" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val hist = e.filter(col("vec_id") % 10 =!= 9)
+      graft.operators.IvfIndex.write(
+        s, hist.filter(col("vec_id") % 10 =!= 8), "q213_idx")
+      graft.operators.IvfIndex.append(
+        s, hist.filter(col("vec_id") % 10 === 8), "q213_idx")
+      graft.operators.IvfIndex.remove(
+        s, "q213_idx", e.filter(col("vec_id") % 20 === 14).select("vec_id"))
+      graft.operators.IvfIndex.compact(s, "q213_idx")
+      graft.operators.IvfIndex.matchIncrement(
+        s, e.filter(col("vec_id") % 10 === 9), "q213_idx", topK = 1)
+    }),
+
     // The q122 move applied to the dedup decision: how much does the
     // IVF cell pruning COST against brute-force truth? Per delta vector:
     // its cell-pruned top-1 cosine (q189's evidence) vs the brute-force
@@ -780,10 +805,14 @@ object VectorOps {
        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
        |  (x, y) -> x + y)""".stripMargin
   /** The hist/delta split + frozen-centroid assignment CTE chain shared
-    * by q143 (top-k match) and q189 (dedup decision): hist = 90% of the
-    * corpus, delta = the ingest increment, cents = the k lowest hist
-    * ids, hassign/dassign = argmax-cosine cell per vector. */
-  private def sqlIvfSplitChain: String =
+    * by q143 (top-k match), q189 (dedup decision) and q213 (post-RTBF
+    * match): hist = 90% of the corpus, delta = the ingest increment,
+    * cents = the k lowest hist ids, hassign/dassign = argmax-cosine cell
+    * per vector. `candWhere` narrows the CANDIDATE side only (q213's
+    * takedown set) — the frozen centroids still seed from the full
+    * history, exactly like the Spark index whose _cents row predates
+    * the removal. */
+  private def sqlIvfSplitChain(candWhere: String = ""): String =
     s"""hist AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9),
        |delta AS (
@@ -796,7 +825,7 @@ object VectorOps {
        |      row_number() OVER (PARTITION BY h.vec_id
        |        ORDER BY ${sqlCos("h.embedding", "c.cent")} DESC,
        |                 c.cent_id) AS r
-       |    FROM hist h CROSS JOIN cents c)
+       |    FROM hist h CROSS JOIN cents c$candWhere)
        |  WHERE r = 1),
        |dassign AS (
        |  SELECT vec_id, embedding, cent_id AS cell FROM (
@@ -847,7 +876,7 @@ object VectorOps {
          |WHERE rank <= 3""".stripMargin,
 
     "q143_ivf_increment" ->
-      s"""WITH $sqlIvfSplitChain
+      s"""WITH ${sqlIvfSplitChain()}
          |SELECT new_id, old_id, rank, round(cs, 6) AS cos_sim FROM (
          |  SELECT d.vec_id AS new_id, h.vec_id AS old_id,
          |    ${sqlCos("d.embedding", "h.embedding")} AS cs,
@@ -856,6 +885,19 @@ object VectorOps {
          |               h.vec_id) AS rank
          |  FROM dassign d JOIN hassign h USING (cell))
          |WHERE rank <= 3""".stripMargin,
+
+    // the q143 chain with the candidate side anti-filtered by the
+    // takedown set — ≙ matching over the post-remove+compact index
+    "q213_rtbf_match" ->
+      s"""WITH ${sqlIvfSplitChain(" WHERE h.vec_id % 20 <> 14")}
+         |SELECT new_id, old_id, rank, round(cs, 6) AS cos_sim FROM (
+         |  SELECT d.vec_id AS new_id, h.vec_id AS old_id,
+         |    ${sqlCos("d.embedding", "h.embedding")} AS cs,
+         |    row_number() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${sqlCos("d.embedding", "h.embedding")} DESC,
+         |               h.vec_id) AS rank
+         |  FROM dassign d JOIN hassign h USING (cell))
+         |WHERE rank = 1""".stripMargin,
 
     // the refined-centroid chain: seeds → cosine-argmax assignment →
     // integer-exact quantized mean (the q91 floor-division discipline) →
@@ -922,7 +964,7 @@ object VectorOps {
     // pruning-cost gate: IVF top-1 (within-cell) vs brute top-1 (all
     // history) per delta vector; -1 stands in for "no candidate"
     "q190_vecdup_recall" ->
-      s"""WITH $sqlIvfSplitChain,
+      s"""WITH ${sqlIvfSplitChain()},
          |ivf AS (
          |  SELECT new_id, round(cs, 6) AS ivf_cos FROM (
          |    SELECT d.vec_id AS new_id,
@@ -953,7 +995,7 @@ object VectorOps {
     // the vec-dedup DECISION: top-1 within the cell vs the threshold;
     // delta vectors with an empty cell carry no top1 row → is_dup 0
     "q189_vecdup_batch" ->
-      s"""WITH $sqlIvfSplitChain,
+      s"""WITH ${sqlIvfSplitChain()},
          |top1 AS (
          |  SELECT new_id, round(cs, 6) AS cos FROM (
          |    SELECT d.vec_id AS new_id,

@@ -115,6 +115,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q141_sequence_packing"      -> 1, // ONE shard hash exchange; per-shard local sort-window
     "q142_unigram_tokenizer"     -> 0, // vocab is a collect artifact; encode folds in-row
     "q143_ivf_increment"         -> 1, // increment's cell exchange; bucketed index side reads free
+    "q212_weighted_index_build"  -> 0, // build (signatures + two bucketed commits) runs at construction; returned frame = bare bands-table read-back
+    "q213_rtbf_match"            -> 1, // q143's increment cell exchange over the post-remove+compact index; rewrite runs at construction
     "q144_hybrid_rrf"            -> 5, // q31 (1) + q109 (1) + fuse join/window over ≤80-row sides
     "q145_domain_split"          -> 1, // ONE domain-key exchange, map-side combined
     "q146_label_propagation"     -> 1, // vec_id exchange serves knn window + vote agg + argmax
