@@ -117,6 +117,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q143_ivf_increment"         -> 1, // increment's cell exchange; bucketed index side reads free
     "q212_weighted_index_build"  -> 0, // build (signatures + two bucketed commits) runs at construction; returned frame = bare bands-table read-back
     "q213_rtbf_match"            -> 1, // q143's increment cell exchange over the post-remove+compact index; rewrite runs at construction
+    "q214_ivf_index_build"       -> 0, // build (seed TakeOrdered + bucketed cells commit) runs at construction; returned frame = bare cells-table read-back
     "q144_hybrid_rrf"            -> 5, // q31 (1) + q109 (1) + fuse join/window over ≤80-row sides
     "q145_domain_split"          -> 1, // ONE domain-key exchange, map-side combined
     "q146_label_propagation"     -> 1, // vec_id exchange serves knn window + vote agg + argmax
