@@ -37,7 +37,9 @@ object VecHealth {
       transform(col("embedding"),
         x => round(x.cast("double") * 1048576.0).cast("long")).as("q"))
 
-  /** Fit the frozen reference model on a healthy corpus slice. */
+  /** Fit the frozen reference model on a healthy corpus slice. A model
+    * from zero reference vectors is meaningless — fail with a clear
+    * message instead of the min/max-of-nothing NPE. */
   def fit(ref: DataFrame): Model = {
     val e = quantQ(ref)
     val (ms, v) = graft.queries.VectorOps.pcaLoadings(e)
@@ -45,6 +47,7 @@ object VecHealth {
     val proj = e.select(projCol(v.toSeq, mv))
     val Array(b) = proj.agg(min("proj").as("lo"), max("proj").as("hi"))
       .collect()
+    require(!b.isNullAt(0), "VecHealth.fit: empty reference slice")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val counts = binCounts(proj, lo, hi)
     val tot = counts.values.sum.toDouble

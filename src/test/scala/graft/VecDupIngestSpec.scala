@@ -190,6 +190,65 @@ class VecDupIngestSpec extends AnyFunSuite {
       "staging area must be dropped once the index seeds")
   }
 
+  test("processDeletes in the deferral window: pending filtered via " +
+    "tmp-then-swap; both crash windows replay without losing vectors") {
+    import spark.implicits._
+    val dim = 8
+    def axis(i: Int): Seq[Float] = Seq.tabulate(dim)(j =>
+      if (j == i % dim) 1.0f else 0.0f)
+    fresh("vdi8")
+    val out = Files.createTempDirectory("vdi8_out").toString
+    // two brute-window batches staged under _pending (minSeed keeps the
+    // index unseeded)
+    VecDupIngest.processBatch(spark,
+      (0 until 3).map(i => (i.toLong, axis(i))).toDF("vec_id", "embedding"),
+      0L, "vdi8", out, minSeed = 100L)
+    VecDupIngest.processBatch(spark,
+      (3 until 5).map(i => (i.toLong, axis(i))).toDF("vec_id", "embedding"),
+      1L, "vdi8", out, minSeed = 100L)
+    val pend = new java.io.File(out, "_pending")
+    def pendingIds(): Set[Long] = ids(spark.read.parquet(
+      pend.listFiles().filter(f => f.isDirectory &&
+        !f.getName.startsWith("_tmp_")).map(_.getAbsolutePath): _*))
+    assert(pendingIds() == Set(0L, 1L, 2L, 3L, 4L))
+    // takedown of id 1: pending rewritten, no tmp dirs left behind
+    VecDupIngest.processDeletes(spark, Seq(1L).toDF("vec_id"), 0L,
+      "vdi8", out)
+    assert(pendingIds() == Set(0L, 2L, 3L, 4L))
+    assert(!pend.listFiles().exists(_.getName.startsWith("_tmp_")))
+    // crash window A: a stale/partial tmp next to an intact original —
+    // the replay must discard the tmp and re-filter from the original
+    val staleTmp = new java.io.File(pend, "_tmp_batch=0")
+    staleTmp.mkdirs() // no _SUCCESS: a mid-write crash artifact
+    VecDupIngest.processDeletes(spark, Seq(2L).toDF("vec_id"), 1L,
+      "vdi8", out)
+    assert(pendingIds() == Set(0L, 3L, 4L))
+    assert(!staleTmp.exists(), "stale tmp must be discarded")
+    // crash window B: a COMPLETE tmp (parquet _SUCCESS) whose original
+    // was already dropped — the replay must finish the rename, then
+    // apply the new filter on top
+    val orig = new java.io.File(pend, "batch=1")
+    val tmp = new java.io.File(pend, "_tmp_batch=1")
+    spark.read.parquet(orig.getAbsolutePath)
+      .write.parquet(tmp.getAbsolutePath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(orig)
+    VecDupIngest.processDeletes(spark, Seq(4L).toDF("vec_id"), 2L,
+      "vdi8", out)
+    assert(pendingIds() == Set(0L, 3L),
+      "recovered tmp must be renamed back before the new filter applies")
+    assert(orig.exists() && !tmp.exists())
+    // the brute window keeps honoring the filtered pending set: a copy
+    // of deleted id 1's vector must now SURVIVE (nothing suppresses it)
+    VecDupIngest.processBatch(spark,
+      Seq((300L, axis(1))).toDF("vec_id", "embedding"),
+      2L, "vdi8", out, minSeed = 100L)
+    assert(keptIds(out, 2L) == Set(300L))
+  }
+
   test("compactEvery cadence: kept sets identical, index files fewer, " +
     "dup rows gone") {
     def run(name: String, every: Int): (Set[Long], Int, Long) = {
