@@ -130,6 +130,36 @@ object PipelineOps {
             .as("p90_chars"))
     }),
 
+    // Deterministic hash-sample quantiles — the O(k)-state percentile
+    // path for CONTINUOUS/high-cardinality metrics, where q85's exact
+    // value-histogram (cardinality = |distinct values|) itself becomes
+    // corpus-sized. Bottom-k-by-md5 sampling reuses the kmv_minima
+    // native aggregate with the payload riding behind the hash
+    // (md5(doc_id)||'|'||value): the k hash-smallest strings are a
+    // merge-order-free, rerun-deterministic uniform sample — no RNG, no
+    // engine sampler, both engines regenerate the identical set — and
+    // the reported numbers are the exact nearest-rank quantiles OF THE
+    // SAMPLE (rank = ceil(p·n/100) in pure integer arithmetic), so the
+    // estimate is hash-gated bit-for-bit. Scale shape: ONE aggregate
+    // exchange carrying ≤k strings per partition; the rank window runs
+    // on the ≤k-row sample (a bounded model artifact, not the corpus).
+    "q217_quantile_sample" -> ((s, dir) => {
+      import s.implicits._
+      val k = 256
+      val keyed = t(s, dir, "documents").select(
+        concat(md5(col("doc_id").cast("string")), lit("|"),
+          lpad(col("n_chars").cast("string"), 10, "0")).as("kv"))
+      val sample = keyed
+        .agg(graft.functions.KmvMinima(col("kv"), k).as("mins"))
+        .select(size(col("mins")).as("n"), explode(col("mins")).as("kv"))
+        .select(col("n"), substring(col("kv"), 34, 10).cast("long").as("v"))
+      val ranked = sample.withColumn("rn",
+        row_number().over(Window.orderBy("v")))
+      ranked.join(broadcast(Seq(25, 50, 75, 90, 99).toDF("p")),
+          col("rn") === expr("(p * CAST(n AS BIGINT) + 99) div 100"))
+        .select(col("p"), col("v").as("value"))
+    }),
+
     // Temperature-weighted corpus mixing: per-source acceptance rate
     // ∝ sqrt(source mass) (α = 0.5 down-weighting of huge sources, the
     // standard multilingual/multi-domain rebalancing), applied as a
@@ -430,6 +460,20 @@ object PipelineOps {
          |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
          |FROM g JOIN b USING (gr) WHERE g.source <> 'src0'
          |GROUP BY g.doc_id""".stripMargin,
+
+    // the same bottom-k-by-md5 set via ORDER BY kv LIMIT k, same integer
+    // nearest-rank rule — bit-identical to the kmv_minima sample
+    "q217_quantile_sample" ->
+      """WITH s AS (
+        |  SELECT md5(CAST(doc_id AS VARCHAR)) || '|' ||
+        |    lpad(CAST(n_chars AS VARCHAR), 10, '0') AS kv
+        |  FROM documents ORDER BY kv LIMIT 256),
+        |v AS (SELECT CAST(substr(kv, 34, 10) AS BIGINT) AS v FROM s),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |n AS (SELECT count(*) AS n FROM v)
+        |SELECT ps.p, r.v AS value
+        |FROM (VALUES (25), (50), (75), (90), (99)) ps(p), r, n
+        |WHERE r.rn = (ps.p * n.n + 99) // 100""".stripMargin,
 
     "q85_length_percentiles" ->
       """WITH h AS (

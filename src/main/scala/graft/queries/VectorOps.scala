@@ -224,41 +224,7 @@ object VectorOps {
     "q104_ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), quant(col("embedding")).as("q"))
-      val cents0 = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cluster"), col("q"))
-        .select(explode(sequence(lit(0), lit(3))).as("m"), col("cluster"),
-          col("q"))
-        .select(col("m"), col("cluster"),
-          slice(col("q"), col("m") * 16 + 1, lit(16)).as("cent"))
-      val a0 = Tables.spread(e, col("vec_id"))
-        .crossJoin(broadcast(pqPack(cents0)))
-        .select(col("vec_id"), col("q"),
-          graft.functions.PqNative.pqEncode(col("q"), col("cents"))
-            .as("codes0"))
-      // one Lloyd update per (subspace, code): floor(sum/n) in pure
-      // integer arithmetic; shuffles k·M·subdim cells, corpus-size-free
-      val cents1 = a0
-        .select(col("q"), posexplode(col("codes0")).as(Seq("m", "code")))
-        .select(col("m"), col("code"),
-          posexplode(slice(col("q"), col("m") * 16 + 1, lit(16)))
-            .as(Seq("pos", "v")))
-        .groupBy("m", "code", "pos")
-        .agg(expr("(sum(v) - pmod(sum(v), count(*))) div count(*)")
-          .cast("long").as("cd"))
-        .groupBy("m", "code")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("cd")))),
-          x => x.getField("cd")).as("cent"))
-        .select(col("m"), col("code").as("cluster"), col("cent"))
-      // the trained codebook is a DIMENSION ARTIFACT (4·8 rows): collect
-      // it once — exactly how production PQ ships codebooks — so the
-      // serving plan below is scan + broadcasts + ONE top-k exchange
-      // instead of re-running the training subtree per consumer
-      import s.implicits._
-      val cbLocal = cents1.collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
-        .toSeq.toDF("m", "cluster", "cent")
-      val c1p = pqPack(cbLocal)
+      val c1p = pqTrainCodebook(s, e)
       val enc = Tables.spread(e, col("vec_id")).crossJoin(broadcast(c1p))
         .select(col("vec_id").as("c_id"),
           graft.functions.PqNative.pqEncode(col("q"), col("cents"))
@@ -379,6 +345,87 @@ object VectorOps {
       graft.operators.IvfIndex.compact(s, "q213_idx")
       graft.operators.IvfIndex.matchIncrement(
         s, e.filter(col("vec_id") % 10 === 9), "q213_idx", topK = 1)
+    }),
+
+    // The last index-lifecycle path under the oracle gate (q213 covered
+    // remove+compact; this covers REBUILD): a long-running ingest's
+    // periodic k-vs-N re-seed — build small (k=8) on 80% of history,
+    // append the rest, rebuild at the autoK √N rule from the index's OWN
+    // stored vectors (the offline staging-copy path), then the top-1
+    // match over the re-seeded cells. The oracle recomputes the √N seed
+    // count and the full reassignment relationally, so a wrong dedup of
+    // crash-replay rows, a mis-sized k, or a seed-order break all hash-
+    // mismatch. At 100 TB this is the operation that keeps per-increment
+    // match cost at √N instead of linear (see IvfIndex.autoK).
+    "q215_ivf_rebuild" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val hist = e.filter(col("vec_id") % 10 =!= 9)
+      // the k=8 build exists only as the index to rebuild FROM (q213
+      // covers the append path); rebuild re-seeds at autoK from the
+      // index's own stored vectors
+      graft.operators.IvfIndex.write(s, hist, "q215_idx", k = 8)
+      graft.operators.IvfIndex.rebuild(s, "q215_idx", k = 0)
+      graft.operators.IvfIndex.matchIncrement(
+        s, e.filter(col("vec_id") % 10 === 9), "q215_idx", topK = 1)
+    }),
+
+    // IVF-PQ serving — the production ANN layout (Jégou et al. 2011,
+    // the FAISS IVFPQ standard) composed from the two gated halves: the
+    // frozen-centroid coarse quantizer (q143's cells, bucketed index
+    // side) prunes candidates to one cell, and within the cell the
+    // asymmetric-distance computation scores candidates by their
+    // 4-subspace PQ CODES against the query's in-row distance table —
+    // the candidate payload crossing the join is (cell, old_id, 4 ints)
+    // instead of 64 floats, the ~30× memory/IO term that makes
+    // billion-vector serving possible. All arithmetic BIGINT-exact
+    // (2^20 quantization, q104's encode ties, integer ADC sums), the
+    // codebook is the q104 dimension artifact, and the oracle restates
+    // coarse + fine + ADC relationally under the hash gate. Raw-vector
+    // codes (IVF-Flat-PQ); residual encoding is the documented next
+    // refinement.
+    "q216_ivfpq_match" -> ((s, dir) => {
+      val raw = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val hist = raw.filter(col("vec_id") % 10 =!= 9)
+      val delta = raw.filter(col("vec_id") % 10 === 9)
+      // one coarse index, many consumers: q216 serves off the SAME
+      // dir-keyed cells q214 builds and q143 matches (identical hist
+      // split), building only when absent
+      val name = ivfIndexName(dir)
+      if (!graft.operators.IvfIndex.exists(s, name))
+        graft.operators.IvfIndex.write(s, hist, name)
+      val c1p = pqTrainCodebook(
+        s, hist.select(col("vec_id"), quant(col("embedding")).as("q")))
+      // candidate side: the bucketed cells table; codes are an in-row
+      // encode against the broadcast codebook (a persistent deployment
+      // stores them as an index column — same plan minus the encode)
+      val cand = s.table(s"${name}_cells")
+        .crossJoin(broadcast(c1p))
+        .select(col("cell"), col("vec_id").as("old_id"),
+          graft.functions.PqNative
+            .pqEncode(quant(col("embedding")), col("cents")).as("codes"))
+      // query side: coarse cell + per-query ADC distance table, both
+      // in-row against 1-row broadcasts
+      val qs = delta
+        .crossJoin(broadcast(
+          graft.operators.IvfIndex.centsFrame(s, name)))
+        .select(col("vec_id").as("new_id"),
+          graft.operators.IvfIndex.cellOf(col("embedding")).as("cell"),
+          quant(col("embedding")).as("q"))
+        .crossJoin(broadcast(c1p))
+        .select(col("new_id"), col("cell"),
+          transform(col("cents"), cs => struct(
+            cs.getField("m").as("m"),
+            cs.getField("cluster").as("cluster"),
+            qdist2(slice(col("q"), cs.getField("m") * 16 + 1, lit(16)),
+              cs.getField("cent")).as("d"))).as("dtable"))
+      val w = Window.partitionBy("new_id")
+        .orderBy(col("approx_d"), col("old_id"))
+      cand.join(qs, "cell")
+        .withColumn("approx_d", graft.functions.PqNative
+          .adcSum(col("codes"), col("dtable")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("new_id"), col("old_id"), col("approx_d"))
     }),
 
     // The q122 move applied to the dedup decision: how much does the
@@ -783,6 +830,48 @@ object VectorOps {
     cb.groupBy().agg(array_sort(collect_list(
       struct(col("m"), col("cluster"), col("cent")))).as("cents"))
 
+  /** One-Lloyd-round PQ codebook trained on `e` (vec_id, q), returned as
+    * the packed 1-row broadcast frame (shared by q104's top-k and q216's
+    * IVF-PQ serving). Seeds = the 8 lowest-id vectors per subspace; one
+    * integer-exact floor-mean update (shuffles k·M·subdim cells —
+    * corpus-size-free); the trained book is a DIMENSION ARTIFACT
+    * (4·8 rows) collected once — exactly how production PQ ships
+    * codebooks — so every consumer's serving plan is scan + broadcasts
+    * instead of re-running the training subtree. */
+  private def pqTrainCodebook(s: SparkSession, e: DataFrame): DataFrame = {
+    val cents0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"), col("q"))
+      .select(explode(sequence(lit(0), lit(3))).as("m"), col("cluster"),
+        col("q"))
+      .select(col("m"), col("cluster"),
+        slice(col("q"), col("m") * 16 + 1, lit(16)).as("cent"))
+    val a0 = Tables.spread(e, col("vec_id"))
+      .crossJoin(broadcast(pqPack(cents0)))
+      .select(col("vec_id"), col("q"),
+        graft.functions.PqNative.pqEncode(col("q"), col("cents"))
+          .as("codes0"))
+    // one Lloyd update per (subspace, code): floor(sum/n) in pure
+    // integer arithmetic; shuffles k·M·subdim cells, corpus-size-free
+    val cents1 = a0
+      .select(col("q"), posexplode(col("codes0")).as(Seq("m", "code")))
+      .select(col("m"), col("code"),
+        posexplode(slice(col("q"), col("m") * 16 + 1, lit(16)))
+          .as(Seq("pos", "v")))
+      .groupBy("m", "code", "pos")
+      .agg(expr("(sum(v) - pmod(sum(v), count(*))) div count(*)")
+        .cast("long").as("cd"))
+      .groupBy("m", "code")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cd")))),
+        x => x.getField("cd")).as("cent"))
+      .select(col("m"), col("code").as("cluster"), col("cent"))
+    import s.implicits._
+    val cbLocal = cents1.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .toSeq.toDF("m", "cluster", "cent")
+    pqPack(cbLocal)
+  }
+
   /** In-row PQ encoder, Column-HOF REFERENCE formulation: for each
     * subspace m, argmin squared-L2 over that subspace's codebook entries;
     * strict `<` over the (m, cluster)-sorted array breaks ties to the
@@ -917,6 +1006,106 @@ object VectorOps {
     "q214_ivf_index_build" ->
       s"""WITH ${sqlIvfSplitChain()}
          |SELECT vec_id, cell FROM hassign""".stripMargin,
+
+    // coarse (q143 chain on raw floats) + fine (q104's PQ train/encode
+    // restricted to history) + integer ADC over in-cell pairs — ≙ the
+    // IVF-PQ serving plan
+    "q216_ivfpq_match" ->
+      s"""WITH ${sqlIvfSplitChain()},
+         |qq AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |hsub AS (
+         |  SELECT vec_id, CAST(t.range AS INT) AS m,
+         |    q[t.range*16+1 : t.range*16+16] AS sub
+         |  FROM qq, range(4) t WHERE vec_id % 10 <> 9),
+         |c0 AS (SELECT m, CAST(vec_id AS INT) AS cluster, sub AS cent
+         |       FROM hsub WHERE vec_id < 8),
+         |d0 AS (
+         |  SELECT s.vec_id, s.m, c.cluster,
+         |    list_reduce(list_transform(list_zip(s.sub, c.cent),
+         |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS dist2
+         |  FROM hsub s JOIN c0 c USING (m)),
+         |a0 AS (SELECT vec_id, m, cluster FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist2, cluster) AS rn FROM d0) WHERE rn = 1),
+         |u AS (
+         |  SELECT m, cluster, pos,
+         |    CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
+         |      // count(*) AS BIGINT) AS cd
+         |  FROM (SELECT a0.m, a0.cluster, unnest(s.sub) AS v,
+         |          generate_subscripts(s.sub, 1) AS pos
+         |        FROM a0 JOIN hsub s ON s.vec_id = a0.vec_id AND s.m = a0.m)
+         |  GROUP BY m, cluster, pos),
+         |c1 AS MATERIALIZED (SELECT m, cluster, list(cd ORDER BY pos) AS cent
+         |       FROM u GROUP BY m, cluster),
+         |d1 AS (
+         |  SELECT s.vec_id, s.m, c.cluster,
+         |    list_reduce(list_transform(list_zip(s.sub, c.cent),
+         |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS dist2
+         |  FROM hsub s JOIN c1 c USING (m)),
+         |codes AS MATERIALIZED (SELECT vec_id, m, cluster FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist2, cluster) AS rn FROM d1) WHERE rn = 1),
+         |dsub AS (
+         |  SELECT vec_id, CAST(t.range AS INT) AS m,
+         |    q[t.range*16+1 : t.range*16+16] AS sub
+         |  FROM qq, range(4) t WHERE vec_id % 10 = 9),
+         |qt AS MATERIALIZED (
+         |  SELECT s.vec_id AS q_id, c.m, c.cluster,
+         |    list_reduce(list_transform(list_zip(s.sub, c.cent),
+         |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS d
+         |  FROM dsub s JOIN c1 c USING (m)),
+         |approx AS (
+         |  SELECT da.vec_id AS new_id, ha.vec_id AS old_id,
+         |    CAST(sum(qt.d) AS BIGINT) AS approx_d
+         |  FROM dassign da JOIN hassign ha USING (cell)
+         |  JOIN codes co ON co.vec_id = ha.vec_id
+         |  JOIN qt ON qt.q_id = da.vec_id AND qt.m = co.m
+         |    AND qt.cluster = co.cluster
+         |  GROUP BY 1, 2)
+         |SELECT new_id, old_id, approx_d FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY new_id
+         |    ORDER BY approx_d, old_id) AS rk FROM approx)
+         |WHERE rk = 1""".stripMargin,
+
+    // the q143 chain re-seeded at the autoK √N rule — ≙ matching over
+    // the rebuilt index (rebuild dedups stored rows, so hist is exact)
+    "q215_ivf_rebuild" ->
+      s"""WITH hist AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9),
+         |delta AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 9),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM (
+         |    SELECT vec_id, embedding,
+         |      row_number() OVER (ORDER BY vec_id) AS rn FROM hist)
+         |  WHERE rn <= (SELECT greatest(8,
+         |      CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM hist)),
+         |hassign AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT h.vec_id, h.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY h.vec_id
+         |        ORDER BY ${sqlCos("h.embedding", "c.cent")} DESC,
+         |                 c.cent_id) AS r
+         |    FROM hist h CROSS JOIN cents c)
+         |  WHERE r = 1),
+         |dassign AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT d.vec_id, d.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY ${sqlCos("d.embedding", "c.cent")} DESC,
+         |                 c.cent_id) AS r
+         |    FROM delta d CROSS JOIN cents c)
+         |  WHERE r = 1)
+         |SELECT new_id, old_id, rank, round(cs, 6) AS cos_sim FROM (
+         |  SELECT d.vec_id AS new_id, h.vec_id AS old_id,
+         |    ${sqlCos("d.embedding", "h.embedding")} AS cs,
+         |    row_number() OVER (PARTITION BY d.vec_id
+         |      ORDER BY ${sqlCos("d.embedding", "h.embedding")} DESC,
+         |               h.vec_id) AS rank
+         |  FROM dassign d JOIN hassign h USING (cell))
+         |WHERE rank = 1""".stripMargin,
 
     // the q143 chain with the candidate side anti-filtered by the
     // takedown set — ≙ matching over the post-remove+compact index

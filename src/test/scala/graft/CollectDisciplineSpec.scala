@@ -166,14 +166,16 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "queries/TrainOps.scala" -> (3,
       "q122 approx side: <= 10 queries * k; q199 lrTrain's per-round and " +
         "final-scoring beta frames: 1 row of 3 longs each"),
-    "queries/VectorOps.scala" -> (17,
+    "queries/VectorOps.scala" -> (20,
       "query sets (vec_id < 10), packed codebooks (k*d), PQ codebooks, " +
         "k-means seeds, q143 delta assignments, q167 anchors (<= AnchorCap " +
         "by construction: vec_id % 25 = 0 AND vec_id < 25*AnchorCap), " +
         "q190 delta probe side (the 10% ingest increment — the q31 " +
         "brute-force discipline: history scans, queries broadcast), " +
         "q209's 10-query fingerprint probe + its 30-row approx top-k " +
-        "(both query-set-sized), q210's 1-row bounds + 1-row totals")
+        "(both query-set-sized), q210's 1-row bounds + 1-row totals, " +
+        "q216's three 1-row broadcasts (the packed PQ codebook twice — " +
+        "candidate encode + query dtable — and the packed coarse cents)")
   )
 
   test("every broadcast() hint in main source is a reviewed bounded frame") {

@@ -99,4 +99,25 @@ class KmvSketchSpec extends AnyFunSuite {
     // stddev ≈ n/sqrt(k-2) ≈ 6.3%; 4σ bound
     assert(math.abs(est - n) < n * 0.25, s"estimate $est vs true $n")
   }
+
+  test("q217 hash-sample quantiles: each estimate's TRUE rank lands " +
+    "within the k=256 sampling tolerance of its target percentile") {
+    // the q217 estimator is the exact nearest-rank quantile of a
+    // deterministic 256-row bottom-k-by-md5 sample; its value's true
+    // rank in the full corpus should sit near p (binomial stddev
+    // ≈ sqrt(p(1-p)/k) ≤ 3.1 pts; 4σ ≈ 13 pts)
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val all = docs.select(col("n_chars").cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val est = graft.queries.PipelineOps.defs("q217_quantile_sample")(
+      spark, dir).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(est.keySet == Set(25, 50, 75, 90, 99))
+    est.foreach { case (p, v) =>
+      // true rank of v = fraction of corpus ≤ v
+      val trueRank = 100.0 * all.count(_ <= v) / all.length
+      assert(math.abs(trueRank - p) < 13.0,
+        s"p$p estimate $v has true rank $trueRank")
+    }
+  }
 }

@@ -118,6 +118,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q212_weighted_index_build"  -> 0, // build (signatures + two bucketed commits) runs at construction; returned frame = bare bands-table read-back
     "q213_rtbf_match"            -> 1, // q143's increment cell exchange over the post-remove+compact index; rewrite runs at construction
     "q214_ivf_index_build"       -> 0, // build (seed TakeOrdered + bucketed cells commit) runs at construction; returned frame = bare cells-table read-back
+    "q215_ivf_rebuild"           -> 1, // q143's increment cell exchange over the autoK-rebuilt index; build/append/rebuild run at construction
+    "q216_ivfpq_match"           -> 3, // delta cell exchange + cell join + per-query top-1 window; candidate payload is (cell, old_id, 4 codes), never floats; codebook/cents are 1-row broadcasts
+    "q217_quantile_sample"       -> 2, // ONE kmv agg exchange (<=k strings/partition) + the rank window over the <=256-row sample (bounded model artifact, not the corpus)
     "q144_hybrid_rrf"            -> 5, // q31 (1) + q109 (1) + fuse join/window over ≤80-row sides
     "q145_domain_split"          -> 1, // ONE domain-key exchange, map-side combined
     "q146_label_propagation"     -> 1, // vec_id exchange serves knn window + vote agg + argmax
