@@ -154,8 +154,9 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "sets (<= 4*avg_doc_len tokens can clear df >= nd/4 since " +
         "sum(df) = nd*avglen - document-length-sized at any corpus)"),
     "queries/CdcOps.scala" -> (1, "1-row max-scn scalar"),
-    "queries/PipelineOps.scala" -> (4,
-      "bench eval split, per-source rates / maxw dims (source-count-sized)"),
+    "queries/PipelineOps.scala" -> (5,
+      "bench eval split, per-source rates / maxw dims (source-count-sized), " +
+        "q217's 5-row percentile-target literal"),
     "queries/QaOps.scala" -> (1, "bench eval split (fixed holdout)"),
     "queries/Relational.scala" -> (5,
       "TPC-H dims: nation/region/part-filter/customer-filter + 7-row " +
