@@ -383,49 +383,64 @@ object VectorOps {
     // coarse + fine + ADC relationally under the hash gate. Raw-vector
     // codes (IVF-Flat-PQ); residual encoding is the documented next
     // refinement.
-    "q216_ivfpq_match" -> ((s, dir) => {
+    "q216_ivfpq_match" -> ((s, dir) => ivfPqTop1(s, dir)),
+
+    // The q122/q190/q209 discipline applied to IVF-PQ — every index
+    // ships with its measured accuracy cost, here DECOMPOSED into its
+    // two loss terms per delta vector: cell_old = the exact integer-L2
+    // top-1 WITHIN the probed cell (what a lossless in-cell scan would
+    // return), true_old = the brute top-1 over ALL history. pq_cell_hit
+    // isolates the PQ quantization loss (ADC pick vs in-cell truth);
+    // cell_global_hit isolates the coarse-pruning loss (in-cell truth
+    // vs global truth). On THIS corpus (near-random vectors, max
+    // pairwise cosine ~0.48) both are honestly terrible — the measured
+    // reason IVF-PQ serves real embedding distributions (0.9+ neighbor
+    // similarity, clusterable) and is a filter, not a ranker, at low
+    // similarity (q209's lesson, reconfirmed for the composed index).
+    // Brute side is the q31 shape — history scans once and never
+    // shuffles, the delta broadcasts, truths are min-struct aggregates
+    // (ties to the lowest old_id, matching the ADC window's order).
+    "q218_ivfpq_recall" -> ((s, dir) => {
       val raw = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val hist = raw.filter(col("vec_id") % 10 =!= 9)
       val delta = raw.filter(col("vec_id") % 10 === 9)
-      // one coarse index, many consumers: q216 serves off the SAME
-      // dir-keyed cells q214 builds and q143 matches (identical hist
-      // split), building only when absent
       val name = ivfIndexName(dir)
-      if (!graft.operators.IvfIndex.exists(s, name))
-        graft.operators.IvfIndex.write(s, hist, name)
-      val c1p = pqTrainCodebook(
-        s, hist.select(col("vec_id"), quant(col("embedding")).as("q")))
-      // candidate side: the bucketed cells table; codes are an in-row
-      // encode against the broadcast codebook (a persistent deployment
-      // stores them as an index column — same plan minus the encode)
-      val cand = s.table(s"${name}_cells")
-        .crossJoin(broadcast(c1p))
-        .select(col("cell"), col("vec_id").as("old_id"),
-          graft.functions.PqNative
-            .pqEncode(quant(col("embedding")), col("cents")).as("codes"))
-      // query side: coarse cell + per-query ADC distance table, both
-      // in-row against 1-row broadcasts
-      val qs = delta
+      val pq = ivfPqTop1(s, dir)
+        .select(col("new_id").as("vec_id"), col("old_id").as("pq_old"))
+      // exact in-cell truth: same cell join as the serving plan, full
+      // integer L2 instead of ADC
+      val qcell = delta
         .crossJoin(broadcast(
           graft.operators.IvfIndex.centsFrame(s, name)))
-        .select(col("vec_id").as("new_id"),
+        .select(col("vec_id").as("q_id"),
           graft.operators.IvfIndex.cellOf(col("embedding")).as("cell"),
           quant(col("embedding")).as("q"))
-        .crossJoin(broadcast(c1p))
-        .select(col("new_id"), col("cell"),
-          transform(col("cents"), cs => struct(
-            cs.getField("m").as("m"),
-            cs.getField("cluster").as("cluster"),
-            qdist2(slice(col("q"), cs.getField("m") * 16 + 1, lit(16)),
-              cs.getField("cent")).as("d"))).as("dtable"))
-      val w = Window.partitionBy("new_id")
-        .orderBy(col("approx_d"), col("old_id"))
-      cand.join(qs, "cell")
-        .withColumn("approx_d", graft.functions.PqNative
-          .adcSum(col("codes"), col("dtable")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") === 1)
-        .select(col("new_id"), col("old_id"), col("approx_d"))
+      val cellTrue = s.table(s"${name}_cells")
+        .select(col("cell"), col("vec_id").as("old_id"),
+          quant(col("embedding")).as("hq"))
+        .join(qcell, "cell")
+        .select(col("q_id"), col("old_id"),
+          qdist2(col("q"), col("hq")).as("d2"))
+        .groupBy("q_id")
+        .agg(min(struct(col("d2"), col("old_id"))).getField("old_id")
+          .as("cell_old"))
+        .select(col("q_id").as("vec_id"), col("cell_old"))
+      val brute = hist
+        .select(col("vec_id").as("old_id"), quant(col("embedding")).as("hq"))
+        .crossJoin(broadcast(delta.select(col("vec_id").as("q_id"),
+          quant(col("embedding")).as("q"))))
+        .select(col("q_id"), col("old_id"), qdist2(col("q"), col("hq")).as("d2"))
+        .groupBy("q_id")
+        .agg(min(struct(col("d2"), col("old_id"))).getField("old_id")
+          .as("true_old"))
+        .select(col("q_id").as("vec_id"), col("true_old"))
+      pq.join(cellTrue, Seq("vec_id")).join(brute, Seq("vec_id"))
+        .select(col("vec_id"), col("pq_old"), col("cell_old"),
+          col("true_old"),
+          (col("pq_old") === col("cell_old")).cast("long")
+            .as("pq_cell_hit"),
+          (col("cell_old") === col("true_old")).cast("long")
+            .as("cell_global_hit"))
     }),
 
     // The q122 move applied to the dedup decision: how much does the
@@ -830,6 +845,54 @@ object VectorOps {
     cb.groupBy().agg(array_sort(collect_list(
       struct(col("m"), col("cluster"), col("cent")))).as("cents"))
 
+  /** q216/q218 shared serving kernel: ADC top-1 per delta vector over
+    * the dir-keyed coarse cells (built when absent) + the trained PQ
+    * codebook. Returns (new_id, old_id, approx_d). */
+  private def ivfPqTop1(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val hist = raw.filter(col("vec_id") % 10 =!= 9)
+    val delta = raw.filter(col("vec_id") % 10 === 9)
+    // one coarse index, many consumers: serve off the SAME dir-keyed
+    // cells q214 builds and q143 matches (identical hist split),
+    // building only when absent
+    val name = ivfIndexName(dir)
+    if (!graft.operators.IvfIndex.exists(s, name))
+      graft.operators.IvfIndex.write(s, hist, name)
+    val c1p = pqTrainCodebook(
+      s, hist.select(col("vec_id"), quant(col("embedding")).as("q")))
+    // candidate side: the bucketed cells table; codes are an in-row
+    // encode against the broadcast codebook (a persistent deployment
+    // stores them as an index column — same plan minus the encode)
+    val cand = s.table(s"${name}_cells")
+      .crossJoin(broadcast(c1p))
+      .select(col("cell"), col("vec_id").as("old_id"),
+        graft.functions.PqNative
+          .pqEncode(quant(col("embedding")), col("cents")).as("codes"))
+    // query side: coarse cell + per-query ADC distance table, both
+    // in-row against 1-row broadcasts
+    val qs = delta
+      .crossJoin(broadcast(
+        graft.operators.IvfIndex.centsFrame(s, name)))
+      .select(col("vec_id").as("new_id"),
+        graft.operators.IvfIndex.cellOf(col("embedding")).as("cell"),
+        quant(col("embedding")).as("q"))
+      .crossJoin(broadcast(c1p))
+      .select(col("new_id"), col("cell"),
+        transform(col("cents"), cs => struct(
+          cs.getField("m").as("m"),
+          cs.getField("cluster").as("cluster"),
+          qdist2(slice(col("q"), cs.getField("m") * 16 + 1, lit(16)),
+            cs.getField("cent")).as("d"))).as("dtable"))
+    val w = Window.partitionBy("new_id")
+      .orderBy(col("approx_d"), col("old_id"))
+    cand.join(qs, "cell")
+      .withColumn("approx_d", graft.functions.PqNative
+        .adcSum(col("codes"), col("dtable")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("new_id"), col("old_id"), col("approx_d"))
+  }
+
   /** One-Lloyd-round PQ codebook trained on `e` (vec_id, q), returned as
     * the packed 1-row broadcast frame (shared by q104's top-k and q216's
     * IVF-PQ serving). Seeds = the 8 lowest-id vectors per subspace; one
@@ -954,6 +1017,64 @@ object VectorOps {
   private def sqlCos(a: String, b: String) =
     s"(${sqlDot(a, b)}) / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
+  /** The IVF-PQ WITH-chain (coarse split + PQ train/encode on history +
+    * per-query ADC sums) shared by q216 (top-1) and q218 (recall). */
+  private def sqlIvfPqChain: String =
+    s"""${sqlIvfSplitChain()},
+       |qq AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |hsub AS (
+       |  SELECT vec_id, CAST(t.range AS INT) AS m,
+       |    q[t.range*16+1 : t.range*16+16] AS sub
+       |  FROM qq, range(4) t WHERE vec_id % 10 <> 9),
+       |c0 AS (SELECT m, CAST(vec_id AS INT) AS cluster, sub AS cent
+       |       FROM hsub WHERE vec_id < 8),
+       |d0 AS (
+       |  SELECT s.vec_id, s.m, c.cluster,
+       |    list_reduce(list_transform(list_zip(s.sub, c.cent),
+       |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS dist2
+       |  FROM hsub s JOIN c0 c USING (m)),
+       |a0 AS (SELECT vec_id, m, cluster FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist2, cluster) AS rn FROM d0) WHERE rn = 1),
+       |u AS (
+       |  SELECT m, cluster, pos,
+       |    CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
+       |      // count(*) AS BIGINT) AS cd
+       |  FROM (SELECT a0.m, a0.cluster, unnest(s.sub) AS v,
+       |          generate_subscripts(s.sub, 1) AS pos
+       |        FROM a0 JOIN hsub s ON s.vec_id = a0.vec_id AND s.m = a0.m)
+       |  GROUP BY m, cluster, pos),
+       |c1 AS MATERIALIZED (SELECT m, cluster, list(cd ORDER BY pos) AS cent
+       |       FROM u GROUP BY m, cluster),
+       |d1 AS (
+       |  SELECT s.vec_id, s.m, c.cluster,
+       |    list_reduce(list_transform(list_zip(s.sub, c.cent),
+       |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS dist2
+       |  FROM hsub s JOIN c1 c USING (m)),
+       |codes AS MATERIALIZED (SELECT vec_id, m, cluster FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist2, cluster) AS rn FROM d1) WHERE rn = 1),
+       |dsub AS (
+       |  SELECT vec_id, CAST(t.range AS INT) AS m,
+       |    q[t.range*16+1 : t.range*16+16] AS sub
+       |  FROM qq, range(4) t WHERE vec_id % 10 = 9),
+       |qt AS MATERIALIZED (
+       |  SELECT s.vec_id AS q_id, c.m, c.cluster,
+       |    list_reduce(list_transform(list_zip(s.sub, c.cent),
+       |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS d
+       |  FROM dsub s JOIN c1 c USING (m)),
+       |approx AS (
+       |  SELECT da.vec_id AS new_id, ha.vec_id AS old_id,
+       |    CAST(sum(qt.d) AS BIGINT) AS approx_d
+       |  FROM dassign da JOIN hassign ha USING (cell)
+       |  JOIN codes co ON co.vec_id = ha.vec_id
+       |  JOIN qt ON qt.q_id = da.vec_id AND qt.m = co.m
+       |    AND qt.cluster = co.cluster
+       |  GROUP BY 1, 2)""".stripMargin
+
   private val sqlBucket =
     (1 to 4).map(i =>
       "CAST(CAST(embedding[" + i + "] > 0.0 AS INT) AS VARCHAR)")
@@ -1011,64 +1132,44 @@ object VectorOps {
     // restricted to history) + integer ADC over in-cell pairs — ≙ the
     // IVF-PQ serving plan
     "q216_ivfpq_match" ->
-      s"""WITH ${sqlIvfSplitChain()},
-         |qq AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |hsub AS (
-         |  SELECT vec_id, CAST(t.range AS INT) AS m,
-         |    q[t.range*16+1 : t.range*16+16] AS sub
-         |  FROM qq, range(4) t WHERE vec_id % 10 <> 9),
-         |c0 AS (SELECT m, CAST(vec_id AS INT) AS cluster, sub AS cent
-         |       FROM hsub WHERE vec_id < 8),
-         |d0 AS (
-         |  SELECT s.vec_id, s.m, c.cluster,
-         |    list_reduce(list_transform(list_zip(s.sub, c.cent),
-         |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS dist2
-         |  FROM hsub s JOIN c0 c USING (m)),
-         |a0 AS (SELECT vec_id, m, cluster FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
-         |    ORDER BY dist2, cluster) AS rn FROM d0) WHERE rn = 1),
-         |u AS (
-         |  SELECT m, cluster, pos,
-         |    CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
-         |      // count(*) AS BIGINT) AS cd
-         |  FROM (SELECT a0.m, a0.cluster, unnest(s.sub) AS v,
-         |          generate_subscripts(s.sub, 1) AS pos
-         |        FROM a0 JOIN hsub s ON s.vec_id = a0.vec_id AND s.m = a0.m)
-         |  GROUP BY m, cluster, pos),
-         |c1 AS MATERIALIZED (SELECT m, cluster, list(cd ORDER BY pos) AS cent
-         |       FROM u GROUP BY m, cluster),
-         |d1 AS (
-         |  SELECT s.vec_id, s.m, c.cluster,
-         |    list_reduce(list_transform(list_zip(s.sub, c.cent),
-         |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS dist2
-         |  FROM hsub s JOIN c1 c USING (m)),
-         |codes AS MATERIALIZED (SELECT vec_id, m, cluster FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
-         |    ORDER BY dist2, cluster) AS rn FROM d1) WHERE rn = 1),
-         |dsub AS (
-         |  SELECT vec_id, CAST(t.range AS INT) AS m,
-         |    q[t.range*16+1 : t.range*16+16] AS sub
-         |  FROM qq, range(4) t WHERE vec_id % 10 = 9),
-         |qt AS MATERIALIZED (
-         |  SELECT s.vec_id AS q_id, c.m, c.cluster,
-         |    list_reduce(list_transform(list_zip(s.sub, c.cent),
-         |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS d
-         |  FROM dsub s JOIN c1 c USING (m)),
-         |approx AS (
-         |  SELECT da.vec_id AS new_id, ha.vec_id AS old_id,
-         |    CAST(sum(qt.d) AS BIGINT) AS approx_d
-         |  FROM dassign da JOIN hassign ha USING (cell)
-         |  JOIN codes co ON co.vec_id = ha.vec_id
-         |  JOIN qt ON qt.q_id = da.vec_id AND qt.m = co.m
-         |    AND qt.cluster = co.cluster
-         |  GROUP BY 1, 2)
+      s"""WITH $sqlIvfPqChain
          |SELECT new_id, old_id, approx_d FROM (
          |  SELECT *, row_number() OVER (PARTITION BY new_id
          |    ORDER BY approx_d, old_id) AS rk FROM approx)
          |WHERE rk = 1""".stripMargin,
+
+    // the q216 chain + exact in-cell L2 top-1 + brute global L2 top-1 —
+    // the two loss terms of the composed index, decomposed
+    "q218_ivfpq_recall" ->
+      s"""WITH $sqlIvfPqChain,
+         |atop AS (SELECT new_id, old_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY new_id
+         |    ORDER BY approx_d, old_id) AS rk FROM approx) WHERE rk = 1),
+         |cd AS (
+         |  SELECT da.vec_id AS q_id, ha.vec_id AS old_id,
+         |    list_reduce(list_transform(list_zip(dq.q, hq.q),
+         |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS d2
+         |  FROM dassign da JOIN hassign ha USING (cell)
+         |  JOIN qq dq ON dq.vec_id = da.vec_id
+         |  JOIN qq hq ON hq.vec_id = ha.vec_id),
+         |ctop AS (SELECT q_id, old_id AS cell_old FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY d2, old_id) AS rk FROM cd) WHERE rk = 1),
+         |bd AS (
+         |  SELECT d.vec_id AS q_id, h.vec_id AS old_id,
+         |    list_reduce(list_transform(list_zip(d.q, h.q),
+         |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS d2
+         |  FROM (SELECT * FROM qq WHERE vec_id % 10 = 9) d
+         |  CROSS JOIN (SELECT * FROM qq WHERE vec_id % 10 <> 9) h),
+         |btop AS (SELECT q_id, old_id AS true_old FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY d2, old_id) AS rk FROM bd) WHERE rk = 1)
+         |SELECT a.new_id AS vec_id, a.old_id AS pq_old, c.cell_old,
+         |  b.true_old,
+         |  CAST(a.old_id = c.cell_old AS BIGINT) AS pq_cell_hit,
+         |  CAST(c.cell_old = b.true_old AS BIGINT) AS cell_global_hit
+         |FROM atop a JOIN ctop c ON c.q_id = a.new_id
+         |JOIN btop b ON b.q_id = a.new_id""".stripMargin,
 
     // the q143 chain re-seeded at the autoK √N rule — ≙ matching over
     // the rebuilt index (rebuild dedups stored rows, so hist is exact)

@@ -167,7 +167,7 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "queries/TrainOps.scala" -> (3,
       "q122 approx side: <= 10 queries * k; q199 lrTrain's per-round and " +
         "final-scoring beta frames: 1 row of 3 longs each"),
-    "queries/VectorOps.scala" -> (20,
+    "queries/VectorOps.scala" -> (22,
       "query sets (vec_id < 10), packed codebooks (k*d), PQ codebooks, " +
         "k-means seeds, q143 delta assignments, q167 anchors (<= AnchorCap " +
         "by construction: vec_id % 25 = 0 AND vec_id < 25*AnchorCap), " +
@@ -175,8 +175,10 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "brute-force discipline: history scans, queries broadcast), " +
         "q209's 10-query fingerprint probe + its 30-row approx top-k " +
         "(both query-set-sized), q210's 1-row bounds + 1-row totals, " +
-        "q216's three 1-row broadcasts (the packed PQ codebook twice — " +
-        "candidate encode + query dtable — and the packed coarse cents)")
+        "q216/q218's three 1-row broadcasts (the packed PQ codebook " +
+        "twice — candidate encode + query dtable — and the packed " +
+        "coarse cents), q218 adding the in-cell-truth cents broadcast and " +
+        "the q31/q190 brute-truth discipline)")
   )
 
   test("every broadcast() hint in main source is a reviewed bounded frame") {

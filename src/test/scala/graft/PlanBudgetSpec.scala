@@ -121,6 +121,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q215_ivf_rebuild"           -> 1, // q143's increment cell exchange over the autoK-rebuilt index; build/append/rebuild run at construction
     "q216_ivfpq_match"           -> 3, // delta cell exchange + cell join + per-query top-1 window; candidate payload is (cell, old_id, 4 codes), never floats; codebook/cents are 1-row broadcasts
     "q217_quantile_sample"       -> 2, // ONE kmv agg exchange (<=k strings/partition) + the rank window over the <=256-row sample (bounded model artifact, not the corpus)
+    "q218_ivfpq_recall"          -> 9, // q216's three + exact in-cell truth (cell join + min-struct agg) + brute global truth (q31 shape: history scans once vs the broadcast delta, min-struct agg) + two verdict joins
     "q144_hybrid_rrf"            -> 5, // q31 (1) + q109 (1) + fuse join/window over ≤80-row sides
     "q145_domain_split"          -> 1, // ONE domain-key exchange, map-side combined
     "q146_label_propagation"     -> 1, // vec_id exchange serves knn window + vote agg + argmax
