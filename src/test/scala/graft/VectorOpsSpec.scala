@@ -275,6 +275,21 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_moments: null vectors are skipped, not counted") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq.fill(64)(2L))),
+      (2L, None),
+      (3L, Some(Seq.fill(64)(3L)))
+    ).toDF("vec_id", "q")
+    val got = df.agg(graft.functions.VecMoments(col("q"), 64).as("m"))
+      .head().getSeq[Long](0)
+    assert(got(0) == 2L, "count must skip the null row")
+    assert(got(1) == 5L && got(64) == 5L, "sums over non-null rows only")
+    assert(got(65) == 13L, "sum q0*q0 = 4 + 9")
+  }
+
   test("pcaLoadings: empty frame returns zero means without NPE") {
     val empty = quantized(1).filter("vec_id < 0")
     val (ms, v) = VectorOps.pcaLoadings(empty)
