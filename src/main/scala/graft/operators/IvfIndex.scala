@@ -131,7 +131,12 @@ object IvfIndex {
     * nProbe=1 that refined centroids buy back. */
   def write(spark: SparkSession, vectors: DataFrame, name: String,
       k: Int = 8, buckets: Int = 16, refineIters: Int = 0): Unit = {
-    Seq(s"${name}_cells", s"${name}_cents").foreach { tbl =>
+    // _pqcodes/_pqbook are DERIVED serving artifacts (PQ codes are
+    // residuals against THESE cells/centroids — graft.queries.VectorOps
+    // .pqAttach): any index rewrite invalidates them; the serving query
+    // re-attaches on its build-if-missing guard
+    Seq(s"${name}_cells", s"${name}_cents",
+        s"${name}_pqcodes", s"${name}_pqbook").foreach { tbl =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val loc = new java.io.File(new java.net.URI(
         spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
@@ -249,6 +254,8 @@ object IvfIndex {
     // SharedState (stale file listing — the LshIndex.append lesson), so
     // refresh here
     spark.catalog.refreshTable(s"${name}_cells")
+    // appended rows carry no PQ codes yet — invalidate (see write)
+    dropPq(spark, name)
   }
 
   /** True iff the index tables exist in the session catalog. */
@@ -331,9 +338,27 @@ object IvfIndex {
     * [[write]]'s full refresh this never re-assigns: the rewrite reads
     * bucket-aligned, dedups on the partitioning it already has, and
     * writes bucket-aligned — no corpus shuffle at any scale. */
-  def compact(spark: SparkSession, name: String): Unit =
+  def compact(spark: SparkSession, name: String): Unit = {
     Tables.compactBucketed(spark, s"${name}_cells", "cell",
       Seq("cell", "vec_id"))
+    dropPq(spark, name)
+  }
+
+  /** Invalidate the derived PQ serving artifacts (see [[write]]'s note):
+    * membership/layout mutations must not leave codes for rows that no
+    * longer exist (or miss codes for rows a replay re-added) — the
+    * serving query's attach-if-missing guard rebuilds them. */
+  private def dropPq(spark: SparkSession, name: String): Unit =
+    Seq(s"${name}_pqcodes", s"${name}_pqbook").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
 
   /** Delete vectors from the index — the [[graft.operators.LshIndex
     * .remove]] move for the vector side: the bucket-preserving compact
@@ -346,6 +371,9 @@ object IvfIndex {
     Tables.compactBucketed(spark, s"${name}_cells", "cell",
       Seq("cell", "vec_id"),
       df => df.join(del, Seq("vec_id"), "left_anti"))
+    // RTBF reaches the DERIVED artifacts too: a lingering PQ code is a
+    // (very lossy) representation of a removed vector
+    dropPq(spark, name)
   }
 
   /** Offline re-seed at the CURRENT corpus size — the periodic

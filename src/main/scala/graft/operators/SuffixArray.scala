@@ -119,8 +119,12 @@ object SuffixArray {
     // explode (the seed round's one range-sort compares seedWidth tokens
     // at once, so the doubling starts at h=seedWidth — each doubling of
     // the seed multiplies the seed-round payload but deletes a full
-    // 3-exchange doubling round; 8→32 measured 13.1→10.6 s on q203+q204
-    // at sf0.1, where maxLen=100 makes 32 cut the round count 4→2)
+    // 3-exchange doubling round). The shipped production width is 16
+    // (TextOps.suffixRanks): 8→16 measured −8% on the q203/q204 build
+    // at sf0.1 (maxLen=100 → one fewer doubling round, SCALE.md). Wider
+    // seeds keep cutting rounds (32 → 2 rounds at maxLen=100) but pay a
+    // quadratically heavier seed-round payload; 16 is the measured
+    // balance on the gate corpus.
     val seeded = docs
       .select(col("doc_id"), tokens.as("_toks"))
       .select(col("doc_id"), posexplode(

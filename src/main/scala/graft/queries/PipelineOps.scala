@@ -160,6 +160,35 @@ object PipelineOps {
         .select(col("p"), col("v").as("value"))
     }),
 
+    // GROUPED hash-sample quantiles — q217 generalized to the per-key
+    // reporting shape (the q83/q85 per-language report) that the exact
+    // value-histogram path can't scale to when the metric is continuous:
+    // kmv_minima is a true partial-aggregating GROUP BY aggregate, so
+    // ONE exchange carries ≤k strings per (partition, lang) and every
+    // rank window after it runs on a ≤k-row per-group sample (a bounded
+    // model artifact per key, never the corpus). Same determinism story
+    // as q217: bottom-k-by-md5 with the value riding behind the hash —
+    // no RNG, merge-order-free, bit-identical in both engines, so the
+    // grouped quantile ESTIMATES are hash-gated exactly.
+    "q221_grouped_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val k = 128
+      val keyed = t(s, dir, "documents").select(col("lang"),
+        concat(md5(col("doc_id").cast("string")), lit("|"),
+          lpad(col("n_chars").cast("string"), 10, "0")).as("kv"))
+      val sample = keyed.groupBy("lang")
+        .agg(graft.functions.KmvMinima(col("kv"), k).as("mins"))
+        .select(col("lang"), size(col("mins")).as("n"),
+          explode(col("mins")).as("kv"))
+        .select(col("lang"), col("n"),
+          substring(col("kv"), 34, 10).cast("long").as("v"))
+      val ranked = sample.withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy("v")))
+      ranked.join(broadcast(Seq(50, 90, 99).toDF("p")),
+          col("rn") === expr("(p * CAST(n AS BIGINT) + 99) div 100"))
+        .select(col("lang"), col("p"), col("v").as("value"))
+    }),
+
     // Temperature-weighted corpus mixing: per-source acceptance rate
     // ∝ sqrt(source mass) (α = 0.5 down-weighting of huge sources, the
     // standard multilingual/multi-domain rebalancing), applied as a
@@ -474,6 +503,25 @@ object PipelineOps {
         |SELECT ps.p, r.v AS value
         |FROM (VALUES (25), (50), (75), (90), (99)) ps(p), r, n
         |WHERE r.rn = (ps.p * n.n + 99) // 100""".stripMargin,
+
+    // the grouped variant: per-lang bottom-k via a partitioned
+    // row_number, same integer nearest-rank rule per group
+    "q221_grouped_quantiles" ->
+      """WITH s AS (
+        |  SELECT lang, kv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY kv) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM (SELECT lang, md5(CAST(doc_id AS VARCHAR)) || '|' ||
+        |      lpad(CAST(n_chars AS VARCHAR), 10, '0') AS kv
+        |    FROM documents)),
+        |m AS (SELECT lang, kv, least(cnt, 128) AS n FROM s WHERE rk <= 128),
+        |r AS (SELECT lang, n, CAST(substr(kv, 34, 10) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(kv, 34, 10)) AS rn
+        |  FROM m)
+        |SELECT lang, ps.p, r.v AS value
+        |FROM r, (VALUES (50), (90), (99)) ps(p)
+        |WHERE r.rn = (ps.p * r.n + 99) // 100""".stripMargin,
 
     "q85_length_percentiles" ->
       """WITH h AS (

@@ -94,6 +94,14 @@ object TextOps {
         .localCheckpoint(true))
   }
 
+  /** Test hook (tools/InvarianceAudit, the r14 memo-blindness fix): evict
+    * every session-keyed memo so a re-run under a different
+    * shuffle-partition setting provably rebuilds from scratch instead of
+    * hashing the same cached frame twice — without this, the audit was
+    * vacuous for q203/q204 (denseRankInPlace's pid-offset arithmetic is
+    * exactly what it exists to cover). */
+  private[graft] def clearMemos(): Unit = suffixCache.clear()
+
   /** Skew guard (SCALE.md §dedup): a band bucket with more than this many
     * members is degenerate — near-identical boilerplate whose members are
     * exact-dup clusters (q25's path) — and would otherwise explode the
@@ -734,7 +742,11 @@ object TextOps {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val isNew = col("doc_id") % 10 === 7
       val name = weightedIndexName(dir)
-      if (!s.catalog.tableExists(s"${name}_bands"))
+      // existsWeighted requires BOTH _bands and _tfs: writeWeighted
+      // commits them concurrently, so a crash between the two commits
+      // must read as "absent" (rebuild), not as a half-index that
+      // satisfies a bands-only check forever (the IvfIndex.exists rule)
+      if (!graft.operators.LshIndex.existsWeighted(s, name))
         graft.operators.LshIndex.writeWeighted(s, docs.filter(!isNew), name)
       graft.operators.LshIndex.matchIncrementWeighted(
         s, docs.filter(isNew), name)
@@ -1475,9 +1487,29 @@ object TextOps {
     // array is the corpus-level artifact q204 reads LCP spans off —
     // memoized per (session, corpus) like the q123 BPE vocabulary
     // (see [[suffixRanks]]), because the paper's pipeline builds the
-    // array ONCE and every consumer reads it.
+    // array ONCE and every consumer reads it. This query is the
+    // MEMO-CONSUMER face (its steady-state cost is one scan of the
+    // checkpointed triples — what a production reader pays); the BUILD
+    // itself is gated unconditionally as q219, so the one-time
+    // prefix-doubling cost stays in the committed ledger.
     "q203_suffix_rank" -> ((s, dir) =>
       suffixRanks(s, dir).select(col("doc_id"), col("p"), col("srank"))),
+
+    // The suffix-array BUILD gated on its own (the q212/q214 fixed-cost
+    // ingest class, r14 verdict ask #1): evict the (session, dir) memo
+    // and rebuild the prefix-doubling rank frame UNCONDITIONALLY every
+    // run, refreshing the artifact q203/q204 consume — so the ~5 s
+    // build appears in the committed bench as its own line (and the
+    // partition-invariance audit provably hashes two INDEPENDENT
+    // builds), instead of vanishing into a min-of-3 memo read-back.
+    // Oracle = the same relational suffix ranking as q203: a broken
+    // seed, a lost doubling round, or a pid-offset error in
+    // denseRankInPlace all hash-mismatch here even when the memo would
+    // have masked them downstream.
+    "q219_suffix_build" -> ((s, dir) => {
+      suffixCache.remove((s, dir))
+      suffixRanks(s, dir).select(col("doc_id"), col("p"), col("srank"))
+    }),
 
     // Duplicated-span detection read straight off the suffix array (the
     // paper's actual method): positions adjacent in suffix order share
@@ -2554,6 +2586,17 @@ object TextOps {
     // comparison is elementwise-lexicographic = the prefix-doubling
     // order, shorter-prefix-first = the rank-0 sentinel)
     "q203_suffix_rank" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |pos AS (SELECT doc_id, toks,
+         |  unnest(range(1, CAST(len(toks) AS BIGINT) + 1)) AS p FROM tk)
+         |SELECT doc_id, CAST(p AS BIGINT) AS p,
+         |  CAST(dense_rank() OVER (ORDER BY toks[CAST(p AS INT):])
+         |    AS BIGINT) AS srank
+         |FROM pos""".stripMargin,
+
+    // the BUILD face recomputes the identical ranking — DuckDB pays the
+    // full sort either way, so the oracle text is q203's
+    "q219_suffix_build" ->
       s"""WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
          |pos AS (SELECT doc_id, toks,
          |  unnest(range(1, CAST(len(toks) AS BIGINT) + 1)) AS p FROM tk)

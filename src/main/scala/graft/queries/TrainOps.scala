@@ -132,6 +132,9 @@ object TrainOps {
     bpeCache.computeIfAbsent((s, dir), _ => bpeLearnImpl(s, dir))
   }
 
+  /** Test hook (tools/InvarianceAudit) — see TextOps.clearMemos. */
+  private[graft] def clearMemos(): Unit = bpeCache.clear()
+
   private def bpeLearnImpl(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     var cur = spread(t(s, dir, "documents"))

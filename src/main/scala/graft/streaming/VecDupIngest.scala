@@ -208,7 +208,15 @@ object VecDupIngest {
           .join(del, Seq("vec_id"), "left_anti")
           .write.mode("overwrite").parquet(tmp.getAbsolutePath)
         rm(b)
-        tmp.renameTo(b)
+        // a silent rename failure (locked dir, cross-device tmp) would
+        // leave the batch absent until the next processDeletes recovers
+        // the tmp — and an intervening processBatch would see a shrunken
+        // pending set, weakening the replay self-match guard. Fail loudly
+        // so the caller retries (the swap is idempotent: the tmp carries
+        // _SUCCESS and recovery completes it).
+        if (!tmp.renameTo(b))
+          throw new java.io.IOException(
+            s"pending swap failed: ${tmp.getAbsolutePath} -> ${b.getAbsolutePath}")
       })
     }
     marker.mkdirs()

@@ -58,10 +58,14 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "construction at any corpus scale, unlike the q134 raw vocab) " +
         "+ q208 piece inventory (LIMIT-64 TakeOrdered, the BPE-codebook " +
         "class)"),
-    "queries/VectorOps.scala" -> (1,
+    "queries/VectorOps.scala" -> (3,
       "k-means packed-centroid codebook (k*d); the q205 moment pass is " +
         "now a 1-row head() over the native vec_moments aggregate (2,145 " +
-        "Long cells — a fixed-size model artifact, reduced distributed)"),
+        "Long cells — a fixed-size model artifact, reduced distributed); " +
+        "plus the PQ book pair (pqAttach's trained 32-row codebook — the " +
+        "production ship-the-codebook artifact — and pqBookFrame's " +
+        "read-through of the persisted 1-row _pqbook packed table, the " +
+        "IvfIndex.centsFrame class)"),
     "streaming/VecHealth.scala" -> (2,
       "fit's 1-row projection bounds + the <=16-row bin histogram " +
         "(binCounts — the metrics-model class, never corpus-sized)"),
@@ -154,9 +158,9 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "sets (<= 4*avg_doc_len tokens can clear df >= nd/4 since " +
         "sum(df) = nd*avglen - document-length-sized at any corpus)"),
     "queries/CdcOps.scala" -> (1, "1-row max-scn scalar"),
-    "queries/PipelineOps.scala" -> (5,
+    "queries/PipelineOps.scala" -> (6,
       "bench eval split, per-source rates / maxw dims (source-count-sized), " +
-        "q217's 5-row percentile-target literal"),
+        "q217's 5-row and q221's 3-row percentile-target literals"),
     "queries/QaOps.scala" -> (1, "bench eval split (fixed holdout)"),
     "queries/Relational.scala" -> (5,
       "TPC-H dims: nation/region/part-filter/customer-filter + 7-row " +
@@ -167,7 +171,7 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "queries/TrainOps.scala" -> (3,
       "q122 approx side: <= 10 queries * k; q199 lrTrain's per-round and " +
         "final-scoring beta frames: 1 row of 3 longs each"),
-    "queries/VectorOps.scala" -> (22,
+    "queries/VectorOps.scala" -> (23,
       "query sets (vec_id < 10), packed codebooks (k*d), PQ codebooks, " +
         "k-means seeds, q143 delta assignments, q167 anchors (<= AnchorCap " +
         "by construction: vec_id % 25 = 0 AND vec_id < 25*AnchorCap), " +
@@ -175,10 +179,12 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "brute-force discipline: history scans, queries broadcast), " +
         "q209's 10-query fingerprint probe + its 30-row approx top-k " +
         "(both query-set-sized), q210's 1-row bounds + 1-row totals, " +
-        "q216/q218's three 1-row broadcasts (the packed PQ codebook " +
-        "twice — candidate encode + query dtable — and the packed " +
-        "coarse cents), q218 adding the in-cell-truth cents broadcast and " +
-        "the q31/q190 brute-truth discipline)")
+        "the PQ attach/serve set (residualFrame's packed cents, " +
+        "pqAttach's 1-row book over the encode scan, ivfPqTop1's packed " +
+        "cents + 1-row book on the query side — codes are STORED now, " +
+        "no candidate-side encode broadcast), q218 adding the " +
+        "in-cell-truth cents broadcast and the q31/q190 brute-truth " +
+        "discipline)")
   )
 
   test("every broadcast() hint in main source is a reviewed bounded frame") {

@@ -119,9 +119,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q213_rtbf_match"            -> 1, // q143's increment cell exchange over the post-remove+compact index; rewrite runs at construction
     "q214_ivf_index_build"       -> 0, // build (seed TakeOrdered + bucketed cells commit) runs at construction; returned frame = bare cells-table read-back
     "q215_ivf_rebuild"           -> 1, // q143's increment cell exchange over the autoK-rebuilt index; build/append/rebuild run at construction
-    "q216_ivfpq_match"           -> 3, // delta cell exchange + cell join + per-query top-1 window; candidate payload is (cell, old_id, 4 codes), never floats; codebook/cents are 1-row broadcasts
+    "q216_ivfpq_match"           -> 1, // STORED codes (r15): bucketed pqcodes read is exchange-free, delta side shuffles once into the cell SMJ, min-struct top-1 partial-aggregates on the same key; was 3 with the per-query encode + rank window
     "q217_quantile_sample"       -> 2, // ONE kmv agg exchange (<=k strings/partition) + the rank window over the <=256-row sample (bounded model artifact, not the corpus)
-    "q218_ivfpq_recall"          -> 9, // q216's three + exact in-cell truth (cell join + min-struct agg) + brute global truth (q31 shape: history scans once vs the broadcast delta, min-struct agg) + two verdict joins
+    "q218_ivfpq_recall"          -> 3, // q216's one + exact in-cell truth (cell join + min-struct agg) + brute global truth (q31 shape: history scans once vs the broadcast delta, min-struct agg); verdict joins ride the same keys
+    "q220_pq_attach"             -> 0, // attach (residual scan + codebook train + bucketed codes commit) runs at construction; returned frame = bare pqcodes read-back
+    "q221_grouped_quantiles"     -> 1, // q217 grouped: ONE kmv groupBy(lang) exchange; the per-lang rank window reuses the lang clustering over <=k-row samples
+    "q222_clustered_recall"      -> 3, // q218's shape over the md5-clustered fixture (index+PQ build at construction)
     "q144_hybrid_rrf"            -> 5, // q31 (1) + q109 (1) + fuse join/window over ≤80-row sides
     "q145_domain_split"          -> 1, // ONE domain-key exchange, map-side combined
     "q146_label_propagation"     -> 1, // vec_id exchange serves knn window + vote agg + argmax
@@ -247,6 +250,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q203_suffix_rank"           -> 0, // prefix-doubling rounds run ONCE per (session, corpus) at construction behind localCheckpoints (suffixRanks memo, the q123 discipline; caveat b); per-round exchanges (3: doc-window lead + range repartition + pid window) pinned by SuffixArraySpec
     "q205_pca_power"             -> 0, // native vec_moments agg runs at construction (caveat a, 2145-cell model artifact, no row multiplication); final plan = bare scan + in-row fold vs the literal loading vector
     "q204_suffix_lcp"            -> 4, // over the checkpointed rank table: rep groupBy + toks join + srank+1 self-join; LCP is in-row
+    "q219_suffix_build"          -> 0, // the UNCONDITIONAL build face of q203 (memo evicted first): same construction-time rounds (3 exchanges each, SuffixArraySpec), returned frame = checkpoint scan
     "q206_srp_fingerprint"       -> 0, // bare scan: the ±1 plane matrix is a 64x64 literal folded in-row; bits pack in-row
     "q207_audio_neardup"         -> 1, // decode+fp at construction (zero-exchange mapPartitions, checkpointed); band self-join is the one exchange
     "q208_wordpiece_encode"      -> 2, // q126's shape: distinct-token agg + per-doc agg; the greedy fold is in-row, pieces a collected model artifact (caveat a)
