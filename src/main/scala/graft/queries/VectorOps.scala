@@ -416,10 +416,14 @@ object VectorOps {
     // isolates the PQ quantization loss (ADC pick vs in-cell truth);
     // cell_global_hit isolates the coarse-pruning loss (in-cell truth
     // vs global truth). On THIS corpus (near-random vectors, max
-    // pairwise cosine ~0.48) both are honestly terrible — the measured
-    // reason IVF-PQ serves real embedding distributions (0.9+ neighbor
-    // similarity, clusterable) and is a filter, not a ranker, at low
-    // similarity (q209's lesson, reconfirmed for the composed index).
+    // pairwise cosine ~0.48) both are honestly terrible — 15/50 coarse,
+    // 3/50 ADC at sf0.01, UNCHANGED by the r15 residual-encoding
+    // upgrade, because within-cell residuals of near-random vectors are
+    // themselves near-random: the measured reason IVF-PQ serves real
+    // embedding distributions (0.9+ neighbor similarity, clusterable)
+    // and is a filter, not a ranker, at low similarity (q209's lesson,
+    // reconfirmed). q222 runs this same decomposition on a CLUSTERED
+    // fixture where the levels are meaningful and spec-asserted.
     // Brute side is the q31 shape — history scans once and never
     // shuffles, the delta broadcasts, truths are min-struct aggregates
     // (ties to the lowest old_id, matching the ADC window's order).
