@@ -236,7 +236,13 @@ object IvfIndex {
     * index-side reads of [[matchIncrement]] keep holding as the index
     * grows. Compaction (many small bucket files → few, or a centroid
     * re-seed) is [[write]]'s full refresh, run offline. */
-  def append(spark: SparkSession, vectors: DataFrame, name: String): Unit = {
+  /** `keepPq = true` is for callers that append the increment's PQ
+    * codes themselves (graft.queries.VectorOps.pqAppend encodes against
+    * the FROZEN codebook — the codes twin of the frozen-centroid
+    * assignment); the default drops the derived artifacts so a plain
+    * append can never leave the codes table silently incomplete. */
+  def append(spark: SparkSession, vectors: DataFrame, name: String,
+      keepPq: Boolean = false): Unit = {
     // the bucket count is the TABLE's property — read it from the catalog
     // so appends can never fork the spec (the LshIndex.append rule)
     val buckets = spark.sessionState.catalog
@@ -255,7 +261,8 @@ object IvfIndex {
     // refresh here
     spark.catalog.refreshTable(s"${name}_cells")
     // appended rows carry no PQ codes yet — invalidate (see write)
-    dropPq(spark, name)
+    // unless the caller appends codes itself (pqAppend)
+    if (!keepPq) dropPq(spark, name)
   }
 
   /** True iff the index tables exist in the session catalog. */

@@ -283,6 +283,42 @@ object VectorOps {
       s.table(s"${name}_cells").select(col("vec_id"), col("cell"))
     }),
 
+    // PQ serving growth under the oracle gate — the q213 lifecycle move
+    // for the codes side: build the coarse index + PQ artifacts on the
+    // 80% slice (codebook trained THERE and then FROZEN), append the
+    // %10==8 increment via pqAppend — new vectors assign against frozen
+    // centroids AND encode against the frozen codebook, the production
+    // streaming-growth semantics (a per-batch retrain would re-scan
+    // history every micro-batch) — then serve the delta over the grown
+    // codes table. The oracle trains the codebook on the 80% slice only
+    // but encodes/serves ALL history, so a book leaked from the wrong
+    // population, a stale-centroid assignment of the increment, or a
+    // lost codes append all hash-mismatch.
+    // Steady-state accounting (the q143/q191 split discipline): the
+    // base build+attach is dir-keyed build-if-missing (its cost is
+    // q214's+q220's, gated there); the APPEND runs unconditionally —
+    // it IS the semantics under test and is what a production ingest
+    // pays per batch. Re-running the append duplicates (cell, vec_id)
+    // rows in cells/pqcodes, which provably cannot change the output:
+    // the serving top-1 is a min-struct over (approx_d, old_id), and a
+    // duplicated candidate carries the identical struct — so bench
+    // min-of-3 and the 5-vs-32-partition audit hash the same frame
+    // (the same argument that makes crash-replayed appends safe before
+    // compaction dedups them).
+    "q224_pq_append_match" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val hist = e.filter(col("vec_id") % 10 =!= 9)
+      val delta = e.filter(col("vec_id") % 10 === 9)
+      val name = "pqa224_v1_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      if (!graft.operators.IvfIndex.exists(s, name) || !pqExists(s, name)) {
+        graft.operators.IvfIndex.write(
+          s, hist.filter(col("vec_id") % 10 =!= 8), name)
+        pqAttach(s, name) // codebook trained on the 80%, then frozen
+      }
+      pqAppend(s, name, hist.filter(col("vec_id") % 10 === 8))
+      adcTop1(s, name, delta)
+    }),
+
     // Multi-probe IVF match under the oracle gate — the LAST serving
     // knob that was spec-only (IvfIndexSpec/VecDupSoak measured it;
     // nothing hash-verified it): the increment probes its top-2 cells
@@ -998,6 +1034,44 @@ object VectorOps {
     Await.result(bookWrite, Duration.Inf)
   }
 
+  /** Append an increment to BOTH the coarse index and its PQ serving
+    * artifacts — the streaming-growth path for a PQ-served index (q224):
+    * new vectors assign against the FROZEN centroids (IvfIndex.append)
+    * and encode against the FROZEN codebook — the same frozen-artifact
+    * discipline the coarse side already follows; codebook drift, like
+    * centroid drift, is a rebuild/attach decision, never an ingest side
+    * effect (at 100 TB a per-batch retrain would re-scan history every
+    * micro-batch). Cells append first, codes second: a crash between
+    * the two leaves the appended vectors CODELESS — a bounded recall
+    * loss (they vanish from ADC serving; never a wrong match), visible
+    * as a cells-vs-pqcodes count gap and healed by [[pqAttach]] — the
+    * LshIndex.remove retry-to-completion contract. */
+  private[graft] def pqAppend(s: SparkSession, name: String,
+      newVecs: DataFrame): Unit = {
+    require(pqExists(s, name), s"$name has no PQ artifacts to append to")
+    graft.operators.IvfIndex.append(s, newVecs, name, keepPq = true)
+    val buckets = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${name}_pqcodes"))
+      .bucketSpec.map(_.numBuckets).getOrElse(16)
+    val codes = newVecs
+      .crossJoin(broadcast(graft.operators.IvfIndex.centsFrame(s, name)))
+      .select(col("vec_id"), col("cents"),
+        graft.operators.IvfIndex.cellOf(col("embedding")).as("cell"),
+        quant(col("embedding")).as("q"))
+      .select(col("cell"), col("vec_id"),
+        zip_with(col("q"), quant(centEmbOf(col("cell"))),
+          (x, y) => x - y).as("rq"))
+      .crossJoin(broadcast(pqBookFrame(s, name)))
+      .select(col("cell"), col("vec_id"),
+        graft.functions.PqNative.pqEncode(col("rq"), col("cents"))
+          .as("codes"))
+      .repartition(buckets, col("cell"))
+    graft.core.Tables.appendBucketed(codes, s"${name}_pqcodes", "cell",
+      buckets)
+    s.catalog.refreshTable(s"${name}_pqcodes")
+  }
+
   /** q216/q218 shared serving kernel: ADC top-1 per delta vector over
     * the dir-keyed coarse cells (built when absent) + the STORED
     * residual PQ codes (attached when absent — q220 gates the attach
@@ -1273,10 +1347,14 @@ object VectorOps {
     * one Lloyd round + encode on history residuals, per-query ADC sums
     * on delta residuals. Shared by q216 (top-1), q218 (recall) and q220
     * (the stored-codes read-back); `src`/`k` retarget it at the q222
-    * clustered fixture. */
+    * clustered fixture; `centWhere` narrows the coarse SEED slice and
+    * `trainWhere` (an AND-clause on vec_id) narrows the codebook
+    * TRAINING population — q224's append semantics, where the book is
+    * trained on pre-append history and then frozen while codes cover
+    * everything. */
   private def sqlIvfPqChain(src: String = "embeddings",
-      k: Int = 8): String =
-    s"""${sqlIvfSplitChain(src = src, k = k)},
+      k: Int = 8, centWhere: String = "", trainWhere: String = ""): String =
+    s"""${sqlIvfSplitChain(centWhere = centWhere, src = src, k = k)},
        |qq AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
@@ -1296,13 +1374,13 @@ object VectorOps {
        |  FROM hres, range(4) t),
        |c0 AS (SELECT m, CAST(vec_id AS INT) AS cluster, sub AS cent
        |       FROM hsub WHERE vec_id IN (
-       |         SELECT vec_id FROM hres WHERE vec_id >= 8
+       |         SELECT vec_id FROM hres WHERE vec_id >= 8$trainWhere
        |         ORDER BY vec_id LIMIT 8)),
        |d0 AS (
        |  SELECT s.vec_id, s.m, c.cluster,
        |    list_reduce(list_transform(list_zip(s.sub, c.cent),
        |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS dist2
-       |  FROM hsub s JOIN c0 c USING (m)),
+       |  FROM hsub s JOIN c0 c USING (m) WHERE 1=1$trainWhere),
        |a0 AS (SELECT vec_id, m, cluster FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
        |    ORDER BY dist2, cluster) AS rn FROM d0) WHERE rn = 1),
@@ -1456,6 +1534,17 @@ object VectorOps {
     // serving plan over the stored codes
     "q216_ivfpq_match" ->
       s"""WITH ${sqlIvfPqChain()}
+         |SELECT new_id, old_id, approx_d FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY new_id
+         |    ORDER BY approx_d, old_id) AS rk FROM approx)
+         |WHERE rk = 1""".stripMargin,
+
+    // the q216 chain with the coarse seeds AND the codebook training
+    // population narrowed to the pre-append 80% slice while codes and
+    // serving cover ALL history — ≙ attach-then-pqAppend
+    "q224_pq_append_match" ->
+      s"""WITH ${sqlIvfPqChain(centWhere = " WHERE vec_id % 10 <> 8",
+             trainWhere = " AND vec_id % 10 <> 8")}
          |SELECT new_id, old_id, approx_d FROM (
          |  SELECT *, row_number() OVER (PARTITION BY new_id
          |    ORDER BY approx_d, old_id) AS rk FROM approx)

@@ -171,7 +171,7 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "queries/TrainOps.scala" -> (3,
       "q122 approx side: <= 10 queries * k; q199 lrTrain's per-round and " +
         "final-scoring beta frames: 1 row of 3 longs each"),
-    "queries/VectorOps.scala" -> (23,
+    "queries/VectorOps.scala" -> (25,
       "query sets (vec_id < 10), packed codebooks (k*d), PQ codebooks, " +
         "k-means seeds, q143 delta assignments, q167 anchors (<= AnchorCap " +
         "by construction: vec_id % 25 = 0 AND vec_id < 25*AnchorCap), " +
@@ -182,9 +182,10 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "the PQ attach/serve set (residualFrame's packed cents, " +
         "pqAttach's 1-row book over the encode scan, ivfPqTop1's packed " +
         "cents + 1-row book on the query side — codes are STORED now, " +
-        "no candidate-side encode broadcast), q218 adding the " +
-        "in-cell-truth cents broadcast and the q31/q190 brute-truth " +
-        "discipline)")
+        "no candidate-side encode broadcast), pqAppend's frozen cents + " +
+        "frozen book over the increment encode (both 1-row), q218 " +
+        "adding the in-cell-truth cents broadcast and the q31/q190 " +
+        "brute-truth discipline)")
   )
 
   test("every broadcast() hint in main source is a reviewed bounded frame") {
