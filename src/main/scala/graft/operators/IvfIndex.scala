@@ -43,23 +43,41 @@ object IvfIndex {
   private def cacheKey(spark: SparkSession, name: String): String =
     spark.conf.get("spark.sql.warehouse.dir") + "#" + name
 
-  /** The packed 1-row centroid frame for `name`, served from the JVM
-    * cache when [[write]] ran in this process, else read-through from the
-    * persisted `<name>_cents` table. Composition surface for callers that
-    * need the broadcast cents row (the streaming ingest's in-batch
-    * pairing). */
-  private[graft] def centsFrame(spark: SparkSession, name: String): DataFrame = {
+  /** The packed centroid ROW for `name` (cache read-through — see
+    * [[centsFrame]]). */
+  private def centsRow(spark: SparkSession,
+      name: String): org.apache.spark.sql.Row = {
     val key = cacheKey(spark, name)
     var row = centsCache.get(key)
     if (row == null) {
       row = spark.table(s"${name}_cents").collect().head
       centsCache.put(key, row)
     }
+    row
+  }
+
+  /** The packed 1-row centroid frame for `name`, served from the JVM
+    * cache when [[write]] ran in this process, else read-through from the
+    * persisted `<name>_cents` table. Composition surface for callers that
+    * need the broadcast cents row (the streaming ingest's in-batch
+    * pairing). */
+  private[graft] def centsFrame(spark: SparkSession, name: String): DataFrame = {
+    val row = centsRow(spark, name)
     spark.createDataFrame(
       java.util.Collections.singletonList(row),
       row.asInstanceOf[org.apache.spark.sql.catalyst.expressions
         .GenericRowWithSchema].schema)
   }
+
+  /** The frozen coarse-centroid vec_ids, extracted from the cached packed
+    * row (no extra job) — the PQ codebook's seed EXCLUSION set: a coarse
+    * seed's residual against its own centroid is identically zero, so
+    * seeding the residual codebook from centroid rows would collapse
+    * every code to cluster 0 (the degenerate-seed trap pqAttach
+    * documents; at k > 8 the old `vec_id >= 8` rule silently hit it). */
+  private[graft] def centIds(spark: SparkSession, name: String): Seq[Long] =
+    centsRow(spark, name).getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getLong(0))
 
   /** The k ≈ √N sizing rule: with k cells over N vectors, a probe scans
     * ~N/k members and assignment compares k centroids — both ≈ √N at

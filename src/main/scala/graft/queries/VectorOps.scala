@@ -296,15 +296,19 @@ object VectorOps {
     // lost codes append all hash-mismatch.
     // Steady-state accounting (the q143/q191 split discipline): the
     // base build+attach is dir-keyed build-if-missing (its cost is
-    // q214's+q220's, gated there); the APPEND runs unconditionally —
-    // it IS the semantics under test and is what a production ingest
-    // pays per batch. Re-running the append duplicates (cell, vec_id)
-    // rows in cells/pqcodes, which provably cannot change the output:
-    // the serving top-1 is a min-struct over (approx_d, old_id), and a
-    // duplicated candidate carries the identical struct — so bench
-    // min-of-3 and the 5-vs-32-partition audit hash the same frame
-    // (the same argument that makes crash-replayed appends safe before
-    // compaction dedups them).
+    // q214's+q220's, gated there); the APPEND path runs every
+    // invocation — it IS the semantics under test and is what a
+    // production ingest pays per batch — but the increment is
+    // REPLAY-DEDUPED first (anti-join against the ids already indexed,
+    // the exactly-once ingest discipline): r15 ran the raw append
+    // unconditionally and every bench iteration re-appended the same
+    // slice, growing the persistent index 1.33× per run — provably
+    // output-invariant (min-struct over identical structs) but a
+    // linear accounting creep, the q219 failure class. The anti-joined
+    // increment is MATERIALIZED before the two-table append (cells
+    // first, codes second — a lazy plan would re-evaluate the
+    // anti-join AFTER the cells append landed and encode zero codes,
+    // the codeless window made permanent).
     "q224_pq_append_match" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val hist = e.filter(col("vec_id") % 10 =!= 9)
@@ -315,8 +319,70 @@ object VectorOps {
           s, hist.filter(col("vec_id") % 10 =!= 8), name)
         pqAttach(s, name) // codebook trained on the 80%, then frozen
       }
-      pqAppend(s, name, hist.filter(col("vec_id") % 10 === 8))
+      val inc = hist.filter(col("vec_id") % 10 === 8)
+        .join(s.table(s"${name}_cells").select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      if (!inc.isEmpty) pqAppend(s, name, inc)
       adcTop1(s, name, delta)
+    }),
+
+    // Multi-probe on the ADC serving path (q225 — the r15 ask): q223
+    // added nProbe to the FLAT cosine match; this adds it where
+    // production FAISS actually dials it — the PQ path, whose own
+    // decomposition (q218) shows coarse-pruning loss as the dominant
+    // recall term. The query side explodes ×2 over its top-2 cells by
+    // cosine, computes a residual + ADC table PER probed cell, and the
+    // min-struct top-1 spans both cells; the stored-codes read stays
+    // zero-exchange. The oracle restates probe selection and the
+    // cross-cell ADC top-1 relationally, so a wrong probe order, a
+    // lost second cell, a per-cell (instead of per-query) top-1, or a
+    // residual computed against the wrong cell's centroid all
+    // hash-mismatch.
+    "q225_multiprobe_adc" -> ((s, dir) => {
+      val raw = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val hist = raw.filter(col("vec_id") % 10 =!= 9)
+      val delta = raw.filter(col("vec_id") % 10 === 9)
+      val name = ivfIndexName(dir)
+      if (!graft.operators.IvfIndex.exists(s, name))
+        graft.operators.IvfIndex.write(s, hist, name)
+      if (!pqExists(s, name)) pqAttach(s, name)
+      adcTop1(s, name, delta, nProbe = 2)
+    }),
+
+    // The PRODUCTION-REGIME recall gate (the r15 "what's missing" #1):
+    // q222 runs 16 cells against an 8-entry codebook — the INVERTED
+    // regime, where the r15 A/B honestly measured raw ≥ residual. This
+    // fixture is the regime the residual defense names: 64 cells ≫ the
+    // 8-entry codebook, and the within-cell spread is STRUCTURED
+    // (8 md5-derived sub-patterns + tiny jitter — regimeVecs), the way
+    // real embedding clusters carry low-dimensional internal structure.
+    // Here the codebook CAN learn the 8 sub-patterns from residuals
+    // (measured sf0.01: pq_cell_hit 44/50) but raw's 8 entries cannot
+    // cover 64 centers × 8 sub-patterns (15/50) — the A/B that
+    // justifies shipping the residual layout, hash-gated on both arms
+    // (q227 is the raw arm) and spec-asserted (RegimeRecallSpec).
+    "q226_regime_recall" -> ((s, dir) => {
+      val rv = regimeVecs(t(s, dir, "embeddings"))
+      val hist = rv.filter(col("vec_id") % 10 =!= 9)
+      val delta = rv.filter(col("vec_id") % 10 === 9)
+      graft.operators.IvfIndex.write(s, hist, "q226_idx", k = 64)
+      pqAttach(s, "q226_idx")
+      recallDecomposed(s, "q226_idx", hist, delta)
+    }),
+
+    // The RAW arm of the q226 A/B: identical fixture, identical coarse
+    // index (k = 64), identical seed rule — the ONLY difference is the
+    // code representation (plain quantized vectors instead of residuals
+    // against the probed cell's centroid). Gated so the comparison is
+    // bit-pinned in both engines, not a SCALE.md anecdote.
+    "q227_regime_raw" -> ((s, dir) => {
+      val rv = regimeVecs(t(s, dir, "embeddings"))
+      val hist = rv.filter(col("vec_id") % 10 =!= 9)
+      val delta = rv.filter(col("vec_id") % 10 === 9)
+      graft.operators.IvfIndex.write(s, hist, "q227_idx", k = 64)
+      pqAttach(s, "q227_idx", residual = false)
+      recallDecomposed(s, "q227_idx", hist, delta)
     }),
 
     // Multi-probe IVF match under the oracle gate — the LAST serving
@@ -447,8 +513,8 @@ object VectorOps {
     // ingest class): retrain the residual codebook and rewrite the
     // stored codes UNCONDITIONALLY, read back as one row per index
     // vector with its cell and 4 sub-codes — the oracle recomputes the
-    // residuals, the seed rule (8 lowest ids ≥ 8: the coarse seeds'
-    // own residuals are identically zero), the one Lloyd round, and
+    // residuals, the seed rule (8 lowest NON-CENTROID ids: a coarse
+    // seed's own residual is identically zero), the one Lloyd round, and
     // the final encode relationally, so a broken residual sign, a
     // degenerate seed, or a lost codebook update all hash-mismatch
     // here, while q216 stays an honest match-only measurement.
@@ -941,22 +1007,45 @@ object VectorOps {
   private def pqCacheKey(s: SparkSession, name: String): String =
     s.conf.get("spark.sql.warehouse.dir") + "#" + name
 
-  private def pqBookFrame(s: SparkSession, name: String): DataFrame = {
+  /** The cached book ROW, validated against the catalog first: any index
+    * mutation DROPS the `_pqbook` table (IvfIndex.dropPq), so a cached
+    * row whose table no longer exists is stale and must be evicted —
+    * serving correctness must not hang on every caller remembering to
+    * re-guard with [[pqExists]] (the r15 implicit-invariant finding). A
+    * dropped-then-unattached read then fails loudly instead of serving
+    * the dead book. */
+  private def pqBookRow(s: SparkSession,
+      name: String): org.apache.spark.sql.Row = {
     val key = pqCacheKey(s, name)
+    if (!s.catalog.tableExists(s"${name}_pqbook")) pqBookCache.remove(key)
     var row = pqBookCache.get(key)
     if (row == null) {
       row = s.table(s"${name}_pqbook").collect().head
       pqBookCache.put(key, row)
     }
+    row
+  }
+
+  private def pqBookFrame(s: SparkSession, name: String): DataFrame = {
+    val row = pqBookRow(s, name)
     s.createDataFrame(
       java.util.Collections.singletonList(row),
       row.asInstanceOf[org.apache.spark.sql.catalyst.expressions
         .GenericRowWithSchema].schema)
   }
 
+  /** The encoding the stored codes were trained with ("residual" |
+    * "raw") — recorded IN the book artifact at attach time, so serving
+    * derives the query-side transform from the index state instead of a
+    * caller-supplied flag that could disagree with the codes. */
+  private def pqEncodingOf(s: SparkSession, name: String): String = {
+    val row = pqBookRow(s, name)
+    row.getString(row.fieldIndex("enc"))
+  }
+
   /** Both PQ artifacts present (the existsWeighted rule: pqAttach commits
     * two tables; a crash between them must read as absent). */
-  private def pqExists(s: SparkSession, name: String): Boolean =
+  private[graft] def pqExists(s: SparkSession, name: String): Boolean =
     s.catalog.tableExists(s"${name}_pqcodes") &&
       s.catalog.tableExists(s"${name}_pqbook")
 
@@ -984,31 +1073,40 @@ object VectorOps {
     *     crossing the join is ~30× smaller than the float vectors.
     *
     * Residual encoding is the FAISS production standard because at
-    * real scale (k ≈ √N cells ≫ codebook entries, tight neighbor
-    * similarity) a raw codebook wastes its entries re-encoding coarse
-    * structure the cell id already carries, while residuals hand PQ
-    * only the within-cell spread. Measured honestly at THIS gate's
-    * budget (4×8 codebook vs 16 cells — the inverted regime): raw and
-    * residual tie on the random corpus (q218: 3/50 both) and raw wins
-    * on the clustered fixture (19 vs 12 of 50, SCALE.md r15) — the
-    * codebook is big enough to cover all cells raw, and ±noise
-    * residuals are near-uniform. We ship the standard layout and pin
-    * its measured floor (ClusteredRecallSpec), not a flattering
-    * fixture. Codebook seeds are the 8 lowest index ids with
-    * vec_id ≥ 8 — the k lowest ids ARE the coarse centroids, so their
-    * residuals are identically zero and would seed 8 coinciding
-    * clusters (every code would collapse to cluster 0).
+    * real scale (k ≈ √N cells ≫ codebook entries, structured
+    * within-cell spread) a raw codebook wastes its entries re-encoding
+    * coarse structure the cell id already carries, while residuals hand
+    * PQ only the within-cell spread. Measured honestly in BOTH regimes:
+    * on near-random vectors any 4×8 code is a lottery (q218: 3/50 both
+    * encodings), and on the REGIME fixture the claim names — 64 cells
+    * ≫ the 8-entry codebook with codebook-learnable within-cell
+    * structure (regimeVecs) — residual wins 44/50 vs raw's 15/50
+    * (RegimeRecallSpec pins the A/B; q226/q227 hash-gate both chains).
+    * Codebook seeds are the 8 lowest index ids that are NOT coarse
+    * centroids — a centroid row's residual against itself is
+    * identically zero, so centroid seeds would coincide at the origin
+    * and collapse every code to cluster 0 (at k > 8 the old
+    * `vec_id ≥ 8` rule silently seeded exactly that degenerate book —
+    * the r15 q222 A/B ran it, which is why residual "lost" there).
+    * The exclusion applies to BOTH encodings so the A/B differs only
+    * in the representation.
     *
     * Trained once per index state: any IvfIndex mutation drops these
     * tables (see IvfIndex.write/append/remove/compact) and the serving
     * query's attach-if-missing guard retrains — codes are never
     * recomputed per query (the r14 full-corpus-re-encode finding). */
-  private[graft] def pqAttach(s: SparkSession, name: String): Unit = {
+  private[graft] def pqAttach(s: SparkSession, name: String,
+      residual: Boolean = true): Unit = {
     Seq(s"${name}_pqcodes", s"${name}_pqbook").foreach(tbl =>
       s.sql(s"DROP TABLE IF EXISTS $tbl"))
-    val res = residualFrame(s, name)
+    val res = if (residual) residualFrame(s, name)
+      else s.table(s"${name}_cells")
+        .select(col("cell"), col("vec_id"), quant(col("embedding")).as("q"))
+    val centIds = graft.operators.IvfIndex.centIds(s, name)
     val book = pqTrainCodebook(s, res.select(col("vec_id"), col("q")),
-      seedSel = _.filter(col("vec_id") >= 8).orderBy("vec_id").limit(8))
+        seedSel = _.filter(!col("vec_id").isin(centIds: _*))
+          .orderBy("vec_id").limit(8))
+      .withColumn("enc", lit(if (residual) "residual" else "raw"))
     val bookRow = book.collect().head
     pqBookCache.put(pqCacheKey(s, name), bookRow)
     val bookLocal = s.createDataFrame(
@@ -1019,19 +1117,18 @@ object VectorOps {
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_cells"))
       .bucketSpec.map(_.numBuckets).getOrElse(16)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val bookWrite = Future(
-      bookLocal.write.saveAsTable(s"${name}_pqbook"))
+    // book first, codes second, sequentially: the codes write dominates
+    // wall time anyway, and a crash between the two reads as absent via
+    // pqExists (requires BOTH tables) — the r15 Future/Await overlap
+    // bought nothing and added a concurrent-catalog-write race surface
+    bookLocal.write.saveAsTable(s"${name}_pqbook")
     graft.core.Tables.writeBucketed(
-      res.crossJoin(broadcast(bookLocal))
+      res.crossJoin(broadcast(bookLocal.select(col("cents"))))
         .select(col("cell"), col("vec_id"),
           graft.functions.PqNative.pqEncode(col("q"), col("cents"))
             .as("codes"))
         .repartition(buckets, col("cell")),
       s"${name}_pqcodes", "cell", buckets)
-    Await.result(bookWrite, Duration.Inf)
   }
 
   /** Append an increment to BOTH the coarse index and its PQ serving
@@ -1050,19 +1147,32 @@ object VectorOps {
       newVecs: DataFrame): Unit = {
     require(pqExists(s, name), s"$name has no PQ artifacts to append to")
     graft.operators.IvfIndex.append(s, newVecs, name, keepPq = true)
+    appendCodes(s, name, newVecs)
+  }
+
+  /** Encode `vecs` (vec_id, embedding) against `name`'s FROZEN centroids
+    * + FROZEN codebook (whichever encoding the book records) and append
+    * the codes bucket-aligned — the shared tail of [[pqAppend]] and
+    * [[pqHeal]]. */
+  private def appendCodes(s: SparkSession, name: String,
+      vecs: DataFrame): Unit = {
     val buckets = s.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
         s"${name}_pqcodes"))
       .bucketSpec.map(_.numBuckets).getOrElse(16)
-    val codes = newVecs
+    val assigned = vecs
       .crossJoin(broadcast(graft.operators.IvfIndex.centsFrame(s, name)))
       .select(col("vec_id"), col("cents"),
         graft.operators.IvfIndex.cellOf(col("embedding")).as("cell"),
         quant(col("embedding")).as("q"))
-      .select(col("cell"), col("vec_id"),
-        zip_with(col("q"), quant(centEmbOf(col("cell"))),
-          (x, y) => x - y).as("rq"))
-      .crossJoin(broadcast(pqBookFrame(s, name)))
+    val rq =
+      if (pqEncodingOf(s, name) == "residual")
+        assigned.select(col("cell"), col("vec_id"),
+          zip_with(col("q"), quant(centEmbOf(col("cell"))),
+            (x, y) => x - y).as("rq"))
+      else assigned.select(col("cell"), col("vec_id"), col("q").as("rq"))
+    val codes = rq
+      .crossJoin(broadcast(pqBookFrame(s, name).select(col("cents"))))
       .select(col("cell"), col("vec_id"),
         graft.functions.PqNative.pqEncode(col("rq"), col("cents"))
           .as("codes"))
@@ -1070,6 +1180,31 @@ object VectorOps {
     graft.core.Tables.appendBucketed(codes, s"${name}_pqcodes", "cell",
       buckets)
     s.catalog.refreshTable(s"${name}_pqcodes")
+  }
+
+  /** Heal the [[pqAppend]] crash window: cells append first, codes
+    * second, so a crash between the two leaves the appended vectors
+    * CODELESS — present in `<name>_cells` but absent from
+    * `<name>_pqcodes`, a silent recall loss at serving time (they
+    * vanish from ADC candidate sets; never a wrong match). This finds
+    * the gap by anti-join, re-encodes the missing vectors against the
+    * FROZEN book, and appends their codes — idempotent (zero rows when
+    * the artifacts agree), crash-replay-safe (a duplicate code row
+    * cannot change a min-struct top-1 over identical structs), and run
+    * by the streaming ingest's recovery pass on every (re)start
+    * ([[graft.streaming.VecDupIngest]] ADC mode). Returns the number of
+    * healed vectors. */
+  private[graft] def pqHeal(s: SparkSession, name: String): Long = {
+    require(pqExists(s, name), s"$name has no PQ artifacts to heal")
+    val missing = s.table(s"${name}_cells")
+      .select(col("vec_id"), col("embedding"))
+      .join(s.table(s"${name}_pqcodes").select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .dropDuplicates("vec_id")
+      .localCheckpoint()
+    val n = missing.count()
+    if (n > 0L) appendCodes(s, name, missing)
+    n
   }
 
   /** q216/q218 shared serving kernel: ADC top-1 per delta vector over
@@ -1099,24 +1234,66 @@ object VectorOps {
 
   /** The serving kernel proper (index + PQ artifacts must exist):
     * ADC top-1 of `delta` (vec_id, embedding) against `name`'s stored
-    * codes — shared by q216 (dir-keyed corpus index) and q222 (the
-    * clustered-fixture gate). */
+    * codes — shared by q216 (dir-keyed corpus index), q222/q226/q227
+    * (the fixture gates) and q225 (multi-probe). The query-side
+    * transform follows the encoding the book RECORDS (residual
+    * subtracts the probed cell's centroid; raw serves the plain
+    * quantized vector). `nProbe` > 1 probes the query's top-P cells —
+    * the standard FAISS serving dial on the PQ path (q223 added it to
+    * the flat path; coarse-pruning loss is the dominant recall term,
+    * q218's decomposition): the query side explodes ×P in-row BEFORE
+    * the cell join (still the small side by construction), each probed
+    * cell gets its own residual + ADC table, the stored-codes read
+    * stays zero-exchange, and the min-struct top-1 spans ALL probed
+    * cells per new_id. */
   private def adcTop1(s: SparkSession, name: String,
-      delta: DataFrame): DataFrame = {
-    val cand = s.table(s"${name}_pqcodes")
+      delta: DataFrame, nProbe: Int = 1): DataFrame =
+    adcScores(s, name, delta, nProbe)
+      .groupBy("new_id")
+      .agg(min(struct(col("approx_d"), col("old_id"))).as("best"))
+      .select(col("new_id"), col("best").getField("old_id").as("old_id"),
+        col("best").getField("approx_d").as("approx_d"))
+
+  /** Per-candidate ADC scores — (new_id, cell, old_id, approx_d) for
+    * every stored code in the query's probed cell(s). The shared core
+    * of [[adcTop1]] and the streaming ingest's shortlist-then-verify
+    * serving ([[graft.streaming.VecDupIngest]] ADC mode, which needs
+    * the pre-aggregation rows for a top-R cut plus `excludeIds` — the
+    * crash-replay self-match guard, batch-sized broadcast anti like
+    * IvfIndex.matchIncrement's). */
+  private[graft] def adcScores(s: SparkSession, name: String,
+      delta: DataFrame, nProbe: Int = 1,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
+    val cand0 = s.table(s"${name}_pqcodes")
       .select(col("cell"), col("vec_id").as("old_id"), col("codes"))
-    // query side: coarse cell, residual vs that cell's centroid, then
-    // the per-query ADC table — each step in-row vs a 1-row broadcast
-    val qs = delta
+    val cand = excludeIds.fold(cand0)(ex => cand0.join(
+      broadcast(ex.select(col("vec_id").as("old_id"))), Seq("old_id"),
+      "left_anti"))
+    // query side: probed cell(s), the encoding's query transform, then
+    // the per-(query, cell) ADC table — each step in-row vs a 1-row
+    // broadcast. nProbe = 1 keeps the scalar argmax path (no Generate
+    // node in the gated q216/q224 plans).
+    val withCents = delta
       .crossJoin(broadcast(
         graft.operators.IvfIndex.centsFrame(s, name)))
-      .select(col("vec_id").as("new_id"), col("cents"),
-        graft.operators.IvfIndex.cellOf(col("embedding")).as("cell"),
-        quant(col("embedding")).as("q"))
-      .select(col("new_id"), col("cell"),
-        zip_with(col("q"), quant(centEmbOf(col("cell"))),
-          (x, y) => x - y).as("rq"))
-      .crossJoin(broadcast(pqBookFrame(s, name)))
+    val assigned =
+      if (nProbe <= 1)
+        withCents.select(col("vec_id").as("new_id"), col("cents"),
+          graft.operators.IvfIndex.cellOf(col("embedding")).as("cell"),
+          quant(col("embedding")).as("q"))
+      else
+        withCents.select(col("vec_id").as("new_id"), col("cents"),
+          explode(graft.operators.IvfIndex
+            .topCells(col("embedding"), nProbe)).as("cell"),
+          quant(col("embedding")).as("q"))
+    val rq =
+      if (pqEncodingOf(s, name) == "residual")
+        assigned.select(col("new_id"), col("cell"),
+          zip_with(col("q"), quant(centEmbOf(col("cell"))),
+            (x, y) => x - y).as("rq"))
+      else assigned.select(col("new_id"), col("cell"), col("q").as("rq"))
+    val qs = rq
+      .crossJoin(broadcast(pqBookFrame(s, name).select(col("cents"))))
       .select(col("new_id"), col("cell"),
         transform(col("cents"), cs => struct(
           cs.getField("m").as("m"),
@@ -1126,10 +1303,7 @@ object VectorOps {
     cand.join(qs, "cell")
       .withColumn("approx_d", graft.functions.PqNative
         .adcSum(col("codes"), col("dtable")))
-      .groupBy("new_id")
-      .agg(min(struct(col("approx_d"), col("old_id"))).as("best"))
-      .select(col("new_id"), col("best").getField("old_id").as("old_id"),
-        col("best").getField("approx_d").as("approx_d"))
+      .select(col("new_id"), col("cell"), col("old_id"), col("approx_d"))
   }
 
   /** The q218/q222 shared decomposition: per delta vector, the ADC pick
@@ -1187,8 +1361,15 @@ object VectorOps {
     * magnitudes up to 32 → within-cluster cosine ≥ 0.99, max
     * cross-center cosine ~0.28 measured). Integer values are exactly
     * representable as doubles, so cosine / quantization / residuals are
-    * bit-identical across engines. Ids 0..15 cover each center exactly
-    * once, so the k=16 lowest-id seed rule lands one seed per cluster. */
+    * bit-identical across engines. Seed coverage (corrected r16): the
+    * index is built on hist = vec_id % 10 ≠ 9, so the 16 lowest HIST
+    * ids are {0..8, 10..16} — center 9 (id 9 is delta) gets NO seed and
+    * center 0 two (ids 0 and 16); cluster-9 queries still resolve
+    * deterministically (their argmax lands on a fixed other-center
+    * seed, same rule both engines) and the measured recall levels
+    * (ClusteredRecallSpec) include that asymmetry. regimeVecs below
+    * derives its cluster id from the HIST RANK instead, so its seeds
+    * cover every center exactly once. */
   private[graft] def clusteredVecs(emb: DataFrame): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex0(seed: String): Int = {
@@ -1206,6 +1387,46 @@ object VectorOps {
       transform(sequence(lit(0), lit(63)), j =>
         (element_at(element_at(typedLit(centers), cid + 1), j + 1)
           + ((col("vec_id") * 13 + j * 7 + col("vec_id") * j) % 5 - 2))
+          .cast("float")).as("embedding"))
+  }
+
+  /** The PRODUCTION-REGIME fixture (q226/q227): 64 md5-derived integer
+    * centers (scale ±28) so cells ≫ the 4×8 codebook, PLUS structured
+    * within-cluster spread — each vector adds one of 8 md5-derived
+    * SUB-PATTERNS (scale ±7) and tiny id-keyed jitter (±1). Real
+    * embedding clusters carry low-dimensional internal structure like
+    * this; it is exactly what residual PQ exists to encode: the 8-entry
+    * residual codebook can learn the 8 sub-patterns (one Lloyd round
+    * recovers them near-exactly), while a raw 8-entry codebook would
+    * need 64 centers × 8 sub-patterns = 512 combinations. Measured
+    * sf0.01 (simulated first, then gate-pinned): residual pq_cell_hit
+    * 44/50 vs raw 15/50, coarse 50/50 both. The cluster id is the
+    * vector's HIST RANK mod 64 (rank = vec_id − ⌊(vec_id+1)/10⌋, dense
+    * over hist = vec_id % 10 ≠ 9), so the 64 lowest hist ids — the
+    * k = 64 coarse seeds — cover every center exactly once (the q222
+    * coverage hole, closed by construction). All values are small
+    * integers (|v| ≤ 36), exactly representable in float and double, so
+    * both engines' arithmetic is identical. */
+  private[graft] def regimeVecs(emb: DataFrame): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex0(seed: String): Int = {
+      val h = md.digest(seed.getBytes("UTF-8"))
+      (h(0) >> 4) & 0xf
+    }
+    val centers: Seq[Seq[Long]] = (0 until 64).map(c =>
+      (0 until 64).map(j => (hex0(s"rc|$c|$j") - 7).toLong * 4L))
+    val subs: Seq[Seq[Long]] = (0 until 8).map(t =>
+      (0 until 64).map(j => (hex0(s"rs|$t|$j") - 7).toLong))
+    // hist rank: vec_id minus the count of excluded (%10==9) ids below
+    // it — integer `div`, not `/` (Column `/` is double division)
+    val cid = ((col("vec_id") - expr("(vec_id + 1) div 10")) % 64)
+      .cast("int")
+    val sid = ((col("vec_id") * 7 + 3) % 8).cast("int")
+    emb.select(col("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (element_at(element_at(typedLit(centers), cid + 1), j + 1)
+          + element_at(element_at(typedLit(subs), sid + 1), j + 1)
+          + ((col("vec_id") * 13 + j * 7 + col("vec_id") * j) % 3 - 1))
           .cast("float")).as("embedding"))
   }
 
@@ -1340,21 +1561,57 @@ object VectorOps {
   private def sqlCos(a: String, b: String) =
     s"(${sqlDot(a, b)}) / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
-  /** The IVF-PQ WITH-chain — RESIDUAL encoding (the FAISS standard, the
-    * r14 refinement): coarse split, per-row integer residuals against
-    * the assigned cell's quantized centroid, codebook train (seeds = the
-    * 8 lowest hist ids ≥ 8: the coarse seeds' own residuals are zero) +
-    * one Lloyd round + encode on history residuals, per-query ADC sums
-    * on delta residuals. Shared by q216 (top-1), q218 (recall) and q220
-    * (the stored-codes read-back); `src`/`k` retarget it at the q222
-    * clustered fixture; `centWhere` narrows the coarse SEED slice and
-    * `trainWhere` (an AND-clause on vec_id) narrows the codebook
-    * TRAINING population — q224's append semantics, where the book is
-    * trained on pre-append history and then frozen while codes cover
-    * everything. */
+  /** The IVF-PQ WITH-chain: coarse split, the per-row code
+    * representation (`residual` = integer residuals against the
+    * assigned cell's quantized centroid — the FAISS standard; false =
+    * plain quantized vectors, q227's raw arm), codebook train (seeds =
+    * the 8 lowest hist ids that are NOT coarse centroids — a centroid's
+    * residual is identically zero; mirrors pqAttach's exclusion rule) +
+    * one Lloyd round + encode on history, per-(query, probed-cell) ADC
+    * sums on the delta side. Shared by q216 (top-1), q218 (recall),
+    * q220 (the stored-codes read-back), q222/q226/q227 (fixtures),
+    * q224 (append) and q225 (multi-probe); `src`/`k` retarget the
+    * corpus, `centWhere` narrows the coarse SEED slice, `trainWhere`
+    * (an AND-clause on vec_id) narrows the codebook TRAINING population
+    * — q224's append semantics, where the book is trained on pre-append
+    * history and then frozen while codes cover everything — and
+    * `nProbe` > 1 assigns each delta vector to its top-P cells (the
+    * q223 dassign2 move), with the ADC table computed PER probed cell
+    * and the final top-1 spanning them all. */
   private def sqlIvfPqChain(src: String = "embeddings",
-      k: Int = 8, centWhere: String = "", trainWhere: String = ""): String =
-    s"""${sqlIvfSplitChain(centWhere = centWhere, src = src, k = k)},
+      k: Int = 8, centWhere: String = "", trainWhere: String = "",
+      residual: Boolean = true, nProbe: Int = 1): String = {
+    val dprobe = if (nProbe <= 1) "dassign" else "dassignp"
+    val probeCte = if (nProbe <= 1) "" else s""",
+dassignp AS (
+SELECT vec_id, embedding, cent_id AS cell FROM (
+SELECT d.vec_id, d.embedding, c.cent_id,
+row_number() OVER (PARTITION BY d.vec_id
+ORDER BY ${sqlCos("d.embedding", "c.cent")} DESC,
+c.cent_id) AS r
+FROM delta d CROSS JOIN cents c)
+WHERE r <= $nProbe)"""
+    // the code representation: residual subtracts the assigned cell's
+    // quantized centroid; raw serves the quantized vector unchanged
+    val hRep =
+      if (residual)
+        """SELECT ha.vec_id, ha.cell,
+list_transform(list_zip(qq.q, qc.qc), p -> p[1] - p[2]) AS r
+FROM hassign ha JOIN qq ON qq.vec_id = ha.vec_id
+JOIN qcent qc ON qc.cent_id = ha.cell"""
+      else
+        """SELECT ha.vec_id, ha.cell, qq.q AS r
+FROM hassign ha JOIN qq ON qq.vec_id = ha.vec_id"""
+    val dRep =
+      if (residual)
+        s"""SELECT da.vec_id, da.cell,
+list_transform(list_zip(qq.q, qc.qc), p -> p[1] - p[2]) AS r
+FROM $dprobe da JOIN qq ON qq.vec_id = da.vec_id
+JOIN qcent qc ON qc.cent_id = da.cell"""
+      else
+        s"""SELECT da.vec_id, da.cell, qq.q AS r
+FROM $dprobe da JOIN qq ON qq.vec_id = da.vec_id"""
+    s"""${sqlIvfSplitChain(centWhere = centWhere, src = src, k = k)}$probeCte,
        |qq AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
@@ -1364,17 +1621,15 @@ object VectorOps {
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qc
        |  FROM cents),
        |hres AS MATERIALIZED (
-       |  SELECT ha.vec_id, ha.cell,
-       |    list_transform(list_zip(qq.q, qc.qc), p -> p[1] - p[2]) AS r
-       |  FROM hassign ha JOIN qq ON qq.vec_id = ha.vec_id
-       |  JOIN qcent qc ON qc.cent_id = ha.cell),
+       |$hRep),
        |hsub AS (
        |  SELECT vec_id, cell, CAST(t.range AS INT) AS m,
        |    r[t.range*16+1 : t.range*16+16] AS sub
        |  FROM hres, range(4) t),
        |c0 AS (SELECT m, CAST(vec_id AS INT) AS cluster, sub AS cent
        |       FROM hsub WHERE vec_id IN (
-       |         SELECT vec_id FROM hres WHERE vec_id >= 8$trainWhere
+       |         SELECT vec_id FROM hres
+       |         WHERE vec_id NOT IN (SELECT cent_id FROM cents)$trainWhere
        |         ORDER BY vec_id LIMIT 8)),
        |d0 AS (
        |  SELECT s.vec_id, s.m, c.cluster,
@@ -1403,26 +1658,23 @@ object VectorOps {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
        |    ORDER BY dist2, cluster) AS rn FROM d1) WHERE rn = 1),
        |dres AS (
-       |  SELECT da.vec_id, da.cell,
-       |    list_transform(list_zip(qq.q, qc.qc), p -> p[1] - p[2]) AS r
-       |  FROM dassign da JOIN qq ON qq.vec_id = da.vec_id
-       |  JOIN qcent qc ON qc.cent_id = da.cell),
+       |$dRep),
        |dsub AS (
-       |  SELECT vec_id, CAST(t.range AS INT) AS m,
+       |  SELECT vec_id, cell, CAST(t.range AS INT) AS m,
        |    r[t.range*16+1 : t.range*16+16] AS sub
        |  FROM dres, range(4) t),
        |qt AS MATERIALIZED (
-       |  SELECT s.vec_id AS q_id, c.m, c.cluster,
+       |  SELECT s.vec_id AS q_id, s.cell, c.m, c.cluster,
        |    list_reduce(list_transform(list_zip(s.sub, c.cent),
        |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS d
        |  FROM dsub s JOIN c1 c USING (m)),
        |approx AS (
-       |  SELECT da.vec_id AS new_id, co.vec_id AS old_id,
+       |  SELECT qt.q_id AS new_id, co.vec_id AS old_id,
        |    CAST(sum(qt.d) AS BIGINT) AS approx_d
-       |  FROM dassign da JOIN codes co ON co.cell = da.cell
-       |  JOIN qt ON qt.q_id = da.vec_id AND qt.m = co.m
+       |  FROM codes co JOIN qt ON qt.cell = co.cell AND qt.m = co.m
        |    AND qt.cluster = co.cluster
        |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** The q218/q222 shared decomposition tail over a chain that left
     * `approx`, `qq`, `dassign`, `hassign` in scope: ADC top-1, exact
@@ -1475,6 +1727,31 @@ object VectorOps {
       |'|' || CAST(j AS VARCHAR)), 1, 1)) - 87 END - 7) * 4
       |+ ((vec_id*13 + j*7 + vec_id*j) % 5 - 2)) AS DOUBLE))
       |AS embedding FROM embeddings)""".stripMargin
+
+  /** One md5 first-hex-digit as an INT 0..15 (the clusteredVecs CASE,
+    * factored for reuse). FLUSH-LEFT; no line begins with '|'. */
+  private def sqlHex0(seedExpr: String): String =
+    s"""(CASE WHEN substr(md5($seedExpr), 1, 1) BETWEEN '0' AND '9'
+THEN CAST(substr(md5($seedExpr), 1, 1) AS INT)
+ELSE ascii(substr(md5($seedExpr), 1, 1)) - 87 END)"""
+
+  /** DuckDB mirror of [[regimeVecs]]: 64 centers (scale 4) + 8
+    * sub-patterns (scale 1) + id-keyed jitter, all regenerated from the
+    * same md5 digits and integer formulas — both engines derive the
+    * corpus from nothing. FLUSH-LEFT (interpolates into stripMargin
+    * callers); '||' concatenations sit at line ENDS. */
+  private lazy val sqlRegimeVecs: String = {
+    val cidStr =
+      "CAST((vec_id - (vec_id + 1) // 10) % 64 AS VARCHAR)"
+    val sidStr = "CAST((vec_id * 7 + 3) % 8 AS VARCHAR)"
+    val center = sqlHex0(s"'rc|' || $cidStr || '|' || CAST(j AS VARCHAR)")
+    val sub = sqlHex0(s"'rs|' || $sidStr || '|' || CAST(j AS VARCHAR)")
+    s"""rvecs AS (SELECT vec_id, list_transform(range(64), j ->
+CAST((($center - 7) * 4
++ ($sub - 7)
++ ((vec_id*13 + j*7 + vec_id*j) % 3 - 1)) AS DOUBLE))
+AS embedding FROM embeddings)"""
+  }
 
   private val sqlBucket =
     (1 to 4).map(i =>
@@ -1595,6 +1872,29 @@ object VectorOps {
     "q222_clustered_recall" ->
       s"""WITH $sqlClusteredVecs,
          |${sqlIvfPqChain("cvecs", 16)},
+         |$sqlRecallTail""".stripMargin,
+
+    // the q216 chain with the delta side assigned to its TOP-2 cells
+    // (the q223 dassign2 move on the PQ path): per-probed-cell
+    // residuals + ADC tables, final top-1 spanning both cells
+    "q225_multiprobe_adc" ->
+      s"""WITH ${sqlIvfPqChain(nProbe = 2)}
+         |SELECT new_id, old_id, approx_d FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY new_id
+         |    ORDER BY approx_d, old_id) AS rk FROM approx)
+         |WHERE rk = 1""".stripMargin,
+
+    // the q218 decomposition over the REGIME fixture (64 cells ≫ the
+    // 8-entry codebook, structured within-cell spread) — residual arm
+    "q226_regime_recall" ->
+      s"""WITH $sqlRegimeVecs,
+         |${sqlIvfPqChain("rvecs", 64)},
+         |$sqlRecallTail""".stripMargin,
+
+    // identical chain, raw codes — the A/B's control arm
+    "q227_regime_raw" ->
+      s"""WITH $sqlRegimeVecs,
+         |${sqlIvfPqChain("rvecs", 64, residual = false)},
          |$sqlRecallTail""".stripMargin,
 
     // the q143 chain re-seeded at the autoK √N rule — ≙ matching over

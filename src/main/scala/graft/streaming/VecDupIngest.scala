@@ -63,17 +63,43 @@ object VecDupIngest {
 
   private val cosine = graft.functions.Expressions.cosineSim _
 
+  /** ADC-mode shortlist width: the history match scores candidates by
+    * stored PQ codes first, then exact-verifies only the top-R per new
+    * vector against their float rows — the standard two-stage serving
+    * cut. R trades a bounded recall concession (a ≥-tau neighbor ranked
+    * past R by ADC is missed) against the float-row lookups; the soak
+    * (VecDupSoak --adc) measures the concession on this corpus. */
+  private[graft] val AdcShortlistR = 8
+
   /** Process one micro-batch of (vec_id, embedding): writes the kept
     * vectors to `outDir/batch=<id>` and indexes the whole batch. Skips
     * if the batch is already committed. `minSeed` defers index seeding
     * (see the bootstrap contract above; 0 = seed on the first non-empty
     * batch); `k` sizes the centroid set at seed time (0 = the
     * [[IvfIndex.autoK]] √N rule); `refineIters` Lloyd-refines the seed
-    * centroids before they freeze. */
+    * centroids before they freeze.
+    *
+    * `adcServe = true` switches the HISTORY match to the stored-PQ-codes
+    * serving path (the q216/q224 layout, streamed): candidates cross
+    * the probe join as (cell, old_id, 4 ints) instead of 64 floats —
+    * the ~30× payload cut that makes billion-vector serving memory fit
+    * — then only the ADC top-[[AdcShortlistR]] per new vector
+    * exact-verify against their float rows (two-stage serving; the dup
+    * DECISION stays an exact cosine ≥ tau test, so precision is
+    * unchanged and the only concession is shortlist recall, measured in
+    * the soak). The batch indexes via the frozen-book
+    * [[graft.queries.VectorOps.pqAppend]]; every (re)start heals the
+    * pqAppend crash window ([[graft.queries.VectorOps.pqHeal]] — the
+    * cells-appended-codes-missing gap) before serving, and a missing PQ
+    * artifact (an RTBF remove dropped it — derived codes must not
+    * outlive removed rows) re-attaches against the CURRENT corpus: code
+    * retrain is a recovery/rebuild decision here, never a per-batch
+    * side effect. */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexName: String, outDir: String, tau: Double = 0.9,
       nProbe: Int = 1, minSeed: Long = 0L, k: Int = 8,
-      refineIters: Int = 0, compactEvery: Int = 0): Unit = {
+      refineIters: Int = 0, compactEvery: Int = 0,
+      adcServe: Boolean = false): Unit = {
     val marker = new java.io.File(outDir, s"_committed/$batchId")
     if (marker.exists()) return
     val vecs = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
@@ -115,16 +141,27 @@ object VecDupIngest {
       if (pendingDir.exists()) rm(pendingDir)
       bootstrap = true
     }
+    if (adcServe) {
+      // serving-artifact recovery, every (re)start: a fresh seed or an
+      // RTBF-invalidated book re-attaches (retrain = a recovery/rebuild
+      // decision); an existing book heals the pqAppend crash window
+      // (cells appended, codes missing) before any candidate read
+      if (!graft.queries.VectorOps.pqExists(spark, indexName))
+        graft.queries.VectorOps.pqAttach(spark, indexName)
+      else graft.queries.VectorOps.pqHeal(spark, indexName)
+    }
     // 1. drop anything cosine-similar to the seen corpus (self-rows
     //    excluded on the index side — the replay guard; on a bootstrap
     //    batch this leaves no candidates, the correct "no history" read).
     //    nProbe widens the history search to the top-P cells — the
     //    measured recall/cost knob (VecDupSoak table in SCALE.md)
-    val histDups = IvfIndex
-      .matchIncrement(spark, vecs, indexName, topK = 1,
-        excludeIds = Some(vecs.select("vec_id")), nProbe = nProbe)
-      .filter(col("cos_sim") >= tau)
-      .select(col("new_id").as("vec_id")).distinct()
+    val histDups =
+      if (adcServe) adcHistDups(spark, vecs, indexName, tau, nProbe)
+      else IvfIndex
+        .matchIncrement(spark, vecs, indexName, topK = 1,
+          excludeIds = Some(vecs.select("vec_id")), nProbe = nProbe)
+        .filter(col("cos_sim") >= tau)
+        .select(col("new_id").as("vec_id")).distinct()
     val survivors = vecs.join(histDups, Seq("vec_id"), "left_anti")
       .localCheckpoint()
     // 2. in-batch: cell-local verified pairs → components → min vec_id
@@ -150,7 +187,10 @@ object VecDupIngest {
     //    the same index returns the duplicated old_id at ranks 1 AND 2,
     //    displacing the genuine second-nearest — [[IvfIndex.compact]]
     //    drops the duplicates and repairs the ranks (spec-pinned).
-    if (!bootstrap) IvfIndex.append(spark, vecs, indexName)
+    if (!bootstrap) {
+      if (adcServe) graft.queries.VectorOps.pqAppend(spark, indexName, vecs)
+      else IvfIndex.append(spark, vecs, indexName)
+    }
     marker.mkdirs()
     // operational compaction cadence: every `compactEvery` committed
     // batches, coalesce the per-append file accumulation and drop any
@@ -225,6 +265,37 @@ object VecDupIngest {
   /** Staging-dir swap prefix — pending readers skip these. */
   private val TmpPrefix = "_tmp_"
 
+  /** The ADC-mode history match (two-stage serving): score the batch
+    * against the STORED codes (payload per candidate = 4 ints; the
+    * index side reads bucketed with zero exchange; batch self-ids
+    * excluded — the replay guard), cut to the ADC top-[[AdcShortlistR]]
+    * per new vector, fetch ONLY those candidates' float rows (a
+    * shortlist-sized lookup join on the bucketed cells table), and
+    * decide on the EXACT cosine ≥ tau — same rounding as
+    * matchIncrement, so the two modes' decisions agree whenever the
+    * true nearest survives the shortlist. */
+  private def adcHistDups(spark: SparkSession, vecs: DataFrame,
+      indexName: String, tau: Double, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("new_id")
+      .orderBy(col("approx_d"), col("old_id"))
+    val shortlist = graft.queries.VectorOps
+      .adcScores(spark, indexName, vecs, nProbe = nProbe,
+        excludeIds = Some(vecs.select("vec_id")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= AdcShortlistR)
+      .select(col("new_id"), col("cell"), col("old_id"))
+    val oldEmb = spark.table(s"${indexName}_cells")
+      .select(col("cell"), col("vec_id").as("old_id"),
+        col("embedding").as("old_emb"))
+    val newEmb = vecs.select(col("vec_id").as("new_id"),
+      col("embedding").as("new_emb"))
+    shortlist.join(oldEmb, Seq("cell", "old_id"))
+      .join(broadcast(newEmb), Seq("new_id"))
+      .filter(round(cosine(col("new_emb"), col("old_emb")), 6) >= tau)
+      .select(col("new_id").as("vec_id")).distinct()
+  }
+
   /** The bootstrap-deferral window's exact batch step: brute-force
     * history match against the pending corpus (broadcast — < minSeed
     * rows by the deferral invariant), brute all-pairs in-batch
@@ -260,14 +331,15 @@ object VecDupIngest {
   def start(stream: DataFrame, indexName: String, outDir: String,
       checkpoint: String, tau: Double = 0.9,
       nProbe: Int = 1, minSeed: Long = 0L, k: Int = 8,
-      refineIters: Int = 0, compactEvery: Int = 0): StreamingQuery =
+      refineIters: Int = 0, compactEvery: Int = 0,
+      adcServe: Boolean = false): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
         // micro-batch's own session clone: catalog reads and the append
         // invalidation agree on one relation cache (the NearDupIngest rule)
         processBatch(df.sparkSession, df, id, indexName, outDir, tau,
-          nProbe, minSeed, k, refineIters, compactEvery)
+          nProbe, minSeed, k, refineIters, compactEvery, adcServe)
       }
       .start()
 }

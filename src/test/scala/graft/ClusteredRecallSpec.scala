@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   *     quantizer must put every query's true neighbor in the probed
   *     cell — a wrong tie rule, a broken seed order, or a lost bucket
   *     drops this toward the 1/k floor immediately;
-  *   - pq_cell_hit ≥ 8/50: ADC top-1 AMONG NEAR-TIES (every in-cell
+  *   - pq_cell_hit ≥ 14/50: ADC top-1 AMONG NEAR-TIES (every in-cell
   *     candidate sits at cosine ≥ 0.99 from the query, so exact top-1
-  *     is the harshest possible ADC metric) — measured 12/50, ~7× the
-  *     1/|cell| ≈ 1/28 random-pick floor, fully deterministic on the
-  *     fixed corpus. A broken ADC sum or a degenerate residual codebook
-  *     (e.g. the zero-residual seed trap pqAttach documents) falls to
-  *     the floor and fails the margin.
+  *     is the harshest possible ADC metric) — measured 20/50 with the
+  *     r16 not-in-cents codebook seeding (~11× the 1/|cell| ≈ 1/28
+  *     random-pick floor; the r15 `vec_id ≥ 8` rule seeded 8 coarse
+  *     centroids whose residuals are all zero — a degenerate book that
+  *     still scored 12/50 off tie-breaking), fully deterministic on
+  *     the fixed corpus. A broken ADC sum or a regression to the
+  *     zero-residual seed trap falls below the margin.
+  *
+  * q226/q227 + RegimeRecallSpec carry the residual-vs-raw A/B in the
+  * cells ≫ codebook regime; this fixture keeps the INVERTED-regime
+  * determinism gate (16 cells vs 8 entries).
   *
   * sf0.01 (500 vectors): big enough that the levels are not small-n
   * artifacts, small enough for a unit spec.
@@ -51,7 +57,7 @@ class ClusteredRecallSpec extends AnyFunSuite {
     val (cellHit, pqHit, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
     assert(n == 50L)
     assert(cellHit == n, s"coarse pruning lost true neighbors: $cellHit/$n")
-    assert(pqHit >= 8L, s"ADC top-1 at/near the random-pick floor: $pqHit/$n")
+    assert(pqHit >= 14L, s"ADC top-1 at/near the random-pick floor: $pqHit/$n")
   }
 
   test("the fixture itself is clustered (within >> cross center cosine)") {

@@ -148,10 +148,12 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "operators/LshIndex.scala" -> (2,
       "the excludeIds anti sides of matchIncrement/matchIncrementWeighted " +
         "(ingest-batch-sized: the replaying batch's own doc_ids)"),
-    "streaming/VecDupIngest.scala" -> (3,
+    "streaming/VecDupIngest.scala" -> (4,
       "the frozen centroid codebook (k rows) for in-batch cell pairing + " +
         "the bootstrap-deferral window's pending corpus and in-batch " +
-        "all-pairs side (both < minSeed rows by the deferral invariant)"),
+        "all-pairs side (both < minSeed rows by the deferral invariant) " +
+        "+ the ADC-mode exact-verify's new-embedding side (batch-sized: " +
+        "the micro-batch's own vectors rejoined to the shortlist)"),
     "queries/AnalyticsOps.scala" -> (13,
       "1-row scalars (nDocs x4, n, mx-class), 9-row bounds/med/mad dims, " +
         "count-min `counters` <= 4096 cells, q166/q169 frequent-token " +
@@ -171,7 +173,7 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "queries/TrainOps.scala" -> (3,
       "q122 approx side: <= 10 queries * k; q199 lrTrain's per-round and " +
         "final-scoring beta frames: 1 row of 3 longs each"),
-    "queries/VectorOps.scala" -> (25,
+    "queries/VectorOps.scala" -> (26,
       "query sets (vec_id < 10), packed codebooks (k*d), PQ codebooks, " +
         "k-means seeds, q143 delta assignments, q167 anchors (<= AnchorCap " +
         "by construction: vec_id % 25 = 0 AND vec_id < 25*AnchorCap), " +
@@ -185,7 +187,8 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "no candidate-side encode broadcast), pqAppend's frozen cents + " +
         "frozen book over the increment encode (both 1-row), q218 " +
         "adding the in-cell-truth cents broadcast and the q31/q190 " +
-        "brute-truth discipline)")
+        "brute-truth discipline, and adcScores' excludeIds anti side " +
+        "(ingest-batch-sized — the LshIndex/IvfIndex replay-guard class)")
   )
 
   test("every broadcast() hint in main source is a reviewed bounded frame") {

@@ -297,4 +297,83 @@ class VecDupIngestSpec extends AnyFunSuite {
       assert(keptIds(out, 1L) == Set(90001L))
     } finally q.stop()
   }
+
+  private def freshPq(name: String): Unit = {
+    fresh(name)
+    Seq(s"${name}_pqcodes", s"${name}_pqbook").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf
+        .get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+  }
+
+  test("ADC serving mode: decisions match the float path, batch-by-batch") {
+    freshPq("vdi6f"); freshPq("vdi6a")
+    val outF = Files.createTempDirectory("vdi6f_out").toString
+    val outA = Files.createTempDirectory("vdi6a_out").toString
+    val b0 = vecs.filter(col("vec_id") % 2 === 0)
+    val b1 = vecs.filter(col("vec_id") % 2 === 1)
+      .union(copies(40000L, 3)) // exact re-crawls of 3 batch-0 vectors
+    for ((name, out, adc) <- Seq(("vdi6f", outF, false), ("vdi6a", outA, true))) {
+      VecDupIngest.processBatch(spark, b0, 0L, name, out, adcServe = adc)
+      VecDupIngest.processBatch(spark, b1, 1L, name, out, adcServe = adc)
+    }
+    assert(keptIds(outA, 0L) == keptIds(outF, 0L))
+    assert(keptIds(outA, 1L) == keptIds(outF, 1L))
+    // the exact copies dropped in BOTH modes (an exact copy's residual
+    // equals the query's, so its ADC distance is the per-subspace
+    // minimum — it always survives the shortlist into exact verify)
+    assert(!keptIds(outA, 1L).exists(_ >= 40000L))
+    // ADC mode maintained the serving artifacts: one code row per cell
+    // row after the pqAppend path
+    assert(spark.table("vdi6a_pqcodes").count() ==
+      spark.table("vdi6a_cells").count())
+  }
+
+  test("ADC mode replay + crash-window healing: idempotent, codes complete") {
+    freshPq("vdi7")
+    val out = Files.createTempDirectory("vdi7_out").toString
+    val b0 = vecs.filter(col("vec_id") < 400)
+    val b1 = vecs.filter(col("vec_id") >= 400).union(copies(50000L, 1))
+    VecDupIngest.processBatch(spark, b0, 0L, "vdi7", out, adcServe = true)
+    VecDupIngest.processBatch(spark, b1, 1L, "vdi7", out, adcServe = true)
+    val kept1 = keptIds(out, 1L)
+    // crash window: batch 1's cells append landed, codes + marker lost —
+    // exactly what a crash inside pqAppend leaves behind
+    new java.io.File(out, "_committed/1").delete()
+    import org.apache.spark.sql.functions.{col => c}
+    // simulate by re-appending cells only (the replayed batch will ALSO
+    // re-append; both dup classes must come out harmless)
+    IvfIndex.append(spark, b1, "vdi7", keepPq = true)
+    VecDupIngest.processBatch(spark, b1, 1L, "vdi7", out, adcServe = true)
+    assert(keptIds(out, 1L) == kept1,
+      "ADC replay with the batch self-indexed must reproduce the kept set")
+    // the recovery pass healed the gap: every cells vec_id has a code
+    val gap = spark.table("vdi7_cells").select("vec_id").distinct()
+      .join(spark.table("vdi7_pqcodes").select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti").count()
+    assert(gap == 0L, s"$gap indexed vectors still codeless after recovery")
+  }
+
+  test("ADC mode after RTBF: dropped PQ artifacts re-attach, purge holds") {
+    freshPq("vdi8")
+    val out = Files.createTempDirectory("vdi8_out").toString
+    val b0 = vecs.filter(col("vec_id") < 400)
+    VecDupIngest.processBatch(spark, b0, 0L, "vdi8", out, adcServe = true)
+    // takedown: vector 0 must stop suppressing future arrivals; remove
+    // drops the PQ artifacts (derived codes must not outlive the row)
+    VecDupIngest.processDeletes(spark,
+      vecs.filter(col("vec_id") === 0L).select("vec_id"), 0L, "vdi8", out)
+    assert(!graft.queries.VectorOps.pqExists(spark, "vdi8"))
+    // next batch re-attaches and a re-crawl of the purged vector SURVIVES
+    val b1 = copies(60000L, 1) // exact copy of vec 0
+    VecDupIngest.processBatch(spark, b1, 1L, "vdi8", out, adcServe = true)
+    assert(keptIds(out, 1L) == Set(60000L))
+    assert(graft.queries.VectorOps.pqExists(spark, "vdi8"))
+  }
 }

@@ -76,6 +76,19 @@ object InvarianceAudit {
       }
     }
     println(s"INVARIANCE total=${audited.size} violations=$bad")
+    // the committed artifact (r15 "what's wrong" #3: the audit result
+    // lived only in a commit message; SCALE.md must quote something in
+    // the tree). Unfiltered runs only — a local one-query iteration
+    // must not overwrite the round's full-surface record (the Bench
+    // filtered-run rule).
+    if (nameFilter.isEmpty) {
+      val bd = java.time.LocalDate.now().toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("INVARIANCE.json"),
+        s"""{"total":${audited.size},"violations":$bad,""" +
+          s""""partitions":[${parts.mkString(",")}],"sf":"$sf",""" +
+          s""""date":"$bd"}""" + "\n")
+    }
     spark.stop()
     if (bad > 0) sys.exit(1)
   }

@@ -21,7 +21,12 @@ import graft.streaming.VecDupIngest
   * over (nProbe × refineIters) separates the multi-probe lever from the
   * centroid-quality lever on the SAME corpus.
   *
-  * Run: sbt "Test/runMain graft.tools.VecDupSoak [nVecs] [nBatches] [dim] [nProbe] [refineIters] [k] [minSeed]"
+  * `adcServe` (r16) switches the history match to the stored-PQ-codes
+  * two-stage path (ADC shortlist → exact verify) — the soak's recall
+  * delta vs the float path is the shortlist concession, its wall delta
+  * the serving cost, on the same corpus and ground truth.
+  *
+  * Run: sbt "Test/runMain graft.tools.VecDupSoak [nVecs] [nBatches] [dim] [nProbe] [refineIters] [k] [minSeed] [adcServe]"
   */
 object VecDupSoak {
   def main(args: Array[String]): Unit = {
@@ -32,6 +37,7 @@ object VecDupSoak {
     val refineIters = args.lift(4).map(_.toInt).getOrElse(0)
     val k = args.lift(5).map(_.toInt).getOrElse(8)
     val minSeed = args.lift(6).map(_.toLong).getOrElse(0L)
+    val adcServe = args.lift(7).exists(_.toBoolean)
     implicit val spark: SparkSession = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -67,7 +73,8 @@ object VecDupSoak {
       val t0 = System.nanoTime()
       VecDupIngest.processBatch(spark,
         b.toSeq.toDF("vec_id", "embedding"), i.toLong, "vdsoak_idx", out,
-        nProbe = nProbe, minSeed = minSeed, k = k, refineIters = refineIters)
+        nProbe = nProbe, minSeed = minSeed, k = k, refineIters = refineIters,
+        adcServe = adcServe)
       (System.nanoTime() - t0) / 1e9
     }
     val kept = spark.read.parquet(s"$out/batch=*")
@@ -78,7 +85,7 @@ object VecDupSoak {
     val precision = if (flagged.isEmpty) 1.0 else tp.toDouble / flagged.size
     println(f"""{"soak":"vecdup","vecs":$nVecs,"batches":$nBatches,""" +
       f""""dim":$dim,"n_probe":$nProbe,"refine_iters":$refineIters,""" +
-      f""""k":$k,"min_seed":$minSeed,""" +
+      f""""k":$k,"min_seed":$minSeed,"adc_serve":$adcServe,""" +
       f""""true_dups":${trueDups.size},"flagged":${flagged.size},""" +
       f""""recall":$recall%.3f,"precision":$precision%.3f,""" +
       f""""total_s":${times.sum}%.1f,"vecs_per_s":${nVecs / times.sum}%.0f,""" +
