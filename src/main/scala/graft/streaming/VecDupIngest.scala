@@ -63,13 +63,19 @@ object VecDupIngest {
 
   private val cosine = graft.functions.Expressions.cosineSim _
 
-  /** ADC-mode shortlist width: the history match scores candidates by
-    * stored PQ codes first, then exact-verifies only the top-R per new
-    * vector against their float rows — the standard two-stage serving
-    * cut. R trades a bounded recall concession (a ≥-tau neighbor ranked
-    * past R by ADC is missed) against the float-row lookups; the soak
-    * (VecDupSoak --adc) measures the concession on this corpus. */
-  private[graft] val AdcShortlistR = 8
+  /** ADC-mode shortlist width default: the history match scores
+    * candidates by stored PQ codes first, then exact-verifies only the
+    * top-R per new vector against their float rows — the standard
+    * two-stage serving cut. R trades a bounded recall concession (a
+    * ≥-tau neighbor ranked past R by ADC is missed) against the
+    * float-row lookups. R must exceed the ADC RESOLUTION CLASS — the
+    * candidates the 4×8 codes cannot rank apart (ties break by id, so
+    * the true neighbor silently loses to same-code lower ids): measured
+    * at R=8 on the soak corpus, fixed k=8 (cells ≫ code resolution)
+    * collapsed to 0.379 recall while autoK+refine+P=5 held 0.940 — the
+    * cell-size-vs-code-resolution regime, again. 64 covers the class at
+    * autoK cell sizes; the soak measures the residual concession. */
+  private[graft] val AdcShortlistR = 64
 
   /** Process one micro-batch of (vec_id, embedding): writes the kept
     * vectors to `outDir/batch=<id>` and indexes the whole batch. Skips
