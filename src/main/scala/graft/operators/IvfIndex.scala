@@ -363,10 +363,25 @@ object IvfIndex {
     * [[write]]'s full refresh this never re-assigns: the rewrite reads
     * bucket-aligned, dedups on the partitioning it already has, and
     * writes bucket-aligned — no corpus shuffle at any scale. */
-  def compact(spark: SparkSession, name: String): Unit = {
+  /** `keepPq = true` compacts the derived `_pqcodes` table IN LOCKSTEP
+    * (same (cell, vec_id) dedup) instead of dropping it: compaction
+    * never changes MEMBERSHIP — it only removes crash-replay duplicate
+    * rows, whose codes are bit-identical by construction (same frozen
+    * book, same vector) — so the deduped codes remain exactly the
+    * index's codes and no retrain is needed. Without this, the ADC
+    * streaming tier paid a full codebook retrain + corpus re-encode at
+    * the batch after every compaction cadence — a per-compact cost
+    * linear in history, the exact class the frozen-artifact discipline
+    * exists to avoid. Membership-CHANGING rewrites (remove/rebuild/
+    * write) still drop the artifacts unconditionally. */
+  def compact(spark: SparkSession, name: String,
+      keepPq: Boolean = false): Unit = {
     Tables.compactBucketed(spark, s"${name}_cells", "cell",
       Seq("cell", "vec_id"))
-    dropPq(spark, name)
+    if (keepPq && spark.catalog.tableExists(s"${name}_pqcodes"))
+      Tables.compactBucketed(spark, s"${name}_pqcodes", "cell",
+        Seq("cell", "vec_id"))
+    else dropPq(spark, name)
   }
 
   /** Invalidate the derived PQ serving artifacts (see [[write]]'s note):

@@ -350,6 +350,32 @@ object VectorOps {
       adcTop1(s, name, delta, nProbe = 2)
     }),
 
+    // IVF-PQ top-K retrieval (q228): the q216/q225 serving layout with a
+    // RANKED result list instead of the dedup decision's top-1 — the
+    // k-nearest shape a retrieval/RAG pipeline consumes. Per delta
+    // vector, the 3 best stored-code candidates across its top-2 probed
+    // cells, ranked (approx_d, old_id). The rank window shuffles only
+    // (new_id, cell, old_id, approx_d) short rows — candidates already
+    // crossed the cell join as 4-int codes; nothing float-sized moves.
+    // Oracle = the multi-probe chain with the top-1 cut widened to 3,
+    // so a lost probe, a per-cell window, or a tie-order break all
+    // hash-mismatch.
+    "q228_ivfpq_topk" -> ((s, dir) => {
+      val raw = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val hist = raw.filter(col("vec_id") % 10 =!= 9)
+      val delta = raw.filter(col("vec_id") % 10 === 9)
+      val name = ivfIndexName(dir)
+      if (!graft.operators.IvfIndex.exists(s, name))
+        graft.operators.IvfIndex.write(s, hist, name)
+      if (!pqExists(s, name)) pqAttach(s, name)
+      val w = Window.partitionBy("new_id")
+        .orderBy(col("approx_d"), col("old_id"))
+      adcScores(s, name, delta, nProbe = 2)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("new_id", "old_id", "rank", "approx_d")
+    }),
+
     // The PRODUCTION-REGIME recall gate (the r15 "what's missing" #1):
     // q222 runs 16 cells against an 8-entry codebook — the INVERTED
     // regime, where the r15 A/B honestly measured raw ≥ residual. This
@@ -1883,6 +1909,14 @@ AS embedding FROM embeddings)"""
          |  SELECT *, row_number() OVER (PARTITION BY new_id
          |    ORDER BY approx_d, old_id) AS rk FROM approx)
          |WHERE rk = 1""".stripMargin,
+
+    // the same multi-probe chain, cut widened to the ranked top-3
+    "q228_ivfpq_topk" ->
+      s"""WITH ${sqlIvfPqChain(nProbe = 2)}
+         |SELECT new_id, old_id, CAST(rank AS INT) AS rank, approx_d FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY new_id
+         |    ORDER BY approx_d, old_id) AS rank FROM approx)
+         |WHERE rank <= 3""".stripMargin,
 
     // the q218 decomposition over the REGIME fixture (64 cells ≫ the
     // 8-entry codebook, structured within-cell spread) — residual arm

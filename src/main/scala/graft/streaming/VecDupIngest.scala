@@ -204,8 +204,10 @@ object VecDupIngest {
     // semantics-free (results hash-identical, spec-pinned), so a crash
     // mid-compact just leaves it for the next trigger — it never
     // re-runs the batch.
+    // ADC mode compacts the codes table in lockstep (keepPq) — dropping
+    // it would force a full book retrain + corpus re-encode per cadence
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      IvfIndex.compact(spark, indexName)
+      IvfIndex.compact(spark, indexName, keepPq = adcServe)
   }
 
   /** Right-to-be-forgotten for the vector tier (the [[NearDupIngest

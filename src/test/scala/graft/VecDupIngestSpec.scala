@@ -360,6 +360,41 @@ class VecDupIngestSpec extends AnyFunSuite {
     assert(gap == 0L, s"$gap indexed vectors still codeless after recovery")
   }
 
+  test("ADC compaction cadence: codes compact in lockstep, book never retrains") {
+    freshPq("vdi9")
+    val out = Files.createTempDirectory("vdi9_out").toString
+    val batches = Seq(
+      vecs.filter(col("vec_id") < 200),
+      vecs.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+      vecs.filter(col("vec_id") >= 350).union(copies(70000L, 2)))
+    // compactEvery=2 -> a compaction lands after batch 1, mid-stream
+    batches.zipWithIndex.foreach { case (b, i) =>
+      VecDupIngest.processBatch(spark, b, i.toLong, "vdi9", out,
+        compactEvery = 2, adcServe = true)
+    }
+    // decisions unchanged by the mid-stream compact: the copies dropped
+    assert(!keptIds(out, 2L).exists(_ >= 70000L))
+    // artifacts stayed attached and aligned (no dropPq -> no retrain gap)
+    assert(graft.queries.VectorOps.pqExists(spark, "vdi9"))
+    assert(spark.table("vdi9_pqcodes").count() ==
+      spark.table("vdi9_cells").count())
+    // replay the crash window ACROSS a compaction boundary: batch 2
+    // re-appends on replay, the next compact dedups both tables in
+    // lockstep, and counts stay aligned
+    new java.io.File(out, "_committed/2").delete()
+    VecDupIngest.processBatch(spark, batches(2), 2L, "vdi9", out,
+      compactEvery = 2, adcServe = true)
+    graft.operators.IvfIndex.compact(spark, "vdi9", keepPq = true)
+    assert(graft.queries.VectorOps.pqExists(spark, "vdi9"),
+      "lockstep compact must not drop the PQ artifacts")
+    val cellsN = spark.table("vdi9_cells").count()
+    val codesN = spark.table("vdi9_pqcodes").count()
+    assert(cellsN == codesN, s"post-compact misaligned: $cellsN vs $codesN")
+    // and the deduped tables carry one row per distinct vec_id
+    assert(cellsN == spark.table("vdi9_cells")
+      .select("vec_id").distinct().count())
+  }
+
   test("ADC mode after RTBF: dropped PQ artifacts re-attach, purge holds") {
     freshPq("vdi8")
     val out = Files.createTempDirectory("vdi8_out").toString
