@@ -376,6 +376,46 @@ object VectorOps {
         .select("new_id", "old_id", "rank", "approx_d")
     }),
 
+    // TWO-STAGE serve under the hash gate (q229): the exact pipeline
+    // the streaming ADC tier runs (shortlist by stored codes, then
+    // exact-rerank ONLY the shortlist against its float rows) — until
+    // now spec-gated only (VecDupIngestSpec parity). Shortlist = ADC
+    // top-8 across the top-2 probed cells; rerank = integer squared-L2
+    // on the shortlist's 8 float rows fetched by a (cell, old_id)
+    // lookup join against the bucketed cells table (the index side
+    // stays partitioned by its bucket hash — the lookup never shuffles
+    // history); final answer = exact top-3 of the shortlist. The
+    // oracle restates shortlist AND rerank relationally, so a
+    // too-narrow shortlist read, a lookup that lost rows, or a rerank
+    // on approximate distances all hash-mismatch.
+    "q229_ivfpq_rerank" -> ((s, dir) => {
+      val raw = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val hist = raw.filter(col("vec_id") % 10 =!= 9)
+      val delta = raw.filter(col("vec_id") % 10 === 9)
+      val name = ivfIndexName(dir)
+      if (!graft.operators.IvfIndex.exists(s, name))
+        graft.operators.IvfIndex.write(s, hist, name)
+      if (!pqExists(s, name)) pqAttach(s, name)
+      val ws = Window.partitionBy("new_id")
+        .orderBy(col("approx_d"), col("old_id"))
+      val short = adcScores(s, name, delta, nProbe = 2)
+        .withColumn("r", row_number().over(ws))
+        .filter(col("r") <= 8)
+        .select("new_id", "cell", "old_id")
+      val oldq = s.table(s"${name}_cells").select(col("cell"),
+        col("vec_id").as("old_id"), quant(col("embedding")).as("hq"))
+      val newq = delta.select(col("vec_id").as("new_id"),
+        quant(col("embedding")).as("q"))
+      val wr = Window.partitionBy("new_id").orderBy(col("d2"), col("old_id"))
+      short.join(oldq, Seq("cell", "old_id"))
+        .join(broadcast(newq), Seq("new_id"))
+        .select(col("new_id"), col("old_id"),
+          qdist2(col("q"), col("hq")).as("d2"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .select("new_id", "old_id", "rank", "d2")
+    }),
+
     // The PRODUCTION-REGIME recall gate (the r15 "what's missing" #1):
     // q222 runs 16 cells against an 8-entry codebook — the INVERTED
     // regime, where the r15 A/B honestly measured raw ≥ residual. This
@@ -1916,6 +1956,25 @@ AS embedding FROM embeddings)"""
          |SELECT new_id, old_id, CAST(rank AS INT) AS rank, approx_d FROM (
          |  SELECT *, row_number() OVER (PARTITION BY new_id
          |    ORDER BY approx_d, old_id) AS rank FROM approx)
+         |WHERE rank <= 3""".stripMargin,
+
+    // shortlist (ADC top-8 over the probed cells) then exact integer-L2
+    // rerank of ONLY the shortlist — ≙ the streaming tier's two-stage
+    // serve, restated relationally
+    "q229_ivfpq_rerank" ->
+      s"""WITH ${sqlIvfPqChain(nProbe = 2)},
+         |short AS (SELECT new_id, old_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY new_id
+         |    ORDER BY approx_d, old_id) AS r FROM approx) WHERE r <= 8),
+         |exd AS (
+         |  SELECT s.new_id, s.old_id,
+         |    list_reduce(list_transform(list_zip(dq.q, hq.q),
+         |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS d2
+         |  FROM short s JOIN qq dq ON dq.vec_id = s.new_id
+         |  JOIN qq hq ON hq.vec_id = s.old_id)
+         |SELECT new_id, old_id, CAST(rank AS INT) AS rank, d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY new_id
+         |    ORDER BY d2, old_id) AS rank FROM exd)
          |WHERE rank <= 3""".stripMargin,
 
     // the q218 decomposition over the REGIME fixture (64 cells ≫ the
