@@ -149,12 +149,13 @@ object IvfIndex {
     * nProbe=1 that refined centroids buy back. */
   def write(spark: SparkSession, vectors: DataFrame, name: String,
       k: Int = 8, buckets: Int = 16, refineIters: Int = 0): Unit = {
-    // _pqcodes/_pqbook are DERIVED serving artifacts (PQ codes are
+    // _pqcodes/_pqbook/_meta are DERIVED serving artifacts (PQ codes are
     // residuals against THESE cells/centroids — graft.queries.VectorOps
-    // .pqAttach): any index rewrite invalidates them; the serving query
-    // re-attaches on its build-if-missing guard
+    // .pqAttach; _meta is the cell-colocated payload copy of
+    // VectorOps.metaAttach): any index rewrite invalidates them; the
+    // serving query re-attaches on its build-if-missing guard
     Seq(s"${name}_cells", s"${name}_cents",
-        s"${name}_pqcodes", s"${name}_pqbook").foreach { tbl =>
+        s"${name}_pqcodes", s"${name}_pqbook", s"${name}_meta").foreach { tbl =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val loc = new java.io.File(new java.net.URI(
         spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
@@ -279,8 +280,14 @@ object IvfIndex {
     // refresh here
     spark.catalog.refreshTable(s"${name}_cells")
     // appended rows carry no PQ codes yet — invalidate (see write)
-    // unless the caller appends codes itself (pqAppend)
+    // unless the caller appends codes itself (pqAppend); the _meta
+    // payload copy has NO append path (no caller supplies payload at
+    // append time), so it drops unconditionally — a stale meta table
+    // would silently hide appended rows from every FILTERED serve
+    // (an inner codes⋈meta join), the codeless-window class without
+    // a heal, so absence-plus-reattach is the only safe state
     if (!keepPq) dropPq(spark, name)
+    dropDerivedTable(spark, s"${name}_meta")
   }
 
   /** True iff the index tables exist in the session catalog. */
@@ -387,18 +394,26 @@ object IvfIndex {
   /** Invalidate the derived PQ serving artifacts (see [[write]]'s note):
     * membership/layout mutations must not leave codes for rows that no
     * longer exist (or miss codes for rows a replay re-added) — the
-    * serving query's attach-if-missing guard rebuilds them. */
+    * serving query's attach-if-missing guard rebuilds them. The _meta
+    * payload copy is invalidated SEPARATELY at each mutation site: its
+    * lifecycle differs from the codes' (append drops it even under
+    * keepPq — nothing appends payload; compaction keeps it even when
+    * the codes drop — membership is unchanged and meta rows are unique
+    * by construction, so there is nothing to compact in lockstep). */
   private def dropPq(spark: SparkSession, name: String): Unit =
-    Seq(s"${name}_pqcodes", s"${name}_pqbook").foreach { tbl =>
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = new java.io.File(new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      if (loc.exists()) rm(loc)
+    Seq(s"${name}_pqcodes", s"${name}_pqbook")
+      .foreach(dropDerivedTable(spark, _))
+
+  private def dropDerivedTable(spark: SparkSession, tbl: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
     }
+    if (loc.exists()) rm(loc)
+  }
 
   /** Delete vectors from the index — the [[graft.operators.LshIndex
     * .remove]] move for the vector side: the bucket-preserving compact
@@ -412,8 +427,10 @@ object IvfIndex {
       Seq("cell", "vec_id"),
       df => df.join(del, Seq("vec_id"), "left_anti"))
     // RTBF reaches the DERIVED artifacts too: a lingering PQ code is a
-    // (very lossy) representation of a removed vector
+    // (very lossy) representation of a removed vector, and a lingering
+    // meta row would let a filtered serve resurrect it
     dropPq(spark, name)
+    dropDerivedTable(spark, s"${name}_meta")
   }
 
   /** Offline re-seed at the CURRENT corpus size — the periodic

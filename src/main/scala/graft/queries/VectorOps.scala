@@ -416,6 +416,56 @@ object VectorOps {
         .select("new_id", "old_id", "rank", "d2")
     }),
 
+    // METADATA-FILTERED serving, per-query predicate (q230): top-3
+    // among candidates whose label equals the query's — the tenant/
+    // language filter every production vector store serves. The
+    // candidate labels come from the cell-colocated _meta table
+    // (metaAttach), so the codes⋈meta join is bucket-local and the
+    // index side still never shuffles; the equality applies BEFORE the
+    // ADC arithmetic. The oracle restates the filter as label joins
+    // over the multi-probe chain, so a lost meta row, a stale payload
+    // copy, or a filter applied after a shortlist cut all
+    // hash-mismatch.
+    "q230_filtered_topk" -> ((s, dir) => {
+      val raw = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val hist = raw.filter(col("vec_id") % 10 =!= 9)
+      val delta = raw.filter(col("vec_id") % 10 === 9)
+      val name = ivfIndexName(dir)
+      if (!graft.operators.IvfIndex.exists(s, name))
+        graft.operators.IvfIndex.write(
+          s, hist.select("vec_id", "embedding"), name)
+      if (!pqExists(s, name)) pqAttach(s, name)
+      if (!metaExists(s, name)) metaAttach(s, name, hist)
+      filteredAdcTopK(s, name, delta, k = 3, nProbe = 2)
+    }),
+
+    // SELECTIVITY-ADAPTIVE filtered serving (q231): a constant
+    // predicate (label = 3 AND vec_id % 7 = 0, ~1-2% of the index at
+    // every SF) dispatches through filteredTopK's strategy switch to
+    // the PRE-FILTER branch — eligible ids resolved from the colocated
+    // meta table (predicate pushed into its bucketed scan), their float
+    // rows fetched by a bucket-local cells⋈meta join, exact integer-L2
+    // top-3 against the broadcast queries. The oracle is the exact
+    // brute-force restatement over the predicate slice, so the gate
+    // fails if the branch ever returns approximate distances, the meta
+    // copy drops eligible rows, or the dispatch flips (the dense-branch
+    // dispatch and its plan are FilteredAnnSpec's half).
+    "q231_filtered_prefilter" -> ((s, dir) => {
+      val raw = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val hist = raw.filter(col("vec_id") % 10 =!= 9)
+      val delta = raw.filter(col("vec_id") % 10 === 9)
+      val name = ivfIndexName(dir)
+      if (!graft.operators.IvfIndex.exists(s, name))
+        graft.operators.IvfIndex.write(
+          s, hist.select("vec_id", "embedding"), name)
+      if (!pqExists(s, name)) pqAttach(s, name)
+      if (!metaExists(s, name)) metaAttach(s, name, hist)
+      filteredTopK(s, name, delta.select("vec_id", "embedding"),
+        col("label") === 3 && col("vec_id") % 7 === 0, k = 3)
+    }),
+
     // The PRODUCTION-REGIME recall gate (the r15 "what's missing" #1):
     // q222 runs 16 cells against an 8-entry codebook — the INVERTED
     // regime, where the r15 A/B honestly measured raw ≥ residual. This
@@ -1273,6 +1323,150 @@ object VectorOps {
     n
   }
 
+  /** The cell-colocated metadata (payload) table is present. Unlike the
+    * two-table PQ commit, _meta is a single atomic saveAsTable, so bare
+    * existence is the whole invariant. */
+  private[graft] def metaExists(s: SparkSession, name: String): Boolean =
+    s.catalog.tableExists(s"${name}_meta")
+
+  /** Attach a cell-colocated METADATA table to an existing IVF index —
+    * the payload-column layout every production vector store pairs with
+    * its inverted lists (FAISS id-maps, vector-DB payload storage):
+    * `<name>_meta` (cell, vec_id, label), bucketed by cell like the
+    * cells/codes tables, so a filtered serve reads candidate metadata
+    * with ZERO index-side exchange (the codes⋈meta join is bucket-local
+    * sort-merge). Without this copy, every metadata-filtered query would
+    * join the index side against the lake table on vec_id — a full
+    * index shuffle per query, the exact cost class the bucketed layout
+    * exists to avoid. Assignment is in-row from the SOURCE embeddings
+    * against the frozen packed-centroid broadcast (never a join against
+    * the cells table — attaching payload must not shuffle the index
+    * either); `src` must be the index's own population (vec_id,
+    * embedding, label). Invalidated, like the PQ artifacts, by every
+    * index mutation (IvfIndex.write/append/remove — append drops it
+    * even under keepPq: nothing appends payload, and a stale meta table
+    * would silently hide appended rows from every filtered serve). */
+  private[graft] def metaAttach(s: SparkSession, name: String,
+      src: DataFrame): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS ${name}_meta")
+    val buckets = s.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_cells"))
+      .bucketSpec.map(_.numBuckets).getOrElse(16)
+    val assigned = src
+      .crossJoin(broadcast(graft.operators.IvfIndex.centsFrame(s, name)))
+      .select(graft.operators.IvfIndex.cellOf(col("embedding")).as("cell"),
+        col("vec_id"), col("label"))
+      .repartition(buckets, col("cell"))
+    graft.core.Tables.writeBucketed(assigned, s"${name}_meta", "cell",
+      buckets)
+  }
+
+  /** PER-QUERY metadata-filtered ADC top-k (q230) — the vector-DB
+    * "tenant/language filter" serve: each query ranks only candidates
+    * whose label EQUALS its own. A per-query predicate can never
+    * pre-filter (the eligible set differs per query), so this is the
+    * post-filter strategy: candidates = stored codes ⋈ colocated meta
+    * (bucket-local, zero exchange), the label equality applies at the
+    * probe join BEFORE the ADC arithmetic (wrong-label candidates never
+    * reach the distance sum), and the rank window spans the probed
+    * cells. Semantics: exact filtered top-k WITHIN the probed cells —
+    * the filter costs no recall beyond coarse pruning because nothing
+    * is shortlisted before it applies (a widened nProbe is the recall
+    * dial, exactly as in the unfiltered serve). Only (new_id, cell,
+    * old_id, 4 ints, label) rows ever cross an exchange. */
+  private[graft] def filteredAdcTopK(s: SparkSession, name: String,
+      delta: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cand = s.table(s"${name}_pqcodes")
+      .select(col("cell"), col("vec_id"), col("codes"))
+      .join(s.table(s"${name}_meta")
+        .select(col("cell"), col("vec_id"), col("label").as("old_label")),
+        Seq("cell", "vec_id"))
+      .select(col("cell"), col("vec_id").as("old_id"), col("codes"),
+        col("old_label"))
+    // the query side is batch-sized by construction (delta × nProbe
+    // rows) — broadcast it EXPLICITLY: the label join above it hides
+    // its size from the estimator, and a fallback SMJ would exchange
+    // the bucketed candidate read it exists to keep local
+    val qs = broadcast(adcQuerySide(s, name,
+        delta.select(col("vec_id"), col("embedding")), nProbe)
+      .join(broadcast(delta.select(col("vec_id").as("new_id"),
+        col("label").as("q_label"))), "new_id"))
+    val w = Window.partitionBy("new_id")
+      .orderBy(col("approx_d"), col("old_id"))
+    cand.join(qs, "cell")
+      .filter(col("old_label") === col("q_label"))
+      .withColumn("approx_d", graft.functions.PqNative
+        .adcSum(col("codes"), col("dtable")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("new_id", "old_id", "rank", "approx_d")
+  }
+
+  /** CONSTANT-predicate filtered top-k with the selectivity-adaptive
+    * strategy switch every production vector store implements (q231):
+    *
+    *   - predicate matches < `selThreshold` of the index → PRE-FILTER:
+    *     resolve the eligible id set from the colocated meta table (the
+    *     predicate pushes into its bucketed scan), fetch ONLY those
+    *     members' float rows by a bucket-local cells⋈meta join (zero
+    *     index-side exchange), and score them EXACTLY against the
+    *     broadcast queries — recall-lossless, cost ∝ selectivity × N;
+    *   - dense predicate → POST-FILTER through the ADC index: restrict
+    *     the stored codes by the same bucket-local meta join, then the
+    *     standard probed-cell ADC rank — cost ∝ probed-cell mass, the
+    *     filter only narrows it.
+    *
+    * The dispatch counts the predicate over the meta table itself (a
+    * 3-narrow-column bucketed scan — index-owned statistics, not a lake
+    * scan; a production deployment would cache these counts with the
+    * index and refresh on mutation). The threshold is a cost-tolerance
+    * dial, not an asymptotic crossover: below it the exact scan costs
+    * ≤ threshold × corpus float reads AND buys exactness, the
+    * pgvector/FAISS "brute-force small filters" rule. Both branches
+    * return (new_id, old_id, rank, dist) — dist is exact integer L2 on
+    * the pre-filter branch, the ADC approximation on the dense branch,
+    * the inherent semantics of the adaptive serve. */
+  private[graft] def filteredTopK(s: SparkSession, name: String,
+      delta: DataFrame, pred: Column, k: Int, nProbe: Int = 2,
+      selThreshold: Double = 0.05): DataFrame = {
+    val meta = s.table(s"${name}_meta")
+    // ONE statistics pass, not two count jobs: total and matching ride
+    // the same scan of the 3-narrow-column meta table
+    val cnt = meta.agg(count(lit(1)).as("n"),
+      count(when(pred, 1)).as("m")).head()
+    val (total, matching) = (cnt.getLong(0), cnt.getLong(1))
+    if (total == 0L || matching < selThreshold * total) {
+      val elig = meta.filter(pred).select(col("cell"), col("vec_id"))
+      val cand = s.table(s"${name}_cells")
+        .join(elig, Seq("cell", "vec_id"))
+        .select(col("vec_id").as("old_id"),
+          quant(col("embedding")).as("hq"))
+      val dq = delta.select(col("vec_id").as("new_id"),
+        quant(col("embedding")).as("q"))
+      val w = Window.partitionBy("new_id").orderBy(col("dist"), col("old_id"))
+      cand.crossJoin(broadcast(dq))
+        .select(col("new_id"), col("old_id"),
+          qdist2(col("q"), col("hq")).as("dist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("new_id", "old_id", "rank", "dist")
+    } else {
+      val cand = s.table(s"${name}_pqcodes")
+        .select(col("cell"), col("vec_id"), col("codes"))
+        .join(meta.filter(pred).select(col("cell"), col("vec_id")),
+          Seq("cell", "vec_id"))
+        .select(col("cell"), col("vec_id").as("old_id"), col("codes"))
+      val w = Window.partitionBy("new_id").orderBy(col("dist"), col("old_id"))
+      cand.join(adcQuerySide(s, name, delta, nProbe), "cell")
+        .withColumn("dist", graft.functions.PqNative
+          .adcSum(col("codes"), col("dtable")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("new_id", "old_id", "rank", "dist")
+    }
+  }
+
   /** q216/q218 shared serving kernel: ADC top-1 per delta vector over
     * the dir-keyed coarse cells (built when absent) + the STORED
     * residual PQ codes (attached when absent — q220 gates the attach
@@ -1335,10 +1529,22 @@ object VectorOps {
     val cand = excludeIds.fold(cand0)(ex => cand0.join(
       broadcast(ex.select(col("vec_id").as("old_id"))), Seq("old_id"),
       "left_anti"))
-    // query side: probed cell(s), the encoding's query transform, then
-    // the per-(query, cell) ADC table — each step in-row vs a 1-row
-    // broadcast. nProbe = 1 keeps the scalar argmax path (no Generate
-    // node in the gated q216/q224 plans).
+    cand.join(adcQuerySide(s, name, delta, nProbe), "cell")
+      .withColumn("approx_d", graft.functions.PqNative
+        .adcSum(col("codes"), col("dtable")))
+      .select(col("new_id"), col("cell"), col("old_id"), col("approx_d"))
+  }
+
+  /** The ADC query side — (new_id, cell, dtable) per delta vector and
+    * probed cell: probed cell(s), the encoding's query transform
+    * (residual subtracts the probed cell's centroid), then the
+    * per-(query, cell) 4×8 ADC distance table — each step in-row vs a
+    * 1-row broadcast; nothing here touches the index side. nProbe = 1
+    * keeps the scalar argmax path (no Generate node in the gated
+    * q216/q224 plans). Shared by [[adcScores]] and the filtered serves
+    * ([[filteredAdcTopK]], [[filteredTopK]]'s dense branch). */
+  private def adcQuerySide(s: SparkSession, name: String,
+      delta: DataFrame, nProbe: Int): DataFrame = {
     val withCents = delta
       .crossJoin(broadcast(
         graft.operators.IvfIndex.centsFrame(s, name)))
@@ -1358,18 +1564,13 @@ object VectorOps {
           zip_with(col("q"), quant(centEmbOf(col("cell"))),
             (x, y) => x - y).as("rq"))
       else assigned.select(col("new_id"), col("cell"), col("q").as("rq"))
-    val qs = rq
-      .crossJoin(broadcast(pqBookFrame(s, name).select(col("cents"))))
+    rq.crossJoin(broadcast(pqBookFrame(s, name).select(col("cents"))))
       .select(col("new_id"), col("cell"),
         transform(col("cents"), cs => struct(
           cs.getField("m").as("m"),
           cs.getField("cluster").as("cluster"),
           qdist2(slice(col("rq"), cs.getField("m") * 16 + 1, lit(16)),
             cs.getField("cent")).as("d"))).as("dtable"))
-    cand.join(qs, "cell")
-      .withColumn("approx_d", graft.functions.PqNative
-        .adcSum(col("codes"), col("dtable")))
-      .select(col("new_id"), col("cell"), col("old_id"), col("approx_d"))
   }
 
   /** The q218/q222 shared decomposition: per delta vector, the ADC pick
@@ -1976,6 +2177,41 @@ AS embedding FROM embeddings)"""
          |  SELECT *, row_number() OVER (PARTITION BY new_id
          |    ORDER BY d2, old_id) AS rank FROM exd)
          |WHERE rank <= 3""".stripMargin,
+
+    // the multi-probe ADC chain with the per-query label filter: only
+    // candidates sharing the query's label enter the rank — a filter
+    // applied after a shortlist cut would change the picks
+    "q230_filtered_topk" ->
+      s"""WITH ${sqlIvfPqChain(nProbe = 2)},
+         |lab AS (SELECT vec_id, label FROM embeddings)
+         |SELECT new_id, old_id, CAST(rank AS INT) AS rank, approx_d FROM (
+         |  SELECT a.new_id, a.old_id, a.approx_d,
+         |    row_number() OVER (PARTITION BY a.new_id
+         |      ORDER BY a.approx_d, a.old_id) AS rank
+         |  FROM approx a JOIN lab lo ON lo.vec_id = a.old_id
+         |  JOIN lab ln ON ln.vec_id = a.new_id
+         |  WHERE lo.label = ln.label)
+         |WHERE rank <= 3""".stripMargin,
+
+    // the pre-filter branch is EXACT by construction, so the oracle is
+    // the plain brute-force over the predicate slice — no index chain
+    "q231_filtered_prefilter" ->
+      """WITH qe AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cand AS (SELECT vec_id, q FROM qe
+        |  WHERE vec_id % 10 <> 9 AND label = 3 AND vec_id % 7 = 0),
+        |dq AS (SELECT vec_id, q FROM qe WHERE vec_id % 10 = 9),
+        |exd AS (
+        |  SELECT d.vec_id AS new_id, c.vec_id AS old_id,
+        |    list_reduce(list_transform(list_zip(d.q, c.q),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS dist
+        |  FROM dq d CROSS JOIN cand c)
+        |SELECT new_id, old_id, CAST(rank AS INT) AS rank, dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY new_id
+        |    ORDER BY dist, old_id) AS rank FROM exd)
+        |WHERE rank <= 3""".stripMargin,
 
     // the q218 decomposition over the REGIME fixture (64 cells ≫ the
     // 8-entry codebook, structured within-cell spread) — residual arm

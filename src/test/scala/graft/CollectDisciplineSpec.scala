@@ -173,7 +173,7 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "queries/TrainOps.scala" -> (3,
       "q122 approx side: <= 10 queries * k; q199 lrTrain's per-round and " +
         "final-scoring beta frames: 1 row of 3 longs each"),
-    "queries/VectorOps.scala" -> (27,
+    "queries/VectorOps.scala" -> (31,
       "query sets (vec_id < 10), packed codebooks (k*d), PQ codebooks, " +
         "k-means seeds, q143 delta assignments, q167 anchors (<= AnchorCap " +
         "by construction: vec_id % 25 = 0 AND vec_id < 25*AnchorCap), " +
@@ -189,8 +189,14 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "adding the in-cell-truth cents broadcast and the q31/q190 " +
         "brute-truth discipline, adcScores' excludeIds anti side " +
         "(ingest-batch-sized — the LshIndex/IvfIndex replay-guard " +
-        "class), and q229's rerank query side (the 10% delta — the " +
-        "q31/q190 queries-broadcast discipline)")
+        "class), q229's rerank query side (the 10% delta — the " +
+        "q31/q190 queries-broadcast discipline), and the filtered-ANN " +
+        "set (q230/q231): metaAttach's packed cents (k*d), " +
+        "filteredAdcTopK's query side (delta × nProbe rows + its label " +
+        "frame — batch-sized by construction, broadcast EXPLICITLY " +
+        "because the label join hides the size from the estimator), " +
+        "and filteredTopK's pre-filter query set (the 10% delta, the " +
+        "q31 queries-broadcast discipline)")
   )
 
   test("every broadcast() hint in main source is a reviewed bounded frame") {

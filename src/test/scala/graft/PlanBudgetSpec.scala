@@ -128,6 +128,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q225_multiprobe_adc"        -> 1, // q216's plan with the query side exploded ×2 in-row over its top-2 cells — same one delta-side exchange, zero index-side
     "q228_ivfpq_topk"            -> 1, // q225's scores + the rank window on the SAME new_id key — short (new_id, old_id, 4 ints) rows only; window clusters on the exchange already there
     "q229_ivfpq_rerank"          -> 1, // two-stage serve: q228's one exchange; the shortlist's (cell, old_id) lookup rides the bucketed cells partitioning and the rerank window reuses the new_id clustering
+    "q230_filtered_topk"         -> 1, // label-filtered ADC: codes⋈meta rides the shared cell bucketing, the query side (dtable + labels) broadcasts explicitly, one exchange for the rank window
+    "q231_filtered_prefilter"    -> 1, // pre-filter branch: eligible ids from the meta scan (label pushed), cells⋈meta bucket-local, queries broadcast, one exchange for the rank window
     "q226_regime_recall"         -> 3, // q222's shape over the 64-cell regime fixture (residual arm)
     "q227_regime_raw"            -> 3, // identical, raw codes (the A/B control arm)
     "q223_multiprobe_match"      -> 1, // nProbe=2: the delta explodes x2 in-row BEFORE its one cell exchange; bucketed index read stays exchange-free; cross-cell top-1 partial-aggregates on new_id
