@@ -155,7 +155,9 @@ object IvfIndex {
     // VectorOps.metaAttach): any index rewrite invalidates them; the
     // serving query re-attaches on its build-if-missing guard
     Seq(s"${name}_cells", s"${name}_cents",
-        s"${name}_pqcodes", s"${name}_pqbook", s"${name}_meta").foreach { tbl =>
+        s"${name}_pqcodes", s"${name}_pqbook",
+        s"${name}_sqcodes", s"${name}_sqbook",
+        s"${name}_meta").foreach { tbl =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val loc = new java.io.File(new java.net.URI(
         spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
@@ -280,13 +282,14 @@ object IvfIndex {
     // refresh here
     spark.catalog.refreshTable(s"${name}_cells")
     // appended rows carry no PQ codes yet — invalidate (see write)
-    // unless the caller appends codes itself (pqAppend); the _meta
-    // payload copy has NO append path (no caller supplies payload at
-    // append time), so it drops unconditionally — a stale meta table
-    // would silently hide appended rows from every FILTERED serve
-    // (an inner codes⋈meta join), the codeless-window class without
-    // a heal, so absence-plus-reattach is the only safe state
+    // unless the caller appends codes itself (pqAppend). The _sq* and
+    // _meta artifacts have NO append path (nothing supplies SQ codes or
+    // payload at append time), so they drop unconditionally — a stale
+    // copy would silently hide appended rows from every SQ serve /
+    // filtered serve, the codeless-window class without a heal, so
+    // absence-plus-reattach is the only safe state
     if (!keepPq) dropPq(spark, name)
+    dropSq(spark, name)
     dropDerivedTable(spark, s"${name}_meta")
   }
 
@@ -385,10 +388,19 @@ object IvfIndex {
       keepPq: Boolean = false): Unit = {
     Tables.compactBucketed(spark, s"${name}_cells", "cell",
       Seq("cell", "vec_id"))
+    // the code families are INDEPENDENT here: an index serving only SQ
+    // codes must not lose them because no PQ attach ever ran (and vice
+    // versa) — each family compacts in lockstep when present under
+    // keepPq (dedup rows' codes are bit-identical by construction: same
+    // frozen book, same vector) and drops otherwise
     if (keepPq && spark.catalog.tableExists(s"${name}_pqcodes"))
       Tables.compactBucketed(spark, s"${name}_pqcodes", "cell",
         Seq("cell", "vec_id"))
     else dropPq(spark, name)
+    if (keepPq && spark.catalog.tableExists(s"${name}_sqcodes"))
+      Tables.compactBucketed(spark, s"${name}_sqcodes", "cell",
+        Seq("cell", "vec_id"))
+    else dropSq(spark, name)
   }
 
   /** Invalidate the derived PQ serving artifacts (see [[write]]'s note):
@@ -402,6 +414,10 @@ object IvfIndex {
     * by construction, so there is nothing to compact in lockstep). */
   private def dropPq(spark: SparkSession, name: String): Unit =
     Seq(s"${name}_pqcodes", s"${name}_pqbook")
+      .foreach(dropDerivedTable(spark, _))
+
+  private def dropSq(spark: SparkSession, name: String): Unit =
+    Seq(s"${name}_sqcodes", s"${name}_sqbook")
       .foreach(dropDerivedTable(spark, _))
 
   private def dropDerivedTable(spark: SparkSession, tbl: String): Unit = {
@@ -426,10 +442,11 @@ object IvfIndex {
     Tables.compactBucketed(spark, s"${name}_cells", "cell",
       Seq("cell", "vec_id"),
       df => df.join(del, Seq("vec_id"), "left_anti"))
-    // RTBF reaches the DERIVED artifacts too: a lingering PQ code is a
-    // (very lossy) representation of a removed vector, and a lingering
+    // RTBF reaches the DERIVED artifacts too: a lingering PQ/SQ code is
+    // a (lossy) representation of a removed vector, and a lingering
     // meta row would let a filtered serve resurrect it
     dropPq(spark, name)
+    dropSq(spark, name)
     dropDerivedTable(spark, s"${name}_meta")
   }
 

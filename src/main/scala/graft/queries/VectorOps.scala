@@ -466,6 +466,47 @@ object VectorOps {
         col("label") === 3 && col("vec_id") % 7 === 0, k = 3)
     }),
 
+    // SQ8 attach under the hash gate (q232, the q220 move for the
+    // scalar-quantized layout): train the per-dim (min, span) book over
+    // the index rows, encode every member to d bytes, commit book +
+    // bucketed codes, read the STORED codes back. Runs unconditionally
+    // — the gate IS the attach (the q219 fixed-cost discipline), so its
+    // bench time is the true per-attach cost every run. The gate
+    // compares md5 over the comma-joined code list per vector (64
+    // columns would be the q220 flatten at this width), so one byte
+    // off in any dimension, a wrong span, or a lost bucket
+    // hash-mismatches.
+    "q232_sq8_attach" -> ((s, dir) => {
+      val raw = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val hist = raw.filter(col("vec_id") % 10 =!= 9)
+      val name = ivfIndexName(dir)
+      if (!graft.operators.IvfIndex.exists(s, name))
+        graft.operators.IvfIndex.write(s, hist, name)
+      sqAttach(s, name)
+      s.table(s"${name}_sqcodes").select(col("vec_id"), col("cell"),
+        md5(concat_ws(",", transform(
+          graft.functions.SqNative.sqBytes(col("codes")),
+          _.cast("string")))).as("code_md5"))
+    }),
+
+    // SQ8 top-k serving (q233): the q228 ranked-list shape over the
+    // byte-per-dim codes — candidates cross the probe join as d bytes
+    // instead of 64 floats (4× cut) or 4 PQ ints (16× more fidelity;
+    // Sq8Spec measures the recall this buys on the regime fixture).
+    // The oracle reconstructs every candidate from its integer codes
+    // and ranks exactly, so a wrong reconstruction, a lost probe, or a
+    // tie-order break all hash-mismatch.
+    "q233_sq8_topk" -> ((s, dir) => {
+      val raw = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val hist = raw.filter(col("vec_id") % 10 =!= 9)
+      val delta = raw.filter(col("vec_id") % 10 === 9)
+      val name = ivfIndexName(dir)
+      if (!graft.operators.IvfIndex.exists(s, name))
+        graft.operators.IvfIndex.write(s, hist, name)
+      if (!sqExists(s, name)) sqAttach(s, name)
+      sqTopK(s, name, delta, k = 3, nProbe = 2)
+    }),
+
     // The PRODUCTION-REGIME recall gate (the r15 "what's missing" #1):
     // q222 runs 16 cells against an 8-entry codebook — the INVERTED
     // regime, where the r15 A/B honestly measured raw ≥ residual. This
@@ -1323,6 +1364,139 @@ object VectorOps {
     n
   }
 
+  /** Both SQ8 artifacts present (the pqExists two-table rule: attach
+    * commits book then codes; a crash between must read as absent). */
+  private[graft] def sqExists(s: SparkSession, name: String): Boolean =
+    s.catalog.tableExists(s"${name}_sqcodes") &&
+      s.catalog.tableExists(s"${name}_sqbook")
+
+  /** The cached SQ book row — the pqBookRow read-through (shared cache
+    * map, "#sq"-suffixed key) with the same catalog-validated eviction:
+    * every index mutation drops `_sqbook`, so a cached row whose table
+    * is gone is stale. */
+  private def sqBookRow(s: SparkSession,
+      name: String): org.apache.spark.sql.Row = {
+    val key = pqCacheKey(s, name) + "#sq"
+    if (!s.catalog.tableExists(s"${name}_sqbook")) pqBookCache.remove(key)
+    var row = pqBookCache.get(key)
+    if (row == null) {
+      row = s.table(s"${name}_sqbook").collect().head
+      pqBookCache.put(key, row)
+    }
+    row
+  }
+
+  private def sqBookFrame(s: SparkSession, name: String): DataFrame = {
+    val row = sqBookRow(s, name)
+    s.createDataFrame(
+      java.util.Collections.singletonList(row),
+      row.asInstanceOf[org.apache.spark.sql.catalyst.expressions
+        .GenericRowWithSchema].schema)
+  }
+
+  /** Attach SQ8 scalar-quantization serving artifacts to an existing
+    * IVF index — the OTHER FAISS-standard code layout next to PQ
+    * (IndexScalarQuantizer QT_8bit): one byte per dimension against a
+    * frozen per-dim (min, span) book learned over the index rows'
+    * quantized values, committed as
+    *
+    *   - `<name>_sqbook`  — the packed 1-row book (d (mn, sc) pairs, a
+    *     dimension artifact like the PQ codebook);
+    *   - `<name>_sqcodes` — (cell, vec_id, codes BINARY): d bytes per
+    *     vector, bucketed by cell like the cells/codes tables, zero
+    *     index-side exchange at serve time.
+    *
+    * The layout point vs PQ: 16× the bits (64 B vs 4 B at d = 64) for
+    * fidelity that needs no codebook training — the memory/recall
+    * middle ground between PQ codes and float rows, and Sq8Spec
+    * measures exactly that on the regime fixture. Encoding is RAW
+    * (global book), not per-cell residual: 256 levels per dimension
+    * already out-resolve within-cell spread at this width, and a
+    * global book keeps serving reconstruction independent of the
+    * probed cell. Book first, codes second (the pqAttach sequential
+    * rule); [[sqExists]] requires both. Invalidated, like every
+    * derived artifact, by any index mutation; there is no sqAppend —
+    * the streaming growth path serves PQ codes ([[pqAppend]]), and a
+    * grown index re-attaches SQ on the next gated read. */
+  private[graft] def sqAttach(s: SparkSession, name: String): Unit = {
+    Seq(s"${name}_sqcodes", s"${name}_sqbook").foreach(tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl"))
+    val qrows = s.table(s"${name}_cells")
+      .select(col("cell"), col("vec_id"), quant(col("embedding")).as("q"))
+    // per-dim min/span: one distributed pass, d partial cells per
+    // partition; the packed 1-row book is a dimension artifact (the
+    // cents/pqbook collect class)
+    val book = qrows
+      .select(posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v")).as("mn"), (max(col("v")) - min(col("v"))).as("sc"))
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mn"), col("sc")))),
+        x => struct(x.getField("mn").as("mn"), x.getField("sc").as("sc")))
+        .as("book"))
+    val bookRow = book.collect().head
+    pqBookCache.put(pqCacheKey(s, name) + "#sq", bookRow)
+    val bookLocal = s.createDataFrame(
+      java.util.Collections.singletonList(bookRow),
+      bookRow.asInstanceOf[org.apache.spark.sql.catalyst.expressions
+        .GenericRowWithSchema].schema)
+    val buckets = s.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_cells"))
+      .bucketSpec.map(_.numBuckets).getOrElse(16)
+    bookLocal.write.saveAsTable(s"${name}_sqbook")
+    graft.core.Tables.writeBucketed(
+      qrows.crossJoin(broadcast(bookLocal))
+        .select(col("cell"), col("vec_id"),
+          graft.functions.SqNative.sqEncode(col("q"), col("book"))
+            .as("codes"))
+        .repartition(buckets, col("cell")),
+      s"${name}_sqcodes", "cell", buckets)
+  }
+
+  /** Top-k serve over the stored SQ8 codes — the q228 shape with the
+    * byte-per-dim representation: candidates cross the probe join as
+    * (cell, old_id, d bytes); the query side packs its quantized value
+    * with the broadcast book per dim (struct(qv, mn, sc)) in-row and
+    * broadcasts (batch-sized × nProbe by construction); distance is
+    * integer squared-L2 against the RECONSTRUCTED candidate
+    * ([[graft.functions.SqNative.sqDist]]). One exchange: the rank
+    * window. Unlike PQ's per-cell residual tables, the global book
+    * makes the distance independent of the probed cell — multi-probe
+    * only widens the candidate set. */
+  private[graft] def sqTopK(s: SparkSession, name: String, delta: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val cand = s.table(s"${name}_sqcodes")
+      .select(col("cell"), col("vec_id").as("old_id"), col("codes"))
+    val withCents = delta
+      .crossJoin(broadcast(graft.operators.IvfIndex.centsFrame(s, name)))
+    val assigned =
+      if (nProbe <= 1)
+        withCents.select(col("vec_id").as("new_id"),
+          graft.operators.IvfIndex.cellOf(col("embedding")).as("cell"),
+          quant(col("embedding")).as("q"))
+      else
+        withCents.select(col("vec_id").as("new_id"),
+          explode(graft.operators.IvfIndex
+            .topCells(col("embedding"), nProbe)).as("cell"),
+          quant(col("embedding")).as("q"))
+    val qs = broadcast(assigned
+      .crossJoin(broadcast(sqBookFrame(s, name)))
+      .select(col("new_id"), col("cell"),
+        zip_with(col("q"), col("book"), (x, b) => struct(x.as("qv"),
+          b.getField("mn").as("mn"), b.getField("sc").as("sc")))
+          .as("qt")))
+    val w = Window.partitionBy("new_id")
+      .orderBy(col("approx_d"), col("old_id"))
+    cand.join(qs, "cell")
+      .withColumn("approx_d", graft.functions.SqNative
+        .sqDist(col("codes"), col("qt")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("new_id", "old_id", "rank", "approx_d")
+  }
+
   /** The cell-colocated metadata (payload) table is present. Unlike the
     * two-table PQ commit, _meta is a single atomic saveAsTable, so bare
     * existence is the whole invariant. */
@@ -1828,6 +2002,45 @@ object VectorOps {
   private def sqlCos(a: String, b: String) =
     s"(${sqlDot(a, b)}) / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
+  /** The IVF-SQ8 WITH-chain (q232/q233): coarse split, the per-dim
+    * (min, span) book over the INDEX rows' quantized values, byte codes
+    * (floor-div on non-negative numerators — DuckDB `//` ≡ the Scala
+    * integer division), and — for serving — per-candidate integer
+    * reconstruction. Raw encoding against the GLOBAL book (the shipped
+    * sqAttach choice), so reconstruction is cell-independent and the
+    * probe CTE only widens the candidate set. */
+  private def sqlIvfSqChain(nProbe: Int = 1): String = {
+    val probeCte = if (nProbe <= 1) "" else s""",
+dassignp AS (
+SELECT vec_id, cent_id AS cell FROM (
+SELECT d.vec_id, c.cent_id,
+row_number() OVER (PARTITION BY d.vec_id
+ORDER BY ${sqlCos("d.embedding", "c.cent")} DESC,
+c.cent_id) AS r
+FROM delta d CROSS JOIN cents c)
+WHERE r <= $nProbe)"""
+    s"""${sqlIvfSplitChain()}$probeCte,
+       |qq AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |sqb AS MATERIALIZED (
+       |  SELECT pos, min(v) AS mn, max(v) - min(v) AS sc
+       |  FROM (SELECT unnest(qq.q) AS v, generate_subscripts(qq.q, 1) AS pos
+       |        FROM qq JOIN hassign ha ON ha.vec_id = qq.vec_id)
+       |  GROUP BY pos),
+       |scodes AS MATERIALIZED (
+       |  SELECT vec_id, cell, list(code ORDER BY pos) AS codes FROM (
+       |    SELECT hu.vec_id, hu.cell, hu.pos,
+       |      CASE WHEN b.sc <= 0 OR hu.v <= b.mn THEN 0
+       |           ELSE LEAST(255, ((hu.v - b.mn) * 255) // b.sc) END AS code
+       |    FROM (SELECT ha.vec_id, ha.cell, unnest(qq.q) AS v,
+       |            generate_subscripts(qq.q, 1) AS pos
+       |          FROM qq JOIN hassign ha ON ha.vec_id = qq.vec_id) hu
+       |    JOIN sqb b ON b.pos = hu.pos)
+       |  GROUP BY vec_id, cell)""".stripMargin
+  }
+
   /** The IVF-PQ WITH-chain: coarse split, the per-row code
     * representation (`residual` = integer residuals against the
     * assigned cell's quantized centroid — the FAISS standard; false =
@@ -2212,6 +2425,38 @@ AS embedding FROM embeddings)"""
         |  SELECT *, row_number() OVER (PARTITION BY new_id
         |    ORDER BY dist, old_id) AS rank FROM exd)
         |WHERE rank <= 3""".stripMargin,
+
+    // the stored SQ8 codes restated from scratch: per-dim min/span book
+    // over the index rows, byte codes, md5 over the comma-joined list
+    "q232_sq8_attach" ->
+      s"""WITH ${sqlIvfSqChain()}
+         |SELECT vec_id, cell, md5(array_to_string(
+         |  list_transform(codes, x -> CAST(x AS VARCHAR)), ','))
+         |  AS code_md5
+         |FROM scodes""".stripMargin,
+
+    // SQ8 serving: every candidate reconstructed from its integer
+    // codes (mn + (c·sc) // 255 per dim), exact integer-L2 rank over
+    // the probed cells
+    "q233_sq8_topk" ->
+      s"""WITH ${sqlIvfSqChain(nProbe = 2)},
+         |hrec AS MATERIALIZED (
+         |  SELECT vec_id, cell, list(b.mn + (cu.code * b.sc) // 255
+         |    ORDER BY cu.pos) AS r
+         |  FROM (SELECT vec_id, cell, unnest(codes) AS code,
+         |          generate_subscripts(codes, 1) AS pos FROM scodes) cu
+         |  JOIN sqb b ON b.pos = cu.pos
+         |  GROUP BY vec_id, cell),
+         |approx AS (
+         |  SELECT da.vec_id AS new_id, h.vec_id AS old_id,
+         |    list_reduce(list_transform(list_zip(dq.q, h.r),
+         |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS approx_d
+         |  FROM dassignp da JOIN hrec h ON h.cell = da.cell
+         |  JOIN qq dq ON dq.vec_id = da.vec_id)
+         |SELECT new_id, old_id, CAST(rank AS INT) AS rank, approx_d FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY new_id
+         |    ORDER BY approx_d, old_id) AS rank FROM approx)
+         |WHERE rank <= 3""".stripMargin,
 
     // the q218 decomposition over the REGIME fixture (64 cells ≫ the
     // 8-entry codebook, structured within-cell spread) — residual arm

@@ -58,14 +58,17 @@ class CollectDisciplineSpec extends AnyFunSuite {
         "construction at any corpus scale, unlike the q134 raw vocab) " +
         "+ q208 piece inventory (LIMIT-64 TakeOrdered, the BPE-codebook " +
         "class)"),
-    "queries/VectorOps.scala" -> (3,
+    "queries/VectorOps.scala" -> (5,
       "k-means packed-centroid codebook (k*d); the q205 moment pass is " +
         "now a 1-row head() over the native vec_moments aggregate (2,145 " +
         "Long cells — a fixed-size model artifact, reduced distributed); " +
         "plus the PQ book pair (pqAttach's trained 32-row codebook — the " +
         "production ship-the-codebook artifact — and pqBookFrame's " +
         "read-through of the persisted 1-row _pqbook packed table, the " +
-        "IvfIndex.centsFrame class)"),
+        "IvfIndex.centsFrame class); plus the SQ8 book pair (sqAttach's " +
+        "1-row packed per-dim (min, span) book — d pairs, a dimension " +
+        "artifact reduced distributed — and sqBookRow's read-through of " +
+        "the persisted 1-row _sqbook table, the same class)"),
     "streaming/VecHealth.scala" -> (2,
       "fit's 1-row projection bounds + the <=16-row bin histogram " +
         "(binCounts — the metrics-model class, never corpus-sized)"),
@@ -173,7 +176,7 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "queries/TrainOps.scala" -> (3,
       "q122 approx side: <= 10 queries * k; q199 lrTrain's per-round and " +
         "final-scoring beta frames: 1 row of 3 longs each"),
-    "queries/VectorOps.scala" -> (31,
+    "queries/VectorOps.scala" -> (35,
       "query sets (vec_id < 10), packed codebooks (k*d), PQ codebooks, " +
         "k-means seeds, q143 delta assignments, q167 anchors (<= AnchorCap " +
         "by construction: vec_id % 25 = 0 AND vec_id < 25*AnchorCap), " +

@@ -129,6 +129,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q228_ivfpq_topk"            -> 1, // q225's scores + the rank window on the SAME new_id key — short (new_id, old_id, 4 ints) rows only; window clusters on the exchange already there
     "q229_ivfpq_rerank"          -> 1, // two-stage serve: q228's one exchange; the shortlist's (cell, old_id) lookup rides the bucketed cells partitioning and the rerank window reuses the new_id clustering
     "q230_filtered_topk"         -> 1, // label-filtered ADC: codes⋈meta rides the shared cell bucketing, the query side (dtable + labels) broadcasts explicitly, one exchange for the rank window
+    "q232_sq8_attach"            -> 0, // stored-SQ-codes read-back: a bare bucketed scan + in-row md5 (the attach's own jobs are its gated cost, not this frame's plan — the q220 accounting)
+    "q233_sq8_topk"              -> 1, // SQ8 serve: byte codes cross the probe join against the broadcast query side (qv+book packed in-row), one exchange for the rank window
     "q231_filtered_prefilter"    -> 1, // pre-filter branch: eligible ids from the meta scan (label pushed), cells⋈meta bucket-local, queries broadcast, one exchange for the rank window
     "q226_regime_recall"         -> 3, // q222's shape over the 64-cell regime fixture (residual arm)
     "q227_regime_raw"            -> 3, // identical, raw codes (the A/B control arm)
