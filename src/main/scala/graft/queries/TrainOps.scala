@@ -214,40 +214,59 @@ object TrainOps {
   private[graft] val LrIters = 25       // fixed rounds (defined output)
   private[graft] val LrStepDiv = 500L   // step = Σgrad div (n · this)
 
-  /** One GD round / final scoring pass share these fixed-shape exprs. */
-  private val lrZ = "(b0 * x0 + b1 * x1 + b2 * x2) div 1000"
-  private val lrP =
-    s"500000 + (($lrZ) * 1000000) div (2 * (1000000 + abs($lrZ)))"
+  /** One GD round / final scoring pass share these fixed-shape exprs,
+    * with β injected as LITERALS (see [[lrTrain]]). */
+  private def lrZAt(b0: Long, b1: Long, b2: Long) =
+    s"(${b0}L * x0 + ${b1}L * x1 + ${b2}L * x2) div 1000"
+  private def lrPAt(b0: Long, b1: Long, b2: Long) = {
+    val z = lrZAt(b0, b1, b2)
+    s"500000 + (($z) * 1000000) div (2 * (1000000 + abs($z)))"
+  }
 
   /** Train on a (y, x0, x1, x2) integer feature frame for `iters` rounds;
-    * returns 1 row (b0, b1, b2, n_correct, n_docs). The loop UNROLLS into
-    * one declarative plan (the q196 move): each round is the feature
-    * scan + ONE map-side-combined 1-row aggregate, β rides a broadcast
-    * crossJoin — no driver materialization per round. Long headroom:
-    * Σ r·x ≤ Q·max|x|·n ≈ 8e9·n — exact to ~1e9 rows; past that scale Q
-    * down or pre-average per partition. */
+    * returns 1 row (b0, b1, b2, n_correct, n_docs). Each GD round is the
+    * MLlib shape: per-partition partial gradient sums via rdd.aggregate —
+    * ONE plain job per round, one (s0, s1, s2) triple per partition to
+    * the driver (the q151 offsets class, partition-count-sized at any
+    * corpus) — and the β update runs on the driver with Scala's `/`,
+    * which truncates toward zero exactly like Spark's `div` and DuckDB's
+    * `//` (the determinism note above), so the trajectory is bit-for-bit
+    * the old one. The previous formulation carried β as a 1-row frame
+    * through a broadcast crossJoin per round: a broadcast-build job PLUS
+    * an AQE exchange job per round on top of the aggregate (57 jobs /
+    * 2.0 s at sf0.1 measured r16; this shape: ~27 jobs / ~1.2 s). A
+    * driver-literal SQL variant was measured and rejected: embedding β
+    * as literals changes the generated source every round, so janino
+    * recompiles 25× per run. Long headroom: Σ r·x ≤ Q·max|x|·n ≈ 8e9·n —
+    * exact to ~1e9 rows; past that scale Q down or pre-average per
+    * partition (production would also persist the feature RDD across
+    * rounds; at bench scale the re-read of the checkpointed frame is
+    * noise). */
   private[graft] def lrTrain(feats: DataFrame, n: Long,
       iters: Int = LrIters): DataFrame = {
-    val s = feats.sparkSession
-    var beta = s.range(1).select(lit(0L).as("b0"), lit(0L).as("b1"),
-      lit(0L).as("b2"))
+    val rows = feats.select(col("y"), col("x0"), col("x1"), col("x2"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    var (b0, b1, b2) = (0L, 0L, 0L)
     for (_ <- 1 to iters) {
-      beta = feats.crossJoin(broadcast(beta))
-        .withColumn("r", expr(s"y * 1000000 - ($lrP)"))
-        .agg(max("b0").as("b0"), max("b1").as("b1"), max("b2").as("b2"),
-          sum(expr("r * x0")).as("s0"), sum(expr("r * x1")).as("s1"),
-          sum(expr("r * x2")).as("s2"))
-        .select(
-          expr(s"b0 + s0 div (${n}L * $LrStepDiv)").as("b0"),
-          expr(s"b1 + s1 div (${n}L * $LrStepDiv)").as("b1"),
-          expr(s"b2 + s2 div (${n}L * $LrStepDiv)").as("b2"))
+      val (c0, c1, c2) = (b0, b1, b2) // freeze the capture for this round
+      val (s0, s1, s2) = rows.aggregate((0L, 0L, 0L))(
+        { case ((a0, a1, a2), (y, x0, x1, x2)) =>
+          val z = (c0 * x0 + c1 * x1 + c2 * x2) / 1000L
+          val p = 500000L + (z * 1000000L) / (2L * (1000000L + math.abs(z)))
+          val r = y * 1000000L - p
+          (a0 + r * x0, a1 + r * x1, a2 + r * x2)
+        },
+        { case ((a0, a1, a2), (d0, d1, d2)) => (a0 + d0, a1 + d1, a2 + d2) })
+      b0 += s0 / (n * LrStepDiv)
+      b1 += s1 / (n * LrStepDiv)
+      b2 += s2 / (n * LrStepDiv)
     }
-    feats.crossJoin(broadcast(beta))
-      .withColumn("p", expr(lrP))
-      .agg(max("b0").as("b0"), max("b1").as("b1"), max("b2").as("b2"),
-        sum(when(expr("(p >= 500000) = (y = 1)"), lit(1L))
+    feats.withColumn("p", expr(lrPAt(b0, b1, b2)))
+      .agg(sum(when(expr("(p >= 500000) = (y = 1)"), lit(1L))
           .otherwise(lit(0L))).as("n_correct"),
         count(lit(1)).as("n_docs"))
+      .select(lit(b0).as("b0"), lit(b1).as("b1"), lit(b2).as("b2"),
+        col("n_correct"), col("n_docs"))
   }
 
   /** The q199 feature extraction: label = (lang = 'en'); integer

@@ -173,9 +173,9 @@ class CollectDisciplineSpec extends AnyFunSuite {
     "queries/TextOps.scala" -> (6,
       "<=10-doc query side (qterms/qdata), df of query terms only, " +
         "KB bloom fp sets x2, stopword-sized freq set"),
-    "queries/TrainOps.scala" -> (3,
-      "q122 approx side: <= 10 queries * k; q199 lrTrain's per-round and " +
-        "final-scoring beta frames: 1 row of 3 longs each"),
+    "queries/TrainOps.scala" -> (1,
+      "q122 approx side: <= 10 queries * k (q199's per-round beta is now " +
+        "3 driver longs via a 1-row head(), no broadcast frames left)"),
     "queries/VectorOps.scala" -> (35,
       "query sets (vec_id < 10), packed codebooks (k*d), PQ codebooks, " +
         "k-means seeds, q143 delta assignments, q167 anchors (<= AnchorCap " +
