@@ -119,17 +119,30 @@ object SuffixArray {
     // explode (the seed round's one range-sort compares seedWidth tokens
     // at once, so the doubling starts at h=seedWidth — each doubling of
     // the seed multiplies the seed-round payload but deletes a full
-    // 3-exchange doubling round). The shipped production width is 16
-    // (TextOps.suffixRanks): 8→16 measured −8% on the q203/q204 build
-    // at sf0.1 (maxLen=100 → one fewer doubling round, SCALE.md). Wider
-    // seeds keep cutting rounds (32 → 2 rounds at maxLen=100) but pay a
-    // quadratically heavier seed-round payload; 16 is the measured
-    // balance on the gate corpus.
+    // 3-exchange doubling round). The shipped production width is 32
+    // (TextOps.suffixRanks): with the joined-string seed key below, the
+    // r16 interleaved probe measured 16 → 4.46 s, 32 → 3.97 s,
+    // 64 → 3.34 s min-of-3 at sf0.1 (maxLen≈128, so 32 leaves at most
+    // two doubling rounds). 64 was rejected: its extra ~0.6 s here buys
+    // a 2× seed-round payload, which at corpus scale is the dominant
+    // byte term; width stays a parameter, re-measure per corpus.
+    // The seed key is the slice JOINED with U+0000 rather than an
+    // array<string>: NUL sorts below every byte that can occur inside a
+    // UTF-8 token (the classic suffix-array sentinel), so unsigned
+    // byte-wise comparison of the joined strings is order- and
+    // equality-identical to element-wise comparison of the slices — and
+    // the seed round's range-sort then compares ONE contiguous string
+    // per row instead of walking 16 ArrayData elements, with roughly
+    // half the shuffle payload (no per-element offsets/nulls). Assumes
+    // tokens never contain U+0000, which split-on-space tokens of any
+    // text corpus satisfy. Measured (SuffixProbe, sf0.1): 5.1–5.7 s →
+    // see OPTIMIZATION_r16.md.
     val seeded = docs
       .select(col("doc_id"), tokens.as("_toks"))
       .select(col("doc_id"), posexplode(
         transform(col("_toks"),
-          (_, i) => slice(col("_toks"), i + 1, lit(seedWidth))))
+          (_, i) => array_join(slice(col("_toks"), i + 1, lit(seedWidth)),
+            "\u0000")))
         .as(Seq("_p0", "_k")))
       .select(col("doc_id"), (col("_p0") + 1).cast("long").as("p"),
         col("_k"))

@@ -90,7 +90,7 @@ object TextOps {
     suffixCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     suffixCache.computeIfAbsent((s, dir), _ =>
       graft.operators.SuffixArray.tokenSuffixRanks(
-        spread(t(s, dir, "documents")), tokensCol, seedWidth = 16)
+        spread(t(s, dir, "documents")), tokensCol, seedWidth = 32)
         .localCheckpoint(true))
   }
 

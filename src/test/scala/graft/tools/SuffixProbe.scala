@@ -17,7 +17,7 @@ object SuffixProbe {
     val toks = graft.queries.TextOps.tokensOf(col("text"))
     // warm once, then time each seed width twice
     graft.operators.SuffixArray.tokenSuffixRanks(docs, toks).count()
-    for (w <- Seq(8, 16, 32); it <- 1 to 2) {
+    for (it <- 1 to 3; w <- Seq(16, 32, 64)) {
       val t0 = System.nanoTime()
       val n = graft.operators.SuffixArray
         .tokenSuffixRanks(docs, toks, seedWidth = w).count()
