@@ -521,6 +521,9 @@ object VectorOps {
     // (q227 is the raw arm) and spec-asserted (RegimeRecallSpec).
     "q226_regime_recall" -> ((s, dir) => {
       val rv = regimeVecs(t(s, dir, "embeddings"))
+        .localCheckpoint(true) // fixture computed ONCE (r16: the 64-dim
+        // literal-table transform otherwise re-runs on every pass:
+        // seeds, assignment write, both recall chains)
       val hist = rv.filter(col("vec_id") % 10 =!= 9)
       val delta = rv.filter(col("vec_id") % 10 === 9)
       graft.operators.IvfIndex.write(s, hist, "q226_idx", k = 64)
@@ -535,6 +538,9 @@ object VectorOps {
     // bit-pinned in both engines, not a SCALE.md anecdote.
     "q227_regime_raw" -> ((s, dir) => {
       val rv = regimeVecs(t(s, dir, "embeddings"))
+        .localCheckpoint(true) // fixture computed ONCE (r16: the 64-dim
+        // literal-table transform otherwise re-runs on every pass:
+        // seeds, assignment write, both recall chains)
       val hist = rv.filter(col("vec_id") % 10 =!= 9)
       val delta = rv.filter(col("vec_id") % 10 === 9)
       graft.operators.IvfIndex.write(s, hist, "q227_idx", k = 64)
@@ -737,6 +743,9 @@ object VectorOps {
     // FAILS loudly instead of hiding inside near-random noise.
     "q222_clustered_recall" -> ((s, dir) => {
       val cv = clusteredVecs(t(s, dir, "embeddings"))
+        .localCheckpoint(true) // fixture computed ONCE (r16: the 64-dim
+        // literal-table transform otherwise re-runs on every pass:
+        // seeds, assignment write, both recall chains)
       val hist = cv.filter(col("vec_id") % 10 =!= 9)
       val delta = cv.filter(col("vec_id") % 10 === 9)
       graft.operators.IvfIndex.write(s, hist, "q222_idx", k = 16)
