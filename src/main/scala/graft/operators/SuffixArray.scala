@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * approximates that signal without the array; this operator IS the
   * array, re-expressed for Spark: the classic prefix-doubling algorithm
   * (Manber–Myers 1990) as O(log run-length) declarative rounds. Each
-  * round costs exactly three keyed exchanges over 24-byte
+  * round costs exactly two keyed exchanges over 24-byte
   * (doc_id, p, rank) triples — suffix TEXT never shuffles after the
   * seed round:
   *
@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *      rank-at-p+h self-join — no join, no second copy of the table;
   *   2. the (rank, rank@p+h) pairs are re-ranked IN PLACE by
   *      [[denseRankInPlace]]: range repartition (global order across
-  *      partitions, equal keys never split), a per-partition
-  *      pair-change flag + running sum, and numPartitions prefix
+  *      partitions, equal keys never split), ONE partition-local
+  *      sorted pass computing the pair-change flag + running sum
+  *      (r16: this pass previously rode a Window over _pid, a second
+  *      full-payload hash exchange), and numPartitions prefix
   *      offsets collected to the driver (a bounded artifact) — no
   *      distinct, no global window, no join-back.
   *
@@ -58,18 +60,44 @@ object SuffixArray {
     * drift) and the total number of rank classes.
     */
   /** The pre-checkpoint flag plan of [[denseRankInPlace]] — exposed so
-    * SuffixArraySpec can pin its per-round exchange count (2: the range
-    * repartition + the pid-window hash). */
+    * SuffixArraySpec can pin its per-round exchange count (1: the range
+    * repartition; r16 removed the pid-window hash). The key-change flag
+    * and its running sum are computed by ONE partition-local pass over
+    * the range-sorted rows: the previous Window.partitionBy(_pid)
+    * formulation re-shuffled the full payload by _pid (a hash exchange
+    * that moved every byte a second time) and re-sorted it, only to
+    * read each row's predecessor — which the sortWithinPartitions
+    * order already provides. The pass is a mapPartitions (the q207
+    * decode-pipeline class): sequential scan, O(1) state, no
+    * corpus-sized structure, deterministic for a fixed partitioning —
+    * and the eager localCheckpoint in [[denseRankInPlace]] pins that
+    * partitioning before the offsets job reads _pid. */
   private[graft] def flagPlan(df: DataFrame, keys: Seq[String]): DataFrame = {
     val kcols = keys.map(col)
-    val wsort = Window.partitionBy("_pid").orderBy(kcols: _*)
-    df.repartitionByRange(kcols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_new",
-        (!(struct(kcols: _*) <=> lag(struct(kcols: _*), 1).over(wsort)))
-          .cast("long"))
-      .withColumn("_run", sum("_new").over(
-        wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sorted = df.repartitionByRange(kcols: _*)
+      .sortWithinPartitions(kcols: _*)
+    val outSchema = sorted.schema
+      .add("_pid", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("_run", org.apache.spark.sql.types.LongType, nullable = false)
+    val ki = keys.map(sorted.schema.fieldIndex).toArray
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = 0L
+      var prev: Array[Any] = null
+      it.map { r =>
+        val k = ki.map(i => r.get(i))
+        val same = prev != null && {
+          var i = 0
+          var eq = true
+          while (eq && i < k.length) {
+            eq = java.util.Objects.equals(k(i), prev(i)); i += 1
+          }
+          eq
+        }
+        if (!same) { run += 1; prev = k }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ run)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Returns (ranked frame, rank-class count, row count) — the row count
@@ -92,7 +120,7 @@ object SuffixArray {
     val ranked = flagged
       .withColumn(out,
         col("_run") + element_at(typedLit(offsets), col("_pid")))
-      .drop("_pid", "_new", "_run")
+      .drop("_pid", "_run")
     (ranked, total, rows)
   }
 

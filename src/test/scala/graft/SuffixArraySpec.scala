@@ -115,15 +115,16 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
-  test("per-round exchange shape: the rank assignment is 2 exchanges " +
-    "(range + pid window), never a single-partition global window") {
+  test("per-round exchange shape: the rank assignment is 1 exchange " +
+    "(the range repartition; the flag/run pass is partition-local), " +
+    "never a single-partition global window") {
     implicit val s: SparkSession = spark
     import s.implicits._
     val df = (1L to 100L).map(i => (i % 10, i % 3)).toDF("a", "b")
     val plan = SuffixArray.flagPlan(df, Seq("a", "b"))
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange ".r.findAllIn(plan).length
-    assert(exchanges == 2, s"flag plan exchanges: $exchanges\n$plan")
+    assert(exchanges == 1, s"flag plan exchanges: $exchanges\n$plan")
     assert(plan.contains("rangepartitioning"), plan)
     assert(!plan.toLowerCase.contains("singlepartition"), plan)
   }
