@@ -138,17 +138,24 @@ object ConnectedComponents {
       // (a second, sequential jump join on the fresh labels was measured
       // here and REJECTED: it cuts rounds 10 → 5 on q186's graph but the
       // extra per-round join costs more wall than the rounds it saves —
-      // 2.9 s → 5.8 s on the same probe)
-      // change flag computed in the same job (localCheckpoint materializes
-      // eagerly) so convergence costs one count, not an extra join
+      // 2.9 s → 5.8 s on the same probe. Reverse label edges — letting
+      // the hub read members' labels — were measured and rejected too:
+      // identical round count on the same graph.)
+      // Convergence rides an OBSERVED metric on the same job that
+      // materializes the checkpoint (localCheckpoint is a Dataset
+      // action, so CollectMetrics populates) — zero extra jobs per
+      // round where a filter(chg).count() job used to run.
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"),
           (coalesce(col("nbr_min"), col("component")) < col("component"))
             .as("chg"))
+        .observe(obs,
+          coalesce(sum(col("chg").cast("long")), lit(0L)).as("changed"))
         .localCheckpoint(true) // truncate lineage: plan stays O(1) per round
-      changed = next.filter(col("chg")).count()
+      changed = obs.getAsJava.get("changed").asInstanceOf[Long]
       labels = next.drop("chg")
       round += 1
     }

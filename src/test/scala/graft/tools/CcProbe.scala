@@ -74,8 +74,11 @@ object CcProbe {
       var round = 0
       val t0 = System.nanoTime()
       while (changed > 0 && round < 200) {
-        val hop = sym.union(labels.filter(col("component") =!= col("node"))
-          .select(col("node"), col("component").as("nbr")))
+        val labEdges = labels.filter(col("component") =!= col("node"))
+        val hop = sym
+          .union(labEdges.select(col("node"), col("component").as("nbr")))
+          .union(labEdges.select(col("component").as("node"),
+            col("node").as("nbr")))
         val nbrMin = hop
           .join(labels.withColumnRenamed("node", "nbr"), "nbr")
           .groupBy("node").agg(min("component").as("nbr_min"))
