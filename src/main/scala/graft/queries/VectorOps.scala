@@ -732,9 +732,11 @@ object VectorOps {
     // gates pin determinism but cannot detect a broken cell assignment
     // or ADC in the regime IVF-PQ exists FOR. This derives a CLUSTERED
     // corpus deterministically from the same vec_ids — 16 md5-derived
-    // integer centers (the q206 regenerate-from-nothing move; ids 0..15
-    // cover every center once, so the k=16 seed rule lands one seed per
-    // cluster) plus small id-keyed arithmetic noise — builds the
+    // integer centers (the q206 regenerate-from-nothing move; the k=16
+    // seeds are the 16 lowest HIST ids {0..8, 10..16}, so center 9 has
+    // no seed and center 0 two — see the clusteredVecs scaladoc; the
+    // measured recall levels include that asymmetry) plus small
+    // id-keyed arithmetic noise — builds the
     // IVF(k=16) index + residual PQ codes over its history, and reports
     // the same two loss terms. On THIS corpus the gate is SHARP
     // (measured sf0.01: cell_global_hit 50/50, pq_cell_hit well above
