@@ -130,11 +130,18 @@ object ConnectedComponents {
       // zero-change round implies in particular that the plain
       // neighbor-min step changed nothing — the same fixpoint, so the
       // gated output is unchanged.
-      val hop = sym.union(labels.filter(col("component") =!= col("node"))
-        .select(col("node"), col("component").as("nbr")))
-      val nbrMin = hop
-        .join(labels.withColumnRenamed("node", "nbr"), "nbr")
-        .groupBy("node").agg(min("component").as("nbr_min"))
+      // SELF edges carry each node's own label into the SAME aggregation
+      // (tagged so the old label is recoverable for the change flag), so
+      // the per-round plan is ONE join + ONE aggregate — the former
+      // labels⋈nbrMin left join (another broadcast build + probe per
+      // round) is folded away. min over {self, neighbors, label's label}
+      // ≡ least(component, nbr_min), so labels are bit-identical.
+      val hop = labels
+        .select(col("node"), col("node").as("nbr"), lit(true).as("self"))
+        .union(sym.select(col("node"), col("nbr"), lit(false).as("self")))
+        .union(labels.filter(col("component") =!= col("node"))
+          .select(col("node"), col("component").as("nbr"),
+            lit(false).as("self")))
       // (a second, sequential jump join on the fresh labels was measured
       // here and REJECTED: it cuts rounds 10 → 5 on q186's graph but the
       // extra per-round join costs more wall than the rounds it saves —
@@ -146,12 +153,13 @@ object ConnectedComponents {
       // action, so CollectMetrics populates) — zero extra jobs per
       // round where a filter(chg).count() job used to run.
       val obs = new org.apache.spark.sql.Observation()
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"),
-          (coalesce(col("nbr_min"), col("component")) < col("component"))
-            .as("chg"))
+      val next = hop
+        .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node").agg(
+          min(col("component")).as("newc"),
+          max(when(col("self"), col("component"))).as("prev"))
+        .select(col("node"), col("newc").as("component"),
+          (col("newc") < col("prev")).as("chg"))
         .observe(obs,
           coalesce(sum(col("chg").cast("long")), lit(0L)).as("changed"))
         .localCheckpoint(true) // truncate lineage: plan stays O(1) per round
