@@ -122,10 +122,10 @@ object ConnectedComponents {
       // comp'(n) = min(comp(n), comp(Γ(n)), comp(comp(n))). Plain
       // propagation moves the component min one hop per round (q186's
       // weighted near-dup graph measured 13 rounds = 13 shuffle+count
-      // round trips at sf0.1); the fused jump roughly halves the
-      // remaining distance per round (measured 5 rounds on the same
-      // graph) at IDENTICAL per-round shape — the union adds ≤ |nodes|
-      // rows to the existing join, no extra exchange, no extra job.
+      // round trips at sf0.1); the fused jump cuts that to 10 rounds on
+      // the same graph at IDENTICAL per-round shape — the union adds
+      // ≤ |nodes| rows to the existing join, no extra exchange, no
+      // extra job.
       // Labels still only ever decrease toward the component min, and a
       // zero-change round implies in particular that the plain
       // neighbor-min step changed nothing — the same fixpoint, so the
