@@ -79,95 +79,112 @@ object ConnectedComponents {
   def runPropagation(edges: DataFrame, maxRounds: Int = 200,
       escalateAfter: Int = 20)(
       implicit spark: SparkSession): DataFrame = {
-    // pin the edge list ONCE: every round's joins — including the
-    // broadcast-build jobs AQE spawns for them — read the materialized
-    // RDD instead of re-running the caller's pair-detection plan. The
-    // previous sym.cache() was not reliably substituted into the
-    // per-round broadcast subplans (measured on q186's weighted graph:
-    // each round re-executed the full verified-pairs pipeline, ~10
-    // task-seconds per round), and an eager localCheckpoint is the
-    // discipline every other iterative operator here already uses.
+    import spark.implicits._
+    // The inner loop is the co-partitioned Pregel shape (GraphX's): the
+    // adjacency is hash-partitioned by node ONCE, labels keep the SAME
+    // partitioner through every round, so the adjacency⋈labels and
+    // labels⋈nbrMin joins are NARROW — the only shuffle per round is the
+    // neighbor-min reduceByKey (plus a labels-sized re-key for the jump
+    // edges), and the whole round materializes as ONE job with ~3 stages.
+    // The earlier declarative rounds paid a broadcast-build job plus AQE
+    // stage-materialization jobs per round (measured: q186's 10 rounds =
+    // 87 jobs at ~0.26 s/round); per-round latency is what an O(rounds)
+    // fixpoint pays for, so the round itself is the thing to make cheap.
+    // All arithmetic is min over longs — deterministic under any
+    // partitioning or combiner order.
+    // pin the edge list ONCE: every round reads the materialized RDD
+    // instead of re-running the caller's pair-detection plan (the r16
+    // finding: a sym.cache() was not substituted into per-round
+    // subplans and q186 re-ran its verified-pairs pipeline every round)
     val e0 = edges
       .select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")).localCheckpoint(true)
-    val sym = e0
-      .select(col("src").as("node"), col("dst").as("nbr"))
-      .union(e0.select(col("dst").as("node"), col("src").as("nbr")))
-      .filter(col("node") =!= col("nbr")).localCheckpoint(true)
-    // node universe includes self-loop-only endpoints (same contract as run)
-    var labels = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
-      .withColumn("component", col("node")).localCheckpoint(true)
+        col("dst").cast("long").as("dst"))
+      .as[(Long, Long)].rdd.localCheckpoint()
+    // EAGER: sym, the label universe, and round 0 all branch off e0 — a
+    // lazy checkpoint would let each branch re-run the caller's
+    // pair-detection plan before the blocks exist (measured: 76 task-s
+    // on q186, the same recompute class the DF version hit)
+    val nEdges = e0.count()
+    // Scale-ADAPTIVE round parallelism (guide §2: derive partitioning
+    // from input size, don't inherit a constant): the pair graph is
+    // metadata-sized (16-byte rows), and RDD stages have no AQE to
+    // coalesce them — running every round at spark.sql.shuffle.partitions
+    // turned each tiny round into an M×R block-fetch storm (measured
+    // 2–6 task-s PER ROUND on q186's 20k-edge graph at 32 partitions;
+    // the whole graph is 0.6 MB). One partition per ~1M edges, capped at
+    // the session's shuffle parallelism so a 10^9-edge production graph
+    // still uses the full configured width.
+    val numParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      nEdges / 1000000L + 1L)).toInt
+    val part = new org.apache.spark.HashPartitioner(numParts)
+    val sym = e0.flatMap { case (a, b) =>
+        if (a == b) Iterator.empty else Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node universe includes self-loop-only endpoints (same contract as
+    // run); reduceByKey with the SAME partitioner keeps labels
+    // co-partitioned with sym from round 0 on
+    var labels = e0.flatMap { case (a, b) => Iterator((a, a), (b, b)) }
+      .reduceByKey(part, (x, _) => x)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       if (round == escalateAfter) {
         // trip: contract by current labels, finish with the star variant
-        val labN = labels.select(col("node"), col("component").as("cu"))
-        val labB = labels.select(col("node").as("nbr"),
+        // (the star algorithm stays declarative — it runs O(log n) rounds
+        // on an ever-shrinking edge set, not the per-round hot path)
+        val labDf = labels.toDF("node", "component")
+        val symDf = sym.toDF("node", "nbr")
+        val labN = labDf.select(col("node"), col("component").as("cu"))
+        val labB = labDf.select(col("node").as("nbr"),
           col("component").as("cv"))
-        val contracted = sym.join(labN, "node").join(labB, "nbr")
+        val contracted = symDf.join(labN, "node").join(labB, "nbr")
           .select(col("cu").as("src"), col("cv").as("dst"))
           .filter(col("src") =!= col("dst")).distinct()
         val star = run(contracted, maxRounds)
           .select(col("node").as("lab"), col("component").as("final"))
-        return labels.join(star, labels("component") === star("lab"), "left")
-          .select(labels("node"),
-            coalesce(col("final"), labels("component")).as("component"))
+        sym.unpersist(blocking = false)
+        return labDf.join(star, labDf("component") === star("lab"), "left")
+          .select(labDf("node"),
+            coalesce(col("final"), labDf("component")).as("component"))
       }
-      // pointer-jump fused into the neighbor-min join (label compression,
-      // Shiloach–Vishkin style): besides its graph neighbors, every node
-      // also reads its LABEL's label, via label rows (node, component)
-      // unioned into the adjacency as extra (node, nbr=component) edges —
-      // comp'(n) = min(comp(n), comp(Γ(n)), comp(comp(n))). Plain
-      // propagation moves the component min one hop per round (q186's
-      // weighted near-dup graph measured 13 rounds = 13 shuffle+count
-      // round trips at sf0.1); the fused jump cuts that to 10 rounds on
-      // the same graph at IDENTICAL per-round shape — the union adds
-      // ≤ |nodes| rows to the existing join, no extra exchange, no
-      // extra job.
-      // Labels still only ever decrease toward the component min, and a
-      // zero-change round implies in particular that the plain
-      // neighbor-min step changed nothing — the same fixpoint, so the
-      // gated output is unchanged.
-      // SELF edges carry each node's own label into the SAME aggregation
-      // (tagged so the old label is recoverable for the change flag), so
-      // the per-round plan is ONE join + ONE aggregate — the former
-      // labels⋈nbrMin left join (another broadcast build + probe per
-      // round) is folded away. min over {self, neighbors, label's label}
-      // ≡ least(component, nbr_min), so labels are bit-identical.
-      val hop = labels
-        .select(col("node"), col("node").as("nbr"), lit(true).as("self"))
-        .union(sym.select(col("node"), col("nbr"), lit(false).as("self")))
-        .union(labels.filter(col("component") =!= col("node"))
-          .select(col("node"), col("component").as("nbr"),
-            lit(false).as("self")))
-      // (a second, sequential jump join on the fresh labels was measured
-      // here and REJECTED: it cuts rounds 10 → 5 on q186's graph but the
-      // extra per-round join costs more wall than the rounds it saves —
-      // 2.9 s → 5.8 s on the same probe. Reverse label edges — letting
-      // the hub read members' labels — were measured and rejected too:
-      // identical round count on the same graph.)
-      // Convergence rides an OBSERVED metric on the same job that
-      // materializes the checkpoint (localCheckpoint is a Dataset
-      // action, so CollectMetrics populates) — zero extra jobs per
-      // round where a filter(chg).count() job used to run.
-      val obs = new org.apache.spark.sql.Observation()
-      val next = hop
-        .join(labels.withColumnRenamed("node", "nbr"), "nbr")
-        .groupBy("node").agg(
-          min(col("component")).as("newc"),
-          max(when(col("self"), col("component"))).as("prev"))
-        .select(col("node"), col("newc").as("component"),
-          (col("newc") < col("prev")).as("chg"))
-        .observe(obs,
-          coalesce(sum(col("chg").cast("long")), lit(0L)).as("changed"))
-        .localCheckpoint(true) // truncate lineage: plan stays O(1) per round
-      changed = obs.getAsJava.get("changed").asInstanceOf[Long]
-      labels = next.drop("chg")
+      // pointer-jump fused into the contribution flow (Shiloach–Vishkin
+      // style): every edge (u → v) delivers label(u) to v, and per-round
+      // jump edges (label(n) → n) deliver label(label(n)) to n, so
+      // comp'(n) = min(comp(n), comp(Γ(n)), comp(comp(n))) — measured
+      // 13 → 10 rounds on q186's weighted graph vs plain propagation.
+      // (A sequential second jump and reverse label edges were both
+      // measured and rejected in r16: fewer rounds but more wall, and
+      // no round change, respectively.) Labels only ever decrease toward
+      // the component min, and a zero-change round implies the plain
+      // neighbor-min step was already at its fixpoint — same labels,
+      // same gated output as the declarative formulation.
+      val jumpEdges = labels.filter(nl => nl._2 != nl._1)
+        .map { case (n, l) => (l, n) }
+        .partitionBy(part)
+      val nbrMin = sym.union(jumpEdges) // same partitioner → narrow union
+        .join(labels) // co-partitioned → narrow
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(part, math.min(_: Long, _: Long)) // the one real shuffle
+      val chgAcc = spark.sparkContext.longAccumulator
+      val next = labels.leftOuterJoin(nbrMin) // co-partitioned → narrow
+        .mapValues { case (old, mn) =>
+          val nw = math.min(old, mn.getOrElse(old))
+          if (nw < old) chgAcc.add(1L)
+          nw
+        }
+      next.localCheckpoint() // truncate lineage: O(1) plan per round
+      next.count() // ONE job materializes the round; accumulator = changed
+      // (an accumulator can over-count under task retry — worst case one
+      // extra no-op round, never a wrong label)
+      labels.unpersist(blocking = false)
+      labels = next
+      changed = chgAcc.value
       round += 1
     }
-    labels
+    sym.unpersist(blocking = false)
+    labels.toDF("node", "component")
   }
 
   /** edges (src, dst) undirected, any orientation → (node, component)
