@@ -49,6 +49,11 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
+  /** The session's configured shuffle parallelism — the cap for the
+    * adaptive range-partition widths below. */
+  private def df2parts(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Dense-rank `df` by `keys` without a single-partition window and
     * without a distinct+join-back round trip: range-repartition (equal
     * tuples land in one partition, partition index = global key order),
@@ -72,9 +77,11 @@ object SuffixArray {
     * corpus-sized structure, deterministic for a fixed partitioning —
     * and the eager localCheckpoint in [[denseRankInPlace]] pins that
     * partitioning before the offsets job reads _pid. */
-  private[graft] def flagPlan(df: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def flagPlan(df: DataFrame, keys: Seq[String],
+      numParts: Int = 0): DataFrame = {
     val kcols = keys.map(col)
-    val sorted = df.repartitionByRange(kcols: _*)
+    val sorted = (if (numParts > 0) df.repartitionByRange(numParts, kcols: _*)
+      else df.repartitionByRange(kcols: _*))
       .sortWithinPartitions(kcols: _*)
     val outSchema = sorted.schema
       .add("_pid", org.apache.spark.sql.types.IntegerType, nullable = false)
@@ -104,8 +111,8 @@ object SuffixArray {
     * rides the same per-partition agg, so the all-classes-singleton
     * early exit in [[tokenSuffixRanks]] costs no extra job. */
   private[graft] def denseRankInPlace(df: DataFrame, keys: Seq[String],
-      out: String): (DataFrame, Long, Long) = {
-    val flagged = flagPlan(df, keys).localCheckpoint(true)
+      out: String, numParts: Int = 0): (DataFrame, Long, Long) = {
+    val flagged = flagPlan(df, keys, numParts).localCheckpoint(true)
     val perPart = flagged.groupBy("_pid")
       .agg(max("_run").as("n"), count(lit(1)).as("rows"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
@@ -141,8 +148,24 @@ object SuffixArray {
     // at h = maxLen/2)
     // empty-corpus guard: max over zero rows is null — rank an empty
     // seed frame (one cheap pass) instead of NPEing on getInt
-    val mxRow = docs.agg(max(size(tokens))).head()
+    val mxRow = docs.agg(max(size(tokens)),
+      sum(size(tokens).cast("long"))).head()
     val maxLen = if (mxRow.isNullAt(0)) 0L else mxRow.getInt(0).toLong
+    val totalPos = if (mxRow.isNullAt(1)) 0L else mxRow.getLong(1)
+    // Scale-ADAPTIVE rank parallelism (guide §2, the r16 CC lesson):
+    // the explicit repartitionByRange inside denseRankInPlace is not
+    // AQE-coalesced, so a constant partition count turns each tiny
+    // round into block-fetch/launch overhead at bench scale while a
+    // too-small constant would single-thread a real corpus. Derive the
+    // width from the bytes actually in flight (~28 B/triple in the
+    // doubling rounds, plus ~7 B/token of seed slice in the seed
+    // round), targeting ~32 MB per range partition, capped at the
+    // session's shuffle parallelism.
+    val maxParts = df2parts(docs)
+    def parts(rowBytes: Long): Int = math.max(1L, math.min(maxParts.toLong,
+      totalPos * rowBytes / (32L << 20) + 1L)).toInt
+    val seedParts = parts(28L + 7L * seedWidth)
+    val rankParts = parts(28L)
     // seed: per-position seedWidth-token slices, built in-row before the
     // explode (the seed round's one range-sort compares seedWidth tokens
     // at once, so the doubling starts at h=seedWidth — each doubling of
@@ -175,7 +198,7 @@ object SuffixArray {
       .select(col("doc_id"), (col("_p0") + 1).cast("long").as("p"),
         col("_k"))
     var (r, classes, rows) =
-      denseRankInPlace(seeded, Seq("_k"), "rank")
+      denseRankInPlace(seeded, Seq("_k"), "rank", seedParts)
     r = r.select(col("doc_id"), col("p"), col("rank"))
     var prevClasses = -1L
     var h = seedWidth.toLong
@@ -192,7 +215,7 @@ object SuffixArray {
         coalesce(lead("rank", h.toInt).over(wdoc), lit(0L)).as("_r2"))
       // _r2 = 0 marks a suffix that ends before p+h: sorts first, like
       // the shorter string in a prefix comparison
-      val (ranked, n, _) = denseRankInPlace(paired, Seq("_r1", "_r2"), "rank")
+      val (ranked, n, _) = denseRankInPlace(paired, Seq("_r1", "_r2"), "rank", rankParts)
       r = ranked.select(col("doc_id"), col("p"), col("rank"))
       prevClasses = classes
       classes = n
