@@ -88,6 +88,34 @@ object Tables {
       df.repartition(on)
     else df
 
+  /** DROP TABLE IF EXISTS + orphaned-location cleanup WITHOUT the SQL
+    * round trip (r17, guide §5 — driver fixed costs): `spark.sql("DROP
+    * TABLE IF EXISTS …")` pays parse + analysis + command dispatch per
+    * statement, and the index-lifecycle queries issue up to 7 of them per
+    * build (IvfIndex.write). This goes straight to the session catalog:
+    * one exists probe, a relation-cache refresh, and the drop (the
+    * external catalog deletes a managed table's directory, exactly like
+    * the SQL command — our tables never enter the CacheManager, so the
+    * command's uncache step is a no-op here). The manual location rm
+    * covers a MANAGED location orphaned by a previous session's
+    * warehouse, which would otherwise make the next saveAsTable refuse
+    * even with overwrite (the LshIndex.write lesson). */
+  def dropTableFast(spark: SparkSession, table: String): Unit = {
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val cat = spark.sessionState.catalog
+    if (cat.tableExists(ident)) {
+      cat.refreshTable(ident)
+      cat.dropTable(ident, ignoreIfNotExists = true, purge = false)
+    }
+    val loc = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   /** Bucketed materialization — the cluster-scale answer to repeated
     * joins/aggregations on one key (dedup fingerprints, xid, vec_id):
     * both sides written with `bucketBy(n, key)` are co-located by the
@@ -136,18 +164,18 @@ object Tables {
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(s"$table is not bucketed"))
     val tmp = s"${table}__compact"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    val loc = new java.io.File(new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath, tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    if (loc.exists()) rm(loc)
+    dropTableFast(spark, tmp)
     writeBucketed(rewrite(spark.table(table).dropDuplicates(dedupKeys)),
       tmp, key, buckets)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // swap: drop the original, repoint tmp — direct catalog calls (the
+    // dropTableFast rationale; renameTable moves the managed directory
+    // exactly like ALTER TABLE … RENAME)
+    val cat = spark.sessionState.catalog
+    cat.refreshTable(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    cat.dropTable(org.apache.spark.sql.catalyst.TableIdentifier(table),
+      ignoreIfNotExists = false, purge = false)
+    cat.renameTable(org.apache.spark.sql.catalyst.TableIdentifier(tmp),
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
     spark.catalog.refreshTable(table)
   }
 

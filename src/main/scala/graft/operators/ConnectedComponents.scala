@@ -145,6 +145,7 @@ object ConnectedComponents {
         val star = run(contracted, maxRounds)
           .select(col("node").as("lab"), col("component").as("final"))
         sym.unpersist(blocking = false)
+        e0.unpersist(blocking = false)
         return labDf.join(star, labDf("component") === star("lab"), "left")
           .select(labDf("node"),
             coalesce(col("final"), labDf("component")).as("component"))
@@ -183,7 +184,12 @@ object ConnectedComponents {
       changed = chgAcc.value
       round += 1
     }
+    // release the pinned edge blocks too (r16 ADVICE): streaming callers
+    // invoke this per micro-batch, so leaving e0/sym to the ContextCleaner
+    // accumulates MEMORY_AND_DISK blocks across batches. The FINAL labels
+    // checkpoint stays persisted — the returned DataFrame reads it.
     sym.unpersist(blocking = false)
+    e0.unpersist(blocking = false)
     labels.toDF("node", "component")
   }
 

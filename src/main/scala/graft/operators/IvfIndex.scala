@@ -157,16 +157,7 @@ object IvfIndex {
     Seq(s"${name}_cells", s"${name}_cents",
         s"${name}_pqcodes", s"${name}_pqbook",
         s"${name}_sqcodes", s"${name}_sqbook",
-        s"${name}_meta").foreach { tbl =>
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = new java.io.File(new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      if (loc.exists()) rm(loc)
-    }
+        s"${name}_meta").foreach(Tables.dropTableFast(spark, _))
     // the packed-centroid row is k·d values — fetch the k seed vectors
     // with ONE TakeOrdered job (no shuffle, no agg stage), pack the row
     // driver-side, and reuse the local 1-row frame for BOTH the persisted
@@ -420,16 +411,8 @@ object IvfIndex {
     Seq(s"${name}_sqcodes", s"${name}_sqbook")
       .foreach(dropDerivedTable(spark, _))
 
-  private def dropDerivedTable(spark: SparkSession, tbl: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val loc = new java.io.File(new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    if (loc.exists()) rm(loc)
-  }
+  private def dropDerivedTable(spark: SparkSession, tbl: String): Unit =
+    Tables.dropTableFast(spark, tbl)
 
   /** Delete vectors from the index — the [[graft.operators.LshIndex
     * .remove]] move for the vector side: the bucket-preserving compact

@@ -37,17 +37,10 @@ object LshIndex {
       buckets: Int = 32): Unit = {
     // a managed-table LOCATION can outlive the catalog entry (a previous
     // session's warehouse dir) and then saveAsTable refuses even with
-    // overwrite — clear both before writing
-    Seq(s"${name}_bands", s"${name}_shingles").foreach { tbl =>
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = new java.io.File(new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      if (loc.exists()) rm(loc)
-    }
+    // overwrite — clear both before writing (Tables.dropTableFast does
+    // both without the per-statement SQL round trip)
+    Seq(s"${name}_bands", s"${name}_shingles")
+      .foreach(Tables.dropTableFast(spark, _))
     // project the checkpoint to the columns the writes consume — the 8
     // per-doc minhash strings exist only to derive band0/band1 and would
     // otherwise be materialized into block storage for nothing
@@ -180,16 +173,8 @@ object LshIndex {
   /** Index `docs` under weighted tables `<name>_bands` / `<name>_tfs`. */
   def writeWeighted(spark: SparkSession, docs: DataFrame, name: String,
       buckets: Int = 32): Unit = {
-    Seq(s"${name}_bands", s"${name}_tfs").foreach { tbl =>
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = new java.io.File(new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      if (loc.exists()) rm(loc)
-    }
+    Seq(s"${name}_bands", s"${name}_tfs")
+      .foreach(Tables.dropTableFast(spark, _))
     val banded = TextOps.withWeightedBands(docs)
       .select("doc_id", "band0", "band1", "tfs", "n_tok").localCheckpoint()
     // bucket-key repartition + overlapped commits — see [[write]]

@@ -76,7 +76,13 @@ object SuffixArray {
     * decode-pipeline class): sequential scan, O(1) state, no
     * corpus-sized structure, deterministic for a fixed partitioning —
     * and the eager localCheckpoint in [[denseRankInPlace]] pins that
-    * partitioning before the offsets job reads _pid. */
+    * partitioning before the offsets job reads _pid.
+    *
+    * Supported key types (r16 ADVICE): the per-row key comparison uses
+    * java.util.Objects.equals on EXTERNAL row values — correct for
+    * string/numeric keys (the only callers) and for array types (Seq
+    * equality is element-wise), but NOT for BinaryType (Array[Byte]
+    * compares by reference, so every row would open a new rank class). */
   private[graft] def flagPlan(df: DataFrame, keys: Seq[String],
       numParts: Int = 0): DataFrame = {
     val kcols = keys.map(col)
@@ -87,6 +93,9 @@ object SuffixArray {
       .add("_pid", org.apache.spark.sql.types.IntegerType, nullable = false)
       .add("_run", org.apache.spark.sql.types.LongType, nullable = false)
     val ki = keys.map(sorted.schema.fieldIndex).toArray
+    require(!ki.exists(i => sorted.schema(i).dataType ==
+        org.apache.spark.sql.types.BinaryType),
+      "flagPlan: BinaryType keys compare by reference (see scaladoc)")
     sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var run = 0L

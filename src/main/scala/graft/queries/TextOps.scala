@@ -23,7 +23,13 @@ object TextOps {
     * one-pass kernel (r10): `filter(split(...), lambda)` is a
     * CodegenFallback higher-order function that broke whole-stage
     * codegen at every tokenize site; [[graft.functions.TextNative.tokens]]
-    * is byte-identical and codegen-participating. */
+    * is byte-identical and codegen-participating.
+    *
+    * Invariant consumers rely on (r16 ADVICE): tokens are split on
+    * U+0020 and never contain U+0000 — [[graft.operators.SuffixArray]]
+    * joins token slices with a NUL sentinel whose order/equality proof
+    * assumes exactly this. A tokenizer change that could emit NUL bytes
+    * must strip them here or re-prove that seed-key encoding. */
   private[graft] def tokensCol: Column = tokensOf(col("text"))
 
   private[graft] def tokensOf(c: Column): Column =
@@ -269,22 +275,23 @@ object TextOps {
     val banded0 = withBands(docs).localCheckpoint()
     val bandedAll = banded0.select(col("doc_id"),
         explode(array(col("band0"), col("band1"))).as("band"))
-    // Candidate pairs per band bucket WITHOUT a self-join: one exchange on
-    // band, members collected per bucket (bounded by the cap below), pairs
-    // expanded in-group. The former band⋈band self-join + windowed-count
-    // cap shuffled the banded set twice and materialized a window sort;
-    // this is the same candidate set from a single aggregation, and the
-    // skew cap is structural — an over-cap bucket (degenerate boilerplate,
-    // q25's exact-dup territory) contributes no pairs and no join work.
-    // over-cap bands drop BEFORE the collect: the count aggregation is
-    // map-side-combined (its exchange carries one row per distinct band),
-    // so no reducer ever materializes a degenerate bucket's member list
-    val hot = bandedAll.groupBy(col("band")).count()
-      .filter(col("count") > bandCap).select(col("band"))
-    val cand = bandedAll.join(hot, Seq("band"), "left_anti")
-      .groupBy(col("band"))
-      .agg(collect_list(col("doc_id")).as("ms"))
-      .filter(size(col("ms")) >= 2)
+    // Candidate pairs per band bucket WITHOUT a self-join and in ONE
+    // exchange (r17, guide §2.4): the bounded bottom-(cap+1) multiset
+    // aggregate ([[graft.functions.BoundedMinLongs]]) keeps ≤ cap+1
+    // member ids per band at every stage — map-side combined, O(cap)
+    // state — so a result of size cap+1 IS the over-cap verdict (row
+    // count > cap, the degenerate-boilerplate skew guard) and a smaller
+    // result is exactly collect_list's multiset, sorted. This replaces
+    // the r16 two-phase plan (map-combined count → broadcast anti-join →
+    // collect_list): same candidate set — the pair expansion is
+    // order-insensitive after least/greatest — with one exchange of the
+    // banded rows instead of two, and the no-reducer-materializes-a-
+    // degenerate-bucket guarantee now holds structurally in the
+    // aggregation buffer itself.
+    val cand = bandedAll.groupBy(col("band"))
+      .agg(graft.functions.BoundedMinLongs(col("doc_id"), bandCap + 1)
+        .as("ms"))
+      .filter(size(col("ms")).between(2, bandCap))
       .select(explode(expr(
         """flatten(transform(ms, (a, i) ->
           |  transform(slice(ms, i + 2, size(ms) - i - 1), b ->
@@ -430,12 +437,11 @@ object TextOps {
     val banded0 = withWeightedBands(docs).localCheckpoint()
     val bandedAll = banded0.select(col("doc_id"),
       explode(array(col("band0"), col("band1"))).as("band"))
-    val hot = bandedAll.groupBy(col("band")).count()
-      .filter(col("count") > bandCap).select(col("band"))
-    val cand = bandedAll.join(hot, Seq("band"), "left_anti")
-      .groupBy(col("band"))
-      .agg(collect_list(col("doc_id")).as("ms"))
-      .filter(size(col("ms")) >= 2)
+    // one-exchange capped candidate aggregation — see lshVerifiedPairs
+    val cand = bandedAll.groupBy(col("band"))
+      .agg(graft.functions.BoundedMinLongs(col("doc_id"), bandCap + 1)
+        .as("ms"))
+      .filter(size(col("ms")).between(2, bandCap))
       .select(explode(expr(
         """flatten(transform(ms, (a, i) ->
           |  transform(slice(ms, i + 2, size(ms) - i - 1), b ->
@@ -1541,12 +1547,18 @@ object TextOps {
       // the whole slice" case (different classes CAN share all `cap`
       // leading tokens when both suffixes run past it), reported as the
       // capped lcp, like the oracle's coalesce default.
-      reps.as("l")
-        .join(reps.as("r"), col("l.srank") + 1 === col("r.srank"))
-        .select(col("l.srank").as("srank"),
-          col("l.doc_id").as("d1"), col("l.p").as("p1"),
-          col("r.doc_id").as("d2"), col("r.p").as("p2"),
-          array_position(zip_with(col("l.sl"), col("r.sl"),
+      // Successor pairing via AdjacentPairs (r17, guide §2.4): dense
+      // ranks are consecutive, so srank+1 pairing IS row adjacency in
+      // srank order — the q26 bucketed-window primitive computes `reps`
+      // ONCE and pairs in one exchange, where the former srank+1
+      // self-join re-ran the groupBy+join+slice subtree on BOTH sides
+      // (measured r17: 7.8 task-s / 55 MB shuffled, the q204 JobProfile
+      // outlier) and shuffled+sorted each.
+      graft.operators.AdjacentPairs.pairs(reps, "srank")
+        .select(col("srank_a").as("srank"),
+          col("doc_id_a").as("d1"), col("p_a").as("p1"),
+          col("doc_id_b").as("d2"), col("p_b").as("p2"),
+          array_position(zip_with(col("sl_a"), col("sl_b"),
             (a, b) => when(a <=> b, 0).otherwise(1)), 1).as("m1"))
         .select(col("srank"), col("d1"), col("p1"), col("d2"), col("p2"),
           least(when(col("m1") > 0, col("m1") - 1).otherwise(lit(cap)),

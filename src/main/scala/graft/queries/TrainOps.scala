@@ -241,7 +241,13 @@ object TrainOps {
     * exact to ~1e9 rows; past that scale Q down or pre-average per
     * partition (production would also persist the feature RDD across
     * rounds; at bench scale the re-read of the checkpointed frame is
-    * noise). */
+    * noise).
+    *
+    * PRECONDITION (r16 ADVICE): `feats` must be MATERIALIZED (eagerly
+    * checkpointed/persisted) by the caller — each of the `iters` rounds
+    * re-executes the frame's plan via rows.aggregate, so an unpinned
+    * input would re-run its full upstream pipeline every round. The one
+    * caller (q199) localCheckpoints the feature frame first. */
   private[graft] def lrTrain(feats: DataFrame, n: Long,
       iters: Int = LrIters): DataFrame = {
     val rows = feats.select(col("y"), col("x0"), col("x1"), col("x2"))

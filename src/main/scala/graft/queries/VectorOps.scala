@@ -1265,8 +1265,8 @@ object VectorOps {
     * recomputed per query (the r14 full-corpus-re-encode finding). */
   private[graft] def pqAttach(s: SparkSession, name: String,
       residual: Boolean = true): Unit = {
-    Seq(s"${name}_pqcodes", s"${name}_pqbook").foreach(tbl =>
-      s.sql(s"DROP TABLE IF EXISTS $tbl"))
+    Seq(s"${name}_pqcodes", s"${name}_pqbook")
+      .foreach(graft.core.Tables.dropTableFast(s, _))
     val res = if (residual) residualFrame(s, name)
       else s.table(s"${name}_cells")
         .select(col("cell"), col("vec_id"), quant(col("embedding")).as("q"))
@@ -1430,8 +1430,8 @@ object VectorOps {
     * the streaming growth path serves PQ codes ([[pqAppend]]), and a
     * grown index re-attaches SQ on the next gated read. */
   private[graft] def sqAttach(s: SparkSession, name: String): Unit = {
-    Seq(s"${name}_sqcodes", s"${name}_sqbook").foreach(tbl =>
-      s.sql(s"DROP TABLE IF EXISTS $tbl"))
+    Seq(s"${name}_sqcodes", s"${name}_sqbook")
+      .foreach(graft.core.Tables.dropTableFast(s, _))
     val qrows = s.table(s"${name}_cells")
       .select(col("cell"), col("vec_id"), quant(col("embedding")).as("q"))
     // per-dim min/span: one distributed pass, d partial cells per
@@ -1533,7 +1533,7 @@ object VectorOps {
     * would silently hide appended rows from every filtered serve). */
   private[graft] def metaAttach(s: SparkSession, name: String,
       src: DataFrame): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS ${name}_meta")
+    graft.core.Tables.dropTableFast(s, s"${name}_meta")
     val buckets = s.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_cells"))

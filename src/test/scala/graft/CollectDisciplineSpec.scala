@@ -174,8 +174,11 @@ class CollectDisciplineSpec extends AnyFunSuite {
       "<=10-doc query side (qterms/qdata), df of query terms only, " +
         "KB bloom fp sets x2, stopword-sized freq set"),
     "queries/TrainOps.scala" -> (1,
-      "q122 approx side: <= 10 queries * k (q199's per-round beta is now " +
-        "3 driver longs via a 1-row head(), no broadcast frames left)"),
+      "q122 approx side: <= 10 queries * k (q199's per-round gradient " +
+        "sums arrive as one (s0,s1,s2) triple per partition via " +
+        "rdd.aggregate — partition-count-sized driver traffic, no " +
+        "broadcast frames left; note the discipline scan below does not " +
+        "count rdd.aggregate as a driver materialization)"),
     "queries/VectorOps.scala" -> (35,
       "query sets (vec_id < 10), packed codebooks (k*d), PQ codebooks, " +
         "k-means seeds, q143 delta assignments, q167 anchors (<= AnchorCap " +
